@@ -1,13 +1,488 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * query key maps to. Every oracle-checked query:
+  *   - aliases every computed column identically in Spark and DuckDB SQL,
+  *   - casts double aggregates to decimal (exact, order-independent),
+  *   - ends with a total ORDER BY (explicit NULLS FIRST on nullable keys),
+  *   - avoids raw timestamps in output (cast to date/string).
+  */
 object SparkEntry {
+
+  private def wh(s: SparkSession, dir: String) = Warehouse(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1(spark, "/root/testdata/sf0.001")
+
+  // ---- §2.1 relational core -------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: partial-agg heavy, 2 group keys. */
+  private def q1(s: SparkSession, dir: String): DataFrame = {
+    val l = wh(s, dir).loadTable("lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val c = w.loadTable("customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = w.loadTable("orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = w.loadTable("lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    // customer is the small side at every SF: broadcast it; orders⋈lineitem
+    // shuffles on the shared orderkey only once.
+    broadcast(c.select("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val r = w.loadTable("region").filter(col("r_name") === "ASIA")
+    val n = w.loadTable("nation")
+    val c = w.loadTable("customer")
+    val sup = w.loadTable("supplier")
+    val o = w.loadTable("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = w.loadTable("lineitem")
+    // dims (region/nation/customer/supplier) broadcast; the only repartition
+    // exchanges are on orderkey (orders⋈lineitem) and the final group key.
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("lineitem")
+      .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val n = Relational.rename(w.loadTable("nation"), Map("n_nationkey" -> "c_nationkey"))
+    Relational.join(w.loadTable("customer"), broadcast(n), "inner", Seq("c_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val o = Relational.rename(w.loadTable("orders"), Map("o_custkey" -> "c_custkey"))
+    Relational.join(w.loadTable("customer"), o, "left", Seq("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private def qJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val c = Relational.rename(w.loadTable("customer"), Map("c_custkey" -> "o_custkey"))
+    Relational.join(c, w.loadTable("orders"), "right", Seq("o_custkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    // full outer over disjoint-ish key sets: supplier vs customer nation counts
+    val a = w.loadTable("customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val b = w.loadTable("supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    Relational.join(a, b, "full", Seq("nationkey"))
+      .orderBy(col("nationkey").asc_nulls_first)
+  }
+
+  private def qJoinCross(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    Relational.join(w.loadTable("region"), w.loadTable("nation"), "cross", Nil)
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+  }
+
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val o = Relational.rename(w.loadTable("orders")
+      .filter(col("o_totalprice") > 150000.0), Map("o_custkey" -> "c_custkey"))
+    Relational.join(w.loadTable("customer"), o, "semi", Seq("c_custkey"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val o = Relational.rename(w.loadTable("orders")
+      .filter(col("o_totalprice") > 200000.0), Map("o_custkey" -> "c_custkey"))
+    Relational.join(w.loadTable("customer"), o, "anti", Seq("c_custkey"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val a = w.loadTable("customer").select(col("c_nationkey").cast("int").as("nk"))
+    val b = w.loadTable("supplier").select(col("s_nationkey").cast("int").as("nk"))
+    Relational.unionAll(Seq(a, b)).orderBy("nk")
+  }
+
+  private def qUnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val a = w.loadTable("customer").select(col("c_nationkey").cast("int").as("nk"))
+    val b = w.loadTable("supplier").select(col("s_nationkey").cast("int").as("nk"))
+    Relational.unionDistinct(Seq(a, b)).orderBy("nk")
+  }
+
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val a = w.loadTable("customer").select(col("c_nationkey").cast("int").as("nk"))
+    val b = w.loadTable("supplier").select(col("s_nationkey").cast("int").as("nk"))
+    Relational.intersect(a, b).orderBy("nk")
+  }
+
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val a = w.loadTable("orders").select(col("o_custkey").as("ck"))
+    val b = w.loadTable("orders").filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("ck"))
+    Relational.subtract(a, b).orderBy("ck")
+  }
+
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Relational.distinct(
+      wh(s, dir).loadTable("customer").select("c_nationkey", "c_mktsegment"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  private def qDropna(s: SparkSession, dir: String): DataFrame = {
+    val c = wh(s, dir).loadTable("customer")
+      .withColumn("bal", when(col("c_acctbal") < 0.0, lit(null)).otherwise(col("c_acctbal")))
+    Relational.dropna(c, "any", Seq("bal"))
+      .select("c_custkey", "bal")
+      .orderBy("c_custkey")
+  }
+
+  private def qFillna(s: SparkSession, dir: String): DataFrame = {
+    val c = wh(s, dir).loadTable("customer")
+      .withColumn("bal", when(col("c_acctbal") < 0.0, lit(null)).otherwise(col("c_acctbal")))
+    Relational.fillna(c, Map("bal" -> 0.0))
+      .select("c_custkey", "bal")
+      .orderBy("c_custkey")
+  }
+
+  private def qSampleFrac(s: SparkSession, dir: String): DataFrame =
+    Relational.sampleFrac(wh(s, dir).loadTable("orders"), 0.1, seed = 42L)
+      .select("o_orderkey")
+
+  private def qSampleN(s: SparkSession, dir: String): DataFrame =
+    Relational.sampleN(wh(s, dir).loadTable("orders"), 100, seed = 42L)
+      .select("o_orderkey")
+
+  private def qTakeOrdered(s: SparkSession, dir: String): DataFrame =
+    Relational.take(wh(s, dir).loadTable("orders"), 15,
+      Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .select("o_orderkey", "o_totalprice")
+
+  private def qTakePerGroup(s: SparkSession, dir: String): DataFrame =
+    Relational.take(wh(s, dir).loadTable("orders"), 2,
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      partitionBy = Seq("o_orderpriority"))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  private def qHead(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("nation").orderBy("n_nationkey").limit(5)
+
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(w).as("price_rank"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_total"))
+      .filter(col("price_rank") <= 100)
+      .orderBy("o_orderpriority", "price_rank")
+  }
+
+  private def qAggStats(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate").cast("date")).as("first_ship"))
+      .orderBy("l_returnflag")
+
+  private def qAssign(s: SparkSession, dir: String): DataFrame =
+    Relational.assign(
+      wh(s, dir).loadTable("lineitem"),
+      Seq(
+        "disc_price" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        "bulk" -> (col("l_quantity") > 25.0)))
+      .select("l_orderkey", "l_linenumber", "disc_price", "bulk")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qAlterColumns(s: SparkSession, dir: String): DataFrame =
+    Relational.alterColumns(
+      wh(s, dir).loadTable("nation"),
+      Map("n_nationkey" -> "bigint", "n_regionkey" -> "double"))
+      .orderBy("n_nationkey")
+
+  private def qRenameDrop(s: SparkSession, dir: String): DataFrame = {
+    val sup = wh(s, dir).loadTable("supplier")
+    Relational.dropColumns(
+      Relational.rename(sup, Map("s_name" -> "supplier_name")),
+      Seq("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  private def qSelectSql(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadSql(
+      """SELECT n_name, count(*) AS num_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
+  private def qLoadPushdown(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("lineitem",
+      columns = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      rowFilter = Some("l_quantity > 45.0"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- §2.3 LLM-pipeline (first slice) --------------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("h")
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("n_word_tokens"))
+      .orderBy("doc_id")
+
+  // ---- registry --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q3_shipping_priority" -> (q3 _),
+    "q5_local_supplier" -> (q5 _),
+    "q_filter" -> (qFilter _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_right" -> (qJoinRight _),
+    "q_join_full" -> (qJoinFull _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_union_all" -> (qUnionAll _),
+    "q_union_distinct" -> (qUnionDistinct _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_distinct" -> (qDistinct _),
+    "q_dropna" -> (qDropna _),
+    "q_fillna" -> (qFillna _),
+    "q_sample_frac" -> (qSampleFrac _),
+    "q_sample_n" -> (qSampleN _),
+    "q_take_ordered" -> (qTakeOrdered _),
+    "q_take_per_group" -> (qTakePerGroup _),
+    "q_head" -> (qHead _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_assign" -> (qAssign _),
+    "q_alter_columns" -> (qAlterColumns _),
+    "q_rename_drop" -> (qRenameDrop _),
+    "q_select_sql" -> (qSelectSql _),
+    "q_load_pushdown" -> (qLoadPushdown _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_token_count" -> (qTokenCount _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+        | sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
+        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, cast(o_orderdate AS date) AS o_orderdate,
+        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, cast(o_orderdate AS date)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_inner" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT o_custkey, o_orderkey, c_name
+        |FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(a.nationkey, b.nationkey) AS nationkey, n_cust, n_supp FROM
+        | (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) a
+        | FULL JOIN
+        | (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) b
+        | USING (nationkey)
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT nk FROM (
+        | SELECT cast(c_nationkey AS int) AS nk FROM customer
+        | UNION ALL SELECT cast(s_nationkey AS int) AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT nk FROM (
+        | SELECT cast(c_nationkey AS int) AS nk FROM customer
+        | UNION SELECT cast(s_nationkey AS int) AS nk FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_intersect" ->
+      """SELECT cast(c_nationkey AS int) AS nk FROM customer
+        |INTERSECT SELECT cast(s_nationkey AS int) AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "q_except" ->
+      """SELECT ck FROM (
+        | SELECT o_custkey AS ck FROM orders
+        | EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000.0)
+        |ORDER BY ck""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_dropna" ->
+      """SELECT c_custkey, c_acctbal AS bal FROM customer
+        |WHERE NOT (c_acctbal < 0.0) ORDER BY c_custkey""".stripMargin,
+    "q_fillna" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0.0 THEN 0.0 ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_take_ordered" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q_take_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 2
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_head" ->
+      "SELECT * FROM nation ORDER BY n_nationkey LIMIT 5",
+    "q_window_funcs" ->
+      """SELECT * FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  rank() OVER w AS price_rank,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  sum(cast(o_totalprice AS decimal(18,2)))
+        |    OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE price_rank <= 100
+        |ORDER BY o_orderpriority, price_rank""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | cast(min(l_shipdate) AS date) AS first_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_assign" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS disc_price,
+        | l_quantity > 25.0 AS bulk
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_alter_columns" ->
+      """SELECT cast(n_nationkey AS bigint) AS n_nationkey, n_name,
+        | cast(n_regionkey AS double) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_rename_drop" ->
+      """SELECT s_suppkey, s_name AS supplier_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_select_sql" ->
+      """SELECT n_name, count(*) AS num_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_load_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fugue ExecutionEngine relational verbs, re-expressed as declarative
+  * Spark transforms so Catalyst plans them (pushdown, broadcast, partial
+  * aggregation) instead of hand-scheduling.
+  *
+  * Reference semantics: fugue_trino/execution_engine.py:103 `join` (semi /
+  * anti via inner+left-isnull rewrites — Spark has native left_semi /
+  * left_anti, so we use those and keep the rewrite only as documentation),
+  * :137 `sample` (one of n/frac), Fugue engine contract for union /
+  * intersect / subtract / distinct / dropna / fillna / take.
+  */
+object Relational {
+
+  /** join with Fugue's how-vocabulary. `on` columns are equi-join keys and,
+    * per Fugue semantics, appear once in the output (via USING-style join).
+    * Small right sides should be wrapped in `broadcast()` by the caller or
+    * left to AQE at runtime.
+    */
+  def join(left: DataFrame, right: DataFrame, how: String, on: Seq[String]): DataFrame = {
+    val h = how.toLowerCase match {
+      case "inner"                       => "inner"
+      case "left" | "left_outer"         => "left"
+      case "right" | "right_outer"       => "right"
+      case "full" | "full_outer" | "outer" => "full"
+      case "cross"                       => "cross"
+      case "semi" | "left_semi"          => "left_semi"
+      case "anti" | "left_anti"          => "left_anti"
+      case other => throw new IllegalArgumentException(s"unsupported join type: $other")
+    }
+    if (h == "cross") left.crossJoin(right) else left.join(right, on, h)
+  }
+
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+
+  def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
+    unionAll(dfs).distinct()
+
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** Fugue `subtract` = SQL EXCEPT (distinct). */
+  def subtract(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  /** dropna: how = "any" | "all", optional subset. */
+  def dropna(df: DataFrame, how: String = "any", subset: Seq[String] = Nil): DataFrame =
+    if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset)
+
+  /** fillna with per-column values (Fugue accepts a scalar or a dict). */
+  def fillna(df: DataFrame, values: Map[String, Any]): DataFrame =
+    df.na.fill(values)
+
+  /** sample by fraction (Bernoulli, like TABLESAMPLE BERNOULLI in
+    * fugue_trino/execution_engine.py:152) or exact n (distributed
+    * reservoir-free: sort by stable hash, take n — deterministic under a
+    * seed and avoids a driver collect).
+    */
+  def sampleFrac(df: DataFrame, frac: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, frac, seed)
+
+  def sampleN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    // Rank rows by a seeded uniform hash of the whole row; TakeOrderedAndProject
+    // keeps this a single pass with a bounded per-partition heap — no full sort.
+    val r = df.withColumn("__rand", rand(seed))
+    r.orderBy(col("__rand")).limit(n).drop("__rand")
+  }
+
+  /** Fugue `take`: n rows per partition group, ordered by presort.
+    * With no partition spec it is a global ordered limit (Spark plans
+    * TakeOrderedAndProject — bounded memory, no global sort).
+    * With a partition spec it is row_number over a window — one shuffle
+    * on the partition keys, heap-bounded per key.
+    */
+  def take(df: DataFrame, n: Int, presort: Seq[Column], partitionBy: Seq[String] = Nil): DataFrame =
+    if (partitionBy.isEmpty) {
+      if (presort.isEmpty) df.limit(n) else df.orderBy(presort: _*).limit(n)
+    } else {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(presort: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__rn")
+    }
+
+  /** assign: add/replace computed columns (Fugue `assign`). */
+  def assign(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, expr)) => d.withColumn(name, expr) }
+
+  /** alter_columns: cast listed columns to new types, preserving order
+    * (fugue_bigquery/_utils.py `alter_table_columns`).
+    */
+  def alterColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }: _*)
+
+  def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  def dropColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** Fugue `select`: raw SQL over named frames — register views, run SQL. */
+  def select(spark: SparkSession, frames: Map[String, DataFrame], sql: String): DataFrame = {
+    frames.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.sql(sql)
+  }
+}
