@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.functions.call_function
+
+/** Registers graft's native expressions in a session's function registry
+  * and exposes a typed Column API on top of `call_function` (the stable
+  * public route from registered functions to Columns in Spark 4).
+  *
+  * Registration is idempotent and cheap; operators call `ensure(spark)`
+  * before building plans.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed")),
+      "graft")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "graft")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      (args: Seq[Expression]) => CosineSim(args.head, args(1)), "graft")
+    reg.createOrReplaceTempFunction("graft_hyperplane_lsh",
+      (args: Seq[Expression]) =>
+        HyperplaneLsh(args.head, intLit(args(1), "numBits"), longLit(args(2), "seed")),
+      "graft")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      (args: Seq[Expression]) =>
+        WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w")),
+      "graft")
+    reg.createOrReplaceTempFunction("graft_topk",
+      (args: Seq[Expression]) =>
+        TopKAgg(args.head, args(1), intLit(args(2), "k"))
+          .toAggregateExpression(),
+      "graft")
+  }
+
+  // Column API ------------------------------------------------------------
+
+  import org.apache.spark.sql.functions.lit
+
+  def minhash(tokens: Column, numPerms: Int, seed: Long): Column =
+    call_function("graft_minhash", tokens, lit(numPerms), lit(seed))
+
+  def simhash64(tokens: Column): Column =
+    call_function("graft_simhash64", tokens)
+
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  def hyperplaneLsh(vec: Column, numBits: Int, seed: Long): Column =
+    call_function("graft_hyperplane_lsh", vec, lit(numBits), lit(seed))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
+
+  /** top-k (id, score) pairs per group, best first. */
+  def topK(id: Column, score: Column, k: Int): Column =
+    call_function("graft_topk", id, score, lit(k))
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions wrapping [[Kernels]]. Each emits a single
+  * static call in codegen so the surrounding plan stays in whole-stage
+  * codegen (no UDF serialization / boxing on the hot path).
+  */
+
+/** minhash signature of a string-array column → array<bigint>. */
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhash(input.asInstanceOf[ArrayData], numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.minhash($c, $numPerms, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** 64-bit simhash of a string-array column → bigint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** cosine(array<float>, array<float>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Random-hyperplane LSH signature of array<float> → bigint (numBits bits). */
+case class HyperplaneLsh(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hyperplaneBits(input.asInstanceOf[ArrayData], numBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.hyperplaneBits($c, $numBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_lsh"
+}
+
+/** Winnowing fingerprint of a string column → array<bigint> (sorted). */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow"
+}
