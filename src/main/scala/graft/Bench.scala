@@ -1,22 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: executes every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Measurement rules (each fixes a way to accidentally benchmark nothing):
+  *  - execute via a noop-format sink, not count(): under a count Catalyst
+  *    prunes computed columns/sorts and a projection query degenerates to a
+  *    bare scan;
+  *  - a warmup query runs first so the session/codegen startup cost (~5 s)
+  *    is not charged to the first measured query;
+  *  - failures are NOT swallowed into fast timings — a failed query reports
+  *    -1 and its error class in the "errors" object.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession
       .builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Warmup: pay JVM/codegen/scheduler startup outside the measured loop.
+    try runNoop(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { runNoop(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // The JSON line is the whole point of this main — print it alone on
+    // stdout (build.sbt routes forked stdout through unwrapped).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

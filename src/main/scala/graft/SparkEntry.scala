@@ -23,16 +23,28 @@ object SparkEntry {
 
   // ---- §2.1 relational core -------------------------------------------
 
+  /** Money columns are clean 2-decimal doubles, so the double→decimal cast
+    * of an *input* is unambiguous in every engine; all arithmetic after the
+    * cast is exact decimal (identical digits in Spark and DuckDB). Never
+    * cast a computed double (product/sum) to decimal — HALF_UP vs HALF_EVEN
+    * tie-rounding differs across engines. Final explicit casts pin the
+    * output decimal type to (38,s) on both sides.
+    */
+  private def decMoney(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** (1 - l_discount) * l_extendedprice computed decimal-first (exact). */
+  private def discPrice: Column =
+    decMoney(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - decMoney(col("l_discount")))
+
   /** TPC-H Q1-style pricing summary: partial-agg heavy, 2 group keys. */
   private def q1(s: SparkSession, dir: String): DataFrame = {
     val l = wh(s, dir).loadTable("lineitem")
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-          .as("sum_disc_price"),
+        sum(decMoney(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+        sum(decMoney(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -43,14 +55,15 @@ object SparkEntry {
     val c = w.loadTable("customer").filter(col("c_mktsegment") === "BUILDING")
     val o = w.loadTable("orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val l = w.loadTable("lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-    // customer is the small side at every SF: broadcast it; orders⋈lineitem
-    // shuffles on the shared orderkey only once.
-    broadcast(c.select("c_custkey"))
+    // customer scales with SF — no forced broadcast (an explicit hint would
+    // override autoBroadcastJoinThreshold and OOM executors at 100×); AQE +
+    // the 64 MB threshold pick the strategy. orders⋈lineitem shuffles on the
+    // shared orderkey only once.
+    c.select("c_custkey")
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-        .as("revenue"))
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -65,17 +78,19 @@ object SparkEntry {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = w.loadTable("lineitem")
-    // dims (region/nation/customer/supplier) broadcast; the only repartition
-    // exchanges are on orderkey (orders⋈lineitem) and the final group key.
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // Only fixed-cardinality dims (region 5, nation 25) get broadcast hints;
+    // customer/supplier scale with SF, so their join strategy is left to
+    // AQE + autoBroadcastJoinThreshold (a forced hint would OOM at 100×).
+    // The only repartition exchanges are on orderkey (orders⋈lineitem) and
+    // the final group key.
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(sup),
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-        .as("revenue"))
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -226,8 +241,9 @@ object SparkEntry {
       col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
       rank().over(w).as("price_rank"),
       lag("o_totalprice", 1).over(w).as("prev_price"),
-      sum(col("o_totalprice").cast("decimal(18,2)"))
+      sum(decMoney(col("o_totalprice")))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,2)")
         .as("running_total"))
       .filter(col("price_rank") <= 100)
       .orderBy("o_orderpriority", "price_rank")
@@ -335,16 +351,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
-        | sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS sum_disc_price,
+        | cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty,
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))) AS decimal(38,2)) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))
+        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
+        |      AS decimal(38,4)) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, cast(o_orderdate AS date) AS o_orderdate,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS revenue
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))
+        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
+        |      AS decimal(38,4)) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -353,7 +373,9 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        | sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,4))) AS revenue
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))
+        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
+        |      AS decimal(38,4)) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -442,10 +464,10 @@ object SparkEntry {
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  rank() OVER w AS price_rank,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
-        |  sum(cast(o_totalprice AS decimal(18,2)))
+        |  cast(sum(cast(o_totalprice AS decimal(12,2)))
         |    OVER (PARTITION BY o_orderpriority
         |          ORDER BY o_totalprice DESC, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decimal(38,2)) AS running_total
         | FROM orders
         | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE price_rank <= 100

@@ -1,6 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Spark-native analogue of the reference's warehouse client + api surface.
@@ -9,20 +12,34 @@ import org.apache.spark.sql.types.StructType
   * row filter, and sampling (fugue_bigquery/api.py:30 `load_table`), runs
   * arbitrary SQL (fugue_bigquery/api.py:113 `load_sql`), inspects schemas
   * (fugue_bigquery/api.py:15 `get_schema`), writes tables back
-  * (fugue_trino/execution_engine.py:90 `save_table`) and checks existence
-  * (fugue_trino/execution_engine.py:85 `table_exists`).
+  * (fugue_trino/execution_engine.py:90 `save_table`), checks existence
+  * (fugue_trino/execution_engine.py:85 `table_exists`) and round-trips
+  * files in multiple formats (fugue_trino/execution_engine.py:190-210
+  * `load_df`/`save_df` with a format hint).
   *
   * Here the "warehouse" is parquet on distributed storage read through
   * Spark's vectorized scan: `columns` becomes column pruning and `rowFilter`
   * becomes a pushed predicate, both of which reach the parquet reader
   * (equivalent to the BigQuery Storage API's selected_fields/row_restriction
-  * — verified in WarehouseSpec via the executed plan).
+  * — verified in WarehouseSpec via the executed plan). All path existence
+  * checks go through the Hadoop FileSystem API so the same code works on
+  * file://, hdfs:// and s3a:// — the storage layers a 100 TB deployment
+  * actually lives on.
   */
 final class Warehouse(val spark: SparkSession, val baseDir: String) {
 
   val tableNames: Seq[String] = Warehouse.knownTables
 
   private def path(table: String): String = s"$baseDir/$table.parquet"
+
+  /** Hadoop-FS existence check (works on any supported scheme, not just
+    * local disk — java.io.File would silently break on hdfs:// / s3a://).
+    */
+  private def fsExists(p: String): Boolean = {
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp)
+  }
 
   /** load_table with pushdown: columns → ReadSchema prune, rowFilter →
     * PushedFilters, sample → Bernoulli sample (post-scan, like TABLESAMPLE).
@@ -52,12 +69,18 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     spark.sql(query)
   }
 
-  /** Register all known tables (idempotent) for SQL access. */
-  def registerAll(): Unit =
-    tableNames.foreach { t =>
-      if (new java.io.File(path(t)).exists())
-        loadTable(t).createOrReplaceTempView(t)
+  /** Register all known tables for SQL access. Registration is cached per
+    * (session, baseDir) so repeated loadSql calls don't re-read parquet
+    * footers (plan-creation cost only, but it adds up over many queries).
+    */
+  def registerAll(): Unit = {
+    val key = s"${System.identityHashCode(spark)}:$baseDir"
+    if (Warehouse.registered.putIfAbsent(key, java.lang.Boolean.TRUE) == null) {
+      tableNames.foreach { t =>
+        if (fsExists(path(t))) loadTable(t).createOrReplaceTempView(t)
+      }
     }
+  }
 
   def getSchema(table: String): StructType =
     spark.read.parquet(path(table)).schema
@@ -71,13 +94,55 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
   }
 
   /** save_table with overwrite/append, like the reference's
-    * `df_to_table(..., overwrite=mode=="overwrite")`.
+    * `df_to_table(..., overwrite=mode=="overwrite")`. The reference errors
+    * when the table exists and mode is not overwrite/append
+    * (fugue_trino/execution_engine.py:89-97); "error" mode delegates that
+    * to Spark's ErrorIfExists.
     */
   def saveTable(df: DataFrame, outDir: String, table: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(s"$outDir/$table.parquet")
 
   def tableExists(dir: String, table: String): Boolean =
-    new java.io.File(s"$dir/$table.parquet").exists()
+    fsExists(s"$dir/$table.parquet")
+
+  /** load_df: read a file/directory in the given format (parquet/csv/json),
+    * mirroring the reference's format_hint dispatch
+    * (fugue_trino/execution_engine.py:190). CSV reads use an explicit schema
+    * when given (schema inference is a full extra pass — wrong at scale);
+    * json likewise.
+    */
+  def loadDf(
+      path: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      header: Boolean = true
+  ): DataFrame = {
+    var r: DataFrameReader = spark.read
+    schema.foreach(s => r = r.schema(s))
+    format.toLowerCase match {
+      case "parquet" => r.parquet(path)
+      case "csv" =>
+        var c = r.option("header", header.toString)
+        if (schema.isEmpty) c = c.option("inferSchema", "true")
+        c.csv(path)
+      case "json" => r.json(path)
+      case other  => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
+  /** save_df: write in the given format with the given mode. */
+  def saveDf(
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      mode: String = "overwrite",
+      header: Boolean = true
+  ): Unit = format.toLowerCase match {
+    case "parquet" => df.write.mode(mode).parquet(path)
+    case "csv"     => df.write.mode(mode).option("header", header.toString).csv(path)
+    case "json"    => df.write.mode(mode).json(path)
+    case other     => throw new IllegalArgumentException(s"unsupported format: $other")
+  }
 }
 
 object Warehouse {
@@ -85,6 +150,11 @@ object Warehouse {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings"
   )
+
+  /** (session identity, baseDir) pairs whose tables are already registered
+    * as temp views — avoids re-reading every footer on each loadSql.
+    */
+  private val registered = new ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Tables with TIMESTAMP(NANOS) columns (read as long under
     * nanosAsLong): convert to microsecond timestamps.

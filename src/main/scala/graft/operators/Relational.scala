@@ -110,4 +110,30 @@ object Relational {
     frames.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     spark.sql(sql)
   }
+
+  /** Fugue `persist`: the reference materializes a frame to a temp table
+    * and re-reads it (fugue_trino/execution_engine.py:124-133). Spark-native
+    * persist is `Dataset.persist` — the plan above the cache point is cut,
+    * like the temp-table rewrite, but without a write to storage.
+    * MEMORY_AND_DISK so a 100 TB-scale intermediate spills instead of OOMing.
+    */
+  def persist(
+      df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  ): DataFrame = df.persist(level)
+
+  def unpersist(df: DataFrame): DataFrame = df.unpersist()
+
+  /** Explicit repartition: by columns (hash, for co-located downstream
+    * joins/aggs on the same key) or to a partition count.
+    */
+  def repartition(df: DataFrame, numPartitions: Int, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.repartition(numPartitions)
+    else df.repartition(numPartitions, cols.map(col): _*)
+
+  /** Broadcast hint — caller asserts the frame is small at every SF
+    * (fixed-cardinality dims only; never an SF-scaling table).
+    */
+  def broadcastHint(df: DataFrame): DataFrame = broadcast(df)
 }
