@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every oracle-checked query:
@@ -298,10 +299,51 @@ object SparkEntry {
   // ---- §2.3 LLM-pipeline (first slice) --------------------------------
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    wh(s, dir).loadTable("documents")
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    Dedup.exact(wh(s, dir).loadTable("documents"), "doc_id", "text")
       .orderBy("h")
+
+  /** MinHash+LSH banding near-dup pairs; the corpus has ~25 planted pairs
+    * at trigram jaccard ≥ 0.9 with everything else < 0.1, so threshold 0.5
+    * separates cleanly. Seeded → deterministic; rows-only check + spec.
+    */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    Dedup.minhashLsh(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    Dedup.simhash(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        shingleWidth = 3, maxHamming = 7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram jaccard (prefix-filtered) — fully oracle-checked: the
+    * DuckDB side recomputes the same trigram sets all-pairs; prefix
+    * filtering is exact for jaccard ≥ τ, so results must agree bit-for-bit
+    * (int/int division of identical exact counts).
+    */
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        n = 3, threshold = 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    // τ=0.4 matches this corpus's actual similarity profile (it has no
+    // planted ≥0.9 near-dups). At such a low τ hyperplane-LSH needs short
+    // codes × many tables for recall (6×32 ⇒ ~0.87 at cos 0.4); a real
+    // near-dup corpus (τ≥0.85) would use 16×8 for far better selectivity.
+    Dedup.embeddingNearDup(wh(s, dir).loadTable("embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numBits = 6, numTables = 32)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     wh(s, dir).loadTable("documents")
@@ -345,6 +387,10 @@ object SparkEntry {
     "q_select_sql" -> (qSelectSql _),
     "q_load_pushdown" -> (qLoadPushdown _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_token_count" -> (qTokenCount _)
   )
 
@@ -501,6 +547,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.g, b.g)) AS i,
+        |  len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
+        |WHERE cast(i AS double) / u >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

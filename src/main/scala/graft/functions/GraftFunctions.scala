@@ -31,24 +31,29 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash",
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed")),
-      "graft")
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash64",
-      (args: Seq[Expression]) => SimHash64(args.head), "graft")
+      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
-      (args: Seq[Expression]) => CosineSim(args.head, args(1)), "graft")
+      (args: Seq[Expression]) => CosineSim(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_lsh",
       (args: Seq[Expression]) =>
         HyperplaneLsh(args.head, intLit(args(1), "numBits"), longLit(args(2), "seed")),
-      "graft")
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hyperplane_lsh_multi",
+      (args: Seq[Expression]) =>
+        HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
+          intLit(args(2), "numTables"), longLit(args(3), "seed")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow",
       (args: Seq[Expression]) =>
         WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w")),
-      "graft")
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_topk",
       (args: Seq[Expression]) =>
         TopKAgg(args.head, args(1), intLit(args(2), "k"))
           .toAggregateExpression(),
-      "graft")
+      "scala_udf")
   }
 
   // Column API ------------------------------------------------------------
@@ -66,6 +71,9 @@ object GraftFunctions {
 
   def hyperplaneLsh(vec: Column, numBits: Int, seed: Long): Column =
     call_function("graft_hyperplane_lsh", vec, lit(numBits), lit(seed))
+
+  def hyperplaneLshMulti(vec: Column, numBits: Int, numTables: Int, seed: Long): Column =
+    call_function("graft_hyperplane_lsh_multi", vec, lit(numBits), lit(numTables), lit(seed))
 
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(w))

@@ -145,6 +145,21 @@ object Kernels {
     out
   }
 
+  /** One bucket id per LSH table, all computed in a single pass over the
+    * vector (one expression → one scan, instead of numTables plan branches
+    * re-reading the source). Table t uses an independent plane set derived
+    * from seed + t.
+    */
+  def hyperplaneMulti(vec: ArrayData, numBits: Int, numTables: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      out(t) = hyperplaneBits(vec, numBits, splitmix64(seed + t))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     * rolling hash over char k-grams, minimum per window of w, distinct
     * selected hashes sorted ascending. Robust to local edits; the

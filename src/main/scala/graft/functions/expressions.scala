@@ -67,6 +67,20 @@ case class HyperplaneLsh(child: Expression, numBits: Int, seed: Long)
   override def prettyName: String = "graft_hyperplane_lsh"
 }
 
+/** Per-table LSH bucket ids of array<float> → array<bigint> (numTables). */
+case class HyperplaneLshMulti(child: Expression, numBits: Int, numTables: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hyperplaneMulti(input.asInstanceOf[ArrayData], numBits, numTables, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.hyperplaneMulti($c, $numBits, $numTables, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshMulti =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_lsh_multi"
+}
+
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

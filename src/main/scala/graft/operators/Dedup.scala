@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Near-duplicate detection over document corpora, SURVEY §2.3 rows 38-42.
+  *
+  * Every variant follows the same 100 TB-safe shape: a cheap per-row
+  * signature (codegen'd Catalyst expression), a *blocking* step that
+  * shuffles narrow (id, bucket) rows once, a bucket-equi-join to generate
+  * candidate pairs (never an all-pairs cross join), and an exact/estimated
+  * verify on the candidates only. Blow-up is bounded by bucket sizes, which
+  * are tunable (bands/bits) and cappable (`maxBucketSize` drops pathological
+  * buckets, e.g. boilerplate-identical shards, instead of letting one key
+  * quadratically dominate the round).
+  */
+object Dedup {
+
+  /** Distinct word n-grams of a text column. Single-space tokenization —
+    * deliberately reproducible in ANSI SQL (the DuckDB oracle uses
+    * string_split(trim(text), ' ')) so jaccard results are engine-exact.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character n-grams (for short/no-whitespace text, e.g. zh). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = trim(text)
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group on a content hash — the shuffle key is the 128-bit
+    * hash, never the document body, so shuffle volume is rows × ~50 bytes
+    * regardless of document size.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, numPerms: Int, seed: Long): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      GraftFunctions.minhash(wordShingles(col(textCol), shingleWidth), numPerms, seed).as("sig"))
+
+  /** MinHash + LSH banding near-dup pairs (id_a < id_b, est_jaccard ≥
+    * threshold). Signature → `bands` buckets (xxhash64 of each band slice)
+    * → narrow (id, band, bucket) self-join → candidates → verify by
+    * signature agreement. With r = numPerms/bands rows per band the S-curve
+    * midpoint is (1/bands)^(1/r); defaults (128, 32) target jaccard ≈ 0.4.
+    *
+    * The verify joins signatures back onto the candidate pair list instead
+    * of carrying both signatures through the bucket join — candidates are
+    * two longs wide, signatures are re-joined once each, so shuffle volume
+    * stays O(docs × bands × 24 B + candidates × numPerms × 8 B).
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
+    val r = numPerms / bands
+    val sigs = minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed)
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bucket"))
+    val cand = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
+    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / numPerms)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs (hamming(sig_a, sig_b) ≤ maxHamming).
+    * Blocking is the pigeonhole split: 64 bits into maxHamming+1 blocks —
+    * any pair within the hamming radius agrees on ≥ 1 whole block, so
+    * joining per-block is exact (no missed pairs), and random pairs only
+    * collide on a block with prob ~2^-blockWidth.
+    */
+  def simhash(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, maxHamming: Int = 7,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockWidth = (64 + nBlocks - 1) / nBlocks
+    val mask = (1L << blockWidth) - 1
+    val sigs = df.select(
+      col(idCol).cast("long").as("id"),
+      GraftFunctions.simhash64(wordShingles(col(textCol), shingleWidth)).as("sig"))
+    val blocked = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .select(col("id"), col("blk"),
+        expr(s"shiftrightunsigned(sig, blk * $blockWidth) & ${mask}L").as("bucket"))
+    val cand = candidatePairs(blocked, Seq("blk", "bucket"), maxBucketSize)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs (jaccard ≥ threshold), via PPJoin-style
+    * prefix filtering (Xiao et al., WWW 2008): grams are globally ordered
+    * rarest-first (document frequency asc), each doc keeps only its
+    * |g| - ceil(τ·|g|) + 1 rarest grams as its *prefix*, and candidate
+    * pairs are generated by joining prefixes on the gram. Any pair with
+    * jaccard ≥ τ must share a prefix gram, so the result is EXACT while the
+    * join never touches the frequent grams that would otherwise produce
+    * quadratic blow-up on stopword-like shingles.
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Grams are xxhash64'd to longs up front: every downstream shuffle/join
+    // keys on 8 bytes instead of ~20-byte strings, and the verify intersect
+    // runs on long arrays. Distinct counts are preserved modulo 64-bit
+    // collisions (~|grams|²/2⁶⁴ ≈ 0 — far below any oracle's noise floor).
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        transform(wordShingles(col(textCol), n), x => xxhash64(x)).as("g"))
+      .filter(size(col("g")) > 0)
+    val exploded = grams.select(col("id"), explode(col("g")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val byDoc = Window.partitionBy("id")
+    val prefixes = exploded
+      .join(freq, "gram")
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("gram_df"), col("gram"))))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "gram")
+    val cand = prefixes.select(col("id").as("id_a"), col("gram"))
+      .join(prefixes.select(col("id").as("id_b"), col("gram")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    cand
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("g_a")) + size(col("g_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ threshold) via multi-table
+    * random-hyperplane LSH: `numTables` independent `numBits`-bit buckets
+    * computed in ONE expression pass (no per-table plan branches), narrow
+    * (id, table, bucket) self-join for candidates, exact cosine verify on
+    * candidates only. Per-bit collision prob for angle θ is 1-θ/π; recall
+    * is 1-(1-p^numBits)^numTables — defaults (8, 16) give ~0.9 at cos 0.5.
+    */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.4, numBits: Int = 8, numTables: Int = 16,
+      seed: Long = 42L, maxBucketSize: Int = 100000): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val bucketed = base
+      .withColumn("bks", GraftFunctions.hyperplaneLshMulti(col("vec"), numBits, numTables, seed))
+      .select(col("id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cand = candidatePairs(bucketed, Seq("tbl", "bucket"), maxBucketSize)
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from a narrow blocked frame
+    * (id + bucket key columns): one shuffle on the bucket key, optional
+    * bucket-size cap (window count reuses the same partitioning) so a
+    * degenerate bucket can't go quadratic.
+    */
+  private def candidatePairs(
+      blocked: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val capped =
+      if (maxBucketSize > 0) {
+        val w = Window.partitionBy(bucketCols.map(col): _*)
+        blocked.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      } else blocked
+    val a = capped.select((col("id").as("id_a") +: bucketCols.map(col)): _*)
+    val b = capped.select((col("id").as("id_b") +: bucketCols.map(col)): _*)
+    a.join(b, bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+}
