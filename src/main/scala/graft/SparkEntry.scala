@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every oracle-checked query:
@@ -345,6 +345,28 @@ object SparkEntry {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Exact ANN baseline: 8 query vectors against the whole corpus, k=5.
+    * Oracle: DuckDB list_cosine_similarity over DOUBLE[] casts — both
+    * engines widen the same floats and accumulate in double, so scores are
+    * expected bit-identical (verified by the hash gate).
+    */
+  private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    Similarity.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, numBits = 6, numTables = 32)
+      .orderBy("query_id", "rank")
+  }
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     wh(s, dir).loadTable("documents")
       .select(
@@ -391,6 +413,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _),
     "q_token_count" -> (qTokenCount _)
   )
 
@@ -560,6 +584,18 @@ object SparkEntry {
         |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
