@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every oracle-checked query:
@@ -368,11 +368,24 @@ object SparkEntry {
   }
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
-    wh(s, dir).loadTable("documents")
-      .select(
-        col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+"), lit(0))).as("n_word_tokens"))
+    TextAnalysis.tokenCount(wh(s, dir).loadTable("documents"), "text")
+      .select("doc_id", "n_ws_tokens", "n_word_tokens")
+      .orderBy("doc_id")
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(wh(s, dir).loadTable("documents"), "text")
+      .select("doc_id", "h_en", "h_de", "h_fr", "h_es", "h_zh", "pred_lang")
+      .orderBy("doc_id")
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(wh(s, dir).loadTable("documents"), "text")
+      .select("doc_id", "n_chars", "n_tokens", "stop_hits", "punct_hits",
+        "stop_ratio", "punct_ratio", "quality")
+      .orderBy("doc_id")
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(wh(s, dir).loadTable("documents"), "text")
+      .select("doc_id", "n_fp", "fp_min", "fp_max")
       .orderBy("doc_id")
 
   // ---- registry --------------------------------------------------------
@@ -415,7 +428,10 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_token_count" -> (qTokenCount _)
+    "q_token_count" -> (qTokenCount _),
+    "q_langid" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -600,6 +616,32 @@ object SparkEntry {
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_word_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH hits AS (SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS h_en,
+        | len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ich|ein|sie|mit)\b')) AS h_de,
+        | len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|dans|que|pour)\b')) AS h_fr,
+        | len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|como|por|para|con|se)\b')) AS h_es,
+        | len(regexp_extract_all(text, '[一-鿿]')) AS h_zh
+        | FROM documents)
+        |SELECT doc_id, h_en, h_de, h_fr, h_es, h_zh,
+        | CASE WHEN h_zh > h_en AND h_zh > h_de AND h_zh > h_fr AND h_zh > h_es THEN 'zh'
+        |      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        |      WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        |      WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH f AS (SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
+        |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS punct_hits
+        | FROM documents),
+        |r AS (SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits,
+        |  cast(stop_hits AS double)/n_tokens AS stop_ratio,
+        |  cast(punct_hits AS double)/n_chars AS punct_ratio FROM f)
+        |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, stop_ratio, punct_ratio,
+        | least(1.0, cast(n_tokens AS double)/50.0)*0.5 + stop_ratio*0.3 + (1.0-punct_ratio)*0.2 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

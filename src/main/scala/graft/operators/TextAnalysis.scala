@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-corpus analysis operators, SURVEY §2.3 rows 45-48: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything here is vectorized column expressions over Spark built-ins
+  * (regexp_extract_all / split / length — all codegen'd) except the
+  * winnowing fingerprint, which is a native Catalyst expression. No UDFs:
+  * at 100 TB the per-row closure cost of a Scala UDF dominates, and
+  * built-ins keep the whole stage in codegen.
+  *
+  * The oracle-checked queries (langid / quality / token count) are
+  * deterministic functions of the text that DuckDB re-expresses with the
+  * same regexes and the same double-arithmetic shapes, so results must
+  * match bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language — tiny, high-frequency function words.
+    * Public knowledge (standard stopword lists); ten per language keeps the
+    * scoring regex cheap.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "sie", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "como", "por", "para", "con", "se"))
+
+  /** Count of marker-stopword occurrences for `lang` in lowercased text. */
+  def langHits(text: Column, lang: String): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + stopwords(lang).mkString("|") + ")\\b"), lit(0)))
+
+  /** Count of CJK (U+4E00–U+9FFF) characters — the zh signal. */
+  def cjkHits(text: Column): Column =
+    size(regexp_extract_all(text, lit("[一-鿿]"), lit(0)))
+
+  /** Language ID: per-language marker hits + CJK char count, argmax with a
+    * fixed tie order (zh strict-wins, then en ≥ de ≥ fr ≥ es). Appends
+    * h_en/h_de/h_fr/h_es/h_zh and pred_lang.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withHits = df
+      .withColumn("h_en", langHits(t, "en"))
+      .withColumn("h_de", langHits(t, "de"))
+      .withColumn("h_fr", langHits(t, "fr"))
+      .withColumn("h_es", langHits(t, "es"))
+      .withColumn("h_zh", cjkHits(t))
+    withHits.withColumn("pred_lang",
+      when(col("h_zh") > col("h_en") && col("h_zh") > col("h_de") &&
+           col("h_zh") > col("h_fr") && col("h_zh") > col("h_es"), "zh")
+        .when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr") &&
+              col("h_en") >= col("h_es"), "en")
+        .when(col("h_de") >= col("h_fr") && col("h_de") >= col("h_es"), "de")
+        .when(col("h_fr") >= col("h_es"), "fr")
+        .otherwise("es"))
+  }
+
+  /** Quality scoring: length, token count, stopword ratio, punctuation
+    * ratio, and a [0,1]-ish composite. All ratios are double divisions of
+    * exact ints with explicit casts, and the composite's operation order is
+    * mirrored exactly in the oracle SQL.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(split(trim(t), " ")))
+      .withColumn("stop_hits", langHits(t, "en"))
+      .withColumn("punct_hits", size(regexp_extract_all(lower(t), lit("[^a-z0-9 ]"), lit(0))))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("punct_hits").cast("double") / col("n_chars"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.5 +
+          col("stop_ratio") * 0.3 + (lit(1.0) - col("punct_ratio")) * 0.2)
+  }
+
+  /** Token counts: whitespace tokens and word-ish (alpha / numeric runs)
+    * tokens — the cheap proxy pair for LLM-token budgeting.
+    */
+  def tokenCount(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_ws_tokens", size(split(trim(t), "\\s+")))
+      .withColumn("n_word_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+"), lit(0))))
+  }
+
+  /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
+    * et al., SIGMOD 2003) plus summary stats. The full array<bigint> is the
+    * join key set for containment-style near-dup detection; n/min/max give
+    * a cheap fixed-width sketch.
+    */
+  def fingerprint(df: DataFrame, textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
+    df.withColumn("fp", GraftFunctions.winnow(col(textCol), k, w))
+      .withColumn("n_fp", size(col("fp")))
+      .withColumn("fp_min", array_min(col("fp")))
+      .withColumn("fp_max", array_max(col("fp")))
+  }
+}
