@@ -296,6 +296,65 @@ object SparkEntry {
       rowFilter = Some("l_quantity > 45.0"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Fugue `transform`/map_partitions: imperative per-partition logic —
+    * cents-exact integer arithmetic so the SQL re-expression matches
+    * exactly (money doubles are clean 2-decimal, so round() is
+    * unambiguous in both engines).
+    */
+  private def qTransformMap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = wh(s, dir).loadTable("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
+    val outSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("disc_price_cents", LongType), StructField("heavy", BooleanType)))
+    Relational.transform(in, outSchema) { it =>
+      it.map { r =>
+        val cents = Math.round(r.getDouble(2) * 100) *
+          (100L - Math.round(r.getDouble(3) * 100)) / 100L
+        org.apache.spark.sql.Row(r.getLong(0), r.getInt(1), cents, r.getDouble(4) > 25.0)
+      }
+    }.orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Fugue zip/comap: customers co-grouped with their orders; exact cents
+    * accumulation keeps the result independent of iterator order.
+    */
+  private def qCogroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val w = wh(s, dir)
+    val c = w.loadTable("customer").select("c_custkey", "c_acctbal")
+    val o = w.loadTable("orders").select("o_custkey", "o_totalprice")
+    val outSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_acctbal_cents", LongType),
+      StructField("n_orders", LongType), StructField("total_spent_cents", LongType)))
+    Relational.cogroup(c, o, "c_custkey", "o_custkey", outSchema) { (k, cs, os) =>
+      if (!cs.hasNext) Iterator.empty
+      else {
+        val acct = Math.round(cs.next().getDouble(1) * 100)
+        var n = 0L
+        var total = 0L
+        os.foreach { r => n += 1; total += Math.round(r.getDouble(1) * 100) }
+        Iterator.single(org.apache.spark.sql.Row(k, acct, n, total))
+      }
+    }.orderBy("c_custkey")
+  }
+
+  /** As-of join: each purchase event enriched with the user's most recent
+    * click at-or-before it. Oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value", "event_id")
+    Relational.asofJoin(purchases, clicks, "user_id", "ts", Seq("value", "event_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("value_right").as("click_value"), col("event_id_right").as("click_event"))
+      .orderBy("event_id")
+  }
+
   // ---- §2.3 LLM-pipeline (first slice) --------------------------------
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -421,6 +480,9 @@ object SparkEntry {
     "q_rename_drop" -> (qRenameDrop _),
     "q_select_sql" -> (qSelectSql _),
     "q_load_pushdown" -> (qLoadPushdown _),
+    "q_transform_map" -> (qTransformMap _),
+    "q_cogroup" -> (qCogroup _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -600,6 +662,25 @@ object SparkEntry {
         |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_transform_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (cast(round(l_extendedprice*100) AS bigint)
+        |  * (100 - cast(round(l_discount*100) AS bigint))) // 100 AS disc_price_cents,
+        | l_quantity > 25.0 AS heavy
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cogroup" ->
+      """SELECT c_custkey, cast(round(c_acctbal*100) AS bigint) AS c_acctbal_cents,
+        | count(o_orderkey) AS n_orders,
+        | cast(coalesce(sum(cast(round(o_totalprice*100) AS bigint)), 0) AS bigint) AS total_spent_cents
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_acctbal ORDER BY c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.value,
+        | c.value AS click_value, c.event_id AS click_event
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

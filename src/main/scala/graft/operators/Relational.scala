@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Fugue ExecutionEngine relational verbs, re-expressed as declarative
   * Spark transforms so Catalyst plans them (pushdown, broadcast, partial
@@ -136,4 +137,59 @@ object Relational {
     * (fixed-cardinality dims only; never an SF-scaling table).
     */
   def broadcastHint(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Fugue `transform`: arbitrary per-partition logic (the reference's
+    * flagship verb — ExecutionEngineTests drives it via map_partitions).
+    * Spark-native form is Dataset.mapPartitions: executors stream each
+    * partition through `f`, no driver collect, no shuffle. Catalyst still
+    * prunes columns below the object boundary, so select only what `f`
+    * reads before calling.
+    */
+  def transform(df: DataFrame, outSchema: StructType)(
+      f: Iterator[Row] => Iterator[Row]): DataFrame =
+    df.mapPartitions(f)(Encoders.row(outSchema))
+
+  /** Fugue zip + comap: co-partition two frames on a (long) key and apply
+    * `f` to each key's pair of row groups. One shuffle per side on the key;
+    * the groups are streamed, never materialized to the driver.
+    */
+  def cogroup(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      outSchema: StructType)(
+      f: (Long, Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val lk = left.groupByKey(r => r.getAs[Number](leftKey).longValue())(Encoders.scalaLong)
+    val rk = right.groupByKey(r => r.getAs[Number](rightKey).longValue())(Encoders.scalaLong)
+    lk.cogroup(rk)(f)(Encoders.row(outSchema))
+  }
+
+  /** As-of join: for each left row, the latest right row with the same key
+    * and right.ts <= left.ts (the warehouse/event-enrichment staple; DuckDB
+    * spells it ASOF JOIN). No native Spark operator, and a range join would
+    * explode — so: union both sides tagged, one shuffle on the key, and a
+    * running `last(_, ignoreNulls)` window carries each right value forward
+    * to the left rows after it. Right rows order before left rows at equal
+    * ts, so ties are inclusive. Right must be unique per (key, ts) for the
+    * result to be deterministic.
+    *
+    * Output: every left column, plus each requested right column suffixed
+    * (e.g. value_right) — null when no right row precedes the left row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      rightCols: Seq[String], rightSuffix: String = "_right"): DataFrame = {
+    val suffixed = rightCols.map(c => c -> s"$c$rightSuffix")
+    val l = suffixed.foldLeft(left.withColumn("__tag", lit(1))) {
+      case (d, (c, sc)) => d.withColumn(sc, lit(null).cast(right.schema(c).dataType))
+    }
+    val leftOnly = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val r = leftOnly.foldLeft(
+      right.select((col(keyCol) +: col(tsCol) +: suffixed.map { case (c, sc) => col(c).as(sc) }): _*)
+        .withColumn("__tag", lit(0))) {
+      case (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = suffixed.foldLeft(l.unionByName(r)) {
+      case (d, (_, sc)) => d.withColumn(sc, last(col(sc), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
 }
