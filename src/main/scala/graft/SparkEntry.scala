@@ -355,6 +355,21 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming row 50's batch re-expression: tumbling 1h windows (window
+    * starts align to the epoch in both engines).
+    */
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.windowedAggBatch(wh(s, dir).loadTable("events"))
+      .orderBy("window_start", "event_type")
+
+  /** Streaming row 51's batch re-expression: 30-minute-gap sessions,
+    * microsecond-integer arithmetic end-to-end.
+    */
+  private def qEventsSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.sessionizeBatch(wh(s, dir).loadTable("events"))
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_us")
+      .orderBy("user_id", "session_idx")
+
   // ---- §2.3 LLM-pipeline (first slice) --------------------------------
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -483,6 +498,8 @@ object SparkEntry {
     "q_transform_map" -> (qTransformMap _),
     "q_cogroup" -> (qCogroup _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_events_sessions" -> (qEventsSessions _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -681,6 +698,28 @@ object SparkEntry {
         | c.value AS click_value, c.event_id AS click_event
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n_events,
+        | cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS sum_value_cents,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events),
+        |y AS (SELECT user_id, us,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (SELECT user_id, us,
+        |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_idx
+        |  FROM y)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us,
+        | max(us) - min(us) AS duration_us
+        |FROM z GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators, SURVEY §2.4: tumbling-window aggregation with
+  * watermarking, and gap-based sessionization.
+  *
+  * Each operator has a batch re-expression (the oracle-checked correctness
+  * surface — q_events_window / q_events_sessions) and a Structured
+  * Streaming form over the same semantics. The batch and stream forms share
+  * aggregation shapes so StreamingSpec can assert stream == batch on the
+  * same data.
+  *
+  * Scale posture: windowed agg is a streaming state store keyed by
+  * (window, event_type) with partial aggregation before the shuffle;
+  * sessionization keys state by user_id — state size is O(active users),
+  * and the watermark bounds it by evicting idle sessions.
+  */
+object Events {
+
+  /** Tumbling-window aggregate, batch form. Value sums are cents-exact
+    * (clean 2-decimal doubles), window start rendered as a string so the
+    * output is engine-portable (raw timestamps differ in physical precision
+    * between engines).
+    */
+  def windowedAggBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    windowedAggShape(events.groupBy(
+      window(col("ts"), windowLen).as("w"), col("event_type")))
+
+  /** Tumbling-window aggregate over a stream: same shape plus a watermark
+    * so late data beyond `watermarkDelay` is dropped and window state is
+    * evicted once the watermark passes the window end.
+    */
+  def windowedAggStream(
+      events: DataFrame, windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    windowedAggShape(events.withWatermark("ts", watermarkDelay).groupBy(
+      window(col("ts"), windowLen).as("w"), col("event_type")))
+
+  private def windowedAggShape(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value_cents"),
+        col("min_value"), col("max_value"))
+
+  /** Gap-based sessionization, batch form: a new session starts when the
+    * gap to the user's previous event exceeds `gapMinutes`. One shuffle on
+    * user_id; microsecond integer arithmetic end-to-end (event timestamps
+    * are microsecond-exact), so results are engine-exact.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  // ---- streaming sessionization ---------------------------------------
+
+  /** Typed event row for the stateful streaming path. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** A closed session. */
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, duration_us: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: state is one open
+    * session per user; a session closes (and is emitted) when a later event
+    * arrives beyond the gap, or when the event-time watermark passes the
+    * session's last event + gap (timeout), which also evicts the state.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+
+    def close(uid: Long, s: SessionState): Session =
+      Session(uid, s.startUs, s.lastUs, s.n, s.lastUs - s.startUs)
+
+    def fn(uid: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      if (rows.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption.orNull
+      val closed = List.newBuilder[Session]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        if (cur == null) cur = SessionState(us, us, 1)
+        else if (us - cur.lastUs > gapUs) {
+          closed += close(uid, cur)
+          cur = SessionState(us, us, 1)
+        } else cur = SessionState(cur.startUs, math.max(cur.lastUs, us), cur.n + 1)
+      }
+      state.update(cur)
+      // Time the open session out once the watermark passes last event + gap.
+      state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L + 1)
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** File-based event stream: same parquet layout the batch Warehouse
+    * reads, consumed incrementally (nanos normalized to timestamps).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}
