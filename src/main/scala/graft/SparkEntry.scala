@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every oracle-checked query:
@@ -462,6 +462,19 @@ object SparkEntry {
       .select("doc_id", "n_fp", "fp_min", "fp_max")
       .orderBy("doc_id")
 
+  /** Multimodal plumbing: synthetic media containers attached, then decoded
+    * back through the batched binary mapPartitions path. Every decoded
+    * field is a deterministic function of (doc_id, text), so the oracle
+    * recomputes them all — the full binary roundtrip is hash-checked.
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    Multimodal.decodeMeta(Multimodal.attachBinary(docs, "doc_id", "text"), "doc_id", "media")
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("format"),
+        col("n_bytes"), col("payload_bytes"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -510,7 +523,8 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),
-    "q_fingerprint" -> (qFingerprint _)
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -762,6 +776,14 @@ object SparkEntry {
         |  cast(punct_hits AS double)/n_chars AS punct_ratio FROM f)
         |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, stop_ratio, punct_ratio,
         | least(1.0, cast(n_tokens AS double)/50.0)*0.5 + stop_ratio*0.3 + (1.0-punct_ratio)*0.2 AS quality
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | 32 + doc_id % 64 AS width,
+        | 32 + (doc_id * 7) % 64 AS height,
+        | chr(cast(48 + doc_id % 3 AS int)) AS format,
+        | cast(5 + octet_length(encode(text)) AS bigint) AS n_bytes,
+        | cast(octet_length(encode(text)) AS bigint) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

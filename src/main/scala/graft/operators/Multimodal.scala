@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing, SURVEY §2.3 row 49: media (image/audio/
+  * video) travels as an opaque `binary` column plus typed metadata, and
+  * decode/feature-extraction runs as batched per-partition functions.
+  *
+  * The decode step is a STUB: real codecs (libjpeg/ffmpeg) are not in this
+  * container, so media is a deterministic synthetic container format
+  * ("GM" magic + width/height/format header + payload) and "decoding"
+  * parses that header. Everything around the stub is the real design:
+  * binary columns through the scan/shuffle, partition-batched iteration
+  * (amortizes per-batch decoder setup), and a typed output schema.
+  */
+object Multimodal {
+
+  /** Output schema of the metadata decode. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("payload_bytes", LongType)))
+
+  /** Attach a synthetic media container to each row: 5-byte header
+    * ("GM", width, height, format — all ASCII-range so chr() is one byte)
+    * + the payload column's UTF-8 bytes. Deterministic in `idCol`, so an
+    * oracle can recompute every decoded field.
+    */
+  def attachBinary(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.withColumn("media", concat(
+      expr(s"cast(concat(chr(71), chr(77), chr(32 + $idCol % 64), " +
+        s"chr(32 + ($idCol * 7) % 64), chr(48 + $idCol % 3)) as binary)"),
+      col(payloadCol).cast("binary")))
+
+  /** The generic extension point: stream each partition's (id, bytes) pairs
+    * through `f` — where a real decoder/feature-extractor would batch its
+    * work (model session per partition, vectorized decode, etc.).
+    */
+  def mapBinaryBatches(df: DataFrame, idCol: String, binCol: String, outSchema: StructType)(
+      f: Iterator[(Long, Array[Byte])] => Iterator[Row]): DataFrame =
+    Relational.transform(
+      df.select(col(idCol).cast("long").as("id"), col(binCol)), outSchema) { it =>
+      f(it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+    }
+
+  /** Metadata decode (STUB decoder, see object doc): parses the synthetic
+    * header; unknown containers degrade to size-only metadata instead of
+    * failing the partition.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, metaSchema) { batch =>
+      batch.map { case (id, b) =>
+        if (b.length >= 5 && b(0) == 0x47 && b(1) == 0x4d)
+          Row(id, b(2) & 0xffL, b(3) & 0xffL, String.valueOf((b(4) & 0xff).toChar),
+            b.length.toLong, (b.length - 5).toLong)
+        else Row(id, null, null, null, b.length.toLong, null)
+      }
+    }
+}
