@@ -137,7 +137,10 @@ object Events {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // The file-stream source wants a directory; pathGlobFilter narrows it
+    // to the events table within the warehouse dir.
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = wh.loadTable("documents")
+  // Exact trigram-jaccard pairs at >= 0.8 — ground truth for the
+  // probabilistic variants (ngramJaccard itself is oracle-checked by the
+  // driver's DuckDB gate).
+  private lazy val truth: Set[(Long, Long)] = {
+    GraftFunctions.ensure(spark)
+    Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("corpus has planted near-dup pairs (fixture sanity)") {
+    assert(truth.nonEmpty)
+  }
+
+  test("minhashLsh finds every planted pair and estimates jaccard closely") {
+    GraftFunctions.ensure(spark)
+    val got = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(pairs), s"missed: ${truth -- pairs}")
+    // estimates vs exact on the true pairs: within 0.2 (128 perms ⇒ se ~0.04)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach(j => assert(math.abs(r.getDouble(2) - j) < 0.2, key))
+    }
+  }
+
+  test("simhash finds most planted pairs within the hamming radius") {
+    GraftFunctions.ensure(spark)
+    val pairs = Dedup.simhash(docs, "doc_id", "text", shingleWidth = 3, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = truth.intersect(pairs).size
+    assert(found >= (truth.size * 0.8).toInt, s"found $found of ${truth.size}")
+  }
+
+  test("embeddingNearDup recall vs brute force") {
+    GraftFunctions.ensure(spark)
+    val emb = wh.loadTable("embeddings")
+    val e = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+    val brute = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("c", GraftFunctions.cosineSim(col("a.v"), col("b.v")))
+      .filter(col("c") >= 0.4)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = 6, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "LSH returned a pair below threshold")
+    val recall = if (brute.isEmpty) 1.0 else got.size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall (${got.size}/${brute.size})")
+  }
+
+  test("exact dedup groups identical texts") {
+    val base = docs.limit(50)
+    val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
+    val out = Dedup.exact(dup, "doc_id", "text")
+    assert(out.count() === 50)
+    assert(out.agg(min("dup_count")).collect()(0).getLong(0) === 2)
+  }
+
+  test("shingle helpers produce distinct n-grams") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d")).toDF("t")
+    val words = df.select(Dedup.wordShingles(col("t"), 2)).collect()(0).getSeq[String](0)
+    assert(words.toSet === Set("a b", "b c", "c d"))
+    val chars = df.select(Dedup.charShingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(chars.contains("a b") && chars.contains("b c"))
+  }
+}

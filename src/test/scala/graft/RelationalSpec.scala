@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("semi + anti partition the left side") {
+    val c = wh.loadTable("customer")
+    val o = Relational.rename(wh.loadTable("orders"), Map("o_custkey" -> "c_custkey"))
+    val semi = Relational.join(c, o, "semi", Seq("c_custkey")).count()
+    val anti = Relational.join(c, o, "anti", Seq("c_custkey")).count()
+    assert(semi + anti === c.count())
+  }
+
+  test("take per group keeps at most n rows per key") {
+    val t = Relational.take(wh.loadTable("orders"), 3,
+      Seq(col("o_totalprice").desc), partitionBy = Seq("o_orderpriority"))
+    val maxPerGroup = t.groupBy("o_orderpriority").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerGroup <= 3)
+  }
+
+  test("alterColumns casts preserve column order") {
+    val out = Relational.alterColumns(wh.loadTable("nation"),
+      Map("n_nationkey" -> "string"))
+    assert(out.columns.toSeq === wh.loadTable("nation").columns.toSeq)
+    assert(out.schema("n_nationkey").dataType === StringType)
+  }
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    def ts(min: Int) = new Timestamp(3600L * 1000 * 24 * 1000 + min * 60000L)
+    val left = Seq((1L, ts(600), 1L), (1L, ts(630), 2L), (2L, ts(540), 3L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(595), "a"), (1L, ts(610), "b"), (2L, ts(540), "c"), (2L, ts(541), "d"))
+      .toDF("k", "ts", "v")
+    val got = Relational.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("lid", "v_right").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b", 3L -> "c")) // 3: tie at equal ts is inclusive
+  }
+
+  test("asofJoin yields null when no right row precedes") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val left = Seq((1L, ts(100), 1L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(200), "late")).toDF("k", "ts", "v")
+    val got = Relational.asofJoin(left, right, "k", "ts", Seq("v")).collect()
+    assert(got.length === 1 && got(0).getAs[String]("v_right") == null)
+  }
+
+  test("transform maps partitions with an explicit output schema") {
+    val in = spark.range(100).toDF("id")
+    val out = Relational.transform(in,
+      StructType(Seq(StructField("doubled", LongType)))) { it =>
+      it.map(r => Row(r.getLong(0) * 2))
+    }
+    assert(out.agg(sum("doubled")).collect()(0).getLong(0) === 9900)
+  }
+
+  test("cogroup streams both sides per key") {
+    val l = Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+    val r = Seq((1L, 10L), (1L, 20L), (3L, 30L)).toDF("k", "b")
+    val out = Relational.cogroup(l, r, "k", "k",
+      StructType(Seq(StructField("k", LongType), StructField("n_l", LongType),
+        StructField("sum_r", LongType)))) { (k, ls, rs) =>
+      Iterator.single(Row(k, ls.size.toLong, rs.map(_.getLong(1)).sum))
+    }
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m === Map(1L -> (1L, 30L), 2L -> (1L, 0L), 3L -> (0L, 30L)))
+  }
+
+  test("repartition controls partition count") {
+    assert(Relational.repartition(wh.loadTable("orders"), 8).rdd.getNumPartitions === 8)
+  }
+
+  test("persist cuts recomputation and unpersist releases") {
+    val df = Relational.persist(wh.loadTable("orders").filter(col("o_totalprice") > 100.0))
+    try assert(df.count() === df.count())
+    finally Relational.unpersist(df)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = wh.loadTable("embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  /** Reference top-k via plain cross join + window — the obvious-but-
+    * unscalable formulation the TopKAgg path must agree with exactly.
+    */
+  private lazy val reference: Set[(Long, Long, Long)] = {
+    GraftFunctions.ensure(spark)
+    val c = emb.select(col("vec_id").cast("long").as("nid"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    c.crossJoin(q).filter(col("nid") =!= col("qid"))
+      .withColumn("score", GraftFunctions.cosineSim(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+  }
+
+  test("bruteForceTopK matches the cross-join + window reference exactly") {
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === reference)
+  }
+
+  test("lshTopK reaches usable recall against brute force") {
+    val got = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numBits = 6, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ref = reference.map { case (q, _, n) => (q, n) }
+    val recall = ref.intersect(got).size.toDouble / ref.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("scores are descending per query with deterministic tie order") {
+    val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    rows.grouped(5).foreach { g =>
+      val scores = g.map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Events
+import graft.streaming.Events.Event
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L / 3600000 * 3600000 + min * 60000)
+
+  private val real = Seq(
+    Event(1, ts(5), 1, "click", 1.00),
+    Event(2, ts(10), 1, "click", 2.50),
+    Event(3, ts(65), 2, "view", 3.00),
+    Event(4, ts(70), 1, "click", 4.25))
+  // far-future sentinel: advances the watermark so every real window/session
+  // closes; its own output is filtered out of the assertions
+  private val sentinel = Event(99, ts(60 * 24 * 400), 99, "sentinel", 0.0)
+
+  test("streaming windowed agg equals the batch re-expression once closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Events.windowedAggStream(mem.toDF(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      mem.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("win_out").filter($"event_type" =!= "sentinel")
+      .collect().map(_.toSeq).toSet
+    val expect = Events.windowedAggBatch(real.toDF()).collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
+  test("streaming sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Events.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(real: _*)   // user 1: session {5,10} closed by gap to 70
+      q.processAllAvailable()
+      mem.addData(sentinel)   // watermark jump times out open sessions
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out").filter($"user_id" =!= 99)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet // (user_id, n_events)
+    val expect = Events.sessionizeBatch(real.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === expect)
+    // exact shape: user 1 has sessions of 2 and 1 events; user 2 has 1
+    assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("file-based event stream reads the warehouse parquet incrementally") {
+    val stream = Events.readEventStream(spark, sfDir)
+    assert(stream.isStreaming)
+    val q = Events.windowedAggStream(stream, watermarkDelay = "0 seconds")
+      .writeStream.format("noop").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+}

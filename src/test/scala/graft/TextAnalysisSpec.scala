@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("langId identifies real multilingual text") {
+    val samples = Seq(
+      ("the cat and the dog sat in the house that it built", "en"),
+      ("der hund und die katze ist nicht mit ihnen, sie hat ein haus", "de"),
+      ("le chat et la souris sont dans les maisons que pour une fête", "fr"),
+      ("el perro y los gatos son una familia como por para con ellos se", "es"),
+      ("这是一个中文句子，用来测试语言识别功能。", "zh"))
+    val got = TextAnalysis.langId(samples.toDF("text", "expect"), "text")
+      .select("expect", "pred_lang").collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
+  }
+
+  test("quality rewards stopword-rich prose over punctuation soup") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog and it is happy for that reason", "good"),
+      ("@@@ ### !!! ??? %% ^^ && ** (( )) __ ++ == ~~ `` ;; :: '' \"\"", "bad"))
+      .toDF("text", "tag")
+    val q = TextAnalysis.quality(df, "text").select("tag", "quality")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("good") > q("bad"))
+  }
+
+  test("tokenCount counts whitespace and word tokens") {
+    val r = TextAnalysis.tokenCount(Seq(Tuple1("one two  three 42")).toDF("text"), "text")
+      .select("n_ws_tokens", "n_word_tokens").collect()(0)
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 4)
+  }
+
+  test("winnowing fingerprints are robust to local edits") {
+    val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills"
+    val edited = base.replace("lazy", "idle") // one word changed
+    val other = "completely different content with no overlap whatsoever in any shingle of this string at all"
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "text")
+    val fps = TextAnalysis.fingerprint(df, "text")
+      .select("id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac(fps(1L), fps(2L)) > 0.5, "edit destroyed the fingerprint")
+    assert(jac(fps(1L), fps(3L)) < 0.1, "unrelated texts share fingerprints")
+  }
+
+  test("fingerprint summary columns are consistent") {
+    val out = TextAnalysis.fingerprint(wh.loadTable("documents").limit(20), "text")
+    assert(out.filter(col("n_fp") =!= size(col("fp"))).count() === 0)
+    assert(out.filter(col("fp_min") > col("fp_max")).count() === 0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class WarehouseSpec extends AnyFunSuite with SparkTestBase {
+
+  test("loadTable pushes filter and prunes columns down to the parquet scan") {
+    val df = wh.loadTable("lineitem",
+      columns = Seq("l_orderkey", "l_quantity"),
+      rowFilter = Some("l_quantity > 45.0"))
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"), plan)
+    // pruned read schema: only the two requested columns reach the scan
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_extendedprice"), "scan reads a column the query never uses")
+  }
+
+  test("saveTable overwrite/append roundtrip + tableExists") {
+    val tmp = Files.createTempDirectory("graft_wh").toString
+    val nation = wh.loadTable("nation")
+    assert(!wh.tableExists(tmp, "nation"))
+    wh.saveTable(nation, tmp, "nation", mode = "overwrite")
+    assert(wh.tableExists(tmp, "nation"))
+    val back = Warehouse(spark, tmp).loadTable("nation")
+    assert(back.count() === 25)
+    wh.saveTable(nation, tmp, "nation", mode = "append")
+    assert(Warehouse(spark, tmp).loadTable("nation").count() === 50)
+  }
+
+  test("csv and json load_df/save_df roundtrip") {
+    val tmp = Files.createTempDirectory("graft_io").toString
+    val src = wh.loadTable("nation", columns = Seq("n_nationkey", "n_name"))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+    for (fmt <- Seq("csv", "json")) {
+      wh.saveDf(src, s"$tmp/$fmt", format = fmt)
+      val back = wh.loadDf(s"$tmp/$fmt", format = fmt, schema = Some(schema))
+      assert(back.count() === 25, fmt)
+      val pairs = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expect = src.collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toSet
+      assert(pairs === expect, fmt)
+    }
+  }
+
+  test("sampleN returns exactly n rows") {
+    // the reference's sample(n) contract asserts an exact count
+    // (tests/fugue_trino/test_execution_engine.py:47-52: count() == 90)
+    val got = Relational.sampleN(wh.loadTable("customer"), 90).count()
+    assert(got === 90)
+  }
+
+  test("loadSql runs over registered tables") {
+    val n = wh.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0)
+    assert(n === 25)
+  }
+
+  test("describe dumps plan and schema") {
+    val d = wh.describe(wh.loadTable("region"))
+    assert(d.contains("Output Schema"))
+    assert(d.contains("r_regionkey"))
+  }
+}
