@@ -28,6 +28,9 @@ object GraftFunctions {
 
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_word_ngrams",
+      (args: Seq[Expression]) => WordNgramHashes(args.head, intLit(args(1), "n")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash",
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed")),
@@ -59,6 +62,9 @@ object GraftFunctions {
   // Column API ------------------------------------------------------------
 
   import org.apache.spark.sql.functions.lit
+
+  def wordNgrams(text: Column, n: Int): Column =
+    call_function("graft_word_ngrams", text, lit(n))
 
   def minhash(tokens: Column, numPerms: Int, seed: Long): Column =
     call_function("graft_minhash", tokens, lit(numPerms), lit(seed))

@@ -33,6 +33,59 @@ object Kernels {
     x ^ (x >>> 31)
   }
 
+  /** Distinct hashes of word n-grams, one pass over the text: tokens split
+    * on a single space (empty tokens preserved — same tokenization as
+    * split(trim(text), ' ') / DuckDB string_split), per-token FNV-1a over
+    * chars, n-gram hash = order-sensitive polynomial combine of n
+    * consecutive token hashes, splitmix64-finalized, sorted distinct.
+    *
+    * Replaces the shingle pipeline
+    * split → transform(sequence → slice → array_join) → array_distinct →
+    * per-gram hash, which materializes every gram as a string (~3× slower
+    * and allocation-heavy). Set sizes are preserved modulo 64-bit
+    * collisions, so jaccard results are unchanged.
+    */
+  def wordNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) {
+        h ^= t.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val grams = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var g = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        g = (g ^ th(j)) * 0x100000001b3L
+        j += 1
+      }
+      grams(i) = splitmix64(g)
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    var unique = 1
+    i = 1
+    while (i < m) {
+      if (grams(i) != grams(i - 1)) { grams(unique) = grams(i); unique += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, unique))
+  }
+
   /** MinHash signature: for each of `numPerms` affine permutations
     * (a*h+b with odd a), the minimum over all token hashes.
     * Empty input → Long.MaxValue per slot (never matches a non-empty sig).
@@ -45,14 +98,24 @@ object Kernels {
       base(i) = if (tokens.isNullAt(i)) 0L else hash64(tokens.getUTF8String(i))
       i += 1
     }
+    minhashBase(base, numPerms, seed)
+  }
+
+  /** MinHash over pre-hashed tokens/grams (array<bigint>) — pairs with
+    * [[wordNgramHashes]] so no gram string is ever materialized.
+    */
+  def minhashLongs(hashes: ArrayData, numPerms: Int, seed: Long): ArrayData =
+    minhashBase(hashes.toLongArray(), numPerms, seed)
+
+  private def minhashBase(base: Array[Long], numPerms: Int, seed: Long): ArrayData = {
     val sig = new Array[Long](numPerms)
     var p = 0
     while (p < numPerms) {
       val a = splitmix64(seed + 2L * p) | 1L
       val b = splitmix64(seed + 2L * p + 1L)
       var m = Long.MaxValue
-      i = 0
-      while (i < n) {
+      var i = 0
+      while (i < base.length) {
         val v = a * base(i) + b
         if (v < m) m = v
         i += 1
@@ -69,16 +132,33 @@ object Kernels {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
+      if (!tokens.isNullAt(i)) simhashAccumulate(counts, hash64(tokens.getUTF8String(i)))
       i += 1
     }
+    simhashFinish(counts)
+  }
+
+  /** SimHash over pre-hashed tokens/grams (array<bigint>). */
+  def simhash64Longs(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      simhashAccumulate(counts, hashes.getLong(i))
+      i += 1
+    }
+    simhashFinish(counts)
+  }
+
+  private def simhashAccumulate(counts: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      b += 1
+    }
+  }
+
+  private def simhashFinish(counts: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {

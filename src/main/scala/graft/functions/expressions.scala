@@ -12,28 +12,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen (no UDF serialization / boxing on the hot path).
   */
 
-/** minhash signature of a string-array column → array<bigint>. */
-case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+/** Distinct hashed word n-grams of a string column → array<bigint>. */
+case class WordNgramHashes(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    Kernels.minhash(input.asInstanceOf[ArrayData], numPerms, seed)
+    Kernels.wordNgramHashes(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngrams"
+}
+
+/** minhash signature of array<string> tokens OR array<bigint> pre-hashed
+  * grams → array<bigint>.
+  */
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  private def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    if (longInput) Kernels.minhashLongs(input.asInstanceOf[ArrayData], numPerms, seed)
+    else Kernels.minhash(input.asInstanceOf[ArrayData], numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (longInput) "minhashLongs" else "minhash"
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Kernels.minhash($c, $numPerms, ${seed}L)")
+      s"graft.functions.Kernels.$fn($c, $numPerms, ${seed}L)")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
   override def prettyName: String = "graft_minhash"
 }
 
-/** 64-bit simhash of a string-array column → bigint. */
+/** 64-bit simhash of array<string> tokens OR array<bigint> grams → bigint. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
+  private def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    Kernels.simhash64(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+    if (longInput) Kernels.simhash64Longs(input.asInstanceOf[ArrayData])
+    else Kernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (longInput) "simhash64Longs" else "simhash64"
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.$fn($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash64"

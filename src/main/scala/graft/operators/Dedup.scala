@@ -48,13 +48,19 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. */
+  /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
+    * are hashed in one kernel pass (wordNgramHashes) — no gram strings are
+    * materialized between shingling and the signature.
+    */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int, numPerms: Int, seed: Long): DataFrame =
+      shingleWidth: Int, numPerms: Int, seed: Long): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
     df.select(
       col(idCol).cast("long").as("id"),
-      GraftFunctions.minhash(wordShingles(col(textCol), shingleWidth), numPerms, seed).as("sig"))
+      GraftFunctions.minhash(
+        GraftFunctions.wordNgrams(col(textCol), shingleWidth), numPerms, seed).as("sig"))
+  }
 
   /** MinHash + LSH banding near-dup pairs (id_a < id_b, est_jaccard ≥
     * threshold). Signature → `bands` buckets (xxhash64 of each band slice)
@@ -99,12 +105,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, maxHamming: Int = 7,
       maxBucketSize: Int = 100000): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
     val nBlocks = maxHamming + 1
     val blockWidth = (64 + nBlocks - 1) / nBlocks
     val mask = (1L << blockWidth) - 1
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
-      GraftFunctions.simhash64(wordShingles(col(textCol), shingleWidth)).as("sig"))
+      GraftFunctions.simhash64(
+        GraftFunctions.wordNgrams(col(textCol), shingleWidth)).as("sig"))
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .select(col("id"), col("blk"),
@@ -130,13 +138,15 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Grams are xxhash64'd to longs up front: every downstream shuffle/join
-    // keys on 8 bytes instead of ~20-byte strings, and the verify intersect
-    // runs on long arrays. Distinct counts are preserved modulo 64-bit
-    // collisions (~|grams|²/2⁶⁴ ≈ 0 — far below any oracle's noise floor).
+    // Grams are hashed to longs in one kernel pass: every downstream
+    // shuffle/join keys on 8 bytes instead of ~20-byte strings, the verify
+    // intersect runs on long arrays, and no gram string is ever built.
+    // Distinct counts are preserved modulo 64-bit collisions
+    // (~|grams|²/2⁶⁴ ≈ 0 — far below any oracle's noise floor).
+    GraftFunctions.ensure(df.sparkSession)
     val grams = df
       .select(col(idCol).cast("long").as("id"),
-        transform(wordShingles(col(textCol), n), x => xxhash64(x)).as("g"))
+        GraftFunctions.wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
     val exploded = grams.select(col("id"), explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
