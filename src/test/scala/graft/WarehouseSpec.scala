@@ -34,6 +34,17 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(Warehouse(spark, tmp).loadTable("nation").count() === 50)
   }
 
+  test("saveTable mode=error refuses to clobber an existing table") {
+    // reference semantics: save_table errors when the table exists unless
+    // overwrite/append (fugue_trino/execution_engine.py:89-97)
+    val tmp = Files.createTempDirectory("graft_err").toString
+    val nation = wh.loadTable("nation")
+    wh.saveTable(nation, tmp, "nation")
+    intercept[Exception] {
+      wh.saveTable(nation, tmp, "nation", mode = "error")
+    }
+  }
+
   test("csv and json load_df/save_df roundtrip") {
     val tmp = Files.createTempDirectory("graft_io").toString
     val src = wh.loadTable("nation", columns = Seq("n_nationkey", "n_name"))
