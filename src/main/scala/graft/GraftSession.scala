@@ -20,9 +20,15 @@ object GraftSession {
       master: Option[String] = None,
       shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
   ): SparkSession.Builder = {
+    // Catalog state (bucketed tables, derby metastore) lives under tmp, not
+    // the working directory.
+    val tmp = System.getProperty("java.io.tmpdir")
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", tmp)
     val b = SparkSession
       .builder()
       .appName("graft")
+      .config("spark.sql.warehouse.dir", s"$tmp/graft-spark-warehouse")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

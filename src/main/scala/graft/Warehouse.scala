@@ -105,6 +105,21 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
   def tableExists(dir: String, table: String): Boolean =
     fsExists(s"$dir/$table.parquet")
 
+  /** Bucketed catalog table: pre-hash-partitions (and sorts) the data on
+    * the join/agg key so every later join or aggregation on that key runs
+    * WITHOUT a shuffle — the 100 TB answer to "this fact table is joined on
+    * orderkey by every query, why repartition it nightly?". Bucket counts
+    * must match across co-joined tables.
+    */
+  def saveTableBucketed(df: DataFrame, name: String, buckets: Int,
+      bucketCols: Seq[String], path: Option[String] = None): Unit = {
+    var w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(name)
+  }
+
   /** load_df: read a file/directory in the given format (parquet/csv/json),
     * mirroring the reference's format_hint dispatch
     * (fugue_trino/execution_engine.py:190). CSV reads use an explicit schema

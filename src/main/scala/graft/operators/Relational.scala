@@ -138,6 +138,23 @@ object Relational {
     */
   def broadcastHint(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Skew-safe equi-join: the left's hot keys are spread over `salt`
+    * sub-keys and the right side is replicated `salt`× — turns one
+    * straggler partition into `salt` even ones. Use when a key's row count
+    * is so extreme that AQE's skew splitting isn't enough (AQE splits the
+    * partition but a single giant key still lands in one task). Right side
+    * should be the smaller input (it is replicated).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      how: String = "inner", salt: Int = 8): DataFrame = {
+    // right-outer/full would emit each unmatched right row `salt` times
+    require(Set("inner", "left", "left_outer", "semi", "left_semi", "anti", "left_anti")
+      .contains(how.toLowerCase), s"saltedJoin does not support how=$how")
+    val l = left.withColumn("__salt", (rand(42L) * salt).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    join(l, r, how, on :+ "__salt").drop("__salt")
+  }
+
   /** Fugue `transform`: arbitrary per-partition logic (the reference's
     * flagship verb — ExecutionEngineTests drives it via map_partitions).
     * Spark-native form is Dataset.mapPartitions: executors stream each

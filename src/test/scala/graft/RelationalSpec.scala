@@ -74,6 +74,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(m === Map(1L -> (1L, 30L), 2L -> (1L, 0L), 3L -> (0L, 30L)))
   }
 
+  test("saltedJoin equals the plain join result") {
+    val c = wh.loadTable("customer").select("c_custkey", "c_name")
+    val o = wh.loadTable("orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+    val plain = c.join(o, Seq("c_custkey")).select("c_custkey", "o_orderkey")
+      .collect().map(_.toSeq).toSet
+    val salted = Relational.saltedJoin(o, c, Seq("c_custkey"), salt = 4)
+      .select("c_custkey", "o_orderkey").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+  }
+
   test("repartition controls partition count") {
     assert(Relational.repartition(wh.loadTable("orders"), 8).rdd.getNumPartitions === 8)
   }

@@ -67,6 +67,25 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(got === 90)
   }
 
+  test("bucketed tables join without an exchange") {
+    val o = wh.loadTable("orders").select("o_orderkey", "o_totalprice")
+    val l = wh.loadTable("lineitem").select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    wh.saveTableBucketed(o, "orders_bucketed", 4, Seq("o_orderkey"))
+    wh.saveTableBucketed(l, "lineitem_bucketed", 4, Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("lineitem_bucketed"), "o_orderkey")
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() === wh.loadTable("lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("loadSql runs over registered tables") {
     val n = wh.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0)
     assert(n === 25)
