@@ -441,6 +441,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, numCells = 16, numProbe = 6)
+      .orderBy("query_id", "rank")
+  }
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "n_ws_tokens", "n_word_tokens")
@@ -520,6 +529,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_token_count" -> (qTokenCount _),
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),

@@ -113,6 +113,14 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     */
   def saveTableBucketed(df: DataFrame, name: String, buckets: Int,
       bucketCols: Seq[String], path: Option[String] = None): Unit = {
+    // overwrite semantics even when a previous run left an orphaned
+    // location (e.g. a fresh metastore pointed at a reused warehouse dir)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = path.getOrElse(
+      s"${spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")}/$name")
+    val hp = new HPath(loc)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
     var w = df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -72,6 +72,54 @@ object Similarity {
     topKPerQuery(filtered, k)
   }
 
+  /** IVF-flat approximate top-k: `numCells` corpus vectors (seeded hash
+    * order — a uniform data sample, the degenerate-but-valid centroid
+    * choice when no training pass is budgeted) become cell centroids;
+    * every corpus vector is assigned to its nearest centroid in one
+    * broadcast pass; each query probes its `numProbe` nearest cells and
+    * scores only those cells' members.
+    *
+    * Scale: centroids are broadcast (numCells ≪ corpus); assignment is
+    * map-side; the only shuffle is the candidate join on cell id. Recall
+    * rises with numProbe (numProbe == numCells degenerates to exact).
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.ensure(spark)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
+    // deterministic uniform sample: numCells smallest seeded hashes
+    val cellOf = c
+      .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
+      .orderBy("__h").limit(numCells)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("__h")).as("cell"),
+        col("nbr_vec").as("centroid"))
+    // nearest-centroid assignment: broadcast centroids, keep argmax cosine
+    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(df.columns.head).orderBy(col("__sim").desc, col("cell"))
+      df.crossJoin(broadcast(cellOf))
+        .withColumn("__sim", GraftFunctions.cosineSim(col(vec), col("centroid")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .drop("centroid", "__sim", "__rk")
+    }
+    val assigned = assign(c, "nbr_vec", 1)
+    val probed = assign(q, "query_vec", numProbe)
+    val scored = assigned
+      .join(broadcast(probed.select("query_id", "cell", "query_vec")), "cell")
+      .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
+      .select("query_id", "neighbor_id", "score").distinct()
+    val filtered =
+      if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
+    topKPerQuery(filtered, k)
+  }
+
   /** Shared tail: bounded top-k per query (TopKAgg partial-aggregates
     * map-side), exploded to (query_id, rank, neighbor_id, score) rows.
     */

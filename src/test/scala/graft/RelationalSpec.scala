@@ -74,6 +74,13 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(m === Map(1L -> (1L, 30L), 2L -> (1L, 0L), 3L -> (0L, 30L)))
   }
 
+  test("select runs SQL over a map of named frames") {
+    val out = Relational.select(spark,
+      Map("c" -> wh.loadTable("customer"), "n" -> wh.loadTable("nation")),
+      "SELECT n_name, count(*) AS cnt FROM c JOIN n ON c_nationkey = n_nationkey GROUP BY n_name")
+    assert(out.count() === 25)
+  }
+
   test("saltedJoin equals the plain join result") {
     val c = wh.loadTable("customer").select("c_custkey", "c_name")
     val o = wh.loadTable("orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))

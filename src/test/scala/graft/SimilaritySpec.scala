@@ -44,6 +44,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("ivfTopK reaches usable recall and degenerates to exact at full probe") {
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ref = reference.map { case (q, _, n) => (q, n) }
+    val recall = ref.intersect(got).size.toDouble / ref.size
+    assert(recall >= 0.4, s"recall $recall")
+    // probing every cell must recover the exact result
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === reference)
+  }
+
   test("scores are descending per query with deterministic tie order") {
     val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5)
