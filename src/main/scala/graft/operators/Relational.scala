@@ -65,6 +65,20 @@ object Relational {
   def sampleFrac(df: DataFrame, frac: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, frac, seed)
 
+  /** Unified sample entry point with the reference's validation contract
+    * (exactly one of n/frac must be set — test_execution_engine.py
+    * test_sample raises on neither/both).
+    */
+  def sample(df: DataFrame, n: Option[Int] = None, frac: Option[Double] = None,
+      seed: Long = 42L): DataFrame = (n, frac) match {
+    case (Some(_), Some(_)) =>
+      throw new IllegalArgumentException("set only one of n and frac")
+    case (None, None) =>
+      throw new IllegalArgumentException("one of n and frac must be set")
+    case (Some(count), None) => sampleN(df, count, seed)
+    case (None, Some(f))     => sampleFrac(df, f, seed)
+  }
+
   def sampleN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
     // Rank rows by a seeded uniform hash of the whole row; TakeOrderedAndProject
     // keeps this a single pass with a bounded per-partition heap — no full sort.
