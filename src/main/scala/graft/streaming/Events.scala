@@ -76,6 +76,16 @@ object Events {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Streaming exact dedup: keep the first occurrence per key within the
+    * watermark horizon (the streaming counterpart of Dedup.exact — state is
+    * one entry per distinct key, evicted once the watermark passes, so
+    * state is bounded by distinct keys per horizon, not stream length).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- streaming sessionization ---------------------------------------
 
   /** Typed event row for the stateful streaming path. */

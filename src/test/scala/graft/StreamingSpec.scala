@@ -59,6 +59,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("streaming dedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Events.dedupStream(mem.toDF(), Seq("event_type"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 2.0),  // dup key within watermark
+        Event(3, ts(2), 3, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === Set(1L, 3L))
+  }
+
   test("file-based event stream reads the warehouse parquet incrementally") {
     val stream = Events.readEventStream(spark, sfDir)
     assert(stream.isStreaming)
