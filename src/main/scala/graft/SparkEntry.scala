@@ -95,6 +95,46 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10-style: revenue lost to returned items per customer in one
+    * quarter, top 20. Fact-fact join shuffles once on orderkey; customer
+    * join strategy left to AQE (SF-scaling side); nation broadcast.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val o = w.loadTable("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = w.loadTable("lineitem").filter(col("l_returnflag") === "R")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(w.loadTable("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(wh(s, dir).loadTable("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18-style: customers with any single order above a quantity
+    * threshold — groupBy + having on the fact table, then a semi-style
+    * join back. Both aggregations partial-agg map-side.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val l = w.loadTable("lineitem")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(decMoney(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(212).cast("decimal(12,2)"))
+      .select(col("l_orderkey").as("o_orderkey"), col("sum_qty"))
+    w.loadTable("orders").join(big, "o_orderkey")
+      .join(w.loadTable("customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("sum_qty").cast("decimal(38,2)").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   private def qFilter(s: SparkSession, dir: String): DataFrame =
     wh(s, dir).loadTable("lineitem")
       .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
@@ -490,6 +530,8 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
+    "q10_returned_items" -> (q10 _),
+    "q18_large_orders" -> (q18 _),
     "q_filter" -> (qFilter _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
@@ -572,6 +614,28 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))
+        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
+        |      AS decimal(38,4)) AS revenue
+        |FROM orders, lineitem, customer, nation
+        |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey AS o_orderkey,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING sum(cast(l_quantity AS decimal(12,2))) > cast(212 AS decimal(12,2)))
+        |SELECT c_custkey, c_name, o_orderkey,
+        | cast(o_orderdate AS date) AS o_orderdate, sum_qty
+        |FROM orders JOIN big USING (o_orderkey)
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'
