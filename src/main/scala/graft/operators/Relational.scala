@@ -96,7 +96,10 @@ object Relational {
     if (partitionBy.isEmpty) {
       if (presort.isEmpty) df.limit(n) else df.orderBy(presort: _*).limit(n)
     } else {
-      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(presort: _*)
+      // no presort → Fugue semantics are "any n per group": a constant sort
+      // key makes row_number legal (pick is arbitrary, as specified)
+      val order = if (presort.isEmpty) Seq(lit(1).asc) else presort
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= n)
         .drop("__rn")

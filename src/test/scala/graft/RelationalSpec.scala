@@ -27,6 +27,19 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(maxPerGroup <= 3)
   }
 
+  test("take per group without presort returns any n per group") {
+    val t = Relational.take(wh.loadTable("orders"), 2, Nil, partitionBy = Seq("o_orderpriority"))
+    val counts = t.groupBy("o_orderpriority").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 2) && counts.nonEmpty)
+  }
+
+  test("dropna how=all only drops fully-null rows") {
+    val df = Seq[(Option[Int], Option[Int])]((Some(1), None), (None, None), (Some(2), Some(3)))
+      .toDF("a", "b")
+    assert(Relational.dropna(df, "all").count() === 2)
+    assert(Relational.dropna(df, "any").count() === 1)
+  }
+
   test("alterColumns casts preserve column order") {
     val out = Relational.alterColumns(wh.loadTable("nation"),
       Map("n_nationkey" -> "string"))
