@@ -395,6 +395,47 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Pivot with explicit values (no discovery pass); counts per order year
+    * × priority. Oracle re-expresses as FILTER'd counts (portable and
+    * bigint-typed in both engines).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Relational.pivot(
+        wh(s, dir).loadTable("orders").withColumn("yr", year(col("o_orderdate"))),
+        Seq("yr"), "o_orderpriority", pris, count(lit(1)))
+      .orderBy("yr")
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Relational.rollup(wh(s, dir).loadTable("lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(count(lit(1)).as("n"),
+          sum(decMoney(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty")))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explode / flatten: token frequency over the corpus (array explode →
+    * groupBy; the shuffle key is the token, partial-agg map-side).
+    */
+  private def qExplode(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("documents")
+      .select(explode(split(trim(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** Approximate aggregates (HLL++ / quantile sketch): deterministic within
+    * Spark but engine-specific — rows-only; accuracy is spec-bounded
+    * against exact counts in StatsSpec.
+    */
+  private def qApproxStats(s: SparkSession, dir: String): DataFrame = {
+    val l = wh(s, dir).loadTable("lineitem")
+    graft.operators.Stats.approxDistinct(l, Seq("l_returnflag"), "l_orderkey")
+      .join(graft.operators.Stats.summarize(l, Seq("l_returnflag"), "l_quantity"),
+        "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   /** Streaming row 50's batch re-expression: tumbling 1h windows (window
     * starts align to the epoch in both engines).
     */
@@ -564,6 +605,10 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_pivot" -> (qPivot _),
+    "q_rollup" -> (qRollup _),
+    "q_explode" -> (qExplode _),
+    "q_approx_stats" -> (qApproxStats _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -786,6 +831,23 @@ object SparkEntry {
         | c.value AS click_value, c.event_id AS click_event
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_explode" ->
+      """SELECT tok, count(*) AS n FROM (
+        | SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n_events,

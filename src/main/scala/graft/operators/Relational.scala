@@ -155,6 +155,21 @@ object Relational {
     */
   def broadcastHint(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Pivot with EXPLICIT values — the implicit form runs an extra distinct
+    * pass over the data to discover columns, which is a full scan at scale;
+    * warehouses require the value list for the same reason.
+    */
+  def pivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      values: Seq[String], agg: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*).pivot(pivotCol, values).agg(agg)
+
+  /** ROLLUP / CUBE grouping sets (partial-agg map-side like plain groupBy). */
+  def rollup(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  def cube(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.cube(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
   /** Skew-safe equi-join: the left's hot keys are spread over `salt`
     * sub-keys and the right side is replicated `salt`× — turns one
     * straggler partition into `salt` even ones. Use when a key's row count

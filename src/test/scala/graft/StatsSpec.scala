@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+
+class StatsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("approxDistinct stays within its rsd bound of the exact count") {
+    val l = wh.loadTable("lineitem")
+    val approx = Stats.approxDistinct(l, Seq("l_returnflag"), "l_orderkey", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = l.groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("approxQuantiles bracket the exact median") {
+    val q = Stats.approxQuantiles(wh.loadTable("orders"), "o_totalprice", Seq(0.5), 0.01)
+    val exact = wh.loadTable("orders")
+      .selectExpr("percentile(o_totalprice, 0.5) AS m").collect()(0).getDouble(0)
+    assert(math.abs(q.head - exact) / exact < 0.05)
+  }
+
+  test("summarize emits a full numeric profile per group") {
+    val s = Stats.summarize(wh.loadTable("lineitem"), Seq("l_returnflag"), "l_quantity")
+    val r = s.collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getDouble(row.fieldIndex("min")) <= row.getDouble(row.fieldIndex("p50")))
+      assert(row.getDouble(row.fieldIndex("p50")) <= row.getDouble(row.fieldIndex("p95")))
+      assert(row.getDouble(row.fieldIndex("p95")) <= row.getDouble(row.fieldIndex("max")))
+    }
+  }
+}
