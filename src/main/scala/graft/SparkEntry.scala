@@ -135,6 +135,33 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** TPC-H Q14-style: revenue by part type for one year — exercises the
+    * part dimension (partkey equi-join; AQE picks the strategy since part
+    * scales with SF).
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val l = w.loadTable("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    l.join(w.loadTable("part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("p_type")
+  }
+
+  /** Semi-structured JSON column: extract a field, aggregate per type —
+    * the warehouse JSON-path staple (get_json_object is codegen'd).
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+
   private def qFilter(s: SparkSession, dir: String): DataFrame =
     wh(s, dir).loadTable("lineitem")
       .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
@@ -572,7 +599,9 @@ object SparkEntry {
     "q3_shipping_priority" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
     "q10_returned_items" -> (q10 _),
+    "q14_promo_revenue" -> (q14 _),
     "q18_large_orders" -> (q18 _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_filter" -> (qFilter _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
@@ -670,6 +699,21 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT p_type,
+        | cast(sum(cast(l_extendedprice AS decimal(12,2))
+        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
+        |      AS decimal(38,4)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        | count(CASE WHEN cast(json_extract_string(props, '$.k') AS bigint) > 50
+        |            THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         | SELECT l_orderkey AS o_orderkey,
