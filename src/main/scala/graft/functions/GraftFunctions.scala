@@ -39,10 +39,6 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       (args: Seq[Expression]) => CosineSim(args.head, args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hyperplane_lsh",
-      (args: Seq[Expression]) =>
-        HyperplaneLsh(args.head, intLit(args(1), "numBits"), longLit(args(2), "seed")),
-      "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_lsh_multi",
       (args: Seq[Expression]) =>
         HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
@@ -74,9 +70,6 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
-
-  def hyperplaneLsh(vec: Column, numBits: Int, seed: Long): Column =
-    call_function("graft_hyperplane_lsh", vec, lit(numBits), lit(seed))
 
   def hyperplaneLshMulti(vec: Column, numBits: Int, numTables: Int, seed: Long): Column =
     call_function("graft_hyperplane_lsh_multi", vec, lit(numBits), lit(numTables), lit(seed))

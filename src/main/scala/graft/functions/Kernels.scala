@@ -262,17 +262,20 @@ object Kernels {
       hashes(i) = splitmix64(h)
       i += 1
     }
+    // sliding-window minimum via monotonic deque — O(n) total (each index
+    // enters and leaves the deque once) vs the naive O(n·w) rescan
     val selected = new java.util.TreeSet[java.lang.Long]()
     val win = math.min(w, nGrams)
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // deque holds indices with increasing hash values
     i = 0
-    while (i + win <= nGrams) {
-      var m = Long.MaxValue
-      var j = i
-      while (j < i + win) {
-        if (hashes(j) < m) m = hashes(j)
-        j += 1
-      }
-      selected.add(m)
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) selected.add(hashes(deque(head)))
       i += 1
     }
     val out = new Array[Long](selected.size())

@@ -82,21 +82,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
-/** Random-hyperplane LSH signature of array<float> → bigint (numBits bits). */
-case class HyperplaneLsh(child: Expression, numBits: Int, seed: Long)
-    extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any =
-    Kernels.hyperplaneBits(input.asInstanceOf[ArrayData], numBits, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Kernels.hyperplaneBits($c, $numBits, ${seed}L)")
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
-    copy(child = newChild)
-  override def prettyName: String = "graft_hyperplane_lsh"
-}
-
-/** Per-table LSH bucket ids of array<float> → array<bigint> (numTables). */
+/** Per-table LSH bucket ids of array<float> → array<bigint> (numTables).
+  * The single-table case is numTables = 1 — there is deliberately no
+  * separate scalar variant.
+  */
 case class HyperplaneLshMulti(child: Expression, numBits: Int, numTables: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
