@@ -48,6 +48,32 @@ object Multimodal {
       f(it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
     }
 
+  /** Resize planning: target dimensions preserving aspect ratio (fit inside
+    * maxW × maxH). The dimension arithmetic is the real operator — the
+    * byte-level resample would run inside mapBinaryBatches next to the
+    * decoder (STUB here, codecs absent).
+    */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    df.withColumn("target_width", floor(col("width") * scale).cast("long"))
+      .withColumn("target_height", floor(col("height") * scale).cast("long"))
+  }
+
+  /** Frame-sampling plan for video-like media: k evenly-spaced frame
+    * indices over `nFramesCol` (first frame always included). Selection is
+    * the real operator; frame extraction itself would live in
+    * mapBinaryBatches (STUB, codecs absent).
+    */
+  def sampleFramesMeta(df: DataFrame, nFramesCol: String, k: Int): DataFrame =
+    df.withColumn("frame_indices",
+      when(col(nFramesCol) <= k,
+        sequence(lit(0L), greatest(col(nFramesCol).cast("long") - 1, lit(0L))))
+        .otherwise(transform(sequence(lit(0), lit(k - 1)),
+          i => (i.cast("long") * col(nFramesCol).cast("long")) / k)))
+
   /** Metadata decode (STUB decoder, see object doc): parses the synthetic
     * header; unknown containers degrade to size-only metadata instead of
     * failing the partition.

@@ -29,6 +29,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(r.fieldIndex("n_bytes")) === 21L)
   }
 
+  test("resizeMeta preserves aspect ratio and never upscales") {
+    val docs = wh.loadTable("documents").limit(30)
+    val out = Multimodal.resizeMeta(
+      Multimodal.decodeMeta(
+        Multimodal.attachBinary(docs, "doc_id", "text"), "doc_id", "media"),
+      maxW = 48, maxH = 48)
+    out.collect().foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (tw, th) = (r.getAs[Long]("target_width"), r.getAs[Long]("target_height"))
+      assert(tw <= 48 && th <= 48)
+      assert(tw <= w && th <= h, "upscaled")
+      // floor() can land the binding dimension one below the box edge
+      if (w > 48 || h > 48) assert(tw >= 47 || th >= 47, "did not fill the box")
+    }
+  }
+
+  test("sampleFramesMeta picks k evenly spaced frames, all frames when short") {
+    val df = Seq((1L, 100L), (2L, 3L)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFramesMeta(df, "n_frames", 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("frame_indices"))).toMap
+    assert(out(1L) === Seq(0L, 20L, 40L, 60L, 80L))
+    assert(out(2L) === Seq(0L, 1L, 2L))
+  }
+
   test("mapBinaryBatches streams partition batches through the decoder fn") {
     val docs = wh.loadTable("documents").limit(10)
     val out = Multimodal.mapBinaryBatches(
