@@ -69,8 +69,9 @@ object Multimodal {
     */
   def sampleFramesMeta(df: DataFrame, nFramesCol: String, k: Int): DataFrame =
     df.withColumn("frame_indices",
-      when(col(nFramesCol) <= k,
-        sequence(lit(0L), greatest(col(nFramesCol).cast("long") - 1, lit(0L))))
+      when(col(nFramesCol) <= 0, array().cast("array<bigint>"))
+        .when(col(nFramesCol) <= k,
+          sequence(lit(0L), col(nFramesCol).cast("long") - 1))
         .otherwise(transform(sequence(lit(0), lit(k - 1)),
           i => (i.cast("long") * col(nFramesCol).cast("long")) / k)))
 

@@ -46,11 +46,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("sampleFramesMeta picks k evenly spaced frames, all frames when short") {
-    val df = Seq((1L, 100L), (2L, 3L)).toDF("id", "n_frames")
+    val df = Seq((1L, 100L), (2L, 3L), (3L, 0L)).toDF("id", "n_frames")
     val out = Multimodal.sampleFramesMeta(df, "n_frames", 5)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("frame_indices"))).toMap
     assert(out(1L) === Seq(0L, 20L, 40L, 60L, 80L))
     assert(out(2L) === Seq(0L, 1L, 2L))
+    assert(out(3L).isEmpty)
   }
 
   test("mapBinaryBatches streams partition batches through the decoder fn") {
