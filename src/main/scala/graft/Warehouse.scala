@@ -98,9 +98,19 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * when the table exists and mode is not overwrite/append
     * (fugue_trino/execution_engine.py:89-97); "error" mode delegates that
     * to Spark's ErrorIfExists.
+    *
+    * `partitionBy` writes hive-style partition directories — the analogue
+    * of warehouse table partitioning, and the #1 scan reducer at scale:
+    * a filter on a partition column prunes whole directories before any
+    * file is opened (PartitionFilters in the plan, asserted in
+    * WarehouseSpec).
     */
-  def saveTable(df: DataFrame, outDir: String, table: String, mode: String = "overwrite"): Unit =
-    df.write.mode(mode).parquet(s"$outDir/$table.parquet")
+  def saveTable(df: DataFrame, outDir: String, table: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(mode)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.parquet(s"$outDir/$table.parquet")
+  }
 
   def tableExists(dir: String, table: String): Boolean =
     fsExists(s"$dir/$table.parquet")

@@ -67,6 +67,20 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(got === 90)
   }
 
+  test("partitioned save prunes partitions on filtered reads") {
+    import org.apache.spark.sql.functions.{col, year}
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val o = wh.loadTable("orders").withColumn("yr", year(col("o_orderdate")))
+    wh.saveTable(o, tmp, "orders_part", partitionBy = Seq("yr"))
+    val part = Warehouse(spark, tmp)
+    val filtered = part.loadTable("orders_part", rowFilter = Some("yr = 1996"))
+    val plan = filtered.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(yr = 1996)") || plan.contains("yr#"), plan)
+    val expected = o.filter(col("yr") === 1996).count()
+    assert(filtered.count() === expected)
+  }
+
   test("bucketed tables join without an exchange") {
     val o = wh.loadTable("orders").select("o_orderkey", "o_totalprice")
     val l = wh.loadTable("lineitem").select("l_orderkey", "l_quantity")
