@@ -31,6 +31,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_word_ngrams",
       (args: Seq[Expression]) => WordNgramHashes(args.head, intLit(args(1), "n")),
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_char_ngrams",
+      (args: Seq[Expression]) => CharNgramHashes(args.head, intLit(args(1), "n")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash",
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed")),
@@ -61,6 +64,9 @@ object GraftFunctions {
 
   def wordNgrams(text: Column, n: Int): Column =
     call_function("graft_word_ngrams", text, lit(n))
+
+  def charNgrams(text: Column, n: Int): Column =
+    call_function("graft_char_ngrams", text, lit(n))
 
   def minhash(tokens: Column, numPerms: Int, seed: Long): Column =
     call_function("graft_minhash", tokens, lit(numPerms), lit(seed))

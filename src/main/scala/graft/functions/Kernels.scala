@@ -86,6 +86,37 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(grams, unique))
   }
 
+  /** Distinct hashes of character n-grams — the shingle basis for
+    * unspaced scripts (zh/ja/th) where word tokenization is meaningless.
+    * Same output contract as [[wordNgramHashes]]: sorted distinct longs.
+    */
+  def charNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = s.length - n + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h ^= s.charAt(i + j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      grams(i) = splitmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    var unique = 1
+    i = 1
+    while (i < m) {
+      if (grams(i) != grams(i - 1)) { grams(unique) = grams(i); unique += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, unique))
+  }
+
   /** MinHash signature: for each of `numPerms` affine permutations
     * (a*h+b with odd a), the minimum over all token hashes.
     * Empty input → Long.MaxValue per slot (never matches a non-empty sig).

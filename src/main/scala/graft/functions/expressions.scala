@@ -25,6 +25,19 @@ case class WordNgramHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_word_ngrams"
 }
 
+/** Distinct hashed char n-grams of a string column → array<bigint>. */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charNgramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_ngrams"
+}
+
 /** minhash signature of array<string> tokens OR array<bigint> pre-hashed
   * grams → array<bigint>.
   */

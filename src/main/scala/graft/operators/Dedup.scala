@@ -40,6 +40,17 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Hashed shingles by mode: "word" n-grams (space-tokenized) or "char"
+    * n-grams (unspaced scripts — zh/ja/th). Both single-pass kernels with
+    * identical output contracts.
+    */
+  def shingleHashes(text: Column, n: Int, shingler: String): Column =
+    shingler match {
+      case "word" => GraftFunctions.wordNgrams(text, n)
+      case "char" => GraftFunctions.charNgrams(text, n)
+      case other  => throw new IllegalArgumentException(s"unknown shingler: $other")
+    }
+
   /** Exact dedup: group on a content hash — the shuffle key is the 128-bit
     * hash, never the document body, so shuffle volume is rows × ~50 bytes
     * regardless of document size.
@@ -54,12 +65,13 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int, numPerms: Int, seed: Long): DataFrame = {
+      shingleWidth: Int, numPerms: Int, seed: Long,
+      shingler: String = "word"): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
     df.select(
       col(idCol).cast("long").as("id"),
       GraftFunctions.minhash(
-        GraftFunctions.wordNgrams(col(textCol), shingleWidth), numPerms, seed).as("sig"))
+        shingleHashes(col(textCol), shingleWidth, shingler), numPerms, seed).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs (id_a < id_b, est_jaccard ≥
@@ -77,10 +89,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numPerms: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, seed: Long = 42L,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000, shingler: String = "word"): DataFrame = {
     require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
     val r = numPerms / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed, shingler)
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -112,7 +124,7 @@ object Dedup {
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, maxHamming: Int = 7,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000, shingler: String = "word"): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
     val nBlocks = maxHamming + 1
     val blockWidth = (64 + nBlocks - 1) / nBlocks
@@ -120,7 +132,7 @@ object Dedup {
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
       GraftFunctions.simhash64(
-        GraftFunctions.wordNgrams(col(textCol), shingleWidth)).as("sig"))
+        shingleHashes(col(textCol), shingleWidth, shingler)).as("sig"))
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .select(col("id"), col("blk"),
@@ -145,7 +157,7 @@ object Dedup {
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, shingler: String = "word"): DataFrame = {
     // Grams are hashed to longs in one kernel pass: every downstream
     // shuffle/join keys on 8 bytes instead of ~20-byte strings, the verify
     // intersect runs on long arrays, and no gram string is ever built.
@@ -154,7 +166,7 @@ object Dedup {
     GraftFunctions.ensure(df.sparkSession)
     val grams = df
       .select(col(idCol).cast("long").as("id"),
-        GraftFunctions.wordNgrams(col(textCol), n).as("g"))
+        shingleHashes(col(textCol), n, shingler).as("g"))
       .filter(size(col("g")) > 0)
     val exploded = grams.select(col("id"), explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))

@@ -71,6 +71,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.agg(min("dup_count")).collect()(0).getLong(0) === 2)
   }
 
+  test("char shingler finds near-dups in unspaced (zh) text") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val zh = Seq(
+      (1L, "机器学习模型需要大量高质量的训练数据才能表现良好"),
+      (2L, "机器学习模型需要大量高质量的训练数据集才能表现良好"), // near-dup of 1
+      (3L, "今天的天气非常好我们一起去公园散步吧"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(zh, "doc_id", "text", n = 3, threshold = 0.5,
+      shingler = "char")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // word shingler is blind here: no spaces → single giant token
+    val wordPairs = Dedup.ngramJaccard(zh, "doc_id", "text", n = 3, threshold = 0.5)
+      .count()
+    assert(wordPairs === 0)
+  }
+
   test("shingle helpers produce distinct n-grams") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d")).toDF("t")
