@@ -428,9 +428,13 @@ object SparkEntry {
     */
   private def qPivot(s: SparkSession, dir: String): DataFrame = {
     val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    Relational.pivot(
-        wh(s, dir).loadTable("orders").withColumn("yr", year(col("o_orderdate"))),
-        Seq("yr"), "o_orderpriority", pris, count(lit(1)))
+    val pivoted = Relational.pivot(
+      wh(s, dir).loadTable("orders").withColumn("yr", year(col("o_orderdate"))),
+      Seq("yr"), "o_orderpriority", pris, count(lit(1)))
+    // Spark pivot yields NULL for absent (group, value) combinations; the
+    // oracle's count(*) FILTER yields 0 — normalize so semantics match on
+    // any data, not just data where every year has every priority.
+    pivoted.select(col("yr") +: pris.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
       .orderBy("yr")
   }
 

@@ -69,15 +69,21 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     spark.sql(query)
   }
 
-  /** Register all known tables for SQL access. Registration is cached per
-    * (session, baseDir) so repeated loadSql calls don't re-read parquet
-    * footers (plan-creation cost only, but it adds up over many queries).
+  /** Register all known tables for SQL access. Registration is cached
+    * per (session, baseDir, table) so repeated loadSql calls don't re-read
+    * parquet footers — but existence of NOT-yet-registered tables is
+    * re-checked every call (cheap FS metadata op), so a table written after
+    * the first loadSql still becomes visible. Synchronized so a concurrent
+    * loadSql never runs before its views exist.
     */
-  def registerAll(): Unit = {
+  def registerAll(): Unit = Warehouse.registerLock.synchronized {
     val key = s"${System.identityHashCode(spark)}:$baseDir"
-    if (Warehouse.registered.putIfAbsent(key, java.lang.Boolean.TRUE) == null) {
-      tableNames.foreach { t =>
-        if (fsExists(path(t))) loadTable(t).createOrReplaceTempView(t)
+    val done = Warehouse.registered.computeIfAbsent(
+      key, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    tableNames.foreach { t =>
+      if (!done.contains(t) && fsExists(path(t))) {
+        loadTable(t).createOrReplaceTempView(t)
+        done.add(t)
       }
     }
   }
@@ -184,10 +190,13 @@ object Warehouse {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** (session identity, baseDir) pairs whose tables are already registered
-    * as temp views — avoids re-reading every footer on each loadSql.
+  /** Per-(session, baseDir): the table names already registered as temp
+    * views — avoids re-reading footers on each loadSql while still
+    * noticing newly created tables.
     */
-  private val registered = new ConcurrentHashMap[String, java.lang.Boolean]()
+  private val registered =
+    new ConcurrentHashMap[String, java.util.Set[String]]()
+  private[graft] val registerLock = new Object
 
   /** Tables with TIMESTAMP(NANOS) columns (read as long under
     * nanosAsLong): convert to microsecond timestamps.

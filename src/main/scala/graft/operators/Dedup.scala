@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
 
@@ -60,8 +61,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
-    * are hashed in one kernel pass (wordNgramHashes) — no gram strings are
-    * materialized between shingling and the signature.
+    * are hashed in one kernel pass — no gram strings are materialized
+    * between shingling and the signature. Docs with NO grams (shorter than
+    * the shingle width) are dropped: their sentinel signatures would all be
+    * identical, flooding every band bucket and reporting every short doc
+    * as a duplicate of every other.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
@@ -70,8 +74,9 @@ object Dedup {
     GraftFunctions.ensure(df.sparkSession)
     df.select(
       col(idCol).cast("long").as("id"),
-      GraftFunctions.minhash(
-        shingleHashes(col(textCol), shingleWidth, shingler), numPerms, seed).as("sig"))
+      shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("id"), GraftFunctions.minhash(col("g"), numPerms, seed).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs (id_a < id_b, est_jaccard ≥
@@ -92,7 +97,11 @@ object Dedup {
       maxBucketSize: Int = 100000, shingler: String = "word"): DataFrame = {
     require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
     val r = numPerms / bands
+    // sigs feed the banding branch AND both verify joins — persist the
+    // narrow (id, sig) frame (docs × numPerms × 8 B) so the corpus scan +
+    // kernel run once, not three times
     val sigs = minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -129,10 +138,14 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val blockWidth = (64 + nBlocks - 1) / nBlocks
     val mask = (1L << blockWidth) - 1
+    // drop gram-less docs — all-zero signatures would flood the blocks
+    // with false duplicates (same guard as minhashSignatures)
     val sigs = df.select(
       col(idCol).cast("long").as("id"),
-      GraftFunctions.simhash64(
-        shingleHashes(col(textCol), shingleWidth, shingler)).as("sig"))
+      shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers, 16 B/doc
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .select(col("id"), col("blk"),
@@ -168,6 +181,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         shingleHashes(col(textCol), n, shingler).as("g"))
       .filter(size(col("g")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK) // grams feed candidates + both verify joins
     val exploded = grams.select(col("id"), explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
     val byDoc = Window.partitionBy("id")
@@ -205,6 +219,7 @@ object Dedup {
       threshold: Double = 0.4, numBits: Int = 8, numTables: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 100000): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // bucketing + both verify joins
     val bucketed = base
       .withColumn("bks", GraftFunctions.hyperplaneLshMulti(col("vec"), numBits, numTables, seed))
       .select(col("id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))

@@ -73,7 +73,9 @@ object Multimodal {
         .when(col(nFramesCol) <= k,
           sequence(lit(0L), col(nFramesCol).cast("long") - 1))
         .otherwise(transform(sequence(lit(0), lit(k - 1)),
-          i => (i.cast("long") * col(nFramesCol).cast("long")) / k)))
+          // integer division — Column./ is double division, which would
+          // produce fractional frame indices and coerce to array<double>
+          i => floor((i.cast("long") * col(nFramesCol).cast("long")) / k).cast("long"))))
 
   /** Metadata decode (STUB decoder, see object doc): parses the synthetic
     * header; unknown containers degrade to size-only metadata instead of

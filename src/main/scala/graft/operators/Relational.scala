@@ -225,20 +225,26 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightCols: Seq[String], rightSuffix: String = "_right"): DataFrame = {
     val suffixed = rightCols.map(c => c -> s"$c$rightSuffix")
-    val l = suffixed.foldLeft(left.withColumn("__tag", lit(1))) {
-      case (d, (c, sc)) => d.withColumn(sc, lit(null).cast(right.schema(c).dataType))
-    }
+    // The matched right ROW travels as one struct: per-column
+    // last(ignoreNulls) would skip a right row whose column value is
+    // genuinely NULL and resurrect an older value — ASOF semantics match
+    // rows, not values.
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(nullable = true)))
+    val l = left.withColumn("__tag", lit(1)).withColumn("__r", lit(null).cast(rType))
     val leftOnly = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val r = leftOnly.foldLeft(
-      right.select((col(keyCol) +: col(tsCol) +: suffixed.map { case (c, sc) => col(c).as(sc) }): _*)
+      right.select(col(keyCol), col(tsCol), struct(rightCols.map(col): _*).as("__r"))
         .withColumn("__tag", lit(0))) {
       case (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = suffixed.foldLeft(l.unionByName(r)) {
-      case (d, (_, sc)) => d.withColumn(sc, last(col(sc), ignoreNulls = true).over(w))
+    val carried = l.unionByName(r)
+      .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
+    val extracted = suffixed.foldLeft(carried) {
+      case (d, (c, sc)) => d.withColumn(sc, col("__rlast").getField(c))
     }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    extracted.filter(col("__tag") === 1).drop("__tag", "__r", "__rlast")
   }
 }

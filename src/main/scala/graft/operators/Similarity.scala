@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -92,29 +92,32 @@ object Similarity {
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
     val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
-    // deterministic uniform sample: numCells smallest seeded hashes
-    val cellOf = c
+    // Deterministic uniform sample as centroids, collected to the driver —
+    // the centroid set IS the (tiny, bounded) trained model of IVF, and
+    // materializing it lets nearest-cell assignment run as a pure map-side
+    // expression over literals: no crossJoin, no window, no shuffle.
+    val centroids: Array[(Int, Seq[Float])] = c
       .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
       .orderBy("__h").limit(numCells)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("__h")).as("cell"),
-        col("nbr_vec").as("centroid"))
-    // nearest-centroid assignment: broadcast centroids, keep argmax cosine
-    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(df.columns.head).orderBy(col("__sim").desc, col("cell"))
-      df.crossJoin(broadcast(cellOf))
-        .withColumn("__sim", GraftFunctions.cosineSim(col(vec), col("centroid")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= keep)
-        .drop("centroid", "__sim", "__rk")
-    }
-    val assigned = assign(c, "nbr_vec", 1)
-    val probed = assign(q, "query_vec", numProbe)
+      .select("nbr_vec").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    def cellSims(vec: Column): Column = array(centroids.map { case (i, v) =>
+      struct(GraftFunctions.cosineSim(vec, typedLit(v)).as("sim"), lit(i).as("cell"))
+    }: _*)
+    // corpus → its single nearest cell (argmax via struct array_max)
+    val assigned = c.withColumn("cell",
+      array_max(cellSims(col("nbr_vec"))).getField("cell"))
+    // queries → their numProbe nearest cells (sort desc, slice) — each
+    // corpus row lives in exactly one cell and probed cells are distinct,
+    // so (query, neighbor) pairs are already unique: no dedup shuffle
+    val probed = q.withColumn("__cells",
+        slice(reverse(array_sort(cellSims(col("query_vec")))), 1, numProbe))
+      .select(col("query_id"), col("query_vec"),
+        explode(col("__cells").getField("cell")).as("cell"))
     val scored = assigned
-      .join(broadcast(probed.select("query_id", "cell", "query_vec")), "cell")
+      .join(broadcast(probed), "cell")
       .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
-      .select("query_id", "neighbor_id", "score").distinct()
+      .select("query_id", "neighbor_id", "score")
     val filtered =
       if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
     topKPerQuery(filtered, k)

@@ -119,11 +119,16 @@ object Events {
         state.remove()
         return out
       }
-      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      // full microsecond precision: getTime is ms-truncated, the sub-ms
+      // fraction lives in getNanos (batch form uses unix_micros — the two
+      // must agree or stream/batch session boundaries diverge)
+      def micros(ts: java.sql.Timestamp): Long =
+        ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+      val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
       var cur = state.getOption.orNull
       val closed = List.newBuilder[Session]
       sorted.foreach { e =>
-        val us = e.ts.getTime * 1000L
+        val us = micros(e.ts)
         if (cur == null) cur = SessionState(us, us, 1)
         else if (us - cur.lastUs > gapUs) {
           closed += close(uid, cur)
@@ -146,11 +151,19 @@ object Events {
     * reads, consumed incrementally (nanos normalized to timestamps).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file-stream source wants a directory; pathGlobFilter narrows it
-    // to the events table within the warehouse dir.
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val tablePath = s"$dir/events.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    // The file-stream source wants a directory. The table may be a
+    // directory of part files (stream it directly) or a single file
+    // (stream the warehouse dir with a glob matching the leaf file name —
+    // pathGlobFilter applies to leaf files, not directories).
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
+    val reader = spark.readStream.schema(schema)
+    val raw =
+      if (isDir) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

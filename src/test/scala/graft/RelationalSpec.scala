@@ -58,6 +58,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> "a", 2L -> "b", 3L -> "c")) // 3: tie at equal ts is inclusive
   }
 
+  test("asofJoin matches rows, not values: a NULL in the latest right row wins") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val left = Seq((1L, ts(300), 1L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, ts(100), Some("old")), (1L, ts(200), Option.empty[String]))
+      .toDF("k", "ts", "v")
+    val got = Relational.asofJoin(left, right, "k", "ts", Seq("v")).collect()(0)
+    // the ts=200 row is the as-of match; its v is genuinely NULL
+    assert(got.getAs[String]("v_right") == null)
+  }
+
   test("asofJoin yields null when no right row precedes") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val left = Seq((1L, ts(100), 1L)).toDF("k", "ts", "lid")

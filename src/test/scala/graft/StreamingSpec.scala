@@ -78,9 +78,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   test("file-based event stream reads the warehouse parquet incrementally") {
     val stream = Events.readEventStream(spark, sfDir)
     assert(stream.isStreaming)
-    val q = Events.windowedAggStream(stream, watermarkDelay = "0 seconds")
-      .writeStream.format("noop").outputMode("append")
+    val q = stream
+      .writeStream.format("memory").queryName("file_stream_out").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    // must actually deliver the table's rows, not complete vacuously
+    val n = spark.table("file_stream_out").count()
+    val expected = wh.loadTable("events").count()
+    assert(n === expected, s"stream delivered $n of $expected rows")
   }
 }
