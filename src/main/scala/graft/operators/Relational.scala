@@ -86,6 +86,29 @@ object Relational {
     r.orderBy(col("__rand")).limit(n).drop("__rand")
   }
 
+  /** Stratified sample: per-stratum Bernoulli fractions (df.stat.sampleBy)
+    * — the class-balanced sampling a training-data pipeline uses to
+    * down-weight over-represented sources/languages. Map-side only.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic train/validation/test split by weights — seeded hash
+    * assignment, so every row lands in exactly one split and re-runs are
+    * stable regardless of partitioning.
+    */
+  def split(df: DataFrame, weights: Seq[Double], seed: Long = 42L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _).map(_ / total)
+    val u = abs(xxhash64(struct(df.columns.map(col): _*), lit(seed))).cast("double") /
+      Long.MaxValue.toDouble
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(u >= lo && (if (hi >= 1.0) u <= hi else u < hi))
+    }.toSeq
+  }
+
   /** Fugue `take`: n rows per partition group, ordered by presort.
     * With no partition spec it is a global ordered limit (Spark plans
     * TakeOrderedAndProject — bounded memory, no global sort).

@@ -97,6 +97,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(m === Map(1L -> (1L, 30L), 2L -> (1L, 0L), 3L -> (0L, 30L)))
   }
 
+  test("stratifiedSample respects per-stratum fractions") {
+    val docs = wh.loadTable("documents")
+    val sampled = Relational.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0))
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deTotal = docs.filter(col("lang") === "de").count()
+    assert(byLang.getOrElse("de", 0L) === deTotal)
+    assert(!byLang.contains("fr") && !byLang.contains("zh"))
+    assert(byLang.getOrElse("en", 0L) > 0)
+  }
+
+  test("split partitions every row into exactly one deterministic part") {
+    val docs = wh.loadTable("documents")
+    val parts = Relational.split(docs, Seq(0.8, 0.1, 0.1))
+    val counts = parts.map(_.count())
+    assert(counts.sum === docs.count())
+    assert(counts.head > counts(1) && counts.head > counts(2))
+    // stable across recomputation
+    assert(parts.head.count() === counts.head)
+    // disjoint: no doc_id in two parts
+    val ids = parts.map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(ids(0).intersect(ids(1)).isEmpty && ids(1).intersect(ids(2)).isEmpty)
+  }
+
   test("select runs SQL over a map of named frames") {
     val out = Relational.select(spark,
       Map("c" -> wh.loadTable("customer"), "n" -> wh.loadTable("nation")),
