@@ -182,13 +182,13 @@ object Dedup {
         shingleHashes(col(textCol), n, shingler).as("g"))
       .filter(size(col("g")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK) // grams feed candidates + both verify joins
-    val exploded = grams.select(col("id"), explode(col("g")).as("gram"))
+    // the doc's gram-set size rides along from size(g) — no window count
+    val exploded = grams.select(col("id"), size(col("g")).as("sz"), explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
-    val byDoc = Window.partitionBy("id")
+    val byDoc = Window.partitionBy("id").orderBy(col("gram_df"), col("gram"))
     val prefixes = exploded
       .join(freq, "gram")
-      .withColumn("sz", count(lit(1)).over(byDoc))
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("gram_df"), col("gram"))))
+      .withColumn("rk", row_number().over(byDoc))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("id", "gram")
     val cand = prefixes.select(col("id").as("id_a"), col("gram"))
