@@ -26,36 +26,39 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
   }
 
+  /** One builder list shared by session-level registration (`ensure`) and
+    * the SparkSessionExtensions route ([[graft.GraftExtensions]]) — the two
+    * surfaces cannot drift.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_ngrams" ->
+      ((args: Seq[Expression]) => WordNgramHashes(args.head, intLit(args(1), "n"))),
+    "graft_char_ngrams" ->
+      ((args: Seq[Expression]) => CharNgramHashes(args.head, intLit(args(1), "n"))),
+    "graft_minhash" ->
+      ((args: Seq[Expression]) =>
+        MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed"))),
+    "graft_simhash64" ->
+      ((args: Seq[Expression]) => SimHash64(args.head)),
+    "graft_cosine" ->
+      ((args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    "graft_hyperplane_lsh_multi" ->
+      ((args: Seq[Expression]) =>
+        HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
+          intLit(args(2), "numTables"), longLit(args(3), "seed"))),
+    "graft_winnow" ->
+      ((args: Seq[Expression]) =>
+        WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
+    "graft_topk" ->
+      ((args: Seq[Expression]) =>
+        TopKAgg(args.head, args(1), intLit(args(2), "k")).toAggregateExpression())
+  )
+
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_word_ngrams",
-      (args: Seq[Expression]) => WordNgramHashes(args.head, intLit(args(1), "n")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_char_ngrams",
-      (args: Seq[Expression]) => CharNgramHashes(args.head, intLit(args(1), "n")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      (args: Seq[Expression]) =>
-        MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      (args: Seq[Expression]) => CosineSim(args.head, args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hyperplane_lsh_multi",
-      (args: Seq[Expression]) =>
-        HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
-          intLit(args(2), "numTables"), longLit(args(3), "seed")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      (args: Seq[Expression]) =>
-        WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("graft_topk",
-      (args: Seq[Expression]) =>
-        TopKAgg(args.head, args(1), intLit(args(2), "k"))
-          .toAggregateExpression(),
-      "scala_udf")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   // Column API ------------------------------------------------------------

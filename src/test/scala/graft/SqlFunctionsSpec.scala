@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** The pure-SQL surface of the native functions: after registration every
+  * kernel is reachable from spark.sql / loadSql text, which is how SQL-only
+  * clients (and the GraftExtensions deployment route, which injects the
+  * same builder list) consume them.
+  */
+class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("graft functions are callable from pure SQL") {
+    GraftFunctions.ensure(spark)
+    val row = spark.sql(
+      """SELECT
+        |  size(graft_word_ngrams('a b c d e', 3))         AS n_grams,
+        |  size(graft_char_ngrams('abcdef', 3))            AS n_cgrams,
+        |  size(graft_minhash(graft_word_ngrams('a b c d', 2), 64, 42)) AS sig_len,
+        |  graft_simhash64(graft_word_ngrams('a b c d', 2)) AS sh,
+        |  graft_cosine(array(cast(1.0 AS float), cast(0.0 AS float)),
+        |               array(cast(1.0 AS float), cast(0.0 AS float))) AS cos_same,
+        |  size(graft_winnow('abcdefghijklmnop', 4, 3))     AS n_fp
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("n_grams") === 3)
+    assert(row.getAs[Int]("n_cgrams") === 4)
+    assert(row.getAs[Int]("sig_len") === 64)
+    assert(row.getAs[Double]("cos_same") === 1.0)
+    assert(row.getAs[Int]("n_fp") > 0)
+  }
+
+  test("graft_topk aggregates in SQL grouping") {
+    GraftFunctions.ensure(spark)
+    spark.range(100).createOrReplaceTempView("nums")
+    val rows = spark.sql(
+      """SELECT tk.id, tk.score FROM (
+        |  SELECT graft_topk(id, cast(id AS double), 3) AS arr FROM nums
+        |) LATERAL VIEW explode(arr) AS tk
+        |ORDER BY tk.score DESC""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(99L, 98L, 97L))
+  }
+
+  test("loadSql sees graft functions over warehouse tables") {
+    GraftFunctions.ensure(spark)
+    val n = wh.loadSql(
+      "SELECT count(*) AS c FROM documents WHERE size(graft_word_ngrams(text, 3)) > 0")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("GraftExtensions shares the ensure builder list (no drift possible)") {
+    // the deployment route injects GraftFunctions.builders verbatim — assert
+    // the list covers every function name the Column API calls
+    val names = GraftFunctions.builders.map(_._1).toSet
+    assert(names === Set(
+      "graft_word_ngrams", "graft_char_ngrams", "graft_minhash", "graft_simhash64",
+      "graft_cosine", "graft_hyperplane_lsh_multi", "graft_winnow", "graft_topk"))
+    // and the extensions class constructs + applies cleanly
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
