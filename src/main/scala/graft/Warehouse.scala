@@ -76,10 +76,16 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * the first loadSql still becomes visible. Synchronized so a concurrent
     * loadSql never runs before its views exist.
     */
-  def registerAll(): Unit = Warehouse.registerLock.synchronized {
+  def registerAll(): Unit = {
     val key = s"${System.identityHashCode(spark)}:$baseDir"
     val done = Warehouse.registered.computeIfAbsent(
       key, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    // fast path: everything registered — no FS round-trips at all
+    if (done.size == tableNames.size) return
+    // No lock: createOrReplaceTempView is idempotent, so a concurrent
+    // duplicate registration is harmless, and serializing every session's
+    // loadSql behind one JVM-global lock over remote-FS metadata calls
+    // would be far worse than the benign race.
     tableNames.foreach { t =>
       if (!done.contains(t) && fsExists(path(t))) {
         loadTable(t).createOrReplaceTempView(t)
@@ -196,7 +202,6 @@ object Warehouse {
     */
   private val registered =
     new ConcurrentHashMap[String, java.util.Set[String]]()
-  private[graft] val registerLock = new Object
 
   /** Tables with TIMESTAMP(NANOS) columns (read as long under
     * nanosAsLong): convert to microsecond timestamps.

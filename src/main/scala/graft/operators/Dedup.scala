@@ -94,14 +94,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numPerms: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, seed: Long = 42L,
-      maxBucketSize: Int = 100000, shingler: String = "word"): DataFrame = {
+      maxBucketSize: Int = 100000, shingler: String = "word",
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
     val r = numPerms / bands
     // sigs feed the banding branch AND both verify joins — persist the
     // narrow (id, sig) frame (docs × numPerms × 8 B) so the corpus scan +
     // kernel run once, not three times
-    val sigs = minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed, shingler)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistIf(
+      minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed, shingler),
+      persistLevel)
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -133,19 +135,20 @@ object Dedup {
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, maxHamming: Int = 7,
-      maxBucketSize: Int = 100000, shingler: String = "word"): DataFrame = {
+      maxBucketSize: Int = 100000, shingler: String = "word",
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
     val nBlocks = maxHamming + 1
     val blockWidth = (64 + nBlocks - 1) / nBlocks
     val mask = (1L << blockWidth) - 1
     // drop gram-less docs — all-zero signatures would flood the blocks
     // with false duplicates (same guard as minhashSignatures)
-    val sigs = df.select(
+    val sigs = persistIf(df.select(
       col(idCol).cast("long").as("id"),
       shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
       .filter(size(col("g")) > 0)
-      .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers, 16 B/doc
+      .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig")),
+      persistLevel) // 3 consumers, 16 B/doc
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .select(col("id"), col("blk"),
@@ -170,18 +173,19 @@ object Dedup {
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, shingler: String = "word"): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, shingler: String = "word",
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // Grams are hashed to longs in one kernel pass: every downstream
     // shuffle/join keys on 8 bytes instead of ~20-byte strings, the verify
     // intersect runs on long arrays, and no gram string is ever built.
     // Distinct counts are preserved modulo 64-bit collisions
     // (~|grams|²/2⁶⁴ ≈ 0 — far below any oracle's noise floor).
     GraftFunctions.ensure(df.sparkSession)
-    val grams = df
+    val grams0 = df
       .select(col(idCol).cast("long").as("id"),
         shingleHashes(col(textCol), n, shingler).as("g"))
       .filter(size(col("g")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK) // grams feed candidates + both verify joins
+    val grams = persistIf(grams0, persistLevel) // candidates + both verify joins
     // the doc's gram-set size rides along from size(g) — no window count
     val exploded = grams.select(col("id"), size(col("g")).as("sz"), explode(col("g")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("gram_df"))
@@ -217,9 +221,11 @@ object Dedup {
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.4, numBits: Int = 8, numTables: Int = 16,
-      seed: Long = 42L, maxBucketSize: Int = 100000): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // bucketing + both verify joins
+      seed: Long = 42L, maxBucketSize: Int = 100000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base = persistIf(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      persistLevel) // bucketing + both verify joins
     val bucketed = base
       .withColumn("bks", GraftFunctions.hyperplaneLshMulti(col("vec"), numBits, numTables, seed))
       .select(col("id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
@@ -231,6 +237,18 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Persist unless the caller opted out with StorageLevel.NONE.
+    *
+    * The cached intermediates (signatures/grams) are not unpersisted by the
+    * operator — the returned frame is lazy, so there is no safe point to
+    * release them here. Long-running services that call these operators
+    * repeatedly should pass StorageLevel.NONE (recompute instead of cache)
+    * or periodically clear the cache (spark.catalog.clearCache); one-shot
+    * pipeline jobs can keep the default.
+    */
+  private def persistIf(df: DataFrame, level: StorageLevel): DataFrame =
+    if (level == StorageLevel.NONE) df else df.persist(level)
 
   /** Distinct candidate pairs (id_a < id_b) from a narrow blocked frame
     * (id + bucket key columns): one shuffle on the bucket key, optional

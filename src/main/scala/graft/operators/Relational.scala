@@ -102,8 +102,10 @@ object Relational {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
     val total = weights.sum
     val bounds = weights.scanLeft(0.0)(_ + _).map(_ / total)
-    val u = abs(xxhash64(struct(df.columns.map(col): _*), lit(seed))).cast("double") /
-      Long.MaxValue.toDouble
+    // unsigned shift, not abs: abs(Long.MinValue) overflows negative and
+    // would drop that row from every split
+    val u = shiftrightunsigned(xxhash64(struct(df.columns.map(col): _*), lit(seed)), 1)
+      .cast("double") / Long.MaxValue.toDouble
     bounds.sliding(2).map { case Seq(lo, hi) =>
       df.filter(u >= lo && (if (hi >= 1.0) u <= hi else u < hi))
     }.toSeq

@@ -87,33 +87,64 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
     val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
     // Deterministic uniform sample as centroids, collected to the driver —
-    // the centroid set IS the (tiny, bounded) trained model of IVF, and
-    // materializing it lets nearest-cell assignment run as a pure map-side
-    // expression over literals: no crossJoin, no window, no shuffle.
+    // the centroid set is the (bounded) trained model of IVF. Materializing
+    // it lets nearest-cell assignment run as a pure map-side expression
+    // over literals: no crossJoin, no window, no shuffle. The literal form
+    // only scales to modest models (the plan embeds numCells × dim floats
+    // twice); beyond the cap, assignment falls back to a broadcast join +
+    // max_by aggregation — one narrow shuffle on the id, no giant plan.
     val centroids: Array[(Int, Seq[Float])] = c
       .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
       .orderBy("__h").limit(numCells)
       .select("nbr_vec").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
-    def cellSims(vec: Column): Column = array(centroids.map { case (i, v) =>
-      struct(GraftFunctions.cosineSim(vec, typedLit(v)).as("sim"), lit(i).as("cell"))
-    }: _*)
-    // corpus → its single nearest cell (argmax via struct array_max)
-    val assigned = c.withColumn("cell",
-      array_max(cellSims(col("nbr_vec"))).getField("cell"))
-    // queries → their numProbe nearest cells (sort desc, slice) — each
-    // corpus row lives in exactly one cell and probed cells are distinct,
-    // so (query, neighbor) pairs are already unique: no dedup shuffle
-    val probed = q.withColumn("__cells",
-        slice(reverse(array_sort(cellSims(col("query_vec")))), 1, numProbe))
-      .select(col("query_id"), col("query_vec"),
-        explode(col("__cells").getField("cell")).as("cell"))
+    if (centroids.isEmpty) {
+      // empty corpus → empty result, with the contract schema
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    }
+    val dim = centroids.head._2.length
+    val literalOk = centroids.length.toLong * dim <= literalModelLimit
+    val (assigned, probed) =
+      if (literalOk) {
+        def cellSims(vec: Column): Column = array(centroids.map { case (i, v) =>
+          struct(GraftFunctions.cosineSim(vec, typedLit(v)).as("sim"), lit(i).as("cell"))
+        }: _*)
+        // corpus → its single nearest cell (argmax via struct array_max)
+        val a = c.withColumn("cell",
+          array_max(cellSims(col("nbr_vec"))).getField("cell"))
+        // queries → their numProbe nearest cells (sort desc, slice)
+        val p = q.withColumn("__cells",
+            slice(reverse(array_sort(cellSims(col("query_vec")))), 1, numProbe))
+          .select(col("query_id"), col("query_vec"),
+            explode(col("__cells").getField("cell")).as("cell"))
+        (a, p)
+      } else {
+        val cellDf = broadcast(spark.createDataFrame(centroids.map {
+          case (i, v) => (i, v)
+        }.toSeq).toDF("cell", "centroid"))
+        val a = c.crossJoin(cellDf)
+          .withColumn("__sim", GraftFunctions.cosineSim(col("nbr_vec"), col("centroid")))
+          .groupBy("neighbor_id")
+          .agg(max_by(col("cell"), col("__sim")).as("cell"), first(col("nbr_vec")).as("nbr_vec"))
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__sim").desc, col("cell"))
+        val p = q.crossJoin(cellDf)
+          .withColumn("__sim", GraftFunctions.cosineSim(col("query_vec"), col("centroid")))
+          .withColumn("__rk", row_number().over(pw))
+          .filter(col("__rk") <= numProbe)
+          .select("query_id", "query_vec", "cell")
+        (a, p)
+      }
+    // each corpus row lives in exactly one cell and probed cells are
+    // distinct, so (query, neighbor) pairs are already unique: no dedup
     val scored = assigned
       .join(broadcast(probed), "cell")
       .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))

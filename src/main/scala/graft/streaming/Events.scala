@@ -123,7 +123,7 @@ object Events {
       // fraction lives in getNanos (batch form uses unix_micros — the two
       // must agree or stream/batch session boundaries diverge)
       def micros(ts: java.sql.Timestamp): Long =
-        ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
       val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
       var cur = state.getOption.orNull
       val closed = List.newBuilder[Session]

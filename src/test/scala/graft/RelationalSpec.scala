@@ -117,9 +117,10 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(counts.head > counts(1) && counts.head > counts(2))
     // stable across recomputation
     assert(parts.head.count() === counts.head)
-    // disjoint: no doc_id in two parts
+    // disjoint: no doc_id in any two parts (all pairs, incl. 0 vs 2)
     val ids = parts.map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
-    assert(ids(0).intersect(ids(1)).isEmpty && ids(1).intersect(ids(2)).isEmpty)
+    for (i <- ids.indices; j <- ids.indices if i < j)
+      assert(ids(i).intersect(ids(j)).isEmpty, s"parts $i and $j overlap")
   }
 
   test("select runs SQL over a map of named frames") {

@@ -58,6 +58,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === reference)
   }
 
+  test("ivfTopK broadcast-join fallback equals the literal-expression path") {
+    def run(limit: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6,
+      literalModelLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) === run(64 * 1024)) // 1 forces the join path
+  }
+
   test("scores are descending per query with deterministic tie order") {
     val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5)
