@@ -83,11 +83,59 @@ object Similarity {
     * map-side; the only shuffle is the candidate join on cell id. Recall
     * rises with numProbe (numProbe == numCells degenerates to exact).
     */
+  /** Spherical k-means centroid training on a bounded, seeded corpus
+    * sample — the standard IVF recipe: the model trains driver-side on
+    * ≤ sampleSize vectors (Lloyd's with cosine assignment: normalize,
+    * assign by max dot product, mean, renormalize), while assignment of
+    * the full corpus stays distributed in ivfTopK. Deterministic in seed.
+    */
+  def trainCentroidsKMeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, iters: Int = 10, sampleSize: Int = 10000,
+      seed: Long = 42L): Array[Seq[Float]] = {
+    val sample: Array[Array[Double]] = corpus
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .orderBy("__h").limit(sampleSize)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    var centroids = unit.take(math.min(numCells, unit.length))
+    for (_ <- 1 to iters) {
+      val dim = centroids.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * centroids(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    centroids.map(_.map(_.toFloat).toSeq)
+  }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
-      excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024): DataFrame = {
+      excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024,
+      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
@@ -99,11 +147,14 @@ object Similarity {
     // only scales to modest models (the plan embeds numCells × dim floats
     // twice); beyond the cap, assignment falls back to a broadcast join +
     // max_by aggregation — one narrow shuffle on the id, no giant plan.
-    val centroids: Array[(Int, Seq[Float])] = c
-      .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
-      .orderBy("__h").limit(numCells)
-      .select("nbr_vec").collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    val centroids: Array[(Int, Seq[Float])] = trainedCentroids match {
+      case Some(cs) => cs.zipWithIndex.map { case (v, i) => (i, v) }
+      case None => c
+        .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
+        .orderBy("__h").limit(numCells)
+        .select("nbr_vec").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+    }
     if (centroids.isEmpty) {
       // empty corpus → empty result, with the contract schema
       import spark.implicits._

@@ -58,6 +58,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === reference)
   }
 
+  test("k-means-trained IVF centroids reach at least sampled-centroid recall") {
+    val trained = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding",
+      numCells = 16, iters = 10)
+    assert(trained.length === 16)
+    def recallOf(cents: Option[Array[Seq[Float]]]) = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6,
+        trainedCentroids = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ref = reference.map { case (q, _, n) => (q, n) }
+      ref.intersect(got).size.toDouble / ref.size
+    }
+    val trainedRecall = recallOf(Some(trained))
+    val sampledRecall = recallOf(None)
+    assert(trainedRecall >= 0.4, s"trained recall $trainedRecall")
+    assert(trainedRecall >= sampledRecall - 0.15,
+      s"trained $trainedRecall much worse than sampled $sampledRecall")
+  }
+
   test("ivfTopK broadcast-join fallback equals the literal-expression path") {
     def run(limit: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6,
