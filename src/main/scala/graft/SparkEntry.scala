@@ -37,15 +37,32 @@ object SparkEntry {
   private def discPrice: Column =
     decMoney(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - decMoney(col("l_discount")))
 
-  /** TPC-H Q1-style pricing summary: partial-agg heavy, 2 group keys. */
+  /** Money column in integer cents (exact: inputs are clean 2-decimal
+    * doubles, so round(x*100) is the unambiguous integer in every engine).
+    * Summing longs is overflow-safe far past 100 TB of rows, and — unlike
+    * decimal(38,x) — the bigint output type survives every parquet→pandas→
+    * hash normalization path identically in Spark and DuckDB. Queries whose
+    * gate row went hash-red on wide decimals emit cents (÷100 semantics
+    * documented per column).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** extendedprice*(1-discount) in 10^-4 dollar units, pure long math. */
+  private def discPriceE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: partial-agg heavy, 2 group keys.
+    * All money sums emitted as bigint (cents / 1e-4 dollars) — exact and
+    * hash-stable at the driver's normalization.
+    */
   private def q1(s: SparkSession, dir: String): DataFrame = {
     val l = wh(s, dir).loadTable("lineitem")
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(decMoney(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-        sum(decMoney(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+        sum(discPriceE4).as("sum_disc_price_e4"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -110,8 +127,8 @@ object SparkEntry {
       .join(broadcast(wh(s, dir).loadTable("nation")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
+      .agg(sum(discPriceE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
       .limit(20)
   }
 
@@ -123,15 +140,15 @@ object SparkEntry {
     val w = wh(s, dir)
     val l = w.loadTable("lineitem")
     val big = l.groupBy("l_orderkey")
-      .agg(sum(decMoney(col("l_quantity"))).as("sum_qty"))
-      .filter(col("sum_qty") > lit(212).cast("decimal(12,2)"))
-      .select(col("l_orderkey").as("o_orderkey"), col("sum_qty"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .filter(col("sum_qty_cents") > 21200L)
+      .select(col("l_orderkey").as("o_orderkey"), col("sum_qty_cents"))
     w.loadTable("orders").join(big, "o_orderkey")
       .join(w.loadTable("customer"), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
-        col("sum_qty").cast("decimal(38,2)").as("sum_qty"))
-      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        col("sum_qty_cents"))
+      .orderBy(col("sum_qty_cents").desc, col("o_orderkey"))
       .limit(100)
   }
 
@@ -307,12 +324,11 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     o.select(
       col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-      rank().over(w).as("price_rank"),
+      rank().over(w).cast("long").as("price_rank"),
       lag("o_totalprice", 1).over(w).as("prev_price"),
-      sum(decMoney(col("o_totalprice")))
+      sum(cents(col("o_totalprice")))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(38,2)")
-        .as("running_total"))
+        .as("running_total_cents"))
       .filter(col("price_rank") <= 100)
       .orderBy("o_orderpriority", "price_rank")
   }
@@ -442,7 +458,7 @@ object SparkEntry {
     Relational.rollup(wh(s, dir).loadTable("lineitem"),
         Seq("l_returnflag", "l_linestatus"),
         Seq(count(lit(1)).as("n"),
-          sum(decMoney(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty")))
+          sum(cents(col("l_quantity"))).as("sum_qty_cents")))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Explode / flatten: token frequency over the corpus (array explode →
@@ -660,11 +676,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty,
-        | cast(sum(cast(l_extendedprice AS decimal(12,2))) AS decimal(38,2)) AS sum_base_price,
-        | cast(sum(cast(l_extendedprice AS decimal(12,2))
-        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
-        |      AS decimal(38,4)) AS sum_disc_price,
+        | cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents,
+        | cast(sum(cast(round(l_extendedprice*100) AS bigint)) AS bigint) AS sum_base_price_cents,
+        | cast(sum(cast(round(l_extendedprice*100) AS bigint)
+        |          * (100 - cast(round(l_discount*100) AS bigint))) AS bigint) AS sum_disc_price_e4,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -694,15 +709,14 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        | cast(sum(cast(l_extendedprice AS decimal(12,2))
-        |          * (cast(1 AS decimal(12,2)) - cast(l_discount AS decimal(12,2))))
-        |      AS decimal(38,4)) AS revenue
+        | cast(sum(cast(round(l_extendedprice*100) AS bigint)
+        |          * (100 - cast(round(l_discount*100) AS bigint))) AS bigint) AS revenue_e4
         |FROM orders, lineitem, customer, nation
         |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT p_type,
         | cast(sum(cast(l_extendedprice AS decimal(12,2))
@@ -721,14 +735,14 @@ object SparkEntry {
     "q18_large_orders" ->
       """WITH big AS (
         | SELECT l_orderkey AS o_orderkey,
-        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty
+        |  cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents
         | FROM lineitem GROUP BY l_orderkey
-        | HAVING sum(cast(l_quantity AS decimal(12,2))) > cast(212 AS decimal(12,2)))
+        | HAVING sum(cast(round(l_quantity*100) AS bigint)) > 21200)
         |SELECT c_custkey, c_name, o_orderkey,
-        | cast(o_orderdate AS date) AS o_orderdate, sum_qty
+        | cast(o_orderdate AS date) AS o_orderdate, sum_qty_cents
         |FROM orders JOIN big USING (o_orderkey)
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+        |ORDER BY sum_qty_cents DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'
@@ -808,12 +822,12 @@ object SparkEntry {
     "q_window_funcs" ->
       """SELECT * FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |  rank() OVER w AS price_rank,
+        |  cast(rank() OVER w AS bigint) AS price_rank,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
-        |  cast(sum(cast(o_totalprice AS decimal(12,2)))
+        |  cast(sum(cast(round(o_totalprice*100) AS bigint))
         |    OVER (PARTITION BY o_orderpriority
         |          ORDER BY o_totalprice DESC, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS decimal(38,2)) AS running_total
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS running_total_cents
         | FROM orders
         | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE price_rank <= 100
@@ -889,7 +903,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | cast(sum(cast(l_quantity AS decimal(12,2))) AS decimal(38,2)) AS sum_qty
+        | cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_explode" ->
