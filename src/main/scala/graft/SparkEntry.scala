@@ -516,10 +516,14 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** maxHamming=3 (16-bit blocks): the non-saturating operating point per
+    * the sizing law in Dedup.simhash — 8-bit blocks (maxHamming=7) measure
+    * 10× slower at 50k docs and degrade to silent recall loss at scale.
+    */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     Dedup.simhash(wh(s, dir).loadTable("documents"), "doc_id", "text",
-        shingleWidth = 3, maxHamming = 7)
+        shingleWidth = 3, maxHamming = 3)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }

@@ -73,8 +73,12 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * per (session, baseDir, table) so repeated loadSql calls don't re-read
     * parquet footers — but existence of NOT-yet-registered tables is
     * re-checked every call (cheap FS metadata op), so a table written after
-    * the first loadSql still becomes visible. Synchronized so a concurrent
-    * loadSql never runs before its views exist.
+    * the first loadSql still becomes visible, and `saveTable` to the same
+    * dir evicts the cache entry so the view is rebuilt with a fresh file
+    * index instead of serving stale rows. Deliberately lock-free:
+    * createOrReplaceTempView is idempotent, so a concurrent duplicate
+    * registration is benign, while a JVM-global lock over remote-FS
+    * metadata calls would serialize every session's loadSql.
     */
   def registerAll(): Unit = {
     val key = s"${System.identityHashCode(spark)}:$baseDir"
@@ -122,6 +126,11 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     var w = df.write.mode(mode)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(s"$outDir/$table.parquet")
+    // A temp view registered before this write holds a frozen parquet file
+    // index — it would serve stale rows (or FileNotFoundException after an
+    // overwrite) forever. Evict the table from every session's cache for
+    // this dir so the next registerAll/loadSql rebuilds the view.
+    Warehouse.invalidate(outDir, table)
   }
 
   def tableExists(dir: String, table: String): Boolean =
@@ -202,6 +211,15 @@ object Warehouse {
     */
   private val registered =
     new ConcurrentHashMap[String, java.util.Set[String]]()
+
+  /** Drop `table` from the registration cache of every session that has
+    * views over `dir` (keys are "sessionId:dir"), forcing re-registration
+    * with a fresh file index on the next loadSql.
+    */
+  private[graft] def invalidate(dir: String, table: String): Unit =
+    registered.forEach { (key, tables) =>
+      if (key.substring(key.indexOf(':') + 1) == dir) tables.remove(table)
+    }
 
   /** Tables with TIMESTAMP(NANOS) columns (read as long under
     * nanosAsLong): convert to microsecond timestamps.

@@ -130,11 +130,13 @@ object Dedup {
     * maxHamming=7 (8-bit blocks, 256 buckets) → 33 s; maxHamming=3
     * (16-bit blocks, 65k buckets) → 3.3 s for the same true pairs. At
     * billion-doc scale use maxHamming ≤ 3 (16-bit blocks) or shard the
-    * corpus before blocking.
+    * corpus before blocking. The default is therefore 3 — the widest
+    * radius whose block space does not saturate at real corpus sizes;
+    * raise it only on corpora small enough that 2^(64/(k+1)) ≫ n.
     */
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int = 3, maxHamming: Int = 7,
+      shingleWidth: Int = 3, maxHamming: Int = 3,
       maxBucketSize: Int = 100000, shingler: String = "word",
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
@@ -223,6 +225,7 @@ object Dedup {
       threshold: Double = 0.4, numBits: Int = 8, numTables: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 100000,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
     val base = persistIf(
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
       persistLevel) // bucketing + both verify joins

@@ -181,12 +181,17 @@ object Similarity {
         val cellDf = broadcast(spark.createDataFrame(centroids.map {
           case (i, v) => (i, v)
         }.toSeq).toDF("cell", "centroid"))
+        // Tie-breaking matches the literal path: max over struct(sim, cell)
+        // picks the LARGEST cell id on exact score ties (array_max does the
+        // same lexicographic compare), so results are identical whichever
+        // side of literalModelLimit the model lands on.
         val a = c.crossJoin(cellDf)
           .withColumn("__sim", GraftFunctions.cosineSim(col("nbr_vec"), col("centroid")))
           .groupBy("neighbor_id")
-          .agg(max_by(col("cell"), col("__sim")).as("cell"), first(col("nbr_vec")).as("nbr_vec"))
+          .agg(max(struct(col("__sim"), col("cell"))).getField("cell").as("cell"),
+            first(col("nbr_vec")).as("nbr_vec"))
         val pw = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("__sim").desc, col("cell"))
+          .partitionBy("query_id").orderBy(col("__sim").desc, col("cell").desc)
         val p = q.crossJoin(cellDf)
           .withColumn("__sim", GraftFunctions.cosineSim(col("query_vec"), col("centroid")))
           .withColumn("__rk", row_number().over(pw))

@@ -137,7 +137,12 @@ object Events {
       }
       state.update(cur)
       // Time the open session out once the watermark passes last event + gap.
-      state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000L + 1)
+      // Clamped above the current watermark: a late row for a group whose
+      // last event is already more than gap behind the watermark would
+      // otherwise make setTimeoutTimestamp throw (the timeout must exceed
+      // the watermark) and fail the whole query instead of closing soon.
+      state.setTimeoutTimestamp(
+        math.max((cur.lastUs + gapUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
       closed.result().iterator
     }
 

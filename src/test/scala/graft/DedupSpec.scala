@@ -45,6 +45,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(found >= (truth.size * 0.8).toInt, s"found $found of ${truth.size}")
   }
 
+  test("simhash default (maxHamming=3) is exact for its radius") {
+    GraftFunctions.ensure(spark)
+    // The scale-safe default: 16-bit blocks whose bucket space doesn't
+    // saturate at real corpus sizes (sizing law in Dedup.simhash). The
+    // pigeonhole blocking is EXACT for the radius — verify against an
+    // all-pairs brute-force hamming computation over the same signatures.
+    val sigs = docs
+      .select(col("doc_id").cast("long").as("id"),
+        Dedup.shingleHashes(col("text"), 3, "word").as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hd", expr("bit_count(a.sig ^ b.sig)"))
+      .filter(col("hd") <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.simhash(docs, "doc_id", "text", shingleWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === brute, s"blocked=${pairs.size} brute=${brute.size}")
+    assert(pairs.nonEmpty, "fixture has no pairs within the default radius")
+  }
+
   test("embeddingNearDup recall vs brute force") {
     GraftFunctions.ensure(spark)
     val emb = wh.loadTable("embeddings")

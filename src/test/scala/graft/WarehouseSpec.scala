@@ -105,6 +105,23 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(n === 25)
   }
 
+  test("saveTable to a registered dir invalidates the cached view") {
+    val tmp = Files.createTempDirectory("graft_stale").toString
+    val w2 = Warehouse(spark, tmp)
+    try {
+      w2.saveTable(wh.loadTable("nation"), tmp, "nation")
+      assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 25)
+      // overwrite with fewer rows: a frozen file index would serve the old 25
+      // (or throw FileNotFoundException on the replaced files)
+      w2.saveTable(wh.loadTable("nation").limit(5), tmp, "nation")
+      assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 5)
+    } finally {
+      // temp views are session-global: rebuild wh's view over its own dir
+      Warehouse.invalidate(wh.baseDir, "nation")
+      wh.loadSql("SELECT 1").collect()
+    }
+  }
+
   test("describe dumps plan and schema") {
     val d = wh.describe(wh.loadTable("region"))
     assert(d.contains("Output Schema"))
