@@ -46,6 +46,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) =>
         HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
           intLit(args(2), "numTables"), longLit(args(3), "seed"))),
+    "graft_langid_hits" ->
+      ((args: Seq[Expression]) => LangIdHits(args.head, LangIdHits.defaultLangs)),
     "graft_winnow" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
@@ -82,6 +84,10 @@ object GraftFunctions {
 
   def hyperplaneLshMulti(vec: Column, numBits: Int, numTables: Int, seed: Long): Column =
     call_function("graft_hyperplane_lsh_multi", vec, lit(numBits), lit(numTables), lit(seed))
+
+  /** [h_en, h_de, h_fr, h_es, h_zh] stopword/CJK hit counts, one scan. */
+  def langIdHits(text: Column): Column =
+    call_function("graft_langid_hits", text)
 
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(w))

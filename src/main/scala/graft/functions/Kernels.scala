@@ -11,6 +11,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * finalizer + affine 64-bit permutations) so results are deterministic
   * across JVMs and partitions.
   */
+/** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
+  * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
+  * sorted for binary search and `langIdx(i)` is the language index of
+  * `packed(i)` (duplicates allowed — a word shared by two languages counts
+  * for both, like the per-language regexes would).
+  */
+final class LangLookup private (
+    val packed: Array[Long], val langIdx: Array[Int], val numLangs: Int)
+    extends Serializable
+
+object LangLookup {
+  def pack(w: String): Long = {
+    require(w.nonEmpty && w.length <= 8 &&
+      w.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+      s"stopword must be 1-8 lowercase ASCII word chars: '$w'")
+    var p = 0L
+    w.foreach(c => p = (p << 8) | c)
+    p
+  }
+
+  def build(langs: Seq[Seq[String]]): LangLookup = {
+    val entries = (for ((ws, li) <- langs.zipWithIndex; w <- ws) yield (pack(w), li))
+      .sortBy(_._1)
+    new LangLookup(entries.map(_._1).toArray, entries.map(_._2).toArray, langs.length)
+  }
+}
+
 object Kernels {
 
   /** FNV-1a 64-bit over UTF-8 bytes, strengthened with splitmix64. */
@@ -269,6 +296,55 @@ object Kernels {
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Single-pass language-ID hit counting: one scan of the lowered text
+    * counts, per language, the word-char runs equal to a marker stopword,
+    * plus CJK (U+4E00–U+9FFF) characters — exactly the counts of the five
+    * separate `\b(w1|w2|…)\b` / `[一-鿿]` regex passes it replaces, at one
+    * scan of the document instead of five.
+    *
+    * \b equivalence: a regex match of an all-word-char stopword requires a
+    * non-word char (or string edge) on both sides, i.e. the maximal
+    * word-char run ([a-z0-9_] on the lowered text — ASCII \w, RE2's \b
+    * definition and therefore the DuckDB oracle's; Java's bare \b is
+    * Unicode-aware and differs next to non-ASCII letters) must equal the
+    * stopword. Runs are packed into a long (8 bits/char, ≤ 8 chars —
+    * longer runs can't match) and matched against the sorted packed table
+    * with binary search: zero allocation per run.
+    */
+  def langIdHits(text: UTF8String, lookup: LangLookup): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val counts = new Array[Int](lookup.numLangs + 1)
+    val table = lookup.packed
+    var packed = 0L
+    var runLen = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' ' // virtual trailing boundary
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_') {
+        if (runLen < 8) { packed = (packed << 8) | lc; runLen += 1 }
+        else runLen = 9 // too long for any stopword; keep consuming
+      } else {
+        if (runLen >= 1 && runLen <= 8) {
+          var idx = java.util.Arrays.binarySearch(table, packed)
+          if (idx >= 0) {
+            while (idx > 0 && table(idx - 1) == packed) idx -= 1
+            while (idx < table.length && table(idx) == packed) {
+              counts(lookup.langIdx(idx)) += 1
+              idx += 1
+            }
+          }
+        }
+        packed = 0L
+        runLen = 0
+        if (c >= 0x4E00 && c <= 0x9FFF) counts(lookup.numLangs) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
   }
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):

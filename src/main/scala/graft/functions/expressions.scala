@@ -112,6 +112,40 @@ case class HyperplaneLshMulti(child: Expression, numBits: Int, numTables: Int, s
   override def prettyName: String = "graft_hyperplane_lsh_multi"
 }
 
+/** Per-language stopword hits + CJK char count of a string column in ONE
+  * text scan → array<int> of length langs.size + 1 (last slot = CJK).
+  * Counts are identical to running `\b(w1|w2|…)\b` per language over
+  * lower(text) plus a `[一-鿿]` pass — see [[Kernels.langIdHits]].
+  */
+case class LangIdHits(child: Expression, langs: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val lookup = LangLookup.build(langs)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.langIdHits(input.asInstanceOf[UTF8String], lookup)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langLookup", lookup, classOf[LangLookup].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.langIdHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdHits =
+    copy(child = newChild)
+  override def prettyName: String = "graft_langid_hits"
+}
+
+object LangIdHits {
+  /** Canonical marker-stopword lists (public knowledge, ten high-frequency
+    * function words per language), in the fixed output order en/de/fr/es;
+    * the kernel's trailing slot is the CJK (zh) count.
+    */
+  val defaultOrder: Seq[String] = Seq("en", "de", "fr", "es")
+  val defaultStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "sie", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "como", "por", "para", "con", "se"))
+  def defaultLangs: Seq[Seq[String]] = defaultOrder.map(defaultStopwords)
+}
+
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

@@ -22,14 +22,11 @@ import graft.functions.GraftFunctions
 object TextAnalysis {
 
   /** Marker stopwords per language — tiny, high-frequency function words.
-    * Public knowledge (standard stopword lists); ten per language keeps the
-    * scoring regex cheap.
+    * Public knowledge (standard stopword lists); canonical copy lives with
+    * the kernel ([[graft.functions.LangIdHits.defaultStopwords]]).
     */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "sie", "mit"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
-    "es" -> Seq("el", "los", "las", "es", "una", "como", "por", "para", "con", "se"))
+  val stopwords: Map[String, Seq[String]] =
+    graft.functions.LangIdHits.defaultStopwords
 
   /** Count of marker-stopword occurrences for `lang` in lowercased text. */
   def langHits(text: Column, lang: String): Column =
@@ -43,15 +40,28 @@ object TextAnalysis {
   /** Language ID: per-language marker hits + CJK char count, argmax with a
     * fixed tie order (zh strict-wins, then en ≥ de ≥ fr ≥ es). Appends
     * h_en/h_de/h_fr/h_es/h_zh and pred_lang.
+    *
+    * All five counts come from ONE pass of the single-scan counting kernel,
+    * not five regexp_extract_all scans of every document: at 100 TB that is
+    * the difference between 1× and 5× the map cost of the whole corpus. The
+    * five projections of the hits array collapse to a single kernel call
+    * under whole-stage codegen subexpression elimination.
+    *
+    * Boundary semantics are ASCII \b — RE2's (and the DuckDB oracle's)
+    * definition, asserted against explicit-lookaround regexes in
+    * TextAnalysisSpec. (Java's bare \b is Unicode-aware: a CJK or accented
+    * letter adjacent to a stopword suppresses the boundary — a divergence
+    * from the oracle the old regexp path silently carried.)
     */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    GraftFunctions.ensure(df.sparkSession)
+    val hits = GraftFunctions.langIdHits(col(textCol))
     val withHits = df
-      .withColumn("h_en", langHits(t, "en"))
-      .withColumn("h_de", langHits(t, "de"))
-      .withColumn("h_fr", langHits(t, "fr"))
-      .withColumn("h_es", langHits(t, "es"))
-      .withColumn("h_zh", cjkHits(t))
+      .withColumn("h_en", hits.getItem(0))
+      .withColumn("h_de", hits.getItem(1))
+      .withColumn("h_fr", hits.getItem(2))
+      .withColumn("h_es", hits.getItem(3))
+      .withColumn("h_zh", hits.getItem(4))
     withHits.withColumn("pred_lang",
       when(col("h_zh") > col("h_en") && col("h_zh") > col("h_de") &&
            col("h_zh") > col("h_fr") && col("h_zh") > col("h_es"), "zh")

@@ -20,6 +20,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
   }
 
+  test("single-pass langid kernel matches ASCII-boundary regex counts on the corpus") {
+    // langId's contract is "stopword matches delimited by ASCII \b, the
+    // semantics of RE2 (the DuckDB oracle)". The ground truth here uses
+    // explicit ASCII-word-char lookarounds because Java's bare \b is
+    // Unicode-aware (a CJK or accented letter suppresses the boundary),
+    // which neither RE2 nor the kernel follows.
+    import graft.operators.TextAnalysis.stopwords
+    def asciiHits(t: org.apache.spark.sql.Column, lang: String) =
+      size(regexp_extract_all(lower(t),
+        lit("(?<![a-z0-9_])(" + stopwords(lang).mkString("|") + ")(?![a-z0-9_])"), lit(0)))
+    val edge = Seq(
+      "", " ", "the", "xthe them the_", "the,the;THE", "的 the 中文the中文",
+      "l'été est la", "und_der der- der", "a1 it2 it _it it_ it").toDF("text")
+    val docs = wh.loadTable("documents").select("text").unionByName(edge)
+    val t = col("text")
+    val cmp = TextAnalysis.langId(docs, "text")
+      .withColumn("r_en", asciiHits(t, "en"))
+      .withColumn("r_de", asciiHits(t, "de"))
+      .withColumn("r_fr", asciiHits(t, "fr"))
+      .withColumn("r_es", asciiHits(t, "es"))
+      .withColumn("r_zh", TextAnalysis.cjkHits(t))
+    val bad = cmp.filter(
+      col("h_en") =!= col("r_en") || col("h_de") =!= col("r_de") ||
+      col("h_fr") =!= col("r_fr") || col("h_es") =!= col("r_es") ||
+      col("h_zh") =!= col("r_zh"))
+    assert(bad.count() === 0, bad.take(3).mkString("\n"))
+  }
+
   test("quality rewards stopword-rich prose over punctuation soup") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog and it is happy for that reason", "good"),
