@@ -299,6 +299,13 @@ object SparkEntry {
     Relational.sampleFrac(wh(s, dir).loadTable("orders"), 0.1, seed = 42L)
       .select("o_orderkey")
 
+  /** With-replacement (Poisson) sample — rows-only: deterministic within
+    * Spark under the seed, but no cross-engine oracle exists for the RNG.
+    */
+  private def qSampleReplace(s: SparkSession, dir: String): DataFrame =
+    Relational.sampleFrac(wh(s, dir).loadTable("orders"), 0.1, seed = 42L, replace = true)
+      .select("o_orderkey")
+
   private def qSampleN(s: SparkSession, dir: String): DataFrame =
     Relational.sampleN(wh(s, dir).loadTable("orders"), 100, seed = 42L)
       .select("o_orderkey")
@@ -642,6 +649,7 @@ object SparkEntry {
     "q_dropna" -> (qDropna _),
     "q_fillna" -> (qFillna _),
     "q_sample_frac" -> (qSampleFrac _),
+    "q_sample_replace" -> (qSampleReplace _),
     "q_sample_n" -> (qSampleN _),
     "q_take_ordered" -> (qTakeOrdered _),
     "q_take_per_group" -> (qTakePerGroup _),

@@ -30,7 +30,12 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
 
   val tableNames: Seq[String] = Warehouse.knownTables
 
-  private def path(table: String): String = s"$baseDir/$table.parquet"
+  /** Qualified names resolve to subdirectories: "sales.nation" →
+    * baseDir/sales/nation.parquet (any depth — "cat.sch.t" nests two
+    * levels), mirroring the reference's catalog.schema.table resolution
+    * (fugue_trino/collections.py:10-49, fugue_bigquery table_to_full_name).
+    */
+  private def path(table: String): String = Warehouse.tablePath(baseDir, table)
 
   /** Hadoop-FS existence check (works on any supported scheme, not just
     * local disk — java.io.File would silently break on hdfs:// / s3a://).
@@ -54,7 +59,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     var df = spark.read.parquet(path(table))
     // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — normalize to
     // microsecond timestamps so downstream code sees real timestamps.
-    df = Warehouse.normalizeNanos(table, df)
+    df = Warehouse.normalizeNanos(table.split("\\.").last, df)
     rowFilter.foreach(f => df = df.filter(f))
     if (columns.nonEmpty) df = df.select(columns.map(df.col): _*)
     if (sample < 1.0) df = df.sample(withReplacement = false, sample, seed)
@@ -125,7 +130,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       partitionBy: Seq[String] = Nil): Unit = {
     var w = df.write.mode(mode)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    w.parquet(s"$outDir/$table.parquet")
+    w.parquet(Warehouse.tablePath(outDir, table))
     // A temp view registered before this write holds a frozen parquet file
     // index — it would serve stale rows (or FileNotFoundException after an
     // overwrite) forever. Evict the table from every session's cache for
@@ -134,7 +139,31 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
   }
 
   def tableExists(dir: String, table: String): Boolean =
-    fsExists(s"$dir/$table.parquet")
+    fsExists(Warehouse.tablePath(dir, table))
+
+  /** Register every table under `baseDir/<ns>/` as an external parquet
+    * table in catalog database `<ns>`, making qualified `ns.table` names
+    * usable from loadSql — the Spark-native form of the reference's
+    * multi-dataset namespace layer (fugue_trino/collections.py:10-49:
+    * TrinoTableSpace; BigQuery datasets). Tables are discovered by FS
+    * listing, and re-registered (DROP + CREATE, metadata-only) on every
+    * call so the catalog never serves a stale file index.
+    */
+  def registerNamespace(ns: String): Unit = {
+    require(ns.matches("[A-Za-z0-9_]+"), s"invalid namespace name: '$ns'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$ns`")
+    val dir = new HPath(s"$baseDir/$ns")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val t = name.stripSuffix(".parquet")
+        spark.sql(s"DROP TABLE IF EXISTS `$ns`.`$t`")
+        spark.sql(s"CREATE TABLE `$ns`.`$t` USING parquet LOCATION '${st.getPath}'")
+      }
+    }
+  }
 
   /** Bucketed catalog table: pre-hash-partitions (and sorts) the data on
     * the join/agg key so every later join or aggregation on that key runs
@@ -170,16 +199,28 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       format: String = "parquet",
       schema: Option[StructType] = None,
       header: Boolean = true
+  ): DataFrame = loadDf(Seq(path), format, schema, header)
+
+  /** Multi-path load_df — the reference accepts `Union[str, List[str]]`
+    * (fugue_bigquery/execution_engine.py:199); Spark readers take varargs
+    * paths and union the file lists into one scan (one job, not N unions).
+    */
+  def loadDf(
+      paths: Seq[String],
+      format: String,
+      schema: Option[StructType],
+      header: Boolean
   ): DataFrame = {
+    require(paths.nonEmpty, "at least one path required")
     var r: DataFrameReader = spark.read
     schema.foreach(s => r = r.schema(s))
     format.toLowerCase match {
-      case "parquet" => r.parquet(path)
+      case "parquet" => r.parquet(paths: _*)
       case "csv" =>
         var c = r.option("header", header.toString)
         if (schema.isEmpty) c = c.option("inferSchema", "true")
-        c.csv(path)
-      case "json" => r.json(path)
+        c.csv(paths: _*)
+      case "json" => r.json(paths: _*)
       case other  => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }
@@ -220,6 +261,13 @@ object Warehouse {
     registered.forEach { (key, tables) =>
       if (key.substring(key.indexOf(':') + 1) == dir) tables.remove(table)
     }
+
+  /** "a.b.c" → dir/a/b/c.parquet; unqualified names stay flat. */
+  private[graft] def tablePath(dir: String, table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.forall(_.nonEmpty), s"invalid table name: '$table'")
+    (Seq(dir) ++ parts.init :+ s"${parts.last}.parquet").mkString("/")
+  }
 
   /** Tables with TIMESTAMP(NANOS) columns (read as long under
     * nanosAsLong): convert to microsecond timestamps.

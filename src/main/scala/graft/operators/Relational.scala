@@ -49,9 +49,15 @@ object Relational {
 
   def distinct(df: DataFrame): DataFrame = df.distinct()
 
-  /** dropna: how = "any" | "all", optional subset. */
-  def dropna(df: DataFrame, how: String = "any", subset: Seq[String] = Nil): DataFrame =
-    if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset)
+  /** dropna: how = "any" | "all", optional subset, optional thresh (keep
+    * rows with ≥ thresh non-null values — the pandas/Fugue contract where
+    * thresh overrides how; Spark's na.drop(minNonNulls) natively).
+    */
+  def dropna(df: DataFrame, how: String = "any", subset: Seq[String] = Nil,
+      thresh: Option[Int] = None): DataFrame = thresh match {
+    case Some(t) => if (subset.isEmpty) df.na.drop(t) else df.na.drop(t, subset)
+    case None    => if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset)
+  }
 
   /** fillna with per-column values (Fugue accepts a scalar or a dict). */
   def fillna(df: DataFrame, values: Map[String, Any]): DataFrame =
@@ -62,21 +68,30 @@ object Relational {
     * reservoir-free: sort by stable hash, take n — deterministic under a
     * seed and avoids a driver collect).
     */
-  def sampleFrac(df: DataFrame, frac: Double, seed: Long = 42L): DataFrame =
-    df.sample(withReplacement = false, frac, seed)
+  /** `replace = true` is Poisson sampling (a row may appear multiple
+    * times) — Spark-native. The reference carries `replace` in its engine
+    * signature (fugue_bigquery/execution_engine.py:148) but its SQL
+    * rewrites silently ignore it; here it does what it says.
+    */
+  def sampleFrac(df: DataFrame, frac: Double, seed: Long = 42L,
+      replace: Boolean = false): DataFrame =
+    df.sample(withReplacement = replace, frac, seed)
 
   /** Unified sample entry point with the reference's validation contract
     * (exactly one of n/frac must be set — test_execution_engine.py
-    * test_sample raises on neither/both).
+    * test_sample raises on neither/both). n-with-replacement has no
+    * distributed one-pass form — rejected rather than silently wrong.
     */
   def sample(df: DataFrame, n: Option[Int] = None, frac: Option[Double] = None,
-      seed: Long = 42L): DataFrame = (n, frac) match {
+      seed: Long = 42L, replace: Boolean = false): DataFrame = (n, frac) match {
     case (Some(_), Some(_)) =>
       throw new IllegalArgumentException("set only one of n and frac")
     case (None, None) =>
       throw new IllegalArgumentException("one of n and frac must be set")
+    case (Some(_), None) if replace =>
+      throw new IllegalArgumentException("sample(n) does not support replace=true")
     case (Some(count), None) => sampleN(df, count, seed)
-    case (None, Some(f))     => sampleFrac(df, f, seed)
+    case (None, Some(f))     => sampleFrac(df, f, seed, replace)
   }
 
   def sampleN(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
@@ -129,6 +144,38 @@ object Relational {
         .filter(col("__rn") <= n)
         .drop("__rn")
     }
+
+  /** Parse a Fugue presort string — comma-separated `col [asc|desc]`
+    * (default asc) — into sort Columns, with nulls placed per
+    * `naPosition` ("first" | "last", applied to every key, the Fugue
+    * `take(na_position=…)` contract).
+    */
+  def parsePresort(presort: String, naPosition: String = "last"): Seq[Column] = {
+    val nullsFirst = naPosition.toLowerCase match {
+      case "first" => true
+      case "last"  => false
+      case other   => throw new IllegalArgumentException(s"na_position must be first|last: $other")
+    }
+    presort.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val (name, asc) = part.split("\\s+").toSeq match {
+        case Seq(c)                                  => (c, true)
+        case Seq(c, d) if d.equalsIgnoreCase("asc")  => (c, true)
+        case Seq(c, d) if d.equalsIgnoreCase("desc") => (c, false)
+        case _ => throw new IllegalArgumentException(s"bad presort term: '$part'")
+      }
+      (asc, nullsFirst) match {
+        case (true, true)   => col(name).asc_nulls_first
+        case (true, false)  => col(name).asc_nulls_last
+        case (false, true)  => col(name).desc_nulls_first
+        case (false, false) => col(name).desc_nulls_last
+      }
+    }
+  }
+
+  /** Fugue-facing `take` with the string presort + na_position contract. */
+  def takePresort(df: DataFrame, n: Int, presort: String,
+      naPosition: String = "last", partitionBy: Seq[String] = Nil): DataFrame =
+    take(df, n, parsePresort(presort, naPosition), partitionBy)
 
   /** assign: add/replace computed columns (Fugue `assign`). */
   def assign(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =

@@ -40,6 +40,46 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(Relational.dropna(df, "any").count() === 1)
   }
 
+  test("dropna thresh keeps rows with at least thresh non-nulls") {
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (Some(1), None, None), (Some(1), Some(2), None),
+      (None, None, None), (Some(1), Some(2), Some(3)))
+      .toDF("a", "b", "c")
+    assert(Relational.dropna(df, thresh = Some(2)).count() === 2)
+    assert(Relational.dropna(df, subset = Seq("a", "b"), thresh = Some(1)).count() === 3)
+  }
+
+  test("sample with replacement draws duplicate rows; without never does") {
+    val n = wh.loadTable("nation").select("n_nationkey")
+    // Poisson with mean 3: 25 keys → expect ~75 rows and near-certain dups
+    val withRep = Relational.sampleFrac(n, 3.0, seed = 7L, replace = true)
+    assert(withRep.count() > n.count(), "replacement sample should exceed base size")
+    assert(withRep.distinct().count() < withRep.count(), "expected duplicate draws")
+    val without = Relational.sampleFrac(n, 0.5, seed = 7L)
+    assert(without.distinct().count() === without.count())
+    intercept[IllegalArgumentException] {
+      Relational.sample(n, n = Some(5), replace = true)
+    }
+  }
+
+  test("presort strings parse to ordered takes with na_position") {
+    val df = Seq[(Option[Int], String)](
+      (Some(3), "c"), (None, "x"), (Some(1), "a"), (Some(2), "b"))
+      .toDF("k", "v")
+    val last = Relational.takePresort(df, 4, "k desc", naPosition = "last")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(last === Seq("c", "b", "a", "x"))
+    val first = Relational.takePresort(df, 4, "k desc", naPosition = "first")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(first === Seq("x", "c", "b", "a"))
+    // multi-key string form, default asc
+    val multi = Relational.takePresort(df.filter(col("k").isNotNull), 2, "k, v ASC")
+      .select("k").collect().map(_.getInt(0)).toSeq
+    assert(multi === Seq(1, 2))
+    intercept[IllegalArgumentException] { Relational.parsePresort("k sideways") }
+    intercept[IllegalArgumentException] { Relational.parsePresort("k", "middle") }
+  }
+
   test("alterColumns casts preserve column order") {
     val out = Relational.alterColumns(wh.loadTable("nation"),
       Map("n_nationkey" -> "string"))

@@ -60,6 +60,19 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("loadDf accepts multiple paths in one scan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_multi").toString
+    val n = wh.loadTable("nation")
+    wh.saveDf(n.filter(col("n_nationkey") < 10), s"$tmp/a")
+    wh.saveDf(n.filter(col("n_nationkey") >= 10), s"$tmp/b")
+    val both = wh.loadDf(Seq(s"$tmp/a", s"$tmp/b"), "parquet", None, header = true)
+    assert(both.count() === 25)
+    intercept[IllegalArgumentException] {
+      wh.loadDf(Nil, "parquet", None, header = true)
+    }
+  }
+
   test("sampleN returns exactly n rows") {
     // the reference's sample(n) contract asserts an exact count
     // (tests/fugue_trino/test_execution_engine.py:47-52: count() == 90)
@@ -120,6 +133,30 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       Warehouse.invalidate(wh.baseDir, "nation")
       wh.loadSql("SELECT 1").collect()
     }
+  }
+
+  test("namespaced tables resolve to subdirs and join across namespaces in SQL") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_ns").toString
+    val w = Warehouse(spark, tmp)
+    // two datasets coexist under one warehouse dir
+    w.saveTable(wh.loadTable("nation"), tmp, "sales.nation")
+    w.saveTable(wh.loadTable("nation").filter(col("n_nationkey") < 5), tmp, "ops.nation")
+    assert(w.tableExists(tmp, "sales.nation") && w.tableExists(tmp, "ops.nation"))
+    assert(w.loadTable("sales.nation").count() === 25)
+    assert(w.loadTable("ops.nation").count() === 5)
+    w.registerNamespace("sales")
+    w.registerNamespace("ops")
+    val c = w.loadSql(
+      """SELECT count(*) AS c FROM sales.nation s
+        |JOIN ops.nation o ON s.n_nationkey = o.n_nationkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(c === 5)
+    // overwrite + re-register never serves the old file index
+    w.saveTable(wh.loadTable("nation").limit(2), tmp, "ops.nation")
+    w.registerNamespace("ops")
+    assert(w.loadSql("SELECT count(*) AS c FROM ops.nation").collect()(0).getLong(0) === 2)
+    intercept[IllegalArgumentException] { w.registerNamespace("bad-ns") }
   }
 
   test("describe dumps plan and schema") {
