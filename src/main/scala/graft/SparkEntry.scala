@@ -306,9 +306,20 @@ object SparkEntry {
     Relational.sampleFrac(wh(s, dir).loadTable("orders"), 0.1, seed = 42L, replace = true)
       .select("o_orderkey")
 
-  private def qSampleN(s: SparkSession, dir: String): DataFrame =
-    Relational.sampleN(wh(s, dir).loadTable("orders"), 100, seed = 42L)
-      .select("o_orderkey")
+  /** sample(n) contract, oracle-checked: exactly n rows, all distinct, all
+    * drawn from the source (left_semi back against orders). The constants
+    * ARE the oracle — any violation (wrong count, duplicate draw, row not
+    * from the source) breaks the hash. The sampled rows themselves are
+    * additionally spec'd in WarehouseSpec.
+    */
+  private def qSampleN(s: SparkSession, dir: String): DataFrame = {
+    val orders = wh(s, dir).loadTable("orders").select("o_orderkey")
+    val sampled = Relational.sampleN(orders, 100, seed = 42L)
+    val matched = sampled.join(orders, Seq("o_orderkey"), "left_semi")
+    sampled
+      .agg(count(lit(1)).as("n_sampled"), countDistinct(col("o_orderkey")).as("n_distinct"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_in_orders")))
+  }
 
   private def qTakeOrdered(s: SparkSession, dir: String): DataFrame =
     Relational.take(wh(s, dir).loadTable("orders"), 15,
@@ -490,6 +501,49 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** HLL++ error bound, oracle-checked: the approximate distinct count per
+    * group must land within 3×rsd of the exact count (HLL++ is
+    * deterministic on given data, so the boolean is stable) — the oracle
+    * recomputes the exact side and pins approx_ok to true.
+    */
+  private def qApproxBounds(s: SparkSession, dir: String): DataFrame =
+    wh(s, dir).loadTable("lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("__approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.15)
+          .as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  /** Bucketed fact-fact join: both sides pre-bucketed on orderkey, so the
+    * join runs with NO exchange on the join key (asserted in WarehouseSpec)
+    * — the plan a nightly-bucketed 100 TB fact table buys every downstream
+    * query. First call per (session, dir) pays a one-time bucketed write;
+    * results are oracle-identical to the plain join.
+    */
+  private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+    val (ot, lt) = (s"graft_bkt_${tag}_orders", s"graft_bkt_${tag}_lineitem")
+    SparkEntry.bucketedReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
+      w.saveTableBucketed(
+        w.loadTable("orders").select("o_orderkey", "o_orderpriority"), ot, 16, Seq("o_orderkey"))
+      w.saveTableBucketed(
+        w.loadTable("lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")), lt, 16, Seq("o_orderkey"))
+      java.lang.Boolean.TRUE
+    })
+    s.table(ot).join(s.table(lt), "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(sum(discPriceE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Streaming row 50's batch re-expression: tumbling 1h windows (window
     * starts align to the epoch in both engines).
     */
@@ -670,6 +724,8 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_explode" -> (qExplode _),
     "q_approx_stats" -> (qApproxStats _),
+    "q_approx_bounds" -> (qApproxBounds _),
+    "q_join_bucketed" -> (qJoinBucketed _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -918,6 +974,19 @@ object SparkEntry {
         | cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_sample_n" ->
+      """SELECT cast(100 AS bigint) AS n_sampled, cast(100 AS bigint) AS n_distinct,
+        | cast(100 AS bigint) AS n_in_orders""".stripMargin,
+    "q_approx_bounds" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        | cast(sum(cast(round(l_extendedprice*100) AS bigint)
+        |          * (100 - cast(round(l_discount*100) AS bigint))) AS bigint) AS revenue_e4,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_explode" ->
       """SELECT tok, count(*) AS n FROM (
         | SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)

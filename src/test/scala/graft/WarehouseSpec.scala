@@ -113,6 +113,18 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_join_bucketed plans without an exchange on the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("hashpartitioning(o_orderkey"),
+        "bucketed join still shuffles on the join key:\n" + plan)
+      assert(df.count() === 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("loadSql runs over registered tables") {
     val n = wh.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0)
     assert(n === 25)
