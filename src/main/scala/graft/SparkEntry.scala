@@ -589,6 +589,17 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** TF-weighted simhash near-dups — rows-only: deterministic (seedless
+    * FNV hashing), grounded by the weighted spec in DedupSpec.
+    */
+  private def qDedupSimhashWeighted(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    Dedup.simhash(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        shingleWidth = 3, maxHamming = 3, weighted = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram jaccard (prefix-filtered) — fully oracle-checked: the
     * DuckDB side recomputes the same trigram sets all-pairs; prefix
     * filtering is exact for jaccard ≥ τ, so results must agree bit-for-bit
@@ -647,6 +658,19 @@ object SparkEntry {
     TextAnalysis.tokenCount(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "n_ws_tokens", "n_word_tokens")
       .orderBy("doc_id")
+
+  /** Trained-BPE token counts — rows-only (no SQL re-expression of a
+    * trained tokenizer): deterministic in (corpus, seed), bounded driver-
+    * side training, distributed apply. Grounded by TextAnalysisSpec.
+    */
+  private def qTokenBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 300,
+      sampleSize = 300, seed = 42L)
+    TextAnalysis.tokenCountBpe(docs, "text", model)
+      .select("doc_id", "n_bpe_tokens")
+      .orderBy("doc_id")
+  }
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(wh(s, dir).loadTable("documents"), "text")
@@ -729,12 +753,14 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_token_count" -> (qTokenCount _),
+    "q_token_bpe" -> (qTokenBpe _),
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),

@@ -40,6 +40,8 @@ object GraftFunctions {
         MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed"))),
     "graft_simhash64" ->
       ((args: Seq[Expression]) => SimHash64(args.head)),
+    "graft_simhash_tf" ->
+      ((args: Seq[Expression]) => SimHashTf(args.head, intLit(args(1), "n"))),
     "graft_cosine" ->
       ((args: Seq[Expression]) => CosineSim(args.head, args(1))),
     "graft_hyperplane_lsh_multi" ->
@@ -79,6 +81,10 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)
 
+  /** TF-weighted simhash of raw text (word n-grams, occurrences vote). */
+  def simhashTf(text: Column, n: Int): Column =
+    call_function("graft_simhash_tf", text, lit(n))
+
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
@@ -95,4 +101,15 @@ object GraftFunctions {
   /** top-k (id, score) pairs per group, best first. */
   def topK(id: Column, score: Column, k: Int): Column =
     call_function("graft_topk", id, score, lit(k))
+
+  /** BPE token count under a trained model. The model is a parameter
+    * object (not SQL-expressible), so each model registers its own
+    * function name — identity-keyed, idempotent per model instance.
+    */
+  def bpeCount(spark: SparkSession, text: Column, model: BpeModel): Column = {
+    val name = s"graft_bpe_count_${Integer.toHexString(System.identityHashCode(model))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => BpeCount(args.head, model), "scala_udf")
+    call_function(name, text)
+  }
 }

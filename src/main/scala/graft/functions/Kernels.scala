@@ -11,6 +11,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * finalizer + affine 64-bit permutations) so results are deterministic
   * across JVMs and partitions.
   */
+/** Trained BPE merge table (Sennrich et al., ACL 2016). Symbols are ints:
+  * initial symbols are UTF-16 code units, merge r creates symbol
+  * 0x110000 + r. `sortedKeys` holds pair keys ((a.toLong << 32) | b)
+  * sorted for binary search; `rankAt(i)` is the training rank (merge
+  * priority — lower merges first) of `sortedKeys(i)`.
+  */
+final class BpeModel(val sortedKeys: Array[Long], val rankAt: Array[Int])
+    extends Serializable {
+  def numMerges: Int = sortedKeys.length
+  /** rank of pair (a,b), or -1 if the pair was never merged. */
+  def rank(a: Int, b: Int): Int = {
+    val idx = java.util.Arrays.binarySearch(sortedKeys, (a.toLong << 32) | (b & 0xffffffffL))
+    if (idx >= 0) rankAt(idx) else -1
+  }
+}
+
 /** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
   * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
   * sorted for binary search and `langIdx(i)` is the language index of
@@ -208,6 +224,47 @@ object Kernels {
     simhashFinish(counts)
   }
 
+  /** Term-frequency-weighted 64-bit SimHash (Charikar, STOC 2002 weighted
+    * form): every OCCURRENCE of a word n-gram votes, so a gram appearing
+    * k times carries weight k — where the unweighted form over distinct
+    * grams treats boilerplate repeated 100× and a one-off typo equally.
+    * One pass over the text, no gram array materialized: token hashes →
+    * rolling n-gram hash → direct bit-count accumulation.
+    */
+  def simhashTf(text: UTF8String, n: Int): Long = {
+    val s = text.toString.trim
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return 0L
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) {
+        h ^= t.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val counts = new Array[Int](64)
+    val m = toks.length - n + 1
+    i = 0
+    while (i < m) {
+      var g = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        g = (g ^ th(j)) * 0x100000001b3L
+        j += 1
+      }
+      simhashAccumulate(counts, splitmix64(g))
+      i += 1
+    }
+    simhashFinish(counts)
+  }
+
   private def simhashAccumulate(counts: Array[Int], h: Long): Unit = {
     var b = 0
     while (b < 64) {
@@ -345,6 +402,67 @@ object Kernels {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  /** BPE token count of a text under a trained merge table: words
+    * (whitespace-split) start as code-unit symbols; the lowest-rank
+    * adjacent pair merges first (standard greedy BPE apply), repeated to
+    * fixpoint; the result is the number of surviving symbols summed over
+    * words — the trained-tokenizer budget estimate for LLM pipelines.
+    * Deterministic in (text, model).
+    */
+  def bpeTokenCount(text: UTF8String, model: BpeModel): Int = {
+    val s = text.toString
+    var total = 0
+    var wStart = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ' || s.charAt(i) == '\t' || s.charAt(i) == '\n' ||
+          s.charAt(i) == '\r') {
+        if (i > wStart) total += bpeWordTokens(s, wStart, i, model)
+        wStart = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** Greedy BPE apply over one word (s[from, until)); returns the number of
+    * symbols left. Merges the single lowest-rank pair per round,
+    * left-to-right non-overlapping — the canonical apply order, matching
+    * how the trainer replayed merges.
+    */
+  private def bpeWordTokens(s: String, from: Int, until: Int, model: BpeModel): Int = {
+    var len = until - from
+    if (len <= 1) return len
+    var syms = new Array[Int](len)
+    var i = 0
+    while (i < len) { syms(i) = s.charAt(from + i); i += 1 }
+    while (len > 1) {
+      var bestRank = Int.MaxValue
+      i = 0
+      while (i < len - 1) {
+        val r = model.rank(syms(i), syms(i + 1))
+        if (r >= 0 && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) return len
+      val merged = 0x110000 + bestRank
+      var out = 0
+      i = 0
+      while (i < len) {
+        if (i < len - 1 && model.rank(syms(i), syms(i + 1)) == bestRank) {
+          syms(out) = merged; i += 2
+        } else {
+          syms(out) = syms(i); i += 1
+        }
+        out += 1
+      }
+      if (out == len) return len // defensive: no progress
+      len = out
+    }
+    len
   }
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):

@@ -81,6 +81,21 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash64"
 }
 
+/** TF-weighted 64-bit simhash of a string column (word n-grams, every
+  * occurrence votes) → bigint. See [[Kernels.simhashTf]].
+  */
+case class SimHashTf(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhashTf(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashTf($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashTf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_tf"
+}
+
 /** cosine(array<float>, array<float>) → double. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -144,6 +159,24 @@ object LangIdHits {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
     "es" -> Seq("el", "los", "las", "es", "una", "como", "por", "para", "con", "se"))
   def defaultLangs: Seq[Seq[String]] = defaultOrder.map(defaultStopwords)
+}
+
+/** BPE token count of a string column under a trained merge table → int.
+  * The model rides along as a codegen reference object (like the langid
+  * lookup) so the count stays a single static call in whole-stage codegen.
+  */
+case class BpeCount(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bpeTokenCount(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bpeTokenCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_count"
 }
 
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */

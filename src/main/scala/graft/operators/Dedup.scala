@@ -134,12 +134,20 @@ object Dedup {
     * radius whose block space does not saturate at real corpus sizes;
     * raise it only on corpora small enough that 2^(64/(k+1)) ≫ n.
     */
+  /** `weighted = true` uses the TF-weighted signature (every n-gram
+    * occurrence votes — [[graft.functions.Kernels.simhashTf]]), which
+    * separates boilerplate-heavy near-dups better than the distinct-gram
+    * form; word shingler only (the TF kernel tokenizes on spaces).
+    */
   def simhash(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, maxHamming: Int = 3,
       maxBucketSize: Int = 100000, shingler: String = "word",
+      weighted: Boolean = false,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
+    require(!weighted || shingler == "word",
+      "weighted simhash requires the word shingler")
     val nBlocks = maxHamming + 1
     val blockWidth = (64 + nBlocks - 1) / nBlocks
     val mask = (1L << blockWidth) - 1
@@ -147,9 +155,12 @@ object Dedup {
     // with false duplicates (same guard as minhashSignatures)
     val sigs = persistIf(df.select(
       col(idCol).cast("long").as("id"),
+      col(textCol).as("__t"),
       shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
       .filter(size(col("g")) > 0)
-      .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig")),
+      .select(col("id"),
+        (if (weighted) GraftFunctions.simhashTf(col("__t"), shingleWidth)
+         else GraftFunctions.simhash64(col("g"))).as("sig")),
       persistLevel) // 3 consumers, 16 B/doc
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))

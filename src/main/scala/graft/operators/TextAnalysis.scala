@@ -100,6 +100,17 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+"), lit(0))))
   }
 
+  /** Token count under a TRAINED BPE merge table ([[Bpe.train]]) — the
+    * budget estimate that tracks a real LLM tokenizer far closer than
+    * whitespace/word-run counts (common words collapse to one token, rare
+    * words split into subwords). Distributed apply via the codegen'd
+    * kernel; the model is the only driver-side state.
+    */
+  def tokenCountBpe(df: DataFrame, textCol: String,
+      model: graft.functions.BpeModel): DataFrame =
+    df.withColumn("n_bpe_tokens",
+      GraftFunctions.bpeCount(df.sparkSession, col(textCol), model))
+
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
     * et al., SIGMOD 2003) plus summary stats. The full array<bigint> is the
     * join key set for containment-style near-dup detection; n/min/max give

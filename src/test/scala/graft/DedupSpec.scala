@@ -68,6 +68,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.nonEmpty, "fixture has no pairs within the default radius")
   }
 
+  test("weighted simhash: equals unweighted on distinct grams, diverges on repetition, finds near-dups") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // On text whose trigrams are all distinct, the tf multiset equals the
+    // distinct set — the weighted and unweighted signatures must be
+    // IDENTICAL (an exact equivalence, not a statistical one).
+    val distinctText = (1 to 120).map(i => s"w$i").mkString(" ")
+    val repeatedText = (Seq.fill(30)("spam ham jam") :+ distinctText).mkString(" ")
+    val sigs = Seq((1L, distinctText), (2L, repeatedText)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        GraftFunctions.simhashTf(col("text"), 3).as("w"),
+        GraftFunctions.simhash64(Dedup.shingleHashes(col("text"), 3, "word")).as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sigs(1L)._1 === sigs(1L)._2, "distinct-gram text: weighted must equal unweighted")
+    assert(sigs(2L)._1 !== sigs(2L)._2, "repeated grams must change the tf-weighted signature")
+    // Near-dup pair: one word changed out of 120 → 3 differing trigrams;
+    // found within the wider radius (and the blocking stays exact for it).
+    val changed = distinctText.replace(" w60 ", " XX ")
+    val other = (1 to 120).map(i => s"z$i").mkString(" ")
+    val pairs = Dedup.simhash(
+      Seq((1L, distinctText), (2L, changed), (3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 7, weighted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"weighted simhash missed the planted pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("embeddingNearDup recall vs brute force") {
     GraftFunctions.ensure(spark)
     val emb = wh.loadTable("embeddings")

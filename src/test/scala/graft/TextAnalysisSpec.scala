@@ -65,6 +65,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getInt(1) === 4)
   }
 
+  test("BPE training merges frequent pairs and counting follows the model") {
+    import graft.operators.{Bpe, TextAnalysis}
+    // "the" dominates → its pairs merge first; the trained model should
+    // collapse "the" to a single token
+    val corpus = Seq.fill(50)("the cat sat on the mat the end") ++ Seq("zq xv")
+    val model = Bpe.trainOnTexts(corpus, numMerges = 50)
+    assert(model.numMerges > 0)
+    val df = Seq(
+      (1L, "the"), (2L, "the the the"), (3L, "zq"), (4L, "")).toDF("id", "text")
+    val got = TextAnalysis.tokenCountBpe(df, "text", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) === 1, "frequent word should be one token")
+    assert(got(2L) === 3)
+    assert(got(4L) === 0)
+    // an untrained model counts every char; training can only shrink counts
+    val empty = Bpe.trainOnTexts(Seq("a"), numMerges = 0)
+    val docs = wh.loadTable("documents").limit(100)
+    val chars = TextAnalysis.tokenCountBpe(docs, "text", empty)
+    val trained = TextAnalysis.tokenCountBpe(docs, "text",
+      Bpe.train(docs, "text", numMerges = 200, sampleSize = 100))
+    val pairs = chars.select("doc_id", "n_bpe_tokens")
+      .withColumnRenamed("n_bpe_tokens", "n_chars_tok")
+      .join(trained.select("doc_id", "n_bpe_tokens"), "doc_id")
+    assert(pairs.filter(col("n_bpe_tokens") > col("n_chars_tok")).count() === 0)
+    assert(pairs.filter(col("n_bpe_tokens") < col("n_chars_tok")).count() > 0,
+      "training should compress at least some documents")
+  }
+
   test("winnowing fingerprints are robust to local edits") {
     val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills"
     val edited = base.replace("lazy", "idle") // one word changed
