@@ -551,6 +551,18 @@ object SparkEntry {
     graft.streaming.Events.windowedAggBatch(wh(s, dir).loadTable("events"))
       .orderBy("window_start", "event_type")
 
+  /** Streaming row 52b's batch re-expression: purchases enriched with the
+    * same user's clicks from the preceding 30 minutes (interval join,
+    * epoch-micro arithmetic; DuckDB replays the range join directly).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events")
+    graft.streaming.Events.intervalJoinBatch(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .orderBy("l_id", "r_id")
+  }
+
   /** Streaming row 51's batch re-expression: 30-minute-gap sessions,
     * microsecond-integer arithmetic end-to-end.
     */
@@ -683,6 +695,22 @@ object SparkEntry {
         "stop_ratio", "punct_ratio", "quality")
       .orderBy("doc_id")
 
+  /** PII scrub over the corpus with deterministically planted PII (email +
+    * IPv4 derived from doc_id), oracle-checked: DuckDB replays the same
+    * concat and the same RE2/Java-aligned patterns, so the cleaned strings
+    * must hash-match exactly.
+    */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val dirty = wh(s, dir).loadTable("documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7")).as("dirty"))
+    TextAnalysis.redact(dirty, "dirty")
+      .select(col("doc_id"), length(col("dirty")).as("n_dirty"),
+        length(col("clean")).as("n_clean"), col("clean"))
+      .orderBy("doc_id")
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "n_fp", "fp_min", "fp_max")
@@ -744,6 +772,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_explode" -> (qExplode _),
@@ -763,6 +792,7 @@ object SparkEntry {
     "q_token_bpe" -> (qTokenBpe _),
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),
+    "q_redact" -> (qRedact _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
@@ -1039,6 +1069,15 @@ object SparkEntry {
         | max(us) - min(us) AS duration_us
         |FROM z GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_us, value AS r_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, l_id, l_us, r_id, r_us, r_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND r_us >= l_us - 1800000000 AND r_us <= l_us
+        |ORDER BY l_id, r_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),
@@ -1082,6 +1121,21 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, stop_ratio, punct_ratio,
         | least(1.0, cast(n_tokens AS double)/50.0)*0.5 + stop_ratio*0.3 + (1.0-punct_ratio)*0.2 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || cast(doc_id AS varchar)
+        |       || '@example.com from 10.0.' || cast(doc_id % 256 AS varchar)
+        |       || '.7' AS dirty
+        | FROM documents)
+        |SELECT doc_id, length(dirty) AS n_dirty,
+        | length(regexp_replace(regexp_replace(dirty,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g')) AS n_clean,
+        | regexp_replace(regexp_replace(dirty,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | 32 + doc_id % 64 AS width,

@@ -111,6 +111,26 @@ object TextAnalysis {
     df.withColumn("n_bpe_tokens",
       GraftFunctions.bpeCount(df.sparkSession, col(textCol), model))
 
+  /** PII redaction patterns — public-knowledge regex shapes, written to
+    * mean the same thing in Java regex and RE2 (no lookaround, no \b, so
+    * the DuckDB oracle replays them exactly).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  /** Redact PII-shaped substrings (emails, IPv4 addresses by default) —
+    * the scrub pass every training-data pipeline runs before anything
+    * else. Chained regexp_replace: codegen'd, map-side, one scan per
+    * pattern; order is the declaration order (emails first, so an IP
+    * inside a hostname is already gone).
+    */
+  def redact(df: DataFrame, textCol: String, outCol: String = "clean",
+      replacement: String = "[REDACTED]",
+      patterns: Seq[String] = piiPatterns.map(_._2)): DataFrame =
+    df.withColumn(outCol,
+      patterns.foldLeft(col(textCol)) { (c, p) => regexp_replace(c, p, replacement) })
+
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
     * et al., SIGMOD 2003) plus summary stats. The full array<bigint> is the
     * join key set for containment-style near-dup detection; n/min/max give

@@ -76,6 +76,49 @@ object Events {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Interval (stream-stream) join, batch form: each left event paired
+    * with the right events of the same key whose timestamp falls in
+    * [left.ts - lookback, left.ts] — the event-enrichment staple
+    * ("purchases with the clicks of the preceding half hour"). One shuffle
+    * per side on the key; the range predicate rides as a residual filter
+    * on the equi-join. Timestamps are emitted as epoch micros (raw
+    * timestamps are not engine-portable).
+    */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      lookbackMinutes: Int = 30): DataFrame = {
+    val lookUs = lookbackMinutes * 60L * 1000000L
+    val l = left.select(col(keyCol).as("k"), col("event_id").as("l_id"),
+      unix_micros(col(tsCol)).as("l_us"), col("value").as("l_value"))
+    val r = right.select(col(keyCol).as("k"), col("event_id").as("r_id"),
+      unix_micros(col(tsCol)).as("r_us"), col("value").as("r_value"))
+    l.join(r, Seq("k"))
+      .filter(col("r_us") >= col("l_us") - lookUs && col("r_us") <= col("l_us"))
+      .select(col("k").as(keyCol), col("l_id"), col("l_us"),
+        col("r_id"), col("r_us"), col("r_value"))
+  }
+
+  /** Interval join over two streams: watermarks on BOTH sides plus the
+    * event-time range condition are exactly what Structured Streaming
+    * needs to bound join state — right rows are evicted once the left
+    * watermark passes their ts + lookback. Same output contract as
+    * [[intervalJoinBatch]] (parity asserted in StreamingSpec).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      lookbackMinutes: Int = 30, watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+         |r.$tsCol >= l.$tsCol - INTERVAL $lookbackMinutes MINUTES AND
+         |r.$tsCol <= l.$tsCol""".stripMargin))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("l_id"), unix_micros(col(s"l.$tsCol")).as("l_us"),
+        col("r.event_id").as("r_id"), unix_micros(col(s"r.$tsCol")).as("r_us"),
+        col("r.value").as("r_value"))
+  }
+
   /** Streaming exact dedup: keep the first occurrence per key within the
     * watermark horizon (the streaming counterpart of Dedup.exact — state is
     * one entry per distinct key, evicted once the watermark passes, so

@@ -59,6 +59,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Event(10, ts(40), 1, "purchase", 9.99),
+      Event(11, ts(100), 1, "purchase", 5.00),
+      Event(12, ts(50), 2, "purchase", 1.00))
+    val clicks = Seq(
+      Event(1, ts(15), 1, "click", 0.1),  // within 30min of purchase 10
+      Event(2, ts(39), 1, "click", 0.2),  // within 30min of purchase 10
+      Event(3, ts(80), 1, "click", 0.3),  // within 30min of purchase 11
+      Event(4, ts(5), 2, "click", 0.4))   // too old for purchase 12
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    val q = Events.intervalJoinStream(memL.toDF(), memR.toDF())
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      memL.addData(purchases: _*)
+      memR.addData(clicks: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_out").collect().map(_.toSeq).toSet
+    val expect = Events.intervalJoinBatch(purchases.toDF(), clicks.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.map(r => (r(1), r(3))) === Set((10L, 1L), (10L, 2L), (11L, 3L)))
+  }
+
   test("streaming dedup keeps first occurrence within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -93,6 +93,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "training should compress at least some documents")
   }
 
+  test("redact scrubs planted emails and IPs and leaves clean text alone") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "write to alice.b+spam@mail.example.org today"),
+      (2L, "server at 192.168.0.12 is down"),
+      (3L, "clean prose with no identifiers")).toDF("id", "text")
+    val out = TextAnalysis.redact(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "write to [REDACTED] today")
+    assert(out(2L) === "server at [REDACTED] is down")
+    assert(out(3L) === "clean prose with no identifiers")
+  }
+
   test("winnowing fingerprints are robust to local edits") {
     val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills"
     val edited = base.replace("lazy", "idle") // one word changed
