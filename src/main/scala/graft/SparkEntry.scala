@@ -39,11 +39,18 @@ object SparkEntry {
 
   /** Money column in integer cents (exact: inputs are clean 2-decimal
     * doubles, so round(x*100) is the unambiguous integer in every engine).
-    * Summing longs is overflow-safe far past 100 TB of rows, and — unlike
-    * decimal(38,x) — the bigint output type survives every parquet→pandas→
-    * hash normalization path identically in Spark and DuckDB. Queries whose
-    * gate row went hash-red on wide decimals emit cents (÷100 semantics
-    * documented per column).
+    * Unlike decimal(38,x), the bigint output type survives every
+    * parquet→pandas→hash normalization path identically in Spark and
+    * DuckDB. Queries whose gate row went hash-red on wide decimals emit
+    * cents (÷100 semantics documented per column).
+    *
+    * Overflow headroom: plain-cents sums are safe to ~9e16 dollars per
+    * group — beyond any group at 100 TB. The e4-unit PRODUCT sums
+    * ([[discPriceE4]]) carry 100× less headroom (~9e14 dollars/group):
+    * ample at every tested SF, but a true 100 TB deployment aggregating
+    * trillions of rows into a handful of groups would emit these as
+    * decimal/string instead — the bigint form is the cross-engine
+    * hash-gate contract, not a universal-scale money type.
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -525,7 +532,11 @@ object SparkEntry {
     */
   private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+    // dir → collision-proof-in-practice table tag: the sanitized path keeps
+    // names readable and distinct dirs distinct; the hash suffix covers
+    // sanitization collisions ("/a-b" vs "/a_b")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40) +
+      "_" + java.lang.Integer.toHexString(dir.hashCode)
     val (ot, lt) = (s"graft_bkt_${tag}_orders", s"graft_bkt_${tag}_lineitem")
     SparkEntry.bucketedReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
       w.saveTableBucketed(

@@ -74,31 +74,33 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     spark.sql(query)
   }
 
-  /** Register all known tables for SQL access. Registration is cached
-    * per (session, baseDir, table) so repeated loadSql calls don't re-read
-    * parquet footers — but existence of NOT-yet-registered tables is
-    * re-checked every call (cheap FS metadata op), so a table written after
-    * the first loadSql still becomes visible, and `saveTable` to the same
-    * dir evicts the cache entry so the view is rebuilt with a fresh file
-    * index instead of serving stale rows. Deliberately lock-free:
-    * createOrReplaceTempView is idempotent, so a concurrent duplicate
-    * registration is benign, while a JVM-global lock over remote-FS
-    * metadata calls would serialize every session's loadSql.
+  /** Register all known tables for SQL access. Temp views are
+    * SESSION-GLOBAL by name, so ownership is tracked per (session, table):
+    * a view is valid for this warehouse only if its recorded owner dir is
+    * this baseDir — a second Warehouse on the same session re-registers
+    * views over ITS dir instead of silently reading the other warehouse's
+    * rows. `saveTable` (and any invalidate) bumps the dir's epoch and
+    * clears ownership, so a view never serves a frozen file index of
+    * replaced files. Deliberately lock-free: createOrReplaceTempView is
+    * idempotent and ownership is only recorded when the epoch is unchanged
+    * across the registration (so an in-flight registration that raced a
+    * write re-registers on the next call instead of caching staleness).
+    * Existence of absent tables is re-checked every call (cheap FS
+    * metadata op), so a table written after the first loadSql still
+    * becomes visible.
     */
   def registerAll(): Unit = {
-    val key = s"${System.identityHashCode(spark)}:$baseDir"
-    val done = Warehouse.registered.computeIfAbsent(
-      key, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-    // fast path: everything registered — no FS round-trips at all
-    if (done.size == tableNames.size) return
-    // No lock: createOrReplaceTempView is idempotent, so a concurrent
-    // duplicate registration is harmless, and serializing every session's
-    // loadSql behind one JVM-global lock over remote-FS metadata calls
-    // would be far worse than the benign race.
+    val sessionId = System.identityHashCode(spark)
+    // fast path: every present table already owned by this dir — no FS calls
+    if (tableNames.forall(t => Warehouse.viewOwner.get((sessionId, t)) == baseDir))
+      return
+    val epoch = Warehouse.epochOf(baseDir).get()
     tableNames.foreach { t =>
-      if (!done.contains(t) && fsExists(path(t))) {
+      if (Warehouse.viewOwner.get((sessionId, t)) != baseDir && fsExists(path(t))) {
         loadTable(t).createOrReplaceTempView(t)
-        done.add(t)
+        // record ownership only if no write invalidated this dir meanwhile
+        if (Warehouse.epochOf(baseDir).get() == epoch)
+          Warehouse.viewOwner.put((sessionId, t), baseDir)
       }
     }
   }
@@ -147,7 +149,10 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * multi-dataset namespace layer (fugue_trino/collections.py:10-49:
     * TrinoTableSpace; BigQuery datasets). Tables are discovered by FS
     * listing, and re-registered (DROP + CREATE, metadata-only) on every
-    * call so the catalog never serves a stale file index.
+    * call so the catalog never serves a stale file index. One namespace
+    * level only (Spark's session catalog has 2-part names): deeper-nested
+    * tables ("cat.sch.t") remain load/save-only — subdirectories of
+    * `baseDir/<ns>/` are deliberately skipped, not silently flattened.
     */
   def registerNamespace(ns: String): Unit = {
     require(ns.matches("[A-Za-z0-9_]+"), s"invalid namespace name: '$ns'")
@@ -246,25 +251,40 @@ object Warehouse {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** Per-(session, baseDir): the table names already registered as temp
-    * views — avoids re-reading footers on each loadSql while still
-    * noticing newly created tables.
+  /** (sessionId, tableName) → the baseDir whose files the session's temp
+    * view of that name currently reads. Views are valid for a warehouse
+    * only when the owner matches its dir; anything else re-registers.
     */
-  private val registered =
-    new ConcurrentHashMap[String, java.util.Set[String]]()
+  private val viewOwner =
+    new ConcurrentHashMap[(Int, String), String]()
 
-  /** Drop `table` from the registration cache of every session that has
-    * views over `dir` (keys are "sessionId:dir"), forcing re-registration
-    * with a fresh file index on the next loadSql.
+  /** Per-dir write epoch — bumped by every save into the dir, read around
+    * registration so a racing write can never be cached as fresh.
     */
-  private[graft] def invalidate(dir: String, table: String): Unit =
-    registered.forEach { (key, tables) =>
-      if (key.substring(key.indexOf(':') + 1) == dir) tables.remove(table)
+  private val epochs = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[graft] def epochOf(dir: String): java.util.concurrent.atomic.AtomicLong =
+    epochs.computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+
+  /** Evict every session's ownership of `table` over `dir` and bump the
+    * dir's epoch, forcing re-registration with a fresh file index on the
+    * next loadSql.
+    */
+  private[graft] def invalidate(dir: String, table: String): Unit = {
+    epochOf(dir).incrementAndGet()
+    viewOwner.forEach { (key, owner) =>
+      if (key._2 == table && owner == dir) viewOwner.remove(key)
     }
+  }
 
-  /** "a.b.c" → dir/a/b/c.parquet; unqualified names stay flat. */
+  /** "a.b.c" → dir/a/b/c.parquet; unqualified names stay flat. Note that
+    * SQL registration ([[Warehouse.registerNamespace]]) covers ONE level
+    * (Spark's session catalog has 2-part names); deeper nesting is
+    * load/save-only. split(…, -1) so a trailing dot is rejected instead of
+    * silently resolving to the flat name.
+    */
   private[graft] def tablePath(dir: String, table: String): String = {
-    val parts = table.split("\\.")
+    val parts = table.split("\\.", -1)
     require(parts.forall(_.nonEmpty), s"invalid table name: '$table'")
     (Seq(dir) ++ parts.init :+ s"${parts.last}.parquet").mkString("/")
   }

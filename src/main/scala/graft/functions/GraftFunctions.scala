@@ -104,12 +104,20 @@ object GraftFunctions {
 
   /** BPE token count under a trained model. The model is a parameter
     * object (not SQL-expressible), so each model registers its own
-    * function name — identity-keyed, idempotent per model instance.
+    * function name. Names come from a weak identity map + counter —
+    * guaranteed unique per live model (identityHashCode alone can
+    * collide, which would silently rebind an earlier model's column),
+    * idempotent per model instance, and entries die with their models.
     */
   def bpeCount(spark: SparkSession, text: Column, model: BpeModel): Column = {
-    val name = s"graft_bpe_count_${Integer.toHexString(System.identityHashCode(model))}"
+    val name = bpeNames.synchronized {
+      bpeNames.computeIfAbsent(model, _ => s"graft_bpe_count_${bpeCounter.incrementAndGet()}")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, (args: Seq[Expression]) => BpeCount(args.head, model), "scala_udf")
     call_function(name, text)
   }
+
+  private val bpeNames = new java.util.WeakHashMap[BpeModel, String]()
+  private val bpeCounter = new java.util.concurrent.atomic.AtomicLong()
 }

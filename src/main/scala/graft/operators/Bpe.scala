@@ -23,6 +23,7 @@ object Bpe {
   def train(df: DataFrame, textCol: String, numMerges: Int = 500,
       sampleSize: Int = 500, seed: Long = 42L): BpeModel = {
     val texts = df
+      .filter(col(textCol).isNotNull)
       .withColumn("__h", xxhash64(col(textCol), lit(seed)))
       .orderBy("__h").limit(sampleSize)
       .select(textCol).collect().map(_.getString(0))

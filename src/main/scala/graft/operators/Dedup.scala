@@ -153,15 +153,23 @@ object Dedup {
     val mask = (1L << blockWidth) - 1
     // drop gram-less docs — all-zero signatures would flood the blocks
     // with false duplicates (same guard as minhashSignatures)
-    val sigs = persistIf(df.select(
-      col(idCol).cast("long").as("id"),
-      col(textCol).as("__t"),
-      shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
-      .filter(size(col("g")) > 0)
-      .select(col("id"),
-        (if (weighted) GraftFunctions.simhashTf(col("__t"), shingleWidth)
-         else GraftFunctions.simhash64(col("g"))).as("sig")),
-      persistLevel) // 3 consumers, 16 B/doc
+    // Gram-less docs are dropped in both modes (all-zero signatures would
+    // flood the blocks with false duplicates). The weighted path filters on
+    // the raw token count — the same predicate as size(grams) > 0 for the
+    // word shingler, without paying the sorted-distinct gram-array kernel
+    // just to test emptiness (the signature kernel re-scans the text
+    // itself).
+    val sigs = persistIf({
+      if (weighted)
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+          .filter(size(split(trim(col("__t")), " ")) >= shingleWidth)
+          .select(col("id"), GraftFunctions.simhashTf(col("__t"), shingleWidth).as("sig"))
+      else
+        df.select(col(idCol).cast("long").as("id"),
+          shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
+          .filter(size(col("g")) > 0)
+          .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
+    }, persistLevel) // 3 consumers, 16 B/doc
     val blocked = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .select(col("id"), col("blk"),

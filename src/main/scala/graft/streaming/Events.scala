@@ -86,12 +86,13 @@ object Events {
     */
   def intervalJoinBatch(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value",
       lookbackMinutes: Int = 30): DataFrame = {
     val lookUs = lookbackMinutes * 60L * 1000000L
-    val l = left.select(col(keyCol).as("k"), col("event_id").as("l_id"),
-      unix_micros(col(tsCol)).as("l_us"), col("value").as("l_value"))
-    val r = right.select(col(keyCol).as("k"), col("event_id").as("r_id"),
-      unix_micros(col(tsCol)).as("r_us"), col("value").as("r_value"))
+    val l = left.select(col(keyCol).as("k"), col(idCol).as("l_id"),
+      unix_micros(col(tsCol)).as("l_us"))
+    val r = right.select(col(keyCol).as("k"), col(idCol).as("r_id"),
+      unix_micros(col(tsCol)).as("r_us"), col(valueCol).as("r_value"))
     l.join(r, Seq("k"))
       .filter(col("r_us") >= col("l_us") - lookUs && col("r_us") <= col("l_us"))
       .select(col("k").as(keyCol), col("l_id"), col("l_us"),
@@ -106,6 +107,7 @@ object Events {
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value",
       lookbackMinutes: Int = 30, watermarkDelay: String = "0 seconds"): DataFrame = {
     val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
     val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
@@ -114,9 +116,9 @@ object Events {
          |r.$tsCol >= l.$tsCol - INTERVAL $lookbackMinutes MINUTES AND
          |r.$tsCol <= l.$tsCol""".stripMargin))
       .select(col(s"l.$keyCol").as(keyCol),
-        col("l.event_id").as("l_id"), unix_micros(col(s"l.$tsCol")).as("l_us"),
-        col("r.event_id").as("r_id"), unix_micros(col(s"r.$tsCol")).as("r_us"),
-        col("r.value").as("r_value"))
+        col(s"l.$idCol").as("l_id"), unix_micros(col(s"l.$tsCol")).as("l_us"),
+        col(s"r.$idCol").as("r_id"), unix_micros(col(s"r.$tsCol")).as("r_us"),
+        col(s"r.$valueCol").as("r_value"))
   }
 
   /** Streaming exact dedup: keep the first occurrence per key within the

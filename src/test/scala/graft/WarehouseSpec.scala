@@ -133,18 +133,23 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
   test("saveTable to a registered dir invalidates the cached view") {
     val tmp = Files.createTempDirectory("graft_stale").toString
     val w2 = Warehouse(spark, tmp)
-    try {
-      w2.saveTable(wh.loadTable("nation"), tmp, "nation")
-      assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 25)
-      // overwrite with fewer rows: a frozen file index would serve the old 25
-      // (or throw FileNotFoundException on the replaced files)
-      w2.saveTable(wh.loadTable("nation").limit(5), tmp, "nation")
-      assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 5)
-    } finally {
-      // temp views are session-global: rebuild wh's view over its own dir
-      Warehouse.invalidate(wh.baseDir, "nation")
-      wh.loadSql("SELECT 1").collect()
-    }
+    w2.saveTable(wh.loadTable("nation"), tmp, "nation")
+    assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 25)
+    // overwrite with fewer rows: a frozen file index would serve the old 25
+    // (or throw FileNotFoundException on the replaced files)
+    w2.saveTable(wh.loadTable("nation").limit(5), tmp, "nation")
+    assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 5)
+  }
+
+  test("two warehouses on one session each see their own tables in SQL") {
+    // temp views are session-global by name; ownership tracking must
+    // re-register views when a different warehouse used the name last
+    val tmp = Files.createTempDirectory("graft_two").toString
+    val w2 = Warehouse(spark, tmp)
+    w2.saveTable(wh.loadTable("nation").limit(3), tmp, "nation")
+    assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 3)
+    assert(wh.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 25)
+    assert(w2.loadSql("SELECT count(*) AS c FROM nation").collect()(0).getLong(0) === 3)
   }
 
   test("namespaced tables resolve to subdirs and join across namespaces in SQL") {
