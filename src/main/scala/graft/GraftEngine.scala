@@ -53,15 +53,21 @@ final class GraftEngine(val spark: SparkSession, val warehouseDir: String) {
   def intersect(a: DataFrame, b: DataFrame): DataFrame = Relational.intersect(a, b)
   def subtract(a: DataFrame, b: DataFrame): DataFrame = Relational.subtract(a, b)
   def distinct(df: DataFrame): DataFrame = Relational.distinct(df)
-  def dropna(df: DataFrame, how: String = "any", subset: Seq[String] = Nil): DataFrame =
-    Relational.dropna(df, how, subset)
+  def dropna(df: DataFrame, how: String = "any", subset: Seq[String] = Nil,
+      thresh: Option[Int] = None): DataFrame =
+    Relational.dropna(df, how, subset, thresh)
   def fillna(df: DataFrame, values: Map[String, Any]): DataFrame =
     Relational.fillna(df, values)
   def sample(df: DataFrame, n: Option[Int] = None, frac: Option[Double] = None,
-      seed: Long = 42L): DataFrame = Relational.sample(df, n, frac, seed)
+      seed: Long = 42L, replace: Boolean = false): DataFrame =
+    Relational.sample(df, n, frac, seed, replace)
   def take(df: DataFrame, n: Int, presort: Seq[Column],
       partitionBy: Seq[String] = Nil): DataFrame =
     Relational.take(df, n, presort, partitionBy)
+  /** Fugue-style string presort with na_position ("first" | "last"). */
+  def takePresort(df: DataFrame, n: Int, presort: String,
+      naPosition: String = "last", partitionBy: Seq[String] = Nil): DataFrame =
+    Relational.takePresort(df, n, presort, naPosition, partitionBy)
   def assign(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
     Relational.assign(df, cols)
   def alterColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
@@ -99,8 +105,14 @@ final class GraftEngine(val spark: SparkSession, val warehouseDir: String) {
   def loadDf(path: String, format: String = "parquet",
       schema: Option[StructType] = None): DataFrame =
     warehouse.loadDf(path, format, schema)
+  /** Multi-path load_df (reference: Union[str, List[str]]) — one scan. */
+  def loadDf(paths: Seq[String], format: String,
+      schema: Option[StructType]): DataFrame =
+    warehouse.loadDf(paths, format, schema, header = true)
   def saveDf(df: DataFrame, path: String, format: String = "parquet",
       mode: String = "overwrite"): Unit = warehouse.saveDf(df, path, format, mode)
+  /** Expose `ns.table` names to loadSql (catalog DB per namespace). */
+  def registerNamespace(ns: String): Unit = warehouse.registerNamespace(ns)
 }
 
 object GraftEngine {
