@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Warehouse}
+import graft.operators.{Bpe, Dedup, TextAnalysis}
+
+/** Scaling-evidence harness behind SURVEY §5: blows the sf0.1 documents
+  * corpus up 10× (10 near-identical variants per doc ⇒ ~45 planted
+  * near-dup pairs per source doc) and times the blocking operators on it.
+  * Not part of the library surface — a measurement `main`, like Bench.
+  *
+  * Usage: sbt "runMain graft.tools.Scaling [sfDir]"
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Warehouse(spark, sfDir).loadTable("documents")
+    // 10 variants per doc: variant v flips one deterministic word position
+    val big = docs
+      .crossJoin(spark.range(10).toDF("v"))
+      .select(
+        (col("doc_id") * 10 + col("v")).as("doc_id"),
+        when(col("v") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" variant"), col("v"))).as("text"))
+      .repartition(cpus.toInt)
+      .persist()
+    val n = big.count()
+    println(s"corpus: $n docs")
+
+    def time[A](name: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    // noop sink, NOT count(): under count Catalyst prunes the computed
+    // columns and a map-only operator degenerates to a bare scan (the
+    // round-1 bench bug; Bench.scala documents the same rule)
+    def drain(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    time("simhash maxHamming=3 (default)") {
+      drain(Dedup.simhash(big, "doc_id", "text"))
+    }
+    time("simhash weighted maxHamming=3") {
+      drain(Dedup.simhash(big, "doc_id", "text", weighted = true))
+    }
+    time("langId single-pass kernel") {
+      drain(TextAnalysis.langId(big, "text"))
+    }
+    time("tokenCountBpe (300 merges, trained on 300-doc sample)") {
+      val model = Bpe.train(big, "text", numMerges = 300, sampleSize = 300)
+      drain(TextAnalysis.tokenCountBpe(big, "text", model))
+    }
+    time("minhashLsh 128 perms / 32 bands") {
+      drain(Dedup.minhashLsh(big, "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5))
+    }
+    spark.stop()
+  }
+}

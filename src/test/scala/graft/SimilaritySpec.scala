@@ -85,6 +85,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(run(1) === run(64 * 1024)) // 1 forces the join path
   }
 
+  test("ivfTopK paths agree on exact cell-score ties (duplicate centroids)") {
+    import spark.implicits._
+    // duplicated centroids force every assignment/probe decision through
+    // an exact score tie — the two paths must still pick identical cells
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f), Seq(0f, 1f))
+    val data = Seq(
+      (0L, Seq(1f, 0.1f)), (1L, Seq(0.9f, 0.2f)), (2L, Seq(0.1f, 1f)),
+      (3L, Seq(0.2f, 0.9f)), (4L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    def run(limit: Int) = Similarity.ivfTopK(
+      data, "vec_id", "embedding", data.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, numCells = 4, numProbe = 2, literalModelLimit = limit,
+      trainedCentroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) === run(64 * 1024))
+  }
+
   test("scores are descending per query with deterministic tie order") {
     val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5)
