@@ -524,6 +524,26 @@ object SparkEntry {
           .as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** Incremental distinct via mergeable HLL sketches, oracle-checked: one
+    * sketch per (day, type), merged to type, estimate within 10% of the
+    * exact count (Datasketches HLL is deterministic on given data) — the
+    * oracle recomputes the exact side and pins merged_ok to true. The
+    * pattern this certifies: distinct-over-any-range from persisted
+    * per-partition sketches, no raw rescan.
+    */
+  private def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events").withColumn("day", to_date(col("ts")))
+    val daily = graft.operators.Stats.sketchDistinct(ev, Seq("day", "event_type"), "user_id")
+    val merged = graft.operators.Stats.mergeSketchDistinct(
+      daily, Seq("event_type"), "sketch_user_id")
+    ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+      .join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_distinct_merged") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.1).as("merged_ok"))
+      .orderBy("event_type")
+  }
+
   /** Bucketed fact-fact join: both sides pre-bucketed on orderkey, so the
     * join runs with NO exchange on the join key (asserted in WarehouseSpec)
     * — the plan a nightly-bucketed 100 TB fact table buys every downstream
@@ -789,6 +809,7 @@ object SparkEntry {
     "q_explode" -> (qExplode _),
     "q_approx_stats" -> (qApproxStats _),
     "q_approx_bounds" -> (qApproxBounds _),
+    "q_sketch_merge" -> (qSketchMerge _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1047,6 +1068,9 @@ object SparkEntry {
     "q_approx_bounds" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS merged_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,
         | cast(sum(cast(round(l_extendedprice*100) AS bigint)

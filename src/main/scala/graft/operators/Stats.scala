@@ -22,6 +22,27 @@ object Stats {
       probabilities: Seq[Double], relativeError: Double = 0.01): Seq[Double] =
     df.stat.approxQuantile(valueCol, probabilities.toArray, relativeError).toSeq
 
+  /** Materialized HLL sketch per group (Datasketches bytes) — the
+    * INCREMENTAL distinct-count pattern: persist one small sketch per
+    * partition/day, answer "distinct over any date range" later by
+    * merging sketches with [[mergeSketchDistinct]] instead of rescanning
+    * 100 TB of raw data. lgConfigK 12 ⇒ ~4 KB per sketch, ~1.6% rsd.
+    */
+  def sketchDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as(s"sketch_$valueCol"))
+
+  /** Merge per-group sketches down to `mergeCols` and estimate the
+    * distinct count — e.g. daily sketches → monthly uniques. No raw-data
+    * rescan; the shuffle carries only sketch bytes.
+    */
+  def mergeSketchDistinct(sketches: DataFrame, mergeCols: Seq[String],
+      sketchCol: String): DataFrame =
+    sketches.groupBy(mergeCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))
+        .as("approx_distinct_merged"))
+
   /** One-pass numeric summary per group: count, mean, stddev, min, max,
     * approx p50/p95 (percentile_approx is a mergeable sketch, safe at any
     * group cardinality).

@@ -19,6 +19,24 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("merged per-day sketches estimate the global distinct count") {
+    // the incremental pattern: sketch per (day, type), merge to type —
+    // the merged estimate must match a direct global distinct within the
+    // sketch error bound, WITHOUT rescanning the raw rows
+    val ev = wh.loadTable("events")
+      .withColumn("day", to_date(col("ts")))
+    val daily = Stats.sketchDistinct(ev, Seq("day", "event_type"), "user_id")
+    assert(daily.columns.toSeq === Seq("day", "event_type", "sketch_user_id"))
+    val merged = Stats.mergeSketchDistinct(daily, Seq("event_type"), "sketch_user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = merged(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: merged $a vs exact $e")
+    }
+  }
+
   test("approxQuantiles bracket the exact median") {
     val q = Stats.approxQuantiles(wh.loadTable("orders"), "o_totalprice", Seq(0.5), 0.01)
     val exact = wh.loadTable("orders")
