@@ -88,6 +88,12 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * Existence of absent tables is re-checked every call (cheap FS
     * metadata op), so a table written after the first loadSql still
     * becomes visible.
+    *
+    * Trade-off: two warehouses ALTERNATING loadSql on one session
+    * re-register each other's views every switch (correctness first —
+    * each caller always reads its own dir). Steady concurrent
+    * multi-warehouse use should go through [[registerNamespace]], whose
+    * qualified names don't contend.
     */
   def registerAll(): Unit = {
     val sessionId = System.identityHashCode(spark)
@@ -98,9 +104,14 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     tableNames.foreach { t =>
       if (Warehouse.viewOwner.get((sessionId, t)) != baseDir && fsExists(path(t))) {
         loadTable(t).createOrReplaceTempView(t)
-        // record ownership only if no write invalidated this dir meanwhile
-        if (Warehouse.epochOf(baseDir).get() == epoch)
-          Warehouse.viewOwner.put((sessionId, t), baseDir)
+        // put-then-validate: record ownership, then drop it if a write
+        // bumped the epoch. invalidate() bumps BEFORE clearing owners, so
+        // any interleaving where its clear misses this put implies the
+        // bump is visible to the re-check below — staleness can never be
+        // cached (a benign extra re-registration can).
+        Warehouse.viewOwner.put((sessionId, t), baseDir)
+        if (Warehouse.epochOf(baseDir).get() != epoch)
+          Warehouse.viewOwner.remove((sessionId, t), baseDir)
       }
     }
   }
@@ -138,6 +149,17 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // overwrite) forever. Evict the table from every session's cache for
     // this dir so the next registerAll/loadSql rebuilds the view.
     Warehouse.invalidate(outDir, table)
+    // Namespaced catalog tables (registerNamespace) cache their file index
+    // in THIS session's tableRelationCache — refresh it so qualified SQL
+    // sees the new files too. (Other sessions' catalogs refresh on their
+    // own registerNamespace; documented there.)
+    val parts = table.split("\\.", -1)
+    if (parts.length == 2) {
+      val qualified = s"`${parts(0)}`.`${parts(1)}`"
+      try {
+        if (spark.catalog.tableExists(qualified)) spark.catalog.refreshTable(qualified)
+      } catch { case _: Exception => () } // no catalog entry — nothing to refresh
+    }
   }
 
   def tableExists(dir: String, table: String): Boolean =

@@ -104,10 +104,13 @@ object GraftFunctions {
 
   /** BPE token count under a trained model. The model is a parameter
     * object (not SQL-expressible), so each model registers its own
-    * function name. Names come from a weak identity map + counter —
+    * function name. Names come from an identity map + counter —
     * guaranteed unique per live model (identityHashCode alone can
-    * collide, which would silently rebind an earlier model's column),
-    * idempotent per model instance, and entries die with their models.
+    * collide, which would silently rebind an earlier model's column) and
+    * idempotent per model instance. Note the registry entry's builder
+    * closure strongly references the model for the session's lifetime:
+    * a session training unboundedly many models accumulates one registry
+    * entry each — train once and reuse the model, as q_token_bpe does.
     */
   def bpeCount(spark: SparkSession, text: Column, model: BpeModel): Column = {
     val name = bpeNames.synchronized {
@@ -118,6 +121,6 @@ object GraftFunctions {
     call_function(name, text)
   }
 
-  private val bpeNames = new java.util.WeakHashMap[BpeModel, String]()
+  private val bpeNames = new java.util.IdentityHashMap[BpeModel, String]()
   private val bpeCounter = new java.util.concurrent.atomic.AtomicLong()
 }

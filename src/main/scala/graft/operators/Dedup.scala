@@ -155,15 +155,18 @@ object Dedup {
     // with false duplicates (same guard as minhashSignatures)
     // Gram-less docs are dropped in both modes (all-zero signatures would
     // flood the blocks with false duplicates). The weighted path filters on
-    // the raw token count — the same predicate as size(grams) > 0 for the
-    // word shingler, without paying the sorted-distinct gram-array kernel
-    // just to test emptiness (the signature kernel re-scans the text
-    // itself).
+    // the raw token count using the KERNEL's exact tokenization — Java
+    // String.trim strips every char <= U+0020, which Spark's trim() (spaces
+    // only) does not, so the regexp below replicates Java trim; a filter
+    // that over-counts tokens would let the kernel's sig=0 docs (e.g.
+    // leading-newline shorts) flood every block as false hamming-0 dups.
     val sigs = persistIf({
-      if (weighted)
+      if (weighted) {
+        val jtrim = regexp_replace(col("__t"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
         df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
-          .filter(size(split(trim(col("__t")), " ")) >= shingleWidth)
+          .filter(size(split(jtrim, " ", -1)) >= shingleWidth)
           .select(col("id"), GraftFunctions.simhashTf(col("__t"), shingleWidth).as("sig"))
+      }
       else
         df.select(col(idCol).cast("long").as("id"),
           shingleHashes(col(textCol), shingleWidth, shingler).as("g"))

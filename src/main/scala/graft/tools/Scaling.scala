@@ -23,7 +23,9 @@ object Scaling {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Warehouse(spark, sfDir).loadTable("documents")
-    // 10 variants per doc: variant v flips one deterministic word position
+    // 10 variants per doc: variant 0 is the original, v>0 appends a
+    // distinct suffix (changes only the trailing shingles — variants stay
+    // within any near-dup radius of each other)
     val big = docs
       .crossJoin(spark.range(10).toDF("v"))
       .select(

@@ -95,6 +95,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("weighted simhash drops short docs with non-space whitespace (trim parity)") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // Java String.trim (the kernel) strips \n; a spaces-only filter would
+    // over-count tokens, pass these docs, and flood blocking with sig=0
+    // false hamming-0 dups — both shorts must be excluded entirely.
+    val df = Seq(
+      (1L, "\n a b"), (2L, "\t x y"),
+      (3L, "one two three four five"), (4L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhash(df, "doc_id", "text", weighted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 <= 2 || p._2 <= 2),
+      s"gram-less short docs leaked into blocking: $pairs")
+  }
+
   test("embeddingNearDup recall vs brute force") {
     GraftFunctions.ensure(spark)
     val emb = wh.loadTable("embeddings")

@@ -169,9 +169,9 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
         |JOIN ops.nation o ON s.n_nationkey = o.n_nationkey""".stripMargin)
       .collect()(0).getLong(0)
     assert(c === 5)
-    // overwrite + re-register never serves the old file index
+    // overwrite refreshes this session's catalog automatically — no
+    // manual re-registerNamespace needed for the writing session
     w.saveTable(wh.loadTable("nation").limit(2), tmp, "ops.nation")
-    w.registerNamespace("ops")
     assert(w.loadSql("SELECT count(*) AS c FROM ops.nation").collect()(0).getLong(0) === 2)
     intercept[IllegalArgumentException] { w.registerNamespace("bad-ns") }
   }
