@@ -182,12 +182,18 @@ object Relational {
     cols.foldLeft(df) { case (d, (name, expr)) => d.withColumn(name, expr) }
 
   /** alter_columns: cast listed columns to new types, preserving order
-    * (fugue_bigquery/_utils.py `alter_table_columns`).
+    * (fugue_bigquery/_utils.py `alter_table_columns` — which also raises
+    * on a column not present in the schema, so a typo'd name fails loudly
+    * instead of silently not casting anything).
     */
-  def alterColumns(df: DataFrame, casts: Map[String, String]): DataFrame =
+  def alterColumns(df: DataFrame, casts: Map[String, String]): DataFrame = {
+    val missing = casts.keySet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"alterColumns: columns not in schema: ${missing.mkString(", ")}")
     df.select(df.columns.map { c =>
       casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }: _*)
+  }
 
   def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
