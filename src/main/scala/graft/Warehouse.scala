@@ -116,6 +116,15 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  /** Unified load: dispatches a SELECT/WITH query to [[loadSql]] and a
+    * bare table name to [[loadTable]] — the reference's `api.load`
+    * (fugue_trino/api.py) fronted by its is_select_query test
+    * (fugue_bigquery/_utils.py, tests/fugue_bigquery/test_utils.py).
+    */
+  def load(tableOrQuery: String): DataFrame =
+    if (Warehouse.isSelectQuery(tableOrQuery)) loadSql(tableOrQuery)
+    else loadTable(tableOrQuery)
+
   def getSchema(table: String): StructType =
     spark.read.parquet(path(table)).schema
 
@@ -298,6 +307,15 @@ object Warehouse {
       if (key._2 == table && owner == dir) viewOwner.remove(key)
     }
   }
+
+  /** True iff the text is a SELECT/WITH query rather than a table name —
+    * leading whitespace ignored, the keyword must stand alone (so
+    * "select.b.c" is a table name, not a query), matching the reference's
+    * contract (tests/fugue_bigquery/test_utils.py).
+    */
+  def isSelectQuery(s: String): Boolean =
+    s.trim.split("\\s+", 2).headOption.exists(w =>
+      w.equalsIgnoreCase("SELECT") || w.equalsIgnoreCase("WITH"))
 
   /** "a.b.c" → dir/a/b/c.parquet; unqualified names stay flat. Note that
     * SQL registration ([[Warehouse.registerNamespace]]) covers ONE level

@@ -176,6 +176,16 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.registerNamespace("bad-ns") }
   }
 
+  test("load dispatches SELECT/WITH to SQL and bare names to tables") {
+    // ported from tests/fugue_bigquery/test_utils.py:test_is_select_query
+    assert(Warehouse.isSelectQuery("\n    \n    SELECT\n    a\n    "))
+    assert(Warehouse.isSelectQuery("\n    \n    WITH\n    a\n    "))
+    assert(!Warehouse.isSelectQuery("a.b.c"))
+    assert(!Warehouse.isSelectQuery("select.b.c"))
+    assert(wh.load("nation").count() === 25)
+    assert(wh.load("SELECT * FROM nation WHERE n_nationkey < 5").count() === 5)
+  }
+
   test("describe dumps plan and schema") {
     val d = wh.describe(wh.loadTable("region"))
     assert(d.contains("Output Schema"))
