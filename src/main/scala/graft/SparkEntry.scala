@@ -742,6 +742,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Canonical normalization, oracle-checked: DuckDB replays NFC + lower +
+    * explicit-class whitespace collapse (the kernel's class is exactly
+    * RE2's \s, so the two pipelines must agree byte-for-byte). Planted
+    * case/whitespace noise makes the normalization observable.
+    */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val noisy = wh(s, dir).loadTable("documents").select(col("doc_id"),
+      concat(lit("  MiXeD\t\tCase   "), col("text"), lit("  \n")).as("dirty"))
+    TextAnalysis.normalize(noisy, "dirty")
+      .select(col("doc_id"), length(col("norm")).as("n_norm"), col("norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Fingerprint-overlap containment pairs — rows-only (winnowing has no
+    * SQL re-expression): deterministic, grounded by the containment spec.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintOverlap(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("n_shared"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "n_fp", "fp_min", "fp_max")
@@ -825,6 +848,8 @@ object SparkEntry {
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_redact" -> (qRedact _),
+    "q_normalize" -> (qNormalize _),
+    "q_containment" -> (qContainment _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
@@ -1156,6 +1181,17 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, stop_ratio, punct_ratio,
         | least(1.0, cast(n_tokens AS double)/50.0)*0.5 + stop_ratio*0.3 + (1.0-punct_ratio)*0.2 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """WITH noisy AS (
+        | SELECT doc_id, '  MiXeD' || chr(9) || chr(9) || 'Case   ' || text
+        |        || '  ' || chr(10) AS dirty
+        | FROM documents)
+        |SELECT doc_id,
+        | length(trim(regexp_replace(lower(nfc_normalize(dirty)),
+        |   '[\t\n\f\r ]+', ' ', 'g'))) AS n_norm,
+        | trim(regexp_replace(lower(nfc_normalize(dirty)),
+        |   '[\t\n\f\r ]+', ' ', 'g')) AS norm
+        |FROM noisy ORDER BY doc_id""".stripMargin,
     "q_redact" ->
       """WITH dirty AS (
         | SELECT doc_id,

@@ -50,6 +50,8 @@ object GraftFunctions {
           intLit(args(2), "numTables"), longLit(args(3), "seed"))),
     "graft_langid_hits" ->
       ((args: Seq[Expression]) => LangIdHits(args.head, LangIdHits.defaultLangs)),
+    "graft_normalize" ->
+      ((args: Seq[Expression]) => NormalizeText(args.head)),
     "graft_winnow" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
@@ -94,6 +96,10 @@ object GraftFunctions {
   /** [h_en, h_de, h_fr, h_es, h_zh] stopword/CJK hit counts, one scan. */
   def langIdHits(text: Column): Column =
     call_function("graft_langid_hits", text)
+
+  /** NFC + lowercase + whitespace-collapse canonical text, one scan. */
+  def normalizeText(text: Column): Column =
+    call_function("graft_normalize", text)
 
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(w))

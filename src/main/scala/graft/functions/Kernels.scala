@@ -465,6 +465,37 @@ object Kernels {
     len
   }
 
+  /** Canonical text normalization in one pass: Unicode NFC, lowercase,
+    * collapse runs of [\t\n\f\r ] to one space, strip leading/trailing
+    * runs. The whitespace class is exactly RE2's \s (what the DuckDB
+    * oracle's regexp uses) — deliberately NOT Java's Character
+    * .isWhitespace, whose wider set (U+000B, U+2000…) would silently
+    * diverge from the SQL re-expression. The canonical first step of a
+    * dedup pipeline: near-dup detection over normalized text stops
+    * treating case/whitespace variants as distinct documents.
+    */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val lower = java.text.Normalizer
+      .normalize(text.toString, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        pendingSpace = started // leading runs drop; interior runs pend
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     * rolling hash over char k-grams, minimum per window of w, distinct
     * selected hashes sorted ascending. Robust to local edits; the

@@ -161,6 +161,21 @@ object LangIdHits {
   def defaultLangs: Seq[Seq[String]] = defaultOrder.map(defaultStopwords)
 }
 
+/** Canonical text normalization (NFC + lower + whitespace collapse) of a
+  * string column → string, one kernel pass. See [[Kernels.normalizeText]].
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+  override def prettyName: String = "graft_normalize"
+}
+
 /** BPE token count of a string column under a trained merge table → int.
   * The model rides along as a codegen reference object (like the langid
   * lookup) so the count stays a single static call in whole-stage codegen.

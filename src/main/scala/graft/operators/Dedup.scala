@@ -263,6 +263,50 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Near-CONTAINMENT pairs via winnowing-fingerprint overlap: reports
+    * (id_a, id_b) where shared fingerprints / min(|fp_a|, |fp_b|) ≥
+    * threshold — the boilerplate/quote/subset detector exact dedup and
+    * symmetric jaccard both miss (a doc embedded inside a bigger one has
+    * low jaccard but high containment). Winnowing guarantees any shared
+    * substring of ≥ k+w-1 chars contributes shared fingerprints
+    * (Schleimer et al., SIGMOD 2003), so the overlap count is a robust
+    * containment proxy.
+    *
+    * Scale shape: explode to narrow (id, n_fp, hash) rows, self-join on
+    * the 8-byte hash, count per pair — with `maxHashDocs` dropping hashes
+    * shared by too many docs (ubiquitous boilerplate would otherwise go
+    * quadratic, the same role maxBucketSize plays in the LSH operators).
+    */
+  def fingerprintOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, threshold: Double = 0.5,
+      maxHashDocs: Int = 1000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
+    val exploded = persistIf(
+      df.select(col(idCol).cast("long").as("id"),
+          GraftFunctions.winnow(col(textCol), k, w).as("fp"))
+        .filter(size(col("fp")) > 0)
+        .select(col("id"), size(col("fp")).as("n_fp"), explode(col("fp")).as("h")),
+      persistLevel)
+    val capped =
+      if (maxHashDocs > 0) {
+        val byHash = Window.partitionBy("h")
+        exploded.withColumn("__hd", count(lit(1)).over(byHash))
+          .filter(col("__hd") <= maxHashDocs)
+          .drop("__hd")
+      } else exploded
+    capped.select(col("id").as("id_a"), col("n_fp").as("n_fp_a"), col("h"))
+      .join(capped.select(col("id").as("id_b"), col("n_fp").as("n_fp_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_fp_a", "n_fp_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "containment")
+  }
+
   /** Persist unless the caller opted out with StorageLevel.NONE.
     *
     * The cached intermediates (signatures/grams) are not unpersisted by the

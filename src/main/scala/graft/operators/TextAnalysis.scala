@@ -111,6 +111,15 @@ object TextAnalysis {
     df.withColumn("n_bpe_tokens",
       GraftFunctions.bpeCount(df.sparkSession, col(textCol), model))
 
+  /** Canonical normalization (NFC + lowercase + whitespace collapse) —
+    * run before dedup so case/whitespace variants stop counting as
+    * distinct documents. One codegen'd kernel pass.
+    */
+  def normalize(df: DataFrame, textCol: String, outCol: String = "norm"): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
+    df.withColumn(outCol, GraftFunctions.normalizeText(col(textCol)))
+  }
+
   /** PII redaction patterns — public-knowledge regex shapes, written to
     * mean the same thing in Java regex and RE2 (no lookaround, no \b, so
     * the DuckDB oracle replays them exactly).

@@ -129,6 +129,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"recall $recall (${got.size}/${brute.size})")
   }
 
+  test("fingerprintOverlap finds containment that symmetric jaccard misses") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val core = (1 to 40).map(i => s"w$i").mkString(" ")
+    val extra = (1 to 160).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, core),               // fully contained in 2
+      (2L, s"$extra $core"),    // superset: jaccard vs 1 is low (~0.2)
+      (3L, (1 to 40).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintOverlap(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)), s"containment missed the subset pair: $pairs")
+    assert(pairs((1L, 2L)) > 0.8, s"contained doc should overlap strongly: ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // and symmetric jaccard indeed misses it at the same threshold
+    val jac = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(!jac.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))

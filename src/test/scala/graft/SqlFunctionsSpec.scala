@@ -56,7 +56,7 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Set(
       "graft_word_ngrams", "graft_char_ngrams", "graft_minhash", "graft_simhash64",
       "graft_simhash_tf", "graft_cosine", "graft_hyperplane_lsh_multi",
-      "graft_langid_hits", "graft_winnow", "graft_topk"))
+      "graft_langid_hits", "graft_normalize", "graft_winnow", "graft_topk"))
     // and the extensions class constructs + applies cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

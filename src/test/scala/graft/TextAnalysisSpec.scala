@@ -93,6 +93,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "training should compress at least some documents")
   }
 
+  test("normalize canonicalizes case, whitespace and unicode composition") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "  Hello\t\tWORLD  \n"),
+      (2L, "café"),           // decomposed é → NFC composes
+      (3L, "café"),            // precomposed é — must equal row 2
+      (4L, ""), (5L, "   ")).toDF("id", "text")
+    val out = TextAnalysis.normalize(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "hello world")
+    assert(out(2L) === out(3L), "NFC must unify composed and decomposed forms")
+    assert(out(2L) === "café")
+    assert(out(4L) === "" && out(5L) === "")
+  }
+
   test("redact scrubs planted emails and IPs and leaves clean text alone") {
     import graft.operators.TextAnalysis
     val df = Seq(
