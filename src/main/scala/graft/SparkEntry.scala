@@ -737,8 +737,8 @@ object SparkEntry {
         lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".7")).as("dirty"))
     TextAnalysis.redact(dirty, "dirty")
-      .select(col("doc_id"), length(col("dirty")).as("n_dirty"),
-        length(col("clean")).as("n_clean"), col("clean"))
+      .select(col("doc_id"), length(col("dirty")).cast("long").as("n_dirty"),
+        length(col("clean")).cast("long").as("n_clean"), col("clean"))
       .orderBy("doc_id")
   }
 
@@ -751,7 +751,7 @@ object SparkEntry {
     val noisy = wh(s, dir).loadTable("documents").select(col("doc_id"),
       concat(lit("  MiXeD\t\tCase   "), col("text"), lit("  \n")).as("dirty"))
     TextAnalysis.normalize(noisy, "dirty")
-      .select(col("doc_id"), length(col("norm")).as("n_norm"), col("norm"))
+      .select(col("doc_id"), length(col("norm")).cast("long").as("n_norm"), col("norm"))
       .orderBy("doc_id")
   }
 

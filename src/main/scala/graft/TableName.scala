@@ -26,9 +26,12 @@ object TableName {
       defaultCatalog, defaultSchema, tableFunc)
   }
 
-  /** Parse from pre-split parts (the tuple/list form of the reference). */
+  /** Parse from pre-split parts (the tuple/list form of the reference) —
+    * trimmed like the string form, so both overloads agree and toString
+    * always round-trips.
+    */
   def parse(parts: Seq[String]): TableName =
-    fromParts(parts, None, None, None)
+    fromParts(parts.map(p => Option(p).map(_.trim).getOrElse("")), None, None, None)
 
   /** Idempotent on an already-parsed name. */
   def parse(t: TableName): TableName = t

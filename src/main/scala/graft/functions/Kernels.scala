@@ -475,23 +475,28 @@ object Kernels {
     * treating case/whitespace variants as distinct documents.
     */
   def normalizeText(text: UTF8String): UTF8String = {
-    val lower = java.text.Normalizer
+    val nfc = java.text.Normalizer
       .normalize(text.toString, java.text.Normalizer.Form.NFC)
-      .toLowerCase(java.util.Locale.ROOT)
-    val sb = new java.lang.StringBuilder(lower.length)
+    // Per-code-point SIMPLE lowercase (Character.toLowerCase), not Java's
+    // full/special-cased String.toLowerCase: simple mapping is what
+    // utf8proc (DuckDB's lower()) applies, and the two diverge on e.g.
+    // final sigma (ΜΕΓΑΣ → μεγασ simple vs μεγας full) and dotted İ
+    // (→ 'i' simple vs "i"+combining-dot full, which also changes length).
+    val sb = new java.lang.StringBuilder(nfc.length)
     var pendingSpace = false
     var started = false
     var i = 0
-    while (i < lower.length) {
-      val c = lower.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (lc == ' ' || lc == '\t' || lc == '\n' || lc == '\f' || lc == '\r') {
         pendingSpace = started // leading runs drop; interior runs pend
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        sb.appendCodePoint(lc)
         started = true
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

@@ -21,6 +21,7 @@ class TableNameSpec extends AnyFunSuite {
     val parsed = TableName.parse(" a . b . c")
     assert(TableName.parse(parsed).toString === "a.b.c") // idempotent
     assert(TableName.parse(Seq("a", "b", "c")).toString === "a.b.c")
+    assert(TableName.parse(Seq(" a ", "b", " c")).toString === "a.b.c") // parts trimmed
 
     intercept[IllegalArgumentException](TableName.parse(" b . c"))
     intercept[IllegalArgumentException](TableName.parse(" c", defaultCatalog = Some("a")))

@@ -106,6 +106,13 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) === out(3L), "NFC must unify composed and decomposed forms")
     assert(out(2L) === "café")
     assert(out(4L) === "" && out(5L) === "")
+    // SIMPLE case mapping (utf8proc/DuckDB semantics), not Java's full
+    // casing: no context-sensitive final sigma, İ maps to a single 'i'
+    val special = TextAnalysis.normalize(
+      Seq((1L, "ΜΕΓΑΣ"), (2L, "İstanbul")).toDF("id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(special(1L) === "μεγασ", s"expected simple-mapped sigma: ${special(1L)}")
+    assert(special(2L) === "istanbul" && special(2L).length === 8)
   }
 
   test("redact scrubs planted emails and IPs and leaves clean text alone") {
