@@ -224,6 +224,23 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     w.saveAsTable(name)
   }
 
+  /** Compute table + column statistics for a catalog-registered table
+    * (bucketed or namespaced) so Catalyst's cost-based optimizer has real
+    * row counts / NDVs / min-max to size joins with — the warehouse
+    * ANALYZE. Pair with `spark.sql.cbo.enabled=true` (left at Spark's
+    * default OFF here: on stats-less path views CBO only adds planner
+    * overhead — measured ~0.3-1 s/query at sf0.1 — and stale stats
+    * mis-size joins, so turning it on is the caller's explicit choice
+    * after ANALYZE).
+    */
+  def analyzeTable(qualifiedName: String, columns: Seq[String] = Nil): Unit = {
+    val forCols =
+      if (columns.isEmpty) "FOR ALL COLUMNS"
+      else s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}"
+    val name = qualifiedName.split("\\.", -1).map(p => s"`$p`").mkString(".")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS $forCols")
+  }
+
   /** load_df: read a file/directory in the given format (parquet/csv/json),
     * mirroring the reference's format_hint dispatch
     * (fugue_trino/execution_engine.py:190). CSV reads use an explicit schema

@@ -272,30 +272,36 @@ object Dedup {
     * (Schleimer et al., SIGMOD 2003), so the overlap count is a robust
     * containment proxy.
     *
-    * Scale shape: explode to narrow (id, n_fp, hash) rows, self-join on
-    * the 8-byte hash, count per pair — with `maxHashDocs` dropping hashes
-    * shared by too many docs (ubiquitous boilerplate would otherwise go
-    * quadratic, the same role maxBucketSize plays in the LSH operators).
+    * Scale shape: explode to narrow (id, hash) rows, drop hashes present
+    * in more than `maxHashDocs` documents BEFORE the self-join (pair
+    * generation is Σ per-hash count² — a hash shared by n docs emits
+    * n²/2 pairs, so ubiquitous boilerplate grams must go; they carry no
+    * containment signal precisely because they are everywhere). The
+    * containment denominator counts each doc's SURVIVING fingerprints, so
+    * the coefficient stays a true overlap ratio over the informative
+    * fingerprint subspace rather than being silently deflated by the cap.
     */
   def fingerprintOverlap(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, threshold: Double = 0.5,
-      maxHashDocs: Int = 1000,
+      maxHashDocs: Int = 100,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
-    val exploded = persistIf(
-      df.select(col(idCol).cast("long").as("id"),
-          GraftFunctions.winnow(col(textCol), k, w).as("fp"))
-        .filter(size(col("fp")) > 0)
-        .select(col("id"), size(col("fp")).as("n_fp"), explode(col("fp")).as("h")),
-      persistLevel)
-    val capped =
-      if (maxHashDocs > 0) {
-        val byHash = Window.partitionBy("h")
-        exploded.withColumn("__hd", count(lit(1)).over(byHash))
-          .filter(col("__hd") <= maxHashDocs)
-          .drop("__hd")
-      } else exploded
+    val exploded = df.select(col(idCol).cast("long").as("id"),
+        GraftFunctions.winnow(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) > 0)
+      .select(col("id"), explode(col("fp")).as("h"))
+    val capped = persistIf({
+      val filtered =
+        if (maxHashDocs > 0) {
+          val byHash = Window.partitionBy("h")
+          exploded.withColumn("__hd", count(lit(1)).over(byHash))
+            .filter(col("__hd") <= maxHashDocs)
+            .drop("__hd")
+        } else exploded
+      val byId = Window.partitionBy("id")
+      filtered.withColumn("n_fp", count(lit(1)).over(byId))
+    }, persistLevel) // feeds both sides of the pair join
     capped.select(col("id").as("id_a"), col("n_fp").as("n_fp_a"), col("h"))
       .join(capped.select(col("id").as("id_b"), col("n_fp").as("n_fp_b"), col("h")), "h")
       .filter(col("id_a") < col("id_b"))

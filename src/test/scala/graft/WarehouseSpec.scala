@@ -176,6 +176,28 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.registerNamespace("bad-ns") }
   }
 
+  test("analyzeTable feeds row counts and column NDVs to the optimizer") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_stats").toString
+    val w = Warehouse(spark, tmp)
+    w.saveTable(wh.loadTable("nation"), tmp, "statsdb.nation")
+    w.registerNamespace("statsdb")
+    w.analyzeTable("statsdb.nation")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true") // the ANALYZE+CBO pairing
+      val stats = spark.table("statsdb.nation").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"row count missing: $stats")
+      val desc = spark.sql("DESCRIBE EXTENDED statsdb.nation n_nationkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("distinct_count").exists(_ == "25"), desc.toString)
+      // CBO can now see the filtered table is tiny: filter estimate < total
+      val est = spark.table("statsdb.nation").filter(col("n_nationkey") < 3)
+        .queryExecution.optimizedPlan.stats
+      assert(est.sizeInBytes < stats.sizeInBytes)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("load dispatches SELECT/WITH to SQL and bare names to tables") {
     // ported from tests/fugue_bigquery/test_utils.py:test_is_select_query
     assert(Warehouse.isSelectQuery("\n    \n    SELECT\n    a\n    "))
