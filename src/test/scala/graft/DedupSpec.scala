@@ -149,6 +149,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!jac.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("fingerprintOverlap cap drops boilerplate but keeps real containment") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // every doc shares one boilerplate sentence (its fingerprints exceed
+    // the cap and must be dropped); the planted containment pair shares
+    // unique content and must survive on the informative subspace
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val core = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 60).map(i =>
+      (100L + i, s"$boiler " + (1 to 30).map(j => s"u${i}x$j").mkString(" "))) ++
+      Seq((1L, s"$boiler $core"), (2L, s"$boiler $core extra tail content here"))
+    val pairs = Dedup.fingerprintOverlap(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxHashDocs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"cap destroyed the real containment pair: $pairs")
+    assert(!pairs.exists(p => p._1 > 100L && p._2 > 100L),
+      s"boilerplate-only docs should not pair: $pairs")
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
