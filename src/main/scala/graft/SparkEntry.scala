@@ -770,6 +770,18 @@ object SparkEntry {
       .select("doc_id", "n_fp", "fp_min", "fp_max")
       .orderBy("doc_id")
 
+  /** Context-window chunking, oracle-checked: both engines compute the
+    * same window arithmetic over whitespace tokens, so chunk strings and
+    * counts must hash-match exactly (32-token windows, 8-token overlap —
+    * small enough that sf0.01 docs actually split).
+    */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Multimodal plumbing: synthetic media containers attached, then decoded
     * back through the batched binary mapPartitions path. Every decoded
     * field is a deterministic function of (doc_id, text), so the oracle
@@ -845,6 +857,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
+    "q_chunk" -> (qChunk _),
     "q_langid" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_redact" -> (qRedact _),
@@ -1181,6 +1194,23 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, stop_ratio, punct_ratio,
         | least(1.0, cast(n_tokens AS double)/50.0)*0.5 + stop_ratio*0.3 + (1.0-punct_ratio)*0.2 AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(trim(text), ' ') AS w,
+        |  len(string_split(trim(text), ' ')) AS n
+        | FROM documents),
+        |counts AS (
+        | SELECT doc_id, w, n,
+        |  CASE WHEN n <= 32 THEN 1
+        |       ELSE cast(ceil((n - 8) / 24.0) AS int) END AS nc
+        | FROM toks),
+        |idx AS (
+        | SELECT doc_id, w, n, unnest(generate_series(0, nc - 1)) AS chunk_idx
+        | FROM counts)
+        |SELECT doc_id, chunk_idx,
+        | cast(least(n - chunk_idx * 24, 32) AS bigint) AS n_chunk_tokens,
+        | array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_normalize" ->
       """WITH noisy AS (
         | SELECT doc_id, '  MiXeD' || chr(9) || chr(9) || 'Case   ' || text

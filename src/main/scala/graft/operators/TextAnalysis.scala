@@ -120,6 +120,34 @@ object TextAnalysis {
     df.withColumn(outCol, GraftFunctions.normalizeText(col(textCol)))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * windows of `chunkTokens` whitespace tokens with `overlap` tokens
+    * shared between neighbors — the step that fits long documents into a
+    * model's context window. Pure declarative column arithmetic (split /
+    * sequence / slice / array_join), so it explodes map-side with no
+    * shuffle and the DuckDB oracle replays it exactly. Chunk count is
+    * ceil((n - overlap) / stride) for n > chunkTokens, else 1.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - overlap).cast("double") / stride).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk"),
+        least(size(col("__toks")) - col("chunk_idx") * stride, lit(chunkTokens))
+          .as("n_chunk_tokens"))
+  }
+
   /** PII redaction patterns — public-knowledge regex shapes, written to
     * mean the same thing in Java regex and RE2 (no lookaround, no \b, so
     * the DuckDB oracle replays them exactly).

@@ -115,6 +115,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(special(2L) === "istanbul" && special(2L).length === 8)
   }
 
+  test("chunking covers every token with the declared overlap") {
+    import graft.operators.TextAnalysis
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, (1 to 32).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2).split(" ").toSeq))
+    val byDoc = chunks.groupBy(_._1)
+    // doc 1: 100 tokens, stride 24 -> ceil(92/24)=4 chunks
+    val d1 = byDoc(1L).sortBy(_._2).map(_._3)
+    assert(d1.length === 4)
+    assert(d1.take(3).forall(_.length === 32) && d1.last.length === 100 - 3 * 24)
+    // adjacent chunks share exactly the declared overlap
+    d1.sliding(2).foreach { w => assert(w(0).takeRight(8) === w(1).take(8)) }
+    // union of chunks reconstructs the document exactly
+    assert((d1.head ++ d1.tail.flatMap(_.drop(8))).mkString(" ") === text)
+    // short docs and exact-fit docs are a single chunk
+    assert(byDoc(2L).length === 1 && byDoc(2L).head._3 === Seq("short", "doc"))
+    assert(byDoc(3L).length === 1 && byDoc(3L).head._3.length === 32)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 8, overlap = 8)
+    }
+  }
+
   test("redact scrubs planted emails and IPs and leaves clean text alone") {
     import graft.operators.TextAnalysis
     val df = Seq(
