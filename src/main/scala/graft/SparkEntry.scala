@@ -778,7 +778,7 @@ object SparkEntry {
   private def qChunk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(wh(s, dir).loadTable("documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk"))
       .orderBy("doc_id", "chunk_idx")
 
