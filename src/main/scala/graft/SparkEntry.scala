@@ -1198,7 +1198,7 @@ object SparkEntry {
       """WITH toks AS (
         | SELECT doc_id, string_split(trim(text), ' ') AS w,
         |  len(string_split(trim(text), ' ')) AS n
-        | FROM documents),
+        | FROM documents WHERE trim(text) <> ''),
         |counts AS (
         | SELECT doc_id, w, n,
         |  CASE WHEN n <= 32 THEN 1

@@ -179,11 +179,14 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * usable from loadSql — the Spark-native form of the reference's
     * multi-dataset namespace layer (fugue_trino/collections.py:10-49:
     * TrinoTableSpace; BigQuery datasets). Tables are discovered by FS
-    * listing, and re-registered (DROP + CREATE, metadata-only) on every
-    * call so the catalog never serves a stale file index. One namespace
-    * level only (Spark's session catalog has 2-part names): deeper-nested
-    * tables ("cat.sch.t") remain load/save-only — subdirectories of
-    * `baseDir/<ns>/` are deliberately skipped, not silently flattened.
+    * listing. An already-registered table with an unchanged schema gets
+    * REFRESH TABLE (fresh file index, ANALYZE statistics preserved);
+    * a new table or a schema change gets DROP + CREATE (which discards
+    * stats — re-run [[analyzeTable]] after a schema-changing rewrite).
+    * One namespace level only (Spark's session catalog has 2-part
+    * names): deeper-nested tables ("cat.sch.t") remain load/save-only —
+    * subdirectories of `baseDir/<ns>/` are deliberately skipped, not
+    * silently flattened.
     */
   def registerNamespace(ns: String): Unit = {
     require(ns.matches("[A-Za-z0-9_]+"), s"invalid namespace name: '$ns'")
@@ -195,8 +198,15 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       val name = st.getPath.getName
       if (name.endsWith(".parquet")) {
         val t = name.stripSuffix(".parquet")
-        spark.sql(s"DROP TABLE IF EXISTS `$ns`.`$t`")
-        spark.sql(s"CREATE TABLE `$ns`.`$t` USING parquet LOCATION '${st.getPath}'")
+        val qualified = s"`$ns`.`$t`"
+        val sameSchema = spark.catalog.tableExists(qualified) &&
+          (try spark.table(qualified).schema == spark.read.parquet(st.getPath.toString).schema
+           catch { case _: Exception => false })
+        if (sameSchema) spark.sql(s"REFRESH TABLE $qualified")
+        else {
+          spark.sql(s"DROP TABLE IF EXISTS $qualified")
+          spark.sql(s"CREATE TABLE $qualified USING parquet LOCATION '${st.getPath}'")
+        }
       }
     }
   }

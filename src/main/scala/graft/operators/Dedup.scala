@@ -284,7 +284,7 @@ object Dedup {
   def fingerprintOverlap(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, threshold: Double = 0.5,
-      maxHashDocs: Int = 100,
+      maxHashDocs: Int = 100, minSurvivingFp: Int = 10,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
     val exploded = df.select(col(idCol).cast("long").as("id"),
@@ -300,7 +300,12 @@ object Dedup {
             .drop("__hd")
         } else exploded
       val byId = Window.partitionBy("id")
+      // Docs reduced to fewer than minSurvivingFp informative fingerprints
+      // (i.e. ~all boilerplate) are excluded: a 2-fingerprint doc sharing
+      // one sub-cap phrase with anything would otherwise score a spurious
+      // containment of 0.5-1.0 on no real evidence.
       filtered.withColumn("n_fp", count(lit(1)).over(byId))
+        .filter(col("n_fp") >= math.max(1, minSurvivingFp))
     }, persistLevel) // feeds both sides of the pair join
     capped.select(col("id").as("id_a"), col("n_fp").as("n_fp_a"), col("h"))
       .join(capped.select(col("id").as("id_b"), col("n_fp").as("n_fp_b"), col("h")), "h")

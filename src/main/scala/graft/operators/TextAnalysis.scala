@@ -135,9 +135,12 @@ object TextAnalysis {
     val stride = chunkTokens - overlap
     val toks = split(trim(col(textCol)), " ")
     val n = size(toks)
+    // empty / whitespace-only docs emit NO chunks (split of "" yields [""]
+    // — without this guard they'd count as one 1-token chunk)
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(ceil((n - overlap).cast("double") / stride).cast("int"))
-    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),

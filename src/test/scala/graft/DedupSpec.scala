@@ -168,6 +168,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"boilerplate-only docs should not pair: $pairs")
   }
 
+  test("containment floor excludes docs that are ~all boilerplate") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // 150 docs share the boilerplate (capped away); docs 1 and 2 are pure
+    // boilerplate plus ONE shared sub-cap phrase — with almost no
+    // surviving fingerprints they must not report containment=1.0
+    val boiler = (1 to 30).map(i => s"bb$i").mkString(" ")
+    val phrase = "rare shared phrase here"
+    val docs = (1 to 150).map(i => (100L + i, s"$boiler filler$i")) ++
+      Seq((1L, s"$boiler $phrase"), (2L, s"$phrase $boiler"))
+    val pairs = Dedup.fingerprintOverlap(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxHashDocs = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)),
+      s"near-zero-evidence pair should be excluded by the floor: $pairs")
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))

@@ -134,6 +134,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // short docs and exact-fit docs are a single chunk
     assert(byDoc(2L).length === 1 && byDoc(2L).head._3 === Seq("short", "doc"))
     assert(byDoc(3L).length === 1 && byDoc(3L).head._3.length === 32)
+    // empty / whitespace-only docs emit no chunks at all
+    val empties = TextAnalysis.chunk(
+      Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(empties.count() === 0)
     intercept[IllegalArgumentException] {
       TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 8, overlap = 8)
     }

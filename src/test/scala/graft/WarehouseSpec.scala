@@ -195,6 +195,10 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       val est = spark.table("statsdb.nation").filter(col("n_nationkey") < 3)
         .queryExecution.optimizedPlan.stats
       assert(est.sizeInBytes < stats.sizeInBytes)
+      // a routine re-register takes the REFRESH path and keeps the stats
+      w.registerNamespace("statsdb")
+      val stats2 = spark.table("statsdb.nation").queryExecution.optimizedPlan.stats
+      assert(stats2.rowCount.contains(BigInt(25)), s"REFRESH dropped stats: $stats2")
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
