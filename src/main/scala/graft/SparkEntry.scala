@@ -643,6 +643,27 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash RECALL, oracle-checked: every pair with EXACT trigram
+    * jaccard ≥ 0.7 (recomputed all-pairs by DuckDB) must be found by the
+    * est ≥ 0.5 minhash pass — the 0.2 margin is ~5 standard errors of the
+    * 128-perm estimator, and hashing is seeded, so the boolean is
+    * deterministic. Upgrades the probabilistic operator from rows-only to
+    * a driver-checked recall contract.
+    */
+  private def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val found = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_minhash"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram jaccard (prefix-filtered) — fully oracle-checked: the
     * DuckDB side recomputes the same trigram sets all-pairs; prefix
     * filtering is exact for jaccard ≥ τ, so results must agree bit-for-bit
@@ -848,6 +869,7 @@ object SparkEntry {
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -1055,6 +1077,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_minhash_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.g, b.g)) AS i,
+        |  len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, true AS found_by_minhash FROM pairs
+        |WHERE cast(i AS double) / u >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |grams AS (SELECT doc_id,
