@@ -645,10 +645,12 @@ object SparkEntry {
 
   /** MinHash RECALL, oracle-checked: every pair with EXACT trigram
     * jaccard ≥ 0.7 (recomputed all-pairs by DuckDB) must be found by the
-    * est ≥ 0.5 minhash pass — the 0.2 margin is ~5 standard errors of the
-    * 128-perm estimator, and hashing is seeded, so the boolean is
-    * deterministic. Upgrades the probabilistic operator from rows-only to
-    * a driver-checked recall contract.
+    * est ≥ 0.5 minhash pass. Two miss terms, both tiny and both FROZEN by
+    * the seeded hashing: the estimator (0.2 margin ≈ 5 standard errors of
+    * 128 perms) and LSH banding (a j=0.7 pair misses all 32 4-row bands
+    * with prob (1-0.7⁴)³² ≈ 1.5e-4). Deterministic on given data — a
+    * regenerated corpus re-rolls the banding lottery, so if this row ever
+    * goes red after a data refresh, suspect a band miss before a bug.
     */
   private def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
@@ -797,7 +799,7 @@ object SparkEntry {
     * small enough that sf0.01 docs actually split).
     */
   private def qChunk(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.chunk(wh(s, dir).loadTable("documents"), "doc_id", "text",
+    TextAnalysis.chunk(wh(s, dir).loadTable("documents"), "text",
         chunkTokens = 32, overlap = 8)
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("n_chunk_tokens").cast("long").as("n_chunk_tokens"), col("chunk"))

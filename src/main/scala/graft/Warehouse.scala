@@ -159,15 +159,22 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // this dir so the next registerAll/loadSql rebuilds the view.
     Warehouse.invalidate(outDir, table)
     // Namespaced catalog tables (registerNamespace) cache their file index
-    // in THIS session's tableRelationCache — refresh it so qualified SQL
-    // sees the new files too. (Other sessions' catalogs refresh on their
-    // own registerNamespace; documented there.)
+    // AND their ANALYZE statistics — after a data rewrite both are stale,
+    // so DROP+CREATE re-points the entry and discards the now-invalid
+    // stats (re-run analyzeTable afterwards if CBO is in use). A plain
+    // refresh would keep old row counts attached to new data, the
+    // mis-sizing failure mode analyzeTable's doc warns about. (Other
+    // sessions' catalogs refresh on their own registerNamespace.)
     val parts = table.split("\\.", -1)
     if (parts.length == 2) {
       val qualified = s"`${parts(0)}`.`${parts(1)}`"
       try {
-        if (spark.catalog.tableExists(qualified)) spark.catalog.refreshTable(qualified)
-      } catch { case _: Exception => () } // no catalog entry — nothing to refresh
+        if (spark.catalog.tableExists(qualified)) {
+          spark.sql(s"DROP TABLE IF EXISTS $qualified")
+          spark.sql(s"CREATE TABLE $qualified USING parquet " +
+            s"LOCATION '${Warehouse.tablePath(outDir, table)}'")
+        }
+      } catch { case _: Exception => () } // no catalog entry — nothing to do
     }
   }
 
@@ -179,10 +186,12 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * usable from loadSql — the Spark-native form of the reference's
     * multi-dataset namespace layer (fugue_trino/collections.py:10-49:
     * TrinoTableSpace; BigQuery datasets). Tables are discovered by FS
-    * listing. An already-registered table with an unchanged schema gets
-    * REFRESH TABLE (fresh file index, ANALYZE statistics preserved);
-    * a new table or a schema change gets DROP + CREATE (which discards
-    * stats — re-run [[analyzeTable]] after a schema-changing rewrite).
+    * listing. An already-registered table with unchanged location AND
+    * schema gets REFRESH TABLE (fresh file index, ANALYZE statistics
+    * preserved — safe because nothing about the table changed); a new
+    * table, another warehouse's same-named table, or a schema change
+    * gets DROP + CREATE. Data rewrites drop stats at the write site
+    * ([[saveTable]]) — re-run [[analyzeTable]] after any rewrite.
     * One namespace level only (Spark's session catalog has 2-part
     * names): deeper-nested tables ("cat.sch.t") remain load/save-only —
     * subdirectories of `baseDir/<ns>/` are deliberately skipped, not
@@ -199,10 +208,18 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       if (name.endsWith(".parquet")) {
         val t = name.stripSuffix(".parquet")
         val qualified = s"`$ns`.`$t`"
-        val sameSchema = spark.catalog.tableExists(qualified) &&
-          (try spark.table(qualified).schema == spark.read.parquet(st.getPath.toString).schema
-           catch { case _: Exception => false })
-        if (sameSchema) spark.sql(s"REFRESH TABLE $qualified")
+        // REFRESH only when the existing entry points at THIS location
+        // with THIS schema — a same-named table registered from another
+        // warehouse dir, or a schema change, must re-point (DROP+CREATE);
+        // schema/location checks are why REFRESH can safely keep stats.
+        val sameTable = spark.catalog.tableExists(qualified) &&
+          (try {
+            val meta = spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns)))
+            meta.location == st.getPath.toUri &&
+              spark.table(qualified).schema == spark.read.parquet(st.getPath.toString).schema
+          } catch { case _: Exception => false })
+        if (sameTable) spark.sql(s"REFRESH TABLE $qualified")
         else {
           spark.sql(s"DROP TABLE IF EXISTS $qualified")
           spark.sql(s"CREATE TABLE $qualified USING parquet LOCATION '${st.getPath}'")

@@ -290,7 +290,7 @@ object Dedup {
     val exploded = df.select(col(idCol).cast("long").as("id"),
         GraftFunctions.winnow(col(textCol), k, w).as("fp"))
       .filter(size(col("fp")) > 0)
-      .select(col("id"), explode(col("fp")).as("h"))
+      .select(col("id"), size(col("fp")).as("n_total"), explode(col("fp")).as("h"))
     val capped = persistIf({
       val filtered =
         if (maxHashDocs > 0) {
@@ -300,12 +300,15 @@ object Dedup {
             .drop("__hd")
         } else exploded
       val byId = Window.partitionBy("id")
-      // Docs reduced to fewer than minSurvivingFp informative fingerprints
-      // (i.e. ~all boilerplate) are excluded: a 2-fingerprint doc sharing
-      // one sub-cap phrase with anything would otherwise score a spurious
-      // containment of 0.5-1.0 on no real evidence.
+      // Docs GUTTED by the cap (most fingerprints were boilerplate and
+      // few informative ones remain) are excluded: a 2-fingerprint
+      // survivor sharing one sub-cap phrase would otherwise score a
+      // spurious containment of 0.5-1.0 on no real evidence. Docs that
+      // are merely SHORT (n_fp == n_total: nothing was capped) stay —
+      // a short quote inside a long doc is the operator's core use case.
       filtered.withColumn("n_fp", count(lit(1)).over(byId))
-        .filter(col("n_fp") >= math.max(1, minSurvivingFp))
+        .filter(col("n_fp") >= math.max(1, minSurvivingFp) ||
+          col("n_fp") === col("n_total"))
     }, persistLevel) // feeds both sides of the pair join
     capped.select(col("id").as("id_a"), col("n_fp").as("n_fp_a"), col("h"))
       .join(capped.select(col("id").as("id_b"), col("n_fp").as("n_fp_b"), col("h")), "h")

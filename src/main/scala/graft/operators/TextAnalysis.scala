@@ -127,8 +127,14 @@ object TextAnalysis {
     * sequence / slice / array_join), so it explodes map-side with no
     * shuffle and the DuckDB oracle replays it exactly. Chunk count is
     * ceil((n - overlap) / stride) for n > chunkTokens, else 1.
+    *
+    * Column contract: every input column EXCEPT `textCol` rides along to
+    * each chunk row (joined by chunk_idx / chunk / n_chunk_tokens) —
+    * carrying the full source text per chunk would multiply the data by
+    * the chunk count, but doc metadata (ids, language, quality) stays
+    * attached for free.
     */
-  def chunk(df: DataFrame, idCol: String, textCol: String,
+  def chunk(df: DataFrame, textCol: String,
       chunkTokens: Int = 128, overlap: Int = 16): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
@@ -140,15 +146,14 @@ object TextAnalysis {
     val nChunks = when(n <= chunkTokens, lit(1))
       .otherwise(ceil((n - overlap).cast("double") / stride).cast("int"))
     df.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
-      .select(col(idCol), col("chunk_idx"),
+      .withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk",
         array_join(
-          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
-          .as("chunk"),
-        least(size(col("__toks")) - col("chunk_idx") * stride, lit(chunkTokens))
-          .as("n_chunk_tokens"))
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " "))
+      .withColumn("n_chunk_tokens",
+        least(size(col("__toks")) - col("chunk_idx") * stride, lit(chunkTokens)))
+      .drop("__toks", textCol)
   }
 
   /** PII redaction patterns — public-knowledge regex shapes, written to

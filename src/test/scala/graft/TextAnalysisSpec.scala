@@ -120,7 +120,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, text), (2L, "short doc"), (3L, (1 to 32).map(i => s"e$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val chunks = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 32, overlap = 8)
+    val chunks = TextAnalysis.chunk(df, "text", chunkTokens = 32, overlap = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2).split(" ").toSeq))
     val byDoc = chunks.groupBy(_._1)
     // doc 1: 100 tokens, stride 24 -> ceil(92/24)=4 chunks
@@ -136,10 +136,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(byDoc(3L).length === 1 && byDoc(3L).head._3.length === 32)
     // empty / whitespace-only docs emit no chunks at all
     val empties = TextAnalysis.chunk(
-      Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"), "text")
     assert(empties.count() === 0)
+    // metadata columns ride along to every chunk row (text is dropped)
+    val meta = TextAnalysis.chunk(
+      Seq((1L, "en", (1 to 50).map(i => s"m$i").mkString(" "))).toDF("doc_id", "lang", "text"),
+      "text", chunkTokens = 32, overlap = 8)
+    assert(meta.columns.toSeq === Seq("doc_id", "lang", "chunk_idx", "chunk", "n_chunk_tokens"))
+    assert(meta.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq("en"))
     intercept[IllegalArgumentException] {
-      TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 8, overlap = 8)
+      TextAnalysis.chunk(df, "text", chunkTokens = 8, overlap = 8)
     }
   }
 
