@@ -818,6 +818,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multimodal PLANNING surface, oracle-checked: resize targets
+    * (aspect-preserving fit into 64×48) and evenly-spaced frame-sampling
+    * indices are pure deterministic arithmetic over the decoded header
+    * dims, so DuckDB recomputes every value — frame index lists ride as
+    * comma-joined strings (array columns don't survive the driver's
+    * normalization; strings do).
+    */
+  private def qMultimodalPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val meta = Multimodal.decodeMeta(
+      Multimodal.attachBinary(docs, "doc_id", "text"), "doc_id", "media")
+      .withColumn("n_frames", col("id") % 40)
+    Multimodal.sampleFramesMeta(Multimodal.resizeMeta(meta, 64, 48), "n_frames", 8)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("target_width"), col("target_height"), col("n_frames"),
+        array_join(col("frame_indices"), ",").as("frame_plan"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -888,7 +907,8 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_containment" -> (qContainment _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_multimodal_meta" -> (qMultimodalMeta _)
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_plan" -> (qMultimodalPlan _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1274,6 +1294,26 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
         |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g') AS clean
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_multimodal_plan" ->
+      """WITH meta AS (
+        | SELECT doc_id,
+        |  cast(32 + doc_id % 64 AS bigint) AS width,
+        |  cast(32 + (doc_id * 7) % 64 AS bigint) AS height,
+        |  doc_id % 40 AS n_frames
+        | FROM documents),
+        |scaled AS (
+        | SELECT *, least(64.0 / width, 48.0 / height, 1.0) AS s FROM meta)
+        |SELECT doc_id, width, height,
+        | cast(floor(width * s) AS bigint) AS target_width,
+        | cast(floor(height * s) AS bigint) AS target_height,
+        | n_frames,
+        | CASE WHEN n_frames <= 0 THEN ''
+        |      WHEN n_frames <= 8 THEN
+        |        array_to_string(generate_series(0, n_frames - 1), ',')
+        |      ELSE array_to_string(list_transform(generate_series(0, 7),
+        |             i -> (i * n_frames) // 8), ',')
+        | END AS frame_plan
+        |FROM scaled ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         | 32 + doc_id % 64 AS width,
