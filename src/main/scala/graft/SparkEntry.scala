@@ -818,6 +818,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** File-format IO roundtrip, oracle-checked at the driver: nation is
+    * written to csv AND json, read back schema-first, and the union of
+    * both reads must hash-match two copies of the source table — any
+    * quoting/typing/encoding loss in either format path breaks the gate.
+    * (Writes land under java.io.tmpdir, keyed by the input dir.)
+    */
+  private def qIoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val w = wh(s, dir)
+    val n = w.loadTable("nation")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    w.saveDf(n, s"$tmp/csv", format = "csv")
+    w.saveDf(n, s"$tmp/json", format = "json")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType), StructField("n_comment", StringType)))
+    val back = w.loadDf(s"$tmp/csv", "csv", Some(schema))
+      .unionByName(w.loadDf(s"$tmp/json", "json", Some(schema)))
+    back.select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** Multimodal PLANNING surface, oracle-checked: resize targets
     * (aspect-preserving fit into 64×48) and evenly-spaced frame-sampling
     * indices are pure deterministic arithmetic over the decoded header
@@ -875,6 +898,7 @@ object SparkEntry {
     "q_rename_drop" -> (qRenameDrop _),
     "q_select_sql" -> (qSelectSql _),
     "q_load_pushdown" -> (qLoadPushdown _),
+    "q_io_roundtrip" -> (qIoRoundtrip _),
     "q_transform_map" -> (qTransformMap _),
     "q_cogroup" -> (qCogroup _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1096,6 +1120,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_quantity > 45.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_io_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        | SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
