@@ -818,6 +818,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test split contract, oracle-checked: the three seeded-hash
+    * splits must be exhaustive (counts sum to the DuckDB-recomputed table
+    * total) and pairwise disjoint (semi-join overlaps pinned to zero).
+    * The split itself is Spark-hash-based (not SQL-replicable); the
+    * CONTRACT is what the oracle certifies.
+    */
+  private def qSplitContract(s: SparkSession, dir: String): DataFrame = {
+    val orders = wh(s, dir).loadTable("orders").select("o_orderkey")
+    val Seq(tr, va, te) = Relational.split(orders, Seq(0.7, 0.2, 0.1))
+    def overlap(a: DataFrame, b: DataFrame): Column =
+      lit(a.join(b, Seq("o_orderkey"), "left_semi").count())
+    tr.agg(count(lit(1)).as("__n1"))
+      .crossJoin(va.agg(count(lit(1)).as("__n2")))
+      .crossJoin(te.agg(count(lit(1)).as("__n3")))
+      .select((col("__n1") + col("__n2") + col("__n3")).as("n_total"),
+        (overlap(tr, va) + overlap(tr, te) + overlap(va, te)).as("n_overlap"))
+  }
+
   /** File-format IO roundtrip, oracle-checked at the driver: nation is
     * written to csv AND json, read back schema-first, and the union of
     * both reads must hash-match two copies of the source table — any
@@ -899,6 +917,7 @@ object SparkEntry {
     "q_select_sql" -> (qSelectSql _),
     "q_load_pushdown" -> (qLoadPushdown _),
     "q_io_roundtrip" -> (qIoRoundtrip _),
+    "q_split_contract" -> (qSplitContract _),
     "q_transform_map" -> (qTransformMap _),
     "q_cogroup" -> (qCogroup _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1124,6 +1143,9 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM (
         | SELECT * FROM nation UNION ALL SELECT * FROM nation)
         |ORDER BY n_nationkey""".stripMargin,
+    "q_split_contract" ->
+      """SELECT count(*) AS n_total, cast(0 AS bigint) AS n_overlap
+        |FROM orders""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
