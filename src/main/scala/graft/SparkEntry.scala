@@ -827,13 +827,19 @@ object SparkEntry {
   private def qSplitContract(s: SparkSession, dir: String): DataFrame = {
     val orders = wh(s, dir).loadTable("orders").select("o_orderkey")
     val Seq(tr, va, te) = Relational.split(orders, Seq(0.7, 0.2, 0.1))
-    def overlap(a: DataFrame, b: DataFrame): Column =
-      lit(a.join(b, Seq("o_orderkey"), "left_semi").count())
+    // Overlaps are 1-row left-semi aggregates INSIDE the returned plan —
+    // building this query runs zero Spark jobs (eager .count() here would
+    // execute at plan-build time and bill the work to the wrong query).
+    def overlap(a: DataFrame, b: DataFrame, as: String): DataFrame =
+      a.join(b, Seq("o_orderkey"), "left_semi").agg(count(lit(1)).as(as))
     tr.agg(count(lit(1)).as("__n1"))
       .crossJoin(va.agg(count(lit(1)).as("__n2")))
       .crossJoin(te.agg(count(lit(1)).as("__n3")))
+      .crossJoin(overlap(tr, va, "__o1"))
+      .crossJoin(overlap(tr, te, "__o2"))
+      .crossJoin(overlap(va, te, "__o3"))
       .select((col("__n1") + col("__n2") + col("__n3")).as("n_total"),
-        (overlap(tr, va) + overlap(tr, te) + overlap(va, te)).as("n_overlap"))
+        (col("__o1") + col("__o2") + col("__o3")).as("n_overlap"))
   }
 
   /** File-format IO roundtrip, oracle-checked at the driver: nation is
@@ -876,6 +882,108 @@ object SparkEntry {
         col("target_width"), col("target_height"), col("n_frames"),
         array_join(col("frame_indices"), ",").as("frame_plan"))
       .orderBy("doc_id")
+  }
+
+  /** Namespaced-catalog contract (SURVEY rows 37b + 37c), oracle-checked at
+    * the driver: two namespaces are materialized as warehouse subdirs
+    * (catalog.schema.table resolution, fugue_trino/collections.py:10-49),
+    * registered as catalog databases, and queried through a QUALIFIED
+    * cross-namespace SQL join. Registration freshness is exercised
+    * end-to-end: `nsa.nation` is first saved TRUNCATED (10 rows),
+    * registered, materialized by a count (so the catalog caches a file
+    * index), then OVERWRITTEN with the full table — the final join must see
+    * all 25 rows through the already-registered name, or the driver's hash
+    * gate breaks (a frozen file index would throw FileNotFoundException or
+    * serve 10 rows). The oracle replays the same join over the source
+    * tables.
+    */
+  private def qNamespace(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ns_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    val nsA = "graft_nsa"
+    val nsB = "graft_nsb"
+    w.saveTable(w.loadTable("nation").filter(col("n_nationkey") < 10),
+      tmp, s"$nsA.nation", "overwrite")
+    w.saveTable(w.loadTable("region"), tmp, s"$nsB.region", "overwrite")
+    val w2 = Warehouse(s, tmp)
+    w2.registerNamespace(nsA)
+    w2.registerNamespace(nsB)
+    // Materialize the catalog entry's file index on the STALE data, then
+    // overwrite — the freshness contract under test (row 37c).
+    require(s.table(s"`$nsA`.nation").count() == 10L, "namespace pre-state")
+    w.saveTable(w.loadTable("nation"), tmp, s"$nsA.nation", "overwrite")
+    s.sql(
+      s"""SELECT n.n_nationkey, n.n_name, r.r_name
+         |FROM `$nsA`.nation n JOIN `$nsB`.region r
+         |  ON n.n_regionkey = r.r_regionkey
+         |ORDER BY n.n_nationkey""".stripMargin)
+  }
+
+  /** save_table / table_exists / get_schema lifecycle (SURVEY rows 33 + 34),
+    * oracle-checked: overwrite-then-append doubles t1; a second overwrite
+    * fully replaces t2 (nation → region, schema change included); "error"
+    * mode on an existing table must raise (fugue_trino/execution_engine.py:
+    * 89-97); existence is true for written tables and false for absent
+    * ones; the read-back schema is pinned as a literal contract column.
+    * Counts and the data checksum are computed INSIDE the returned plan
+    * (file state is final once the plan runs).
+    */
+  private def qTableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tbl_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    w.saveTable(w.loadTable("nation"), tmp, "t1", "overwrite")
+    w.saveTable(w.loadTable("nation"), tmp, "t1", "append")
+    w.saveTable(w.loadTable("nation"), tmp, "t2", "overwrite")
+    w.saveTable(w.loadTable("region"), tmp, "t2", "overwrite")
+    val errorRaised =
+      try { w.saveTable(w.loadTable("nation"), tmp, "t1", "error"); false }
+      catch { case _: Exception => true }
+    val wt = Warehouse(s, tmp)
+    val schemaStr = wt.getSchema("t2").fieldNames.mkString(",")
+    wt.loadTable("t1").agg(count(lit(1)).as("n_after_append"))
+      .crossJoin(wt.loadTable("t2").agg(
+        count(lit(1)).as("n_after_overwrite"),
+        sum("r_regionkey").cast("long").as("sum_rkey")))
+      .select(col("n_after_append"), col("n_after_overwrite"), col("sum_rkey"),
+        lit(w.tableExists(tmp, "t1")).as("t1_exists"),
+        lit(w.tableExists(tmp, "no_such_table")).as("missing_exists"),
+        lit(errorRaised).as("error_raised"),
+        lit(schemaStr).as("t2_columns"))
+  }
+
+  /** Multi-path parquet load_df/save_df roundtrip (SURVEY row 35),
+    * oracle-checked: nation is split into two disjoint parquet dirs, read
+    * back as ONE multi-path scan (Seq[String] → one job, one file list —
+    * fugue_bigquery/execution_engine.py:199's Union[str, List[str]]), and
+    * the reassembled table must hash-match the source.
+    */
+  private def qIoParquet(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val n = w.loadTable("nation")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_par_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    w.saveDf(n.filter(col("n_regionkey") < 2), s"$tmp/p1", format = "parquet")
+    w.saveDf(n.filter(col("n_regionkey") >= 2), s"$tmp/p2", format = "parquet")
+    w.loadDf(Seq(s"$tmp/p1", s"$tmp/p2"), "parquet", None, header = true)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** Streaming dedup, batch contract form (SURVEY row 52): the event table
+    * replayed twice (simulated at-least-once delivery) then deduped on
+    * event_id must aggregate exactly like the original single stream. The
+    * streaming form (dropDuplicatesWithinWatermark) shares key semantics —
+    * parity asserted in StreamingSpec.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events")
+    graft.streaming.Events.dedupBatch(ev.unionByName(ev), Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
+      .orderBy("event_type")
   }
 
   // ---- registry --------------------------------------------------------
@@ -951,7 +1059,11 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_multimodal_plan" -> (qMultimodalPlan _)
+    "q_multimodal_plan" -> (qMultimodalPlan _),
+    "q_namespace" -> (qNamespace _),
+    "q_table_lifecycle" -> (qTableLifecycle _),
+    "q_io_parquet" -> (qIoParquet _),
+    "q_stream_dedup" -> (qStreamDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1371,6 +1483,23 @@ object SparkEntry {
         | chr(cast(48 + doc_id % 3 AS int)) AS format,
         | cast(5 + octet_length(encode(text)) AS bigint) AS n_bytes,
         | cast(octet_length(encode(text)) AS bigint) AS payload_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_namespace" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_table_lifecycle" ->
+      """SELECT (SELECT cast(count(*) * 2 AS bigint) FROM nation) AS n_after_append,
+        | (SELECT count(*) FROM region) AS n_after_overwrite,
+        | (SELECT cast(sum(r_regionkey) AS bigint) FROM region) AS sum_rkey,
+        | true AS t1_exists, false AS missing_exists, true AS error_raised,
+        | 'r_regionkey,r_name' AS t2_columns""".stripMargin,
+    "q_io_parquet" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS sum_value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -131,6 +131,16 @@ object Events {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Batch re-expression of [[dedupStream]]: first occurrence per key over
+    * the whole input (the watermark horizon of a bounded table is the whole
+    * table). This is the oracle-checked correctness surface for streaming
+    * dedup — q_stream_dedup replays the event table twice (simulated
+    * at-least-once delivery) and the deduped result must equal the original
+    * stream exactly.
+    */
+  def dedupBatch(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicates(keyCols)
+
   // ---- streaming sessionization ---------------------------------------
 
   /** Typed event row for the stateful streaming path. */
