@@ -50,6 +50,9 @@ object GraftFunctions {
           intLit(args(2), "numTables"), longLit(args(3), "seed"))),
     "graft_langid_hits" ->
       ((args: Seq[Expression]) => LangIdHits(args.head, LangIdHits.defaultLangs)),
+    "graft_quality_counts" ->
+      ((args: Seq[Expression]) =>
+        QualityCounts(args.head, LangIdHits.defaultStopwords("en"))),
     "graft_normalize" ->
       ((args: Seq[Expression]) => NormalizeText(args.head)),
     "graft_winnow" ->
@@ -96,6 +99,10 @@ object GraftFunctions {
   /** [h_en, h_de, h_fr, h_es, h_zh] stopword/CJK hit counts, one scan. */
   def langIdHits(text: Column): Column =
     call_function("graft_langid_hits", text)
+
+  /** [n_chars, n_tokens, stop_hits, punct_hits], one scan. */
+  def qualityCounts(text: Column): Column =
+    call_function("graft_quality_counts", text)
 
   /** NFC + lowercase + whitespace-collapse canonical text, one scan. */
   def normalizeText(text: Column): Column =

@@ -404,6 +404,81 @@ object Kernels {
     new GenericArrayData(counts)
   }
 
+  /** Single-pass quality counts: [n_chars, n_tokens, stop_hits, punct_hits]
+    * in ONE scan of the document — replaces the three regex passes (en
+    * stopword `\b(...)\b`, punct class `[^a-z0-9 ]`, plus two `lower()`
+    * materializations) the column-expression form needed. At 100 TB the
+    * quality score is a full-corpus map, so this is 1× instead of ~3× the
+    * scan cost (same shape as [[langIdHits]]' 5×→1× win).
+    *
+    * Semantics are EXACTLY the DuckDB oracle's (and the previous green
+    * column form's, asserted equal in TextAnalysisSpec):
+    *  - n_chars  = length(text): code points of the ORIGINAL text.
+    *  - n_tokens = len(string_split(trim(text), ' ')): single-space splits
+    *    of the space-trimmed text, empty tokens preserved — i.e. interior
+    *    spaces + 1 (an empty/all-space doc has 1 empty token).
+    *  - stop_hits = RE2 `\b(stopwords)\b` matches over lower(text):
+    *    maximal [a-z0-9_] runs of the SIMPLE-lowercased text equal to a
+    *    stopword (per-code-point Character.toLowerCase = utf8proc lower;
+    *    Java's full String.toLowerCase would diverge on İ/final-sigma).
+    *  - punct_hits = `[^a-z0-9 ]` matches over lower(text): code points of
+    *    the lowered text outside [a-z0-9 ] (underscore and all whitespace
+    *    except the plain space count as punctuation, like the regex).
+    */
+  def qualityCounts(text: UTF8String, lookup: LangLookup): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val table = lookup.packed
+    var nChars = 0
+    var stopHits = 0
+    var punctHits = 0
+    var totalSpaces = 0
+    var leadingSpaces = 0
+    var trailingSpaces = 0
+    var seenNonSpace = false
+    var packed = 0L
+    var runLen = 0
+    var i = 0
+    while (i <= n) {
+      val cp = if (i < n) s.codePointAt(i) else ' ' // virtual trailing boundary
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == '_') {
+        if (runLen < 8) { packed = (packed << 8) | lc; runLen += 1 }
+        else runLen = 9 // longer than any stopword; keep consuming the run
+      } else {
+        if (runLen >= 1 && runLen <= 8) {
+          var idx = java.util.Arrays.binarySearch(table, packed)
+          if (idx >= 0) {
+            while (idx > 0 && table(idx - 1) == packed) idx -= 1
+            while (idx < table.length && table(idx) == packed) {
+              stopHits += 1
+              idx += 1
+            }
+          }
+        }
+        packed = 0L
+        runLen = 0
+      }
+      if (i < n) {
+        nChars += 1
+        if (!((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc == ' '))
+          punctHits += 1
+        if (cp == ' ') {
+          totalSpaces += 1
+          if (!seenNonSpace) leadingSpaces += 1
+          trailingSpaces += 1
+        } else {
+          seenNonSpace = true
+          trailingSpaces = 0
+        }
+        i += Character.charCount(cp)
+      } else i += 1
+    }
+    val interior =
+      if (!seenNonSpace) 0 else totalSpaces - leadingSpaces - trailingSpaces
+    new GenericArrayData(Array(nChars, interior + 1, stopHits, punctHits))
+  }
+
   /** BPE token count of a text under a trained merge table: words
     * (whitespace-split) start as code-unit symbols; the lowest-rank
     * adjacent pair merges first (standard greedy BPE apply), repeated to

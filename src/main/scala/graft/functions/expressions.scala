@@ -161,6 +161,26 @@ object LangIdHits {
   def defaultLangs: Seq[Seq[String]] = defaultOrder.map(defaultStopwords)
 }
 
+/** Quality counts [n_chars, n_tokens, stop_hits, punct_hits] of a string
+  * column in ONE text scan → array<int> of length 4. Counts are identical
+  * to length(text) / len(split(trim(text),' ')) / `\b(stopwords)\b` /
+  * `[^a-z0-9 ]` over lower(text) — see [[Kernels.qualityCounts]].
+  */
+case class QualityCounts(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val lookup = LangLookup.build(Seq(stopwords))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.qualityCounts(input.asInstanceOf[UTF8String], lookup)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityLookup", lookup, classOf[LangLookup].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.qualityCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityCounts =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quality_counts"
+}
+
 /** Canonical text normalization (NFC + lower + whitespace collapse) of a
   * string column → string, one kernel pass. See [[Kernels.normalizeText]].
   */

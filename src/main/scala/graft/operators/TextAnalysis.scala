@@ -76,13 +76,22 @@ object TextAnalysis {
     * ratio, and a [0,1]-ish composite. All ratios are double divisions of
     * exact ints with explicit casts, and the composite's operation order is
     * mirrored exactly in the oracle SQL.
+    *
+    * All four counts come from ONE pass of the counting kernel
+    * ([[graft.functions.Kernels.qualityCounts]]) instead of three regex
+    * scans plus two lower() materializations per document — same 1× vs k×
+    * map-cost argument as [[langId]]. The four getItem projections collapse
+    * to a single kernel call under whole-stage codegen subexpression
+    * elimination; count semantics (incl. RE2 ASCII `\b` and simple-case
+    * lower) are pinned to the regex forms in TextAnalysisSpec.
     */
   def quality(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_chars", length(t))
-      .withColumn("n_tokens", size(split(trim(t), " ")))
-      .withColumn("stop_hits", langHits(t, "en"))
-      .withColumn("punct_hits", size(regexp_extract_all(lower(t), lit("[^a-z0-9 ]"), lit(0))))
+    GraftFunctions.ensure(df.sparkSession)
+    val counts = GraftFunctions.qualityCounts(col(textCol))
+    df.withColumn("n_chars", counts.getItem(0))
+      .withColumn("n_tokens", counts.getItem(1))
+      .withColumn("stop_hits", counts.getItem(2))
+      .withColumn("punct_hits", counts.getItem(3))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("punct_ratio", col("punct_hits").cast("double") / col("n_chars"))
       .withColumn("quality",

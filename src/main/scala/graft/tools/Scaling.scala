@@ -57,6 +57,9 @@ object Scaling {
     time("langId single-pass kernel") {
       drain(TextAnalysis.langId(big, "text"))
     }
+    time("quality single-pass kernel") {
+      drain(TextAnalysis.quality(big, "text"))
+    }
     time("tokenCountBpe (300 merges, trained on 300-doc sample)") {
       val model = Bpe.train(big, "text", numMerges = 300, sampleSize = 300)
       drain(TextAnalysis.tokenCountBpe(big, "text", model))

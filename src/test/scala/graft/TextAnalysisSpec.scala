@@ -48,6 +48,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() === 0, bad.take(3).mkString("\n"))
   }
 
+  test("single-pass quality kernel matches the regex column forms on the corpus") {
+    // The kernel's contract: n_chars = length(text), n_tokens =
+    // size(split(trim(text), ' ')), stop_hits = RE2-\b en-stopword matches
+    // over lower(text), punct_hits = [^a-z0-9 ] matches over lower(text).
+    // Ground truth uses ASCII lookarounds for the same reason as the
+    // langid spec above (Java bare \b is Unicode-aware; RE2's is not).
+    import graft.operators.TextAnalysis.stopwords
+    val edge = Seq(
+      "", " ", "   ", "the", " the  cat ", "a  b", "xthe them the_",
+      "the,the;THE", "的 the 中文the中文", "l'été est la", "_ __ a_b",
+      "tab\tand\nnewline the", "it it2 _it it_ it").toDF("text")
+    val docs = wh.loadTable("documents").select("text").unionByName(edge)
+    val t = col("text")
+    val counts = graft.functions.GraftFunctions.qualityCounts(t)
+    val cmp = docs
+      .withColumn("k_chars", counts.getItem(0))
+      .withColumn("k_tokens", counts.getItem(1))
+      .withColumn("k_stop", counts.getItem(2))
+      .withColumn("k_punct", counts.getItem(3))
+      .withColumn("r_chars", length(t))
+      .withColumn("r_tokens", size(split(trim(t), " ")))
+      .withColumn("r_stop", size(regexp_extract_all(lower(t),
+        lit("(?<![a-z0-9_])(" + stopwords("en").mkString("|") + ")(?![a-z0-9_])"), lit(0))))
+      .withColumn("r_punct", size(regexp_extract_all(lower(t), lit("[^a-z0-9 ]"), lit(0))))
+    graft.functions.GraftFunctions.ensure(spark)
+    val bad = cmp.filter(
+      col("k_chars") =!= col("r_chars") || col("k_tokens") =!= col("r_tokens") ||
+      col("k_stop") =!= col("r_stop") || col("k_punct") =!= col("r_punct"))
+    assert(bad.count() === 0, bad.take(3).mkString("\n"))
+  }
+
   test("quality rewards stopword-rich prose over punctuation soup") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog and it is happy for that reason", "good"),
