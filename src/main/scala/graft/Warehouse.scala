@@ -352,6 +352,25 @@ object Warehouse {
     }
   }
 
+  /** Quote an identifier for Spark SQL text: wrap in backticks with
+    * embedded backticks doubled (Spark's escape). The reference exposes the
+    * same boundary per dialect — backtick+escape for BigQuery
+    * (fugue_bigquery/execution_engine.py:49), double-quote for Trino
+    * (fugue_trino/execution_engine.py:52) — so columns named `a b`,
+    * `select`, or `a.b` survive SQL text (loadSql / rowFilter / presort
+    * strings) without the caller hand-quoting.
+    */
+  def encodeColumnName(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Column accessor that treats `name` as a LITERAL column name:
+    * functions.col parses dots as struct navigation and would mis-resolve
+    * a column named "a.b"; encoding first makes every verb safe for
+    * special-character names.
+    */
+  def literalCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(encodeColumnName(name))
+
   /** True iff the text is a SELECT/WITH query rather than a table name —
     * leading whitespace ignored, the keyword must stand alone (so
     * "select.b.c" is a table name, not a query), matching the reference's

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Relational {
 
+  /** Literal-name column accessor: every verb that takes column names as
+    * strings resolves them through this, so names with dots, spaces,
+    * backticks or reserved words work everywhere
+    * ([[graft.Warehouse.encodeColumnName]] — the reference's
+    * encode_column_name boundary, fugue_bigquery/execution_engine.py:49).
+    */
+  private def lcol(name: String): Column = graft.Warehouse.literalCol(name)
+
   /** join with Fugue's how-vocabulary. `on` columns are equi-join keys and,
     * per Fugue semantics, appear once in the output (via USING-style join).
     * Small right sides should be wrapped in `broadcast()` by the caller or
@@ -119,7 +127,7 @@ object Relational {
     val bounds = weights.scanLeft(0.0)(_ + _).map(_ / total)
     // unsigned shift, not abs: abs(Long.MinValue) overflows negative and
     // would drop that row from every split
-    val u = shiftrightunsigned(xxhash64(struct(df.columns.map(col): _*), lit(seed)), 1)
+    val u = shiftrightunsigned(xxhash64(struct(df.columns.map(lcol): _*), lit(seed)), 1)
       .cast("double") / Long.MaxValue.toDouble
     bounds.sliding(2).map { case Seq(lo, hi) =>
       df.filter(u >= lo && (if (hi >= 1.0) u <= hi else u < hi))
@@ -139,7 +147,7 @@ object Relational {
       // no presort → Fugue semantics are "any n per group": a constant sort
       // key makes row_number legal (pick is arbitrary, as specified)
       val order = if (presort.isEmpty) Seq(lit(1).asc) else presort
-      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)
+      val w = Window.partitionBy(partitionBy.map(lcol): _*).orderBy(order: _*)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= n)
         .drop("__rn")
@@ -148,7 +156,9 @@ object Relational {
   /** Parse a Fugue presort string — comma-separated `col [asc|desc]`
     * (default asc) — into sort Columns, with nulls placed per
     * `naPosition` ("first" | "last", applied to every key, the Fugue
-    * `take(na_position=…)` contract).
+    * `take(na_position=…)` contract). Backtick-quoted names (embedded
+    * backticks doubled) may contain spaces, commas, or direction keywords:
+    * "`a b` desc, `select`" sorts the literal columns "a b" and "select".
     */
   def parsePresort(presort: String, naPosition: String = "last"): Seq[Column] = {
     val nullsFirst = naPosition.toLowerCase match {
@@ -156,20 +166,55 @@ object Relational {
       case "last"  => false
       case other   => throw new IllegalArgumentException(s"na_position must be first|last: $other")
     }
-    presort.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
-      val (name, asc) = part.split("\\s+").toSeq match {
-        case Seq(c)                                  => (c, true)
-        case Seq(c, d) if d.equalsIgnoreCase("asc")  => (c, true)
-        case Seq(c, d) if d.equalsIgnoreCase("desc") => (c, false)
-        case _ => throw new IllegalArgumentException(s"bad presort term: '$part'")
-      }
+    splitPresortTerms(presort).map { part =>
+      val (name, asc) =
+        if (part.startsWith("`")) {
+          // closing backtick scan, honoring `` escapes
+          var j = 1
+          var end = -1
+          while (j < part.length && end < 0) {
+            if (part.charAt(j) == '`') {
+              if (j + 1 < part.length && part.charAt(j + 1) == '`') j += 2
+              else end = j
+            } else j += 1
+          }
+          require(end > 0, s"unterminated backtick in presort term: '$part'")
+          val raw = part.substring(1, end).replace("``", "`")
+          part.substring(end + 1).trim.toLowerCase match {
+            case "" | "asc" => (raw, true)
+            case "desc"     => (raw, false)
+            case _ => throw new IllegalArgumentException(s"bad presort term: '$part'")
+          }
+        } else part.split("\\s+").toSeq match {
+          case Seq(c)                                  => (c, true)
+          case Seq(c, d) if d.equalsIgnoreCase("asc")  => (c, true)
+          case Seq(c, d) if d.equalsIgnoreCase("desc") => (c, false)
+          case _ => throw new IllegalArgumentException(s"bad presort term: '$part'")
+        }
       (asc, nullsFirst) match {
-        case (true, true)   => col(name).asc_nulls_first
-        case (true, false)  => col(name).asc_nulls_last
-        case (false, true)  => col(name).desc_nulls_first
-        case (false, false) => col(name).desc_nulls_last
+        case (true, true)   => lcol(name).asc_nulls_first
+        case (true, false)  => lcol(name).asc_nulls_last
+        case (false, true)  => lcol(name).desc_nulls_first
+        case (false, false) => lcol(name).desc_nulls_last
       }
     }
+  }
+
+  /** Split a presort string on commas OUTSIDE backtick quotes. */
+  private def splitPresortTerms(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '`') { inQuote = !inQuote; cur += c }
+      else if (c == ',' && !inQuote) { out += cur.toString(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.toString()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Fugue-facing `take` with the string presort + na_position contract. */
@@ -191,7 +236,7 @@ object Relational {
     require(missing.isEmpty,
       s"alterColumns: columns not in schema: ${missing.mkString(", ")}")
     df.select(df.columns.map { c =>
-      casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+      casts.get(c).map(t => lcol(c).cast(t).as(c)).getOrElse(lcol(c))
     }: _*)
   }
 
@@ -226,7 +271,7 @@ object Relational {
     */
   def repartition(df: DataFrame, numPartitions: Int, cols: Seq[String] = Nil): DataFrame =
     if (cols.isEmpty) df.repartition(numPartitions)
-    else df.repartition(numPartitions, cols.map(col): _*)
+    else df.repartition(numPartitions, cols.map(lcol): _*)
 
   /** Broadcast hint — caller asserts the frame is small at every SF
     * (fixed-cardinality dims only; never an SF-scaling table).
@@ -239,14 +284,14 @@ object Relational {
     */
   def pivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
       values: Seq[String], agg: Column): DataFrame =
-    df.groupBy(groupCols.map(col): _*).pivot(pivotCol, values).agg(agg)
+    df.groupBy(groupCols.map(lcol): _*).pivot(pivotCol, values).agg(agg)
 
   /** ROLLUP / CUBE grouping sets (partial-agg map-side like plain groupBy). */
   def rollup(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
-    df.rollup(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.rollup(cols.map(lcol): _*).agg(aggs.head, aggs.tail: _*)
 
   def cube(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
-    df.cube(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.cube(cols.map(lcol): _*).agg(aggs.head, aggs.tail: _*)
 
   /** Skew-safe equi-join: the left's hot keys are spread over `salt`
     * sub-keys and the right side is replicated `salt`× — turns one

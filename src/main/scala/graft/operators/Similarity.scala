@@ -64,8 +64,14 @@ object Similarity {
       .join(broadcast(bucketize(q, "query_id", "query_vec")), Seq("tbl", "bucket"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val scored = cand
-      .join(c, "neighbor_id")
+    // Candidate scoring probes the CORPUS with a broadcast of the (narrow,
+    // queries-bounded) candidate id pairs — corpus vectors are never
+    // shuffled on neighbor_id. The reverse join order would leave AQE to
+    // decide, and a sort-merge fallback at 100 TB moves the whole corpus
+    // for |queries| × k rows of output. Plan shape asserted in
+    // SimilaritySpec (no exchange on neighbor_id).
+    val scored = c
+      .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
     val filtered = if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored

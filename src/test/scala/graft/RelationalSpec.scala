@@ -189,4 +189,58 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     try assert(df.count() === df.count())
     finally Relational.unpersist(df)
   }
+
+  test("special-character and reserved-word column names pass through every verb") {
+    // The reference escapes arbitrary identifiers at its SQL boundary
+    // (encode_column_name, fugue_bigquery/execution_engine.py:49 /
+    // fugue_trino/execution_engine.py:52). Columns named with spaces,
+    // dots, reserved words, and embedded backticks must survive the
+    // string-taking verbs and SQL text built with encodeColumnName.
+    val names = Seq("a b", "select", "a.b", "tick`mark")
+    val df = Seq((1L, "x", 2.0, 10L), (2L, "y", 3.0, 20L), (3L, "z", 4.0, 30L))
+      .toDF(names: _*)
+    def enc(n: String) = Warehouse.encodeColumnName(n)
+
+    // alterColumns: literal resolution (a.b must NOT parse as struct nav)
+    val altered = Relational.alterColumns(df, Map("a b" -> "int", "a.b" -> "long"))
+    assert(altered.schema("a b").dataType === IntegerType)
+    assert(altered.schema("a.b").dataType === LongType)
+    assert(altered.columns.toSeq === names)
+
+    // presort strings with quoted names (spaces, reserved, doubled ticks)
+    val top = Relational.takePresort(df, 1, s"${enc("a b")} desc, ${enc("select")} asc")
+      .select(Warehouse.literalCol("a b")).collect()(0).getLong(0)
+    assert(top === 3L)
+    val tickSorted = Relational.takePresort(df, 2, s"${enc("tick`mark")} desc")
+      .select(Warehouse.literalCol("tick`mark")).collect().map(_.getLong(0)).toSeq
+    assert(tickSorted === Seq(30L, 20L))
+
+    // per-group take partitioned by a spaced name
+    assert(Relational.takePresort(df, 1, s"${enc("a.b")} asc",
+      partitionBy = Seq("select")).count() === 3)
+
+    // rename / drop / assign / split / repartition / pivot-rollup keys
+    val renamed = Relational.rename(df, Map("a b" -> "ab", "select" -> "sel"))
+    assert(renamed.columns.toSeq === Seq("ab", "sel", "a.b", "tick`mark"))
+    assert(Relational.dropColumns(df, Seq("a.b")).columns.toSeq ===
+      Seq("a b", "select", "tick`mark"))
+    val parts = Relational.split(df, Seq(0.5, 0.5))
+    assert(parts.map(_.count()).sum === 3)
+    assert(Relational.repartition(df, 2, Seq("a b")).rdd.getNumPartitions === 2)
+    assert(Relational.rollup(df, Seq("a b"), Seq(count(lit(1)).as("n"))).count() === 4)
+
+    // SQL text via encodeColumnName (loadSql/rowFilter boundary)
+    df.createOrReplaceTempView("weird_names")
+    val viaSql = spark.sql(
+      s"SELECT ${enc("a b")} AS k, ${enc("select")} AS v, ${enc("tick`mark")} AS t " +
+        "FROM weird_names ORDER BY k")
+    assert(viaSql.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+
+    // parquet save/load roundtrip keeps the names
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_weird_names"
+    wh.saveDf(df, tmp, format = "parquet")
+    val back = wh.loadDf(tmp, "parquet")
+    assert(back.columns.sorted.toSeq === names.sorted)
+    assert(back.count() === 3)
+  }
 }

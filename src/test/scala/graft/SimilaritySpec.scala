@@ -77,6 +77,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"trained $trainedRecall much worse than sampled $sampledRecall")
   }
 
+  test("lshTopK scores candidates without shuffling the corpus") {
+    // The candidate-scoring join must probe the corpus with a BROADCAST of
+    // the (narrow, queries-bounded) candidate set: an exchange of corpus
+    // vectors on neighbor_id would move the whole corpus at 100 TB. AQE is
+    // irrelevant here — the broadcast is explicit in the plan, so we
+    // assert it with the broadcast threshold disabled (nothing may rely on
+    // size estimates).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, numBits = 6, numTables = 32)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!plan.contains("hashpartitioning(neighbor_id"),
+        "corpus shuffled on neighbor_id for candidate scoring:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ivfTopK broadcast-join fallback equals the literal-expression path") {
     def run(limit: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6,
