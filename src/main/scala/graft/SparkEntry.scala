@@ -778,8 +778,10 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Fingerprint-overlap containment pairs — rows-only (winnowing has no
-    * SQL re-expression): deterministic, grounded by the containment spec.
+  /** Fingerprint-overlap containment pairs, oracle-checked: the DuckDB side
+    * replays the full pipeline — winnowing hashes (see [[winnowOracleCte]])
+    * then the hot-hash cap, gutted-doc floor, and overlap join — so pair
+    * set, shared counts, and containment ratios must hash-match exactly.
     */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.fingerprintOverlap(wh(s, dir).loadTable("documents"), "doc_id", "text",
@@ -788,9 +790,15 @@ object SparkEntry {
         col("n_shared"), col("containment"))
       .orderBy("doc_a", "doc_b")
 
+  /** Winnowing fingerprint sketch, oracle-checked: DuckDB replays the exact
+    * kernel arithmetic (FNV-1a over char 8-grams, splitmix64 finalizer,
+    * window-4 minima over SIGNED longs) via mod-2^64 HUGEINT expressions,
+    * so n/min/max of the selected hash set are bit-exact.
+    */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(wh(s, dir).loadTable("documents"), "text")
-      .select("doc_id", "n_fp", "fp_min", "fp_max")
+      .select(col("doc_id"), col("n_fp").cast("long").as("n_fp"),
+        col("fp_min"), col("fp_max"))
       .orderBy("doc_id")
 
   /** Context-window chunking, oracle-checked: both engines compute the
@@ -1065,6 +1073,60 @@ object SparkEntry {
     "q_io_parquet" -> (qIoParquet _),
     "q_stream_dedup" -> (qStreamDedup _)
   )
+
+  /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
+    * k=8, w=4): per doc, FNV-1a over char 8-grams and the splitmix64
+    * finalizer replayed in mod-2^64 HUGEINT arithmetic (the ~2^64 splitmix
+    * multipliers are split into 32-bit halves so no product exceeds
+    * HUGEINT range), values converted to SIGNED bigint BEFORE the window-4
+    * minima (the kernel's deque compares signed longs), then distinct.
+    * MATERIALIZED so self-joining consumers don't recompute the hash chain.
+    * Safe because documents.text is pure ASCII (UTF-16 units == code
+    * points); yields `sel(doc_id, fp bigint[])`.
+    */
+  private val winnowOracleCte: String =
+    """WITH g AS (
+      | SELECT doc_id,
+      |  list_transform(
+      |   generate_series(1, greatest(length(text) - 7, 0)),
+      |   i -> list_reduce(
+      |     list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |       list_transform(generate_series(i, i + 7),
+      |         j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT))),
+      |     (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)
+      |  ) AS raw
+      | FROM documents),
+      |mx AS (
+      | SELECT doc_id,
+      |  list_transform(
+      |   list_transform(
+      |    list_transform(
+      |     list_transform(
+      |      list_transform(
+      |       list_transform(raw,
+      |        x -> (x + 11400714819323198485) % 18446744073709551616),
+      |       z -> xor(z, z // 1073741824)),
+      |      t -> (t * 484763065 + ((t * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616),
+      |     z -> xor(z, z // 134217728)),
+      |    t -> (t * 321982955 + ((t * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616),
+      |   z -> xor(z, z // 2147483648)
+      |  ) AS hu
+      | FROM g),
+      |sg AS (
+      | SELECT doc_id,
+      |  list_transform(hu,
+      |   u -> CAST(CASE WHEN u >= 9223372036854775808
+      |     THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+      |  ) AS hs
+      | FROM mx),
+      |sel AS MATERIALIZED (
+      | SELECT doc_id,
+      |  CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+      |       ELSE list_distinct(list_transform(
+      |         generate_series(1, len(hs) - least(len(hs), 4) + 1),
+      |         i -> list_min(hs[i : i + least(len(hs), 4) - 1])))
+      |  END AS fp
+      | FROM sg)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1456,6 +1518,33 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
         |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g') AS clean
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" -> (winnowOracleCte +
+      """
+        |SELECT doc_id,
+        | CAST(len(fp) AS BIGINT) AS n_fp,
+        | list_min(fp) AS fp_min,
+        | list_max(fp) AS fp_max
+        |FROM sel ORDER BY doc_id""".stripMargin),
+    "q_containment" -> (winnowOracleCte +
+      """,
+        |exploded AS (
+        | SELECT CAST(doc_id AS BIGINT) AS id, len(fp) AS n_total, unnest(fp) AS h
+        | FROM sel WHERE len(fp) > 0),
+        |capped0 AS (
+        | SELECT * FROM (
+        |  SELECT id, n_total, h, count(*) OVER (PARTITION BY h) AS hd FROM exploded
+        | ) WHERE hd <= 100),
+        |capped AS MATERIALIZED (
+        | SELECT * FROM (
+        |  SELECT id, n_total, h, count(*) OVER (PARTITION BY id) AS n_fp FROM capped0
+        | ) WHERE n_fp >= 10 OR n_fp = n_total)
+        |SELECT a.id AS doc_a, b.id AS doc_b,
+        | CAST(count(*) AS BIGINT) AS n_shared,
+        | CAST(count(*) AS DOUBLE) / least(any_value(a.n_fp), any_value(b.n_fp)) AS containment
+        |FROM capped a JOIN capped b ON a.h = b.h AND a.id < b.id
+        |GROUP BY a.id, b.id
+        |HAVING CAST(count(*) AS DOUBLE) / least(any_value(a.n_fp), any_value(b.n_fp)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_multimodal_plan" ->
       """WITH meta AS (
         | SELECT doc_id,
