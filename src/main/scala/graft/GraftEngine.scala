@@ -100,6 +100,12 @@ final class GraftEngine(val spark: SparkSession, val warehouseDir: String) {
   def saveTable(df: DataFrame, outDir: String, table: String,
       mode: String = "overwrite"): Unit = warehouse.saveTable(df, outDir, table, mode)
   def tableExists(dir: String, table: String): Boolean = warehouse.tableExists(dir, table)
+  /** persist-to-storage: materialize to a warehouse table and re-read —
+    * for intermediates that exceed cluster cache (reference persist,
+    * fugue_trino/execution_engine.py:124-133).
+    */
+  def persistToTable(df: DataFrame, outDir: String, table: String = ""): DataFrame =
+    warehouse.persistToTable(df, table, outDir)
   def getSchema(table: String): StructType = warehouse.getSchema(table)
   def describe(df: DataFrame): String = warehouse.describe(df)
   def loadDf(path: String, format: String = "parquet",

@@ -181,6 +181,28 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
   def tableExists(dir: String, table: String): Boolean =
     fsExists(Warehouse.tablePath(dir, table))
 
+  /** Persist by MATERIALIZING to a warehouse table and re-reading it — the
+    * reference's persist, which writes a temp TABLE and re-reads it
+    * (fugue_trino/execution_engine.py:124-133 df_to_table → query_to_ibis)
+    * rather than caching. Unlike cache-only [[Relational.persist]], the
+    * returned plan STARTS at a parquet scan: upstream lineage is cut, so
+    * an intermediate larger than cluster cache lands on storage instead of
+    * thrashing executor memory/disk, survives executor loss without
+    * recompute, and downstream stages get scan-level column pruning and
+    * predicate pushdown against the materialized files. Routed through
+    * [[saveTable]], so view/catalog invalidation applies to the target
+    * name. Returns the re-read frame.
+    */
+  def persistToTable(df: DataFrame, table: String = "", outDir: String = baseDir): DataFrame = {
+    val t =
+      if (table.nonEmpty) table
+      else s"graft_persist_${Warehouse.persistCounter.incrementAndGet()}"
+    saveTable(df, outDir, t, mode = "overwrite")
+    // direct path read, not loadTable: the table may live outside baseDir,
+    // and nanos normalization is keyed to source tables, not intermediates
+    spark.read.parquet(Warehouse.tablePath(outDir, t))
+  }
+
   /** Register every table under `baseDir/<ns>/` as an external parquet
     * table in catalog database `<ns>`, making qualified `ns.table` names
     * usable from loadSql — the Spark-native form of the reference's
@@ -337,6 +359,12 @@ object Warehouse {
     * registration so a racing write can never be cached as fresh.
     */
   private val epochs = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Counter for auto-named [[Warehouse.persistToTable]] targets — unique
+    * within the JVM (the session's lifetime, like the reference's generated
+    * temp-table names).
+    */
+  private[graft] val persistCounter = new java.util.concurrent.atomic.AtomicLong()
 
   private[graft] def epochOf(dir: String): java.util.concurrent.atomic.AtomicLong =
     epochs.computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{count, expr}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -216,5 +217,39 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     val d = wh.describe(wh.loadTable("region"))
     assert(d.contains("Output Schema"))
     assert(d.contains("r_regionkey"))
+  }
+
+  test("persistToTable cuts lineage: the re-read plan is a bare scan") {
+    val tmp = Files.createTempDirectory("graft_persist").toString
+    // an intermediate with a join + aggregate above the scan
+    val agg = wh.loadTable("nation")
+      .join(wh.loadTable("region"), expr("n_regionkey = r_regionkey"))
+      .groupBy("r_name").agg(count("*").as("n"))
+    val mat = wh.persistToTable(agg, outDir = tmp)
+    val plan = mat.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"upstream join survived the cut:\n$plan")
+    assert(!plan.contains("Aggregate"), s"upstream agg survived the cut:\n$plan")
+    assert(mat.count() === agg.count())
+    // downstream pushdown reaches the MATERIALIZED files' scan
+    val filtered = mat.filter("n > 3").select("r_name")
+    val phys = filtered.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(phys.contains("PushedFilters"), phys)
+    assert(phys.contains("GreaterThan(n,3)"), phys)
+  }
+
+  test("persistToTable overwrite freshness and auto-naming") {
+    val tmp = Files.createTempDirectory("graft_persist2").toString
+    val v1 = wh.persistToTable(wh.loadTable("region"), table = "inter", outDir = tmp)
+    assert(v1.count() === 5)
+    // re-materializing under the same name must serve the NEW rows — the
+    // saveTable route invalidates any view/file-index caching of the target
+    val v2 = wh.persistToTable(wh.loadTable("nation"), table = "inter", outDir = tmp)
+    assert(v2.count() === 25)
+    assert(wh.tableExists(tmp, "inter"))
+    // auto-generated names never collide
+    val a = wh.persistToTable(wh.loadTable("region"), outDir = tmp)
+    val b = wh.persistToTable(wh.loadTable("nation"), outDir = tmp)
+    assert(a.count() === 5)
+    assert(b.count() === 25)
   }
 }
