@@ -675,6 +675,39 @@ object SparkEntry {
     Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id", "text",
         n = 3, threshold = 0.7)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+
+  /** Exact TF-WEIGHTED n-gram jaccard (Σmin/Σmax), oracle-checked: the
+    * occurrence-expansion reduction ([[graft.functions.Kernels.wordNgramHashesTf]])
+    * makes the PPJoin pipeline compute the weighted coefficient exactly;
+    * DuckDB recomputes it all-pairs from per-gram term frequencies. Both
+    * sides divide identical exact ints — bit-identical doubles.
+    */
+  private def qDedupWjaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("jaccard").as("wjaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Weighted-MinHash RECALL, oracle-checked like [[qMinhashRecall]]:
+    * every pair with EXACT weighted jaccard ≥ 0.7 (DuckDB all-pairs
+    * Σmin/Σmax recompute) must be surfaced by the ICWS est ≥ 0.5 pass
+    * (margin ≈ 5 standard errors of 128 perms; band-miss prob ≈ 1.4e-4).
+    */
+  private def qWminhashRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val found = Dedup.icwsLsh(docs, "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_wminhash"))
+      .orderBy("doc_a", "doc_b")
+  }
       .orderBy("doc_a", "doc_b")
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -1053,6 +1086,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_wjaccard" -> (qDedupWjaccard _),
+    "q_wminhash_recall" -> (qWminhashRecall _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -1348,6 +1383,37 @@ object SparkEntry {
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_wjaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, gram, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+        |  FROM toks WHERE len(w) >= 3) GROUP BY doc_id, gram),
+        |tot AS (SELECT doc_id, sum(tf) AS t FROM grams GROUP BY doc_id),
+        |smin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  sum(least(a.tf, b.tf)) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  cast(s AS double) / (ta.t + tb.t - s) AS wjaccard
+        |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+        |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_wminhash_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, gram, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+        |  FROM toks WHERE len(w) >= 3) GROUP BY doc_id, gram),
+        |tot AS (SELECT doc_id, sum(tf) AS t FROM grams GROUP BY doc_id),
+        |smin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  sum(least(a.tf, b.tf)) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, true AS found_by_wminhash
+        |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+        |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_transform_map" ->
       """SELECT l_orderkey, l_linenumber,

@@ -35,6 +35,12 @@ object GraftFunctions {
       ((args: Seq[Expression]) => WordNgramHashes(args.head, intLit(args(1), "n"))),
     "graft_char_ngrams" ->
       ((args: Seq[Expression]) => CharNgramHashes(args.head, intLit(args(1), "n"))),
+    "graft_word_ngrams_tf" ->
+      ((args: Seq[Expression]) => WordNgramHashesTf(args.head, intLit(args(1), "n"))),
+    "graft_icws_minhash" ->
+      ((args: Seq[Expression]) =>
+        IcwsMinHashSig(args.head, intLit(args(1), "n"),
+          intLit(args(2), "numPerms"), longLit(args(3), "seed"))),
     "graft_minhash" ->
       ((args: Seq[Expression]) =>
         MinHashSig(args.head, intLit(args(1), "numPerms"), longLit(args(2), "seed"))),
@@ -82,6 +88,14 @@ object GraftFunctions {
 
   def minhash(tokens: Column, numPerms: Int, seed: Long): Column =
     call_function("graft_minhash", tokens, lit(numPerms), lit(seed))
+
+  /** Occurrence-indexed gram hashes: set ops on these = TF-weighted ops. */
+  def wordNgramsTf(text: Column, n: Int): Column =
+    call_function("graft_word_ngrams_tf", text, lit(n))
+
+  /** ICWS weighted-MinHash signature of raw text (Ioffe, ICDM 2010). */
+  def icwsMinhash(text: Column, n: Int, numPerms: Int, seed: Long): Column =
+    call_function("graft_icws_minhash", text, lit(n), lit(numPerms), lit(seed))
 
   def simhash64(tokens: Column): Column =
     call_function("graft_simhash64", tokens)

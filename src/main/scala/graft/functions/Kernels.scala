@@ -160,6 +160,159 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(grams, unique))
   }
 
+  /** OCCURRENCE-INDEXED hashes of word n-grams: the j-th occurrence of a
+    * gram hashes to mix(gramHash, j), so the multiset of grams becomes a
+    * SET of (gram, occurrence) elements. Set jaccard over these equals
+    * TF-weighted jaccard Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b) EXACTLY (integer
+    * weights): min(tfₐ,tf_b) occurrence elements are shared, max is the
+    * union contribution. Standard MinHash over this set is therefore an
+    * unbiased weighted-MinHash, and PPJoin prefix filtering stays exact.
+    * The 0-th occurrence keeps the plain finalized gram hash, so a doc
+    * with all-distinct grams emits exactly [[wordNgramHashes]]'s set.
+    * Output sorted (distinct by construction modulo 64-bit collisions).
+    */
+  def wordNgramHashesTf(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) {
+        h ^= t.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val grams = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var g = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        g = (g ^ th(j)) * 0x100000001b3L
+        j += 1
+      }
+      grams(i) = splitmix64(g)
+      i += 1
+    }
+    // sort → equal runs; occurrence index = position in run
+    java.util.Arrays.sort(grams)
+    i = 0
+    var occ = 0L
+    while (i < m) {
+      if (i > 0 && grams(i) == grams(i - 1)) occ += 1 else occ = 0L
+      if (occ > 0) grams(i) = splitmix64(grams(i) + occ * 0x9e3779b97f4a7c15L)
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    new GenericArrayData(grams)
+  }
+
+  /** Improved Consistent Weighted Sampling signature (Ioffe, ICDM 2010)
+    * over TF-weighted word n-grams: per permutation k, each distinct gram
+    * with weight w draws r,c ~ Gamma(2,1), β ~ U(0,1) from a seeded hash
+    * stream; t = ⌊ln(w)/r + β⌋, ln(a) = ln(c) − r·(t − β) − r; the slot
+    * records hash(gram, t) of the argmin-a gram. Pr[slotₐ == slot_b] =
+    * weighted jaccard EXACTLY, for arbitrary non-negative real weights —
+    * the scale path when weights stop being integers (tf-idf, scores),
+    * where the occurrence-expansion trick ([[wordNgramHashesTf]]) can't
+    * apply. Empty input (< n tokens) → empty array (caller filters).
+    */
+  def icwsMinhash(text: UTF8String, n: Int, numPerms: Int, seed: Long): ArrayData = {
+    val s = text.toString.trim
+    val toks = s.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) {
+        h ^= t.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    val m = toks.length - n + 1
+    val grams = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var g = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        g = (g ^ th(j)) * 0x100000001b3L
+        j += 1
+      }
+      grams(i) = splitmix64(g)
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    // run-length → (distinct gram, tf, ln(tf)) arrays
+    var d = 1
+    i = 1
+    while (i < m) { if (grams(i) != grams(i - 1)) d += 1; i += 1 }
+    val gs = new Array[Long](d)
+    val lnW = new Array[Double](d)
+    var run = 1
+    var di = 0
+    i = 1
+    while (i <= m) {
+      if (i == m || grams(i) != grams(i - 1)) {
+        gs(di) = grams(i - 1); lnW(di) = math.log(run.toDouble)
+        di += 1; run = 1
+      } else run += 1
+      i += 1
+    }
+    val sig = new Array[Long](numPerms)
+    val inv53 = 1.0 / 9007199254740992.0 // 2^-53
+    var k = 0
+    while (k < numPerms) {
+      var bestLnA = Double.MaxValue
+      var bestG = 0L
+      var bestT = 0L
+      // (perm, draw)-unique offsets, gram-independent — hoisted out of the
+      // inner loop (distinct across all (k, draw): k*5+1 … k*5+5)
+      val base = k.toLong * 5L
+      val o0 = splitmix64(base + 1L)
+      val o1 = splitmix64(base + 2L)
+      val o2 = splitmix64(base + 3L)
+      val o3 = splitmix64(base + 4L)
+      val o4 = splitmix64(base + 5L)
+      i = 0
+      while (i < d) {
+        // five independent uniforms in (0,1) per (gram, perm): one mix of
+        // the gram stream with each offset — the same gram draws the same
+        // (r, c, β) in every document, the consistency ICWS requires
+        val gh = splitmix64(gs(i) + seed)
+        val u0 = ((splitmix64(gh ^ o0) >>> 11) + 0.5) * inv53
+        val u1 = ((splitmix64(gh ^ o1) >>> 11) + 0.5) * inv53
+        val u2 = ((splitmix64(gh ^ o2) >>> 11) + 0.5) * inv53
+        val u3 = ((splitmix64(gh ^ o3) >>> 11) + 0.5) * inv53
+        val u4 = ((splitmix64(gh ^ o4) >>> 11) + 0.5) * inv53
+        val r = -math.log(u0 * u1) // Gamma(2,1) = Exp(1) + Exp(1)
+        val c = -math.log(u2 * u3)
+        val beta = u4
+        val t = math.floor(lnW(i) / r + beta)
+        val lnA = math.log(c) - r * (t - beta) - r
+        if (lnA < bestLnA) { bestLnA = lnA; bestG = gs(i); bestT = t.toLong }
+        i += 1
+      }
+      sig(k) = splitmix64(bestG ^ splitmix64(bestT + seed))
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** MinHash signature: for each of `numPerms` affine permutations
     * (a*h+b with odd a), the minimum over all token hashes.
     * Empty input → Long.MaxValue per slot (never matches a non-empty sig).

@@ -38,6 +38,39 @@ case class CharNgramHashes(child: Expression, n: Int)
   override def prettyName: String = "graft_char_ngrams"
 }
 
+/** Occurrence-indexed hashed word n-grams of a string column →
+  * array<bigint>: set jaccard over the output equals TF-weighted jaccard
+  * exactly. See [[Kernels.wordNgramHashesTf]].
+  */
+case class WordNgramHashesTf(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordNgramHashesTf(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordNgramHashesTf($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashesTf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngrams_tf"
+}
+
+/** ICWS weighted-MinHash signature of a string column (TF-weighted word
+  * n-grams, Ioffe ICDM 2010) → array<bigint>; slot-agreement fraction is an
+  * unbiased weighted-jaccard estimator. See [[Kernels.icwsMinhash]].
+  */
+case class IcwsMinHashSig(child: Expression, n: Int, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.icwsMinhash(input.asInstanceOf[UTF8String], n, numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.icwsMinhash($c, $n, $numPerms, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): IcwsMinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_icws_minhash"
+}
+
 /** minhash signature of array<string> tokens OR array<bigint> pre-hashed
   * grams → array<bigint>.
   */

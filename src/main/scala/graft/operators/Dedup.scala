@@ -41,15 +41,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Hashed shingles by mode: "word" n-grams (space-tokenized) or "char"
-    * n-grams (unspaced scripts — zh/ja/th). Both single-pass kernels with
-    * identical output contracts.
+  /** Hashed shingles by mode: "word" n-grams (space-tokenized), "char"
+    * n-grams (unspaced scripts — zh/ja/th), or "word_tf" occurrence-indexed
+    * word n-grams (set semantics over the output = TF-WEIGHTED semantics:
+    * jaccard becomes Σmin/Σmax weighted jaccard, minhash becomes weighted
+    * minhash — exactly, for integer term frequencies). All single-pass
+    * kernels with identical output contracts (sorted distinct longs).
     */
   def shingleHashes(text: Column, n: Int, shingler: String): Column =
     shingler match {
-      case "word" => GraftFunctions.wordNgrams(text, n)
-      case "char" => GraftFunctions.charNgrams(text, n)
-      case other  => throw new IllegalArgumentException(s"unknown shingler: $other")
+      case "word"    => GraftFunctions.wordNgrams(text, n)
+      case "char"    => GraftFunctions.charNgrams(text, n)
+      case "word_tf" => GraftFunctions.wordNgramsTf(text, n)
+      case other     => throw new IllegalArgumentException(s"unknown shingler: $other")
     }
 
   /** Exact dedup: group on a content hash — the shuffle key is the 128-bit
@@ -97,13 +101,50 @@ object Dedup {
       maxBucketSize: Int = 100000, shingler: String = "word",
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
-    val r = numPerms / bands
     // sigs feed the banding branch AND both verify joins — persist the
     // narrow (id, sig) frame (docs × numPerms × 8 B) so the corpus scan +
     // kernel run once, not three times
     val sigs = persistIf(
       minhashSignatures(df, idCol, textCol, shingleWidth, numPerms, seed, shingler),
       persistLevel)
+    bandedAgreement(sigs, numPerms, bands, threshold, maxBucketSize, "est_jaccard")
+  }
+
+  /** ICWS weighted-MinHash + LSH banding near-dup pairs (id_a < id_b,
+    * est_wjaccard ≥ threshold): [[graft.functions.Kernels.icwsMinhash]]
+    * signatures (slot agreement estimates TF-WEIGHTED jaccard, Ioffe ICDM
+    * 2010) through the same banding/verify machinery as [[minhashLsh]] —
+    * identical 100 TB shape. For integer weights the occurrence-expansion
+    * route (`minhashLsh(shingler = "word_tf")`) estimates the same
+    * quantity; this is the scale path for real-valued weights where that
+    * expansion doesn't exist.
+    */
+  def icwsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 100000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
+    GraftFunctions.ensure(df.sparkSession)
+    val sigs = persistIf(
+      df.select(col(idCol).cast("long").as("id"),
+          GraftFunctions.icwsMinhash(col(textCol), shingleWidth, numPerms, seed).as("sig"))
+        .filter(size(col("sig")) > 0), // gram-less docs: empty sig, dropped
+      persistLevel)
+    bandedAgreement(sigs, numPerms, bands, threshold, maxBucketSize, "est_wjaccard")
+  }
+
+  /** Shared LSH-banding + slot-agreement verify over an (id, sig) frame:
+    * band buckets → narrow (id, band, bucket) candidate join → signatures
+    * re-joined (never carried through the bucket join) → agreement
+    * fraction ≥ threshold. Estimator semantics (plain vs weighted jaccard)
+    * are the signature's business; this stage only compares slots.
+    */
+  private def bandedAgreement(
+      sigs: DataFrame, numPerms: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int, estCol: String): DataFrame = {
+    val r = numPerms / bands
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
@@ -113,9 +154,9 @@ object Dedup {
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", agree.cast("double") / numPerms)
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .withColumn(estCol, agree.cast("double") / numPerms)
+      .filter(col(estCol) >= threshold)
+      .select(col("id_a"), col("id_b"), col(estCol))
   }
 
   /** SimHash near-dup pairs (hamming(sig_a, sig_b) ≤ maxHamming).

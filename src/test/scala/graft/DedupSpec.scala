@@ -185,6 +185,78 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"near-zero-evidence pair should be excluded by the floor: $pairs")
   }
 
+  // Brute-force TF-weighted trigram jaccard (Σmin/Σmax) over the corpus,
+  // with the kernels' exact tokenization (trim, single-space split) —
+  // ground truth for the weighted variants.
+  private lazy val weightedTruth: Map[(Long, Long), Double] = {
+    val byDoc = docs.select(col("doc_id").cast("long"), col("text")).collect().map { r =>
+      val toks = r.getString(1).trim.split(" ", -1)
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      r.getLong(0) -> grams.groupBy(identity).map { case (g, o) => g -> o.size }
+    }.sortBy(_._1)
+    (for {
+      i <- byDoc.indices.iterator
+      j <- (i + 1) until byDoc.length
+      (ida, a) = byDoc(i)
+      (idb, b) = byDoc(j)
+      if a.nonEmpty && b.nonEmpty
+    } yield {
+      val smin = a.keysIterator.map(g => math.min(a(g), b.getOrElse(g, 0))).sum
+      val ta = a.valuesIterator.sum
+      val tb = b.valuesIterator.sum
+      (ida, idb) -> smin.toDouble / (ta + tb - smin)
+    }).toMap
+  }
+
+  test("word_tf shingles make ngramJaccard exactly TF-weighted") {
+    GraftFunctions.ensure(spark)
+    // occurrence expansion: set jaccard over (gram, occurrence) elements
+    // == Σmin/Σmax weighted jaccard, bit-for-bit (int/int division)
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = weightedTruth.filter(_._2 >= 0.7)
+    assert(got.keySet === expect.keySet,
+      s"missed: ${expect.keySet -- got.keySet}; spurious: ${got.keySet -- expect.keySet}")
+    got.foreach { case (k, v) => assert(v === expect(k), s"value drift at $k") }
+    // repetition changes the weighted score where distinct-gram jaccard
+    // can't see it: a doc of one repeated gram vs the same gram once
+    import spark.implicits._
+    // same DISTINCT trigram set {abc, bca, cab}, different multiplicities:
+    // doc1 has 10 gram occurrences (abc×4, bca×3, cab×3), doc2 has 4
+    // (abc×2, bca, cab) → Σmin = 4, Σmax = 10 + 4 − 4 = 10
+    val rep = Seq((1L, "a b c a b c a b c a b c"), (2L, "a b c a b c")).toDF("doc_id", "text")
+    val w = Dedup.ngramJaccard(rep, "doc_id", "text", n = 3,
+      threshold = 0.0, shingler = "word_tf").collect()
+    val u = Dedup.ngramJaccard(rep, "doc_id", "text", n = 3,
+      threshold = 0.0, shingler = "word").collect()
+    assert(u.head.getDouble(2) === 1.0) // distinct grams identical
+    assert(w.head.getDouble(2) === 0.4, // weighted sees the repetition
+      s"weighted jaccard should punish repetition: ${w.head}")
+  }
+
+  test("icwsLsh estimates weighted jaccard and finds every high-Jw pair") {
+    GraftFunctions.ensure(spark)
+    val got = Dedup.icwsLsh(docs, "doc_id", "text",
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: every exact weighted-jaccard >= 0.7 pair must surface
+    val high = weightedTruth.filter(_._2 >= 0.7).keySet
+    assert(high.nonEmpty, "fixture: no high-Jw pairs in corpus")
+    assert(high.subsetOf(pairs.keySet), s"missed: ${high -- pairs.keySet}")
+    // estimator: slot agreement within 0.2 of exact (128 perms, se ~0.04)
+    pairs.foreach { case (k, est) =>
+      weightedTruth.get(k).foreach(jw =>
+        assert(math.abs(est - jw) < 0.2, s"$k est=$est exact=$jw"))
+    }
+    // identical texts agree on every slot
+    import spark.implicits._
+    val twins = Seq((1L, "p q r p q r s"), (2L, "p q r p q r s")).toDF("doc_id", "text")
+    val t = Dedup.icwsLsh(twins, "doc_id", "text", shingleWidth = 3,
+      numPerms = 64, bands = 16, threshold = 0.9).collect()
+    assert(t.length === 1 && t.head.getDouble(2) === 1.0)
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
