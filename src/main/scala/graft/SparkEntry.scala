@@ -1012,6 +1012,65 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  /** Repartition / persist / broadcast contract (SURVEY row 29),
+    * oracle-checked: hash-repartition by key yields exactly the requested
+    * partition count (15k distinct keys over 8 partitions — an empty one
+    * has probability ~0 under murmur3) with every key on ONE partition
+    * (the co-location semantic downstream joins rely on) and no rows
+    * lost; a persisted plan returns identical cardinality; a
+    * broadcastHint join returns the same rows as the oracle's plain join
+    * (hints pick strategy, never semantics). All counts computed inside
+    * the returned plan.
+    */
+  private def qRepartition(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val li = w.loadTable("lineitem", columns = Seq("l_orderkey"))
+    val rp = Relational.repartition(li, 8, Seq("l_orderkey"))
+      .select(col("l_orderkey"), spark_partition_id().as("pid"))
+    val parts = rp.agg(
+      countDistinct(col("pid")).cast("long").as("n_partitions"),
+      count(lit(1)).as("rows_total"))
+    val colocated = rp.groupBy("l_orderkey")
+      .agg(countDistinct(col("pid")).as("np"))
+      .agg(max(col("np")).cast("long").as("max_parts_per_key"))
+    val pcount = Relational.persist(w.loadTable("lineitem"))
+      .agg(count(lit(1)).as("rows_after_persist"))
+    val bj = Relational.broadcastHint(w.loadTable("region"))
+      .join(w.loadTable("nation"), expr("r_regionkey = n_regionkey"))
+      .agg(count(lit(1)).as("broadcast_join_rows"))
+    parts.crossJoin(colocated).crossJoin(pcount).crossJoin(bj)
+      .select("n_partitions", "rows_total", "max_parts_per_key",
+        "rows_after_persist", "broadcast_join_rows")
+  }
+
+  /** ANALYZE / table+column statistics contract (SURVEY row 37d),
+    * oracle-checked: a namespaced copy of nation is ANALYZEd and the
+    * catalog's stored statistics — row count and per-column distinct
+    * counts — are emitted as data, which DuckDB recomputes from the table
+    * itself. HLL++ distinct counts are exact at these cardinalities, and
+    * nation is SF-fixed, so the row is deterministic. Catches stats that
+    * are missing, stale (saveTable's invalidation dropped them), or bound
+    * to the wrong table.
+    */
+  private def qAnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stats_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    val ns = "graft_stats"
+    w.saveTable(w.loadTable("nation"), tmp, s"$ns.nation", "overwrite")
+    val w2 = Warehouse(s, tmp)
+    w2.registerNamespace(ns)
+    w2.analyzeTable(s"$ns.nation", Seq("n_regionkey", "n_nationkey"))
+    val st = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("nation", Some(ns))).stats
+    def ndv(c: String): Long =
+      st.flatMap(_.colStats.get(c)).flatMap(_.distinctCount).map(_.toLong).getOrElse(-1L)
+    s.range(1).select(
+      lit(st.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)).as("stats_rows"),
+      lit(ndv("n_regionkey")).as("ndv_regionkey"),
+      lit(ndv("n_nationkey")).as("ndv_nationkey"))
+  }
+
   /** Streaming dedup, batch contract form (SURVEY row 52): the event table
     * replayed twice (simulated at-least-once delivery) then deduped on
     * event_id must aggregate exactly like the original single stream. The
@@ -1106,7 +1165,9 @@ object SparkEntry {
     "q_namespace" -> (qNamespace _),
     "q_table_lifecycle" -> (qTableLifecycle _),
     "q_io_parquet" -> (qIoParquet _),
-    "q_stream_dedup" -> (qStreamDedup _)
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_repartition" -> (qRepartition _),
+    "q_analyze_stats" -> (qAnalyzeStats _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -1584,6 +1645,17 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
         |   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g') AS clean
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_repartition" ->
+      """SELECT CAST(8 AS BIGINT) AS n_partitions,
+        | (SELECT count(*) FROM lineitem) AS rows_total,
+        | CAST(1 AS BIGINT) AS max_parts_per_key,
+        | (SELECT count(*) FROM lineitem) AS rows_after_persist,
+        | (SELECT count(*) FROM region r JOIN nation n
+        |    ON r.r_regionkey = n.n_regionkey) AS broadcast_join_rows""".stripMargin,
+    "q_analyze_stats" ->
+      """SELECT (SELECT count(*) FROM nation) AS stats_rows,
+        | (SELECT count(DISTINCT n_regionkey) FROM nation) AS ndv_regionkey,
+        | (SELECT count(DISTINCT n_nationkey) FROM nation) AS ndv_nationkey""".stripMargin,
     "q_fingerprint" -> (winnowOracleCte +
       """
         |SELECT doc_id,
