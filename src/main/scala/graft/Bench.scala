@@ -62,7 +62,10 @@ object Bench {
       if (failed) (name, -1.0, -1.0)
       else {
         val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.last - sorted.head)
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        (name, median, sorted.last - sorted.head)
       }
     }
 

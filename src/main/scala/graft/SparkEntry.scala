@@ -675,6 +675,7 @@ object SparkEntry {
     Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id", "text",
         n = 3, threshold = 0.7)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
 
   /** Exact TF-WEIGHTED n-gram jaccard (Σmin/Σmax), oracle-checked: the
     * occurrence-expansion reduction ([[graft.functions.Kernels.wordNgramHashesTf]])
@@ -708,7 +709,6 @@ object SparkEntry {
         coalesce(col("__hit"), lit(false)).as("found_by_wminhash"))
       .orderBy("doc_a", "doc_b")
   }
-      .orderBy("doc_a", "doc_b")
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
@@ -1033,7 +1033,12 @@ object SparkEntry {
     val colocated = rp.groupBy("l_orderkey")
       .agg(countDistinct(col("pid")).as("np"))
       .agg(max(col("np")).cast("long").as("max_parts_per_key"))
-    val pcount = Relational.persist(w.loadTable("lineitem"))
+    // persist contract on a DERIVED small frame: caching full lineitem here
+    // would leak into every later query's timing in the same bench session
+    // (cache matching is plan-based, so the filter keeps this plan private),
+    // and the cached 5 rows are too small to contaminate anything
+    val pcount = Relational.persist(
+        w.loadTable("region").filter(col("r_regionkey") >= 0))
       .agg(count(lit(1)).as("rows_after_persist"))
     val bj = Relational.broadcastHint(w.loadTable("region"))
       .join(w.loadTable("nation"), expr("r_regionkey = n_regionkey"))
@@ -1223,6 +1228,24 @@ object SparkEntry {
       |         i -> list_min(hs[i : i + least(len(hs), 4) - 1])))
       |  END AS fp
       | FROM sg)""".stripMargin
+
+  /** Shared DuckDB basis of the TF-weighted jaccard oracles (same
+    * convention as [[winnowOracleCte]]): per-doc trigram term frequencies,
+    * per-doc totals, and the pairwise Σmin — one definition of the weighted
+    * coefficient, so q_dedup_wjaccard and q_wminhash_recall cannot drift.
+    * Yields `tot(doc_id, t)` and `smin(doc_a, doc_b, s)`.
+    */
+  private val wjaccardOracleCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |grams AS (SELECT doc_id, gram, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
+      |  FROM toks WHERE len(w) >= 3) GROUP BY doc_id, gram),
+      |tot AS (SELECT doc_id, sum(tf) AS t FROM grams GROUP BY doc_id),
+      |smin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  sum(least(a.tf, b.tf)) AS s
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1445,37 +1468,19 @@ object SparkEntry {
         |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_wjaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |grams AS (SELECT doc_id, gram, count(*) AS tf FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
-        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
-        |  FROM toks WHERE len(w) >= 3) GROUP BY doc_id, gram),
-        |tot AS (SELECT doc_id, sum(tf) AS t FROM grams GROUP BY doc_id),
-        |smin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  sum(least(a.tf, b.tf)) AS s
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+    "q_dedup_wjaccard" -> (wjaccardOracleCte +
+      """
         |SELECT doc_a, doc_b,
         |  cast(s AS double) / (ta.t + tb.t - s) AS wjaccard
         |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
         |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_wminhash_recall" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |grams AS (SELECT doc_id, gram, count(*) AS tf FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
-        |         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS gram
-        |  FROM toks WHERE len(w) >= 3) GROUP BY doc_id, gram),
-        |tot AS (SELECT doc_id, sum(tf) AS t FROM grams GROUP BY doc_id),
-        |smin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  sum(least(a.tf, b.tf)) AS s
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_wminhash_recall" -> (wjaccardOracleCte +
+      """
         |SELECT doc_a, doc_b, true AS found_by_wminhash
         |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
         |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_transform_map" ->
       """SELECT l_orderkey, l_linenumber,
         | (cast(round(l_extendedprice*100) AS bigint)
@@ -1649,7 +1654,7 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS n_partitions,
         | (SELECT count(*) FROM lineitem) AS rows_total,
         | CAST(1 AS BIGINT) AS max_parts_per_key,
-        | (SELECT count(*) FROM lineitem) AS rows_after_persist,
+        | (SELECT count(*) FROM region WHERE r_regionkey >= 0) AS rows_after_persist,
         | (SELECT count(*) FROM region r JOIN nation n
         |    ON r.r_regionkey = n.n_regionkey) AS broadcast_join_rows""".stripMargin,
     "q_analyze_stats" ->

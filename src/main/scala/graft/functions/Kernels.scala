@@ -88,10 +88,17 @@ object Kernels {
     * and allocation-heavy). Set sizes are preserved modulo 64-bit
     * collisions, so jaccard results are unchanged.
     */
-  def wordNgramHashes(text: UTF8String, n: Int): ArrayData = {
+  /** Finalized word-n-gram hashes in TEXT ORDER, or null for < n tokens —
+    * the single shared basis of the unweighted ([[wordNgramHashes]]),
+    * occurrence-indexed ([[wordNgramHashesTf]]) and ICWS
+    * ([[icwsMinhash]]) variants: one definition of tokenization + hashing,
+    * so the three can never drift apart bit-wise (the weighted oracles
+    * and the occurrence-expansion identity depend on that).
+    */
+  private def wordGramHashArray(text: UTF8String, n: Int): Array[Long] = {
     val s = text.toString.trim
     val toks = s.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    if (toks.length < n) return null
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -119,9 +126,16 @@ object Kernels {
       grams(i) = splitmix64(g)
       i += 1
     }
+    grams
+  }
+
+  def wordNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val grams = wordGramHashArray(text, n)
+    if (grams == null) return new GenericArrayData(Array.empty[Long])
+    val m = grams.length
     java.util.Arrays.sort(grams)
     var unique = 1
-    i = 1
+    var i = 1
     while (i < m) {
       if (grams(i) != grams(i - 1)) { grams(unique) = grams(i); unique += 1 }
       i += 1
@@ -172,39 +186,12 @@ object Kernels {
     * Output sorted (distinct by construction modulo 64-bit collisions).
     */
   def wordNgramHashesTf(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.trim
-    val toks = s.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < t.length) {
-        h ^= t.charAt(j).toLong
-        h *= 0x100000001b3L
-        j += 1
-      }
-      th(i) = h
-      i += 1
-    }
-    val m = toks.length - n + 1
-    val grams = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var g = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + n) {
-        g = (g ^ th(j)) * 0x100000001b3L
-        j += 1
-      }
-      grams(i) = splitmix64(g)
-      i += 1
-    }
+    val grams = wordGramHashArray(text, n)
+    if (grams == null) return new GenericArrayData(Array.empty[Long])
+    val m = grams.length
     // sort → equal runs; occurrence index = position in run
     java.util.Arrays.sort(grams)
-    i = 0
+    var i = 0
     var occ = 0L
     while (i < m) {
       if (i > 0 && grams(i) == grams(i - 1)) occ += 1 else occ = 0L
@@ -226,40 +213,13 @@ object Kernels {
     * apply. Empty input (< n tokens) → empty array (caller filters).
     */
   def icwsMinhash(text: UTF8String, n: Int, numPerms: Int, seed: Long): ArrayData = {
-    val s = text.toString.trim
-    val toks = s.split(" ", -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < t.length) {
-        h ^= t.charAt(j).toLong
-        h *= 0x100000001b3L
-        j += 1
-      }
-      th(i) = h
-      i += 1
-    }
-    val m = toks.length - n + 1
-    val grams = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var g = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + n) {
-        g = (g ^ th(j)) * 0x100000001b3L
-        j += 1
-      }
-      grams(i) = splitmix64(g)
-      i += 1
-    }
+    val grams = wordGramHashArray(text, n)
+    if (grams == null) return new GenericArrayData(Array.empty[Long])
+    val m = grams.length
     java.util.Arrays.sort(grams)
     // run-length → (distinct gram, tf, ln(tf)) arrays
     var d = 1
-    i = 1
+    var i = 1
     while (i < m) { if (grams(i) != grams(i - 1)) d += 1; i += 1 }
     val gs = new Array[Long](d)
     val lnW = new Array[Double](d)
@@ -273,6 +233,11 @@ object Kernels {
       } else run += 1
       i += 1
     }
+    // per-gram stream base, gram-dependent only — computed once, not once
+    // per permutation (numPerms× redundant mixes otherwise)
+    val gh = new Array[Long](d)
+    i = 0
+    while (i < d) { gh(i) = splitmix64(gs(i) + seed); i += 1 }
     val sig = new Array[Long](numPerms)
     val inv53 = 1.0 / 9007199254740992.0 // 2^-53
     var k = 0
@@ -293,12 +258,12 @@ object Kernels {
         // five independent uniforms in (0,1) per (gram, perm): one mix of
         // the gram stream with each offset — the same gram draws the same
         // (r, c, β) in every document, the consistency ICWS requires
-        val gh = splitmix64(gs(i) + seed)
-        val u0 = ((splitmix64(gh ^ o0) >>> 11) + 0.5) * inv53
-        val u1 = ((splitmix64(gh ^ o1) >>> 11) + 0.5) * inv53
-        val u2 = ((splitmix64(gh ^ o2) >>> 11) + 0.5) * inv53
-        val u3 = ((splitmix64(gh ^ o3) >>> 11) + 0.5) * inv53
-        val u4 = ((splitmix64(gh ^ o4) >>> 11) + 0.5) * inv53
+        val g = gh(i)
+        val u0 = ((splitmix64(g ^ o0) >>> 11) + 0.5) * inv53
+        val u1 = ((splitmix64(g ^ o1) >>> 11) + 0.5) * inv53
+        val u2 = ((splitmix64(g ^ o2) >>> 11) + 0.5) * inv53
+        val u3 = ((splitmix64(g ^ o3) >>> 11) + 0.5) * inv53
+        val u4 = ((splitmix64(g ^ o4) >>> 11) + 0.5) * inv53
         val r = -math.log(u0 * u1) // Gamma(2,1) = Exp(1) + Exp(1)
         val c = -math.log(u2 * u3)
         val beta = u4

@@ -50,7 +50,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, numBits: Int = 8, numTables: Int = 16, seed: Long = 42L,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, maxBucketSize: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
@@ -58,9 +58,26 @@ object Similarity {
     def bucketize(df: DataFrame, id: String, vec: String) =
       df.withColumn("bks", GraftFunctions.hyperplaneLshMulti(col(vec), numBits, numTables, seed))
         .select(col(id), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cb = bucketize(c, "neighbor_id", "nbr_vec")
+    // Degenerate-bucket cap: a skewed corpus (duplicate / near-zero
+    // vectors) can pile into one (table, bucket) and make the candidate
+    // set approach |queries| × |corpus| — which the downstream broadcast
+    // must not see. Bucket counts aggregate to ≤ numTables × 2^numBits
+    // rows (map-side combine, tiny shuffle), and the anti-join against
+    // the hot list is a broadcast probe — the corpus-side frame itself
+    // never shuffles. With the cap, candidates are bounded by
+    // queries × numTables × maxBucketSize regardless of corpus shape.
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = cb.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") > maxBucketSize)
+          .select("tbl", "bucket")
+        cb.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+      } else cb
     // Queries stay broadcast through bucketing; the corpus-side join is a
     // map-side hash probe, then candidates dedup on (query, neighbor).
-    val cand = bucketize(c, "neighbor_id", "nbr_vec")
+    val cand = capped
       .join(broadcast(bucketize(q, "query_id", "query_vec")), Seq("tbl", "bucket"))
       .select("query_id", "neighbor_id")
       .distinct()
