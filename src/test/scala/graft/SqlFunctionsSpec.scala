@@ -54,9 +54,11 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // the list covers every function name the Column API calls
     val names = GraftFunctions.builders.map(_._1).toSet
     assert(names === Set(
-      "graft_word_ngrams", "graft_char_ngrams", "graft_minhash", "graft_simhash64",
+      "graft_word_ngrams", "graft_char_ngrams", "graft_word_ngrams_tf",
+      "graft_icws_minhash", "graft_minhash", "graft_simhash64",
       "graft_simhash_tf", "graft_cosine", "graft_hyperplane_lsh_multi",
-      "graft_langid_hits", "graft_normalize", "graft_winnow", "graft_topk"))
+      "graft_langid_hits", "graft_quality_counts", "graft_normalize",
+      "graft_winnow", "graft_topk"))
     // and the extensions class constructs + applies cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
