@@ -677,6 +677,22 @@ object SparkEntry {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Duplicate-cluster decision, oracle-checked: trigram-jaccard ≥ 0.7
+    * pairs → connected components (min-id canonical per cluster) → every
+    * document labeled (cluster_id, keep). DuckDB recomputes the same pair
+    * set all-pairs and resolves components with a RECURSIVE transitive
+    * closure — pair transitivity (a~b, b~c, a≁c) must collapse to ONE
+    * cluster on both engines, bit-exact.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+    Dedup.dedupByClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact TF-WEIGHTED n-gram jaccard (Σmin/Σmax), oracle-checked: the
     * occurrence-expansion reduction ([[graft.functions.Kernels.wordNgramHashesTf]])
     * makes the PPJoin pipeline compute the weighted coefficient exactly;
@@ -1150,6 +1166,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -1468,6 +1485,30 @@ object SparkEntry {
         |SELECT doc_a, doc_b, cast(i AS double) / u AS jaccard FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) AS double)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+        |      UNION SELECT doc_b, doc_a FROM jpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        | d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_wjaccard" -> (wjaccardOracleCte +
       """
         |SELECT doc_a, doc_b,

@@ -64,6 +64,81 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Connected components over a near-dup pair list: every node gets its
+    * component's MINIMUM id as `component`. Pregel-style min-label
+    * propagation — per round, each node takes the min of its own and its
+    * neighbors' labels; a round is one narrow (node, label) shuffle join,
+    * and the loop stops when no label changed (or maxIters). Rounds needed
+    * = graph diameter, and near-dup components are shallow in practice
+    * (stars around a canonical doc, short chains), so 3-5 rounds is
+    * typical; 100 TB shape: per-round state is 16 B/node + the pair list,
+    * nothing quadratic. This is the missing half of every pairwise dedup —
+    * pipelines don't want PAIRS, they want one keeper per duplicate
+    * GROUP, and pair-transitivity (a~b, b~c but a≁c) must resolve into
+    * one cluster, which per-pair filtering cannot express.
+    *
+    * NOTE: runs Spark jobs while building (one count per round — the
+    * convergence test), like the other bounded iterative fits (k-means,
+    * BPE). Labels persist per round; the previous round unpersists after
+    * the action that consumed it.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 15,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // symmetric edge list, narrow (long, long)
+    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = persistIf(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      persistLevel)
+    var labels = persistIf(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")),
+      persistLevel)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // candidate label per node: min over neighbors' current labels
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = persistIf(
+        labels.join(viaNbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"),
+            (col("nbr_min") < col("component")).as("__changed")),
+        persistLevel)
+      val changed = next.filter(col("__changed")).count() // materializes next
+      val prev = labels
+      labels = next.drop("__changed")
+      if (persistLevel != StorageLevel.NONE) prev.unpersist()
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup decision: every row of `df` gets its duplicate
+    * cluster's canonical id (`cluster_id` = component min over the pair
+    * graph; docs in no pair are their own singleton cluster) and a `keep`
+    * flag (true iff the row IS the canonical doc). `pairs` is any
+    * (id_a, id_b) near-dup output — exact, jaccard, minhash, simhash,
+    * embedding — so the same decision step composes with every detector.
+    */
+  def dedupByClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("keep", col(idCol).cast("long") === col("cluster_id"))
+      .drop("__cc_id", "component")
+  }
+
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
     * are hashed in one kernel pass — no gram strings are materialized
     * between shingling and the signature. Docs with NO grams (shorter than

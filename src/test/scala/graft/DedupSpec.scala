@@ -257,6 +257,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(t.length === 1 && t.head.getDouble(2) === 1.0)
   }
 
+  test("connectedComponents resolves pair transitivity into min-id clusters") {
+    import spark.implicits._
+    // chain 20-21-22-23 needs 3 propagation rounds; star 1-{2,3}; pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // cluster decision: singletons keep themselves; one keeper per cluster
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L, 50L).toDF("doc_id")
+    val decided = Dedup.dedupByClusters(df, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val keepers = decided.filter(_._3).map(_._1).toSet
+    assert(keepers === Set(1L, 10L, 20L, 50L))
+    assert(decided.find(_._1 == 50L).get._2 === 50L) // singleton: own cluster
+    // corpus-level: components over the jaccard pairs equal a union-find
+    GraftFunctions.ensure(spark)
+    val jp = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    jp.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = jp.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
