@@ -68,6 +68,23 @@ object Scaling {
       drain(Dedup.minhashLsh(big, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5))
     }
+    time("weighted minhashLsh (word_tf occurrence expansion)") {
+      drain(Dedup.minhashLsh(big, "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5,
+        shingler = "word_tf"))
+    }
+    time("icwsLsh 128 perms / 32 bands") {
+      drain(Dedup.icwsLsh(big, "doc_id", "text",
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5))
+    }
+    time("exact weighted jaccard (PPJoin over occurrence hashes)") {
+      drain(Dedup.ngramJaccard(big, "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf"))
+    }
+    time("connectedComponents + cluster decision over jaccard pairs") {
+      val pairs = Dedup.ngramJaccard(big, "doc_id", "text", n = 3, threshold = 0.7)
+      drain(Dedup.dedupByClusters(big.select(col("doc_id")), "doc_id", pairs))
+    }
     spark.stop()
   }
 }
