@@ -726,6 +726,53 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination, oracle-checked: every 20th document plays
+    * the eval set; each remaining document is flagged iff it shares ≥1
+    * word trigram with ANY eval document. Spark runs the broadcast
+    * semi-join over kernel-hashed grams ([[Dedup.decontaminate]]); DuckDB
+    * recomputes the overlap relationally on string grams — flags must
+    * agree exactly.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition metrics (Gopher rules), oracle-checked: Spark computes
+    * every per-doc metric map-side in one sorted run-length pass
+    * ([[TextAnalysis.repetition]] — zero shuffle); DuckDB recomputes them
+    * relationally (unnest + GROUP BY + argmax window). Two independent
+    * formulations, bit-identical doubles (identical exact-int divisions).
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(wh(s, dir).loadTable("documents"), "text", n = 2)
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("dup_ngram_frac"), col("top_word"), col("top_word_cnt"),
+        col("top_word_frac"), col("top_ngram"), col("top_ngram_cnt"),
+        col("top_ngram_char_frac"))
+      .orderBy("doc_id")
+
+  /** Mixture-sampling CONTRACT row, oracle-checked: mixtureSample must
+    * return EXACTLY min(target, available) rows per source stratum. The
+    * oracle recomputes the expected counts from the raw table and the
+    * same target formula — a count mismatch anywhere (hash collision
+    * mishandling, boundary off-by-one, dropped stratum) goes red.
+    */
+  private def qMixtureContract(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val targets = (0 until 20)
+      .map(i => (s"src$i", (3 + (i % 5) * 4).toLong)).toMap
+    Relational.mixtureSample(docs, "source", targets, keyCols = Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     // τ=0.4 matches this corpus's actual similarity profile (it has no
@@ -1189,7 +1236,10 @@ object SparkEntry {
     "q_io_parquet" -> (qIoParquet _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_repartition" -> (qRepartition _),
-    "q_analyze_stats" -> (qAnalyzeStats _)
+    "q_analyze_stats" -> (qAnalyzeStats _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _),
+    "q_mixture_contract" -> (qMixtureContract _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -1773,6 +1823,64 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
         | cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS sum_value_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |bg AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 20 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
+        |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr)
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, length(text) AS nc,
+        |  string_split(trim(text), ' ') AS w,
+        |  CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+        |   list_transform(generate_series(1, len(string_split(trim(text), ' ')) - 1),
+        |     i -> concat(string_split(trim(text), ' ')[i], ' ',
+        |                 string_split(trim(text), ' ')[i+1]))
+        |  ELSE CAST([] AS VARCHAR[]) END AS g
+        | FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS t FROM base),
+        |wcnt AS (SELECT doc_id, t, count(*) AS c FROM words GROUP BY doc_id, t),
+        |wtop AS (SELECT doc_id, t, c FROM (
+        |  SELECT doc_id, t, c,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn
+        |  FROM wcnt) WHERE rn = 1),
+        |gx AS (SELECT doc_id, unnest(g) AS t FROM base),
+        |gcnt AS (SELECT doc_id, t, count(*) AS c FROM gx GROUP BY doc_id, t),
+        |gtop AS (SELECT doc_id, t, c FROM (
+        |  SELECT doc_id, t, c,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn
+        |  FROM gcnt) WHERE rn = 1)
+        |SELECT b.doc_id,
+        | cast(len(b.w) AS bigint) AS n_words,
+        | cast(len(b.w) - len(list_distinct(b.w)) AS double) / len(b.w) AS dup_word_frac,
+        | CASE WHEN len(b.g) > 0 THEN
+        |  cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
+        | ELSE 0.0 END AS dup_ngram_frac,
+        | wtop.t AS top_word,
+        | cast(wtop.c AS bigint) AS top_word_cnt,
+        | cast(wtop.c AS double) / len(b.w) AS top_word_frac,
+        | coalesce(gtop.t, '') AS top_ngram,
+        | cast(coalesce(gtop.c, 0) AS bigint) AS top_ngram_cnt,
+        | CASE WHEN len(b.g) > 0 THEN
+        |  cast(gtop.c * length(gtop.t) AS double) / b.nc
+        | ELSE 0.0 END AS top_ngram_char_frac
+        |FROM base b
+        |JOIN wtop ON b.doc_id = wtop.doc_id
+        |LEFT JOIN gtop ON b.doc_id = gtop.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "q_mixture_contract" ->
+      """SELECT source,
+        | least(cast(3 + (cast(substr(source, 4) AS int) % 5) * 4 AS bigint),
+        |        count(*)) AS n_sampled
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

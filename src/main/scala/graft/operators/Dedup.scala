@@ -146,6 +146,40 @@ object Dedup {
       .drop("__cc_id", "component")
   }
 
+  /** Benchmark DECONTAMINATION: flag every corpus document that shares at
+    * least one n-gram with the evaluation set `bench` — the standard
+    * train/test-overlap guard an LLM data pipeline runs before training
+    * (n-gram collision decontamination; see the reference's dedup surface
+    * for the pairwise analogue, e.g. fugue-warehouses README pipeline
+    * examples). Appends `contaminated: boolean` to `corpus`.
+    *
+    * 100 TB shape: the eval set is small by definition, so its distinct
+    * gram set broadcasts; the corpus side is ONE map pass (kernel-hashed
+    * grams, explode, broadcast semi-join — no corpus shuffle) followed by
+    * a distinct on the HIT ids only (≈ contaminated docs, not corpus
+    * size). The final flag join is on the id column and AQE broadcasts
+    * the hit list when small. Gram identity is the 64-bit shingle hash —
+    * the same reduction every jaccard/minhash query uses, and the oracle
+    * reproduces it with string grams (collision-free at corpus scale).
+    */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, shingler: String = "word"): DataFrame = {
+    GraftFunctions.ensure(corpus.sparkSession)
+    val benchGrams = bench
+      .select(explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__contaminated", lit(true))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__contaminated")
+  }
+
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
     * are hashed in one kernel pass — no gram strings are materialized
     * between shingling and the signature. Docs with NO grams (shorter than

@@ -134,6 +134,41 @@ object Relational {
     }.toSeq
   }
 
+  /** Domain MIXTURE sampling: draw EXACTLY `min(target, available)` rows
+    * per stratum — the budget-allocation step that turns "train on 30%
+    * web / 20% code / ..." into a concrete deterministic subset. Rows are
+    * ranked within each stratum by a seeded hash of `keyCols` and the
+    * first `target` kept, so re-runs (and re-partitions) pick the same
+    * rows, and the per-stratum count is exact — unlike Bernoulli
+    * [[stratifiedSample]], whose achieved counts are binomial.
+    *
+    * 100 TB shape: the targets table broadcasts (strata are few); the
+    * rank is a row_number window per stratum. A stratum's rows sort
+    * within its window partitions — for a stratum so large its hash sort
+    * dominates, pre-filter with a hash threshold (rate ≈ margin ×
+    * target/count, one cheap count pass) and rank only survivors; the
+    * window then sees ~margin×target rows. The exact-rank core is the
+    * same either way.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String,
+      targets: Map[String, Long], keyCols: Seq[String],
+      seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toSeq.toDF(stratumCol, "__target")
+    // hash ties broken by the key columns themselves → total order → exact
+    val h = shiftrightunsigned(
+      xxhash64(struct(keyCols.map(lcol): _*), lit(seed)), 1)
+    val w = Window.partitionBy(lcol(stratumCol))
+      .orderBy((h.asc +: keyCols.map(c => lcol(c).asc)): _*)
+    df.join(broadcast(targetDf), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__target"))
+      .drop("__rk", "__target")
+  }
+
   /** Fugue `take`: n rows per partition group, ordered by presort.
     * With no partition spec it is a global ordered limit (Spark plans
     * TakeOrderedAndProject — bounded memory, no global sort).

@@ -328,4 +328,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val chars = df.select(Dedup.charShingles(col("t"), 3)).collect()(0).getSeq[String](0)
     assert(chars.contains("a b") && chars.contains("b c"))
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we saw the quick brown animal run"), // shares "the quick brown"
+      (2L, "entirely different words appear here now"),
+      (3L, "fox jumps high over everything else"),  // shares "fox jumps high"
+      (4L, "too short")                             // < 3 words: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("hashed-gram decontamination equals the string-gram recompute on the corpus") {
+    // The operator joins on 64-bit kernel hashes; ground truth recomputes
+    // the overlap on the gram STRINGS (wordShingles) — a collision or a
+    // tokenization divergence between kernel and column shingler flips a
+    // flag and fails this.
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated")
+    val bg = bench.select(explode(Dedup.wordShingles(col("text"), 3)).as("g")).distinct()
+    val expHits = corpus
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+      .join(bg, "g").select("doc_id").distinct()
+      .withColumn("exp", lit(true))
+    val bad = got.join(expHits, Seq("doc_id"), "left")
+      .filter(col("contaminated") =!= coalesce(col("exp"), lit(false)))
+    assert(bad.count() === 0, bad.take(5).mkString("\n"))
+  }
 }

@@ -149,6 +149,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(byLang.getOrElse("en", 0L) > 0)
   }
 
+  test("mixtureSample draws exactly min(target, available) per stratum, deterministically") {
+    val docs = wh.loadTable("documents")
+    val avail = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val huge = avail.values.max + 100 // exceeds every stratum
+    val targets = Map("src0" -> 3L, "src1" -> 7L, "src2" -> huge)
+    val sampled = Relational.mixtureSample(docs, "source", targets, Seq("doc_id"))
+    val got = sampled.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "src0" -> math.min(3L, avail("src0")),
+      "src1" -> math.min(7L, avail("src1")),
+      "src2" -> avail("src2")), "exact-N per stratum; untargeted strata dropped")
+    // deterministic: the same ROWS, not just the same counts
+    val again = Relational.mixtureSample(docs, "source", targets, Seq("doc_id"))
+    assert(sampled.select("doc_id").except(again.select("doc_id")).count() === 0)
+    // subset of the source, with the stratum column intact
+    assert(sampled.join(docs, Seq("doc_id", "source"), "left_anti").count() === 0)
+  }
+
   test("split partitions every row into exactly one deterministic part") {
     val docs = wh.loadTable("documents")
     val parts = Relational.split(docs, Seq(0.8, 0.1, 0.1))

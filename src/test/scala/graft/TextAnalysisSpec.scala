@@ -212,4 +212,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("n_fp") =!= size(col("fp"))).count() === 0)
     assert(out.filter(col("fp_min") > col("fp_max")).count() === 0)
   }
+
+  test("repetition metrics match hand-computed values and tie-break") {
+    val df = Seq(
+      (1L, "a a a b"),      // top word a×3; bigrams [a a, a a, a b]
+      (2L, "b b a a"),      // tie: a and b both ×2 → lexicographically first wins
+      (3L, "x")             // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "text", n = 2)
+      .select("doc_id", "n_words", "dup_word_frac", "dup_ngram_frac",
+        "top_word", "top_word_cnt", "top_word_frac",
+        "top_ngram", "top_ngram_cnt", "top_ngram_char_frac")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 4L)
+    assert(r1.getDouble(2) === 0.5)            // 4 words, 2 distinct
+    assert(r1.getDouble(3) === 1.0 / 3.0)      // 3 bigrams, 2 distinct
+    assert(r1.getString(4) === "a" && r1.getLong(5) === 3L)
+    assert(r1.getDouble(6) === 0.75)
+    assert(r1.getString(7) === "a a" && r1.getLong(8) === 2L)
+    assert(r1.getDouble(9) === 2.0 * 3 / 7)    // 2 runs × 3 chars / 7 chars
+    val r2 = out(2L)
+    assert(r2.getString(4) === "a" && r2.getLong(5) === 2L,
+      "count tie must pick the lexicographically smallest word")
+    val r3 = out(3L)
+    assert(r3.getLong(1) === 1L && r3.getDouble(2) === 0.0)
+    assert(r3.getString(7) === "" && r3.getLong(8) === 0L &&
+      r3.getDouble(9) === 0.0, "no bigrams for a one-word doc")
+  }
+
+  test("map-side repetition top counts equal the relational explode/groupBy recompute") {
+    // The operator computes argmax counts via sort + run-length aggregate
+    // (zero shuffle); ground truth here is the naive explode → groupBy →
+    // window formulation. Every doc in the corpus must agree on count AND
+    // the tie-broken element.
+    import org.apache.spark.sql.expressions.Window
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "text", n = 2)
+      .select("doc_id", "top_word", "top_word_cnt", "top_ngram", "top_ngram_cnt")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("t").asc)
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("t").as("e_word"), col("c").as("e_cnt"))
+    val bad = got.join(words, "doc_id")
+      .filter(col("top_word") =!= col("e_word") || col("top_word_cnt") =!= col("e_cnt"))
+    assert(bad.count() === 0, bad.take(3).mkString("\n"))
+  }
 }
