@@ -61,6 +61,8 @@ object GraftFunctions {
         QualityCounts(args.head, LangIdHits.defaultStopwords("en"))),
     "graft_normalize" ->
       ((args: Seq[Expression]) => NormalizeText(args.head)),
+    "graft_repetition_stats" ->
+      ((args: Seq[Expression]) => RepetitionStats(args.head, intLit(args(1), "n"))),
     "graft_winnow" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
@@ -121,6 +123,12 @@ object GraftFunctions {
   /** NFC + lowercase + whitespace-collapse canonical text, one scan. */
   def normalizeText(text: Column): Column =
     call_function("graft_normalize", text)
+
+  /** struct(n_words, n_distinct_words, n_grams, n_distinct_grams,
+    * top_word, top_word_cnt, top_ngram, top_ngram_cnt), one scan.
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    call_function("graft_repetition_stats", text, lit(n))
 
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(w))

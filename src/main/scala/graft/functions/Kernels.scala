@@ -738,4 +738,72 @@ object Kernels {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Repetition stats (Gopher repetition rules) in ONE scan: tokenize,
+    * count words and word n-grams in hash maps, and select the
+    * most-frequent of each — tie-broken to the BINARY-smallest key (the
+    * order DuckDB's `ORDER BY c DESC, t ASC` and Spark's sort_array use;
+    * Java String.compareTo would diverge on supplementary planes).
+    *
+    * Tokenization contract = the column form the oracle replays:
+    * trim SPACES only (Spark `trim` default), split on single ' '
+    * KEEPING empty tokens (Spark split limit -1), n-grams joined with
+    * ' '. Returns a struct row (n_words, n_distinct_words, n_grams,
+    * n_distinct_grams, top_word, top_word_cnt, top_ngram, top_ngram_cnt).
+    */
+  def repetitionStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val toks = raw.substring(b, e).split(" ", -1)
+    val wcnt = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < toks.length) {
+      val slot = wcnt.computeIfAbsent(toks(i), _ => new Array[Long](1))
+      slot(0) += 1
+      i += 1
+    }
+    val gcnt = new java.util.HashMap[String, Array[Long]]()
+    var nGrams = 0L
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j <= toks.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(j + k))
+          k += 1
+        }
+        val slot = gcnt.computeIfAbsent(sb.toString, _ => new Array[Long](1))
+        slot(0) += 1
+        nGrams += 1
+        j += 1
+      }
+    }
+    def top(m: java.util.HashMap[String, Array[Long]]): (String, Long) = {
+      var bestK = ""
+      var bestC = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val c = en.getValue()(0)
+        if (c > bestC ||
+            (c == bestC && c > 0 &&
+             UTF8String.fromString(en.getKey).compareTo(UTF8String.fromString(bestK)) < 0)) {
+          bestK = en.getKey
+          bestC = c
+        }
+      }
+      (bestK, bestC)
+    }
+    val (tw, twc) = top(wcnt)
+    val (tg, tgc) = top(gcnt)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong, wcnt.size.toLong, nGrams, gcnt.size.toLong,
+      UTF8String.fromString(tw), twc, UTF8String.fromString(tg), tgc))
+  }
 }

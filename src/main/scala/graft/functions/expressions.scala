@@ -214,6 +214,36 @@ case class QualityCounts(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "graft_quality_counts"
 }
 
+/** Repetition stats of a string column in ONE scan → struct(n_words,
+  * n_distinct_words, n_grams, n_distinct_grams, top_word, top_word_cnt,
+  * top_ngram, top_ngram_cnt). See [[Kernels.repetitionStats]]; the
+  * map-side replacement for explode → groupBy → argmax window, which
+  * would shuffle the whole token stream.
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullSafeEval(input: Any): Any =
+    Kernels.repetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_stats"
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct_grams", LongType, nullable = false),
+    StructField("top_word", StringType, nullable = false),
+    StructField("top_word_cnt", LongType, nullable = false),
+    StructField("top_ngram", StringType, nullable = false),
+    StructField("top_ngram_cnt", LongType, nullable = false)))
+}
+
 /** Canonical text normalization (NFC + lower + whitespace collapse) of a
   * string column → string, one kernel pass. See [[Kernels.normalizeText]].
   */

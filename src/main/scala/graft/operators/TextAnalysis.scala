@@ -193,72 +193,44 @@ object TextAnalysis {
     *
     * 100 TB shape: ZERO shuffle. The naive formulation (explode tokens →
     * groupBy(doc, token) → max) shuffles the entire token stream — at
-    * corpus scale that is a shuffle the size of the data. Instead the
-    * top-item counts come from sort_array + a single run-length
-    * `aggregate` scan per document (duplicates are adjacent after the
-    * sort), so every metric is computed map-side in one pass over each
-    * row. The DuckDB oracle deliberately uses the relational formulation
-    * (unnest + GROUP BY + window) — two independent derivations must
-    * agree exactly. Tie-break: strict `>` over the sorted array keeps the
-    * FIRST gram reaching the max count, i.e. the lexicographically
-    * smallest among the argmax set — mirrored in the oracle's
+    * corpus scale that is a shuffle the size of the data. Instead ALL
+    * counts and both argmaxes come from ONE codegen'd kernel scan per
+    * document ([[graft.functions.Kernels.repetitionStats]]); the struct's
+    * getField projections collapse to a single kernel call under
+    * whole-stage codegen subexpression elimination (same pattern as
+    * [[quality]]). The DuckDB oracle deliberately uses the relational
+    * formulation (unnest + GROUP BY + window) — two independent
+    * derivations must agree exactly, including the tie-break: the
+    * BINARY-smallest gram among the argmax set, the order of the oracle's
     * `ORDER BY c DESC, g ASC` window.
     */
   def repetition(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2, got $n")
-    val toks = split(trim(col(textCol)), " ")
-    // n-grams WITH multiplicity (wordShingles dedups; repetition needs TF)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.withColumn("__w", toks)
-      .withColumn("__g", grams)
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("n_grams", size(col("__g")).cast("long"))
+    GraftFunctions.ensure(df.sparkSession)
+    val st = GraftFunctions.repetitionStats(col(textCol), n)
+    df.withColumn("__rep", st)
+      .withColumn("n_words", col("__rep").getField("n_words"))
+      .withColumn("n_grams", col("__rep").getField("n_grams"))
       .withColumn("dup_word_frac",
-        (col("n_words") - size(array_distinct(col("__w"))).cast("long")).cast("double")
+        (col("n_words") - col("__rep").getField("n_distinct_words")).cast("double")
           / col("n_words"))
       .withColumn("dup_ngram_frac",
         when(col("n_grams") > 0,
-          (col("n_grams") - size(array_distinct(col("__g"))).cast("long")).cast("double")
+          (col("n_grams") - col("__rep").getField("n_distinct_grams")).cast("double")
             / col("n_grams"))
           .otherwise(lit(0.0)))
-      .withColumn("__wtop", topRun(col("__w")))
-      .withColumn("__gtop", topRun(col("__g")))
-      .withColumn("top_word", col("__wtop").getField("bestg"))
-      .withColumn("top_word_cnt", col("__wtop").getField("best"))
+      .withColumn("top_word", col("__rep").getField("top_word"))
+      .withColumn("top_word_cnt", col("__rep").getField("top_word_cnt"))
       .withColumn("top_word_frac",
         col("top_word_cnt").cast("double") / col("n_words"))
-      .withColumn("top_ngram", col("__gtop").getField("bestg"))
-      .withColumn("top_ngram_cnt", col("__gtop").getField("best"))
+      .withColumn("top_ngram", col("__rep").getField("top_ngram"))
+      .withColumn("top_ngram_cnt", col("__rep").getField("top_ngram_cnt"))
       .withColumn("top_ngram_char_frac",
         when(col("n_grams") > 0,
           (col("top_ngram_cnt") * length(col("top_ngram"))).cast("double")
             / length(col(textCol)))
           .otherwise(lit(0.0)))
-      .drop("__w", "__g", "__wtop", "__gtop")
-  }
-
-  /** Most-frequent element of a string array via sort + run-length scan —
-    * the map-side replacement for explode/groupBy/argmax. Returns a struct
-    * with `best` (the max run length, 0 for an empty array) and `bestg`
-    * (the element, "" for empty; lexicographically smallest on count ties
-    * because strict `>` never displaces an earlier sorted run).
-    */
-  private def topRun(arr: Column): Column = {
-    def state(prev: Column, run: Column, best: Column, bestg: Column): Column =
-      struct(prev.as("prev"), run.as("run"), best.as("best"), bestg.as("bestg"))
-    aggregate(
-      sort_array(arr),
-      state(lit(""), lit(0L), lit(0L), lit("")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        state(g, run,
-          when(run > acc.getField("best"), run).otherwise(acc.getField("best")),
-          when(run > acc.getField("best"), g).otherwise(acc.getField("bestg")))
-      })
+      .drop("__rep")
   }
 
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
