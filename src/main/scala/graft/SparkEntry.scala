@@ -834,6 +834,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document, oracle-checked END TO END: the df
+    * model trains on the full corpus (bounded, vocabulary-sized collect —
+    * the BPE/k-means pattern), scoring is one kernel scan per doc, and
+    * DuckDB independently rebuilds tf, df and the rational tf×N/df score
+    * relationally with an argmax window — terms, counts AND scores must
+    * match bit-for-bit including the (score desc, term asc) tie-break.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val model = TextAnalysis.trainDfModel(docs, "text")
+    TextAnalysis.tfidfTopK(docs, "text", model, k = 3)
+      .select(col("doc_id"), posexplode(col("tfidf")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.score").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "h_en", "h_de", "h_fr", "h_es", "h_zh", "pred_lang")
@@ -1239,7 +1257,8 @@ object SparkEntry {
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_repetition" -> (qRepetition _),
-    "q_mixture_contract" -> (qMixtureContract _)
+    "q_mixture_contract" -> (qMixtureContract _),
+    "q_tfidf" -> (qTfidf _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -1881,6 +1900,20 @@ object SparkEntry {
       """SELECT source,
         | least(cast(3 + (cast(substr(source, 4) AS int) % 5) * 4 AS bigint),
         |        count(*)) AS n_sampled
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM words GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM words GROUP BY t),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (SELECT doc_id, t, tf.tf, dfreq.df,
+        |  cast(tf.tf * n.nd AS double) / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rnk FROM scored)
+        |SELECT doc_id, cast(rnk AS bigint) AS rank, t AS term, tf, df, score
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -158,4 +158,23 @@ object GraftFunctions {
 
   private val bpeNames = new java.util.IdentityHashMap[BpeModel, String]()
   private val bpeCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** TF-IDF top-k terms under a trained [[DfModel]] — model-parameterized
+    * function, registered per model instance exactly like [[bpeCount]]
+    * (same uniqueness and lifetime caveats).
+    */
+  def tfidfTopK(spark: SparkSession, text: Column, model: DfModel, k: Int): Column = {
+    // k is part of the NAME (not just the builder closure): re-using one
+    // model with another k must not silently rebind a previously built
+    // column's registration (call_function resolves at analysis time).
+    val name = dfNames.synchronized {
+      dfNames.computeIfAbsent(model, _ => s"graft_tfidf_topk_${dfCounter.incrementAndGet()}")
+    } + s"_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => TfidfTopK(args.head, model, k), "scala_udf")
+    call_function(name, text)
+  }
+
+  private val dfNames = new java.util.IdentityHashMap[DfModel, String]()
+  private val dfCounter = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -27,6 +27,24 @@ final class BpeModel(val sortedKeys: Array[Long], val rankAt: Array[Int])
   }
 }
 
+/** Document-frequency vocabulary for TF-IDF scoring: `sortedWords` in
+  * Java natural order for binary search, `dfAt(i)` the document
+  * frequency of `sortedWords(i)`, `nDocs` the corpus size at training
+  * time. Built by a vocabulary-bounded aggregation
+  * ([[graft.operators.TextAnalysis.trainDfModel]]); words absent from
+  * the vocabulary score 0 and are skipped.
+  */
+final class DfModel(val sortedWords: Array[String], val dfAt: Array[Long],
+    val nDocs: Long) extends Serializable {
+  def vocabSize: Int = sortedWords.length
+  /** document frequency of `w`, or -1 if out of vocabulary. */
+  def df(w: String): Long = {
+    val idx = java.util.Arrays.binarySearch(
+      sortedWords.asInstanceOf[Array[AnyRef]], w)
+    if (idx >= 0) dfAt(idx) else -1L
+  }
+}
+
 /** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
   * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
   * sorted for binary search and `langIdx(i)` is the language index of
@@ -736,6 +754,60 @@ object Kernels {
     val it = selected.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** TF-IDF top-k terms of one document in ONE scan: tokenize (same
+    * contract as [[repetitionStats]]), count term frequencies, score each
+    * in-vocabulary distinct term tf × N / df (the RATIONAL idf form —
+    * exact integer division to double, so the DuckDB oracle reproduces it
+    * bit-for-bit; log-damped idf is a monotone transform of 1/df and
+    * ranks identically per fixed tf), and return the k best as
+    * array<struct<term, tf, df, score>> ordered score DESC then term
+    * BINARY ASC — the oracle's `ORDER BY score DESC, t ASC` window.
+    * Out-of-vocabulary terms are skipped (df unknown ⇒ unscorable).
+    */
+  def tfidfTopK(text: UTF8String, model: DfModel, k: Int): ArrayData = {
+    val raw = text.toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val toks = raw.substring(b, e).split(" ", -1)
+    val tf = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < toks.length) {
+      val slot = tf.computeIfAbsent(toks(i), _ => new Array[Long](1))
+      slot(0) += 1
+      i += 1
+    }
+    final class Entry(val term: UTF8String, val tf: Long, val df: Long, val score: Double)
+    val entries = new java.util.ArrayList[Entry](tf.size)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val df = model.df(en.getKey)
+      if (df > 0) {
+        val t = en.getValue()(0)
+        entries.add(new Entry(UTF8String.fromString(en.getKey), t, df,
+          (t * model.nDocs).toDouble / df))
+      }
+    }
+    val arr = entries.toArray(new Array[Entry](entries.size))
+    java.util.Arrays.sort(arr, new java.util.Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c else a.term.compareTo(b.term)
+      }
+    })
+    val n = math.min(k, arr.length)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr(i).term, arr(i).tf, arr(i).df, arr(i).score))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

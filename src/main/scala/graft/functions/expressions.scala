@@ -244,6 +244,32 @@ object RepetitionStats {
     StructField("top_ngram_cnt", LongType, nullable = false)))
 }
 
+/** TF-IDF top-k terms of a string column under a trained document-
+  * frequency model → array<struct<term, tf, df, score>>, best first, one
+  * kernel pass. See [[Kernels.tfidfTopK]]; model-parameterized like
+  * [[BpeCount]] (registered per model via
+  * [[GraftFunctions.tfidfTopK]]).
+  */
+case class TfidfTopK(child: Expression, model: DfModel, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false),
+      StructField("df", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tfidfTopK(input.asInstanceOf[UTF8String], model, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dfModel", model, classOf[DfModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tfidfTopK($c, $ref, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TfidfTopK =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tfidf_topk"
+}
+
 /** Canonical text normalization (NFC + lower + whitespace collapse) of a
   * string column → string, one kernel pass. See [[Kernels.normalizeText]].
   */

@@ -233,6 +233,53 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** Document frequency per word: the inverted-index statistic TF-IDF
+    * needs — for each distinct word, the number of documents containing
+    * it. One distinct-per-doc explode, then a word-keyed count with
+    * map-side partial aggregation: shuffle volume is vocabulary-bounded
+    * per partition, not token-stream-sized.
+    */
+  def docFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(split(trim(col(textCol)), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Train a [[graft.functions.DfModel]]: collect the (vocabulary-bounded)
+    * document-frequency table to the driver — the same bounded-model
+    * pattern as BPE training and k-means centroids. `maxVocab` guards the
+    * collect: if the vocabulary exceeds it, the LOWEST-df words (the long
+    * tail, least useful for scoring and most numerous) are dropped
+    * (deterministically: df desc, term asc) and scoring treats them as
+    * OOV.
+    */
+  def trainDfModel(df: DataFrame, textCol: String, maxVocab: Int = 1 << 20)
+      : graft.functions.DfModel = {
+    val nDocs = df.count()
+    val rows = docFrequency(df, textCol)
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxVocab)
+      .collect()
+    val words = rows.map(_.getString(0))
+    val dfs = rows.map(_.getLong(1))
+    val order = words.indices.sortBy(words(_))
+    new graft.functions.DfModel(
+      order.map(words(_)).toArray, order.map(dfs(_)).toArray, nDocs)
+  }
+
+  /** TF-IDF top-k terms per document: one kernel scan per doc scores
+    * every in-vocabulary term tf × N / df and keeps the k best
+    * (score desc, term asc). ZERO shuffle at scoring time — the df model
+    * broadcasts with the plan (Catalyst reference object), the kernel
+    * call is codegen'd, and each output row carries its own top-k array.
+    * The rational idf (no log damping) is deliberate: it is exactly
+    * reproducible in the DuckDB oracle (integer-exact division), and for
+    * a FIXED tf it ranks identically to log-idf; the spec pins the
+    * ordering contract.
+    */
+  def tfidfTopK(df: DataFrame, textCol: String,
+      model: graft.functions.DfModel, k: Int = 5): DataFrame =
+    df.withColumn("tfidf",
+      GraftFunctions.tfidfTopK(df.sparkSession, col(textCol), model, k))
+
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
     * et al., SIGMOD 2003) plus summary stats. The full array<bigint> is the
     * join key set for containment-style near-dup detection; n/min/max give

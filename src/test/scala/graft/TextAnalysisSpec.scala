@@ -241,6 +241,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       r3.getDouble(9) === 0.0, "no bigrams for a one-word doc")
   }
 
+  test("tfidfTopK scores, ranks and tie-breaks against hand-computed values") {
+    val df = Seq(
+      (1L, "a a b"),   // a: tf2 df1 → 6.0; b: tf1 df2 → 1.5
+      (2L, "b c"),     // b and c both 1×3/2 = 1.5 → tie → term asc
+      (3L, "c c c")    // c: tf3 df2 → 4.5
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.trainDfModel(df, "text")
+    assert(model.nDocs === 3L && model.vocabSize === 3)
+    assert(model.df("a") === 1L && model.df("b") === 2L && model.df("c") === 2L)
+    assert(model.df("zzz") === -1L)
+    val got = TextAnalysis.tfidfTopK(df, "text", model, k = 2)
+      .select(col("doc_id"), col("tfidf"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getLong(1), e.getLong(2), e.getDouble(3)))).toMap
+    assert(got(1L) === Seq(("a", 2L, 1L, 6.0), ("b", 1L, 2L, 1.5)))
+    assert(got(2L) === Seq(("b", 1L, 2L, 1.5), ("c", 1L, 2L, 1.5)),
+      "equal scores must rank by term ascending")
+    assert(got(3L) === Seq(("c", 3L, 2L, 4.5)))
+  }
+
+  test("tfidf model truncation drops the low-df tail and scoring skips OOV") {
+    val df = Seq(
+      (1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.trainDfModel(df, "text", maxVocab = 2)
+    assert(model.vocabSize === 2)
+    assert(model.df("common") === 3L)
+    // deterministic truncation: df desc, term asc → keeps common + rare1
+    assert(model.df("rare1") === 1L)
+    assert(model.df("rare2") === -1L && model.df("rare3") === -1L)
+    val got = TextAnalysis.tfidfTopK(df, "text", model, k = 5)
+      .filter(col("doc_id") === 3L)
+      .select(explode(col("tfidf")).as("e")).select("e.term")
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("common"), "OOV terms must be skipped, not scored")
+  }
+
   test("map-side repetition top counts equal the relational explode/groupBy recompute") {
     // The operator computes argmax counts via sort + run-length aggregate
     // (zero shuffle); ground truth here is the naive explode → groupBy →
