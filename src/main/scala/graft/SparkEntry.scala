@@ -773,6 +773,17 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** SemDeDup-style semantic near-dup — rows-only (the trained k-means
+    * cell assignment has no SQL re-expression): deterministic in seed,
+    * grounded by DedupSpec (soundness vs exact cosine recompute, recall
+    * vs all-pairs, determinism, cap behavior).
+    */
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticNearDup(wh(s, dir).loadTable("embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numCells = 8)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     // τ=0.4 matches this corpus's actual similarity profile (it has no
@@ -1235,6 +1246,7 @@ object SparkEntry {
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),

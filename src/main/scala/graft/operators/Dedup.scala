@@ -420,6 +420,54 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space (bounded
+    * driver-side spherical k-means, [[Similarity.trainCentroidsKMeans]] —
+    * the IVF recipe), assign every vector to its nearest centroid in one
+    * MAP-SIDE literal pass, then verify cosine ≥ `threshold` only WITHIN
+    * each cell. Cluster blocking is the data-adapted alternative to
+    * hyperplane LSH ([[embeddingNearDup]]): cells concentrate true
+    * neighbors on clustered corpora, at the cost of missing cross-cell
+    * pairs — the documented SemDeDup trade.
+    *
+    * 100 TB shape: centroids are a bounded literal model; assignment
+    * never shuffles; the only shuffle keys on cell id. Within-cell pair
+    * generation is quadratic in cell size, so cells above `maxCellSize`
+    * are dropped whole BEFORE the self-join (the same degenerate-bucket
+    * rule as minhashLsh's maxBucketSize — a cap after pair expansion
+    * would be too late). Each vector lands in exactly ONE cell, so no
+    * pair-dedup step is needed (unlike multi-table LSH).
+    */
+  def semanticNearDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCells: Int = 16, iters: Int = 10,
+      sampleSize: Int = 10000, maxCellSize: Int = 100000,
+      seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
+    val cents = Similarity.trainCentroidsKMeans(
+      df, idCol, vecCol, numCells, iters, sampleSize, seed)
+    // nearest-cell argmax over literal centroids; ties → largest cell id
+    // (array_max over struct(sim, cell)), the ivfTopK literal-path order
+    val cellOf = array_max(array(cents.zipWithIndex.map { case (v, i) =>
+      struct(GraftFunctions.cosineSim(col(vecCol), typedLit(v)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+    val assigned = df.select(
+      col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
+      cellOf.as("__cell"))
+    val kept = assigned
+      .withColumn("__cs", count(lit(1)).over(Window.partitionBy(col("__cell"))))
+      .filter(col("__cs") <= maxCellSize)
+      .drop("__cs")
+    val a = kept.select(col("__cell"), col("__id").as("id_a"), col("__vec").as("__va"))
+    val b = kept.select(col("__cell"), col("__id").as("id_b"), col("__vec").as("__vb"))
+    a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Near-CONTAINMENT pairs via winnowing-fingerprint overlap: reports
     * (id_a, id_b) where shared fingerprints / min(|fp_a|, |fp_b|) ≥
     * threshold — the boilerplate/quote/subset detector exact dedup and

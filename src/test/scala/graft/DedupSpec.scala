@@ -329,6 +329,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(chars.contains("a b") && chars.contains("b c"))
   }
 
+  test("semanticNearDup is sound, deterministic, and recalls clustered near-dups") {
+    val emb = wh.loadTable("embeddings")
+    val got = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numCells = 8).collect()
+    // soundness: every reported pair really has cosine >= threshold
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    got.foreach { r =>
+      val c = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(c >= 0.4 - 1e-9, s"unsound pair ${r.getLong(0)},${r.getLong(1)}: $c")
+    }
+    // recall vs exact all-pairs at the operating point
+    val ids = vecs.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))).toSet
+    val found = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact))
+    val recall = if (exact.isEmpty) 1.0 else found.size.toDouble / exact.size
+    assert(recall >= 0.3,
+      s"cluster-blocked recall collapsed: $recall (${found.size}/${exact.size})")
+    // deterministic across runs (seeded k-means, literal assignment)
+    val again = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numCells = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === found)
+    // degenerate-cell cap drops oversized cells whole
+    val capped = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numCells = 8, maxCellSize = 1)
+    assert(capped.count() === 0)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
