@@ -855,6 +855,10 @@ object SparkEntry {
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents")
     val model = TextAnalysis.trainDfModel(docs, "text")
+    // the oracle scores the FULL vocabulary — a truncated model would
+    // silently skip the dropped tail as OOV and hash-mismatch
+    require(model.vocabSize < (1 << 20),
+      s"vocabulary truncated at maxVocab (${model.vocabSize}) — the full-vocab oracle no longer applies")
     TextAnalysis.tfidfTopK(docs, "text", model, k = 3)
       .select(col("doc_id"), posexplode(col("tfidf")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),

@@ -768,19 +768,7 @@ object Kernels {
     * Out-of-vocabulary terms are skipped (df unknown ⇒ unscorable).
     */
   def tfidfTopK(text: UTF8String, model: DfModel, k: Int): ArrayData = {
-    val raw = text.toString
-    var b = 0
-    var e = raw.length
-    while (b < e && raw.charAt(b) == ' ') b += 1
-    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    val toks = raw.substring(b, e).split(" ", -1)
-    val tf = new java.util.HashMap[String, Array[Long]]()
-    var i = 0
-    while (i < toks.length) {
-      val slot = tf.computeIfAbsent(toks(i), _ => new Array[Long](1))
-      slot(0) += 1
-      i += 1
-    }
+    val tf = termFrequencies(spaceTokens(text))
     final class Entry(val term: UTF8String, val tf: Long, val df: Long, val score: Double)
     val entries = new java.util.ArrayList[Entry](tf.size)
     val it = tf.entrySet().iterator()
@@ -802,7 +790,7 @@ object Kernels {
     })
     val n = math.min(k, arr.length)
     val out = new Array[Any](n)
-    i = 0
+    var i = 0
     while (i < n) {
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](arr(i).term, arr(i).tf, arr(i).df, arr(i).score))
@@ -823,20 +811,38 @@ object Kernels {
     * ' '. Returns a struct row (n_words, n_distinct_words, n_grams,
     * n_distinct_grams, top_word, top_word_cnt, top_ngram, top_ngram_cnt).
     */
-  def repetitionStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  /** Tokenization contract shared by [[repetitionStats]] and
+    * [[tfidfTopK]], and replayed by their DuckDB oracles: trim SPACES
+    * only (Spark `trim` default — NOT Java String.trim, which strips all
+    * chars <= U+0020), split on single ' ' KEEPING empty tokens (Spark
+    * split limit -1). One definition so the two kernels cannot drift.
+    */
+  private def spaceTokens(text: UTF8String): Array[String] = {
     val raw = text.toString
     var b = 0
     var e = raw.length
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    val toks = raw.substring(b, e).split(" ", -1)
-    val wcnt = new java.util.HashMap[String, Array[Long]]()
+    raw.substring(b, e).split(" ", -1)
+  }
+
+  /** Term-frequency map of a token array (long counts in 1-cell arrays
+    * to avoid per-increment boxing).
+    */
+  private def termFrequencies(toks: Array[String]): java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
     var i = 0
     while (i < toks.length) {
-      val slot = wcnt.computeIfAbsent(toks(i), _ => new Array[Long](1))
+      val slot = m.computeIfAbsent(toks(i), _ => new Array[Long](1))
       slot(0) += 1
       i += 1
     }
+    m
+  }
+
+  def repetitionStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = spaceTokens(text)
+    val wcnt = termFrequencies(toks)
     val gcnt = new java.util.HashMap[String, Array[Long]]()
     var nGrams = 0L
     if (toks.length >= n) {

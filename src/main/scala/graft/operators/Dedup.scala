@@ -79,22 +79,37 @@ object Dedup {
     *
     * NOTE: runs Spark jobs while building (one count per round — the
     * convergence test), like the other bounded iterative fits (k-means,
-    * BPE). Labels persist per round; the previous round unpersists after
-    * the action that consumed it.
+    * BPE). Labels localCheckpoint per round (lineage truncation — see
+    * the in-body comment); superseded rounds are reclaimed by the
+    * ContextCleaner.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 15,
+      maxIters: Int = 50,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    requireIntegralId(pairs, aCol)
+    requireIntegralId(pairs, bCol)
     // symmetric edge list, narrow (long, long)
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = persistIf(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       persistLevel)
-    var labels = persistIf(
+    // Each round's labels are localCheckpoint'ed: the lineage of an
+    // iterative plan doubles per round (labels joins viaNbr which joins
+    // labels...) — without truncation a 30-round graph OOMs the DRIVER
+    // just formatting the plan, let alone optimizing it. The checkpoint
+    // also supersedes explicit unpersist: a .drop() view is NOT the
+    // cached handle (cascade=false unpersist is a silent no-op on it),
+    // while superseded checkpoint RDDs are reclaimed by the
+    // ContextCleaner once unreferenced.
+    def materialize(plan: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) plan
+      else plan.localCheckpoint(eager = false)
+    var next = materialize(
       edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component")),
-      persistLevel)
+        .select(col("id"), col("id").as("component"),
+          lit(true).as("__changed")))
+    var labels = next.drop("__changed")
     // Delta propagation: only nodes whose label CHANGED last round can
     // lower a neighbor's label this round, so the neighbor join runs
     // against the frontier, not all nodes — after round 1 the frontier
@@ -109,22 +124,41 @@ object Dedup {
         .join(frontier.select(col("id").as("dst"), col("component").as("fc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("fc")).as("nbr_min"))
-      val next = persistIf(
+      next = materialize(
         labels.join(viaNbr, Seq("id"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("nbr_min"), col("component")))
               .as("component"),
-            (col("nbr_min") < col("component")).as("__changed")),
-        persistLevel)
+            coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed")))
       val changed = next.filter(col("__changed")).count() // materializes next
-      val prev = labels
       labels = next.drop("__changed")
       frontier = next.filter(col("__changed")).drop("__changed")
-      if (persistLevel != StorageLevel.NONE) prev.unpersist()
       converged = changed == 0
       iter += 1
     }
+    // Rounds needed = component diameter. Returning partially-propagated
+    // labels would silently split real clusters (multiple keep=true rows
+    // per duplicate group downstream), so non-convergence is an ERROR,
+    // not a result. Near-dup graphs are shallow (stars/short chains);
+    // a legitimate deeper graph can raise maxIters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise maxIters")
+    if (persistLevel != StorageLevel.NONE) edges.unpersist()
     labels
+  }
+
+  private def requireIntegralId(df: DataFrame, colName: String): Unit = {
+    val dt = df.schema(colName).dataType
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"id column '$colName' must be integral (byte/short/int/long), got $other — " +
+          "a silent cast('long') would turn non-numeric ids into NULLs and " +
+          "NULL cluster labels; hash string ids to long first (e.g. xxhash64)")
+    }
   }
 
   /** Cluster-level dedup decision: every row of `df` gets its duplicate
@@ -136,8 +170,10 @@ object Dedup {
     */
   def dedupByClusters(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    requireIntegralId(df, idCol)
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
       .withColumnRenamed("id", "__cc_id")
     df.join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
       .withColumn("cluster_id",

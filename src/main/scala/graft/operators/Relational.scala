@@ -142,31 +142,61 @@ object Relational {
     * rows, and the per-stratum count is exact — unlike Bernoulli
     * [[stratifiedSample]], whose achieved counts are binomial.
     *
-    * 100 TB shape: the targets table broadcasts (strata are few); the
-    * rank is a row_number window per stratum. A stratum's rows sort
-    * within its window partitions — for a stratum so large its hash sort
-    * dominates, pre-filter with a hash threshold (rate ≈ margin ×
-    * target/count, one cheap count pass) and rank only survivors; the
-    * window then sees ~margin×target rows. The exact-rank core is the
-    * same either way.
+    * 100 TB shape: the targets table broadcasts (strata are few), but a
+    * naive per-stratum row_number window funnels EVERY row of a stratum
+    * through one task's sort — a tens-of-TB web stratum in one executor.
+    * So selection is two-phase: a map-side hash-threshold pre-filter
+    * keeps ~max(margin × target, 64) expected rows per stratum (rate
+    * from one cheap partial-aggregated count pass), and only survivors
+    * are ranked. Because the pre-filter keeps exactly the LOW end of the
+    * same hash order the rank sorts by, the selected set is IDENTICAL to
+    * single-phase ranking whenever survivors suffice — and the
+    * astronomically-rare shortfall (binomial tail, P < 1e-8 per stratum
+    * at margin 4) plus the legitimate under-supplied stratum
+    * (available < target) are both caught in-plan and re-ranked from the
+    * full stratum, so the exact-N contract is unconditional.
     */
   def mixtureSample(df: DataFrame, stratumCol: String,
       targets: Map[String, Long], keyCols: Seq[String],
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, margin: Double = 4.0): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(margin >= 1.0, s"margin must be >= 1, got $margin")
     val spark = df.sparkSession
     import spark.implicits._
-    val targetDf = targets.toSeq.toDF(stratumCol, "__target")
-    // hash ties broken by the key columns themselves → total order → exact
-    val h = shiftrightunsigned(
+    val targetDf = broadcast(targets.toSeq.toDF(stratumCol, "__target"))
+    // uniform [0,1) fraction; BOTH the pre-filter and the rank order use
+    // this same double (not the raw hash), so a row excluded by the
+    // filter can never out-rank an included one even under double
+    // rounding ties; rank ties broken by the key columns → total order
+    val frac = shiftrightunsigned(
       xxhash64(struct(keyCols.map(lcol): _*), lit(seed)), 1)
-    val w = Window.partitionBy(lcol(stratumCol))
-      .orderBy((h.asc +: keyCols.map(c => lcol(c).asc)): _*)
-    df.join(broadcast(targetDf), Seq(stratumCol))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= col("__target"))
-      .drop("__rk", "__target")
+      .cast("double") / Long.MaxValue.toDouble
+    val rankW = Window.partitionBy(lcol(stratumCol))
+      .orderBy((frac.asc +: keyCols.map(c => lcol(c).asc)): _*)
+    def rankAndTake(rows: DataFrame): DataFrame =
+      rows.withColumn("__rk", row_number().over(rankW))
+        .where(col("__rk") <= col("__target"))
+        .drop("__rk", "__target")
+    val counts = df.groupBy(lcol(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    val rate = least(lit(1.0),
+      greatest(lit(64.0), col("__target") * margin) / col("__cnt"))
+    val pre = df.join(targetDf, Seq(stratumCol))
+      .join(broadcast(counts), Seq(stratumCol))
+      .where(frac < rate)
+      .drop("__cnt")
+    // strata whose survivor count fell short of min(target, available):
+    // empty at margin 4 in practice, but the contract must not depend on
+    // a tail bound — re-rank those strata from the full input
+    val short = counts.join(targetDf, Seq(stratumCol))
+      .join(pre.groupBy(lcol(stratumCol)).agg(count(lit(1)).as("__nsurv")),
+        Seq(stratumCol), "left")
+      .where(coalesce(col("__nsurv"), lit(0L)) < least(col("__target"), col("__cnt")))
+      .select(lcol(stratumCol))
+    rankAndTake(pre.join(broadcast(short), Seq(stratumCol), "left_anti"))
+      .unionByName(rankAndTake(
+        df.join(broadcast(short), Seq(stratumCol), "left_semi")
+          .join(targetDf, Seq(stratumCol))))
   }
 
   /** Fugue `take`: n rows per partition group, ordered by presort.

@@ -329,6 +329,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(chars.contains("a b") && chars.contains("b c"))
   }
 
+  test("connectedComponents converges on deep chains, errors past maxIters, rejects string ids") {
+    import spark.implicits._
+    // a 31-node path: diameter 30 — needs >15 rounds to reach the far end
+    val chain = (1L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 31 && labels.values.forall(_ === 1L),
+      "every chain node must reach the component minimum")
+    // insufficient maxIters must FAIL, not silently split the cluster
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 5).collect()
+    }
+    // string ids would cast('long') to NULL labels — rejected up front
+    val strPairs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs, "id_a", "id_b")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupByClusters(Seq(Tuple1("doc-1")).toDF("doc_id"), "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+    }
+  }
+
   test("semanticNearDup is sound, deterministic, and recalls clustered near-dups") {
     val emb = wh.loadTable("embeddings")
     val got = Dedup.semanticNearDup(emb, "vec_id", "embedding",

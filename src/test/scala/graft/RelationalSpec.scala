@@ -167,6 +167,21 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(sampled.select("doc_id").except(again.select("doc_id")).count() === 0)
     // subset of the source, with the stratum column intact
     assert(sampled.join(docs, Seq("doc_id", "source"), "left_anti").count() === 0)
+    // the two-phase pre-filter must select the IDENTICAL rows a naive
+    // single-phase rank would (the filter keeps the low end of the same
+    // order the rank sorts by)
+    import org.apache.spark.sql.expressions.Window
+    val frac = shiftrightunsigned(xxhash64(struct(col("doc_id")), lit(42L)), 1)
+      .cast("double") / Long.MaxValue.toDouble
+    val naive = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .withColumn("__t",
+        when(col("source") === "src0", 3L).when(col("source") === "src1", 7L)
+          .otherwise(huge))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("source").orderBy(frac.asc, col("doc_id").asc)))
+      .filter(col("__rk") <= col("__t"))
+    assert(sampled.select("doc_id").except(naive.select("doc_id")).count() === 0)
+    assert(naive.select("doc_id").except(sampled.select("doc_id")).count() === 0)
   }
 
   test("split partitions every row into exactly one deterministic part") {
