@@ -114,7 +114,8 @@ object Dedup {
     // lower a neighbor's label this round, so the neighbor join runs
     // against the frontier, not all nodes — after round 1 the frontier
     // collapses to the still-converging fringe (end-to-end cluster pass
-    // on the 50k clone corpus: 78 s → 48 s, the remainder being the
+    // on the 50k clone corpus: 78 s → 48 s; per-round localCheckpoint
+    // lineage truncation then took it to 24 s, the remainder being the
     // PPJoin pair generation itself, not the rounds).
     var frontier = labels
     var iter = 0

@@ -85,6 +85,19 @@ object Scaling {
       val pairs = Dedup.ngramJaccard(big, "doc_id", "text", n = 3, threshold = 0.7)
       drain(Dedup.dedupByClusters(big.select(col("doc_id")), "doc_id", pairs))
     }
+    time("repetition stats kernel (n=2)") {
+      drain(TextAnalysis.repetition(big, "text"))
+    }
+    time("decontaminate vs 5k-doc eval set (trigram collision)") {
+      drain(Dedup.decontaminate(
+        big.filter(col("doc_id") % 10 =!= 0),
+        big.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3))
+    }
+    time("tfidf top-3 (df model train + kernel scoring)") {
+      val model = TextAnalysis.trainDfModel(big, "text")
+      drain(TextAnalysis.tfidfTopK(big, "text", model, k = 3))
+    }
     spark.stop()
   }
 }
