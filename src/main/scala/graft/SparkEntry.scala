@@ -867,6 +867,20 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** Gopher keep/drop filter, oracle-checked: Spark derives every flag
+    * from the two counting kernels map-side; DuckDB rebuilds the same
+    * metrics relationally (repetition via unnest+window, stop hits via
+    * regexp) and applies the identical threshold expressions. Any metric
+    * or boundary divergence flips a boolean and fails the hash gate.
+    */
+  private def qGopherFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(wh(s, dir).loadTable("documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("dup_ngram_frac"), col("top_word_frac"), col("stop_hits"),
+        col("f_word_count"), col("f_mean_word_len"), col("f_dup_ngram"),
+        col("f_top_word"), col("f_stopwords"), col("gopher_pass"))
+      .orderBy("doc_id")
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "h_en", "h_de", "h_fr", "h_es", "h_zh", "pred_lang")
@@ -1274,7 +1288,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
-    "q_tfidf" -> (qTfidf _)
+    "q_tfidf" -> (qTfidf _),
+    "q_gopher_filter" -> (qGopherFilter _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -1917,6 +1932,43 @@ object SparkEntry {
         | least(cast(3 + (cast(substr(source, 4) AS int) % 5) * 4 AS bigint),
         |        count(*)) AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH base AS (
+        | SELECT doc_id, length(text) AS nc,
+        |  string_split(trim(text), ' ') AS w,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
+        |  CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+        |   list_transform(generate_series(1, len(string_split(trim(text), ' ')) - 1),
+        |     i -> concat(string_split(trim(text), ' ')[i], ' ',
+        |                 string_split(trim(text), ' ')[i+1]))
+        |  ELSE CAST([] AS VARCHAR[]) END AS g
+        | FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS t FROM base),
+        |wcnt AS (SELECT doc_id, t, count(*) AS c FROM words GROUP BY doc_id, t),
+        |wtop AS (SELECT doc_id, c FROM (
+        |  SELECT doc_id, c, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn FROM wcnt) WHERE rn = 1),
+        |m AS (SELECT b.doc_id,
+        |  cast(len(b.w) AS bigint) AS n_words,
+        |  cast(b.nc - (len(b.w) - 1) AS double) / len(b.w) AS mean_word_len,
+        |  CASE WHEN len(b.g) > 0 THEN
+        |   cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
+        |  ELSE 0.0 END AS dup_ngram_frac,
+        |  cast(wtop.c AS double) / len(b.w) AS top_word_frac,
+        |  b.stop_hits
+        | FROM base b JOIN wtop ON b.doc_id = wtop.doc_id)
+        |SELECT doc_id, n_words, mean_word_len, dup_ngram_frac, top_word_frac,
+        | stop_hits,
+        | (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+        | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_word_len,
+        | (dup_ngram_frac <= 0.2) AS f_dup_ngram,
+        | (top_word_frac <= 0.3) AS f_top_word,
+        | (stop_hits >= 2) AS f_stopwords,
+        | ((n_words >= 50 AND n_words <= 100000)
+        |  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |  AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
+        |  AND (stop_hits >= 2)) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |words AS (SELECT doc_id, unnest(w) AS t FROM toks),

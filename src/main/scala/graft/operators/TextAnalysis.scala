@@ -233,6 +233,38 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** Gopher-style document FILTER (Rae et al. 2021, §A1.1): thresholded
+    * pass/fail flags over the repetition and quality kernel metrics —
+    * the concrete keep/drop decision a pipeline applies after scoring.
+    * Two codegen kernel scans per document ([[repetition]] +
+    * [[quality]]), all flags map-side; `gopher_pass` is the AND of every
+    * rule. Mean word length is separator-adjusted:
+    * (n_chars − (n_words − 1)) / n_words, exact for single-space
+    * tokenized text. Thresholds are parameters with the paper's
+    * defaults adapted to word-level metrics; the oracle mirrors the
+    * exact expressions.
+    */
+  def gopherFilter(df: DataFrame, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxDupNgramFrac: Double = 0.2, maxTopWordFrac: Double = 0.3,
+      minStopHits: Long = 2): DataFrame = {
+    val withMetrics = quality(repetition(df, textCol), textCol)
+    withMetrics
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("f_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("f_mean_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("f_dup_ngram", col("dup_ngram_frac") <= maxDupNgramFrac)
+      .withColumn("f_top_word", col("top_word_frac") <= maxTopWordFrac)
+      .withColumn("f_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("gopher_pass",
+        col("f_word_count") && col("f_mean_word_len") && col("f_dup_ngram") &&
+          col("f_top_word") && col("f_stopwords"))
+  }
+
   /** Document frequency per word: the inverted-index statistic TF-IDF
     * needs — for each distinct word, the number of documents containing
     * it. One distinct-per-doc explode, then a word-keyed count with

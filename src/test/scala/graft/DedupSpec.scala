@@ -406,6 +406,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("decontaminate probes the corpus with a broadcast of the eval grams (no corpus shuffle)") {
+    // The gram membership join must broadcast the (small-by-definition)
+    // eval-set gram table: a shuffle of exploded corpus grams on the gram
+    // hash would move ~the whole token stream at 100 TB. The broadcast is
+    // explicit in the plan, so assert with size-estimate broadcasts off.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = wh.loadTable("documents")
+      val out = Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(plan.contains("BroadcastHashJoin [__g"),
+        "gram membership join is not a broadcast probe:\n" + plan)
+      // exactly ONE gram exchange may exist: the eval set's own distinct
+      // (small by definition, feeding the BroadcastExchange) — the
+      // exploded CORPUS gram stream must never shuffle
+      val gramExchanges = "Exchange hashpartitioning\\(__g".r
+        .findAllIn(plan).size
+      assert(gramExchanges === 1,
+        s"expected only the eval-side gram distinct to shuffle, found $gramExchanges:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hashed-gram decontamination equals the string-gram recompute on the corpus") {
     // The operator joins on 64-bit kernel hashes; ground truth recomputes
     // the overlap on the gram STRINGS (wordShingles) — a collision or a

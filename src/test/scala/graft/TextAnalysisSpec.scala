@@ -241,6 +241,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       r3.getDouble(9) === 0.0, "no bigrams for a one-word doc")
   }
 
+  test("gopherFilter flags follow the documented thresholds on planted docs") {
+    val longGood = (1 to 60).map(i => s"word$i").mkString(" ") + " the and of it"
+    val tooShort = "the and of it brief words here"
+    val repetitive = (("spam spam " * 40).trim + " the and of")
+    val noStops = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, longGood), (2L, tooShort), (3L, repetitive), (4L, noStops))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(df, "text")
+      .select("doc_id", "f_word_count", "f_dup_ngram", "f_stopwords", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got(1L)._1 && got(1L)._2 && got(1L)._3 && got(1L)._4, s"good doc failed: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._4, "7-word doc must fail the word-count rule")
+    assert(!got(3L)._2 && !got(3L)._4, "spam-spam doc must fail the dup-ngram rule")
+    assert(!got(4L)._3 && !got(4L)._4, "stopword-free doc must fail the stopword rule")
+  }
+
   test("tfidfTopK scores, ranks and tie-breaks against hand-computed values") {
     val df = Seq(
       (1L, "a a b"),   // a: tf2 df1 → 6.0; b: tf1 df2 → 1.5
