@@ -1007,11 +1007,13 @@ object SparkEntry {
       java.lang.Integer.toHexString(dir.hashCode)}"
     w.saveDf(n, s"$tmp/csv", format = "csv")
     w.saveDf(n, s"$tmp/json", format = "json")
+    w.saveDf(n, s"$tmp/orc", format = "orc")
     val schema = StructType(Seq(
       StructField("n_nationkey", LongType), StructField("n_name", StringType),
       StructField("n_regionkey", LongType), StructField("n_comment", StringType)))
     val back = w.loadDf(s"$tmp/csv", "csv", Some(schema))
       .unionByName(w.loadDf(s"$tmp/json", "json", Some(schema)))
+      .unionByName(w.loadDf(s"$tmp/orc", "orc", Some(schema)))
     back.select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey")
   }
@@ -1551,7 +1553,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_io_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM (
-        | SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        | SELECT * FROM nation UNION ALL SELECT * FROM nation
+        | UNION ALL SELECT * FROM nation)
         |ORDER BY n_nationkey""".stripMargin,
     "q_split_contract" ->
       """SELECT count(*) AS n_total, cast(0 AS bigint) AS n_overlap

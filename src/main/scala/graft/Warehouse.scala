@@ -290,7 +290,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS $forCols")
   }
 
-  /** load_df: read a file/directory in the given format (parquet/csv/json),
+  /** load_df: read a file/directory in the given format (parquet/csv/json/orc),
     * mirroring the reference's format_hint dispatch
     * (fugue_trino/execution_engine.py:190). CSV reads use an explicit schema
     * when given (schema inference is a full extra pass — wrong at scale);
@@ -323,6 +323,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
         if (schema.isEmpty) c = c.option("inferSchema", "true")
         c.csv(paths: _*)
       case "json" => r.json(paths: _*)
+      case "orc"  => r.orc(paths: _*)
       case other  => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }
@@ -338,6 +339,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     case "parquet" => df.write.mode(mode).parquet(path)
     case "csv"     => df.write.mode(mode).option("header", header.toString).csv(path)
     case "json"    => df.write.mode(mode).json(path)
+    case "orc"     => df.write.mode(mode).orc(path)
     case other     => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 }

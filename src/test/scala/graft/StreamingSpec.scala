@@ -102,6 +102,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set(1L, 3L))
   }
 
+  test("map-side text operators apply unchanged to streaming frames (stream == batch)") {
+    // The LLM-pipeline scoring operators (quality, langId, repetition,
+    // gopherFilter) are stateless map-side transforms, so the SAME
+    // operator call must compose with readStream and produce batch-
+    // identical rows — the property that lets a pipeline score documents
+    // on ingest instead of in a second pass.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"word$i").mkString(" ") + " the and of it"),
+      (2L, "the and of it brief words here"),
+      (3L, (("spam spam " * 40).trim + " the and of")))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = TextAnalysis.gopherFilter(
+      TextAnalysis.langId(mem.toDF().toDF("doc_id", "text"), "text"), "text")
+    assert(streamed.isStreaming, "operator chain must preserve streaming-ness")
+    val q = streamed
+      .writeStream.format("memory").queryName("text_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("text_stream_out")
+      .select("doc_id", "pred_lang", "n_words", "dup_ngram_frac", "gopher_pass")
+      .collect().map(_.toSeq).toSet
+    val expect = TextAnalysis.gopherFilter(
+      TextAnalysis.langId(docs.toDF("doc_id", "text"), "text"), "text")
+      .select("doc_id", "pred_lang", "n_words", "dup_ngram_frac", "gopher_pass")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+  }
+
   test("file-based event stream reads the warehouse parquet incrementally") {
     val stream = Events.readEventStream(spark, sfDir)
     assert(stream.isStreaming)

@@ -46,12 +46,12 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("csv and json load_df/save_df roundtrip") {
+  test("csv, json and orc load_df/save_df roundtrip") {
     val tmp = Files.createTempDirectory("graft_io").toString
     val src = wh.loadTable("nation", columns = Seq("n_nationkey", "n_name"))
     val schema = StructType(Seq(
       StructField("n_nationkey", LongType), StructField("n_name", StringType)))
-    for (fmt <- Seq("csv", "json")) {
+    for (fmt <- Seq("csv", "json", "orc")) {
       wh.saveDf(src, s"$tmp/$fmt", format = fmt)
       val back = wh.loadDf(s"$tmp/$fmt", format = fmt, schema = Some(schema))
       assert(back.count() === 25, fmt)
