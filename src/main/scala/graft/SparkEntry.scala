@@ -854,11 +854,14 @@ object SparkEntry {
     */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents")
-    val model = TextAnalysis.trainDfModel(docs, "text")
     // the oracle scores the FULL vocabulary — a truncated model would
-    // silently skip the dropped tail as OOV and hash-mismatch
-    require(model.vocabSize < (1 << 20),
-      s"vocabulary truncated at maxVocab (${model.vocabSize}) — the full-vocab oracle no longer applies")
+    // silently skip the dropped tail as OOV and hash-mismatch; the guard
+    // shares ONE maxVocab constant with the training call so it cannot
+    // drift from the trainer's default
+    val maxVocab = 1 << 20
+    val model = TextAnalysis.trainDfModel(docs, "text", maxVocab)
+    require(model.vocabSize < maxVocab,
+      s"vocabulary truncated at maxVocab=$maxVocab — the full-vocab oracle no longer applies")
     TextAnalysis.tfidfTopK(docs, "text", model, k = 3)
       .select(col("doc_id"), posexplode(col("tfidf")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -994,10 +997,10 @@ object SparkEntry {
   }
 
   /** File-format IO roundtrip, oracle-checked at the driver: nation is
-    * written to csv AND json, read back schema-first, and the union of
-    * both reads must hash-match two copies of the source table — any
-    * quoting/typing/encoding loss in either format path breaks the gate.
-    * (Writes land under java.io.tmpdir, keyed by the input dir.)
+    * written to csv, json AND orc, read back schema-first, and the union
+    * of the three reads must hash-match three copies of the source table
+    * — any quoting/typing/encoding loss in any format path breaks the
+    * gate. (Writes land under java.io.tmpdir, keyed by the input dir.)
     */
   private def qIoRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._

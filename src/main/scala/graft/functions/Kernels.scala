@@ -799,18 +799,6 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** Repetition stats (Gopher repetition rules) in ONE scan: tokenize,
-    * count words and word n-grams in hash maps, and select the
-    * most-frequent of each — tie-broken to the BINARY-smallest key (the
-    * order DuckDB's `ORDER BY c DESC, t ASC` and Spark's sort_array use;
-    * Java String.compareTo would diverge on supplementary planes).
-    *
-    * Tokenization contract = the column form the oracle replays:
-    * trim SPACES only (Spark `trim` default), split on single ' '
-    * KEEPING empty tokens (Spark split limit -1), n-grams joined with
-    * ' '. Returns a struct row (n_words, n_distinct_words, n_grams,
-    * n_distinct_grams, top_word, top_word_cnt, top_ngram, top_ngram_cnt).
-    */
   /** Tokenization contract shared by [[repetitionStats]] and
     * [[tfidfTopK]], and replayed by their DuckDB oracles: trim SPACES
     * only (Spark `trim` default — NOT Java String.trim, which strips all
@@ -840,6 +828,16 @@ object Kernels {
     m
   }
 
+  /** Repetition stats (Gopher repetition rules) in ONE scan: tokenize
+    * ([[spaceTokens]]), count words and word n-grams (joined with ' ')
+    * in hash maps, and select the most-frequent of each — tie-broken to
+    * the BINARY-smallest key (the order DuckDB's `ORDER BY c DESC,
+    * t ASC` and Spark's sort_array use; Java String.compareTo would
+    * diverge on supplementary planes). Returns a struct row (n_words,
+    * n_distinct_words, n_grams, n_distinct_grams, top_word,
+    * top_word_cnt, top_ngram, top_ngram_cnt) — field order is the
+    * [[RepetitionStats.schema]] contract its consumers index by.
+    */
   def repetitionStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = spaceTokens(text)
     val wcnt = termFrequencies(toks)

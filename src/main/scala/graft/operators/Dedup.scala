@@ -89,22 +89,27 @@ object Dedup {
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     requireIntegralId(pairs, aCol)
     requireIntegralId(pairs, bCol)
+    // StorageLevel.NONE disables the per-round lineage truncation below,
+    // re-exposing the doubling-plan driver OOM beyond ~15 rounds — bound
+    // it instead of failing mysteriously mid-round
+    require(persistLevel != StorageLevel.NONE || maxIters <= 15,
+      s"persistLevel=NONE disables lineage truncation; maxIters must be <= 15 (got $maxIters)")
     // symmetric edge list, narrow (long, long)
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = persistIf(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       persistLevel)
-    // Each round's labels are localCheckpoint'ed: the lineage of an
-    // iterative plan doubles per round (labels joins viaNbr which joins
-    // labels...) — without truncation a 30-round graph OOMs the DRIVER
-    // just formatting the plan, let alone optimizing it. The checkpoint
-    // also supersedes explicit unpersist: a .drop() view is NOT the
-    // cached handle (cascade=false unpersist is a silent no-op on it),
-    // while superseded checkpoint RDDs are reclaimed by the
-    // ContextCleaner once unreferenced.
+    // Each round's labels are localCheckpoint'ed AT THE CALLER'S LEVEL:
+    // the lineage of an iterative plan doubles per round (labels joins
+    // viaNbr which joins labels...) — without truncation a 30-round
+    // graph OOMs the DRIVER just formatting the plan, let alone
+    // optimizing it. The checkpoint also supersedes explicit unpersist:
+    // a .drop() view is NOT the cached handle (cascade=false unpersist
+    // is a silent no-op on it), while superseded checkpoint RDDs are
+    // reclaimed by the ContextCleaner once unreferenced.
     def materialize(plan: DataFrame): DataFrame =
       if (persistLevel == StorageLevel.NONE) plan
-      else plan.localCheckpoint(eager = false)
+      else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
     var next = materialize(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("component"),
@@ -120,7 +125,8 @@ object Dedup {
     var frontier = labels
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
+    try {
+      while (iter < maxIters && !converged) {
       val viaNbr = edges
         .join(frontier.select(col("id").as("dst"), col("component").as("fc")), "dst")
         .groupBy(col("src").as("id"))
@@ -131,23 +137,29 @@ object Dedup {
             least(col("component"), coalesce(col("nbr_min"), col("component")))
               .as("component"),
             coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed")))
-      val changed = next.filter(col("__changed")).count() // materializes next
-      labels = next.drop("__changed")
-      frontier = next.filter(col("__changed")).drop("__changed")
-      converged = changed == 0
-      iter += 1
+        val changed = next.filter(col("__changed")).count() // materializes next
+        labels = next.drop("__changed")
+        frontier = next.filter(col("__changed")).drop("__changed")
+        converged = changed == 0
+        iter += 1
+      }
+      // Rounds needed = component diameter. Returning partially-propagated
+      // labels would silently split real clusters (multiple keep=true rows
+      // per duplicate group downstream), so non-convergence is an ERROR,
+      // not a result. Near-dup graphs are shallow (stars/short chains);
+      // a legitimate deeper graph can raise maxIters.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — " +
+            "component diameter exceeds maxIters; raise maxIters")
+      labels
+    } finally {
+      // also on the non-convergence throw — a caught-and-retried failure
+      // must not leak the cached symmetric edge list (returned labels are
+      // a checkpoint, so dropping the edge CACHE never breaks them; the
+      // lineage stays intact for recompute-after-eviction)
+      if (persistLevel != StorageLevel.NONE) edges.unpersist()
     }
-    // Rounds needed = component diameter. Returning partially-propagated
-    // labels would silently split real clusters (multiple keep=true rows
-    // per duplicate group downstream), so non-convergence is an ERROR,
-    // not a result. Near-dup graphs are shallow (stars/short chains);
-    // a legitimate deeper graph can raise maxIters.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "component diameter exceeds maxIters; raise maxIters")
-    if (persistLevel != StorageLevel.NONE) edges.unpersist()
-    labels
   }
 
   private def requireIntegralId(df: DataFrame, colName: String): Unit = {

@@ -154,7 +154,17 @@ object Relational {
     * astronomically-rare shortfall (binomial tail, P < 1e-8 per stratum
     * at margin 4) plus the legitimate under-supplied stratum
     * (available < target) are both caught in-plan and re-ranked from the
-    * full stratum, so the exact-N contract is unconditional.
+    * full stratum, so the exact-N contract is unconditional. The
+    * survivor set (~margin × Σtargets rows — sample-sized, not
+    * corpus-sized) and the tiny per-stratum count table are persisted so
+    * the shortfall check does not rescan the corpus; the rescue branch's
+    * scan is eliminated at runtime by AQE empty-relation propagation
+    * whenever no stratum fell short (the overwhelmingly common case).
+    *
+    * PRECONDITION: `keyCols` must uniquely identify rows — duplicate key
+    * tuples tie in both the hash fraction and the tie-break, leaving
+    * row_number partition-order-dependent and the selected PHYSICAL rows
+    * nondeterministic (counts stay exact either way).
     */
   def mixtureSample(df: DataFrame, stratumCol: String,
       targets: Map[String, Long], keyCols: Seq[String],
@@ -162,6 +172,7 @@ object Relational {
     require(targets.nonEmpty, "targets must be non-empty")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(margin >= 1.0, s"margin must be >= 1, got $margin")
+    import org.apache.spark.storage.StorageLevel
     val spark = df.sparkSession
     import spark.implicits._
     val targetDf = broadcast(targets.toSeq.toDF(stratumCol, "__target"))
@@ -179,12 +190,14 @@ object Relational {
         .where(col("__rk") <= col("__target"))
         .drop("__rk", "__target")
     val counts = df.groupBy(lcol(stratumCol)).agg(count(lit(1)).as("__cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // tiny: one row per stratum
     val rate = least(lit(1.0),
       greatest(lit(64.0), col("__target") * margin) / col("__cnt"))
     val pre = df.join(targetDf, Seq(stratumCol))
       .join(broadcast(counts), Seq(stratumCol))
       .where(frac < rate)
       .drop("__cnt")
+      .persist(StorageLevel.MEMORY_AND_DISK) // sample-sized survivor set
     // strata whose survivor count fell short of min(target, available):
     // empty at margin 4 in practice, but the contract must not depend on
     // a tail bound — re-rank those strata from the full input
