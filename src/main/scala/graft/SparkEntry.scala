@@ -666,6 +666,35 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL minhash recall, oracle-checked: every 25th document
+    * spawns a suffix-edited clone as the "arriving batch"; the batch is
+    * deduped against the SIGNATURE STORE of the historical corpus
+    * ([[Dedup.minhashLshIncremental]] — old-vs-old pairs never
+    * generated), and every DuckDB-exact jaccard ≥ 0.7 pair involving a
+    * new doc must be found at est ≥ 0.5 (same 5σ margin as
+    * [[qMinhashRecall]]).
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" clone edit")).as("text"))
+    val store = Dedup.minhashSignatures(docs, "doc_id", "text",
+      shingleWidth = 3, numPerms = 128, seed = 42L)
+    val found = Dedup.minhashLshIncremental(batch, "doc_id", "text", store,
+        shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
+    val exact = Dedup.ngramJaccard(docs.unionByName(batch), "doc_id", "text",
+        n = 3, threshold = 0.7)
+      .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_incremental"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram jaccard (prefix-filtered) — fully oracle-checked: the
     * DuckDB side recomputes the same trigram sets all-pairs; prefix
     * filtering is exact for jaccard ≥ τ, so results must agree bit-for-bit
@@ -1262,6 +1291,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -1577,6 +1607,25 @@ object SparkEntry {
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, true AS found_by_minhash FROM pairs
         |WHERE cast(i AS double) / u >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' clone edit'
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM all_docs),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.g, b.g)) AS i,
+        |  len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, true AS found_incremental FROM pairs
+        |WHERE cast(i AS double) / u >= 0.7
+        |  AND (doc_a >= 1000000 OR doc_b >= 1000000)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -300,6 +300,76 @@ object Dedup {
     bandedAgreement(sigs, numPerms, bands, threshold, maxBucketSize, "est_wjaccard")
   }
 
+  /** INCREMENTAL near-dup: dedup a NEW batch of documents against an
+    * EXISTING signature store (and within itself) — the steady-state
+    * ingestion pattern: the historical corpus is signed ONCE
+    * ([[minhashSignatures]], persisted as a table) and each arriving
+    * snapshot computes only its own signatures. Returns pairs
+    * (id_a, id_b, est_jaccard) where AT LEAST ONE side is new —
+    * old-vs-old pairs are excluded at the BUCKET-JOIN level (new-side
+    * buckets probe the full store; the store never self-joins), so
+    * per-snapshot cost is O(new × bucket-mates), independent of the
+    * store's own pair count. Signatures must share (shingleWidth,
+    * numPerms, seed, shingler) with the store's signing run — banding is
+    * positional over the same permutations.
+    */
+  def minhashLshIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      existingSigs: DataFrame,
+      shingleWidth: Int = 3, numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 100000, shingler: String = "word",
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
+    val newSigs = persistIf(
+      minhashSignatures(newDocs, idCol, textCol, shingleWidth, numPerms, seed, shingler),
+      persistLevel)
+    val oldSigs = existingSigs.select(col("id").cast("long").as("id"), col("sig"))
+    val allSigs = oldSigs.unionByName(newSigs)
+    // cap hot buckets over the COMBINED population (the degenerate-bucket
+    // rule must see store + batch together, or a boilerplate bucket split
+    // across them dodges the cap)
+    val w = Window.partitionBy("band", "bucket")
+    val taggedAll = bandBuckets(
+      oldSigs.withColumn("__new", lit(false))
+        .unionByName(newSigs.withColumn("__new", lit(true))),
+      numPerms, bands, extraCols = Seq("__new"))
+    val capped =
+      if (maxBucketSize > 0)
+        taggedAll.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      else taggedAll
+    val cand = capped.filter(col("__new")).select(col("band"), col("bucket"), col("id").as("__nid"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("__mid")),
+        Seq("band", "bucket"))
+      .filter(col("__nid") =!= col("__mid"))
+      .select(least(col("__nid"), col("__mid")).as("id_a"),
+        greatest(col("__nid"), col("__mid")).as("id_b"))
+      .distinct()
+    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+    cand
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / numPerms)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Positional LSH band buckets of an (id, sig) frame: one (id, band,
+    * bucket) row per band, bucket = hash of the band's signature slice.
+    * `extraCols` ride along (e.g. a new/old tag).
+    */
+  private def bandBuckets(sigs: DataFrame, numPerms: Int, bands: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val r = numPerms / bands
+    sigs
+      .select((Seq(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band")) ++ extraCols.map(col)): _*)
+      .select((Seq(col("id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bucket"))
+        ++ extraCols.map(col)): _*)
+  }
+
   /** Shared LSH-banding + slot-agreement verify over an (id, sig) frame:
     * band buckets → narrow (id, band, bucket) candidate join → signatures
     * re-joined (never carried through the bucket join) → agreement
@@ -309,11 +379,7 @@ object Dedup {
   private def bandedAgreement(
       sigs: DataFrame, numPerms: Int, bands: Int, threshold: Double,
       maxBucketSize: Int, estCol: String): DataFrame = {
-    val r = numPerms / bands
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))).as("bucket"))
+    val banded = bandBuckets(sigs, numPerms, bands)
     val cand = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
     val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
     cand

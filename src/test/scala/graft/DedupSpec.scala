@@ -329,6 +329,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(chars.contains("a b") && chars.contains("b c"))
   }
 
+  test("incremental minhash dedups a new batch against the store without old-old pairs") {
+    import spark.implicits._
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    // sign the "historical corpus" once — the persisted store
+    val store = Dedup.minhashSignatures(docs, "doc_id", "text",
+      shingleWidth = 3, numPerms = 128, seed = 42L)
+    // new batch: one near-dup of a stored doc (suffix edit), one clean
+    val old = docs.filter(col("doc_id") === 7L).collect()(0).getString(1)
+    val batch = Seq(
+      (1000007L, old + " tiny suffix edit"),
+      (1000999L, (1 to 40).map(i => s"fresh$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshIncremental(batch, "doc_id", "text", store,
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((7L, 1000007L)), s"planted near-dup not found: $got")
+    assert(!got.exists(p => p._1 == 1000999L || p._2 == 1000999L),
+      "clean new doc reported as duplicate")
+    // every pair involves a NEW id — old-vs-old is excluded by design
+    assert(got.forall(p => p._1 >= 1000000L || p._2 >= 1000000L),
+      s"old-vs-old pair leaked: $got")
+    // parity: new-vs-store results equal running full LSH over old+new
+    val full = Dedup.minhashLsh(docs.unionByName(batch), "doc_id", "text",
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+    assert(got === full, "incremental result diverges from full-run new-involving pairs")
+  }
+
   test("connectedComponents converges on deep chains, errors past maxIters, rejects string ids") {
     import spark.implicits._
     // a 31-node path: diameter 30 — needs >15 rounds to reach the far end
