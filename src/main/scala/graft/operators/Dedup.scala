@@ -328,17 +328,23 @@ object Dedup {
     val allSigs = oldSigs.unionByName(newSigs)
     // cap hot buckets over the COMBINED population (the degenerate-bucket
     // rule must see store + batch together, or a boilerplate bucket split
-    // across them dodges the cap)
-    val w = Window.partitionBy("band", "bucket")
+    // across them dodges the cap). The cap is an aggregate + broadcast
+    // anti-join, NOT a window: a window would shuffle every banded STORE
+    // row each snapshot, while the aggregate partial-combines to
+    // distinct-bucket cardinality and the hot list (buckets over the
+    // cap) is tiny by construction.
     val taggedAll = bandBuckets(
       oldSigs.withColumn("__new", lit(false))
         .unionByName(newSigs.withColumn("__new", lit(true))),
       numPerms, bands, extraCols = Seq("__new"))
     val capped =
-      if (maxBucketSize > 0)
-        taggedAll.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-      else taggedAll
+      if (maxBucketSize > 0) {
+        val hot = taggedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select("band", "bucket")
+        taggedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      } else taggedAll
     val cand = capped.filter(col("__new")).select(col("band"), col("bucket"), col("id").as("__nid"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("__mid")),
         Seq("band", "bucket"))
