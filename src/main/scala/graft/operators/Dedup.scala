@@ -312,6 +312,12 @@ object Dedup {
     * store's own pair count. Signatures must share (shingleWidth,
     * numPerms, seed, shingler) with the store's signing run — banding is
     * positional over the same permutations.
+    *
+    * RE-INGESTION: a store row whose id reappears in the batch is
+    * SUPERSEDED (anti-joined out) — the updated document compares
+    * against the rest of the store under its new text, never against
+    * its own stale signature, and no duplicate (id, sig) rows can emit
+    * conflicting pair estimates.
     */
   def minhashLshIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
@@ -321,10 +327,13 @@ object Dedup {
       maxBucketSize: Int = 100000, shingler: String = "word",
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numPerms % bands == 0, s"bands ($bands) must divide numPerms ($numPerms)")
+    requireIntegralId(newDocs, idCol)
+    requireIntegralId(existingSigs, "id")
     val newSigs = persistIf(
       minhashSignatures(newDocs, idCol, textCol, shingleWidth, numPerms, seed, shingler),
       persistLevel)
     val oldSigs = existingSigs.select(col("id").cast("long").as("id"), col("sig"))
+      .join(broadcast(newSigs.select("id")), Seq("id"), "left_anti")
     val allSigs = oldSigs.unionByName(newSigs)
     // cap hot buckets over the COMBINED population (the degenerate-bucket
     // rule must see store + batch together, or a boilerplate bucket split
@@ -337,14 +346,18 @@ object Dedup {
       oldSigs.withColumn("__new", lit(false))
         .unionByName(newSigs.withColumn("__new", lit(true))),
       numPerms, bands, extraCols = Seq("__new"))
-    val capped =
+    // capped feeds the candidate join TWICE (new side + all side) and
+    // the hot aggregate consumed taggedAll once more — persist so the
+    // store scan + banding run once per snapshot, not three times
+    val capped = persistIf(
       if (maxBucketSize > 0) {
         val hot = taggedAll.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") > maxBucketSize)
           .select("band", "bucket")
         taggedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-      } else taggedAll
+      } else taggedAll,
+      persistLevel)
     val cand = capped.filter(col("__new")).select(col("band"), col("bucket"), col("id").as("__nid"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("__mid")),
         Seq("band", "bucket"))

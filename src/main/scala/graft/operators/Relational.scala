@@ -157,7 +157,9 @@ object Relational {
     * full stratum, so the exact-N contract is unconditional. The
     * survivor set (~margin × Σtargets rows — sample-sized, not
     * corpus-sized) and the tiny per-stratum count table are persisted so
-    * the shortfall check does not rescan the corpus; the rescue branch's
+    * the shortfall check does not rescan the corpus (opt out with
+    * `persistLevel = StorageLevel.NONE` in long-running services — the
+    * entries are not unpersisted, the Dedup convention); the rescue branch's
     * scan is eliminated at runtime by AQE empty-relation propagation
     * whenever no stratum fell short (the overwhelmingly common case).
     *
@@ -168,11 +170,18 @@ object Relational {
     */
   def mixtureSample(df: DataFrame, stratumCol: String,
       targets: Map[String, Long], keyCols: Seq[String],
-      seed: Long = 42L, margin: Double = 4.0): DataFrame = {
+      seed: Long = 42L, margin: Double = 4.0,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(margin >= 1.0, s"margin must be >= 1, got $margin")
-    import org.apache.spark.storage.StorageLevel
+    // NONE opts out of caching for long-running services that cannot
+    // accumulate cache entries across calls (the Dedup persistLevel
+    // convention) — at the price of recomputed scans per consumer
+    def persistIf(d: DataFrame): DataFrame =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) d
+      else d.persist(persistLevel)
     val spark = df.sparkSession
     import spark.implicits._
     val targetDf = broadcast(targets.toSeq.toDF(stratumCol, "__target"))
@@ -189,15 +198,15 @@ object Relational {
       rows.withColumn("__rk", row_number().over(rankW))
         .where(col("__rk") <= col("__target"))
         .drop("__rk", "__target")
-    val counts = df.groupBy(lcol(stratumCol)).agg(count(lit(1)).as("__cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // tiny: one row per stratum
+    val counts = persistIf(
+      df.groupBy(lcol(stratumCol)).agg(count(lit(1)).as("__cnt"))) // tiny: one row per stratum
     val rate = least(lit(1.0),
       greatest(lit(64.0), col("__target") * margin) / col("__cnt"))
-    val pre = df.join(targetDf, Seq(stratumCol))
-      .join(broadcast(counts), Seq(stratumCol))
-      .where(frac < rate)
-      .drop("__cnt")
-      .persist(StorageLevel.MEMORY_AND_DISK) // sample-sized survivor set
+    val pre = persistIf(
+      df.join(targetDf, Seq(stratumCol))
+        .join(broadcast(counts), Seq(stratumCol))
+        .where(frac < rate)
+        .drop("__cnt")) // sample-sized survivor set
     // strata whose survivor count fell short of min(target, available):
     // empty at margin 4 in practice, but the contract must not depend on
     // a tail bound — re-rank those strata from the full input

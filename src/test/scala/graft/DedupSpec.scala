@@ -356,6 +356,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       .filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
     assert(got === full, "incremental result diverges from full-run new-involving pairs")
+    // re-ingestion: a batch id already in the store SUPERSEDES the stored
+    // signature — no self pair, no duplicate conflicting pair rows
+    val reIngest = Seq((7L, old + " updated revision")).toDF("doc_id", "text")
+    val got2 = Dedup.minhashLshIncremental(reIngest, "doc_id", "text", store,
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got2.contains((7L, 7L)), "stale self-comparison leaked")
+    assert(got2.distinct.length === got2.length, s"duplicate pair rows: ${got2.toSeq}")
+    // non-integral store ids are rejected, not silently NULL-cast
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshIncremental(batch, "doc_id", "text",
+        store.withColumn("id", concat(lit("doc-"), col("id"))))
+    }
   }
 
   test("connectedComponents converges on deep chains, errors past maxIters, rejects string ids") {
