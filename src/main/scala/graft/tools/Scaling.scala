@@ -98,6 +98,12 @@ object Scaling {
       val model = TextAnalysis.trainDfModel(big, "text")
       drain(TextAnalysis.tfidfTopK(big, "text", model, k = 3))
     }
+    time("incremental minhash: 5k-doc batch vs 45k-doc store") {
+      val store = Dedup.minhashSignatures(
+        big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 128, 42L)
+      drain(Dedup.minhashLshIncremental(
+        big.filter(col("doc_id") % 10 === 0), "doc_id", "text", store))
+    }
     spark.stop()
   }
 }
