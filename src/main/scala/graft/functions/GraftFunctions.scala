@@ -66,6 +66,12 @@ object GraftFunctions {
     "graft_winnow" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
+    "graft_winnow_pos" ->
+      ((args: Seq[Expression]) =>
+        WinnowPositions(args.head, intLit(args(1), "k"), intLit(args(2), "w"))),
+    "graft_extend_match" ->
+      ((args: Seq[Expression]) =>
+        ExtendMatch(args.head, args(1), args(2), args(3), intLit(args(4), "k"))),
     "graft_topk" ->
       ((args: Seq[Expression]) =>
         TopKAgg(args.head, args(1), intLit(args(2), "k")).toAggregateExpression())
@@ -132,6 +138,18 @@ object GraftFunctions {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow", text, lit(k), lit(w))
+
+  /** selected winnowing minima with 1-based positions:
+    * array<struct<pos:int, h:bigint>>.
+    */
+  def winnowPos(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow_pos", text, lit(k), lit(w))
+
+  /** maximal exact shared span around a candidate anchor:
+    * struct(start_a, start_b, len), null if the anchor k-grams differ.
+    */
+  def extendMatch(ta: Column, tb: Column, pa: Column, pb: Column, k: Int): Column =
+    call_function("graft_extend_match", ta, tb, pa, pb, lit(k))
 
   /** top-k (id, score) pairs per group, best first. */
   def topK(id: Column, score: Column, k: Int): Column =

@@ -757,6 +757,92 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints WITH POSITIONS: the selected window minima as
+    * array<struct<pos:int, h:bigint>>, `pos` the 1-based UTF-16 index of
+    * the selected k-gram's first char, ascending, distinct by pos. Same
+    * hash chain as [[winnow]] (FNV-1a k-gram + splitmix64, signed-long
+    * window minima via the monotonic deque).
+    *
+    * This is the ANCHOR form for substring-span dedup: any substring
+    * shared by two documents with length ≥ w+k-1 contains at least one
+    * window of w consecutive k-grams lying FULLY inside the shared region
+    * in both documents; that window's content is identical in both, so
+    * its minimum is selected at the SAME relative offset — the pair share
+    * an (h, aligned position) anchor, and extending around it recovers
+    * the exact span (Schleimer et al., SIGMOD 2003 guarantee).
+    */
+  def winnowPos(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h ^= s.charAt(i + j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hashes(i) = splitmix64(h)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[Integer]() // distinct positions asc
+    val win = math.min(w, nGrams)
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1) selected.add(deque(head))
+      i += 1
+    }
+    val out = new Array[Any](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) {
+      val idx = it.next().intValue()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](idx + 1, hashes(idx)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Maximal exact shared span through an aligned anchor: `pa`/`pb` are
+    * 1-based char positions of a candidate shared k-gram in `ta`/`tb`.
+    * Verifies the k chars actually match (hash-collision guard — returns
+    * null when they don't), then extends left and right as far as the
+    * texts agree. Returns struct(start_a:int, start_b:int, len:int) — the
+    * maximal span containing the anchor, 1-based, char (UTF-16) units.
+    */
+  def extendMatch(ta: UTF8String, tb: UTF8String, pa: Int, pb: Int,
+      k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = ta.toString
+    val b = tb.toString
+    val i = pa - 1
+    val j = pb - 1
+    if (i < 0 || j < 0 || i + k > a.length || j + k > b.length) return null
+    var t = 0
+    while (t < k) {
+      if (a.charAt(i + t) != b.charAt(j + t)) return null
+      t += 1
+    }
+    var lo = 0
+    while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
+        a.charAt(i - lo - 1) == b.charAt(j - lo - 1)) lo += 1
+    var hi = k
+    while (i + hi < a.length && j + hi < b.length &&
+        a.charAt(i + hi) == b.charAt(j + hi)) hi += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](i - lo + 1, j - lo + 1, lo + hi))
+  }
+
   /** TF-IDF top-k terms of one document in ONE scan: tokenize (same
     * contract as [[repetitionStats]]), count term frequencies, score each
     * in-vocabulary distinct term tf × N / df (the RATIONAL idf form —

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -301,6 +301,58 @@ case class BpeCount(child: Expression, model: BpeModel)
   override protected def withNewChildInternal(newChild: Expression): BpeCount =
     copy(child = newChild)
   override def prettyName: String = "graft_bpe_count"
+}
+
+/** Winnowing fingerprints with positions → array<struct<pos:int,
+  * h:bigint>> (ascending by pos). The anchor form for substring-span
+  * dedup; see [[Kernels.winnowPos]].
+  */
+case class WinnowPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnowPos(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowPos($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_pos"
+}
+
+/** Maximal exact shared span around an anchor (text_a, text_b, pos_a,
+  * pos_b) → struct(start_a, start_b, len), or null on a hash-collision
+  * anchor. See [[Kernels.extendMatch]].
+  */
+case class ExtendMatch(ta: Expression, tb: Expression, pa: Expression,
+    pb: Expression, k: Int) extends QuaternaryExpression {
+  override def first: Expression = ta
+  override def second: Expression = tb
+  override def third: Expression = pa
+  override def fourth: Expression = pb
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("start_a", IntegerType, nullable = false),
+    StructField("start_b", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false)))
+  override protected def nullSafeEval(a: Any, b: Any, p1: Any, p2: Any): Any =
+    Kernels.extendMatch(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      p1.asInstanceOf[Int], p2.asInstanceOf[Int], k)
+  // nullSafeCodeGen (not defineCodeGen): the kernel returns null on a
+  // hash-collision anchor, so the result's null flag must be re-derived
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, p1, p2) => s"""
+      ${ev.value} = graft.functions.Kernels.extendMatch($a, $b, $p1, $p2, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): ExtendMatch =
+    copy(ta = newFirst, tb = newSecond, pa = newThird, pb = newFourth)
+  override def prettyName: String = "graft_extend_match"
 }
 
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */

@@ -82,17 +82,27 @@ object Dedup {
     * BPE). Labels localCheckpoint per round (lineage truncation — see
     * the in-body comment); superseded rounds are reclaimed by the
     * ContextCleaner.
+    *
+    * `checkpointDir`: when set, per-round materialization uses RELIABLE
+    * checkpoints (`Dataset.checkpoint` into that directory) instead of
+    * `localCheckpoint`. localCheckpoint stores blocks on executors with
+    * NO recompute path — any executor loss mid-iteration fails the whole
+    * run — so it is the fast single-process/local default, while cluster
+    * runs at scale should pass a durable directory (HDFS/S3) and trade
+    * per-round write cost for fault tolerance. Sets the session's
+    * checkpoint dir if none is configured; an already-configured dir wins.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50,
-      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointDir: Option[String] = None): DataFrame = {
     requireIntegralId(pairs, aCol)
     requireIntegralId(pairs, bCol)
     // StorageLevel.NONE disables the per-round lineage truncation below,
     // re-exposing the doubling-plan driver OOM beyond ~15 rounds — bound
     // it instead of failing mysteriously mid-round
-    require(persistLevel != StorageLevel.NONE || maxIters <= 15,
+    require(persistLevel != StorageLevel.NONE || checkpointDir.isDefined || maxIters <= 15,
       s"persistLevel=NONE disables lineage truncation; maxIters must be <= 15 (got $maxIters)")
     // symmetric edge list, narrow (long, long)
     val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -107,8 +117,14 @@ object Dedup {
     // a .drop() view is NOT the cached handle (cascade=false unpersist
     // is a silent no-op on it), while superseded checkpoint RDDs are
     // reclaimed by the ContextCleaner once unreferenced.
+    checkpointDir.foreach { dir =>
+      val sc = pairs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
     def materialize(plan: DataFrame): DataFrame =
-      if (persistLevel == StorageLevel.NONE) plan
+      if (checkpointDir.isDefined)
+        plan.checkpoint(eager = false) // reliable: survives executor loss
+      else if (persistLevel == StorageLevel.NONE) plan
       else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
     var next = materialize(
       edges.select(col("src").as("id")).distinct()
@@ -175,24 +191,42 @@ object Dedup {
   }
 
   /** Cluster-level dedup decision: every row of `df` gets its duplicate
-    * cluster's canonical id (`cluster_id` = component min over the pair
-    * graph; docs in no pair are their own singleton cluster) and a `keep`
-    * flag (true iff the row IS the canonical doc). `pairs` is any
-    * (id_a, id_b) near-dup output — exact, jaccard, minhash, simhash,
-    * embedding — so the same decision step composes with every detector.
+    * cluster's canonical id (`cluster_id` = the cluster's minimum id
+    * AMONG ROWS PRESENT IN df; docs in no pair are their own singleton
+    * cluster) and a `keep` flag (true iff the row IS the canonical doc).
+    * `pairs` is any (id_a, id_b) near-dup output — exact, jaccard,
+    * minhash, simhash, embedding — so the same decision step composes
+    * with every detector.
+    *
+    * `pairs` may mention ids absent from `df` (e.g. pairs computed over
+    * a superset corpus, or against retired store docs): absent ids never
+    * become the canonical — the keeper is recomputed as the min id among
+    * df's own rows in each component, so every represented cluster keeps
+    * exactly one row. (Electing the component's GLOBAL min would emit
+    * keep=false for every surviving row of such a cluster, and a
+    * downstream filter(keep) would silently drop the whole group.)
     */
   def dedupByClusters(
       df: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     requireIntegralId(df, idCol)
-    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters,
+        checkpointDir = checkpointDir)
       .withColumnRenamed("id", "__cc_id")
-    df.join(comp, col(idCol).cast("long") === col("__cc_id"), "left")
+    // keeper election runs on the narrow (id, component) label frame
+    // semi-joined to df's ids — both extra shuffles move 16 B rows, the
+    // wide df is still joined exactly once (on its id)
+    val present = comp.join(
+      df.select(col(idCol).cast("long").as("__cc_id")), Seq("__cc_id"), "left_semi")
+    val keepers = present.groupBy("component").agg(min(col("__cc_id")).as("__keeper"))
+    val labeled = present.join(keepers, Seq("component"))
+    df.join(labeled, col(idCol).cast("long") === col("__cc_id"), "left")
       .withColumn("cluster_id",
-        coalesce(col("component"), col(idCol).cast("long")))
+        coalesce(col("__keeper"), col(idCol).cast("long")))
       .withColumn("keep", col(idCol).cast("long") === col("cluster_id"))
-      .drop("__cc_id", "component")
+      .drop("__cc_id", "component", "__keeper")
   }
 
   /** Benchmark DECONTAMINATION: flag every corpus document that shares at
@@ -366,12 +400,28 @@ object Dedup {
         greatest(col("__nid"), col("__mid")).as("id_b"))
       .distinct()
     val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
-    cand
+    val result = cand
       .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", agree.cast("double") / numPerms)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    // This API is the STEADY-STATE per-snapshot ingestion path: leaving
+    // newSigs/capped cached after returning would accumulate one pair of
+    // cache entries per snapshot for the life of the session. The pair
+    // list is small by construction (it is the dedup *decision* input),
+    // so materialize it eagerly, release the per-snapshot intermediates,
+    // and hand back the checkpointed result — lineage is cut, and the
+    // caller composes pairs without re-triggering the store scan.
+    // persistLevel=NONE opts out: fully lazy, nothing cached, nothing
+    // eager (recompute-on-use semantics, as in minhashLsh).
+    if (persistLevel == StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true, storageLevel = persistLevel)
+      newSigs.unpersist()
+      capped.unpersist()
+      out
+    }
   }
 
   /** Positional LSH band buckets of an (id, sig) frame: one (id, band,
@@ -658,6 +708,126 @@ object Dedup {
         col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "n_shared", "containment")
+  }
+
+  /** SUBSTRING-level duplicate spans (the exact-substring dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — there built on a suffix array, here re-expressed as a
+    * Spark-native anchored formulation): every maximal exact span of ≥
+    * `minLen` chars shared by two documents, as (id_a, id_b, pos_a,
+    * pos_b, span_len) with 1-based char positions, id_a < id_b. This is
+    * the detector for verbatim cross-document repetition (licenses,
+    * templates, quoted passages) that document-level jaccard/minhash
+    * dilutes away on long documents.
+    *
+    * EXACTNESS: anchors are winnowing minima with positions
+    * ([[graft.functions.Kernels.winnowPos]], window w = minLen - k + 1),
+    * and the winnowing guarantee makes recall exact — any shared span of
+    * length ≥ k + w - 1 = minLen contains a window of w consecutive
+    * k-grams fully inside the span in BOTH docs, whose minimum is
+    * selected at the same relative offset, so the pair shares an aligned
+    * anchor. Each anchor is verified and extended char-by-char to its
+    * maximal span ([[graft.functions.Kernels.extendMatch]] — precision
+    * exact, hash collisions rejected), anchors inside one span collapse
+    * via distinct. The suffix array's global sort becomes: one map pass
+    * per doc (anchor density ~2/(w+1) per char), one narrow
+    * (id, pos, h) shuffle on the anchor hash, and text joined back onto
+    * BOUNDED candidate anchor pairs only — no all-positions index is
+    * ever materialized, which is what lets the formulation run at
+    * corpus scale.
+    *
+    * `maxHashDocs` drops anchors whose hash appears in more than that
+    * many documents BEFORE pair generation (pair volume is Σ per-hash
+    * doc-count²; ubiquitous boilerplate anchors would dominate
+    * quadratically — the same degenerate-key rule as
+    * [[fingerprintOverlap]]). Capped anchors cost recall ONLY for spans
+    * all of whose anchors are capped, i.e. boilerplate present in >
+    * maxHashDocs docs; pass 0 to disable (exact, e.g. for oracle runs).
+    */
+  def sharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, k: Int = 8, maxHashDocs: Int = 100,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    GraftFunctions.ensure(df.sparkSession)
+    val w = minLen - k + 1 // guarantee: every shared span >= minLen anchors
+    val base = persistIf(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+      persistLevel) // anchor pass + two text joins
+    val anchors = base
+      .select(col("id"), explode(GraftFunctions.winnowPos(col("text"), k, w))
+        .as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h"))
+    val capped =
+      if (maxHashDocs > 0) {
+        // distinct doc count per hash, aggregated (map-side combine) and
+        // broadcast anti-joined — the anchor stream itself is not windowed
+        val hot = anchors.groupBy("h")
+          .agg(countDistinct(col("id")).as("__hd"))
+          .filter(col("__hd") > maxHashDocs)
+          .select("h")
+        anchors.join(broadcast(hot), Seq("h"), "left_anti")
+      } else anchors
+    val cand = capped.select(col("id").as("id_a"), col("pos").as("pa"), col("h"))
+      .join(capped.select(col("id").as("id_b"), col("pos").as("pb"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb")
+      .distinct()
+    // texts ride onto the bounded candidate set, never the reverse —
+    // anchor pairs are narrow and collapse to spans immediately after
+    val m = GraftFunctions.extendMatch(col("ta"), col("tb"), col("pa"), col("pb"), k)
+    cand
+      .join(base.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("m", m)
+      .filter(col("m").isNotNull && col("m.len") >= minLen)
+      .select(col("id_a"), col("id_b"),
+        col("m.start_a").cast("long").as("pos_a"),
+        col("m.start_b").cast("long").as("pos_b"),
+        col("m.len").cast("long").as("span_len"))
+      .distinct()
+  }
+
+  /** Per-document duplicated-span mass over a [[sharedSpans]] result:
+    * for every doc of `df`, the number of chars covered by at least one
+    * shared span (union of intervals — overlapping spans are not double
+    * counted), the span count, and the covered fraction. The Lee et al.
+    * 2022 REMOVAL policy consumes exactly this: drop or trim documents
+    * whose `dup_frac` exceeds a budget.
+    *
+    * Pure relational gaps-and-islands: spans explode to per-doc
+    * intervals, a running maximum of interval ends splits islands, and
+    * each island contributes max(end) - island_start chars. One shuffle
+    * on the doc id (window + final join); replayed verbatim by the
+    * DuckDB oracle.
+    */
+  def spanDupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val intervals = spans
+      .select(col("id_a").as("id"), col("pos_a").as("s"), col("span_len").as("l"))
+      .unionByName(spans.select(col("id_b").as("id"), col("pos_b").as("s"),
+        col("span_len").as("l")))
+      .select(col("id"), col("s"), (col("s") + col("l")).as("e")) // [s, e)
+    val byDoc = Window.partitionBy("id").orderBy(col("s"), col("e"))
+    val runningEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = intervals
+      .withColumn("__new", when(runningEnd.isNull || col("s") > runningEnd, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg((max(col("e")) - min(col("s"))).as("covered"), count(lit(1)).as("n"))
+      .groupBy("id")
+      .agg(sum(col("covered")).as("dup_chars"), sum(col("n")).as("n_spans"))
+    df.select(col(idCol).cast("long").as("id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(islands, Seq("id"), "left")
+      .select(col("id"),
+        col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup_frac"))
   }
 
   /** Persist unless the caller opted out with StorageLevel.NONE.

@@ -45,12 +45,33 @@ object Similarity {
     * candidates are corpus rows sharing ≥ 1 (table, bucket) with a query.
     * Expected recall per true neighbor at angle θ is
     * 1-(1-(1-θ/π)^numBits)^numTables.
+    *
+    * `maxBucketSize` (default 100000) is a RECALL TRADE, not a free
+    * knob: members of a hot (table, bucket) cell are dropped WHOLE
+    * before candidate generation, so on skewed or duplicate-heavy
+    * corpora true neighbors that only collide with their query inside a
+    * hot bucket are lost (they may still surface via another table).
+    * The cap is what bounds the candidate set to |queries| × numTables ×
+    * maxBucketSize regardless of corpus shape; pass 0 to disable it and
+    * accept unbounded candidates, or use [[bruteForceTopK]] when exact
+    * results are required.
+    *
+    * `broadcastCandidates` (default true) broadcasts the capped
+    * candidate id-pair set so corpus vectors are probed MAP-SIDE and
+    * never shuffle (the intended 100 TB plan, asserted in
+    * SimilaritySpec). The broadcast only fits while |queries| ×
+    * numTables × maxBucketSize rows of two longs stay well under the
+    * 8 GB broadcast limit — a few million candidates. For LARGE query
+    * sets pass false: the scoring join becomes a plain equi-join that
+    * AQE sizes (shuffling the corpus if the candidate side really is
+    * big), which degrades gracefully instead of OOMing the driver.
     */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, numBits: Int = 8, numTables: Int = 16, seed: Long = 42L,
-      excludeSelf: Boolean = true, maxBucketSize: Int = 100000): DataFrame = {
+      excludeSelf: Boolean = true, maxBucketSize: Int = 100000,
+      broadcastCandidates: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
@@ -86,10 +107,14 @@ object Similarity {
     // shuffled on neighbor_id. The reverse join order would leave AQE to
     // decide, and a sort-merge fallback at 100 TB moves the whole corpus
     // for |queries| × k rows of output. Plan shape asserted in
-    // SimilaritySpec (no exchange on neighbor_id).
+    // SimilaritySpec (no exchange on neighbor_id). When the caller
+    // disabled the broadcast (large query set — see scaladoc), the same
+    // joins run unhinted and AQE picks the strategy from runtime sizes.
+    val maybeBcast: DataFrame => DataFrame =
+      if (broadcastCandidates) broadcast else identity
     val scored = c
-      .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(q), "query_id")
+      .join(maybeBcast(cand), "neighbor_id")
+      .join(maybeBcast(q), "query_id")
       .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
     val filtered = if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
     topKPerQuery(filtered, k)

@@ -294,6 +294,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("dedupByClusters elects a keeper PRESENT in df when pairs cover a superset corpus") {
+    import spark.implicits._
+    // pairs over a superset: cluster {1,2,3} where canonical-by-global-min
+    // (id 1) is NOT in df — the keeper must fall to the min PRESENT id (2),
+    // or a filter(keep) would silently drop the whole group
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val df = Seq(2L, 3L, 11L, 50L).toDF("doc_id")
+    val got = Dedup.dedupByClusters(df, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (2L, 2L, true), (3L, 2L, false),   // keeper re-elected among present ids
+      (11L, 11L, true),                  // global min 10 absent → 11 keeps
+      (50L, 50L, true)))                 // singleton untouched
+    // invariant: every represented cluster keeps exactly one row
+    val perCluster = got.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1), s"keeper count per cluster: $perCluster")
+  }
+
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val want = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the reliable path really wrote recoverable checkpoint data
+    // (getCheckpointDir is a file: URI on local fs)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get)))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
@@ -369,6 +406,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.minhashLshIncremental(batch, "doc_id", "text",
         store.withColumn("id", concat(lit("doc-"), col("id"))))
     }
+    // steady-state ingestion must not accumulate cache entries: after the
+    // call, only the returned (eagerly checkpointed) pair list may remain
+    // cached — the per-snapshot signature/bucket intermediates are freed
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val snap = Dedup.minhashLshIncremental(batch, "doc_id", "text", store,
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"per-snapshot intermediates leaked: $before -> $after cached RDDs")
+    assert(snap.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got,
+      "eager-checkpoint path changed the results")
+    // NONE opts out of caching AND eagerness entirely
+    val lazyRun = Dedup.minhashLshIncremental(batch, "doc_id", "text", store,
+      shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5,
+      persistLevel = org.apache.spark.storage.StorageLevel.NONE)
+    assert(lazyRun.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got)
+    assert(spark.sparkContext.getPersistentRDDs.size === after,
+      "StorageLevel.NONE must not cache anything")
   }
 
   test("connectedComponents converges on deep chains, errors past maxIters, rejects string ids") {

@@ -44,6 +44,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("lshTopK shuffle-join fallback (broadcastCandidates=false) is result-identical") {
+    def run(bcast: Boolean) = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numBits = 6, numTables = 32,
+      broadcastCandidates = bcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the large-query-set escape hatch changes the JOIN STRATEGY only —
+    // candidates, scores, ranks and tie-breaks must not move
+    assert(run(bcast = false) === run(bcast = true))
+  }
+
   test("ivfTopK reaches usable recall and degenerates to exact at full probe") {
     val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6)
