@@ -773,6 +773,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Map-side decontamination under a TRAINED eval gram-set model — the
+    * streaming-safe, zero-shuffle form. Same oracle as q_decontaminate
+    * (DuckDB recomputes the overlap on string grams): the kernel probe
+    * must flag exactly the docs the relational semi-join flags.
+    */
+  private def qDecontaminateMap(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val model = Dedup.trainDecontaminationSet(
+      docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+    Dedup.decontaminateMapSide(
+        docs.filter(col("doc_id") % 20 =!= 0), "text", model, n = 3)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition metrics (Gopher rules), oracle-checked: Spark computes
     * every per-doc metric map-side in one sorted run-length pass
     * ([[TextAnalysis.repetition]] — zero shuffle); DuckDB recomputes them
@@ -964,6 +980,38 @@ object SparkEntry {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("n_shared"), col("containment"))
       .orderBy("doc_a", "doc_b")
+
+  /** Substring-level duplicate spans (Lee et al. 2022 re-expressed as
+    * winnowing-anchored span extension), oracle-checked EXACTLY: the
+    * operator is provably exact for spans ≥ minLen (= k+w-1 by
+    * construction), so DuckDB's independent all-positions formulation —
+    * md5 40-grams joined across docs, maximal runs along each (pos_a -
+    * pos_b) diagonal via gaps-and-islands — must reproduce every (pair,
+    * pos_a, pos_b, span_len) tuple bit-for-bit. The anchor cap is off:
+    * exactness is the contract under test.
+    */
+  private def qSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        minLen = 40, k = 20, maxHashDocs = 0)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("pos_a"), col("pos_b"), col("span_len"))
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+
+  /** Per-document duplicated-span mass (the Lee et al. removal-policy
+    * input): chars covered by ≥1 shared span as a union of intervals.
+    * DuckDB replays the same islands logic over ITS independently
+    * computed span set, so coverage counts and fractions are exact.
+    */
+  private def qSubstringStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text",
+      minLen = 40, k = 20, maxHashDocs = 0)
+    Dedup.spanDupStats(docs, "doc_id", "text", spans)
+      .filter(col("n_spans") > 0)
+      .select(col("id").as("doc_id"), col("n_chars"), col("dup_chars"),
+        col("n_spans"), col("dup_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Winnowing fingerprint sketch, oracle-checked: DuckDB replays the exact
     * kernel arithmetic (FNV-1a over char 8-grams, splitmix64 finalizer,
@@ -1311,6 +1359,8 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_normalize" -> (qNormalize _),
     "q_containment" -> (qContainment _),
+    "q_substring" -> (qSubstring _),
+    "q_substring_stats" -> (qSubstringStats _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_plan" -> (qMultimodalPlan _),
@@ -1321,6 +1371,7 @@ object SparkEntry {
     "q_repartition" -> (qRepartition _),
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_map" -> (qDecontaminateMap _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_tfidf" -> (qTfidf _),
@@ -1337,6 +1388,56 @@ object SparkEntry {
     * Safe because documents.text is pure ASCII (UTF-16 units == code
     * points); yields `sel(doc_id, fp bigint[])`.
     */
+  /** DuckDB all-positions recompute of maximal shared substring spans ≥ 40
+    * chars — the INDEPENDENT formulation of what [[graft.operators.Dedup.sharedSpans]]
+    * computes by winnowing-anchored extension: every 40-gram position is
+    * md5-hashed, matched across distinct docs, and maximal runs along each
+    * (pos_a - pos_b) diagonal recover exact span boundaries (a shared span
+    * of length M contributes exactly M-39 consecutive diagonal matches).
+    * Yields `spans(doc_a, doc_b, pos_a, pos_b, span_len)`, 1-based.
+    * Character positions are safe for the same reason as the winnow
+    * replay: documents.text is pure ASCII.
+    */
+  /** DuckDB recompute of n-gram collision decontamination on STRING grams
+    * (collision-free ground truth for the 64-bit hashed forms) — shared by
+    * q_decontaminate (join form) and q_decontaminate_map (trained-model
+    * kernel form): both must flag exactly these docs.
+    */
+  private val decontaminateOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |grams AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(w)-2),
+      |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+      |  FROM toks WHERE len(w) >= 3),
+      |bg AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 20 = 0),
+      |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
+      |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr)
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 20 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  private val substringSpansCte: String =
+    """WITH g AS (
+      | SELECT doc_id,
+      |  unnest(generate_series(1, greatest(length(text) - 39, 0))) AS i,
+      |  text
+      | FROM documents),
+      |h AS (
+      | SELECT doc_id, i, md5(substr(text, i, 40)) AS gh FROM g),
+      |m AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+      | FROM h a JOIN h b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+      |r AS (
+      | SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+      |  ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+      | FROM m),
+      |spans AS MATERIALIZED (
+      | SELECT doc_a, doc_b,
+      |  CAST(min(ia) AS BIGINT) AS pos_a, CAST(min(ib) AS BIGINT) AS pos_b,
+      |  CAST(count(*) + 39 AS BIGINT) AS span_len
+      | FROM r GROUP BY doc_a, doc_b, diag, grp)""".stripMargin
+
   private val winnowOracleCte: String =
     """WITH g AS (
       | SELECT doc_id,
@@ -1884,6 +1985,39 @@ object SparkEntry {
         |GROUP BY a.id, b.id
         |HAVING CAST(count(*) AS DOUBLE) / least(any_value(a.n_fp), any_value(b.n_fp)) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_substring" -> (substringSpansCte +
+      """
+        |SELECT doc_a, doc_b, pos_a, pos_b, span_len FROM spans
+        |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin),
+    "q_substring_stats" -> (substringSpansCte +
+      """,
+        |iv AS (
+        | SELECT doc_a AS doc_id, pos_a AS s, pos_a + span_len AS e FROM spans
+        | UNION ALL
+        | SELECT doc_b, pos_b, pos_b + span_len FROM spans),
+        |seq AS (
+        | SELECT doc_id, s, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM iv),
+        |isl AS (
+        | SELECT doc_id, s, e,
+        |  sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM seq),
+        |cov AS (
+        | SELECT doc_id, grp, max(e) - min(s) AS covered, count(*) AS n
+        | FROM isl GROUP BY doc_id, grp),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars,
+        |        CAST(sum(n) AS BIGINT) AS n_spans
+        | FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        | a.dup_chars, a.n_spans,
+        | CAST(a.dup_chars AS DOUBLE) / length(d.text) AS dup_frac
+        |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "q_multimodal_plan" ->
       """WITH meta AS (
         | SELECT doc_id,
@@ -1929,19 +2063,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS sum_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |grams AS (SELECT doc_id,
-        |  list_distinct(list_transform(generate_series(1, len(w)-2),
-        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
-        |  FROM toks WHERE len(w) >= 3),
-        |bg AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 20 = 0),
-        |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
-        |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr)
-        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 20 <> 0
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracleSql,
+    // the trained-model kernel probe must flag the SAME docs the
+    // relational semi-join flags — one oracle, two Spark formulations
+    "q_decontaminate_map" -> decontaminateOracleSql,
     "q_repetition" ->
       """WITH base AS (
         | SELECT doc_id, length(text) AS nc,

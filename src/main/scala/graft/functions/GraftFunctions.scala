@@ -195,4 +195,25 @@ object GraftFunctions {
 
   private val dfNames = new java.util.IdentityHashMap[DfModel, String]()
   private val dfCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Gram-set membership under a trained [[GramSetModel]] —
+    * model-parameterized registration exactly like [[bpeCount]] (same
+    * uniqueness and lifetime caveats); n and the shingler flag are part
+    * of the registered NAME so reusing one model with other parameters
+    * cannot rebind an earlier column's resolution.
+    */
+  def gramSetContains(spark: SparkSession, text: Column, model: GramSetModel,
+      n: Int, char: Boolean): Column = {
+    val name = gramSetNames.synchronized {
+      gramSetNames.computeIfAbsent(model,
+        _ => s"graft_gram_set_contains_${gramSetCounter.incrementAndGet()}")
+    } + s"_${n}_$char"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => GramSetContains(args.head, n, model, char),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val gramSetNames = new java.util.IdentityHashMap[GramSetModel, String]()
+  private val gramSetCounter = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -27,6 +27,19 @@ final class BpeModel(val sortedKeys: Array[Long], val rankAt: Array[Int])
   }
 }
 
+/** Trained eval-set gram membership model for map-side decontamination:
+  * the benchmark's distinct shingle hashes, sorted for binary search.
+  * Eval sets are small by definition (the model is the TRAINED artifact
+  * of [[graft.operators.Dedup.trainDecontaminationSet]], bounded like
+  * [[BpeModel]]/[[DfModel]]), so the whole set rides to executors as one
+  * codegen reference object.
+  */
+final class GramSetModel(val sorted: Array[Long]) extends Serializable {
+  def size: Int = sorted.length
+  def contains(h: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, h) >= 0
+}
+
 /** Document-frequency vocabulary for TF-IDF scoring: `sortedWords` in
   * Java natural order for binary search, `dfAt(i)` the document
   * frequency of `sortedWords(i)`, `nDocs` the corpus size at training
@@ -755,6 +768,45 @@ object Kernels {
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Membership probe against a trained gram set ([[GramSetModel]]) in ONE
+    * scan with early exit: true iff any of the text's word (or char)
+    * n-gram hashes is in the set. The gram hashing is [[wordNgramHashes]]/
+    * [[charNgramHashes]] verbatim (shared helpers), so the result equals
+    * an explode + semi-join on those kernels' outputs exactly — minus the
+    * explode, the shuffle, and the join: this is the streaming-safe,
+    * zero-shuffle form of benchmark decontamination.
+    */
+  def anyGramIn(text: UTF8String, n: Int, model: GramSetModel,
+      char: Boolean): Boolean = {
+    if (char) {
+      val s = text.toString.trim
+      if (s.length < n) return false
+      val m = s.length - n + 1
+      var i = 0
+      while (i < m) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) {
+          h ^= s.charAt(i + j).toLong
+          h *= 0x100000001b3L
+          j += 1
+        }
+        if (model.contains(splitmix64(h))) return true
+        i += 1
+      }
+      false
+    } else {
+      val grams = wordGramHashArray(text, n)
+      if (grams == null) return false
+      var i = 0
+      while (i < grams.length) {
+        if (model.contains(grams(i))) return true
+        i += 1
+      }
+      false
+    }
   }
 
   /** Winnowing fingerprints WITH POSITIONS: the selected window minima as

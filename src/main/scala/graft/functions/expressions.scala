@@ -355,6 +355,24 @@ case class ExtendMatch(ta: Expression, tb: Expression, pa: Expression,
   override def prettyName: String = "graft_extend_match"
 }
 
+/** True iff any of the text's n-gram hashes is in a trained
+  * [[GramSetModel]] — one scan, early exit, no gram array materialized.
+  * Model-parameterized like [[BpeCount]] (codegen reference object).
+  */
+case class GramSetContains(child: Expression, n: Int, model: GramSetModel,
+    char: Boolean) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.anyGramIn(input.asInstanceOf[UTF8String], n, model, char)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramSet", model, classOf[GramSetModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.anyGramIn($c, $n, $ref, $char)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramSetContains =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_set_contains"
+}
+
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

@@ -263,6 +263,55 @@ object Dedup {
       .drop("__contaminated")
   }
 
+  /** Train the eval-set gram membership model for [[decontaminateMapSide]]:
+    * the benchmark's distinct shingle hashes collected to the driver,
+    * sorted for binary search. Bounded like the BPE/k-means/TF-IDF model
+    * fits — eval sets are small by definition; `maxGrams` guards against
+    * accidentally passing a training corpus as `bench` (a 10M-gram model
+    * is 80 MB — fine to broadcast; a 10B-gram one is not a model, it's a
+    * join, and [[decontaminate]] is the right tool).
+    */
+  def trainDecontaminationSet(
+      bench: DataFrame, textCol: String,
+      n: Int = 3, shingler: String = "word",
+      maxGrams: Int = 10000000): graft.functions.GramSetModel = {
+    GraftFunctions.ensure(bench.sparkSession)
+    val grams = bench
+      .select(explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
+      .distinct()
+      .limit(maxGrams + 1)
+      .collect().map(_.getLong(0))
+    require(grams.length <= maxGrams,
+      s"eval set exceeds $maxGrams distinct grams — not a trainable model; " +
+        "use Dedup.decontaminate (the join form) for corpus-sized eval sets")
+    java.util.Arrays.sort(grams)
+    new graft.functions.GramSetModel(grams)
+  }
+
+  /** MAP-SIDE benchmark decontamination: flag every document sharing an
+    * n-gram with a TRAINED eval-set model ([[trainDecontaminationSet]]) in
+    * one kernel scan per document — no explode, no shuffle, no join, so
+    * it applies unchanged to STREAMING frames (the [[decontaminate]] join
+    * form cannot: its hit-distinct and flag join are not append-mode
+    * operators). Flags equal [[decontaminate]]'s exactly: the kernel
+    * probes the same shingle hashes the join form explodes.
+    *
+    * 100 TB shape: the model is a sorted long array riding as a codegen
+    * reference object; corpus cost is ONE scan with early exit on the
+    * first hit — strictly less work than the explode + semi-join, with
+    * zero shuffle instead of a hit-id distinct.
+    */
+  def decontaminateMapSide(
+      corpus: DataFrame, textCol: String,
+      model: graft.functions.GramSetModel,
+      n: Int = 3, shingler: String = "word"): DataFrame = {
+    require(shingler == "word" || shingler == "char",
+      s"decontaminateMapSide supports word/char shinglers, got $shingler")
+    corpus.withColumn("contaminated",
+      GraftFunctions.gramSetContains(corpus.sparkSession, col(textCol), model,
+        n, char = shingler == "char"))
+  }
+
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
     * are hashed in one kernel pass — no gram strings are materialized
     * between shingling and the signature. Docs with NO grams (shorter than
@@ -743,10 +792,20 @@ object Dedup {
     * [[fingerprintOverlap]]). Capped anchors cost recall ONLY for spans
     * all of whose anchors are capped, i.e. boilerplate present in >
     * maxHashDocs docs; pass 0 to disable (exact, e.g. for oracle runs).
+    *
+    * `k` is a SELECTIVITY dial, not a correctness one (any k with
+    * k ≤ minLen is exact): anchors are shared k-grams, so a small k
+    * floods the candidate join with common short phrases that never
+    * extend to minLen — measured at sf0.1 (5k docs), k=8 puts one 8-gram
+    * in 1458 docs (Σcount² ≈ 25M candidate extensions, 21 s) while k=20
+    * caps at 20 docs per anchor (Σ ≈ 0.2M, 2.2 s) for the identical 259
+    * spans. Keep k close to minLen/2: long enough that a shared k-gram
+    * is already meaningful evidence, short enough that w = minLen-k+1
+    * keeps anchor density ~2/(w+1) per char low.
     */
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 40, k: Int = 8, maxHashDocs: Int = 100,
+      minLen: Int = 40, k: Int = 20, maxHashDocs: Int = 100,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
@@ -755,10 +814,14 @@ object Dedup {
     val base = persistIf(
       df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
       persistLevel) // anchor pass + two text joins
-    val anchors = base
+    // narrow (id, pos, h) anchor rows feed the hot-hash aggregate AND both
+    // sides of the pair join — persist so the winnowPos corpus scan runs
+    // once, not three times
+    val anchors = persistIf(base
       .select(col("id"), explode(GraftFunctions.winnowPos(col("text"), k, w))
         .as("a"))
-      .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h")),
+      persistLevel)
     val capped =
       if (maxHashDocs > 0) {
         // distinct doc count per hash, aggregated (map-side combine) and
@@ -814,7 +877,8 @@ object Dedup {
     val runningEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val islands = intervals
       .withColumn("__new", when(runningEnd.isNull || col("s") > runningEnd, 1).otherwise(0))
-      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("id"), col("__isl"))
       .agg((max(col("e")) - min(col("s"))).as("covered"), count(lit(1)).as("n"))
       .groupBy("id")

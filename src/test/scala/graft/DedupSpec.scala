@@ -331,6 +331,115 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(wrote > 0, "no reliable checkpoint files written")
   }
 
+  /** Ground-truth maximal shared spans >= minLen via the L-gram diagonal
+    * method, computed in plain Scala — the obvious-but-quadratic
+    * formulation the anchored operator must reproduce EXACTLY.
+    */
+  private def bruteSpans(corpus: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for {
+      (ida, ta) <- corpus
+      (idb, tb) <- corpus
+      if ida < idb
+    } {
+      val bPos = scala.collection.mutable.Map[String, List[Int]]()
+      for (j <- 0 to tb.length - minLen)
+        bPos.updateWith(tb.substring(j, j + minLen))(o => Some(j :: o.getOrElse(Nil)))
+      val matches = scala.collection.mutable.Set[(Int, Int)]()
+      for (i <- 0 to ta.length - minLen; j <- bPos.getOrElse(ta.substring(i, i + minLen), Nil))
+        matches += ((i, j))
+      // maximal runs along each diagonal
+      matches.groupBy { case (i, j) => i - j }.foreach { case (diag, ms) =>
+        val is = ms.map(_._1).toSeq.sorted
+        var runStart = is.head
+        var prev = is.head
+        def emit(): Unit =
+          out += ((ida, idb, (runStart + 1).toLong, (runStart - diag + 1).toLong,
+            (prev - runStart + minLen).toLong))
+        for (i <- is.tail) {
+          if (i != prev + 1) { emit(); runStart = i }
+          prev = i
+        }
+        emit()
+      }
+    }
+    out.toSet
+  }
+
+  test("sharedSpans reports exactly the maximal shared spans on a planted fixture") {
+    import spark.implicits._
+    val S = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val short = "tiny shared bit here"
+    val d1 = s"alpha opening words_${S}_closing remark one"
+    val d2 = s"beta other preamble-${S}-different ending two"
+    val d3 = s"gamma has only $short and nothing else of note in common with anyone"
+    val d4 = s"delta also has $short plus completely unrelated trailing content xyz"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // exactly one span: S between d1 and d2, exact 1-based positions, exact
+    // length (the surrounding separators differ so extension stops at S)
+    assert(got === Set((1L, 2L, (d1.indexOf(S) + 1).toLong,
+      (d2.indexOf(S) + 1).toLong, S.length.toLong)))
+    // the ~20-char shared bit between d3/d4 is below minLen → absent
+    assert(!got.exists(s => s._1 >= 3L || s._2 >= 3L))
+    // and the brute-force diagonal method agrees in full
+    assert(got === bruteSpans(Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)), 40))
+  }
+
+  test("sharedSpans equals the brute-force diagonal method on the corpus") {
+    val sub = docs.select("doc_id", "text").filter(col("doc_id") < 60)
+    def run(k: Int) = Dedup.sharedSpans(sub, "doc_id", "text", minLen = 40, k = k,
+        maxHashDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val got = run(20)
+    val want = bruteSpans(
+      sub.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, 40)
+    assert(got === want, s"missing=${want -- got} spurious=${got -- want}")
+    assert(want.nonEmpty, "corpus fixture should contain shared spans >= 40 chars")
+    // k is a selectivity dial, not a correctness one: any k <= minLen exact
+    assert(run(8) === want)
+  }
+
+  test("sharedSpans hot-anchor cap drops ubiquitous boilerplate spans only") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate license header appears in every single document verbatim"
+    val rare = "a genuinely rare shared passage occurring in just two documents here"
+    val corpus = (1L to 12L).map { i =>
+      val extra = if (i <= 2) s" middle_$i $rare" else ""
+      (i, s"doc $i unique preamble number$i $boiler$extra unique tail $i")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.sharedSpans(corpus, "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 12-doc boilerplate pairs are gone; the 2-doc rare span survives
+    assert(capped === Set((1L, 2L)))
+    val uncapped = Dedup.sharedSpans(corpus, "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 0).count()
+    assert(uncapped >= 66, s"uncapped must report all boilerplate pairs, got $uncapped")
+  }
+
+  test("spanDupStats unions overlapping spans per doc without double counting") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 100), (2L, "y" * 80), (3L, "z" * 50)).toDF("doc_id", "text")
+    // doc 1: [1,41) and [21,61) overlap -> 60 covered; [81,91) separate -> 10
+    val spans = Seq(
+      (1L, 2L, 1L, 5L, 40L),
+      (1L, 2L, 21L, 41L, 40L),
+      (1L, 3L, 81L, 1L, 10L)).toDF("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    val got = Dedup.spanDupStats(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got(1L) === ((100L, 70L, 3L, 0.7)))
+    // doc 2 receives the b-side: [5,45) and [41,81) merge -> 76
+    assert(got(2L) === ((80L, 76L, 2L, 0.95)))
+    assert(got(3L) === ((50L, 10L, 1L, 0.2)))
+  }
+
   test("exact dedup groups identical texts") {
     val base = docs.limit(50)
     val dup = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000))
@@ -501,6 +610,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "contaminated")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // the trained-model kernel probe flags the identical set
+    val model = Dedup.trainDecontaminationSet(bench, "text", n = 3)
+    val mapSide = Dedup.decontaminateMapSide(corpus, "text", model, n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(mapSide === got)
+  }
+
+  test("decontaminateMapSide equals the join form on the corpus (word and char shinglers)") {
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    for (sh <- Seq("word", "char")) {
+      val joined = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+          n = 3, shingler = sh)
+        .select("doc_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val model = Dedup.trainDecontaminationSet(bench, "text", n = 3, shingler = sh)
+      val mapSide = Dedup.decontaminateMapSide(corpus, "text", model,
+          n = 3, shingler = sh)
+        .select("doc_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(mapSide === joined, s"shingler=$sh diverged")
+      assert(joined.values.exists(identity), s"fixture sanity: no hits under $sh")
+    }
+    // a corpus-sized "eval set" is not a trainable model — rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.trainDecontaminationSet(docs, "text", n = 3, maxGrams = 10)
+    }
   }
 
   test("decontaminate probes the corpus with a broadcast of the eval grams (no corpus shuffle)") {

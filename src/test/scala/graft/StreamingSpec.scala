@@ -135,6 +135,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect)
   }
 
+  test("decontaminateMapSide applies unchanged to streaming frames (stream == batch)") {
+    // The join-form decontaminate cannot stream (hit-distinct + flag join
+    // are not append-mode operators); the trained-model kernel probe is a
+    // stateless map, so the SAME call composes with readStream — the
+    // decontaminate-on-ingest path.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val model = Dedup.trainDecontaminationSet(bench, "text", n = 3)
+    val docs = Seq(
+      (1L, "we saw the quick brown animal run"),
+      (2L, "entirely different words appear here now"),
+      (3L, "fox jumps high over everything else"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Dedup.decontaminateMapSide(
+      mem.toDF().toDF("doc_id", "text"), "text", model, n = 3)
+    assert(streamed.isStreaming)
+    val q = streamed.select("doc_id", "contaminated")
+      .writeStream.format("memory").queryName("decont_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decont_stream_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expect = Dedup.decontaminateMapSide(docs.toDF("doc_id", "text"),
+        "text", model, n = 3)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === expect && got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("file-based event stream reads the warehouse parquet incrementally") {
     val stream = Events.readEventStream(spark, sfDir)
     assert(stream.isStreaming)
