@@ -1013,6 +1013,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The APPLY step of substring dedup (Lee et al. removal policy):
+    * non-canonical span occurrences spliced out of the text. DuckDB
+    * rebuilds the cleaned strings independently (merged id_b intervals →
+    * complement segments → ordered string_agg), so the full cleaned text
+    * of every affected doc is hash-gated byte-for-byte.
+    */
+  private def qSubstringClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text",
+      minLen = 40, k = 20, maxHashDocs = 0)
+    Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .filter(col("removed_chars") > 0)
+      .select(col("doc_id"), col("text_clean"), col("removed_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint sketch, oracle-checked: DuckDB replays the exact
     * kernel arithmetic (FNV-1a over char 8-grams, splitmix64 finalizer,
     * window-4 minima over SIGNED longs) via mod-2^64 HUGEINT expressions,
@@ -1361,6 +1377,7 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_substring" -> (qSubstring _),
     "q_substring_stats" -> (qSubstringStats _),
+    "q_substring_clean" -> (qSubstringClean _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_plan" -> (qMultimodalPlan _),
@@ -2018,6 +2035,43 @@ object SparkEntry {
         | CAST(a.dup_chars AS DOUBLE) / length(d.text) AS dup_frac
         |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+    "q_substring_clean" -> (substringSpansCte +
+      """,
+        |iv AS (
+        | SELECT doc_b AS doc_id, pos_b AS s, pos_b + span_len AS e FROM spans),
+        |seq AS (
+        | SELECT doc_id, s, e,
+        |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        | FROM iv),
+        |isl AS (
+        | SELECT doc_id, s, e,
+        |  sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        | FROM seq),
+        |mrg AS (
+        | SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+        |segs AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+        |  s AS ke,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS ord
+        | FROM mrg
+        | UNION ALL
+        | SELECT doc_id, max(e), NULL, 1000000000 FROM mrg GROUP BY doc_id),
+        |txt AS (
+        | SELECT g.doc_id,
+        |  string_agg(CASE WHEN g.ke IS NULL THEN substr(d.text, CAST(g.ks AS BIGINT))
+        |    ELSE substr(d.text, CAST(g.ks AS BIGINT), CAST(g.ke - g.ks AS BIGINT)) END,
+        |    '' ORDER BY g.ord) AS text_clean
+        | FROM segs g JOIN documents d ON d.doc_id = g.doc_id
+        | GROUP BY g.doc_id)
+        |SELECT t.doc_id, t.text_clean,
+        | CAST(length(d.text) - length(t.text_clean) AS BIGINT) AS removed_chars
+        |FROM txt t JOIN documents d ON d.doc_id = t.doc_id
+        |WHERE length(d.text) > length(t.text_clean)
+        |ORDER BY t.doc_id""".stripMargin),
     "q_multimodal_plan" ->
       """WITH meta AS (
         | SELECT doc_id,

@@ -894,6 +894,64 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** APPLY substring dedup (the Lee et al. 2022 removal policy): cut every
+    * non-canonical span occurrence out of the text. For each
+    * [[sharedSpans]] pair the id_a (smaller-id) copy is canonical and
+    * stays; the id_b occurrence is removed — transitively, a span shared
+    * by docs A < B < C survives only in A (B and C are id_b in their
+    * pairs with A). Returns `df` plus `text_clean` (and `removed_chars`);
+    * docs in no span pass through unchanged.
+    *
+    * Fully relational: removal intervals merge per doc via the same
+    * gaps-and-islands as [[spanDupStats]], the COMPLEMENT segments are
+    * assembled per doc (ordered collect + array_join — bounded by the
+    * doc's own span count), and the splice is substring concatenation.
+    * Only docs that actually lose text join against their interval set;
+    * the corpus itself is never shuffled (left join keyed on id, AQE
+    * broadcasts the interval side when small).
+    */
+  def removeSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    // non-canonical occurrences: the id_b side of every pair. [s, e)
+    val intervals = spans.select(col("id_b").as("id"), col("pos_b").as("s"),
+      (col("pos_b") + col("span_len")).as("e"))
+    val byDoc = Window.partitionBy("id").orderBy(col("s"), col("e"))
+    val runningEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = intervals
+      .withColumn("__new", when(runningEnd.isNull || col("s") > runningEnd, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__cut"))
+      .withColumnRenamed("id", "__rs_id")
+    val spliced = df
+      .join(merged, col(idCol).cast("long") === col("__rs_id"), "left")
+    // kept segments: before the first cut, between cuts, after the last —
+    // assembled with substring arithmetic on the merged (disjoint) list
+    val cuts = col("__cut")
+    val text = col(textCol)
+    val segs = concat(
+      // segment before cut i (for i = 0: from 1; else from cut(i-1).e)
+      transform(cuts, (c, i) =>
+        text.substr(
+          when(i === 0, lit(1)).otherwise(element_at(cuts, i).getField("e").cast("int")),
+          (c.getField("s") - when(i === 0, lit(1))
+            .otherwise(element_at(cuts, i).getField("e"))).cast("int"))),
+      // tail after the last cut
+      array(text.substr(
+        element_at(cuts, -1).getField("e").cast("int"), lit(Int.MaxValue))))
+    spliced
+      .withColumn("text_clean",
+        when(size(cuts).isNull || size(cuts) === 0, text)
+          .otherwise(array_join(segs, "")))
+      .withColumn("removed_chars",
+        (length(text) - length(col("text_clean"))).cast("long"))
+      .drop("__cut", "__rs_id")
+  }
+
   /** Persist unless the caller opted out with StorageLevel.NONE.
     *
     * The cached intermediates (signatures/grams) are not unpersisted by the

@@ -98,6 +98,19 @@ object Scaling {
       val model = TextAnalysis.trainDfModel(big, "text")
       drain(TextAnalysis.tfidfTopK(big, "text", model, k = 3))
     }
+    time("sharedSpans minLen=40 k=20 (capped 100)") {
+      drain(Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20))
+    }
+    time("spanDupStats over sharedSpans") {
+      val spans = Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20)
+      drain(Dedup.spanDupStats(big, "doc_id", "text", spans))
+    }
+    time("decontaminateMapSide vs 5k-doc eval set (trained gram model)") {
+      val model = Dedup.trainDecontaminationSet(
+        big.filter(col("doc_id") % 10 === 0), "text", n = 3)
+      drain(Dedup.decontaminateMapSide(
+        big.filter(col("doc_id") % 10 =!= 0), "text", model, n = 3))
+    }
     time("incremental minhash: 5k-doc batch vs 45k-doc store") {
       val store = Dedup.minhashSignatures(
         big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 128, 42L)

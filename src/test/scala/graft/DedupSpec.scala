@@ -423,6 +423,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped >= 66, s"uncapped must report all boilerplate pairs, got $uncapped")
   }
 
+  test("removeSpans keeps the canonical copy and splices non-canonical occurrences out") {
+    import spark.implicits._
+    // boundary chars around S differ across docs, so the maximal span is
+    // exactly S (no accidental extension through shared separators)
+    val S = "shared passage of considerable length repeated verbatim across documents"
+    val d1 = s"alpha9_${S}_omega1"
+    val d2 = s"beta7-${S}-kappa2"
+    val d3 = s"gamma5|${S}|sigma3"
+    val d4 = "untouched document with no shared content at all beyond itself"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 40, k = 20,
+      maxHashDocs = 0)
+    val got = Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("removed_chars"))).toMap
+    // doc 1 is id_a in every pair -> canonical, untouched
+    assert(got(1L)._1 === d1 && got(1L)._2 === 0L)
+    // docs 2 and 3 lose S (pairs (1,2),(1,3),(2,3) merge to ONE removal
+    // interval each)
+    assert(!got(2L)._1.contains(S) && !got(3L)._1.contains(S))
+    assert(got(2L)._1 === "beta7--kappa2" && got(3L)._1 === "gamma5||sigma3")
+    assert(got(2L)._2 === (d2.length - got(2L)._1.length).toLong)
+    // the span survives in exactly one document
+    assert(got.values.count(_._1.contains(S)) === 1)
+    assert(got(4L)._1 === d4 && got(4L)._2 === 0L)
+    // expected splice computed independently: remove the merged id_b
+    // intervals from each doc
+    val spanRows = spans.collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    val texts = Map(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4)
+    texts.foreach { case (id, t) =>
+      val ivs = spanRows.filter(_._1 == id).map { case (_, s, l) =>
+        (s.toInt - 1, s.toInt - 1 + l.toInt) }.sortBy(x => (x._1, x._2))
+      val mergedIvs = ivs.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, (s, e)) if acc.nonEmpty && s <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+        case (acc, iv) => iv :: acc
+      }.reverse
+      val kept = new StringBuilder
+      var cursor = 0
+      mergedIvs.foreach { case (s, e) => kept ++= t.substring(cursor, s); cursor = e }
+      kept ++= t.substring(cursor)
+      assert(got(id)._1 === kept.toString, s"doc $id splice mismatch")
+    }
+  }
+
   test("spanDupStats unions overlapping spans per doc without double counting") {
     import spark.implicits._
     val df = Seq((1L, "x" * 100), (2L, "y" * 80), (3L, "z" * 50)).toDF("doc_id", "text")
