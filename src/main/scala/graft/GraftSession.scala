@@ -40,6 +40,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and normalize in Warehouse.loadTable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (connectedComponents checkpointDir): delete
+      // a round's files once its RDD is unreferenced — without this,
+      // iterative reliable checkpointing accumulates every superseded
+      // round in the checkpoint dir until application exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
     master.fold(b)(b.master)
   }

@@ -784,7 +784,7 @@ object SparkEntry {
     val model = Dedup.trainDecontaminationSet(
       docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
     Dedup.decontaminateMapSide(
-        docs.filter(col("doc_id") % 20 =!= 0), "text", model, n = 3)
+        docs.filter(col("doc_id") % 20 =!= 0), "text", model)
       .select(col("doc_id"), col("contaminated"))
       .orderBy("doc_id")
   }
@@ -992,7 +992,7 @@ object SparkEntry {
     */
   private def qSubstring(s: SparkSession, dir: String): DataFrame =
     Dedup.sharedSpans(wh(s, dir).loadTable("documents"), "doc_id", "text",
-        minLen = 40, k = 20, maxHashDocs = 0)
+        minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("pos_a"), col("pos_b"), col("span_len"))
       .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
@@ -1005,7 +1005,7 @@ object SparkEntry {
   private def qSubstringStats(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents")
     val spans = Dedup.sharedSpans(docs, "doc_id", "text",
-      minLen = 40, k = 20, maxHashDocs = 0)
+      minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0)
     Dedup.spanDupStats(docs, "doc_id", "text", spans)
       .filter(col("n_spans") > 0)
       .select(col("id").as("doc_id"), col("n_chars"), col("dup_chars"),
@@ -1022,7 +1022,7 @@ object SparkEntry {
   private def qSubstringClean(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents")
     val spans = Dedup.sharedSpans(docs, "doc_id", "text",
-      minLen = 40, k = 20, maxHashDocs = 0)
+      minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0)
     Dedup.removeSpans(docs, "doc_id", "text", spans)
       .filter(col("removed_chars") > 0)
       .select(col("doc_id"), col("text_clean"), col("removed_chars"))

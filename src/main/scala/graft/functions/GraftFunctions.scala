@@ -198,18 +198,17 @@ object GraftFunctions {
 
   /** Gram-set membership under a trained [[GramSetModel]] —
     * model-parameterized registration exactly like [[bpeCount]] (same
-    * uniqueness and lifetime caveats); n and the shingler flag are part
-    * of the registered NAME so reusing one model with other parameters
-    * cannot rebind an earlier column's resolution.
+    * uniqueness and lifetime caveats). The shingling parameters live IN
+    * the model, so one registered name per model suffices.
     */
-  def gramSetContains(spark: SparkSession, text: Column, model: GramSetModel,
-      n: Int, char: Boolean): Column = {
+  def gramSetContains(spark: SparkSession, text: Column,
+      model: GramSetModel): Column = {
     val name = gramSetNames.synchronized {
       gramSetNames.computeIfAbsent(model,
         _ => s"graft_gram_set_contains_${gramSetCounter.incrementAndGet()}")
-    } + s"_${n}_$char"
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, (args: Seq[Expression]) => GramSetContains(args.head, n, model, char),
+      name, (args: Seq[Expression]) => GramSetContains(args.head, model),
       "scala_udf")
     call_function(name, text)
   }

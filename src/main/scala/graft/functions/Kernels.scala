@@ -28,13 +28,17 @@ final class BpeModel(val sortedKeys: Array[Long], val rankAt: Array[Int])
 }
 
 /** Trained eval-set gram membership model for map-side decontamination:
-  * the benchmark's distinct shingle hashes, sorted for binary search.
-  * Eval sets are small by definition (the model is the TRAINED artifact
-  * of [[graft.operators.Dedup.trainDecontaminationSet]], bounded like
-  * [[BpeModel]]/[[DfModel]]), so the whole set rides to executors as one
-  * codegen reference object.
+  * the benchmark's distinct shingle hashes, sorted for binary search,
+  * PLUS the shingling parameters they were trained under (`n`, `char`) —
+  * the model is self-contained like [[BpeModel]]/[[DfModel]], so a probe
+  * can never silently run with a mismatched gram width/shingler (which
+  * would report everything uncontaminated). Eval sets are small by
+  * definition (bounded by
+  * [[graft.operators.Dedup.trainDecontaminationSet]]), so the whole set
+  * rides to executors as one codegen reference object.
   */
-final class GramSetModel(val sorted: Array[Long]) extends Serializable {
+final class GramSetModel(val sorted: Array[Long], val n: Int,
+    val char: Boolean) extends Serializable {
   def size: Int = sorted.length
   def contains(h: Long): Boolean =
     java.util.Arrays.binarySearch(sorted, h) >= 0
@@ -778,9 +782,9 @@ object Kernels {
     * explode, the shuffle, and the join: this is the streaming-safe,
     * zero-shuffle form of benchmark decontamination.
     */
-  def anyGramIn(text: UTF8String, n: Int, model: GramSetModel,
-      char: Boolean): Boolean = {
-    if (char) {
+  def anyGramIn(text: UTF8String, model: GramSetModel): Boolean = {
+    val n = model.n
+    if (model.char) {
       val s = text.toString.trim
       if (s.length < n) return false
       val m = s.length - n + 1

@@ -359,14 +359,14 @@ case class ExtendMatch(ta: Expression, tb: Expression, pa: Expression,
   * [[GramSetModel]] — one scan, early exit, no gram array materialized.
   * Model-parameterized like [[BpeCount]] (codegen reference object).
   */
-case class GramSetContains(child: Expression, n: Int, model: GramSetModel,
-    char: Boolean) extends UnaryExpression {
+case class GramSetContains(child: Expression, model: GramSetModel)
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(input: Any): Any =
-    Kernels.anyGramIn(input.asInstanceOf[UTF8String], n, model, char)
+    Kernels.anyGramIn(input.asInstanceOf[UTF8String], model)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("gramSet", model, classOf[GramSetModel].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.anyGramIn($c, $n, $ref, $char)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.anyGramIn($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): GramSetContains =
     copy(child = newChild)

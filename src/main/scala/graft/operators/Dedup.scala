@@ -121,11 +121,32 @@ object Dedup {
       val sc = pairs.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
     }
+    // Reliable-checkpoint path: the checkpoint WRITE is a second job over
+    // the round's plan, which would recompute the join+aggregate from
+    // scratch unless the frame is cached — so cache it, and release the
+    // superseded round's cache once the next round is materialized.
+    // Checkpoint FILES of superseded rounds are reclaimed by the
+    // ContextCleaner only under spark.cleaner.referenceTracking
+    // .cleanCheckpoints=true (GraftSession sets it); on sessions without
+    // the flag, rounds accumulate in checkpointDir until app exit —
+    // that's the durability trade the option buys.
+    var pendingCaches: List[DataFrame] = Nil
     def materialize(plan: DataFrame): DataFrame =
-      if (checkpointDir.isDefined)
-        plan.checkpoint(eager = false) // reliable: survives executor loss
+      if (checkpointDir.isDefined) {
+        val cached =
+          if (persistLevel == StorageLevel.NONE) plan else plan.persist(persistLevel)
+        if (persistLevel != StorageLevel.NONE) pendingCaches ::= cached
+        cached.checkpoint(eager = false) // reliable: survives executor loss
+      }
       else if (persistLevel == StorageLevel.NONE) plan
       else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
+    // after an action, every marked RDD in its lineage has its checkpoint
+    // files written (doCheckpoint recurses ancestors), so the caches that
+    // fed the writes are redundant and can go
+    def releaseCheckpointedCaches(): Unit = {
+      pendingCaches.foreach(_.unpersist())
+      pendingCaches = Nil
+    }
     var next = materialize(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("component"),
@@ -154,6 +175,7 @@ object Dedup {
               .as("component"),
             coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed")))
         val changed = next.filter(col("__changed")).count() // materializes next
+        releaseCheckpointedCaches() // reliable path: files now back the reads
         labels = next.drop("__changed")
         frontier = next.filter(col("__changed")).drop("__changed")
         converged = changed == 0
@@ -173,7 +195,9 @@ object Dedup {
       // also on the non-convergence throw — a caught-and-retried failure
       // must not leak the cached symmetric edge list (returned labels are
       // a checkpoint, so dropping the edge CACHE never breaks them; the
-      // lineage stays intact for recompute-after-eviction)
+      // lineage stays intact for recompute-after-eviction), nor any
+      // round cache still pending on the reliable path
+      releaseCheckpointedCaches()
       if (persistLevel != StorageLevel.NONE) edges.unpersist()
     }
   }
@@ -275,6 +299,10 @@ object Dedup {
       bench: DataFrame, textCol: String,
       n: Int = 3, shingler: String = "word",
       maxGrams: Int = 10000000): graft.functions.GramSetModel = {
+    // the model stores (n, shingler) — word_tf has no membership meaning
+    // (occurrence-indexed hashes), so only the set shinglers are trainable
+    require(shingler == "word" || shingler == "char",
+      s"decontamination models support word/char shinglers, got $shingler")
     GraftFunctions.ensure(bench.sparkSession)
     val grams = bench
       .select(explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
@@ -285,7 +313,7 @@ object Dedup {
       s"eval set exceeds $maxGrams distinct grams — not a trainable model; " +
         "use Dedup.decontaminate (the join form) for corpus-sized eval sets")
     java.util.Arrays.sort(grams)
-    new graft.functions.GramSetModel(grams)
+    new graft.functions.GramSetModel(grams, n, shingler == "char")
   }
 
   /** MAP-SIDE benchmark decontamination: flag every document sharing an
@@ -293,8 +321,11 @@ object Dedup {
     * one kernel scan per document — no explode, no shuffle, no join, so
     * it applies unchanged to STREAMING frames (the [[decontaminate]] join
     * form cannot: its hit-distinct and flag join are not append-mode
-    * operators). Flags equal [[decontaminate]]'s exactly: the kernel
-    * probes the same shingle hashes the join form explodes.
+    * operators). Flags equal [[decontaminate]]'s exactly — the kernel
+    * probes the same shingle hashes the join form explodes, under the
+    * shingling parameters STORED IN the model (a width/shingler mismatch
+    * with training is unrepresentable), and NULL texts flag false on
+    * both paths.
     *
     * 100 TB shape: the model is a sorted long array riding as a codegen
     * reference object; corpus cost is ONE scan with early exit on the
@@ -303,14 +334,14 @@ object Dedup {
     */
   def decontaminateMapSide(
       corpus: DataFrame, textCol: String,
-      model: graft.functions.GramSetModel,
-      n: Int = 3, shingler: String = "word"): DataFrame = {
-    require(shingler == "word" || shingler == "char",
-      s"decontaminateMapSide supports word/char shinglers, got $shingler")
+      model: graft.functions.GramSetModel): DataFrame =
+    // coalesce(false): NULL texts have no grams, hence no overlap — the
+    // same answer the join form gives them (its left join misses) — so
+    // the two forms stay row-for-row identical on dirty corpora too
     corpus.withColumn("contaminated",
-      GraftFunctions.gramSetContains(corpus.sparkSession, col(textCol), model,
-        n, char = shingler == "char"))
-  }
+      coalesce(
+        GraftFunctions.gramSetContains(corpus.sparkSession, col(textCol), model),
+        lit(false)))
 
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
     * are hashed in one kernel pass — no gram strings are materialized
@@ -789,9 +820,15 @@ object Dedup {
     * many documents BEFORE pair generation (pair volume is Σ per-hash
     * doc-count²; ubiquitous boilerplate anchors would dominate
     * quadratically — the same degenerate-key rule as
-    * [[fingerprintOverlap]]). Capped anchors cost recall ONLY for spans
-    * all of whose anchors are capped, i.e. boilerplate present in >
-    * maxHashDocs docs; pass 0 to disable (exact, e.g. for oracle runs).
+    * [[fingerprintOverlap]]). `maxHashOccurrences` is the companion
+    * WITHIN-DOC guard: a self-repetitive low-entropy document (runs of
+    * one character, crawl junk) can put thousands of anchor POSITIONS on
+    * one hash while touching only two docs, and the self-join cost is
+    * Σ_h occurrences², which the doc cap cannot see. Capped anchors cost
+    * recall ONLY for spans all of whose anchors are capped (boilerplate
+    * in > maxHashDocs docs, or content so repetitive its anchors
+    * saturate the occurrence cap); pass 0 to disable either cap (exact,
+    * e.g. for oracle runs).
     *
     * `k` is a SELECTIVITY dial, not a correctness one (any k with
     * k ≤ minLen is exact): anchors are shared k-grams, so a small k
@@ -806,6 +843,7 @@ object Dedup {
   def sharedSpans(
       df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40, k: Int = 20, maxHashDocs: Int = 100,
+      maxHashOccurrences: Int = 1000,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
@@ -823,12 +861,19 @@ object Dedup {
       .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h")),
       persistLevel)
     val capped =
-      if (maxHashDocs > 0) {
-        // distinct doc count per hash, aggregated (map-side combine) and
-        // broadcast anti-joined — the anchor stream itself is not windowed
+      if (maxHashDocs > 0 || maxHashOccurrences > 0) {
+        // per-hash doc AND occurrence counts, aggregated (map-side
+        // combine) and broadcast anti-joined — the anchor stream itself
+        // is not windowed. The occurrence cap is the within-doc guard:
+        // pair volume is Σ_h occ_a(h)×occ_b(h), so a LOW-ENTROPY doc
+        // (e.g. a megabyte of dashes) whose every window selects the
+        // same hash would explode the self-join while touching only 2
+        // docs — doc count alone cannot see it.
         val hot = anchors.groupBy("h")
-          .agg(countDistinct(col("id")).as("__hd"))
-          .filter(col("__hd") > maxHashDocs)
+          .agg(countDistinct(col("id")).as("__hd"), count(lit(1)).as("__ho"))
+          .filter(
+            (if (maxHashDocs > 0) col("__hd") > maxHashDocs else lit(false)) ||
+            (if (maxHashOccurrences > 0) col("__ho") > maxHashOccurrences else lit(false)))
           .select("h")
         anchors.join(broadcast(hot), Seq("h"), "left_anti")
       } else anchors

@@ -96,10 +96,15 @@ object Similarity {
           .select("tbl", "bucket")
         cb.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
       } else cb
-    // Queries stay broadcast through bucketing; the corpus-side join is a
-    // map-side hash probe, then candidates dedup on (query, neighbor).
+    // Queries stay broadcast through bucketing (map-side hash probe on the
+    // corpus side), then candidates dedup on (query, neighbor). The
+    // broadcast escape hatch must cover THIS join too — |queries| ×
+    // numTables bucket rows are exactly what outgrows the broadcast limit
+    // on a large query set, so broadcastCandidates=false leaves it to AQE.
+    val maybeBcast: DataFrame => DataFrame =
+      if (broadcastCandidates) broadcast else identity
     val cand = capped
-      .join(broadcast(bucketize(q, "query_id", "query_vec")), Seq("tbl", "bucket"))
+      .join(maybeBcast(bucketize(q, "query_id", "query_vec")), Seq("tbl", "bucket"))
       .select("query_id", "neighbor_id")
       .distinct()
     // Candidate scoring probes the CORPUS with a broadcast of the (narrow,
@@ -110,8 +115,6 @@ object Similarity {
     // SimilaritySpec (no exchange on neighbor_id). When the caller
     // disabled the broadcast (large query set — see scaladoc), the same
     // joins run unhinted and AQE picks the strategy from runtime sizes.
-    val maybeBcast: DataFrame => DataFrame =
-      if (broadcastCandidates) broadcast else identity
     val scored = c
       .join(maybeBcast(cand), "neighbor_id")
       .join(maybeBcast(q), "query_id")

@@ -101,15 +101,23 @@ object Scaling {
     time("sharedSpans minLen=40 k=20 (capped 100)") {
       drain(Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20))
     }
-    time("spanDupStats over sharedSpans") {
-      val spans = Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20)
-      drain(Dedup.spanDupStats(big, "doc_id", "text", spans))
+    // spans PRE-materialized outside the timed block, so the entry
+    // measures the stats aggregation itself — not a second detection run
+    val spanCache = Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20)
+      .persist()
+    spanCache.count()
+    time("spanDupStats over precomputed spans") {
+      drain(Dedup.spanDupStats(big, "doc_id", "text", spanCache))
     }
+    time("removeSpans splice over precomputed spans") {
+      drain(Dedup.removeSpans(big, "doc_id", "text", spanCache))
+    }
+    spanCache.unpersist()
     time("decontaminateMapSide vs 5k-doc eval set (trained gram model)") {
       val model = Dedup.trainDecontaminationSet(
         big.filter(col("doc_id") % 10 === 0), "text", n = 3)
       drain(Dedup.decontaminateMapSide(
-        big.filter(col("doc_id") % 10 =!= 0), "text", model, n = 3))
+        big.filter(col("doc_id") % 10 =!= 0), "text", model))
     }
     time("incremental minhash: 5k-doc batch vs 45k-doc store") {
       val store = Dedup.minhashSignatures(

@@ -377,7 +377,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val d4 = s"delta also has $short plus completely unrelated trailing content xyz"
     val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
     val got = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 40, k = 8,
-        maxHashDocs = 0)
+        maxHashDocs = 0, maxHashOccurrences = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     // exactly one span: S between d1 and d2, exact 1-based positions, exact
@@ -393,7 +393,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("sharedSpans equals the brute-force diagonal method on the corpus") {
     val sub = docs.select("doc_id", "text").filter(col("doc_id") < 60)
     def run(k: Int) = Dedup.sharedSpans(sub, "doc_id", "text", minLen = 40, k = k,
-        maxHashDocs = 0)
+        maxHashDocs = 0, maxHashOccurrences = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     val got = run(20)
@@ -419,7 +419,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the 12-doc boilerplate pairs are gone; the 2-doc rare span survives
     assert(capped === Set((1L, 2L)))
     val uncapped = Dedup.sharedSpans(corpus, "doc_id", "text", minLen = 40, k = 8,
-        maxHashDocs = 0).count()
+        maxHashDocs = 0, maxHashOccurrences = 0).count()
     assert(uncapped >= 66, s"uncapped must report all boilerplate pairs, got $uncapped")
   }
 
@@ -434,7 +434,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val d4 = "untouched document with no shared content at all beyond itself"
     val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
     val spans = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 40, k = 20,
-      maxHashDocs = 0)
+      maxHashDocs = 0, maxHashOccurrences = 0)
     val got = Dedup.removeSpans(docs, "doc_id", "text", spans)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text_clean"), r.getAs[Long]("removed_chars"))).toMap
@@ -466,6 +466,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       kept ++= t.substring(cursor)
       assert(got(id)._1 === kept.toString, s"doc $id splice mismatch")
     }
+  }
+
+  test("removeSpans splices multiple disjoint cuts and merges overlapping ones") {
+    import spark.implicits._
+    val t = ('a' to 'z').mkString * 4 // 104 chars
+    val df = Seq((5L, t)).toDF("doc_id", "text")
+    // two overlapping cuts [11,31) + [21,41) merge to [11,41); one
+    // disjoint cut [61,71): kept = [1,11) + [41,61) + [71,105)
+    val spans = Seq(
+      (1L, 5L, 1L, 11L, 20L),
+      (2L, 5L, 1L, 21L, 20L),
+      (3L, 5L, 1L, 61L, 10L)).toDF("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    val got = Dedup.removeSpans(df, "doc_id", "text", spans).collect()(0)
+    val expect = t.substring(0, 10) + t.substring(40, 60) + t.substring(70)
+    assert(got.getAs[String]("text_clean") === expect)
+    assert(got.getAs[Long]("removed_chars") === 40L)
   }
 
   test("spanDupStats unions overlapping spans per doc without double counting") {
@@ -657,7 +673,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
     // the trained-model kernel probe flags the identical set
     val model = Dedup.trainDecontaminationSet(bench, "text", n = 3)
-    val mapSide = Dedup.decontaminateMapSide(corpus, "text", model, n = 3)
+    val mapSide = Dedup.decontaminateMapSide(corpus, "text", model)
       .select("doc_id", "contaminated")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(mapSide === got)
@@ -672,8 +688,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .select("doc_id", "contaminated")
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       val model = Dedup.trainDecontaminationSet(bench, "text", n = 3, shingler = sh)
-      val mapSide = Dedup.decontaminateMapSide(corpus, "text", model,
-          n = 3, shingler = sh)
+      val mapSide = Dedup.decontaminateMapSide(corpus, "text", model)
         .select("doc_id", "contaminated")
         .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(mapSide === joined, s"shingler=$sh diverged")
@@ -683,6 +698,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.trainDecontaminationSet(docs, "text", n = 3, maxGrams = 10)
     }
+    // occurrence-indexed shinglers have no membership meaning — rejected
+    intercept[IllegalArgumentException] {
+      Dedup.trainDecontaminationSet(bench, "text", n = 3, shingler = "word_tf")
+    }
+    // NULL texts: both forms must say false (not NULL — a filter(!flag)
+    // would silently drop NULL-flag rows on one path and keep them on
+    // the other)
+    import spark.implicits._
+    val dirty = Seq((1L, Some("the quick brown fox jumps high today")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val model = Dedup.trainDecontaminationSet(
+      Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"), "text")
+    val viaModel = Dedup.decontaminateMapSide(dirty, "text", model)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaJoin = Dedup.decontaminate(dirty,
+        Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaModel === Map(1L -> true, 2L -> false))
+    assert(viaJoin === viaModel)
   }
 
   test("decontaminate probes the corpus with a broadcast of the eval grams (no corpus shuffle)") {

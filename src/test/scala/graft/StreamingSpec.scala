@@ -150,7 +150,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       (3L, "fox jumps high over everything else"))
     val mem = MemoryStream[(Long, String)]
     val streamed = Dedup.decontaminateMapSide(
-      mem.toDF().toDF("doc_id", "text"), "text", model, n = 3)
+      mem.toDF().toDF("doc_id", "text"), "text", model)
     assert(streamed.isStreaming)
     val q = streamed.select("doc_id", "contaminated")
       .writeStream.format("memory").queryName("decont_stream_out")
@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val got = spark.table("decont_stream_out")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val expect = Dedup.decontaminateMapSide(docs.toDF("doc_id", "text"),
-        "text", model, n = 3)
+        "text", model)
       .select("doc_id", "contaminated")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got === expect && got === Map(1L -> true, 2L -> false, 3L -> true))
