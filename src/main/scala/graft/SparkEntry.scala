@@ -1013,6 +1013,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Within-document repeated spans (the intra-doc complement of
+    * q_substring): maximal exact repeats ≥ 20 chars inside one document.
+    * DuckDB recomputes ground truth the same independent way — md5
+    * 20-grams matched WITHIN each doc, maximal diagonal runs — so every
+    * (doc, pos_a, pos_b, span_len) tuple is hash-gated.
+    */
+  private def qSelfSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.selfSpans(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        minLen = 20, k = 10, maxHashOccurrences = 0)
+      .select(col("id").as("doc_id"), col("pos_a"), col("pos_b"), col("span_len"))
+      .orderBy("doc_id", "pos_a", "pos_b")
+
   /** The APPLY step of substring dedup (Lee et al. removal policy):
     * non-canonical span occurrences spliced out of the text. DuckDB
     * rebuilds the cleaned strings independently (merged id_b intervals →
@@ -1378,6 +1390,7 @@ object SparkEntry {
     "q_substring" -> (qSubstring _),
     "q_substring_stats" -> (qSubstringStats _),
     "q_substring_clean" -> (qSubstringClean _),
+    "q_self_spans" -> (qSelfSpans _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_plan" -> (qMultimodalPlan _),
@@ -2006,6 +2019,26 @@ object SparkEntry {
       """
         |SELECT doc_a, doc_b, pos_a, pos_b, span_len FROM spans
         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin),
+    "q_self_spans" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  unnest(generate_series(1, greatest(length(text) - 19, 0))) AS i,
+        |  text
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, i, md5(substr(text, i, 20)) AS gh FROM g),
+        |m AS (
+        | SELECT a.doc_id, a.i AS ia, b.i AS ib
+        | FROM h a JOIN h b ON a.gh = b.gh AND a.doc_id = b.doc_id AND a.i < b.i),
+        |r AS (
+        | SELECT doc_id, ia, ib, ib - ia AS diag,
+        |  ia - row_number() OVER (PARTITION BY doc_id, ib - ia ORDER BY ia) AS grp
+        | FROM m)
+        |SELECT doc_id,
+        | CAST(min(ia) AS BIGINT) AS pos_a, CAST(min(ib) AS BIGINT) AS pos_b,
+        | CAST(count(*) + 19 AS BIGINT) AS span_len
+        |FROM r GROUP BY doc_id, diag, grp
+        |ORDER BY doc_id, pos_a, pos_b""".stripMargin,
     "q_substring_stats" -> (substringSpansCte +
       """,
         |iv AS (

@@ -897,6 +897,63 @@ object Dedup {
       .distinct()
   }
 
+  /** WITHIN-document repeated spans — the intra-doc complement of
+    * [[sharedSpans]]: every maximal pair of exact repeats of ≥ `minLen`
+    * chars inside ONE document, as (id, pos_a, pos_b, span_len) with
+    * pos_a < pos_b (1-based). This is the exact-span form of the Gopher
+    * dup-n-gram fractions ([[TextAnalysis.repetition]] counts; this
+    * locates) — the detector for looped generation, copy-pasted
+    * paragraphs, and template stutter.
+    *
+    * Same exactness argument as [[sharedSpans]] (both occurrences of a
+    * repeat ≥ minLen contain the same fully-inside winnowing window, so
+    * both aligned positions are selected; char-verified extension makes
+    * precision exact — overlapping/periodic repeats included, since the
+    * extension only compares characters). Shape: anchors self-join
+    * WITHIN the doc — the narrow shuffle keys on (id, hash), so
+    * cross-document hash popularity never inflates it; `maxHashOccurrences`
+    * caps per-(id, hash) multiplicity (the low-entropy guard — window
+    * count on the join's own partitioning, no extra shuffle), and the
+    * text joins back onto bounded candidates only.
+    */
+  def selfSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, k: Int = 10, maxHashOccurrences: Int = 1000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    GraftFunctions.ensure(df.sparkSession)
+    val w = minLen - k + 1
+    val base = persistIf(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+      persistLevel) // anchor pass + text join
+    val anchors = base
+      .select(col("id"), explode(GraftFunctions.winnowPos(col("text"), k, w)).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h"))
+    val capped =
+      if (maxHashOccurrences > 0) {
+        val byKey = Window.partitionBy("id", "h")
+        anchors.withColumn("__c", count(lit(1)).over(byKey))
+          .filter(col("__c") <= maxHashOccurrences)
+          .drop("__c")
+      } else anchors
+    val cand = capped.select(col("id"), col("pos").as("pa"), col("h"))
+      .join(capped.select(col("id"), col("pos").as("pb"), col("h")), Seq("id", "h"))
+      .filter(col("pa") < col("pb"))
+      .select("id", "pa", "pb")
+      .distinct()
+    val m = GraftFunctions.extendMatch(col("text"), col("text"), col("pa"), col("pb"), k)
+    cand
+      .join(base, Seq("id"))
+      .withColumn("m", m)
+      .filter(col("m").isNotNull && col("m.len") >= minLen)
+      .select(col("id"),
+        col("m.start_a").cast("long").as("pos_a"),
+        col("m.start_b").cast("long").as("pos_b"),
+        col("m.len").cast("long").as("span_len"))
+      .distinct()
+  }
+
   /** Per-document duplicated-span mass over a [[sharedSpans]] result:
     * for every doc of `df`, the number of chars covered by at least one
     * shared span (union of intervals — overlapping spans are not double

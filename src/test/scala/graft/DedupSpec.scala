@@ -423,6 +423,71 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped >= 66, s"uncapped must report all boilerplate pairs, got $uncapped")
   }
 
+  /** Intra-doc ground truth: maximal repeated-pair spans >= minLen via
+    * the same L-gram diagonal method, per document.
+    */
+  private def bruteSelfSpans(corpus: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for ((id, t) <- corpus) {
+      val pos = scala.collection.mutable.Map[String, List[Int]]()
+      for (i <- 0 to t.length - minLen)
+        pos.updateWith(t.substring(i, i + minLen))(o => Some(i :: o.getOrElse(Nil)))
+      val matches = for {
+        (_, ps) <- pos.toSeq
+        i <- ps; j <- ps if i < j
+      } yield (i, j)
+      matches.groupBy { case (i, j) => j - i }.foreach { case (diag, ms) =>
+        val is = ms.map(_._1).distinct.sorted
+        var runStart = is.head
+        var prev = is.head
+        def emit(): Unit =
+          out += ((id, (runStart + 1).toLong, (runStart + diag + 1).toLong,
+            (prev - runStart + minLen).toLong))
+        for (i <- is.tail) {
+          if (i != prev + 1) { emit(); runStart = i }
+          prev = i
+        }
+        emit()
+      }
+    }
+    out.toSet
+  }
+
+  test("selfSpans finds maximal within-document repeats, including overlapping periodic ones") {
+    import spark.implicits._
+    val R = "this exact paragraph repeats itself inside one document"
+    val d1 = s"intro_one $R middle filler words $R outro_one"
+    val d2 = "completely unrepetitive content with every word appearing once only"
+    val d3 = "ab" * 30 // periodic: overlapping repeats
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.selfSpans(docs, "doc_id", "text", minLen = 20, k = 10,
+        maxHashOccurrences = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = bruteSelfSpans(Seq((1L, d1), (2L, d2), (3L, d3)), 20)
+    assert(got === want, s"missing=${want -- got} spurious=${got -- want}")
+    // the planted repeat is found with exact positions (span includes the
+    // flanking spaces: ' R ' occurs around both copies)
+    val p1 = d1.indexOf(R); val p2 = d1.indexOf(R, p1 + 1)
+    assert(got.contains((1L, p1.toLong, p2.toLong, (R.length + 2).toLong)),
+      s"planted repeat not found at exact positions: $got")
+    assert(!got.exists(_._1 == 2L), "unrepetitive doc must report nothing")
+    // periodic doc: the dominant diagonal-2 repeat spans the whole string
+    assert(got.contains((3L, 1L, 3L, 58L)), s"periodic repeat wrong: $got")
+  }
+
+  test("selfSpans equals the brute-force diagonal method on the corpus") {
+    val sub = docs.select("doc_id", "text").filter(col("doc_id") < 400)
+    val got = Dedup.selfSpans(sub, "doc_id", "text", minLen = 20, k = 10,
+        maxHashOccurrences = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = bruteSelfSpans(
+      sub.collect().map(r => (r.getLong(0), r.getString(1))).toSeq, 20)
+    assert(got === want, s"missing=${want -- got} spurious=${got -- want}")
+  }
+
   test("removeSpans keeps the canonical copy and splices non-canonical occurrences out") {
     import spark.implicits._
     // boundary chars around S differ across docs, so the maximal span is
