@@ -818,6 +818,34 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Streaming-form exact-N mixture sampling (the reservoir that CONVERGES
+    * to Relational.mixtureSample — set-parity spec-pinned in
+    * StreamingSpec), run in its batch degeneration here. CONTRACT oracle:
+    * per-stratum selected count must equal least(target, available) with
+    * available recomputed by DuckDB from the raw table, every selected
+    * key distinct, and none outside its stratum (the misplaced count is
+    * folded into the returned plan, q_split_contract-style).
+    */
+  private def qMixtureStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val targets = Map("en" -> 100L, "fr" -> 50L, "de" -> 40L,
+      "es" -> 30L, "zh" -> 1000L) // zh exceeds availability → all zh rows
+    val res = graft.streaming.Events.mixtureReservoir(
+      docs, "lang", "doc_id", targets)
+    val keys = res.toDF().select(col("stratum").as("lang"),
+      explode(col("keys")).as("doc_id"))
+    val misplaced = keys.join(
+      docs.select(col("doc_id"), col("lang")), Seq("doc_id", "lang"), "left_anti")
+      .agg(count(lit(1)).as("__bad")) // global agg: one row even when 0
+    keys.groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        countDistinct(col("doc_id")).as("n_distinct"))
+      .crossJoin(broadcast(misplaced))
+      .select(col("lang"), col("n_selected"), col("n_distinct"),
+        col("__bad").as("n_misplaced"))
+      .orderBy("lang")
+  }
+
   /** SemDeDup-style semantic near-dup — rows-only (the trained k-means
     * cell assignment has no SQL re-expression): deterministic in seed,
     * grounded by DedupSpec (soundness vs exact cosine recompute, recall
@@ -1404,6 +1432,7 @@ object SparkEntry {
     "q_decontaminate_map" -> (qDecontaminateMap _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
+    "q_mixture_stream" -> (qMixtureStream _),
     "q_tfidf" -> (qTfidf _),
     "q_gopher_filter" -> (qGopherFilter _)
   )
@@ -2199,6 +2228,16 @@ object SparkEntry {
         | least(cast(3 + (cast(substr(source, 4) AS int) % 5) * 4 AS bigint),
         |        count(*)) AS n_sampled
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_mixture_stream" ->
+      """WITH t(lang, target) AS (VALUES
+        |  ('en', 100), ('fr', 50), ('de', 40), ('es', 30), ('zh', 1000))
+        |SELECT d.lang,
+        | least(CAST(t.target AS BIGINT), count(*)) AS n_selected,
+        | least(CAST(t.target AS BIGINT), count(*)) AS n_distinct,
+        | CAST(0 AS BIGINT) AS n_misplaced
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |GROUP BY d.lang, t.target
+        |ORDER BY d.lang""".stripMargin,
     "q_gopher_filter" ->
       """WITH base AS (
         | SELECT doc_id, length(text) AS nc,

@@ -147,10 +147,17 @@ object Dedup {
       pendingCaches.foreach(_.unpersist())
       pendingCaches = Nil
     }
+    // Round 1 folded into initialization: every node starts at
+    // least(own id, min neighbor id) — exactly the state one propagation
+    // round over all-nodes-as-frontier would produce, for the price of
+    // the groupBy the node list needed anyway (the symmetric edge list
+    // contains every node as src). Saves one full join+count round.
     var next = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component"),
-          lit(true).as("__changed")))
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__nm"))
+        .select(col("id"),
+          least(col("id"), col("__nm")).as("component"),
+          (col("__nm") < col("id")).as("__changed")))
     var labels = next.drop("__changed")
     // Delta propagation: only nodes whose label CHANGED last round can
     // lower a neighbor's label this round, so the neighbor join runs
@@ -158,8 +165,11 @@ object Dedup {
     // collapses to the still-converging fringe (end-to-end cluster pass
     // on the 50k clone corpus: 78 s → 48 s; per-round localCheckpoint
     // lineage truncation then took it to 24 s, the remainder being the
-    // PPJoin pair generation itself, not the rounds).
-    var frontier = labels
+    // PPJoin pair generation itself, not the rounds). The initial
+    // frontier is init's changed set — the same set round 1 would have
+    // produced, so the delta invariant (only changed nodes can lower a
+    // neighbor) holds from the first loop iteration.
+    var frontier = next.filter(col("__changed")).drop("__changed")
     var iter = 0
     var converged = false
     try {

@@ -141,6 +141,80 @@ object Events {
   def dedupBatch(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicates(keyCols)
 
+  // ---- streaming mixture reservoir -------------------------------------
+
+  /** One stratum's current reservoir: `emission` increases per update so a
+    * sink accumulating every micro-batch's output can identify the final
+    * state (max emission per stratum).
+    */
+  case class Reservoir(stratum: String, emission: Long, n_selected: Long,
+      keys: Seq[Long])
+
+  /** Reservoir state between micro-batches: the kept entries as parallel
+    * (frac, key) sequences, ordered ascending by (frac, key).
+    */
+  case class ReservoirState(emission: Long, fracs: Seq[Double], keys: Seq[Long])
+
+  /** STREAMING exact-N mixture sampling — the unknown-count/stream form of
+    * [[graft.operators.Relational.mixtureSample]]: per stratum, keep the
+    * `target` rows with the LOWEST seeded-hash fraction (ties by key).
+    * Because the batch sampler selects by exactly this rule (rank by
+    * (frac, key) ≤ target), the reservoir CONVERGES TO THE BATCH ANSWER:
+    * after any prefix of the stream, the state equals mixtureSample over
+    * the rows seen so far — deterministic, re-run-stable, and independent
+    * of arrival order (StreamingSpec pins set equality against the batch
+    * sampler on the same data, across multi-trigger ingestion).
+    *
+    * Works on BATCH frames too (flatMapGroupsWithState degenerates to one
+    * pass), which is what the driver-checked contract query runs.
+    *
+    * `keyCol` must be a unique integral row id (the sampled keys; join
+    * back for payloads — carrying whole rows through state would make
+    * state size O(target × row width) instead of O(target × 8 B)).
+    * State per stratum is the bounded key reservoir; emitted rows are
+    * (stratum, emission, n_selected, keys sorted asc).
+    */
+  def mixtureReservoir(df: DataFrame, stratumCol: String, keyCol: String,
+      targets: Map[String, Long], seed: Long = 42L): Dataset[Reservoir] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the SAME fraction the batch sampler ranks by — parity depends on it
+    val frac = shiftrightunsigned(
+      xxhash64(struct(col(keyCol)), lit(seed)), 1)
+      .cast("double") / Long.MaxValue.toDouble
+    val rows = df
+      .select(col(stratumCol).cast("string").as("s"), frac.as("f"),
+        col(keyCol).cast("long").as("k"))
+      .as[(String, Double, Long)]
+    val ord = implicitly[Ordering[(Double, Long)]]
+    val fn = (stratum: String, it: Iterator[(String, Double, Long)],
+        state: GroupState[ReservoirState]) => {
+      val target = targets.getOrElse(stratum, 0L).toInt
+      val prevState = state.getOption.getOrElse(ReservoirState(0L, Nil, Nil))
+      // bounded insertion: keep the target smallest (frac, key) entries;
+      // an ordered list suffices — reservoirs are small by definition
+      var res: List[(Double, Long)] =
+        prevState.fracs.zip(prevState.keys).toList
+      it.foreach { case (_, f, k) =>
+        val e = (f, k)
+        if (target > 0 &&
+            (res.lengthCompare(target) < 0 || ord.lt(e, res.last))) {
+          val (before, after) = res.span(ord.lt(_, e))
+          // skip exact re-deliveries: at-least-once sources must not
+          // double-insert a key (idempotent ingestion)
+          if (!after.headOption.contains(e))
+            res = (before ::: (e :: after)).take(target)
+        }
+      }
+      state.update(ReservoirState(prevState.emission + 1,
+        res.map(_._1), res.map(_._2)))
+      Iterator(Reservoir(stratum, prevState.emission + 1, res.length.toLong,
+        res.map(_._2).sorted))
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   // ---- streaming sessionization ---------------------------------------
 
   /** Typed event row for the stateful streaming path. */

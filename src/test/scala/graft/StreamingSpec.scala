@@ -168,6 +168,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect && got === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("mixtureReservoir converges to the batch mixtureSample across triggers") {
+    // The streaming reservoir keeps the target smallest (frac, key) per
+    // stratum — the batch sampler's exact selection rule — so after ANY
+    // ingestion split the final state must equal Relational.mixtureSample
+    // over everything seen. Two addData phases force multi-trigger state
+    // evolution; re-delivering phase-1 rows in phase 2 exercises the
+    // at-least-once idempotence guard.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Relational
+    import graft.streaming.Events
+    val docs = wh.loadTable("documents").select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (phase1, phase2) = docs.splitAt(docs.length / 2)
+    val targets = Map("en" -> 40L, "fr" -> 25L, "de" -> 20L,
+      "es" -> 15L, "zh" -> 100000L)
+    val mem = MemoryStream[(Long, String)]
+    val out = Events.mixtureReservoir(
+      mem.toDF().toDF("doc_id", "lang"), "lang", "doc_id", targets)
+    assert(out.isStreaming)
+    val q = out.toDF()
+      .writeStream.format("memory").queryName("mix_stream_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(phase1: _*)
+      q.processAllAvailable()
+      mem.addData(phase2 ++ phase1.take(20): _*) // re-delivery included
+      q.processAllAvailable()
+    } finally q.stop()
+    // final reservoir per stratum = row with the max emission counter
+    val finals = spark.table("mix_stream_out")
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+          .orderBy($"emission".desc)))
+      .filter($"__rk" === 1)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Seq[Long]]("keys").toSet).toMap
+    val batch = Relational.mixtureSample(
+        docs.toDF("doc_id", "lang"), "lang", targets, keyCols = Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(finals === batch,
+      s"stream-vs-batch mismatch: ${finals.keySet ++ batch.keySet}")
+    // and the batch degeneration of the same operator agrees too
+    val batchForm = Events.mixtureReservoir(
+        docs.toDF("doc_id", "lang"), "lang", "doc_id", targets)
+      .collect().map(r => r.stratum -> r.keys.toSet).toMap
+    assert(batchForm === batch)
+  }
+
   test("file-based event stream reads the warehouse parquet incrementally") {
     val stream = Events.readEventStream(spark, sfDir)
     assert(stream.isStreaming)
