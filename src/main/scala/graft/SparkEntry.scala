@@ -789,6 +789,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency under a corpus-trained model, oracle-checked
+    * END-TO-END: DuckDB independently rebuilds the vocabulary (top-4096
+    * words, count desc / word asc), the bigram table (top-65536 pairs),
+    * and every per-doc mean of c(w1,w2)/c(w1) with the same left-to-right
+    * double summation — training truncation, OOV handling, and the
+    * fluency doubles must all match bit-for-bit.
+    */
+  private def qLmFluency(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val model = TextAnalysis.trainLmModel(docs, "text",
+      maxVocab = 4096, maxBigrams = 65536)
+    TextAnalysis.lmFluency(docs, "text", model)
+      .select(col("doc_id"), col("n_pairs"), col("known_pairs"),
+        col("lm_fluency"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition metrics (Gopher rules), oracle-checked: Spark computes
     * every per-doc metric map-side in one sorted run-length pass
     * ([[TextAnalysis.repetition]] — zero shuffle); DuckDB recomputes them
@@ -1430,6 +1448,7 @@ object SparkEntry {
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_map" -> (qDecontaminateMap _),
+    "q_lm_fluency" -> (qLmFluency _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
@@ -2183,6 +2202,45 @@ object SparkEntry {
     // the trained-model kernel probe must flag the SAME docs the
     // relational semi-join flags — one oracle, two Spark formulations
     "q_decontaminate_map" -> decontaminateOracleSql,
+    "q_lm_fluency" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM toks),
+        |vc AS MATERIALIZED (
+        | SELECT t, count(*) AS c FROM uni GROUP BY t
+        | ORDER BY c DESC, t ASC LIMIT 4096),
+        |pr AS (
+        | SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+        | FROM toks WHERE len(w) >= 2),
+        |pairs AS MATERIALIZED (
+        | SELECT doc_id, i, w[i] AS w1, w[i+1] AS w2 FROM pr),
+        |bc AS MATERIALIZED (
+        | SELECT w1, w2, count(*) AS c FROM pairs
+        | JOIN vc v1 ON w1 = v1.t JOIN vc v2 ON w2 = v2.t
+        | GROUP BY w1, w2
+        | ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 65536),
+        |scored AS (
+        | SELECT p.doc_id, p.i,
+        |  CASE WHEN v1.t IS NOT NULL AND v2.t IS NOT NULL
+        |       THEN coalesce(bc.c, 0) / v1.c END AS rel
+        | FROM pairs p
+        | LEFT JOIN vc v1 ON p.w1 = v1.t
+        | LEFT JOIN vc v2 ON p.w2 = v2.t
+        | LEFT JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(rel) AS BIGINT) AS known_pairs,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(rel ORDER BY i) FILTER (rel IS NOT NULL)),
+        |    (a, b) -> a + b) AS s
+        | FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(a.n_pairs, 0) AS n_pairs,
+        | coalesce(a.known_pairs, 0) AS known_pairs,
+        | CASE WHEN coalesce(a.known_pairs, 0) = 0 THEN 0.0
+        |      ELSE a.s / a.known_pairs END AS lm_fluency
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH base AS (
         | SELECT doc_id, length(text) AS nc,

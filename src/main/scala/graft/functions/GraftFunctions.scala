@@ -215,4 +215,22 @@ object GraftFunctions {
 
   private val gramSetNames = new java.util.IdentityHashMap[GramSetModel, String]()
   private val gramSetCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bigram-LM fluency under a trained [[LmModel]] — model-parameterized
+    * registration exactly like [[bpeCount]] (same uniqueness and lifetime
+    * caveats).
+    */
+  def lmFluency(spark: SparkSession, text: Column, model: LmModel): Column = {
+    val name = lmNames.synchronized {
+      lmNames.computeIfAbsent(model,
+        _ => s"graft_lm_fluency_${lmCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => LmFluencyScore(args.head, model),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val lmNames = new java.util.IdentityHashMap[LmModel, String]()
+  private val lmCounter = new java.util.concurrent.atomic.AtomicLong()
 }

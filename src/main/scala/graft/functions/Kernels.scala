@@ -44,6 +44,32 @@ final class GramSetModel(val sorted: Array[Long], val n: Int,
     java.util.Arrays.binarySearch(sorted, h) >= 0
 }
 
+/** Trained bigram language model for fluency scoring (the CCNet-style
+  * LM-filtering step, Wenzek et al. 2020, reduced to engine-exact rational
+  * arithmetic): `sortedWords` (natural order, binary-searchable) with
+  * per-word total counts, and the top-B bigrams over that vocabulary as
+  * packed (id1 << 32 | id2) keys with counts. Bounded like
+  * [[BpeModel]]/[[DfModel]] — the trained artifact of
+  * [[graft.operators.TextAnalysis.trainLmModel]].
+  */
+final class LmModel(val sortedWords: Array[String], val wordCount: Array[Long],
+    val bigramKeys: Array[Long], val bigramCount: Array[Long])
+    extends Serializable {
+  def vocabSize: Int = sortedWords.length
+  /** vocabulary id of `w` (index into sortedWords), or -1 if OOV. */
+  def wordId(w: String): Int = {
+    val idx = java.util.Arrays.binarySearch(
+      sortedWords.asInstanceOf[Array[AnyRef]], w)
+    if (idx >= 0) idx else -1
+  }
+  /** count of bigram (a, b), 0 if the pair was not retained. */
+  def bigram(a: Int, b: Int): Long = {
+    val idx = java.util.Arrays.binarySearch(
+      bigramKeys, (a.toLong << 32) | (b & 0xffffffffL))
+    if (idx >= 0) bigramCount(idx) else 0L
+  }
+}
+
 /** Document-frequency vocabulary for TF-IDF scoring: `sortedWords` in
   * Java natural order for binary search, `dfAt(i)` the document
   * frequency of `sortedWords(i)`, `nDocs` the corpus size at training
@@ -939,6 +965,41 @@ object Kernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Bigram-LM fluency of one document in ONE scan under a trained
+    * [[LmModel]]: tokenize ([[spaceTokens]] — the shared contract), and
+    * over adjacent token pairs whose BOTH words are in vocabulary,
+    * average the next-word relative frequency c(w1,w2) / c(w1). The
+    * RATIONAL form (no log) is deliberate, exactly like tfidf's rational
+    * idf: every division is two exact integers → one correctly-rounded
+    * double, summed left-to-right in document order, so the DuckDB
+    * oracle reproduces the doubles bit-for-bit — while ranking documents
+    * by next-word predictability the same way a smoothed LM's
+    * probability (a monotone transform per fixed pair count) would.
+    * Natural text scores high; shuffled/garbage text scores near the
+    * unigram floor. Returns struct(n_pairs, known_pairs, fluency).
+    */
+  def lmFluency(text: UTF8String, model: LmModel)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = spaceTokens(text)
+    var nPairs = 0L
+    var known = 0L
+    var sum = 0.0
+    var prev = if (toks.length > 0) model.wordId(toks(0)) else -1
+    var i = 1
+    while (i < toks.length) {
+      val cur = model.wordId(toks(i))
+      nPairs += 1
+      if (prev >= 0 && cur >= 0) {
+        known += 1
+        sum += model.bigram(prev, cur).toDouble / model.wordCount(prev).toDouble
+      }
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nPairs, known, if (known == 0) 0.0 else sum / known))
   }
 
   /** Tokenization contract shared by [[repetitionStats]] and

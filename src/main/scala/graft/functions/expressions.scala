@@ -355,6 +355,27 @@ case class ExtendMatch(ta: Expression, tb: Expression, pa: Expression,
   override def prettyName: String = "graft_extend_match"
 }
 
+/** Bigram-LM fluency of a string column under a trained [[LmModel]] →
+  * struct(n_pairs, known_pairs, fluency). Model-parameterized like
+  * [[BpeCount]].
+  */
+case class LmFluencyScore(child: Expression, model: LmModel)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("known_pairs", LongType, nullable = false),
+    StructField("fluency", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.lmFluency(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmModel", model, classOf[LmModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lmFluency($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LmFluencyScore =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lm_fluency"
+}
+
 /** True iff any of the text's n-gram hashes is in a trained
   * [[GramSetModel]] — one scan, early exit, no gram array materialized.
   * Model-parameterized like [[BpeCount]] (codegen reference object).

@@ -297,6 +297,70 @@ object TextAnalysis {
       order.map(words(_)).toArray, order.map(dfs(_)).toArray, nDocs)
   }
 
+  /** Train the bounded bigram LM for [[lmFluency]] — the CCNet-style
+    * LM-filter recipe (Wenzek et al. 2020) as a trained-model fit like
+    * BPE/k-means/DfModel: vocabulary = the `maxVocab` most frequent
+    * words (count desc, word asc — the deterministic truncation both
+    * engines replay), bigram table = the `maxBigrams` most frequent
+    * adjacent pairs over that vocabulary. Two distributed aggregations,
+    * two bounded driver-side collects; at corpus scale train on a
+    * sampled/filtered frame the way Bpe.train does.
+    */
+  def trainLmModel(df: DataFrame, textCol: String,
+      maxVocab: Int = 1 << 16, maxBigrams: Int = 1 << 20)
+      : graft.functions.LmModel = {
+    // the spaceTokens contract: trim SPACES only, split on ' ' keeping
+    // empties — identical to the kernel and to the oracle's string_split
+    val toks = split(trim(col(textCol)), " ", -1)
+    val words = df.select(explode(toks).as("w"))
+    val vocabRows = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+    val byWord = vocabRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val sortedWords = byWord.map(_._1)
+    val wordCount = byWord.map(_._2)
+    val vocabDf = broadcast(
+      df.sparkSession.createDataFrame(sortedWords.toSeq.map(Tuple1(_)))
+        .toDF("__v"))
+    val pairs = df
+      .select(toks.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(vocabDf.withColumnRenamed("__v", "w1"), Seq("w1"), "left_semi")
+      .join(vocabDf.withColumnRenamed("__v", "w2"), Seq("w2"), "left_semi")
+    val bigramRows = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(maxBigrams)
+      .collect()
+    val id = sortedWords.zipWithIndex.toMap
+    val packed = bigramRows.map { r =>
+      val key = (id(r.getString(0)).toLong << 32) | (id(r.getString(1)) & 0xffffffffL)
+      (key, r.getLong(2))
+    }.sortBy(_._1)
+    new graft.functions.LmModel(sortedWords, wordCount,
+      packed.map(_._1), packed.map(_._2))
+  }
+
+  /** Bigram-LM fluency per document under a trained [[trainLmModel]]
+    * model: mean next-word relative frequency c(w1,w2)/c(w1) over
+    * in-vocabulary adjacent pairs — ONE kernel scan, zero shuffle (the
+    * model rides as a codegen reference object), streaming-safe like the
+    * other map-side scorers. Appends n_pairs / known_pairs / lm_fluency.
+    */
+  def lmFluency(df: DataFrame, textCol: String,
+      model: graft.functions.LmModel): DataFrame =
+    df.withColumn("__lm",
+        GraftFunctions.lmFluency(df.sparkSession, col(textCol), model))
+      .withColumn("n_pairs", col("__lm.n_pairs"))
+      .withColumn("known_pairs", col("__lm.known_pairs"))
+      .withColumn("lm_fluency", col("__lm.fluency"))
+      .drop("__lm")
+
   /** TF-IDF top-k terms per document: one kernel scan per doc scores
     * every in-vocabulary term tf × N / df and keeps the k best
     * (score desc, term asc). ZERO shuffle at scoring time — the df model

@@ -787,6 +787,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(viaJoin === viaModel)
   }
 
+  test("decontaminateMapSide plans with ZERO exchanges (pure map over the corpus)") {
+    val model = Dedup.trainDecontaminationSet(
+      docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+    val plan = Dedup.decontaminateMapSide(
+        docs.filter(col("doc_id") % 20 =!= 0), "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"map-side decontamination must not shuffle anything:\n$plan")
+  }
+
   test("decontaminate probes the corpus with a broadcast of the eval grams (no corpus shuffle)") {
     // The gram membership join must broadcast the (small-by-definition)
     // eval-set gram table: a shuffle of exploded corpus grams on the gram

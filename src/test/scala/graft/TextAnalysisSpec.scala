@@ -296,6 +296,52 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set("common"), "OOV terms must be skipped, not scored")
   }
 
+  test("lmFluency matches hand-computed bigram statistics and floors OOV docs") {
+    // training corpus: "a b" occurs 3x and "a c" 1x (so P(b|a)=3/4 in
+    // relative-frequency terms), plus a distinct filler sentence
+    val train = Seq(
+      (1L, "a b x a b y a b z a c"),
+      (2L, "completely different filler words here")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainLmModel(train, "text")
+    // counts: a=4, b=3; bigram (a,b)=3 -> rel = 3/4
+    val got = TextAnalysis.lmFluency(
+        Seq((10L, "a b"), (11L, "a c"), (12L, "qq rr ss"), (13L, "b a"))
+          .toDF("doc_id", "text"), "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("known_pairs"),
+          r.getAs[Double]("lm_fluency"))).toMap
+    assert(got(10L) === ((1L, 1L, 3.0 / 4.0)))            // c(a,b)/c(a)
+    assert(got(11L) === ((1L, 1L, 1.0 / 4.0)))            // c(a,c)/c(a)
+    assert(got(12L) === ((2L, 0L, 0.0)))                  // all OOV
+    assert(got(13L)._3 === 0.0 / 3.0)                     // unseen pair (b,a)
+    // a model trained on structured text separates in-domain sentences
+    // from their own shuffled tokens by a wide margin
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val structured = (1L to 20L).map(i => (i, sent)).toDF("doc_id", "text")
+    val structModel = TextAnalysis.trainLmModel(structured, "text")
+    def score(t: String): Double =
+      TextAnalysis.lmFluency(Seq((1L, t)).toDF("doc_id", "text"), "text", structModel)
+        .collect()(0).getAs[Double]("lm_fluency")
+    val fluent = score(sent)
+    val garbled = score("dog lazy the over jumps fox brown quick the")
+    assert(fluent > 5 * garbled && fluent > 0.4,
+      s"fluent=$fluent must dominate garbled=$garbled")
+    // and on the real corpus the separation is directional (synthetic
+    // corpus text has weak bigram structure, so only the SIGN is pinned —
+    // the shuffle is seeded, so this is deterministic, not flaky)
+    val docs = wh.loadTable("documents")
+    val corpusModel = TextAnalysis.trainLmModel(docs, "text")
+    val natural = docs.orderBy("doc_id").limit(30)
+    val shuffled = natural.withColumn("text",
+      concat_ws(" ", shuffle(split(trim(col("text")), " ", -1), lit(7))))
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      TextAnalysis.lmFluency(df, "text", corpusModel)
+        .agg(avg("lm_fluency")).collect()(0).getDouble(0)
+    val (mn, ms) = (mean(natural), mean(shuffled))
+    assert(mn > ms,
+      s"natural text must out-score shuffled tokens: natural=$mn shuffled=$ms")
+  }
+
   test("map-side repetition top counts equal the relational explode/groupBy recompute") {
     // The operator computes argmax counts via sort + run-length aggregate
     // (zero shuffle); ground truth here is the naive explode → groupBy →
