@@ -852,15 +852,17 @@ object SparkEntry {
       docs, "lang", "doc_id", targets)
     val keys = res.toDF().select(col("stratum").as("lang"),
       explode(col("keys")).as("doc_id"))
-    val misplaced = keys.join(
-      docs.select(col("doc_id"), col("lang")), Seq("doc_id", "lang"), "left_anti")
-      .agg(count(lit(1)).as("__bad")) // global agg: one row even when 0
-    keys.groupBy("lang")
+    // ONE reservoir execution: the misplaced check rides the same frame
+    // (reservoir output is tiny, so its join against docs broadcasts)
+    // instead of forking a second full stateful pass for an anti-join
+    keys
+      .join(docs.select(col("doc_id"), col("lang").as("__src_lang")),
+        Seq("doc_id"), "left")
+      .groupBy("lang")
       .agg(count(lit(1)).as("n_selected"),
-        countDistinct(col("doc_id")).as("n_distinct"))
-      .crossJoin(broadcast(misplaced))
-      .select(col("lang"), col("n_selected"), col("n_distinct"),
-        col("__bad").as("n_misplaced"))
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(when(col("__src_lang").isNull || col("__src_lang") =!= col("lang"), 1L)
+          .otherwise(0L)).as("n_misplaced"))
       .orderBy("lang")
   }
 

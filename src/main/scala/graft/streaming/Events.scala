@@ -189,7 +189,10 @@ object Events {
     val ord = implicitly[Ordering[(Double, Long)]]
     val fn = (stratum: String, it: Iterator[(String, Double, Long)],
         state: GroupState[ReservoirState]) => {
-      val target = targets.getOrElse(stratum, 0L).toInt
+      // Long target, NOT .toInt: a >2^31 target must behave like the
+      // batch sampler's Long-space rank compare (keep everything seen),
+      // not wrap negative and silently select nothing
+      val target: Long = targets.getOrElse(stratum, 0L)
       val prevState = state.getOption.getOrElse(ReservoirState(0L, Nil, Nil))
       // bounded insertion: keep the target smallest (frac, key) entries;
       // an ordered list suffices — reservoirs are small by definition
@@ -198,12 +201,15 @@ object Events {
       it.foreach { case (_, f, k) =>
         val e = (f, k)
         if (target > 0 &&
-            (res.lengthCompare(target) < 0 || ord.lt(e, res.last))) {
+            (res.length < target || ord.lt(e, res.last))) {
           val (before, after) = res.span(ord.lt(_, e))
           // skip exact re-deliveries: at-least-once sources must not
           // double-insert a key (idempotent ingestion)
-          if (!after.headOption.contains(e))
-            res = (before ::: (e :: after)).take(target)
+          if (!after.headOption.contains(e)) {
+            res = before ::: (e :: after)
+            // length can only exceed an Int-representable target
+            if (res.length > target) res = res.take(target.toInt)
+          }
         }
       }
       state.update(ReservoirState(prevState.emission + 1,

@@ -119,6 +119,14 @@ object Scaling {
       drain(Dedup.decontaminateMapSide(
         big.filter(col("doc_id") % 10 =!= 0), "text", model))
     }
+    time("selfSpans minLen=20 k=10 (intra-doc repeats)") {
+      drain(Dedup.selfSpans(big, "doc_id", "text", minLen = 20, k = 10))
+    }
+    time("lmFluency (train top-4k vocab bigram LM + kernel scoring)") {
+      val model = TextAnalysis.trainLmModel(big, "text",
+        maxVocab = 4096, maxBigrams = 65536)
+      drain(TextAnalysis.lmFluency(big, "text", model))
+    }
     time("incremental minhash: 5k-doc batch vs 45k-doc store") {
       val store = Dedup.minhashSignatures(
         big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 128, 42L)
