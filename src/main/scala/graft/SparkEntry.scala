@@ -789,6 +789,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END pipeline composition, oracle-checked: normalize → exact
+    * dedup on the normalized text → token counting + Gopher filtering →
+    * per-language integer aggregates. Every stage is individually
+    * oracle-green; this row proves they COMPOSE — DuckDB replays the
+    * whole chain (nfc pipeline, md5 keep-min dedup, relational Gopher
+    * metrics) and the final counts must hash-match. Integer aggregates
+    * only (counts, token sums): cross-row double summation has no
+    * deterministic order, so the composed contract stays bit-exact.
+    */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val norm = TextAnalysis.normalize(docs, "text")
+    val keepers = Dedup.exact(norm, "doc_id", "norm")
+      .select(col("keep_id").as("doc_id"))
+    val kept = norm.join(keepers, Seq("doc_id"), "left_semi")
+    val scored = TextAnalysis.gopherFilter(
+      TextAnalysis.tokenCount(kept, "norm"), "norm")
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("gopher_pass").cast("long")).as("n_pass"),
+        sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Bigram-LM fluency under a corpus-trained model, oracle-checked
     * END-TO-END: DuckDB independently rebuilds the vocabulary (top-4096
     * words, count desc / word asc), the bigram table (top-65536 pairs),
@@ -1451,6 +1476,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_map" -> (qDecontaminateMap _),
     "q_lm_fluency" -> (qLmFluency _),
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
@@ -2204,6 +2230,48 @@ object SparkEntry {
     // the trained-model kernel probe must flag the SAME docs the
     // relational semi-join flags — one oracle, two Spark formulations
     "q_decontaminate_map" -> decontaminateOracleSql,
+    "q_pipeline_e2e" ->
+      """WITH norm AS (
+        | SELECT doc_id, lang,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '[\t\n\f\r ]+', ' ', 'g')) AS t
+        | FROM documents),
+        |kept AS (
+        | SELECT doc_id, lang, t FROM (
+        |   SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS k FROM norm)
+        | WHERE doc_id = k),
+        |base AS (
+        | SELECT doc_id, lang, length(t) AS nc,
+        |  string_split(trim(t), ' ') AS w,
+        |  len(regexp_extract_all(lower(t), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
+        |  CASE WHEN len(string_split(trim(t), ' ')) >= 2 THEN
+        |   list_transform(generate_series(1, len(string_split(trim(t), ' ')) - 1),
+        |     i -> concat(string_split(trim(t), ' ')[i], ' ',
+        |                 string_split(trim(t), ' ')[i+1]))
+        |  ELSE CAST([] AS VARCHAR[]) END AS g,
+        |  len(regexp_split_to_array(trim(t), '\s+')) AS n_ws
+        | FROM kept),
+        |words AS (SELECT doc_id, unnest(w) AS tk FROM base),
+        |wcnt AS (SELECT doc_id, tk, count(*) AS c FROM words GROUP BY doc_id, tk),
+        |wtop AS (SELECT doc_id, c FROM (
+        |  SELECT doc_id, c, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY c DESC, tk ASC) AS rn FROM wcnt) WHERE rn = 1),
+        |m AS (SELECT b.doc_id, b.lang, b.n_ws,
+        |  cast(len(b.w) AS bigint) AS n_words,
+        |  cast(b.nc - (len(b.w) - 1) AS double) / len(b.w) AS mean_word_len,
+        |  CASE WHEN len(b.g) > 0 THEN
+        |   cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
+        |  ELSE 0.0 END AS dup_ngram_frac,
+        |  cast(wtop.c AS double) / len(b.w) AS top_word_frac,
+        |  b.stop_hits
+        | FROM base b JOIN wtop ON b.doc_id = wtop.doc_id)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
+        |   AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(sum(n_ws) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lm_fluency" ->
       """WITH toks AS (
         | SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
