@@ -16,6 +16,13 @@ import graft.operators.{Bpe, Dedup, TextAnalysis}
 object Scaling {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // total blow-up factor; must be a multiple of 10. 10 (default) is the
+    // 50k-doc evidence corpus; 100 builds 500k docs as mult/10 mutually
+    // UNRELATED decades (token-shuffled base text per decade, so trigram
+    // overlap across decades collapses) × 10 near-dup variants each —
+    // group sizes stay 10, rows scale 10×
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    require(mult % 10 == 0 && mult > 0, s"mult must be a positive multiple of 10: $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession
       .builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus.toInt)
@@ -23,19 +30,30 @@ object Scaling {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Warehouse(spark, sfDir).loadTable("documents")
-    // 10 variants per doc: variant 0 is the original, v>0 appends a
-    // distinct suffix (changes only the trailing shingles — variants stay
-    // within any near-dup radius of each other)
-    val big = docs
+    // decade base texts: d=0 keeps the original; d>0 shuffles token order
+    // (Shuffle is per-row nondeterministic → decades don't near-dup each
+    // other), then 10 variants per decade: variant 0 is the base, v>0
+    // appends a distinct suffix (changes only the trailing shingles —
+    // variants stay within any near-dup radius of each other)
+    val decades = docs
+      .crossJoin(spark.range(mult / 10).toDF("d"))
+      .select((col("doc_id") * (mult / 10) + col("d")).as("base_id"),
+        when(col("d") === 0, col("text"))
+          .otherwise(concat_ws(" ", shuffle(split(col("text"), " "))))
+          .as("base_text"))
+    val big = decades
       .crossJoin(spark.range(10).toDF("v"))
       .select(
-        (col("doc_id") * 10 + col("v")).as("doc_id"),
-        when(col("v") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" variant"), col("v"))).as("text"))
-      .repartition(cpus.toInt)
+        (col("base_id") * 10 + col("v")).as("doc_id"),
+        when(col("v") === 0, col("base_text"))
+          .otherwise(concat(col("base_text"), lit(" variant"), col("v"))).as("text"))
+      .repartition(cpus.toInt * (mult / 10))
       .persist()
     val n = big.count()
     println(s"corpus: $n docs")
+    // the 100× tier times headline ops only (map kernels + the main
+    // blocking designs); the full suite runs at the default tier
+    val fullSuite = mult <= 10
 
     def time[A](name: String)(f: => A): Unit = {
       val t0 = System.nanoTime()
@@ -47,11 +65,14 @@ object Scaling {
     // round-1 bench bug; Bench.scala documents the same rule)
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // entries that only run at the default (full-suite) tier
+    def timeFull[A](name: String)(f: => A): Unit =
+      if (fullSuite) time(name)(f) else ()
 
     time("simhash maxHamming=3 (default)") {
       drain(Dedup.simhash(big, "doc_id", "text"))
     }
-    time("simhash weighted maxHamming=3") {
+    timeFull("simhash weighted maxHamming=3") {
       drain(Dedup.simhash(big, "doc_id", "text", weighted = true))
     }
     time("langId single-pass kernel") {
@@ -60,7 +81,7 @@ object Scaling {
     time("quality single-pass kernel") {
       drain(TextAnalysis.quality(big, "text"))
     }
-    time("tokenCountBpe (300 merges, trained on 300-doc sample)") {
+    timeFull("tokenCountBpe (300 merges, trained on 300-doc sample)") {
       val model = Bpe.train(big, "text", numMerges = 300, sampleSize = 300)
       drain(TextAnalysis.tokenCountBpe(big, "text", model))
     }
@@ -68,66 +89,68 @@ object Scaling {
       drain(Dedup.minhashLsh(big, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5))
     }
-    time("weighted minhashLsh (word_tf occurrence expansion)") {
+    timeFull("weighted minhashLsh (word_tf occurrence expansion)") {
       drain(Dedup.minhashLsh(big, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5,
         shingler = "word_tf"))
     }
-    time("icwsLsh 128 perms / 32 bands") {
+    timeFull("icwsLsh 128 perms / 32 bands") {
       drain(Dedup.icwsLsh(big, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5))
     }
-    time("exact weighted jaccard (PPJoin over occurrence hashes)") {
+    timeFull("exact weighted jaccard (PPJoin over occurrence hashes)") {
       drain(Dedup.ngramJaccard(big, "doc_id", "text",
         n = 3, threshold = 0.7, shingler = "word_tf"))
     }
-    time("connectedComponents + cluster decision over jaccard pairs") {
+    timeFull("connectedComponents + cluster decision over jaccard pairs") {
       val pairs = Dedup.ngramJaccard(big, "doc_id", "text", n = 3, threshold = 0.7)
       drain(Dedup.dedupByClusters(big.select(col("doc_id")), "doc_id", pairs))
     }
-    time("repetition stats kernel (n=2)") {
+    timeFull("repetition stats kernel (n=2)") {
       drain(TextAnalysis.repetition(big, "text"))
     }
-    time("decontaminate vs 5k-doc eval set (trigram collision)") {
+    timeFull("decontaminate vs 5k-doc eval set (trigram collision)") {
       drain(Dedup.decontaminate(
         big.filter(col("doc_id") % 10 =!= 0),
         big.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 3))
     }
-    time("tfidf top-3 (df model train + kernel scoring)") {
+    timeFull("tfidf top-3 (df model train + kernel scoring)") {
       val model = TextAnalysis.trainDfModel(big, "text")
       drain(TextAnalysis.tfidfTopK(big, "text", model, k = 3))
     }
     time("sharedSpans minLen=40 k=20 (capped 100)") {
       drain(Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20))
     }
-    // spans PRE-materialized outside the timed block, so the entry
-    // measures the stats aggregation itself — not a second detection run
-    val spanCache = Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20)
-      .persist()
-    spanCache.count()
-    time("spanDupStats over precomputed spans") {
-      drain(Dedup.spanDupStats(big, "doc_id", "text", spanCache))
+    if (fullSuite) {
+      // spans PRE-materialized outside the timed block, so the entry
+      // measures the stats aggregation itself — not a second detection run
+      val spanCache = Dedup.sharedSpans(big, "doc_id", "text", minLen = 40, k = 20)
+        .persist()
+      spanCache.count()
+      time("spanDupStats over precomputed spans") {
+        drain(Dedup.spanDupStats(big, "doc_id", "text", spanCache))
+      }
+      time("removeSpans splice over precomputed spans") {
+        drain(Dedup.removeSpans(big, "doc_id", "text", spanCache))
+      }
+      spanCache.unpersist()
     }
-    time("removeSpans splice over precomputed spans") {
-      drain(Dedup.removeSpans(big, "doc_id", "text", spanCache))
-    }
-    spanCache.unpersist()
     time("decontaminateMapSide vs 5k-doc eval set (trained gram model)") {
       val model = Dedup.trainDecontaminationSet(
         big.filter(col("doc_id") % 10 === 0), "text", n = 3)
       drain(Dedup.decontaminateMapSide(
         big.filter(col("doc_id") % 10 =!= 0), "text", model))
     }
-    time("selfSpans minLen=20 k=10 (intra-doc repeats)") {
+    timeFull("selfSpans minLen=20 k=10 (intra-doc repeats)") {
       drain(Dedup.selfSpans(big, "doc_id", "text", minLen = 20, k = 10))
     }
-    time("lmFluency (train top-4k vocab bigram LM + kernel scoring)") {
+    timeFull("lmFluency (train top-4k vocab bigram LM + kernel scoring)") {
       val model = TextAnalysis.trainLmModel(big, "text",
         maxVocab = 4096, maxBigrams = 65536)
       drain(TextAnalysis.lmFluency(big, "text", model))
     }
-    time("incremental minhash: 5k-doc batch vs 45k-doc store") {
+    timeFull("incremental minhash: 5k-doc batch vs 45k-doc store") {
       val store = Dedup.minhashSignatures(
         big.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 128, 42L)
       drain(Dedup.minhashLshIncremental(
