@@ -800,7 +800,11 @@ object SparkEntry {
     */
   private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
-    val docs = wh(s, dir).loadTable("documents")
+    // NULL texts excluded EXPLICITLY on both sides: the oracle's
+    // unnest(string_split(NULL)) would silently drop such a doc from its
+    // inner metric join while Spark's count would keep it — pin the
+    // contract instead of leaving a latent divergence on dirty corpora
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
     val norm = TextAnalysis.normalize(docs, "text")
     val keepers = Dedup.exact(norm, "doc_id", "norm")
       .select(col("keep_id").as("doc_id"))
@@ -2234,7 +2238,7 @@ object SparkEntry {
       """WITH norm AS (
         | SELECT doc_id, lang,
         |  trim(regexp_replace(lower(nfc_normalize(text)), '[\t\n\f\r ]+', ' ', 'g')) AS t
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |kept AS (
         | SELECT doc_id, lang, t FROM (
         |   SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS k FROM norm)

@@ -7,11 +7,13 @@ import graft.{GraftSession, Warehouse}
 import graft.operators.{Bpe, Dedup, TextAnalysis}
 
 /** Scaling-evidence harness behind SURVEY §5: blows the sf0.1 documents
-  * corpus up 10× (10 near-identical variants per doc ⇒ ~45 planted
-  * near-dup pairs per source doc) and times the blocking operators on it.
-  * Not part of the library surface — a measurement `main`, like Bench.
+  * corpus up `mult`× (default 10 ⇒ 50k docs as 10 near-identical variants
+  * per source doc; 100 ⇒ 500k docs as independent token-shuffled decades
+  * of 10 variants — the 100× tier times headline ops only) and times the
+  * blocking operators on it. Not part of the library surface — a
+  * measurement `main`, like Bench.
   *
-  * Usage: sbt "runMain graft.tools.Scaling [sfDir]"
+  * Usage: sbt "runMain graft.tools.Scaling [sfDir] [mult]"
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
@@ -136,7 +138,7 @@ object Scaling {
       }
       spanCache.unpersist()
     }
-    time("decontaminateMapSide vs 5k-doc eval set (trained gram model)") {
+    time("decontaminateMapSide vs 10%-of-corpus eval set (trained gram model)") {
       val model = Dedup.trainDecontaminationSet(
         big.filter(col("doc_id") % 10 === 0), "text", n = 3)
       drain(Dedup.decontaminateMapSide(
