@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: executes every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, writes the full per-query medians+spreads JSON to
+  * SPARK_GRAFT_BENCH_OUT (default BENCH_DETAIL.json), and prints the full
+  * line followed by a compact summary line (the round driver's stdout
+  * capture keeps only the last 2000 chars — the compact line is what it
+  * parses; the file is the durable artifact).
   *
   * Measurement rules (each fixes a way to accidentally benchmark nothing):
   *  - execute via a noop-format sink, not count(): under a count Catalyst
@@ -74,15 +78,34 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"${jstr(k)}:${math.rint(s * 1000) / 1000}" }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => s"${jstr(k)}:${r3(s)}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // The JSON line is the whole point of this main — print it alone on
-    // stdout (build.sbt routes forked stdout through unwrapped).
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spreads,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    // Full per-query medians + spreads go to a FILE: with ~95 queries the
+    // full line is > 5 KB, and the round driver keeps only the last 2000
+    // chars of stdout — every BENCH_r artifact since r03 has parsed:null
+    // because the line overflowed that window. The file is the durable
+    // medians artifact (VERDICT r5 asked for exactly this).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench detail write failed: $e") }
+    println(full)
+    // Compact summary printed LAST so it lands inside the driver's 2000-char
+    // tail capture and parses: headline total, rep count, the 10 slowest
+    // query medians (the grading-relevant tail), and a pointer to the full
+    // per-query file.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val errCompact = errors.take(3)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spreads,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${errors.size},"queries":$slowest,"queries_note":"10 slowest medians of ${results.size}; full per-query medians+spreads in queries_file","queries_file":${jstr(outPath)},"errors":$errCompact,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -840,10 +840,18 @@ object Kernels {
   }
 
   /** Winnowing fingerprints WITH POSITIONS: the selected window minima as
-    * array<struct<pos:int, h:bigint>>, `pos` the 1-based UTF-16 index of
-    * the selected k-gram's first char, ascending, distinct by pos. Same
-    * hash chain as [[winnow]] (FNV-1a k-gram + splitmix64, signed-long
-    * window minima via the monotonic deque).
+    * array<struct<pos:int, h:bigint>>, `pos` the 1-based Unicode
+    * CODE-POINT index of the selected k-gram's first character, ascending,
+    * distinct by pos. Code points (not UTF-16 code units) are the position
+    * contract of the whole substring-span family: they compose with Spark
+    * SQL `substring`/`length` (UTF8String counts code points) and with the
+    * DuckDB oracle's `substr`/`unicode`, so splices and coverage math stay
+    * exact on supplementary-plane text (emoji are routine in crawl
+    * corpora). k-grams are k consecutive code points; the FNV-1a chain
+    * folds each code point once, which is byte-identical to the historical
+    * per-char chain on BMP-only text. Same hash chain as [[winnow]]
+    * (FNV-1a k-gram + splitmix64, signed-long window minima via the
+    * monotonic deque).
     *
     * This is the ANCHOR form for substring-span dedup: any substring
     * shared by two documents with length ≥ w+k-1 contains at least one
@@ -854,16 +862,16 @@ object Kernels {
     * the exact span (Schleimer et al., SIGMOD 2003 guarantee).
     */
   def winnowPos(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Any])
-    val nGrams = s.length - k + 1
+    val cps = text.toString.codePoints().toArray // positions are code points
+    if (cps.length < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = cps.length - k + 1
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
       var h = 0xcbf29ce484222325L
       var j = 0
       while (j < k) {
-        h ^= s.charAt(i + j).toLong
+        h ^= cps(i + j).toLong
         h *= 0x100000001b3L
         j += 1
       }
@@ -897,30 +905,33 @@ object Kernels {
   }
 
   /** Maximal exact shared span through an aligned anchor: `pa`/`pb` are
-    * 1-based char positions of a candidate shared k-gram in `ta`/`tb`.
-    * Verifies the k chars actually match (hash-collision guard — returns
-    * null when they don't), then extends left and right as far as the
-    * texts agree. Returns struct(start_a:int, start_b:int, len:int) — the
-    * maximal span containing the anchor, 1-based, char (UTF-16) units.
+    * 1-based CODE-POINT positions of a candidate shared k-gram in
+    * `ta`/`tb` (the [[winnowPos]] contract). Verifies the k code points
+    * actually match (hash-collision guard — returns null when they
+    * don't), then extends left and right as far as the texts agree.
+    * Returns struct(start_a:int, start_b:int, len:int) — the maximal span
+    * containing the anchor, 1-based, Unicode code-point units, so the
+    * result splices exactly with Spark SQL `substring`/`length` and the
+    * DuckDB oracle's `substr` on any Unicode text.
     */
   def extendMatch(ta: UTF8String, tb: UTF8String, pa: Int, pb: Int,
       k: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    val a = ta.toString
-    val b = tb.toString
+    val a = ta.toString.codePoints().toArray
+    val b = tb.toString.codePoints().toArray
     val i = pa - 1
     val j = pb - 1
     if (i < 0 || j < 0 || i + k > a.length || j + k > b.length) return null
     var t = 0
     while (t < k) {
-      if (a.charAt(i + t) != b.charAt(j + t)) return null
+      if (a(i + t) != b(j + t)) return null
       t += 1
     }
     var lo = 0
     while (i - lo - 1 >= 0 && j - lo - 1 >= 0 &&
-        a.charAt(i - lo - 1) == b.charAt(j - lo - 1)) lo += 1
+        a(i - lo - 1) == b(j - lo - 1)) lo += 1
     var hi = k
     while (i + hi < a.length && j + hi < b.length &&
-        a.charAt(i + hi) == b.charAt(j + hi)) hi += 1
+        a(i + hi) == b(j + hi)) hi += 1
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](i - lo + 1, j - lo + 1, lo + hi))
   }

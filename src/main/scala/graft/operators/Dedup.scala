@@ -804,8 +804,15 @@ object Dedup {
     * al., "Deduplicating Training Data Makes Language Models Better", ACL
     * 2022 — there built on a suffix array, here re-expressed as a
     * Spark-native anchored formulation): every maximal exact span of ≥
-    * `minLen` chars shared by two documents, as (id_a, id_b, pos_a,
-    * pos_b, span_len) with 1-based char positions, id_a < id_b. This is
+    * `minLen` characters shared by two documents, as (id_a, id_b, pos_a,
+    * pos_b, span_len) with 1-based positions, id_a < id_b.
+    *
+    * POSITION-UNIT CONTRACT (whole span family — this, [[selfSpans]],
+    * [[spanDupStats]], [[removeSpans]]): positions and lengths are Unicode
+    * CODE POINTS, the unit Spark SQL `substring`/`length` and DuckDB
+    * `substr`/`length` count — so downstream splices and coverage math
+    * are exact on any Unicode text, including supplementary-plane
+    * characters (emoji), not just the BMP. This is
     * the detector for verbatim cross-document repetition (licenses,
     * templates, quoted passages) that document-level jaccard/minhash
     * dilutes away on long documents.
@@ -909,8 +916,9 @@ object Dedup {
 
   /** WITHIN-document repeated spans — the intra-doc complement of
     * [[sharedSpans]]: every maximal pair of exact repeats of ≥ `minLen`
-    * chars inside ONE document, as (id, pos_a, pos_b, span_len) with
-    * pos_a < pos_b (1-based). This is the exact-span form of the Gopher
+    * characters inside ONE document, as (id, pos_a, pos_b, span_len) with
+    * pos_a < pos_b (1-based Unicode code-point units — the
+    * [[sharedSpans]] position contract). This is the exact-span form of the Gopher
     * dup-n-gram fractions ([[TextAnalysis.repetition]] counts; this
     * locates) — the detector for looped generation, copy-pasted
     * paragraphs, and template stutter.

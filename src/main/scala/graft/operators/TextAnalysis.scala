@@ -351,14 +351,19 @@ object TextAnalysis {
     * in-vocabulary adjacent pairs — ONE kernel scan, zero shuffle (the
     * model rides as a codegen reference object), streaming-safe like the
     * other map-side scorers. Appends n_pairs / known_pairs / lm_fluency.
+    *
+    * NULL-text contract: NULL documents score 0 / 0 / 0.0, not NULL —
+    * the same coalesce rule as [[Dedup.decontaminateMapSide]]'s
+    * NULL-flags-false, so dirty corpora keep a total scoring function and
+    * the DuckDB oracle's coalesce matches by construction.
     */
   def lmFluency(df: DataFrame, textCol: String,
       model: graft.functions.LmModel): DataFrame =
     df.withColumn("__lm",
         GraftFunctions.lmFluency(df.sparkSession, col(textCol), model))
-      .withColumn("n_pairs", col("__lm.n_pairs"))
-      .withColumn("known_pairs", col("__lm.known_pairs"))
-      .withColumn("lm_fluency", col("__lm.fluency"))
+      .withColumn("n_pairs", coalesce(col("__lm.n_pairs"), lit(0L)))
+      .withColumn("known_pairs", coalesce(col("__lm.known_pairs"), lit(0L)))
+      .withColumn("lm_fluency", coalesce(col("__lm.fluency"), lit(0.0)))
       .drop("__lm")
 
   /** TF-IDF top-k terms per document: one kernel scan per doc scores

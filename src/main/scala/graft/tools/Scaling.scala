@@ -32,16 +32,32 @@ object Scaling {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Warehouse(spark, sfDir).loadTable("documents")
-    // decade base texts: d=0 keeps the original; d>0 shuffles token order
-    // (Shuffle is per-row nondeterministic → decades don't near-dup each
-    // other), then 10 variants per decade: variant 0 is the base, v>0
-    // appends a distinct suffix (changes only the trailing shingles —
-    // variants stay within any near-dup radius of each other)
+    // decade base texts: d=0 keeps the original; d>0 permutes token order
+    // DETERMINISTICALLY per row — each token keyed by
+    // xxhash64(token, position, doc_id, d) and sorted by key — so
+    // different decades of one doc don't near-dup each other, while
+    // recomputation of an evicted/retried partition of the persisted
+    // corpus regenerates the identical text (unseeded shuffle() is
+    // per-row nondeterministic and would change pair structure
+    // mid-benchmark; the seeded shuffle(col, seed) overload requires a
+    // foldable seed, so it can't vary by row). Then 10 variants per
+    // decade: variant 0 is the base, v>0 appends a distinct suffix
+    // (changes only the trailing shingles — variants stay within any
+    // near-dup radius of each other)
     val decades = docs
       .crossJoin(spark.range(mult / 10).toDF("d"))
       .select((col("doc_id") * (mult / 10) + col("d")).as("base_id"),
         when(col("d") === 0, col("text"))
-          .otherwise(concat_ws(" ", shuffle(split(col("text"), " "))))
+          .otherwise(concat_ws(" ",
+            transform(
+              array_sort(
+                zip_with(
+                  split(col("text"), " "),
+                  sequence(lit(1), size(split(col("text"), " "))),
+                  (t, i) => struct(
+                    xxhash64(t, i, col("doc_id"), col("d")).as("k"),
+                    t.as("t")))),
+              s => s.getField("t"))))
           .as("base_text"))
     val big = decades
       .crossJoin(spark.range(10).toDF("v"))

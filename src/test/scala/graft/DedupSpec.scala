@@ -549,6 +549,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getAs[Long]("removed_chars") === 40L)
   }
 
+  test("span family is code-point exact on supplementary-plane text (emoji)") {
+    import spark.implicits._
+    def cp(s: String): Long = s.codePoints().count()
+    // emoji (2 UTF-16 code units each) BEFORE the shared span shift UTF-16
+    // offsets vs code-point offsets — the splice and coverage math must
+    // stay exact anyway (the position contract is code points)
+    val S = "shared unicode passage long enough to clear the forty character minimum"
+    val d1 = s"😀🚀 first_$S!tail one"
+    val d2 = s"🍕x second#$S?tail two 😀"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text", minLen = 40, k = 20,
+      maxHashDocs = 0, maxHashOccurrences = 0)
+    val got = spans.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val pa = cp(d1.substring(0, d1.indexOf(S))) + 1
+    val pb = cp(d2.substring(0, d2.indexOf(S))) + 1
+    assert(got === Set((1L, 2L, pa, pb, cp(S))),
+      s"code-point positions wrong: $got (want pa=$pa pb=$pb len=${cp(S)})")
+    // splice: d2 loses exactly S, including when the cut sits between
+    // supplementary-plane chars; cleaned text is byte-identical to the
+    // code-point complement
+    val clean = Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("removed_chars"))).toMap
+    assert(clean(1L)._1 === d1 && clean(1L)._2 === 0L)
+    assert(clean(2L)._1 === d2.replace(S, "") && clean(2L)._2 === cp(S))
+    // coverage: n_chars and dup_chars in the same (code-point) unit, so
+    // dup_frac is a true fraction even with emoji in the text
+    val stats = Dedup.spanDupStats(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(stats(1L) === ((cp(d1), cp(S), cp(S).toDouble / cp(d1))))
+    assert(stats(2L) === ((cp(d2), cp(S), cp(S).toDouble / cp(d2))))
+    assert(stats.values.forall(_._3 <= 1.0))
+  }
+
   test("spanDupStats unions overlapping spans per doc without double counting") {
     import spark.implicits._
     val df = Seq((1L, "x" * 100), (2L, "y" * 80), (3L, "z" * 50)).toDF("doc_id", "text")

@@ -314,6 +314,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(11L) === ((1L, 1L, 1.0 / 4.0)))            // c(a,c)/c(a)
     assert(got(12L) === ((2L, 0L, 0.0)))                  // all OOV
     assert(got(13L)._3 === 0.0 / 3.0)                     // unseen pair (b,a)
+    // NULL-text contract: 0/0/0.0, not NULL — same rule as
+    // decontaminateMapSide's NULL-flags-false, and what the oracle's
+    // coalesce produces
+    val nul = TextAnalysis.lmFluency(
+        Seq((20L, null: String), (21L, "a b")).toDF("doc_id", "text"),
+        "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("known_pairs"),
+          r.getAs[Double]("lm_fluency"))).toMap
+    assert(nul(20L) === ((0L, 0L, 0.0)), "NULL text must score 0/0/0.0")
+    assert(nul(21L) === ((1L, 1L, 3.0 / 4.0)))
     // a model trained on structured text separates in-domain sentences
     // from their own shuffled tokens by a wide margin
     val sent = "the quick brown fox jumps over the lazy dog"
