@@ -818,6 +818,45 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** The composed STREAMING-SAFE text pipeline: normalize → map-side
+    * decontamination probe (trained gram-set model) → Gopher
+    * quality/repetition filter. Every stage is a stateless kernel map
+    * (zero shuffle), so the SAME chain applies unchanged to a readStream
+    * frame — score-and-filter on ingest. StreamingSpec pins stream ==
+    * batch on exactly this composition; [[qStreamPipeline]] is its
+    * driver-checked batch form.
+    */
+  def streamTextPipeline(corpus: DataFrame,
+      model: graft.functions.GramSetModel): DataFrame =
+    TextAnalysis.gopherFilter(
+      Dedup.decontaminateMapSide(
+        TextAnalysis.normalize(corpus, "text"), "norm", model),
+      "norm")
+
+  /** STREAMING pipeline composition, oracle-checked: the full
+    * [[streamTextPipeline]] chain (normalize → decontaminateMapSide →
+    * gopherFilter — each stage individually oracle-green) run end-to-end,
+    * then aggregated per language over the decontaminated survivors.
+    * DuckDB replays the entire composition: nfc normalization, string-gram
+    * decontamination over the NORMALIZED text, and the Gopher metric
+    * recompute over the surviving docs. Integer aggregates only, so the
+    * composed contract stays bit-exact.
+    */
+  private def qStreamPipeline(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
+    val model = Dedup.trainDecontaminationSet(
+      TextAnalysis.normalize(docs.filter(col("doc_id") % 20 === 0), "text"),
+      "norm", n = 3)
+    streamTextPipeline(docs.filter(col("doc_id") % 20 =!= 0), model)
+      .filter(!col("contaminated"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_clean"),
+        sum(col("gopher_pass").cast("long")).as("n_pass"),
+        sum(col("n_words").cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Bigram-LM fluency under a corpus-trained model, oracle-checked
     * END-TO-END: DuckDB independently rebuilds the vocabulary (top-4096
     * words, count desc / word asc), the bigram table (top-65536 pairs),
@@ -1222,6 +1261,62 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode, oracle-checked end-to-end: a deterministic RGB
+    * image (pixel (x,y) = ((7x+id)%256, (11y+id)%256, (x+y+id)%256), dims
+    * 8+id%16 × 8+3·id%16) is PNG-encoded per row, then decoded back with
+    * JDK-builtin `javax.imageio` — actual codec work, not header parsing.
+    * PNG is lossless, so the decoded dims, sniffed format name, and
+    * per-channel pixel means are closed-form functions of doc_id the
+    * oracle recomputes arithmetically (means as exact integer sums over a
+    * range join, one double division — bit-identical to the kernel's
+    * sum/count). n_bytes is excluded: the PNG encoder's output size is
+    * JDK-version-dependent.
+    */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").select("doc_id")
+    Multimodal.decodeImage(Multimodal.attachImage(docs, "doc_id"), "id", "media")
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("format"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL image resize, oracle-checked through TWO codec roundtrips: the
+    * planted PNG is decoded, aspect-fit into 12×12, nearest-neighbor
+    * resampled (pure integer index math — dst (x,y) reads src
+    * (x·w/tw, y·h/th) floored), re-encoded as PNG, then decoded AGAIN by
+    * [[Multimodal.decodeImage]]. Resized dims and channel means are
+    * closed-form in doc_id, so DuckDB recomputes them arithmetically —
+    * the decode → resample → encode → decode chain is hash-gated
+    * end-to-end.
+    */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").select("doc_id")
+    val resized = Multimodal.resizeImage(
+      Multimodal.attachImage(docs, "doc_id"), "id", "media", maxW = 12, maxH = 12)
+    Multimodal.decodeImage(resized, "id", "media")
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("format"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL audio decode, oracle-checked end-to-end: a deterministic
+    * integer waveform (sample i = (37i + 11·id) mod 65536 − 32768,
+    * n = 64 + id%64 samples) is written as a PCM16LE mono 8 kHz WAV by
+    * the JDK's `javax.sound.sampled` RIFF writer, then parsed back by
+    * [[Multimodal.decodeAudio]] — actual container+PCM codec work. Sample
+    * rate, channel count, sample count, mean |amplitude| (exact integer
+    * sum, one double division), and peak are closed-form functions of
+    * doc_id the oracle recomputes arithmetically. n_bytes is excluded
+    * (RIFF header layout is writer-version-dependent).
+    */
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").select("doc_id")
+    Multimodal.decodeAudio(Multimodal.attachWav(docs, "doc_id"), "id", "media")
+      .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("mean_abs"), col("peak"))
+      .orderBy("doc_id")
+  }
+
   /** Namespaced-catalog contract (SURVEY rows 37b + 37c), oracle-checked at
     * the driver: two namespaces are materialized as warehouse subdirs
     * (catalog.schema.table resolution, fugue_trino/collections.py:10-49),
@@ -1289,6 +1384,60 @@ object SparkEntry {
         lit(w.tableExists(tmp, "no_such_table")).as("missing_exists"),
         lit(errorRaised).as("error_raised"),
         lit(schemaStr).as("t2_columns"))
+  }
+
+  /** persist-to-storage contract (SURVEY row 29b), oracle-checked: the
+    * reference's persist IS a temp-table materialization
+    * (fugue_trino/execution_engine.py:124-133 df_to_table → re-read), so
+    * the contract is (1) the materialized re-read hash-matches the source
+    * computation, (2) re-materializing under the SAME name serves the
+    * fresh rows (n_first pins the pre-overwrite row count read eagerly
+    * before the second write), and (3) the re-read plan is a bare scan —
+    * upstream join/agg lineage is CUT (what distinguishes storage persist
+    * from cache-only persist).
+    */
+  private def qPersistTable(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_persist_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    val agg = w.loadTable("nation")
+      .join(w.loadTable("region"), expr("n_regionkey = r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("n_nations"),
+        sum("n_nationkey").cast("long").as("sum_key"))
+    val p1 = w.persistToTable(agg, "persist_t", tmp)
+    val n1 = p1.count() // eager: must observe the FIRST materialization
+    val p2 = w.persistToTable(agg.filter(col("r_name") < "EUROPE"), "persist_t", tmp)
+    val lineageCut = {
+      val plan = p2.queryExecution.optimizedPlan.toString
+      !plan.contains("Aggregate") && !plan.contains("Join")
+    }
+    p2.select(col("r_name"), col("n_nations"), col("sum_key"),
+        lit(n1).as("n_first"), lit(lineageCut).as("lineage_cut"))
+      .orderBy("r_name")
+  }
+
+  /** Special-character / reserved-word column names (SURVEY row 30b),
+    * oracle-checked end-to-end: columns named `a b`, `select`, `a.b`, and
+    * `tick`+backtick+`mark` survive a parquet save→load roundtrip, then a
+    * rowFilter and presort whose SQL text is built at the
+    * [[Warehouse.encodeColumnName]] boundary (the reference's
+    * encode_column_name, fugue_bigquery/execution_engine.py:49). The
+    * oracle re-derives the same frame from the source table with quoted
+    * aliases — name preservation, filtering, and ordering all hash-gated.
+    */
+  private def qSpecialColumns(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_weird_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    def enc(n: String) = Warehouse.encodeColumnName(n)
+    val weird = w.loadTable("nation").select(
+      col("n_nationkey").as("a b"), col("n_name").as("select"),
+      col("n_regionkey").as("a.b"), reverse(col("n_name")).as("tick`mark"))
+    w.saveDf(weird, tmp, format = "parquet")
+    val back = w.loadDf(tmp, "parquet")
+      .filter(s"${enc("a.b")} < 3")
+    Relational.takePresort(back, 1000, s"${enc("a b")} asc")
+      .orderBy(Warehouse.literalCol("a b"))
   }
 
   /** Multi-path parquet load_df/save_df roundtrip (SURVEY row 35),
@@ -1471,8 +1620,13 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_plan" -> (qMultimodalPlan _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_audio" -> (qMultimodalAudio _),
     "q_namespace" -> (qNamespace _),
     "q_table_lifecycle" -> (qTableLifecycle _),
+    "q_persist_table" -> (qPersistTable _),
+    "q_special_columns" -> (qSpecialColumns _),
     "q_io_parquet" -> (qIoParquet _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_repartition" -> (qRepartition _),
@@ -1481,6 +1635,7 @@ object SparkEntry {
     "q_decontaminate_map" -> (qDecontaminateMap _),
     "q_lm_fluency" -> (qLmFluency _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_stream_pipeline" -> (qStreamPipeline _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
@@ -2213,6 +2368,70 @@ object SparkEntry {
         | cast(5 + octet_length(encode(text)) AS bigint) AS n_bytes,
         | cast(octet_length(encode(text)) AS bigint) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // planted-pixel channel means as exact integer sums over range joins;
+    // r varies only with x and g only with y, so sum_x/w == (h*sum_x)/(w*h)
+    // exactly (same real quotient -> same correctly-rounded double as the
+    // kernel's sum/count)
+    "q_multimodal_decode" ->
+      """WITH dims AS (
+        | SELECT doc_id, cast(8 + doc_id % 16 AS bigint) AS w,
+        |        cast(8 + (doc_id * 3) % 16 AS bigint) AS h
+        | FROM documents),
+        |xs AS (SELECT range AS x FROM range(0, 24)),
+        |ys AS (SELECT range AS y FROM range(0, 24)),
+        |rs AS (SELECT doc_id, sum((x * 7 + doc_id) % 256) AS s
+        |       FROM dims JOIN xs ON x < w GROUP BY doc_id),
+        |gs AS (SELECT doc_id, sum((y * 11 + doc_id) % 256) AS s
+        |       FROM dims JOIN ys ON y < h GROUP BY doc_id),
+        |bs AS (SELECT doc_id, sum((x + y + doc_id) % 256) AS s
+        |       FROM dims JOIN xs ON x < w JOIN ys ON y < h GROUP BY doc_id)
+        |SELECT d.doc_id, d.w AS width, d.h AS height, 'png' AS format,
+        | cast(rs.s AS double) / d.w AS mean_r,
+        | cast(gs.s AS double) / d.h AS mean_g,
+        | cast(bs.s AS double) / (d.w * d.h) AS mean_b
+        |FROM dims d
+        |JOIN rs USING (doc_id) JOIN gs USING (doc_id) JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // nearest-neighbor resample replay: resized pixel (x,y) reads planted
+    // pixel ((x*w)//tw, (y*h)//th); aspect-fit arithmetic matches
+    // resizeImage's floor(dim * least(12/w, 12/h, 1)) double math
+    "q_multimodal_resize" ->
+      """WITH dims AS (
+        | SELECT doc_id, cast(8 + doc_id % 16 AS bigint) AS w,
+        |        cast(8 + (doc_id * 3) % 16 AS bigint) AS h
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, w, h,
+        |  greatest(1, cast(floor(w * least(12.0 / w, 12.0 / h, 1.0)) AS bigint)) AS tw,
+        |  greatest(1, cast(floor(h * least(12.0 / w, 12.0 / h, 1.0)) AS bigint)) AS th
+        | FROM dims),
+        |xs AS (SELECT range AS x FROM range(0, 24)),
+        |ys AS (SELECT range AS y FROM range(0, 24)),
+        |rs AS (SELECT doc_id, sum((((x * w) // tw) * 7 + doc_id) % 256) AS s
+        |       FROM t JOIN xs ON x < tw GROUP BY doc_id),
+        |gs AS (SELECT doc_id, sum((((y * h) // th) * 11 + doc_id) % 256) AS s
+        |       FROM t JOIN ys ON y < th GROUP BY doc_id),
+        |bs AS (SELECT doc_id, sum(((x * w) // tw + (y * h) // th + doc_id) % 256) AS s
+        |       FROM t JOIN xs ON x < tw JOIN ys ON y < th GROUP BY doc_id)
+        |SELECT t.doc_id, t.tw AS width, t.th AS height, 'png' AS format,
+        | cast(rs.s AS double) / t.tw AS mean_r,
+        | cast(gs.s AS double) / t.th AS mean_g,
+        | cast(bs.s AS double) / (t.tw * t.th) AS mean_b
+        |FROM t JOIN rs USING (doc_id) JOIN gs USING (doc_id) JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // planted-waveform replay: sample i = (37i + 11*id) mod 65536 - 32768
+    "q_multimodal_audio" ->
+      """WITH dims AS (
+        | SELECT doc_id, cast(64 + doc_id % 64 AS bigint) AS n FROM documents),
+        |idx AS (SELECT range AS i FROM range(0, 128)),
+        |s AS (SELECT doc_id, ((i * 37 + doc_id * 11) % 65536) - 32768 AS v
+        |      FROM dims JOIN idx ON i < n)
+        |SELECT d.doc_id, cast(8000 AS bigint) AS sample_rate,
+        | cast(1 AS bigint) AS channels, d.n AS n_samples,
+        | cast(sum(abs(v)) AS double) / d.n AS mean_abs,
+        | cast(max(abs(v)) AS bigint) AS peak
+        |FROM dims d JOIN s USING (doc_id)
+        |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin,
     "q_namespace" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -2223,6 +2442,20 @@ object SparkEntry {
         | (SELECT cast(sum(r_regionkey) AS bigint) FROM region) AS sum_rkey,
         | true AS t1_exists, false AS missing_exists, true AS error_raised,
         | 'r_regionkey,r_name' AS t2_columns""".stripMargin,
+    "q_persist_table" ->
+      """WITH agg AS (
+        | SELECT r_name, count(*) AS n_nations,
+        |        cast(sum(n_nationkey) AS bigint) AS sum_key
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name)
+        |SELECT r_name, n_nations, sum_key,
+        | (SELECT count(*) FROM agg) AS n_first,
+        | true AS lineage_cut
+        |FROM agg WHERE r_name < 'EUROPE' ORDER BY r_name""".stripMargin,
+    "q_special_columns" ->
+      """SELECT n_nationkey AS "a b", n_name AS "select",
+        | n_regionkey AS "a.b", reverse(n_name) AS "tick`mark"
+        |FROM nation WHERE n_regionkey < 3 ORDER BY 1""".stripMargin,
     "q_io_parquet" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
@@ -2275,6 +2508,57 @@ object SparkEntry {
         |   AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
         |   AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | CAST(sum(n_ws) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // full streaming-chain replay: normalize, string-gram decontamination
+    // over the NORMALIZED text, Gopher metrics over the clean survivors
+    "q_stream_pipeline" ->
+      """WITH norm AS (
+        | SELECT doc_id, lang,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '[\t\n\f\r ]+', ' ', 'g')) AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |bg AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 20 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
+        |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr),
+        |clean AS (
+        | SELECT n.doc_id, n.lang, n.t FROM norm n
+        | LEFT JOIN hit h ON n.doc_id = h.doc_id
+        | WHERE n.doc_id % 20 <> 0 AND h.doc_id IS NULL),
+        |base AS (
+        | SELECT doc_id, lang, length(t) AS nc,
+        |  string_split(trim(t), ' ') AS w,
+        |  len(regexp_extract_all(lower(t), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
+        |  CASE WHEN len(string_split(trim(t), ' ')) >= 2 THEN
+        |   list_transform(generate_series(1, len(string_split(trim(t), ' ')) - 1),
+        |     i -> concat(string_split(trim(t), ' ')[i], ' ',
+        |                 string_split(trim(t), ' ')[i+1]))
+        |  ELSE CAST([] AS VARCHAR[]) END AS g
+        | FROM clean),
+        |words AS (SELECT doc_id, unnest(w) AS tk FROM base),
+        |wcnt AS (SELECT doc_id, tk, count(*) AS c FROM words GROUP BY doc_id, tk),
+        |wtop AS (SELECT doc_id, c FROM (
+        |  SELECT doc_id, c, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY c DESC, tk ASC) AS rn FROM wcnt) WHERE rn = 1),
+        |m AS (SELECT b.doc_id, b.lang,
+        |  cast(len(b.w) AS bigint) AS n_words,
+        |  cast(b.nc - (len(b.w) - 1) AS double) / len(b.w) AS mean_word_len,
+        |  CASE WHEN len(b.g) > 0 THEN
+        |   cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
+        |  ELSE 0.0 END AS dup_ngram_frac,
+        |  cast(wtop.c AS double) / len(b.w) AS top_word_frac,
+        |  b.stop_hits
+        | FROM base b JOIN wtop ON b.doc_id = wtop.doc_id)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_clean,
+        | CAST(sum(CASE WHEN (n_words >= 50 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
+        |   AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(sum(n_words) AS BIGINT) AS n_tokens
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lm_fluency" ->
       """WITH toks AS (

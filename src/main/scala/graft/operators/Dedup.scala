@@ -709,8 +709,10 @@ object Dedup {
     * generation is quadratic in cell size, so cells above `maxCellSize`
     * are dropped whole BEFORE the self-join (the same degenerate-bucket
     * rule as minhashLsh's maxBucketSize — a cap after pair expansion
-    * would be too late). Each vector lands in exactly ONE cell, so no
-    * pair-dedup step is needed (unlike multi-table LSH).
+    * would be too late; `maxCellSize <= 0` disables the cap). The cap is
+    * an aggregate + broadcast anti-join, never a window — see the inline
+    * note. Each vector lands in exactly ONE cell, so no pair-dedup step
+    * is needed (unlike multi-table LSH).
     */
   def semanticNearDup(
       df: DataFrame, idCol: String, vecCol: String,
@@ -729,10 +731,23 @@ object Dedup {
     val assigned = df.select(
       col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
       cellOf.as("__cell"))
-    val kept = assigned
-      .withColumn("__cs", count(lit(1)).over(Window.partitionBy(col("__cell"))))
-      .filter(col("__cs") <= maxCellSize)
-      .drop("__cs")
+    // Degenerate-cell cap as aggregate + broadcast anti-join, NOT a window:
+    // a Window.partitionBy(__cell) count would hash-partition the ENTIRE
+    // corpus (vectors included) into <= numCells tasks before the cap even
+    // applies — the minhashLshIncremental hot-bucket pattern instead
+    // partial-combines map-side to one (cell, count) row per cell per
+    // partition (vectors never cross this shuffle) and anti-joins the tiny
+    // oversized-cell list broadcast-side. The only exchange that moves
+    // corpus rows is then the within-cell pair join itself, which runs
+    // AFTER the cap — bounded at numCells × maxCellSize rows.
+    val kept =
+      if (maxCellSize > 0) {
+        val big = assigned.groupBy("__cell")
+          .agg(count(lit(1)).as("__cs"))
+          .filter(col("__cs") > maxCellSize)
+          .select("__cell") // <= numCells rows by construction
+        assigned.join(broadcast(big), Seq("__cell"), "left_anti")
+      } else assigned
     val a = kept.select(col("__cell"), col("__id").as("id_a"), col("__vec").as("__va"))
     val b = kept.select(col("__cell"), col("__id").as("id_b"), col("__vec").as("__vb"))
     a.join(b, Seq("__cell"))

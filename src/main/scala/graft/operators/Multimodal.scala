@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * video) travels as an opaque `binary` column plus typed metadata, and
   * decode/feature-extraction runs as batched per-partition functions.
   *
-  * The decode step is a STUB: real codecs (libjpeg/ffmpeg) are not in this
-  * container, so media is a deterministic synthetic container format
-  * ("GM" magic + width/height/format header + payload) and "decoding"
-  * parses that header. Everything around the stub is the real design:
-  * binary columns through the scan/shuffle, partition-batched iteration
-  * (amortizes per-batch decoder setup), and a typed output schema.
+  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio.ImageIO`
+  * (JDK-builtin — PNG/JPEG/GIF/BMP, no native deps) inside
+  * [[mapBinaryBatches]], emitting dimensions, the sniffed format name,
+  * and per-channel mean pixel values. AUDIO/VIDEO codecs (ffmpeg) are
+  * genuinely absent from this container, so generic media rides the
+  * synthetic "GM" container ([[attachBinary]]/[[decodeMeta]]) — a
+  * deterministic stand-in whose header parse exercises the identical
+  * plumbing (binary columns through scan/shuffle, partition-batched
+  * iteration amortizing decoder setup, typed output schema).
   */
 object Multimodal {
 
@@ -77,9 +80,9 @@ object Multimodal {
           // produce fractional frame indices and coerce to array<double>
           i => floor((i.cast("long") * col(nFramesCol).cast("long")) / k).cast("long"))))
 
-  /** Metadata decode (STUB decoder, see object doc): parses the synthetic
-    * header; unknown containers degrade to size-only metadata instead of
-    * failing the partition.
+  /** Metadata decode for the synthetic "GM" container (the audio/video
+    * stand-in, see object doc): parses the header; unknown containers
+    * degrade to size-only metadata instead of failing the partition.
     */
   def decodeMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
     mapBinaryBatches(df, idCol, mediaCol, metaSchema) { batch =>
@@ -88,6 +91,285 @@ object Multimodal {
           Row(id, b(2) & 0xffL, b(3) & 0xffL, String.valueOf((b(4) & 0xff).toChar),
             b.length.toLong, (b.length - 5).toLong)
         else Row(id, null, null, null, b.length.toLong, null)
+      }
+    }
+
+  // ---- real image decode (javax.imageio, JDK-builtin) -------------------
+
+  /** Output schema of [[decodeImage]]. Means are over the sRGB int pixels
+    * `ImageIO` decodes to — exact long sums divided once, so the doubles
+    * are reproducible bit-for-bit across runs and engines.
+    */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Planted image dimensions for id: (8 + id%16) × (8 + 3·id%16). */
+  def plantedDims(id: Long): (Int, Int) =
+    ((8 + id % 16).toInt, (8 + (id * 3) % 16).toInt)
+
+  /** Deterministic test image: pixel (x,y) = rgb((7x+id)%256, (11y+id)%256,
+    * (x+y+id)%256) — channel means have closed forms an oracle recomputes
+    * arithmetically (r varies only with x, g only with y), so a lossless
+    * encode→decode roundtrip is checkable end-to-end without a reference
+    * decoder.
+    */
+  def plantedImage(id: Long): java.awt.image.BufferedImage = {
+    val (w, h) = plantedDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + id) % 256).toInt
+        val g = ((y * 11 + id) % 256).toInt
+        val b = ((x + y + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the planted image for `id` in `fmt` (png/bmp lossless; jpg/gif
+    * lossy — dims survive, pixel stats don't).
+    */
+  def encodeImage(id: Long, fmt: String = "png"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(plantedImage(id), fmt, bos)
+    require(ok, s"no ImageIO writer for format '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Attach a real encoded image per row (deterministic in `idCol`) — the
+    * fixture generator for [[decodeImage]]'s end-to-end oracle. Runs
+    * distributed: each partition encodes its own rows.
+    */
+  def attachImage(df: DataFrame, idCol: String, fmt: String = "png"): DataFrame =
+    Relational.transform(
+      df.select(col(idCol).cast("long").as("id")),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType)))) {
+      it => it.map(r => Row(r.getLong(0), encodeImage(r.getLong(0), fmt)))
+    }
+
+  /** REAL image decode: sniff + decode each binary with `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — JDK-builtin, no native deps), emitting
+    * width/height, the reader's format name, and per-channel mean pixel
+    * values (exact long sums over the decoded sRGB ints, one double
+    * division). Runs inside [[mapBinaryBatches]] so decoder setup
+    * (in-memory stream cache off, reader lookup) amortizes per partition
+    * batch; undecodable bytes degrade to size-only rows, never fail the
+    * partition. 100 TB shape: pure map-side (no shuffle), binary column
+    * pruned at the scan when unused downstream.
+    */
+  /** Output schema of [[resizeImage]]: the resized image re-encoded as
+    * PNG rides in `media`, so the result composes with [[decodeImage]]
+    * (decode → resample → encode → decode, every step through the real
+    * codec).
+    */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("src_width", LongType),
+    StructField("src_height", LongType),
+    StructField("media", BinaryType)))
+
+  /** Nearest-neighbor resample: dst (x,y) takes src (x·sw/tw, y·sh/th),
+    * floor — pure integer index math, so the resample is bit-deterministic
+    * and an oracle recomputes any downstream pixel statistic in closed
+    * form (unlike bilinear, whose rounding is implementation-defined).
+    */
+  def resampleNearest(img: java.awt.image.BufferedImage,
+      tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * sh / th).toInt
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB((x.toLong * sw / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL image resize: ImageIO decode → aspect-preserving fit into
+    * maxW × maxH (the [[resizeMeta]] arithmetic: floor(dim × scale),
+    * never upscale) → [[resampleNearest]] → PNG re-encode. Map-side per
+    * partition batch; undecodable bytes degrade to a null media row.
+    */
+  def resizeImage(df: DataFrame, idCol: String, mediaCol: String,
+      maxW: Int, maxH: Int): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, resizedSchema) { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) Row(id, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+            val tw = math.max(1, math.floor(w * scale).toInt)
+            val th = math.max(1, math.floor(h * scale).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(resampleNearest(img, tw, th), "png", bos)
+            Row(id, w.toLong, h.toLong, bos.toByteArray)
+          }
+        } catch { case _: Exception => Row(id, null, null, null) }
+      }
+    }
+
+  def decodeImage(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, imageSchema) { batch =>
+      // per-batch decoder setup: keep ImageIO's stream spooling in memory
+      // (the default spills every decode to a temp FILE on disk)
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { case (id, bytes) =>
+        val sizeOnly = Row(id, null, null, null, bytes.length.toLong, null, null, null)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) sizeOnly
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+              val img = reader.read(0)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Row(id, w.toLong, h.toLong, fmt, bytes.length.toLong,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+            } finally reader.dispose()
+          }
+        } catch { case _: Exception => sizeOnly }
+      }
+    }
+
+  // ---- real audio decode (javax.sound.sampled, JDK-builtin) -------------
+
+  /** Output schema of [[decodeAudio]]. `mean_abs` is an exact long sum of
+    * |sample| divided once — bit-reproducible across runs and engines.
+    */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("n_samples", LongType),
+    StructField("n_bytes", LongType),
+    StructField("mean_abs", DoubleType),
+    StructField("peak", LongType)))
+
+  /** Planted waveform: n = 64 + id%64 samples, sample i =
+    * ((37·i + 11·id) mod 65536) − 32768 — integer arithmetic only, so an
+    * oracle recomputes amplitude statistics in closed form (a sine would
+    * tie the contract to cross-engine libm rounding).
+    */
+  def plantedSamples(id: Long): Array[Short] = {
+    val n = (64 + id % 64).toInt
+    Array.tabulate(n)(i => (((i * 37L + id * 11L) % 65536L) - 32768L).toShort)
+  }
+
+  /** Encode the planted waveform for `id` as a PCM16LE mono 8 kHz WAV via
+    * `javax.sound.sampled.AudioSystem` (JDK-builtin RIFF writer).
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = plantedSamples(id)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM16LE mono
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a real WAV file per row (deterministic in `idCol`) — the
+    * fixture generator for [[decodeAudio]]'s end-to-end oracle.
+    */
+  def attachWav(df: DataFrame, idCol: String): DataFrame =
+    Relational.transform(
+      df.select(col(idCol).cast("long").as("id")),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType)))) {
+      it => it.map(r => Row(r.getLong(0), encodeWav(r.getLong(0))))
+    }
+
+  /** REAL audio decode: parse each binary with
+    * `javax.sound.sampled.AudioSystem` (JDK-builtin — WAV/AIFF/AU PCM),
+    * emitting sample rate, channel count, sample count, and amplitude
+    * statistics (mean |sample| as an exact long sum over the decoded
+    * PCM16 frames, one double division; peak = max |sample|). Map-side
+    * per partition batch; unparseable bytes degrade to size-only rows.
+    * Lossy/compressed codecs (mp3/aac) need ffmpeg, which this container
+    * lacks — those bytes take the degrade path by construction.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, audioSchema) { batch =>
+      batch.map { case (id, bytes) =>
+        val sizeOnly = Row(id, null, null, null, bytes.length.toLong, null, null)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) sizeOnly
+            else {
+              val channels = fmt.getChannels
+              val pcm = ais.readAllBytes()
+              val nFrames = pcm.length / fmt.getFrameSize
+              var sumAbs = 0L
+              var peak = 0L
+              var i = 0
+              val step = fmt.getFrameSize
+              while (i + 1 < pcm.length) {
+                // first channel of each frame; LE/BE per the decoded format
+                val s =
+                  if (fmt.isBigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+                  else (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort
+                val a = math.abs(s.toLong)
+                sumAbs += a
+                if (a > peak) peak = a
+                i += step
+              }
+              Row(id, fmt.getSampleRate.toLong, channels.toLong, nFrames.toLong,
+                bytes.length.toLong,
+                if (nFrames == 0) 0.0 else sumAbs.toDouble / nFrames, peak)
+            }
+          } finally ais.close()
+        } catch { case _: Exception => sizeOnly }
       }
     }
 }

@@ -155,6 +155,37 @@ object Events {
     */
   case class ReservoirState(emission: Long, fracs: Seq[Double], keys: Seq[Long])
 
+  /** Per-partition bounded pre-reservoir: keep each stratum's `target`
+    * smallest (frac, key) entries within ONE partition (min 1 even at
+    * target 0, so stratum presence — and thus the emission counter —
+    * survives the reduction). min-k of per-partition min-k is the global
+    * min-k, so composing this before the stateful shuffle changes NOTHING
+    * about the reservoir contents while cutting shuffle volume from the
+    * whole stream to partitions × target rows per stratum. Memory is
+    * O(strata × target) per partition — the same bound the state itself
+    * carries.
+    */
+  private[graft] def partitionPreReservoir(targets: Map[String, Long])(
+      it: Iterator[(String, Double, Long)]): Iterator[(String, Double, Long)] = {
+    val ord = implicitly[Ordering[(Double, Long)]]
+    val kept = scala.collection.mutable.HashMap
+      .empty[String, java.util.TreeSet[(Double, Long)]]
+    it.foreach { case (s, f, k) =>
+      val cap = math.max(1L, targets.getOrElse(s, 0L))
+      val t = kept.getOrElseUpdate(s,
+        new java.util.TreeSet[(Double, Long)](ord))
+      // TreeSet dedups exact re-deliveries within the partition; a
+      // > Int.MaxValue cap degenerates to keep-everything, matching the
+      // stateful insert's Long-target rule
+      if (t.size < cap) t.add((f, k))
+      else if (ord.lt((f, k), t.last)) { t.add((f, k)); if (t.size > cap) t.pollLast() }
+    }
+    kept.iterator.flatMap { case (s, t) =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(t.iterator()).asScala
+        .map { case (f, k) => (s, f, k) }
+    }
+  }
+
   /** STREAMING exact-N mixture sampling — the unknown-count/stream form of
     * [[graft.operators.Relational.mixtureSample]]: per stratum, keep the
     * `target` rows with the LOWEST seeded-hash fraction (ties by key).
@@ -167,6 +198,14 @@ object Events {
     *
     * Works on BATCH frames too (flatMapGroupsWithState degenerates to one
     * pass), which is what the driver-checked contract query runs.
+    *
+    * 100 TB shape: the stateful groupByKey has ONE task per stratum and no
+    * partial reduction — unguarded, a "70% web" stratum would funnel 70%
+    * of the stream through a single task. [[partitionPreReservoir]] runs
+    * map-side first (the streaming analogue of mixtureSample's pre-filter
+    * rescue design), so each partition forwards at most `target` rows per
+    * stratum into that shuffle; the selection rule composes exactly
+    * (min-k of min-k is min-k), leaving results bit-identical.
     *
     * `keyCol` must be a unique integral row id (the sampled keys; join
     * back for payloads — carrying whole rows through state would make
@@ -186,6 +225,7 @@ object Events {
       .select(col(stratumCol).cast("string").as("s"), frac.as("f"),
         col(keyCol).cast("long").as("k"))
       .as[(String, Double, Long)]
+      .mapPartitions(partitionPreReservoir(targets) _)
     val ord = implicitly[Ordering[(Double, Long)]]
     val fn = (stratum: String, it: Iterator[(String, Double, Long)],
         state: GroupState[ReservoirState]) => {

@@ -13,7 +13,7 @@ import graft.operators.{Bpe, Dedup, TextAnalysis}
   * blocking operators on it. Not part of the library surface — a
   * measurement `main`, like Bench.
   *
-  * Usage: sbt "runMain graft.tools.Scaling [sfDir] [mult]"
+  * Usage: sbt "runMain graft.tools.Scaling [sfDir] [mult] [shufflePartitions]"
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
@@ -26,8 +26,13 @@ object Scaling {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     require(mult % 10 == 0 && mult > 0, s"mult must be a positive multiple of 10: $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // On a real cluster shuffle partitions scale with data, not cores —
+    // the third arg measures exactly that (SURVEY §5: fixed-32 vs
+    // data-scaled partitions at the 100× tier). Default keeps the
+    // historical cores-count behavior.
+    val shufflePartitions = args.lift(2).map(_.toInt).getOrElse(cpus.toInt)
     val spark = GraftSession
-      .builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus.toInt)
+      .builder(master = Some(s"local[$cpus]"), shufflePartitions = shufflePartitions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -68,7 +73,7 @@ object Scaling {
       .repartition(cpus.toInt * (mult / 10))
       .persist()
     val n = big.count()
-    println(s"corpus: $n docs")
+    println(s"corpus: $n docs, shuffle.partitions=$shufflePartitions")
     // the 100× tier times headline ops only (map kernels + the main
     // blocking designs); the full suite runs at the default tier
     val fullSuite = mult <= 10

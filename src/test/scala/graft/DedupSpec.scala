@@ -331,6 +331,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(wrote > 0, "no reliable checkpoint files written")
   }
 
+  test("reliable-checkpoint CC: deep path graph converges, releases caches, errors on tight maxIters") {
+    import spark.implicits._
+    // diameter 21 (> 15): deep enough that per-round truncation is what
+    // keeps the doubling lineage viable — exercised END-TO-END on the
+    // reliable branch (executor-loss-tolerant round files), not just the
+    // shallow star graphs of the parity test above
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-deep").toString
+    val chain = (1L until 22L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // Cache-leak detection is MAGNITUDE-based, not exact-count: suites
+    // share one SparkContext and run concurrently, so other tests add and
+    // drop persistent RDDs while this one runs. A broken release would
+    // leak ~one cache per round (≈ diameter ≈ 21) plus the edge cache —
+    // far above any plausible concurrent churn, so assert the growth
+    // stays well under the round count (with a short drain window for
+    // async unpersists).
+    def cachedCount = spark.sparkContext.getPersistentRDDs.size
+    def assertNoRoundLeak(before: Int, what: String): Unit = {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var grown = cachedCount - before
+      while (grown >= 10 && System.nanoTime() < deadline) {
+        Thread.sleep(200); grown = cachedCount - before
+      }
+      assert(grown < 10, s"$what leaked ~per-round caches: +$grown")
+    }
+    val before = cachedCount
+    val labels = Dedup.connectedComponents(chain, "id_a", "id_b",
+      maxIters = 30, checkpointDir = Some(dir))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 22 && got.values.forall(_ === 1L),
+      "min label must propagate the full diameter")
+    // superseded round caches and the symmetric edge cache are released —
+    // reads are now backed by the round files, so nothing stays pinned
+    assertNoRoundLeak(before, "deep CC")
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get)))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+    // the converge-or-throw boundary holds on the reliable branch too,
+    // and the throw path must not leak caches either (the finally block)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b",
+        maxIters = 4, checkpointDir = Some(dir)).collect()
+    }
+    assertNoRoundLeak(before, "non-convergence throw")
+  }
+
   /** Ground-truth maximal shared spans >= minLen via the L-gram diagonal
     * method, computed in plain Scala — the obvious-but-quadratic
     * formulation the anchored operator must reproduce EXACTLY.
@@ -821,6 +867,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(viaModel === Map(1L -> true, 2L -> false))
     assert(viaJoin === viaModel)
+  }
+
+  test("semanticNearDup caps cells without windowing the corpus (agg + broadcast anti-join)") {
+    // The pre-cap funnel: Window.partitionBy(__cell) would exchange every
+    // (id, vec, cell) row into <= numCells tasks BEFORE the cap applies.
+    // The cap must instead partial-combine counts (tiny shuffle) and
+    // broadcast-anti-join the oversized-cell list, leaving the capped pair
+    // join as the only exchange that moves corpus rows.
+    val emb = wh.loadTable("embeddings")
+    val out = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numCells = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cell-size cap must not window the full corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"oversized-cell list must broadcast into the anti-join:\n$plan")
+    // maxCellSize <= 0 disables the cap entirely: no count branch at all
+    val uncapped = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, numCells = 8, maxCellSize = 0)
+    assert(uncapped.queryExecution.analyzed.toString.indexOf("count(1)") < 0)
   }
 
   test("decontaminateMapSide plans with ZERO exchanges (pure map over the corpus)") {

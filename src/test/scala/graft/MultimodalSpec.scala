@@ -54,6 +54,99 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L).isEmpty)
   }
 
+  test("real ImageIO decode recovers planted dims and exact channel means (png, bmp)") {
+    val docs = wh.loadTable("documents").limit(24)
+    for (fmt <- Seq("png", "bmp")) { // lossless formats: stats must be exact
+      val out = Multimodal.decodeImage(
+        Multimodal.attachImage(docs, "doc_id", fmt), "id", "media")
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+      assert(out.nonEmpty)
+      out.foreach { case (id, r) =>
+        val (w, h) = Multimodal.plantedDims(id)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        assert(r.getAs[String]("format") === fmt)
+        // closed-form means: r varies only with x, g only with y
+        val er = (0 until w).map(x => (x * 7 + id) % 256).sum.toDouble / w
+        val eg = (0 until h).map(y => (y * 11 + id) % 256).sum.toDouble / h
+        val eb = (for (x <- 0 until w; y <- 0 until h) yield (x + y + id) % 256)
+          .sum.toDouble / (w.toLong * h)
+        assert(r.getAs[Double]("mean_r") === er, s"mean_r id=$id fmt=$fmt")
+        assert(r.getAs[Double]("mean_g") === eg, s"mean_g id=$id fmt=$fmt")
+        assert(r.getAs[Double]("mean_b") === eb, s"mean_b id=$id fmt=$fmt")
+      }
+    }
+  }
+
+  test("ImageIO decode sniffs jpeg/gif and survives undecodable bytes") {
+    val docs = wh.loadTable("documents").limit(8)
+    for (fmt <- Seq("jpg", "gif")) { // lossy paths: dims + format survive
+      val out = Multimodal.decodeImage(
+        Multimodal.attachImage(docs, "doc_id", fmt), "id", "media")
+        .collect()
+      out.foreach { r =>
+        val id = r.getAs[Long]("id")
+        val (w, h) = Multimodal.plantedDims(id)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        assert(r.getAs[String]("format") === (if (fmt == "jpg") "jpeg" else fmt))
+      }
+    }
+    val junk = Seq((1L, "definitely not an image")).toDF("id", "s")
+      .withColumn("media", col("s").cast("binary"))
+    val r = Multimodal.decodeImage(junk, "id", "media").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("width")))
+    assert(r.getAs[Long]("n_bytes") === 23L)
+  }
+
+  test("real resize: decode → nearest-neighbor resample → re-encode → decode is exact") {
+    val docs = wh.loadTable("documents").limit(16)
+    val out = Multimodal.decodeImage(
+      Multimodal.resizeImage(
+        Multimodal.attachImage(docs, "doc_id"), "id", "media", maxW = 12, maxH = 12),
+      "id", "media")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val (w, h) = Multimodal.plantedDims(id)
+      val scale = math.min(math.min(12.0 / w, 12.0 / h), 1.0)
+      val tw = math.max(1, math.floor(w * scale).toInt)
+      val th = math.max(1, math.floor(h * scale).toInt)
+      assert(r.getAs[Long]("width") === tw.toLong, s"width id=$id")
+      assert(r.getAs[Long]("height") === th.toLong, s"height id=$id")
+      assert(r.getAs[String]("format") === "png")
+      def sx(x: Int) = (x.toLong * w / tw).toInt
+      def sy(y: Int) = (y.toLong * h / th).toInt
+      val er = (0 until tw).map(x => (sx(x) * 7 + id) % 256).sum.toDouble / tw
+      val eb = (for (x <- 0 until tw; y <- 0 until th) yield (sx(x) + sy(y) + id) % 256)
+        .sum.toDouble / (tw.toLong * th)
+      assert(r.getAs[Double]("mean_r") === er, s"mean_r id=$id")
+      assert(r.getAs[Double]("mean_b") === eb, s"mean_b id=$id")
+    }
+  }
+
+  test("real WAV decode recovers format and exact amplitude stats; junk degrades") {
+    val docs = wh.loadTable("documents").limit(16)
+    val out = Multimodal.decodeAudio(
+      Multimodal.attachWav(docs, "doc_id"), "id", "media")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val samples = Multimodal.plantedSamples(id)
+      assert(r.getAs[Long]("sample_rate") === 8000L)
+      assert(r.getAs[Long]("channels") === 1L)
+      assert(r.getAs[Long]("n_samples") === samples.length.toLong)
+      val sumAbs = samples.map(s => math.abs(s.toLong)).sum
+      assert(r.getAs[Double]("mean_abs") === sumAbs.toDouble / samples.length)
+      assert(r.getAs[Long]("peak") === samples.map(s => math.abs(s.toLong)).max)
+    }
+    val junk = Seq((7L, "certainly not audio data here")).toDF("id", "s")
+      .withColumn("media", col("s").cast("binary"))
+    val r = Multimodal.decodeAudio(junk, "id", "media").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    assert(r.getAs[Long]("n_bytes") === 29L)
+  }
+
   test("mapBinaryBatches streams partition batches through the decoder fn") {
     val docs = wh.loadTable("documents").limit(10)
     val out = Multimodal.mapBinaryBatches(

@@ -168,6 +168,74 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect && got === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("composed text pipeline (normalize → decontaminate → gopher) streams unchanged") {
+    // q_stream_pipeline's chain run through an actual MemoryStream in two
+    // triggers: every stage is a stateless kernel map, so the composed
+    // chain — not just each operator alone — must produce batch-identical
+    // rows. This is the composition guarantee the join-form
+    // decontaminate pitfall (r4) made worth pinning.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = wh.loadTable("documents").filter($"text".isNotNull)
+      .select("doc_id", "lang", "text")
+    val model = Dedup.trainDecontaminationSet(
+      TextAnalysis.normalize(docs.filter($"doc_id" % 20 === 0), "text"),
+      "norm", n = 3)
+    val corpus = docs.filter($"doc_id" % 20 =!= 0)
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (p1, p2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val streamed = SparkEntry.streamTextPipeline(
+      mem.toDF().toDF("doc_id", "lang", "text"), model)
+    assert(streamed.isStreaming, "composed chain must preserve streaming-ness")
+    val cols = Seq("doc_id", "lang", "contaminated", "n_words",
+      "dup_ngram_frac", "gopher_pass")
+    val q = streamed.select(cols.head, cols.tail: _*)
+      .writeStream.format("memory").queryName("pipe_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(p1: _*)
+      q.processAllAvailable()
+      mem.addData(p2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pipe_stream_out").collect().map(_.toSeq).toSet
+    val expect = SparkEntry.streamTextPipeline(corpus, model)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "stream delivered nothing")
+    assert(got === expect)
+  }
+
+  test("partitionPreReservoir bounds per-stratum volume and preserves exact min-k") {
+    // the map-side reduction in front of the stateful shuffle: per
+    // stratum, at most max(1, target) rows leave a partition, and they
+    // are EXACTLY the partition's smallest (frac, key) entries — so the
+    // one-task-per-stratum shuffle sees partitions × target rows, not
+    // the whole stream, with bit-identical final reservoirs
+    import graft.streaming.Events
+    val targets = Map("a" -> 3L, "b" -> 1L, "c" -> 0L)
+    val rows = (1 to 300).map { i =>
+      val s = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      (s, (i * 37 % 101) / 101.0, i.toLong)
+    }
+    val out = Events.partitionPreReservoir(targets)(rows.iterator).toSeq
+    val byS = out.groupBy(_._1)
+    assert(byS("a").size === 3)
+    assert(byS("b").size === 1)
+    assert(byS("c").size === 1, "target-0 stratum must keep presence (1 row)")
+    val expect = rows.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(t => (t._2, t._3)).distinct.sorted
+        .take(math.max(1L, targets(s)).toInt).toSet
+    }
+    assert(byS.map { case (s, rs) => s -> rs.map(t => (t._2, t._3)).toSet } === expect)
+    // exact re-deliveries inside one partition collapse to one entry
+    val dup = Events.partitionPreReservoir(Map("a" -> 5L))(
+      Iterator(("a", 0.5, 1L), ("a", 0.5, 1L), ("a", 0.2, 2L))).toSeq
+    assert(dup.map(t => (t._2, t._3)).toSet === Set((0.5, 1L), (0.2, 2L)))
+  }
+
   test("mixtureReservoir converges to the batch mixtureSample across triggers") {
     // The streaming reservoir keeps the target smallest (frac, key) per
     // stratum — the batch sampler's exact selection rule — so after ANY
