@@ -1299,6 +1299,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** REAL frame sampling over a multi-frame container, oracle-checked:
+    * each doc carries a multi-page TIFF clip (2..7 planted frames, written
+    * by the JDK's ImageIO TIFF plugin), [[Multimodal.decodeFrames]] counts
+    * frames, picks k=4 evenly-spaced indices (all frames when n ≤ 4, else
+    * floor(i·n/4)) and decodes ONLY those. Frame pixel formulas are
+    * frame-dependent, so returning the wrong frame for an index — or
+    * decoding with wrong sampling arithmetic — breaks the hash. DuckDB
+    * replays frame counts, sampled indices, dims, and bit-exact channel
+    * means arithmetically.
+    */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").select("doc_id")
+    Multimodal.decodeFrames(
+        Multimodal.attachTiffClip(docs, "doc_id"), "id", "media", k = 4)
+      .select(col("id").as("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL audio decode, oracle-checked end-to-end: a deterministic
     * integer waveform (sample i = (37i + 11·id) mod 65536 − 32768,
     * n = 64 + id%64 samples) is written as a PCM16LE mono 8 kHz WAV by
@@ -1623,6 +1642,7 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_namespace" -> (qNamespace _),
     "q_table_lifecycle" -> (qTableLifecycle _),
     "q_persist_table" -> (qPersistTable _),
@@ -2419,6 +2439,37 @@ object SparkEntry {
         | cast(bs.s AS double) / (t.tw * t.th) AS mean_b
         |FROM t JOIN rs USING (doc_id) JOIN gs USING (doc_id) JOIN bs USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // frame-sampling replay: n = 2 + id%6 frames, sampled indices are all
+    // frames when n <= 4 else floor(i*n/4); frame f pixel formulas shift
+    // by 13f/17f/f per channel
+    "q_multimodal_frames" ->
+      """WITH dims AS (
+        | SELECT doc_id, cast(8 + doc_id % 16 AS bigint) AS w,
+        |        cast(8 + (doc_id * 3) % 16 AS bigint) AS h,
+        |        cast(2 + doc_id % 6 AS bigint) AS n
+        | FROM documents),
+        |fidx AS (
+        | SELECT doc_id, w, h, n,
+        |  unnest(CASE WHEN n <= 4 THEN generate_series(0, n - 1)
+        |    ELSE list_transform(generate_series(0, 3), i -> (i * n) // 4) END) AS f
+        | FROM dims),
+        |xs AS (SELECT range AS x FROM range(0, 24)),
+        |ys AS (SELECT range AS y FROM range(0, 24)),
+        |rs AS (SELECT doc_id, f, sum((x * 7 + doc_id + 13 * f) % 256) AS s
+        |       FROM fidx JOIN xs ON x < w GROUP BY doc_id, f),
+        |gs AS (SELECT doc_id, f, sum((y * 11 + doc_id + 17 * f) % 256) AS s
+        |       FROM fidx JOIN ys ON y < h GROUP BY doc_id, f),
+        |bs AS (SELECT doc_id, f, sum((x + y + doc_id + f) % 256) AS s
+        |       FROM fidx JOIN xs ON x < w JOIN ys ON y < h GROUP BY doc_id, f)
+        |SELECT d.doc_id, d.n AS n_frames, d.f AS frame_idx,
+        | d.w AS width, d.h AS height,
+        | cast(rs.s AS double) / d.w AS mean_r,
+        | cast(gs.s AS double) / d.h AS mean_g,
+        | cast(bs.s AS double) / (d.w * d.h) AS mean_b
+        |FROM fidx d
+        |JOIN rs USING (doc_id, f) JOIN gs USING (doc_id, f)
+        |JOIN bs USING (doc_id, f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // planted-waveform replay: sample i = (37i + 11*id) mod 65536 - 32768
     "q_multimodal_audio" ->
       """WITH dims AS (

@@ -272,6 +272,131 @@ object Multimodal {
       }
     }
 
+  // ---- real multi-frame decode (multi-page TIFF, JDK-builtin) -----------
+
+  /** Output schema of [[decodeFrames]]: one row per SAMPLED frame. */
+  val framesSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_frames", LongType),
+    StructField("frame_idx", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Planted frame count for id: 2 + id%6 (2..7 frames). */
+  def plantedFrameCount(id: Long): Int = (2 + id % 6).toInt
+
+  /** Frame `f` of the planted clip: same dims as [[plantedImage]], pixel
+    * (x,y) = rgb((7x+id+13f)%256, (11y+id+17f)%256, (x+y+id+f)%256) —
+    * frame-dependent, so a decoder that returns the wrong frame for an
+    * index fails the oracle.
+    */
+  def plantedFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+    val (w, h) = plantedDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + id + 13L * f) % 256).toInt
+        val g = ((y * 11 + id + 17L * f) % 256).toInt
+        val b = ((x + y + id + f) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the planted clip for `id` as a MULTI-PAGE TIFF via the JDK's
+    * `javax.imageio` TIFF plugin (writeToSequence) — a real multi-frame
+    * container, the stand-in for video (ffmpeg absent; the sampling and
+    * per-frame decode below are the real operators either way).
+    */
+  def encodeTiffClip(id: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = plantedFrameCount(id)
+      while (f < n) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(plantedFrame(id, f), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Attach a real multi-page TIFF clip per row (deterministic in
+    * `idCol`) — the fixture generator for [[decodeFrames]]'s oracle.
+    */
+  def attachTiffClip(df: DataFrame, idCol: String): DataFrame =
+    Relational.transform(
+      df.select(col(idCol).cast("long").as("id")),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType)))) {
+      it => it.map(r => Row(r.getLong(0), encodeTiffClip(r.getLong(0))))
+    }
+
+  /** REAL frame sampling + decode over a multi-frame container: count the
+    * frames (`getNumImages`), pick `k` evenly-spaced indices (the
+    * [[sampleFramesMeta]] rule — all frames when n ≤ k, else
+    * floor(i·n/k)), and DECODE ONLY THOSE frames (`reader.read(idx)` —
+    * the whole point of frame sampling is not decoding the rest). One
+    * output row per sampled frame with dims + exact channel means.
+    * Map-side per partition batch; unreadable bytes yield zero rows for
+    * that clip rather than failing the partition.
+    */
+  def decodeFrames(df: DataFrame, idCol: String, mediaCol: String, k: Int): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, framesSchema) { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { case (id, bytes) =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Iterator.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              val idxs: Seq[Int] =
+                if (n <= 0) Seq.empty
+                else if (n <= k) 0 until n
+                else (0 until k).map(i => (i.toLong * n / k).toInt)
+              idxs.map { fi =>
+                val img = reader.read(fi)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val np = w.toLong * h
+                Row(id, n.toLong, fi.toLong, w.toLong, h.toLong,
+                  sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+              }.iterator
+            } finally reader.dispose()
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }
+
   // ---- real audio decode (javax.sound.sampled, JDK-builtin) -------------
 
   /** Output schema of [[decodeAudio]]. `mean_abs` is an exact long sum of

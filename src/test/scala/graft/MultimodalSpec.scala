@@ -125,6 +125,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-page TIFF clip: frame count, sampled indices, and per-frame stats are exact") {
+    val docs = wh.loadTable("documents").limit(12)
+    val out = Multimodal.decodeFrames(
+      Multimodal.attachTiffClip(docs, "doc_id"), "id", "media", k = 4)
+      .collect().groupBy(_.getAs[Long]("id"))
+    assert(out.nonEmpty)
+    out.foreach { case (id, rows) =>
+      val n = Multimodal.plantedFrameCount(id)
+      val expectIdx =
+        if (n <= 4) (0 until n).map(_.toLong)
+        else (0 until 4).map(i => i.toLong * n / 4)
+      assert(rows.map(_.getAs[Long]("frame_idx")).sorted.toSeq === expectIdx,
+        s"sampled indices id=$id n=$n")
+      rows.foreach { r =>
+        val fi = r.getAs[Long]("frame_idx").toInt
+        val (w, h) = Multimodal.plantedDims(id)
+        assert(r.getAs[Long]("n_frames") === n.toLong)
+        assert(r.getAs[Long]("width") === w.toLong)
+        assert(r.getAs[Long]("height") === h.toLong)
+        // frame-dependent formula: a decoder returning frame 0 for every
+        // index would fail here
+        val er = (0 until w).map(x => (x * 7 + id + 13L * fi) % 256).sum.toDouble / w
+        assert(r.getAs[Double]("mean_r") === er, s"mean_r id=$id f=$fi")
+      }
+    }
+    val junk = Seq((3L, "not a tiff")).toDF("id", "s")
+      .withColumn("media", col("s").cast("binary"))
+    assert(Multimodal.decodeFrames(junk, "id", "media", k = 4).count() === 0)
+  }
+
   test("real WAV decode recovers format and exact amplitude stats; junk degrades") {
     val docs = wh.loadTable("documents").limit(16)
     val out = Multimodal.decodeAudio(
