@@ -857,6 +857,32 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Sub-document (paragraph-level) exact dedup, oracle-checked: the
+    * CCNet-style keep-first election over segment hashes + splice. Run at
+    * sep=" " (every token a segment) — the corpus has single-line texts,
+    * and word granularity maximizes cross-document duplication, making
+    * this the hardest stress of the election + ordered-reassembly logic;
+    * real pipelines pass "\n". DuckDB replays the election (row_number
+    * over (doc_id, pos)) and rebuilds every cleaned text byte-for-byte.
+    */
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
+    Dedup.paragraphDedup(docs, "doc_id", "text", sep = " ")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-frequency boilerplate removal, oracle-checked: segments
+    * (words, sep=" " — see [[qParagraphDedup]]) present in ≥ 50 distinct
+    * documents are dropped from EVERY document, first occurrence
+    * included — the RefinedWeb nav/footer rule. DuckDB recomputes the
+    * hot set and every cleaned text byte-for-byte.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
+    Dedup.removeBoilerplate(docs, "doc_id", "text", minDocs = 50, sep = " ")
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM fluency under a corpus-trained model, oracle-checked
     * END-TO-END: DuckDB independently rebuilds the vocabulary (top-4096
     * words, count desc / word asc), the bigram table (top-65536 pairs),
@@ -1656,6 +1682,8 @@ object SparkEntry {
     "q_lm_fluency" -> (qLmFluency _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_stream_pipeline" -> (qStreamPipeline _),
+    "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
@@ -2560,6 +2588,46 @@ object SparkEntry {
         |   AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | CAST(sum(n_ws) AS BIGINT) AS n_tokens
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // keep-first segment election replayed relationally: row_number over
+    // (doc_id, pos) per md5, splice via ordered string_agg
+    "q_paragraph_dedup" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(text, ' ') AS ps
+        | FROM documents WHERE text IS NOT NULL),
+        |paras AS (
+        | SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM s),
+        |p2 AS (SELECT doc_id, pos, ps[pos] AS p, md5(ps[pos]) AS h FROM paras),
+        |k AS (SELECT h, doc_id, pos FROM (
+        |  SELECT h, doc_id, pos,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM p2) WHERE rn = 1),
+        |kept AS (SELECT p2.doc_id, p2.pos, p2.p
+        |         FROM p2 JOIN k USING (h, doc_id, pos)),
+        |agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_kept,
+        |        string_agg(p, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, cast(len(s.ps) AS bigint) AS n_paras,
+        | cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+        | coalesce(agg.text_clean, '') AS text_clean
+        |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // hot-segment set (>= 50 distinct docs) removed everywhere
+    "q_boilerplate" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(text, ' ') AS ps
+        | FROM documents WHERE text IS NOT NULL),
+        |paras AS (
+        | SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM s),
+        |p2 AS (SELECT doc_id, pos, ps[pos] AS p, md5(ps[pos]) AS h FROM paras),
+        |hot AS (SELECT h FROM p2 GROUP BY h HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT doc_id, pos, p FROM p2
+        |         WHERE h NOT IN (SELECT h FROM hot)),
+        |agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_kept,
+        |        string_agg(p, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, cast(len(s.ps) AS bigint) AS n_lines,
+        | cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+        | coalesce(agg.text_clean, '') AS text_clean
+        |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // full streaming-chain replay: normalize, string-gram decontamination
     // over the NORMALIZED text, Gopher metrics over the clean survivors
     "q_stream_pipeline" ->

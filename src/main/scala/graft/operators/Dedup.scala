@@ -64,6 +64,101 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** PARAGRAPH-level exact dedup (the CCNet/RefinedWeb sub-document pass:
+    * Wenzek et al. 2020 dedup CommonCrawl on paragraph hashes): split each
+    * document on `sep`, keep only the corpus-wide FIRST occurrence of
+    * every distinct paragraph (min (doc_id, position) wins), splice the
+    * survivors back in original order. Catches the shared boilerplate
+    * blocks document-level exact dedup never sees (two different pages
+    * sharing a footer) at exact-match precision.
+    *
+    * 100 TB shape: paragraphs shuffle as (128-bit hash, doc_id, pos) —
+    * never the paragraph text (the keeper election is a partial-combined
+    * min over the hash; the survivor filter is a semi-join of the narrow
+    * election frame back onto the exploded paragraphs); reassembly
+    * shuffles each doc's surviving paragraphs once on doc_id. Empty
+    * paragraphs (consecutive separators) participate like any other —
+    * the FIRST blank survives, the rest collapse; the contract is
+    * documented rather than special-cased so the oracle replays it
+    * byte-for-byte.
+    *
+    * Returns (doc_id, n_paras, n_kept, text_clean).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "p")))
+      .withColumn("h", md5(col("p")))
+    val keepers = paras
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+    paras
+      .join(keepers, Seq("h", "doc_id", "pos"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            s => s.getField("p")),
+          sep).as("text_clean"))
+      .join(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .cast("long").as("n_paras")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Corpus-frequency BOILERPLATE line removal (the RefinedWeb/CCNet
+    * complement of [[paragraphDedup]]: keep-first dedups repeats, this
+    * drops ubiquitous lines from EVERY document): a line occurring in ≥
+    * `minDocs` distinct documents is navigation/cookie/footer boilerplate
+    * and is removed everywhere, including its first occurrence.
+    *
+    * 100 TB shape: the hot-line list is found by a partial-combined
+    * distinct-doc count on the line hash (never the text) and is tiny by
+    * construction (lines crossing a high `minDocs` threshold), so it
+    * broadcast-anti-joins onto the exploded lines — the same
+    * aggregate + broadcast pattern as every other degenerate-key cap in
+    * this file; no window, no full-corpus exchange.
+    *
+    * Returns (doc_id, n_lines, n_kept, text_clean).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "p")))
+      .withColumn("h", md5(col("p")))
+    val hot = lines
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h")
+    lines
+      .join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            s => s.getField("p")),
+          sep).as("text_clean"))
+      .join(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .cast("long").as("n_lines")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Connected components over a near-dup pair list: every node gets its
     * component's MINIMUM id as `component`. Pregel-style min-label
     * propagation — per round, each node takes the min of its own and its

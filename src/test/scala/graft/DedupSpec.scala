@@ -257,6 +257,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(t.length === 1 && t.head.getDouble(2) === 1.0)
   }
 
+  test("paragraphDedup keeps the corpus-wide first occurrence and splices in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared footer\nbeta"),
+      (2L, "gamma\nshared footer\ndelta\nshared footer"),
+      (3L, "shared footer")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns (min doc_id, pos) for all three of its paragraphs
+    assert(got(1L) === ((3L, 3L, "alpha\nshared footer\nbeta")))
+    // doc 2 loses BOTH copies of the shared footer, keeps its own order
+    assert(got(2L) === ((4L, 2L, "gamma\ndelta")))
+    // doc 3 loses its only paragraph: empty but present
+    assert(got(3L) === ((1L, 0L, "")))
+  }
+
+  test("removeBoilerplate drops hot lines everywhere, first occurrence included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\ncookie banner"),
+      (2L, "cookie banner\nunique two"),
+      (3L, "cookie banner\nunique three\ncookie banner"),
+      (4L, "only unique things here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((2L, 1L, "unique one")))
+    assert(got(2L) === ((2L, 1L, "unique two")))
+    assert(got(3L) === ((3L, 1L, "unique three")))
+    assert(got(4L) === ((1L, 1L, "only unique things here")))
+    // below the threshold nothing is hot
+    val none = Dedup.removeBoilerplate(docs, "doc_id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(none(1L) === "unique one\ncookie banner")
+  }
+
   test("connectedComponents resolves pair transitivity into min-id clusters") {
     import spark.implicits._
     // chain 20-21-22-23 needs 3 propagation rounds; star 1-{2,3}; pair 10-11
