@@ -857,6 +857,25 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Skew-salted join contract, oracle-checked: the salted formulation
+    * (left keys spread over `salt` sub-keys, right side replicated — the
+    * hand tool for keys so hot AQE's skew split still leaves one task
+    * per key) must be RESULT-IDENTICAL to the plain join; DuckDB computes
+    * the plain join. Aggregated per status so the contract row stays
+    * small while covering every joined row.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val l = w.loadTable("lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val o = w.loadTable("orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Relational.saltedJoin(l, o, Seq("l_orderkey"), salt = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Sub-document (paragraph-level) exact dedup, oracle-checked: the
     * CCNet-style keep-first election over segment hashes + splice. Run at
     * sep=" " (every token a segment) — the corpus has single-line texts,
@@ -1684,6 +1703,7 @@ object SparkEntry {
     "q_stream_pipeline" -> (qStreamPipeline _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_repetition" -> (qRepetition _),
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
@@ -2588,6 +2608,11 @@ object SparkEntry {
         |   AND (stop_hits >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
         | CAST(sum(n_ws) AS BIGINT) AS n_tokens
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // keep-first segment election replayed relationally: row_number over
     // (doc_id, pos) per md5, splice via ordered string_agg
     "q_paragraph_dedup" ->
