@@ -181,6 +181,31 @@ object Multimodal {
     StructField("src_height", LongType),
     StructField("media", BinaryType)))
 
+  /** Exact per-channel pixel sums, reading whole rows at a time
+    * (`getRGB(0, y, w, 1, …)` — one color-model conversion per ROW
+    * instead of per pixel; identical sRGB ints, just fewer calls).
+    */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rowBuf = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = rowBuf(x)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Nearest-neighbor resample: dst (x,y) takes src (x·sw/tw, y·sh/th),
     * floor — pure integer index math, so the resample is bit-deterministic
     * and an oracle recomputes any downstream pixel statistic in closed
@@ -191,14 +216,17 @@ object Multimodal {
     val out = new java.awt.image.BufferedImage(
       tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val (sw, sh) = (img.getWidth, img.getHeight)
+    val srcRow = new Array[Int](sw)
+    val dstRow = new Array[Int](tw)
     var y = 0
     while (y < th) {
-      val sy = (y.toLong * sh / th).toInt
+      img.getRGB(0, (y.toLong * sh / th).toInt, sw, 1, srcRow, 0, sw)
       var x = 0
       while (x < tw) {
-        out.setRGB(x, y, img.getRGB((x.toLong * sw / tw).toInt, sy))
+        dstRow(x) = srcRow((x.toLong * sw / tw).toInt)
         x += 1
       }
+      out.setRGB(0, y, tw, 1, dstRow, 0, tw)
       y += 1
     }
     out
@@ -250,19 +278,7 @@ object Multimodal {
               val img = reader.read(0)
               val w = img.getWidth
               val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff
-                  sg += (p >> 8) & 0xff
-                  sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = channelSums(img)
               val n = w.toLong * h
               Row(id, w.toLong, h.toLong, fmt, bytes.length.toLong,
                 sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
@@ -376,17 +392,7 @@ object Multimodal {
               idxs.map { fi =>
                 val img = reader.read(fi)
                 val (w, h) = (img.getWidth, img.getHeight)
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val p = img.getRGB(x, y)
-                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                    x += 1
-                  }
-                  y += 1
-                }
+                val (sr, sg, sb) = channelSums(img)
                 val np = w.toLong * h
                 Row(id, n.toLong, fi.toLong, w.toLong, h.toLong,
                   sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
