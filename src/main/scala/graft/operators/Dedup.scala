@@ -72,11 +72,14 @@ object Dedup {
     * blocks document-level exact dedup never sees (two different pages
     * sharing a footer) at exact-match precision.
     *
-    * 100 TB shape: paragraphs shuffle as (128-bit hash, doc_id, pos) —
-    * never the paragraph text (the keeper election is a partial-combined
-    * min over the hash; the survivor filter is a semi-join of the narrow
-    * election frame back onto the exploded paragraphs); reassembly
-    * shuffles each doc's surviving paragraphs once on doc_id. Empty
+    * 100 TB shape: AFTER the explode projects each paragraph to its
+    * 128-bit hash, everything until reassembly is narrow — the keeper
+    * election is a partial-combined min of (doc_id, pos) per hash, and the
+    * per-doc keep-list is a narrow groupBy of the winners (positions only,
+    * O(paras-kept) ints). Document TEXT crosses the wire exactly ONCE: the
+    * final doc_id join of the intact document against its keep-list, with
+    * the splice indexing the split array map-side (`transform(keep,
+    * i -> ps[i+1])` — O(kept) per doc, keep-list pre-sorted). Empty
     * paragraphs (consecutive separators) participate like any other —
     * the FIRST blank survives, the rest collapse; the contract is
     * documented rather than special-cased so the oracle replays it
@@ -86,31 +89,24 @@ object Dedup {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val paras = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "p")))
-      .withColumn("h", md5(col("p")))
-    val keepers = paras
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("ps"))
+    val paras = base
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), md5(col("p")).as("h")) // narrow from here
+    val keepPos = paras
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-      .select(col("h"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
-    paras
-      .join(keepers, Seq("h", "doc_id", "pos"), "left_semi")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
-            s => s.getField("p")),
-          sep).as("text_clean"))
-      .join(
-        df.select(col(idCol).cast("long").as("doc_id"),
-          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-            .cast("long").as("n_paras")),
-        Seq("doc_id"), "right")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("k.pos"))).as("keep"))
+    base.join(keepPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_paras"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(transform(col("keep"),
+            i => element_at(col("ps"), i + 1)), sep),
+          lit("")).as("text_clean"))
   }
 
   /** Corpus-frequency BOILERPLATE line removal (the RefinedWeb/CCNet
@@ -120,43 +116,46 @@ object Dedup {
     * and is removed everywhere, including its first occurrence.
     *
     * 100 TB shape: the hot-line list is found by a partial-combined
-    * distinct-doc count on the line hash (never the text) and is tiny by
-    * construction (lines crossing a high `minDocs` threshold), so it
-    * broadcast-anti-joins onto the exploded lines — the same
+    * distinct-doc count on the line hash (never the text); with a high
+    * `minDocs` threshold it is tiny by construction and broadcast
+    * anti-joins onto the narrow exploded line-keys — the same
     * aggregate + broadcast pattern as every other degenerate-key cap in
-    * this file; no window, no full-corpus exchange.
+    * this file; no window, no full-corpus exchange. A LOW threshold over
+    * a huge corpus makes the hot set itself large (every line repeated
+    * `minDocs`+ times) — pass `broadcastHot = false` to let AQE size the
+    * anti-join instead (sort-merge of two narrow hash frames),
+    * result-identical. Either way the anti-join and keep-list election
+    * see only (hash, doc_id, pos); document TEXT crosses the wire
+    * exactly once, in the final doc_id join that splices survivors
+    * map-side from the intact document.
     *
     * Returns (doc_id, n_lines, n_kept, text_clean).
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int, sep: String = "\n"): DataFrame = {
+      minDocs: Int, sep: String = "\n", broadcastHot: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "p")))
-      .withColumn("h", md5(col("p")))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("ps"))
+    val lines = base
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), md5(col("p")).as("h")) // narrow from here
     val hot = lines
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("h")
-    lines
-      .join(broadcast(hot), Seq("h"), "left_anti")
+    val keepPos = lines
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("h"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
-            s => s.getField("p")),
-          sep).as("text_clean"))
-      .join(
-        df.select(col(idCol).cast("long").as("doc_id"),
-          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-            .cast("long").as("n_lines")),
-        Seq("doc_id"), "right")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    base.join(keepPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_lines"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(transform(col("keep"),
+            i => element_at(col("ps"), i + 1)), sep),
+          lit("")).as("text_clean"))
   }
 
   /** Connected components over a near-dup pair list: every node gets its
