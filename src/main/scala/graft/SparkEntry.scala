@@ -1033,6 +1033,45 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ-ADC top-k (seeded codebook → deterministic rows; approximate
+    * scores aren't DuckDB-replayable, so this row is rows-only — its
+    * recall is oracle-pinned by [[qPqRecall]], the same contract-row
+    * split as minhash/LSH).
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    Similarity.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, model)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ recall contract, oracle-checked: every DuckDB-exact top-2 cosine
+    * neighbor of each query must appear in the PQ top-20 (the standard
+    * over-fetch regime: PQ shortlists ~10k, exact-rerank picks k). DuckDB
+    * recomputes the exact top-2 with `list_cosine_similarity`; the
+    * contract column asserts PQ found each.
+    */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 32, ksub = 64)
+    val found = Similarity.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 20, model)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    exact.join(found, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        coalesce(col("__hit"), lit(false)).as("found_by_pq"))
+      .orderBy("query_id", "rank")
+  }
+
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(wh(s, dir).loadTable("documents"), "text")
       .select("doc_id", "n_ws_tokens", "n_word_tokens")
@@ -1669,6 +1708,8 @@ object SparkEntry {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
+    "q_pq_recall" -> (qPqRecall _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2206,6 +2247,20 @@ object SparkEntry {
         |           FROM scored)
         |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // the PQ recall CONTRACT: every exact top-2 cosine neighbor (DuckDB
+    // recomputes them) must be found in the PQ top-20 shortlist
+    "q_pq_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, true AS found_by_pq
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

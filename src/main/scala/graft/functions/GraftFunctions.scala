@@ -72,6 +72,8 @@ object GraftFunctions {
     "graft_extend_match" ->
       ((args: Seq[Expression]) =>
         ExtendMatch(args.head, args(1), args(2), args(3), intLit(args(4), "k"))),
+    "graft_pq_adc_score" ->
+      ((args: Seq[Expression]) => PqAdcScore(args.head, args(1))),
     "graft_topk" ->
       ((args: Seq[Expression]) =>
         TopKAgg(args.head, args(1), intLit(args(2), "k")).toAggregateExpression())
@@ -233,4 +235,40 @@ object GraftFunctions {
 
   private val lmNames = new java.util.IdentityHashMap[LmModel, String]()
   private val lmCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** PQ byte codes of a float-vector column under a trained [[PqModel]] —
+    * model-parameterized registration exactly like [[bpeCount]] (same
+    * uniqueness and lifetime caveats).
+    */
+  def pqEncode(spark: SparkSession, vec: Column, model: PqModel): Column = {
+    val name = pqNames.synchronized {
+      pqNames.computeIfAbsent(model,
+        _ => s"graft_pq_${pqCounter.incrementAndGet()}")
+    } + "_encode"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => PqEncode(args.head, model), "scala_udf")
+    call_function(name, vec)
+  }
+
+  /** Per-query ADC lookup table under a trained [[PqModel]] —
+    * model-parameterized registration exactly like [[bpeCount]].
+    */
+  def pqQueryTable(spark: SparkSession, vec: Column, model: PqModel): Column = {
+    val name = pqNames.synchronized {
+      pqNames.computeIfAbsent(model,
+        _ => s"graft_pq_${pqCounter.incrementAndGet()}")
+    } + "_table"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => PqQueryTable(args.head, model), "scala_udf")
+    call_function(name, vec)
+  }
+
+  /** ADC score of (codes, query table) — model-free, statically
+    * registered.
+    */
+  def pqAdcScore(codes: Column, table: Column): Column =
+    call_function("graft_pq_adc_score", codes, table)
+
+  private val pqNames = new java.util.IdentityHashMap[PqModel, String]()
+  private val pqCounter = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -88,6 +88,24 @@ final class DfModel(val sortedWords: Array[String], val dfAt: Array[Long],
   }
 }
 
+/** Trained product-quantization codebook (Jégou et al., TPAMI 2011): the
+  * vector dimension splits into `m` subspaces of `dsub` dims; each
+  * subspace carries its own table of `ksub` sub-centroids over
+  * UNIT-NORMALIZED vectors. Flattened for cache locality: centroid j of
+  * subspace s occupies `flat[(s*ksub + j)*dsub ..+ dsub]`. Bounded like
+  * [[BpeModel]]/[[LmModel]] — the trained artifact of
+  * [[graft.operators.Similarity.trainPq]]; codes index with one byte, so
+  * ksub ≤ 256.
+  */
+final class PqModel(val m: Int, val dsub: Int, val ksub: Int,
+    val flat: Array[Float]) extends Serializable {
+  require(m >= 1 && dsub >= 1, s"need m >= 1, dsub >= 1, got m=$m dsub=$dsub")
+  require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+  require(flat.length == m * ksub * dsub,
+    s"flat codebook length ${flat.length} != m*ksub*dsub = ${m * ksub * dsub}")
+  def dim: Int = m * dsub
+}
+
 /** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
   * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
   * sorted for binary search and `langIdx(i)` is the language index of
@@ -481,6 +499,111 @@ object Kernels {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** PQ-encode a float vector under a trained [[PqModel]]: normalize to
+    * unit length (the cosine contract — reconstruction dot products then
+    * approximate cosine directly), and per subspace pick the L2-NEAREST
+    * sub-centroid (classic PQ assignment; ties break to the smaller id —
+    * strict `<` keeps the first minimum). Returns `m` bytes; null on a
+    * dimension mismatch (degrade the row, never the scan).
+    */
+  def pqEncode(vec: ArrayData, model: PqModel): Array[Byte] = {
+    val dim = model.dim
+    if (vec.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var nrm = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = vec.getFloat(i).toDouble
+      v(i) = x; nrm += x * x; i += 1
+    }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    val m = model.m; val dsub = model.dsub; val ksub = model.ksub
+    val flat = model.flat
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val coff = (s * ksub + j) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v(off + t) - flat(coff + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+
+  /** Per-query ADC lookup table (asymmetric distance computation, Jégou
+    * et al. 2011): `table[s*ksub + j] = dot(q̂_sub_s, centroid(s, j))`
+    * over the unit-normalized query, so `Σ_s table[s*ksub + code_s]` is
+    * the dot of q̂ with the PQ reconstruction of a unit corpus vector —
+    * the cosine approximation. Computed ONCE per query (m × ksub
+    * doubles); each corpus row then costs m array reads instead of a
+    * dim-length dot product. Null on dimension mismatch.
+    */
+  def pqQueryTable(vec: ArrayData, model: PqModel): ArrayData = {
+    val dim = model.dim
+    if (vec.numElements() != dim) return null
+    val q = new Array[Double](dim)
+    var nrm = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = vec.getFloat(i).toDouble
+      q(i) = x; nrm += x * x; i += 1
+    }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    i = 0
+    while (i < dim) { q(i) *= inv; i += 1 }
+    val m = model.m; val dsub = model.dsub; val ksub = model.ksub
+    val flat = model.flat
+    val table = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var j = 0
+      while (j < ksub) {
+        val coff = (s * ksub + j) * dsub
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) { dot += q(off + t) * flat(coff + t); t += 1 }
+        table(s * ksub + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(table)
+  }
+
+  /** ADC score of one corpus code array against one query table:
+    * `Σ_s table[s*ksub + code_s]` (ksub inferred from the lengths).
+    * Sequential double accumulation — deterministic.
+    */
+  def pqAdcScore(codes: Array[Byte], table: ArrayData): Double = {
+    val m = codes.length
+    if (m == 0) return 0.0
+    val ksub = table.numElements() / m
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += table.getDouble(s * ksub + (codes(s) & 0xff))
+      s += 1
+    }
+    sum
   }
 
   private val planeCache =

@@ -406,3 +406,64 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
   override def prettyName: String = "graft_winnow"
 }
+
+/** PQ byte codes of an array<float> vector under a trained [[PqModel]] —
+  * `m` bytes (binary), null on dimension mismatch. Model-parameterized
+  * like [[BpeCount]] (codegen reference object).
+  */
+case class PqEncode(child: Expression, model: PqModel)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqEncode(input.asInstanceOf[ArrayData], model)
+  // nullSafeCodeGen: the kernel returns null on a dimension mismatch, so
+  // the result's null flag must be re-derived (see [[ExtendMatch]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.pqEncode($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** Per-query ADC lookup table under a trained [[PqModel]] →
+  * array<double> of m × ksub dot products; null on dimension mismatch.
+  */
+case class PqQueryTable(child: Expression, model: PqModel)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqQueryTable(input.asInstanceOf[ArrayData], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.pqQueryTable($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqQueryTable =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_query_table"
+}
+
+/** ADC score of (codes binary, query table array<double>) → double —
+  * pure lookups, no model parameter (ksub is inferred from lengths).
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.pqAdcScore(l.asInstanceOf[Array[Byte]], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.pqAdcScore($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_pq_adc_score"
+}

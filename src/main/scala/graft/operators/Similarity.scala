@@ -261,6 +261,132 @@ object Similarity {
     topKPerQuery(filtered, k)
   }
 
+  /** Product-quantization codebook training (Jégou et al., TPAMI 2011):
+    * per-subspace Lloyd's k-means (L2, the classic PQ objective) on a
+    * bounded, seeded corpus sample of UNIT-NORMALIZED vectors — the same
+    * driver-side trained-model recipe as [[trainCentroidsKMeans]] /
+    * BPE / bigram-LM: training cost is O(sampleSize × ksub × dim × iters)
+    * regardless of corpus size, and the artifact (m × ksub × dsub floats)
+    * rides to executors as one codegen reference object. Deterministic in
+    * seed (sample order, first-ksub init, strict-< assignment ties).
+    */
+  def trainPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 10, sampleSize: Int = 10000,
+      seed: Long = 42L): graft.functions.PqModel = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val sample: Array[Array[Double]] = corpus
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .orderBy("__h").limit(sampleSize)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val unit = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val flat = new Array[Float](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val off = s * dsub
+      val subs = unit.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      var cents = subs.take(math.min(ksub, subs.length))
+      // short sample: pad by cycling (duplicates merge to empty cells,
+      // which keep their centroid — harmless, deterministic)
+      while (cents.length < ksub) cents = cents ++ subs.take(ksub - cents.length)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val df = v(t) - cents(j)(t); d += df * df; t += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += v(t); t += 1 }
+        }
+        cents = Array.tabulate(ksub) { j =>
+          if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j))
+        }
+      }
+      for (j <- 0 until ksub; t <- 0 until dsub)
+        flat((s * ksub + j) * dsub + t) = cents(j)(t).toFloat
+    }
+    new graft.functions.PqModel(m, dsub, ksub, flat)
+  }
+
+  /** PQ-ADC approximate top-k (the flat-scan form; compose with IVF cells
+    * for the full IVF-PQ recipe): the corpus is ENCODED ONCE to m-byte
+    * codes — a 4·dim/m-fold compression (dim=64, m=8: 32× smaller than
+    * the float vectors) that is what makes a 100 TB embedding corpus
+    * scannable at interactive rates — and every query precomputes its
+    * m × ksub ADC lookup table so scoring a corpus row costs m array
+    * reads, not a dim-length dot product.
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: queries (with tables)
+    * broadcast, the code scan is map-side, TopKAgg partial-aggregates to
+    * ≤ k entries per query per partition — shuffle volume is
+    * partitions × |queries| × k regardless of corpus size; corpus
+    * vectors are read once by the encoder and never shuffled. Scores are
+    * approximate cosine (reconstruction dot products over unit vectors);
+    * rank/tie contract matches the other ANN variants.
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, model: graft.functions.PqModel,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.ensure(spark)
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      GraftFunctions.pqEncode(spark, col(vecCol), model).as("codes"))
+    val qt = queries.select(col(qIdCol).cast("long").as("query_id"),
+      GraftFunctions.pqQueryTable(spark, col(qVecCol), model).as("qtab"))
+    val scored = codes.crossJoin(broadcast(qt))
+      .withColumn("score", GraftFunctions.pqAdcScore(col("codes"), col("qtab")))
+    val filtered =
+      if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
+    topKPerQuery(filtered, k)
+  }
+
+  /** PQ shortlist + EXACT rerank — the standard production recipe: the
+    * compressed-code scan shortlists `shortlistK` candidates per query
+    * (approximate, cheap), then ONLY those candidates' true vectors are
+    * fetched and scored with exact cosine. The vector fetch is a join of
+    * the narrow (query_id, neighbor_id) shortlist against the corpus —
+    * broadcast-sized (|queries| × shortlistK rows), so corpus vectors
+    * are probed map-side and never shuffled (same join direction as
+    * [[lshTopK]]'s scoring). Scores in the result are EXACT cosine;
+    * recall equals the probability the true top-k survived the
+    * shortlist, which the PQ recall contract pins.
+    */
+  def pqTopKExactRerank(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, shortlistK: Int, model: graft.functions.PqModel,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(shortlistK >= k, s"shortlistK ($shortlistK) must be >= k ($k)")
+    val spark = corpus.sparkSession
+    GraftFunctions.ensure(spark)
+    val shortlist = pqTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+        shortlistK, model, excludeSelf)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
+    val rescored = c
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
+    topKPerQuery(rescored, k)
+  }
+
   /** Shared tail: bounded top-k per query (TopKAgg partial-aggregates
     * map-side), exploded to (query_id, rank, neighbor_id, score) rows.
     */

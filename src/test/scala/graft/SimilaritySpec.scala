@@ -132,6 +132,75 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(run(1) === run(64 * 1024))
   }
 
+  test("pqTopK reaches usable recall against brute force and is deterministic") {
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    def run() = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = run()
+    // recall@10 of the true top-5 — the standard over-fetch regime
+    // (request 2k PQ candidates, exact-rerank k downstream)
+    val found = got.map(r => (r._1, r._3)).toSet
+    val ref = reference.map { case (q, _, n) => (q, n) }
+    val recall = ref.intersect(found).size.toDouble / ref.size
+    assert(recall >= 0.6, s"recall $recall")
+    assert(run().toSeq === got.toSeq, "pqTopK must be deterministic")
+  }
+
+  test("pq codes are m bytes and ADC scores approximate cosine") {
+    GraftFunctions.ensure(spark)
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    assert(model.m === 16 && model.dsub === 4 && model.ksub === 32)
+    val codes = emb.select(
+      GraftFunctions.pqEncode(spark, col("embedding"), model).as("c")).collect()
+    assert(codes.forall(_.getAs[Array[Byte]](0).length === 16))
+    // ADC score vs exact cosine: mean absolute error small on unit data
+    val pairs = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, model)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select(col("score"), GraftFunctions.cosineSim(col("nv"), col("qv")).as("exact"))
+      .collect().map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    val mae = pairs.sum / pairs.length
+    assert(mae < 0.15, s"ADC mean absolute error $mae")
+  }
+
+  test("pqTopK scans codes map-side — corpus never shuffles before the partial agg") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val df = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, model)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!plan.contains("hashpartitioning(neighbor_id"),
+        "corpus shuffled on neighbor_id:\n" + plan)
+      // the only exchange is the bounded per-query partial-agg shuffle
+      assert(plan.contains("hashpartitioning(query_id"),
+        "expected the TopKAgg partial shuffle on query_id:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pqTopKExactRerank with a generous shortlist recovers brute force exactly") {
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    val n = emb.count().toInt
+    // shortlist = whole corpus → the rerank IS brute force (scores exact)
+    val full = Similarity.pqTopKExactRerank(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, shortlistK = n, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === reference)
+    // a realistic shortlist keeps exact scores for whatever it returns
+    val quick = Similarity.pqTopKExactRerank(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, shortlistK = 50, model)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select(col("score"), GraftFunctions.cosineSim(col("nv"), col("qv")).as("exact"))
+      .collect()
+    assert(quick.forall(r => r.getDouble(0) === r.getDouble(1)),
+      "rerank scores must be exact cosine")
+  }
+
   test("scores are descending per query with deterministic tie order") {
     val rows = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5)
