@@ -18,6 +18,18 @@ object SparkEntry {
 
   private def wh(s: SparkSession, dir: String) = Warehouse(s, dir)
 
+  /** Per-process scratch dir for contract rows that materialize to disk:
+    * keyed by the input dir AND the JVM pid, so two concurrent runs
+    * against the same sfDir (e.g. Bench and Verify) never overwrite each
+    * other's files mid-read (r6 ADVICE). Within one process reuse is
+    * safe — every write is mode=overwrite and rows run sequentially.
+    */
+  private lazy val pidToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid())
+  private def scratch(prefix: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${
+      java.lang.Integer.toHexString(dir.hashCode)}_$pidToken"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q1(spark, "/root/testdata/sf0.001")
@@ -1311,8 +1323,7 @@ object SparkEntry {
     import org.apache.spark.sql.types._
     val w = wh(s, dir)
     val n = w.loadTable("nation")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_io_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("io", dir)
     w.saveDf(n, s"$tmp/csv", format = "csv")
     w.saveDf(n, s"$tmp/json", format = "json")
     w.saveDf(n, s"$tmp/orc", format = "orc")
@@ -1407,16 +1418,18 @@ object SparkEntry {
     * n = 64 + id%64 samples) is written as a PCM16LE mono 8 kHz WAV by
     * the JDK's `javax.sound.sampled` RIFF writer, then parsed back by
     * [[Multimodal.decodeAudio]] — actual container+PCM codec work. Sample
-    * rate, channel count, sample count, mean |amplitude| (exact integer
-    * sum, one double division), and peak are closed-form functions of
-    * doc_id the oracle recomputes arithmetically. n_bytes is excluded
-    * (RIFF header layout is writer-version-dependent).
+    * rate, channel count, frame count, mean |amplitude| of channel 0
+    * (exact integer sum, one double division), and first-channel peak are
+    * closed-form functions of doc_id the oracle recomputes
+    * arithmetically (mono fixture: frames == samples, ch0 == the only
+    * channel). n_bytes is excluded (RIFF header layout is
+    * writer-version-dependent).
     */
   private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents").select("doc_id")
     Multimodal.decodeAudio(Multimodal.attachWav(docs, "doc_id"), "id", "media")
       .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
-        col("n_samples"), col("mean_abs"), col("peak"))
+        col("n_frames"), col("mean_abs_ch0"), col("peak_ch0"))
       .orderBy("doc_id")
   }
 
@@ -1435,8 +1448,7 @@ object SparkEntry {
     */
   private def qNamespace(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ns_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("ns", dir)
     val nsA = "graft_nsa"
     val nsB = "graft_nsb"
     w.saveTable(w.loadTable("nation").filter(col("n_nationkey") < 10),
@@ -1467,8 +1479,7 @@ object SparkEntry {
     */
   private def qTableLifecycle(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tbl_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("tbl", dir)
     w.saveTable(w.loadTable("nation"), tmp, "t1", "overwrite")
     w.saveTable(w.loadTable("nation"), tmp, "t1", "append")
     w.saveTable(w.loadTable("nation"), tmp, "t2", "overwrite")
@@ -1501,8 +1512,7 @@ object SparkEntry {
     */
   private def qPersistTable(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_persist_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("persist", dir)
     val agg = w.loadTable("nation")
       .join(w.loadTable("region"), expr("n_regionkey = r_regionkey"))
       .groupBy("r_name").agg(count(lit(1)).as("n_nations"),
@@ -1530,8 +1540,7 @@ object SparkEntry {
     */
   private def qSpecialColumns(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_weird_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("weird", dir)
     def enc(n: String) = Warehouse.encodeColumnName(n)
     val weird = w.loadTable("nation").select(
       col("n_nationkey").as("a b"), col("n_name").as("select"),
@@ -1552,8 +1561,7 @@ object SparkEntry {
   private def qIoParquet(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
     val n = w.loadTable("nation")
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_par_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("par", dir)
     w.saveDf(n.filter(col("n_regionkey") < 2), s"$tmp/p1", format = "parquet")
     w.saveDf(n.filter(col("n_regionkey") >= 2), s"$tmp/p2", format = "parquet")
     w.loadDf(Seq(s"$tmp/p1", s"$tmp/p2"), "parquet", None, header = true)
@@ -1608,8 +1616,7 @@ object SparkEntry {
     */
   private def qAnalyzeStats(s: SparkSession, dir: String): DataFrame = {
     val w = wh(s, dir)
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stats_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    val tmp = scratch("stats", dir)
     val ns = "graft_stats"
     w.saveTable(w.loadTable("nation"), tmp, s"$ns.nation", "overwrite")
     val w2 = Warehouse(s, tmp)
@@ -2581,9 +2588,9 @@ object SparkEntry {
         |s AS (SELECT doc_id, ((i * 37 + doc_id * 11) % 65536) - 32768 AS v
         |      FROM dims JOIN idx ON i < n)
         |SELECT d.doc_id, cast(8000 AS bigint) AS sample_rate,
-        | cast(1 AS bigint) AS channels, d.n AS n_samples,
-        | cast(sum(abs(v)) AS double) / d.n AS mean_abs,
-        | cast(max(abs(v)) AS bigint) AS peak
+        | cast(1 AS bigint) AS channels, d.n AS n_frames,
+        | cast(sum(abs(v)) AS double) / d.n AS mean_abs_ch0,
+        | cast(max(abs(v)) AS bigint) AS peak_ch0
         |FROM dims d JOIN s USING (doc_id)
         |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin,
     "q_namespace" ->

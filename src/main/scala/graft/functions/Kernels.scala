@@ -592,15 +592,25 @@ object Kernels {
   /** ADC score of one corpus code array against one query table:
     * `Σ_s table[s*ksub + code_s]` (ksub inferred from the lengths).
     * Sequential double accumulation — deterministic.
+    *
+    * Codes and tables built under DIFFERENT PqModels (mismatched m or
+    * ksub) degrade to 0.0 — the same degrade-the-row contract as
+    * pqEncode/pqQueryTable's null on dim mismatch — instead of silently
+    * mis-striding the lookup or throwing mid-scan: a table length that
+    * m doesn't divide, or a code beyond the inferred ksub, scores 0.
     */
   def pqAdcScore(codes: Array[Byte], table: ArrayData): Double = {
     val m = codes.length
     if (m == 0) return 0.0
-    val ksub = table.numElements() / m
+    val n = table.numElements()
+    if (n == 0 || n % m != 0) return 0.0
+    val ksub = n / m
     var sum = 0.0
     var s = 0
     while (s < m) {
-      sum += table.getDouble(s * ksub + (codes(s) & 0xff))
+      val c = codes(s) & 0xff
+      if (c >= ksub) return 0.0
+      sum += table.getDouble(s * ksub + c)
       s += 1
     }
     sum

@@ -124,6 +124,7 @@ object Multimodal {
     val (w, h) = plantedDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
       var x = 0
@@ -131,23 +132,43 @@ object Multimodal {
         val r = ((x * 7 + id) % 256).toInt
         val g = ((y * 11 + id) % 256).toInt
         val b = ((x + y + id) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        row(x) = (r << 16) | (g << 8) | b
         x += 1
       }
+      img.setRGB(0, y, w, 1, row, 0, w)
       y += 1
     }
     img
   }
 
-  /** Encode the planted image for `id` in `fmt` (png/bmp lossless; jpg/gif
-    * lossy — dims survive, pixel stats don't).
+  /** Every planted-fixture formula reduces `id` mod small constants
+    * (pixels mod 256, dims mod 16, frame count mod 6), so the encoded
+    * bytes are a pure function of `id mod 768` (= lcm(256, 16, 6)).
+    * Encoded fixtures are cached per process on that key: a 5000-doc
+    * corpus costs ≤ 768 real encodes instead of 5000 per bench rep — the
+    * r6 verdict measured attachTiffClip's re-encoding as ~90% of
+    * q_multimodal_frames' bench cost. Bounded: ≤ 768 entries per fmt,
+    * each a few KB. Negative ids (Scala % would go negative) bypass the
+    * cache and encode directly.
     */
-  def encodeImage(id: Long, fmt: String = "png"): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(plantedImage(id), fmt, bos)
-    require(ok, s"no ImageIO writer for format '$fmt'")
-    bos.toByteArray
-  }
+  private val fixtureCycle = 768L
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Byte]]()
+  private def cachedFixture(kind: String, id: Long)(enc: Long => Array[Byte]): Array[Byte] =
+    if (id < 0) enc(id)
+    else fixtureCache.computeIfAbsent((kind, id % fixtureCycle), _ => enc(id % fixtureCycle))
+
+  /** Encode the planted image for `id` in `fmt` (png/bmp lossless; jpg/gif
+    * lossy — dims survive, pixel stats don't). Process-cached on
+    * `id mod 768` (see [[cachedFixture]]).
+    */
+  def encodeImage(id: Long, fmt: String = "png"): Array[Byte] =
+    cachedFixture(s"img_$fmt", id) { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(plantedImage(i), fmt, bos)
+      require(ok, s"no ImageIO writer for format '$fmt'")
+      bos.toByteArray
+    }
 
   /** Attach a real encoded image per row (deterministic in `idCol`) — the
     * fixture generator for [[decodeImage]]'s end-to-end oracle. Runs
@@ -266,24 +287,29 @@ object Multimodal {
       batch.map { case (id, bytes) =>
         val sizeOnly = Row(id, null, null, null, bytes.length.toLong, null, null, null)
         try {
+          // reader.dispose() does not close its input stream — close iis
+          // explicitly (memory-backed with setUseCache(false), but still a
+          // per-row resource)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) sizeOnly
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
-              val img = reader.read(0)
-              val w = img.getWidth
-              val h = img.getHeight
-              val (sr, sg, sb) = channelSums(img)
-              val n = w.toLong * h
-              Row(id, w.toLong, h.toLong, fmt, bytes.length.toLong,
-                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
-            } finally reader.dispose()
-          }
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) sizeOnly
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+                val img = reader.read(0)
+                val w = img.getWidth
+                val h = img.getHeight
+                val (sr, sg, sb) = channelSums(img)
+                val n = w.toLong * h
+                Row(id, w.toLong, h.toLong, fmt, bytes.length.toLong,
+                  sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case _: Exception => sizeOnly }
       }
     }
@@ -313,6 +339,7 @@ object Multimodal {
     val (w, h) = plantedDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
       var x = 0
@@ -320,9 +347,10 @@ object Multimodal {
         val r = ((x * 7 + id + 13L * f) % 256).toInt
         val g = ((y * 11 + id + 17L * f) % 256).toInt
         val b = ((x + y + id + f) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        row(x) = (r << 16) | (g << 8) | b
         x += 1
       }
+      img.setRGB(0, y, w, 1, row, 0, w)
       y += 1
     }
     img
@@ -332,8 +360,12 @@ object Multimodal {
     * `javax.imageio` TIFF plugin (writeToSequence) — a real multi-frame
     * container, the stand-in for video (ffmpeg absent; the sampling and
     * per-frame decode below are the real operators either way).
+    * Process-cached on `id mod 768` (see [[cachedFixture]]).
     */
-  def encodeTiffClip(id: Long): Array[Byte] = {
+  def encodeTiffClip(id: Long): Array[Byte] =
+    cachedFixture("tiff", id)(encodeTiffClipUncached)
+
+  private def encodeTiffClipUncached(id: Long): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -376,46 +408,54 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       batch.flatMap { case (id, bytes) =>
         try {
+          // close iis explicitly (dispose() leaves it open) — the frame
+          // rows are built strictly before the finally runs
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Iterator.empty
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val n = reader.getNumImages(true)
-              val idxs: Seq[Int] =
-                if (n <= 0) Seq.empty
-                else if (n <= k) 0 until n
-                else (0 until k).map(i => (i.toLong * n / k).toInt)
-              idxs.map { fi =>
-                val img = reader.read(fi)
-                val (w, h) = (img.getWidth, img.getHeight)
-                val (sr, sg, sb) = channelSums(img)
-                val np = w.toLong * h
-                Row(id, n.toLong, fi.toLong, w.toLong, h.toLong,
-                  sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
-              }.iterator
-            } finally reader.dispose()
-          }
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val idxs: Seq[Int] =
+                  if (n <= 0) Seq.empty
+                  else if (n <= k) 0 until n
+                  else (0 until k).map(i => (i.toLong * n / k).toInt)
+                idxs.map { fi =>
+                  val img = reader.read(fi)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val (sr, sg, sb) = channelSums(img)
+                  val np = w.toLong * h
+                  Row(id, n.toLong, fi.toLong, w.toLong, h.toLong,
+                    sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+                }.iterator
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case _: Exception => Iterator.empty }
       }
     }
 
   // ---- real audio decode (javax.sound.sampled, JDK-builtin) -------------
 
-  /** Output schema of [[decodeAudio]]. `mean_abs` is an exact long sum of
+  /** Output schema of [[decodeAudio]]. `n_frames` counts sample FRAMES
+    * (one per time step, all channels together); `mean_abs_ch0`/`peak_ch0`
+    * are measured over the FIRST channel of each frame only — the names
+    * carry the semantics so stereo input can't mislead downstream
+    * consumers (r6 ADVICE). `mean_abs_ch0` is an exact long sum of
     * |sample| divided once — bit-reproducible across runs and engines.
     */
   val audioSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("sample_rate", LongType),
     StructField("channels", LongType),
-    StructField("n_samples", LongType),
+    StructField("n_frames", LongType),
     StructField("n_bytes", LongType),
-    StructField("mean_abs", DoubleType),
-    StructField("peak", LongType)))
+    StructField("mean_abs_ch0", DoubleType),
+    StructField("peak_ch0", LongType)))
 
   /** Planted waveform: n = 64 + id%64 samples, sample i =
     * ((37·i + 11·id) mod 65536) − 32768 — integer arithmetic only, so an
@@ -460,9 +500,10 @@ object Multimodal {
 
   /** REAL audio decode: parse each binary with
     * `javax.sound.sampled.AudioSystem` (JDK-builtin — WAV/AIFF/AU PCM),
-    * emitting sample rate, channel count, sample count, and amplitude
-    * statistics (mean |sample| as an exact long sum over the decoded
-    * PCM16 frames, one double division; peak = max |sample|). Map-side
+    * emitting sample rate, channel count, frame count, and
+    * first-channel amplitude statistics (mean |sample| of channel 0 as
+    * an exact long sum over the decoded PCM16 frames, one double
+    * division; peak_ch0 = max |sample| of channel 0). Map-side
     * per partition batch; unparseable bytes degrade to size-only rows.
     * Lossy/compressed codecs (mp3/aac) need ffmpeg, which this container
     * lacks — those bytes take the degrade path by construction.

@@ -165,10 +165,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       val samples = Multimodal.plantedSamples(id)
       assert(r.getAs[Long]("sample_rate") === 8000L)
       assert(r.getAs[Long]("channels") === 1L)
-      assert(r.getAs[Long]("n_samples") === samples.length.toLong)
+      assert(r.getAs[Long]("n_frames") === samples.length.toLong)
       val sumAbs = samples.map(s => math.abs(s.toLong)).sum
-      assert(r.getAs[Double]("mean_abs") === sumAbs.toDouble / samples.length)
-      assert(r.getAs[Long]("peak") === samples.map(s => math.abs(s.toLong)).max)
+      assert(r.getAs[Double]("mean_abs_ch0") === sumAbs.toDouble / samples.length)
+      assert(r.getAs[Long]("peak_ch0") === samples.map(s => math.abs(s.toLong)).max)
     }
     val junk = Seq((7L, "certainly not audio data here")).toDF("id", "s")
       .withColumn("media", col("s").cast("binary"))
