@@ -655,6 +655,33 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash RECALL, oracle-checked: every pair with EXACT trigram
+    * jaccard ≥ 0.7 (recomputed all-pairs by DuckDB — the
+    * [[qMinhashRecall]] ground truth) must be surfaced by the simhash
+    * pass at hamming radius 14. The radius is measured, not guessed: on
+    * the driver corpora the worst j ≥ 0.7 pair sits at hamming 12
+    * (sf0.1; 9 at sf0.001, 8 at sf0.01), and 64-bit simhash concentrates
+    * hamming ≈ 32·(1-sim) with σ ≈ 4, so 14 carries ~2σ of margin while
+    * the block decomposition stays pigeonhole-EXACT for the radius
+    * (15 blocks → any pair within hamming 14 shares a block verbatim).
+    * The headline operator row (q_dedup_simhash) keeps the production
+    * radius 3; this contract row buys the wide radius's bucket flooding
+    * (32-value blocks) only at test scale, where it is cheap.
+    */
+  private def qSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val found = Dedup.simhash(docs, "doc_id", "text",
+        shingleWidth = 3, maxHamming = 14)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_simhash"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash RECALL, oracle-checked: every pair with EXACT trigram
     * jaccard ≥ 0.7 (recomputed all-pairs by DuckDB) must be found by the
     * est ≥ 0.5 minhash pass. Two miss terms, both tiny and both FROZEN by
@@ -1060,6 +1087,49 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composed top-k (cell routing + ADC scan + exact rerank —
+    * the billion-vector production recipe): seeded codebook and
+    * centroids → deterministic rows; approximate shortlist isn't
+    * DuckDB-replayable, so this row is rows-only — its recall is
+    * oracle-pinned by [[qIvfpqRecall]].
+    */
+  private def qAnnIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, model, numCells = 16, numProbe = 6, rerankShortlistK = 50)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ recall contract, oracle-checked: every DuckDB-exact top-2
+    * neighbor over the planted corpus ([[planted2Clones]]) must appear
+    * in the composed IVF-PQ top-20 (16 cells / 6 probes, m=32 ksub=64
+    * codebook, pure ADC — no rerank, so the contract pins the composed
+    * index itself). Two independent miss terms, both tiny: the clone's
+    * cell unprobed (measured 0 at probe=4, we run 6) and ADC error
+    * demoting a cosine ≥ 0.94 clone below rank 20 (ADC error ≈ 0.05 ≪
+    * the 0.3+ clone/noise gap).
+    */
+  private def qIvfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val aug = planted2Clones(emb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = Similarity.trainPq(aug, "vec_id", "embedding", m = 32, ksub = 64)
+    val found = Similarity.ivfPqTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 20, model,
+        numCells = 16, numProbe = 6)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    exact.join(found, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        coalesce(col("__hit"), lit(false)).as("found_by_ivfpq"))
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ recall contract, oracle-checked: every DuckDB-exact top-2 cosine
     * neighbor of each query must appear in the PQ top-20 (the standard
     * over-fetch regime: PQ shortlists ~10k, exact-rerank picks k). DuckDB
@@ -1082,6 +1152,108 @@ object SparkEntry {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         coalesce(col("__hit"), lit(false)).as("found_by_pq"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Planted ANN ground truth: the raw embeddings are near-orthogonal
+    * random vectors (max natural pair cosine ≈ 0.6), so "exact top-k in
+    * approximate top-K" would test the low-recall noise regime no index
+    * is built for. The recall contracts therefore PLANT near-neighbors —
+    * two clones per query, each zeroing ONE element of the query vector
+    * (cosine ≥ 0.94 to its query; zeroing is exact in both float32 and
+    * float64, so DuckDB rebuilds bit-identical vectors by list slicing
+    * and recomputes the exact top-2, which is precisely the clone pair).
+    * Clone ids: 1000000 + 2·q + j, zeroed element: 2·q + j — disjoint
+    * per clone, so the two clones' scores never tie.
+    */
+  private def planted2Clones(emb: DataFrame): DataFrame = {
+    def clone(j: Int) = emb.filter(col("vec_id") < 8)
+      .select((lit(1000000L + j) + col("vec_id") * 2).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> IF(i = vec_id * 2 + $j, CAST(0 AS FLOAT), x))")
+          .as("embedding"))
+    emb.select("vec_id", "embedding").unionByName(clone(0)).unionByName(clone(1))
+  }
+
+  /** LSH top-k recall contract, oracle-checked: every DuckDB-exact top-2
+    * neighbor over the planted corpus ([[planted2Clones]]) must appear in
+    * the hyperplane-LSH top-20 at the DEFAULT index params (8 bits × 16
+    * tables). At clone similarity (cosine ≥ 0.94 → per-bit agreement
+    * p ≥ 0.89) the per-table collision prob is p⁸ ≥ 0.4, so a clone
+    * misses all 16 tables with prob ≤ (0.6)¹⁶ ≈ 3e-4 — and the seeded
+    * hyperplanes make the outcome deterministic on given data (measured:
+    * 0 misses at all three SFs).
+    */
+  private def qLshTopkRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val aug = planted2Clones(emb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val found = Similarity.lshTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 20, numBits = 8, numTables = 16)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    exact.join(found, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF top-k recall contract, oracle-checked like [[qLshTopkRecall]]:
+    * every DuckDB-exact top-2 neighbor over the planted corpus must
+    * appear in the IVF top-20 at the headline params (16 cells, 6
+    * probes — q_ann_ivf's). A clone at cosine ≥ 0.94 to its query
+    * assigns to the query's own nearest cell (or one adjacent), which
+    * the 6-probe always visits; measured 0 misses at all three SFs with
+    * margin (probe=4 is already clean).
+    */
+  private def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val aug = planted2Clones(emb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val found = Similarity.ivfTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 20, numCells = 16, numProbe = 6)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    exact.join(found, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        coalesce(col("__hit"), lit(false)).as("found_by_ivf"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup PAIR recall contract, oracle-checked: one clone
+    * per vec_id < 16 (zero element id mod 64, clone id 2000000 + id —
+    * same exact-in-both-engines construction as [[planted2Clones]])
+    * yields exactly 16 planted pairs at cosine ≥ 0.94; every pair with
+    * exact cosine ≥ 0.7 involving a clone (DuckDB recomputes corpus ×
+    * clones — the only ≥ 0.7 pairs, since natural pairs top out ≈ 0.6)
+    * must be surfaced by [[Dedup.embeddingNearDup]] at its DEFAULT
+    * params (threshold 0.5, 8 bits × 16 tables; measured 0 misses at
+    * all three SFs, margin per pair ≈ 3e-4 as in [[qLshTopkRecall]]).
+    */
+  private def qEmbeddingRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val emb = wh(s, dir).loadTable("embeddings")
+    val clones = emb.filter(col("vec_id") < 16)
+      .select((lit(2000000L) + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = vec_id % 64, CAST(0 AS FLOAT), x))")
+          .as("embedding"))
+    val aug = emb.select("vec_id", "embedding").unionByName(clones)
+    val exact = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(broadcast(
+        clones.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", GraftFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("__cos") >= 0.7)
+      .select("id_a", "id_b")
+    val found = Dedup.embeddingNearDup(aug, "vec_id", "embedding",
+        threshold = 0.5, numBits = 8, numTables = 16)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+      .orderBy("id_a", "id_b")
   }
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1706,17 +1878,23 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_weighted" -> (qDedupSimhashWeighted _),
+    "q_simhash_recall" -> (qSimhashRecall _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_embedding_recall" -> (qEmbeddingRecall _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_lsh_topk_recall" -> (qLshTopkRecall _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ivf_recall" -> (qIvfRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_pq_recall" -> (qPqRecall _),
+    "q_ann_ivfpq" -> (qAnnIvfpq _),
+    "q_ivfpq_recall" -> (qIvfpqRecall _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2077,6 +2255,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // the simhash recall CONTRACT: exact jaccard >= 0.7 ground truth
+    // (recomputed all-pairs), every pair must be found at radius 14
+    "q_simhash_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.g, b.g)) AS i,
+        |  len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, true AS found_by_simhash FROM pairs
+        |WHERE cast(i AS double) / u >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_recall" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |grams AS (SELECT doc_id,
@@ -2268,6 +2461,84 @@ object SparkEntry {
         |           FROM scored)
         |SELECT query_id, rank, neighbor_id, true AS found_by_pq
         |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    // LSH/IVF recall CONTRACTS over the PLANTED corpus: two clones per
+    // query (clone j of query q zeroes element 2q+j — exact in float and
+    // double, so the slice-rebuilt vectors match Spark's bit-for-bit),
+    // exact top-2 recomputed over corpus+clones, literal-true found flag
+    "q_lsh_topk_recall" ->
+      """WITH clones AS (
+        |  SELECT 1000000 + 2*vec_id + j.j AS vec_id,
+        |    embedding[1:(2*vec_id + j.j)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(2*vec_id + j.j + 2):] AS embedding
+        |  FROM embeddings, (SELECT unnest([0, 1]) AS j) j WHERE vec_id < 8),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM aug),
+        |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, true AS found_by_lsh
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_recall" ->
+      """WITH clones AS (
+        |  SELECT 1000000 + 2*vec_id + j.j AS vec_id,
+        |    embedding[1:(2*vec_id + j.j)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(2*vec_id + j.j + 2):] AS embedding
+        |  FROM embeddings, (SELECT unnest([0, 1]) AS j) j WHERE vec_id < 8),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM aug),
+        |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, true AS found_by_ivf
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    "q_ivfpq_recall" ->
+      """WITH clones AS (
+        |  SELECT 1000000 + 2*vec_id + j.j AS vec_id,
+        |    embedding[1:(2*vec_id + j.j)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(2*vec_id + j.j + 2):] AS embedding
+        |  FROM embeddings, (SELECT unnest([0, 1]) AS j) j WHERE vec_id < 8),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM aug),
+        |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, true AS found_by_ivfpq
+        |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    // embedding near-dup PAIR recall CONTRACT: one clone per vec_id < 16
+    // (zero element id mod 64), exact cosine >= 0.7 pairs involving a
+    // clone recomputed corpus x clones, literal-true found flag
+    "q_embedding_recall" ->
+      """WITH clones AS (
+        |  SELECT 2000000 + vec_id AS vec_id,
+        |    embedding[1:(vec_id % 64)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(vec_id % 64 + 2):] AS embedding
+        |  FROM embeddings WHERE vec_id < 16),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM aug a, clones b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, true AS found_by_lsh FROM pairs
+        |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

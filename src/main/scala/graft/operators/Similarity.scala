@@ -181,24 +181,14 @@ object Similarity {
     centroids.map(_.map(_.toFloat).toSeq)
   }
 
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
-      excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024,
-      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
-    val spark = corpus.sparkSession
-    GraftFunctions.ensure(spark)
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
-    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
-    // Deterministic uniform sample as centroids, collected to the driver —
-    // the centroid set is the (bounded) trained model of IVF. Materializing
-    // it lets nearest-cell assignment run as a pure map-side expression
-    // over literals: no crossJoin, no window, no shuffle. The literal form
-    // only scales to modest models (the plan embeds numCells × dim floats
-    // twice); beyond the cap, assignment falls back to a broadcast join +
-    // max_by aggregation — one narrow shuffle on the id, no giant plan.
-    val centroids: Array[(Int, Seq[Float])] = trainedCentroids match {
+  /** Deterministic uniform sample as centroids, collected to the driver —
+    * the centroid set is the (bounded) trained model of IVF. Empty result
+    * means an empty corpus.
+    */
+  private def selectCentroids(
+      c: DataFrame, numCells: Int, seed: Long,
+      trainedCentroids: Option[Array[Seq[Float]]]): Array[(Int, Seq[Float])] =
+    trainedCentroids match {
       case Some(cs) => cs.zipWithIndex.map { case (v, i) => (i, v) }
       case None => c
         .withColumn("__h", xxhash64(col("neighbor_id"), lit(seed)))
@@ -206,12 +196,21 @@ object Similarity {
         .select("nbr_vec").collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
     }
-    if (centroids.isEmpty) {
-      // empty corpus → empty result, with the contract schema
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long, Double)]
-        .toDF("query_id", "rank", "neighbor_id", "score")
-    }
+
+  /** Shared IVF cell routing: corpus rows → their single nearest cell,
+    * queries → their `numProbe` nearest cells (exploded). Materialized
+    * centroids let assignment run as a pure map-side expression over
+    * literals: no crossJoin, no window, no shuffle. The literal form only
+    * scales to modest models (the plan embeds numCells × dim floats
+    * twice); beyond the cap, assignment falls back to a broadcast join +
+    * max_by aggregation — one narrow shuffle on the id, no giant plan.
+    * Tie-breaking is identical on both paths (max over struct(sim, cell)
+    * picks the LARGEST cell id on exact score ties).
+    */
+  private def assignCells(
+      c: DataFrame, q: DataFrame, centroids: Array[(Int, Seq[Float])],
+      numProbe: Int, literalModelLimit: Int): (DataFrame, DataFrame) = {
+    val spark = c.sparkSession
     val dim = centroids.head._2.length
     val literalOk = centroids.length.toLong * dim <= literalModelLimit
     val (assigned, probed) =
@@ -232,10 +231,6 @@ object Similarity {
         val cellDf = broadcast(spark.createDataFrame(centroids.map {
           case (i, v) => (i, v)
         }.toSeq).toDF("cell", "centroid"))
-        // Tie-breaking matches the literal path: max over struct(sim, cell)
-        // picks the LARGEST cell id on exact score ties (array_max does the
-        // same lexicographic compare), so results are identical whichever
-        // side of literalModelLimit the model lands on.
         val a = c.crossJoin(cellDf)
           .withColumn("__sim", GraftFunctions.cosineSim(col("nbr_vec"), col("centroid")))
           .groupBy("neighbor_id")
@@ -250,6 +245,27 @@ object Similarity {
           .select("query_id", "query_vec", "cell")
         (a, p)
       }
+    (assigned, probed)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
+      excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024,
+      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.ensure(spark)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
+    val centroids = selectCentroids(c, numCells, seed, trainedCentroids)
+    if (centroids.isEmpty) {
+      // empty corpus → empty result, with the contract schema
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    }
+    val (assigned, probed) = assignCells(c, q, centroids, numProbe, literalModelLimit)
     // each corpus row lives in exactly one cell and probed cells are
     // distinct, so (query, neighbor) pairs are already unique: no dedup
     val scored = assigned
@@ -259,6 +275,76 @@ object Similarity {
     val filtered =
       if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
     topKPerQuery(filtered, k)
+  }
+
+  /** IVF-PQ composed top-k — the standard billion-vector production
+    * recipe (Jégou et al., TPAMI 2011, §IV): route every corpus vector
+    * to its nearest IVF cell AND compress it to an m-byte PQ code in the
+    * SAME map-side pass; each query probes its `numProbe` nearest cells
+    * and ADC-scans only those cells' codes. Combines the two scale
+    * levers multiplicatively: IVF cuts the scanned fraction to
+    * ~numProbe/numCells, PQ cuts bytes-per-scanned-row by 4·dim/m — at
+    * 100 TB of float32 embeddings (dim 64, m 16, 16 cells, 4 probes)
+    * the per-query scan touches ~1.6 TB of codes instead of 100 TB of
+    * vectors.
+    *
+    * Plan shape: corpus vectors are read ONCE (cell argmax + pqEncode,
+    * both codegen map-side), never shuffled — the probed queries (with
+    * their ADC tables) broadcast to the codes, and TopKAgg
+    * partial-aggregates each partition to ≤ k entries per query before
+    * the single bounded shuffle (asserted in SimilaritySpec).
+    *
+    * `rerankShortlistK > 0` switches on the exact tail: the ADC pass
+    * shortlists that many candidates per query, then only those
+    * candidates' true vectors are fetched (broadcast probe of the
+    * corpus, same as [[pqTopKExactRerank]]) and rescored with exact
+    * cosine — scores in the result are then EXACT. With the default 0
+    * the result carries approximate ADC scores.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, model: graft.functions.PqModel,
+      numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
+      excludeSelf: Boolean = true, rerankShortlistK: Int = 0,
+      literalModelLimit: Int = 64 * 1024,
+      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+    require(rerankShortlistK == 0 || rerankShortlistK >= k,
+      s"rerankShortlistK ($rerankShortlistK) must be 0 (off) or >= k ($k)")
+    val spark = corpus.sparkSession
+    GraftFunctions.ensure(spark)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))
+    val centroids = selectCentroids(c, numCells, seed, trainedCentroids)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    }
+    val (assigned, probed) = assignCells(c, q, centroids, numProbe, literalModelLimit)
+    // one pass over corpus vectors: cell id + m-byte code, vector dropped
+    val codes = assigned.select(col("cell"), col("neighbor_id"),
+      GraftFunctions.pqEncode(spark, col("nbr_vec"), model).as("codes"))
+    // ADC table per probed (query, cell) row — numProbe copies of an
+    // m × ksub double table per query, still broadcast-trivial
+    val qtabs = probed.select(col("cell"), col("query_id"),
+      GraftFunctions.pqQueryTable(spark, col("query_vec"), model).as("qtab"))
+    val scored = codes
+      .join(broadcast(qtabs), "cell")
+      .withColumn("score", GraftFunctions.pqAdcScore(col("codes"), col("qtab")))
+      .select("query_id", "neighbor_id", "score")
+    val filtered =
+      if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
+    if (rerankShortlistK == 0) topKPerQuery(filtered, k)
+    else {
+      val shortlist = topKPerQuery(filtered, rerankShortlistK)
+        .select("query_id", "neighbor_id")
+      val rescored = c
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
+      topKPerQuery(rescored, k)
+    }
   }
 
   /** Product-quantization codebook training (Jégou et al., TPAMI 2011):
