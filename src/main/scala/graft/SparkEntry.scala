@@ -662,11 +662,13 @@ object SparkEntry {
     * the driver corpora the worst j ≥ 0.7 pair sits at hamming 12
     * (sf0.1; 9 at sf0.001, 8 at sf0.01), and 64-bit simhash concentrates
     * hamming ≈ 32·(1-sim) with σ ≈ 4, so 14 carries ~2σ of margin while
-    * the block decomposition stays pigeonhole-EXACT for the radius
-    * (15 blocks → any pair within hamming 14 shares a block verbatim).
-    * The headline operator row (q_dedup_simhash) keeps the production
-    * radius 3; this contract row buys the wide radius's bucket flooding
-    * (32-value blocks) only at test scale, where it is cheap.
+    * the block decomposition stays pigeonhole-EXACT for the radius: the
+    * 15 blocks are a DISJOINT variable-width partition of the 64 bits
+    * (4×5-bit + 11×4-bit — [[Dedup.pigeonholeBlocks]]), so any pair
+    * within hamming 14 shares a whole block verbatim. The headline
+    * operator row (q_dedup_simhash) keeps the production radius 3; this
+    * contract row buys the wide radius's bucket flooding (16/32-value
+    * blocks) only at test scale, where it is cheap.
     */
   private def qSimhashRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)

@@ -643,13 +643,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col(estCol))
   }
 
+  /** Disjoint (offset, width) partition of the 64 signature bits into
+    * `nBlocks` contiguous blocks: the first 64 mod nBlocks blocks take
+    * floor(64/nBlocks)+1 bits, the rest floor(64/nBlocks). Widths sum to
+    * exactly 64 and every offset is < 64, so no shift wraps mod 64 on the
+    * JVM and the pigeonhole cover is genuinely nBlocks disjoint blocks.
+    */
+  private[graft] def pigeonholeBlocks(nBlocks: Int): Array[(Int, Int)] = {
+    require(nBlocks >= 1 && nBlocks <= 64, s"nBlocks must be in [1, 64], got $nBlocks")
+    val base = 64 / nBlocks
+    val widths = Array.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    offsets.zip(widths)
+  }
+
+  private[graft] def blockMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
   /** SimHash near-dup pairs (hamming(sig_a, sig_b) ≤ maxHamming).
     * Blocking is the pigeonhole split: 64 bits into maxHamming+1 blocks —
     * any pair within the hamming radius agrees on ≥ 1 whole block, so
     * joining per-block is exact (no missed pairs), and random pairs only
     * collide on a block with prob ~2^-blockWidth.
     *
-    * SIZING LAW: blockWidth = 64/(maxHamming+1), and the per-block bucket
+    * The blocks PARTITION the 64 bits exactly: when maxHamming+1 does not
+    * divide 64, the first 64 mod nBlocks blocks are one bit wider (e.g.
+    * radius 14 → 15 blocks = 4×5-bit + 11×4-bit). A uniform
+    * ceil(64/nBlocks) width would push late blocks past bit 63, and the
+    * JVM's shift-mod-64 would silently alias them onto the low bits —
+    * shrinking effective coverage below nBlocks and breaking the
+    * pigeonhole guarantee at the widest radii.
+    *
+    * SIZING LAW: blockWidth ≈ 64/(maxHamming+1), and the per-block bucket
     * space is 2^blockWidth — it must be ≫ corpus size or buckets saturate
     * and the candidate join goes quadratic. Measured on a 50k-doc corpus:
     * maxHamming=7 (8-bit blocks, 256 buckets) → 33 s; maxHamming=3
@@ -673,9 +698,10 @@ object Dedup {
     GraftFunctions.ensure(df.sparkSession)
     require(!weighted || shingler == "word",
       "weighted simhash requires the word shingler")
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nBlocks = maxHamming + 1
-    val blockWidth = (64 + nBlocks - 1) / nBlocks
-    val mask = (1L << blockWidth) - 1
+    val blocks = pigeonholeBlocks(nBlocks)
     // drop gram-less docs — all-zero signatures would flood the blocks
     // with false duplicates (same guard as minhashSignatures)
     // Gram-less docs are dropped in both modes (all-zero signatures would
@@ -698,10 +724,13 @@ object Dedup {
           .filter(size(col("g")) > 0)
           .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
     }, persistLevel) // 3 consumers, 16 B/doc
+    val blockStructs = blocks.zipWithIndex.map { case ((off, width), i) =>
+      struct(lit(i).as("blk"),
+        expr(s"shiftrightunsigned(sig, $off) & ${blockMask(width)}L").as("bucket"))
+    }
     val blocked = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
-      .select(col("id"), col("blk"),
-        expr(s"shiftrightunsigned(sig, blk * $blockWidth) & ${mask}L").as("bucket"))
+      .select(col("id"), explode(array(blockStructs.toIndexedSeq: _*)).as("bb"))
+      .select(col("id"), col("bb.blk").as("blk"), col("bb.bucket").as("bucket"))
     val cand = candidatePairs(blocked, Seq("blk", "bucket"), maxBucketSize)
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")

@@ -45,6 +45,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(found >= (truth.size * 0.8).toInt, s"found $found of ${truth.size}")
   }
 
+  test("pigeonholeBlocks partitions the 64 bits disjointly for every radius") {
+    (1 to 64).foreach { nBlocks =>
+      val blocks = Dedup.pigeonholeBlocks(nBlocks)
+      assert(blocks.length === nBlocks)
+      assert(blocks.map(_._2).sum === 64, s"widths must sum to 64 at nBlocks=$nBlocks")
+      assert(blocks.forall { case (off, w) => w >= 1 && off >= 0 && off + w <= 64 },
+        s"block out of range at nBlocks=$nBlocks: ${blocks.mkString(",")}")
+      // contiguous + disjoint: each block starts where the previous ended
+      blocks.sliding(2).foreach {
+        case Array((o1, w1), (o2, _)) => assert(o2 === o1 + w1)
+        case _                        =>
+      }
+    }
+  }
+
+  test("simhash blocking is pigeonhole-exact at wide radii (adversarial bit placement)") {
+    // Worst case for the OLD uniform-ceil-width scheme at maxHamming=14:
+    // uniform width ceil(64/15)=5 shifts blocks 13/14 by 65/70 bits, which
+    // the JVM aliases mod 64 — only 13 effective blocks, so a pair
+    // differing in one bit of each of those 13 blocks (hamming 13 <= 14)
+    // would be missed. The disjoint variable-width partition must catch
+    // every such pair: plant one differing bit inside each of the first
+    // k blocks for every k <= maxHamming and check a shared block remains.
+    val maxHamming = 14
+    val blocks = Dedup.pigeonholeBlocks(maxHamming + 1)
+    (1 to maxHamming).foreach { k =>
+      val sigA = 0L
+      val sigB = blocks.take(k).map { case (off, _) => 1L << off }.reduce(_ | _)
+      assert(java.lang.Long.bitCount(sigA ^ sigB) === k)
+      val shared = blocks.exists { case (off, w) =>
+        val m = Dedup.blockMask(w)
+        ((sigA >>> off) & m) === ((sigB >>> off) & m)
+      }
+      assert(shared, s"no shared block at hamming $k — pigeonhole broken")
+    }
+  }
+
   test("simhash default (maxHamming=3) is exact for its radius") {
     GraftFunctions.ensure(spark)
     // The scale-safe default: 16-bit blocks whose bucket space doesn't
