@@ -23,12 +23,30 @@ object SparkEntry {
     * against the same sfDir (e.g. Bench and Verify) never overwrite each
     * other's files mid-read (r6 ADVICE). Within one process reuse is
     * safe — every write is mode=overwrite and rows run sequentially.
+    * Every dir handed out is deleted by a JVM shutdown hook, so repeated
+    * Bench/Verify processes don't accumulate dead graft_* trees in
+    * java.io.tmpdir (r7 ADVICE).
     */
   private lazy val pidToken: String =
     java.lang.Long.toHexString(ProcessHandle.current().pid())
-  private def scratch(prefix: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${
+  private val scratchDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+  private def scratch(prefix: String, dir: String): String = {
+    scratchHook
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${
       java.lang.Integer.toHexString(dir.hashCode)}_$pidToken"
+    scratchDirs.add(p)
+    p
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -958,6 +976,33 @@ object SparkEntry {
     TextAnalysis.lmFluency(docs, "text", model)
       .select(col("doc_id"), col("n_pairs"), col("known_pairs"),
         col("lm_fluency"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained hashed-n-gram quality classifier, oracle-checked
+    * END-TO-END: Spark trains a fastText-style linear classifier
+    * ([[TextAnalysis.trainQualityClassifier]]) on a deterministic
+    * bounded sample (doc_id even, first 1024 by doc_id) labeled by the
+    * gopher_pass rule, then scores every document in one codegen kernel
+    * scan. DuckDB independently rebuilds the labels (the
+    * [[qGopherFilter]] per-doc SQL), the hashed feature sets (the
+    * code-point polynomial hash), all 64 integer GD iterations (as 64
+    * unrolled chained CTEs — margins, errors, gradients, and truncating
+    * weight updates are integer-exact in both engines), and every
+    * per-doc (n_feat, margin, q_score, pred_pass) — weights AND scores
+    * must match bit-for-bit at every SF.
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val sample = TextAnalysis.gopherFilter(docs.filter(col("text").isNotNull), "text")
+      .filter(col("doc_id") % 2 === 0)
+      .orderBy("doc_id").limit(1024)
+      .select(col("text"), col("gopher_pass"))
+    val model = TextAnalysis.trainQualityClassifier(sample, "text", "gopher_pass")
+    TextAnalysis.qualityClassify(docs, "text", model)
+      .select(col("doc_id"), col("n_feat"), col("margin"), col("q_score"),
+        col("pred_pass"))
       .orderBy("doc_id")
   }
 
@@ -1936,7 +1981,8 @@ object SparkEntry {
     "q_mixture_contract" -> (qMixtureContract _),
     "q_mixture_stream" -> (qMixtureStream _),
     "q_tfidf" -> (qTfidf _),
-    "q_gopher_filter" -> (qGopherFilter _)
+    "q_gopher_filter" -> (qGopherFilter _),
+    "q_quality_classifier" -> (qQualityClassifier _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -2060,6 +2106,132 @@ object SparkEntry {
       |  sum(least(a.tf, b.tf)) AS s
       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** Per-doc gopher flags — the q_gopher_filter oracle, also embedded as
+    * the label CTE of [[qualityClassifierOracleSql]].
+    */
+  private val gopherFilterOracleSql: String =
+    """WITH base AS (
+      | SELECT doc_id, length(text) AS nc,
+      |  string_split(trim(text), ' ') AS w,
+      |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
+      |  CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+      |   list_transform(generate_series(1, len(string_split(trim(text), ' ')) - 1),
+      |     i -> concat(string_split(trim(text), ' ')[i], ' ',
+      |                 string_split(trim(text), ' ')[i+1]))
+      |  ELSE CAST([] AS VARCHAR[]) END AS g
+      | FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS t FROM base),
+      |wcnt AS (SELECT doc_id, t, count(*) AS c FROM words GROUP BY doc_id, t),
+      |wtop AS (SELECT doc_id, c FROM (
+      |  SELECT doc_id, c, row_number() OVER (
+      |   PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn FROM wcnt) WHERE rn = 1),
+      |m AS (SELECT b.doc_id,
+      |  cast(len(b.w) AS bigint) AS n_words,
+      |  cast(b.nc - (len(b.w) - 1) AS double) / len(b.w) AS mean_word_len,
+      |  CASE WHEN len(b.g) > 0 THEN
+      |   cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
+      |  ELSE 0.0 END AS dup_ngram_frac,
+      |  cast(wtop.c AS double) / len(b.w) AS top_word_frac,
+      |  b.stop_hits
+      | FROM base b JOIN wtop ON b.doc_id = wtop.doc_id)
+      |SELECT doc_id, n_words, mean_word_len, dup_ngram_frac, top_word_frac,
+      | stop_hits,
+      | (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+      | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_word_len,
+      | (dup_ngram_frac <= 0.2) AS f_dup_ngram,
+      | (top_word_frac <= 0.3) AS f_top_word,
+      | (stop_hits >= 2) AS f_stopwords,
+      | ((n_words >= 50 AND n_words <= 100000)
+      |  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |  AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
+      |  AND (stop_hits >= 2)) AS gopher_pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** DuckDB end-to-end replay of the trained quality classifier
+    * ([[qQualityClassifier]]): labels from the per-doc gopher SQL,
+    * hashed feature sets from a per-character `unicode(substring(...))`
+    * walk of every unigram/bigram/structural gram (the code-point
+    * polynomial hash of [[graft.functions.Kernels.qualityFeatures]]),
+    * and all 64 integer GD iterations UNROLLED as chained MATERIALIZED
+    * CTEs — a recursive CTE cannot correlate the carried weight list
+    * into the nested gradient aggregation (DuckDB silently yields empty
+    * there), and without MATERIALIZED the optimizer inlines each
+    * iteration into its consumers, re-evaluating the chain
+    * exponentially. Every arithmetic step is 64-bit-integer adds and
+    * truncating division (DuckDB `//` truncates toward zero exactly
+    * like Scala `/`), so weights and scores match bit-for-bit.
+    */
+  private val qualityClassifierOracleSql: String = {
+    val d = 4096; val iters = 64; val scale = 65536L; val lrDiv = 64
+    val iterCtes = (1 to iters).map { t =>
+      val prev = s"w${t - 1}"
+      s"""m$t AS MATERIALIZED (
+         | SELECT sa.doc_id, list_sum(list_transform(sa.buckets, bb -> p.w[bb + 1])) - sa.y * $scale AS err
+         | FROM sagg sa CROSS JOIN $prev p),
+         |g$t AS MATERIALIZED (
+         | SELECT f.bucket AS b, SUM(m.err) AS g
+         | FROM m$t m JOIN sfeat f ON f.doc_id = m.doc_id
+         | GROUP BY f.bucket),
+         |w$t AS MATERIALIZED (
+         | SELECT list(p.w[j.j + 1] - CAST(coalesce(g.g, 0) AS BIGINT) // (nn.n * $lrDiv) ORDER BY j.j) AS w
+         | FROM generate_series(0, ${d - 1}) AS j(j)
+         | CROSS JOIN $prev p CROSS JOIN nn
+         | LEFT JOIN g$t g ON g.b = j.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |lab AS MATERIALIZED (SELECT doc_id, gopher_pass FROM (
+       |$gopherFilterOracleSql
+       |)),
+       |base0 AS (
+       | SELECT doc_id, length(text) AS nc, string_split(trim(text), ' ') AS w
+       | FROM documents WHERE text IS NOT NULL),
+       |gram AS (
+       | SELECT doc_id, unnest(w) AS g FROM base0
+       | UNION ALL
+       | SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |   i -> concat(w[i], ' ', w[i+1]))) AS g
+       | FROM base0 WHERE len(w) >= 2
+       | UNION ALL
+       | SELECT doc_id, unnest([
+       |   chr(1) || 'B',
+       |   chr(1) || 'L' || CAST(length(bin(len(w))) - 1 AS VARCHAR),
+       |   chr(1) || 'M' || CAST(greatest(0, least(20, (nc - (len(w) - 1)) // len(w))) AS VARCHAR)
+       | ]) AS g
+       | FROM base0),
+       |feat AS MATERIALIZED (
+       | SELECT DISTINCT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length(g)),
+       |      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % 1000003) % $d AS bucket
+       | FROM gram),
+       |samp AS MATERIALIZED (
+       | SELECT doc_id, CAST(gopher_pass AS BIGINT) AS y
+       | FROM lab WHERE doc_id % 2 = 0
+       | ORDER BY doc_id LIMIT 1024),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM samp),
+       |sfeat AS MATERIALIZED (
+       | SELECT f.doc_id, f.bucket FROM feat f JOIN samp ON f.doc_id = samp.doc_id),
+       |sagg AS MATERIALIZED (
+       | SELECT s.doc_id, s.y, list(f.bucket ORDER BY f.bucket) AS buckets
+       | FROM samp s JOIN sfeat f ON f.doc_id = s.doc_id
+       | GROUP BY s.doc_id, s.y),
+       |w0 AS (SELECT list_transform(generate_series(1, $d), x -> CAST(0 AS BIGINT)) AS w),
+       |$iterCtes,
+       |scored AS (
+       | SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |  CAST(SUM(p.w[f.bucket + 1]) AS BIGINT) AS margin
+       | FROM feat f CROSS JOIN w$iters p
+       | GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       | coalesce(s.n_feat, 0) AS n_feat,
+       | coalesce(s.margin, 0) AS margin,
+       | least(1.0, greatest(0.0, CAST(coalesce(s.margin, 0) AS DOUBLE) / 65536.0)) AS q_score,
+       | coalesce(s.margin, 0) > ${scale / 2} AS pred_pass
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3133,43 +3305,8 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.lang = t.lang
         |GROUP BY d.lang, t.target
         |ORDER BY d.lang""".stripMargin,
-    "q_gopher_filter" ->
-      """WITH base AS (
-        | SELECT doc_id, length(text) AS nc,
-        |  string_split(trim(text), ' ') AS w,
-        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS stop_hits,
-        |  CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
-        |   list_transform(generate_series(1, len(string_split(trim(text), ' ')) - 1),
-        |     i -> concat(string_split(trim(text), ' ')[i], ' ',
-        |                 string_split(trim(text), ' ')[i+1]))
-        |  ELSE CAST([] AS VARCHAR[]) END AS g
-        | FROM documents),
-        |words AS (SELECT doc_id, unnest(w) AS t FROM base),
-        |wcnt AS (SELECT doc_id, t, count(*) AS c FROM words GROUP BY doc_id, t),
-        |wtop AS (SELECT doc_id, c FROM (
-        |  SELECT doc_id, c, row_number() OVER (
-        |   PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rn FROM wcnt) WHERE rn = 1),
-        |m AS (SELECT b.doc_id,
-        |  cast(len(b.w) AS bigint) AS n_words,
-        |  cast(b.nc - (len(b.w) - 1) AS double) / len(b.w) AS mean_word_len,
-        |  CASE WHEN len(b.g) > 0 THEN
-        |   cast(len(b.g) - len(list_distinct(b.g)) AS double) / len(b.g)
-        |  ELSE 0.0 END AS dup_ngram_frac,
-        |  cast(wtop.c AS double) / len(b.w) AS top_word_frac,
-        |  b.stop_hits
-        | FROM base b JOIN wtop ON b.doc_id = wtop.doc_id)
-        |SELECT doc_id, n_words, mean_word_len, dup_ngram_frac, top_word_frac,
-        | stop_hits,
-        | (n_words >= 50 AND n_words <= 100000) AS f_word_count,
-        | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_word_len,
-        | (dup_ngram_frac <= 0.2) AS f_dup_ngram,
-        | (top_word_frac <= 0.3) AS f_top_word,
-        | (stop_hits >= 2) AS f_stopwords,
-        | ((n_words >= 50 AND n_words <= 100000)
-        |  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-        |  AND (dup_ngram_frac <= 0.2) AND (top_word_frac <= 0.3)
-        |  AND (stop_hits >= 2)) AS gopher_pass
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" -> gopherFilterOracleSql,
+    "q_quality_classifier" -> qualityClassifierOracleSql,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |words AS (SELECT doc_id, unnest(w) AS t FROM toks),

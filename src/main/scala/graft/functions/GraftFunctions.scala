@@ -236,6 +236,23 @@ object GraftFunctions {
   private val lmNames = new java.util.IdentityHashMap[LmModel, String]()
   private val lmCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Quality-classifier margin under a trained [[QualityLrModel]] —
+    * model-parameterized registration exactly like [[lmFluency]].
+    */
+  def qualityLrScore(spark: SparkSession, text: Column, model: QualityLrModel): Column = {
+    val name = qualityLrNames.synchronized {
+      qualityLrNames.computeIfAbsent(model,
+        _ => s"graft_quality_lr_${qualityLrCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => QualityLrScoreExpr(args.head, model),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val qualityLrNames = new java.util.IdentityHashMap[QualityLrModel, String]()
+  private val qualityLrCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** PQ byte codes of a float-vector column under a trained [[PqModel]] —
     * model-parameterized registration exactly like [[bpeCount]] (same
     * uniqueness and lifetime caveats).

@@ -106,6 +106,22 @@ final class PqModel(val m: Int, val dsub: Int, val ksub: Int,
   def dim: Int = m * dsub
 }
 
+/** Trained hashed-n-gram quality classifier (fastText-style linear text
+  * classifier, Joulin et al. 2017, reduced to engine-exact integer
+  * arithmetic): `weights(b)` is the fixed-point weight (scaled by
+  * `scale`) of feature bucket `b` under the hashing trick. Trained by
+  * [[graft.operators.TextAnalysis.trainQualityClassifier]] — bounded
+  * driver-side least-squares GD whose every operation is integer, so
+  * the DuckDB oracle rebuilds the weights bit-for-bit. Bounded like
+  * [[BpeModel]]/[[LmModel]]/[[DfModel]].
+  */
+final class QualityLrModel(val weights: Array[Long], val numBuckets: Int,
+    val scale: Long) extends Serializable {
+  require(weights.length == numBuckets,
+    s"weights length ${weights.length} != numBuckets $numBuckets")
+  require(scale > 0, s"scale must be positive, got $scale")
+}
+
 /** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
   * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
   * sorted for binary search and `langIdx(i)` is the language index of
@@ -594,22 +610,23 @@ object Kernels {
     * Sequential double accumulation — deterministic.
     *
     * Codes and tables built under DIFFERENT PqModels (mismatched m or
-    * ksub) degrade to 0.0 — the same degrade-the-row contract as
-    * pqEncode/pqQueryTable's null on dim mismatch — instead of silently
+    * ksub) degrade to -Infinity — below every legitimate ADC score
+    * (cosine-derived sums can be negative, so 0.0 would let a degraded
+    * row outrank real neighbors in topKPerQuery) — instead of silently
     * mis-striding the lookup or throwing mid-scan: a table length that
-    * m doesn't divide, or a code beyond the inferred ksub, scores 0.
+    * m doesn't divide, or a code beyond the inferred ksub, sinks the row.
     */
   def pqAdcScore(codes: Array[Byte], table: ArrayData): Double = {
     val m = codes.length
-    if (m == 0) return 0.0
+    if (m == 0) return Double.NegativeInfinity
     val n = table.numElements()
-    if (n == 0 || n % m != 0) return 0.0
+    if (n == 0 || n % m != 0) return Double.NegativeInfinity
     val ksub = n / m
     var sum = 0.0
     var s = 0
     while (s < m) {
       val c = codes(s) & 0xff
-      if (c >= ksub) return 0.0
+      if (c >= ksub) return Double.NegativeInfinity
       sum += table.getDouble(s * ksub + c)
       s += 1
     }
@@ -1243,5 +1260,77 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       toks.length.toLong, wcnt.size.toLong, nGrams, gcnt.size.toLong,
       UTF8String.fromString(tw), twc, UTF8String.fromString(tg), tgc))
+  }
+
+  /** Polynomial code-point hash of one feature gram, mod the bucket
+    * space: h = fold(h*31 + codepoint mod 1000003) % d. Iterates CODE
+    * POINTS (not UTF-16 units) so the DuckDB oracle's per-character
+    * `unicode(substring(g, i, 1))` walk reproduces it exactly on any
+    * text, astral characters included.
+    */
+  private def qualityBucket(g: String, d: Int): Int = {
+    var h = 0L
+    var i = 0
+    while (i < g.length) {
+      val cp = g.codePointAt(i)
+      h = (h * 31 + cp) % 1000003L
+      i += Character.charCount(cp)
+    }
+    (h % d).toInt
+  }
+
+  /** Distinct sorted feature buckets of one document for the quality
+    * classifier — the EXACT feature contract both engines replay:
+    * word unigrams and adjacent-pair bigrams (w1 + ' ' + w2) over
+    * [[spaceTokens]], plus three structural grams that give the linear
+    * model access to the length/shape signals pure content hashes can't
+    * express, each prefixed with U+0001 (no space-split token
+    * starts with a control char in practice; collisions would be
+    * harmless hashing-trick noise anyway): B (bias, always present), L +
+    * floor(log2(n_words)), and M + clamp((n_chars - (n_words-1))
+    * / n_words, 0, 20) — the separator-adjusted mean word length under
+    * INTEGER floor division (never a rounded double, whose floor could
+    * disagree across engines at exact-integer boundaries). n_chars
+    * counts code points of the UNTRIMMED text, matching DuckDB's
+    * `length(text)`.
+    */
+  def qualityFeatures(text: UTF8String, d: Int): Array[Int] = {
+    val raw = text.toString
+    val toks = spaceTokens(text)
+    val n = toks.length // >= 1: split of "" is [""]
+    val set = new java.util.TreeSet[Integer]
+    var i = 0
+    while (i < n) {
+      set.add(qualityBucket(toks(i), d))
+      if (i + 1 < n) set.add(qualityBucket(toks(i) + " " + toks(i + 1), d))
+      i += 1
+    }
+    val nc = raw.codePointCount(0, raw.length).toLong
+    val lg = 31 - Integer.numberOfLeadingZeros(n)
+    val mwl = math.max(0L, math.min(20L, (nc - (n - 1)) / n))
+    set.add(qualityBucket("\u0001B", d))
+    set.add(qualityBucket("\u0001L" + lg, d))
+    set.add(qualityBucket("\u0001M" + mwl, d))
+    val out = new Array[Int](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Score one document under a trained [[QualityLrModel]] in ONE scan:
+    * margin = sum of the weights of the document's distinct feature
+    * buckets (integer addition — order-free, bit-exact in any engine).
+    * Returns struct(n_feat, margin); the double score and the pass
+    * decision derive from the margin in plain column arithmetic.
+    */
+  def qualityLrScore(text: UTF8String, model: QualityLrModel)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val f = qualityFeatures(text, model.numBuckets)
+    var m = 0L
+    var i = 0
+    while (i < f.length) { m += model.weights(f(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](f.length.toLong, m))
   }
 }

@@ -376,6 +376,27 @@ case class LmFluencyScore(child: Expression, model: LmModel)
   override def prettyName: String = "graft_lm_fluency"
 }
 
+/** Quality-classifier margin of a string column under a trained
+  * [[QualityLrModel]] → struct(n_feat, margin). Model-parameterized like
+  * [[BpeCount]]/[[LmFluencyScore]].
+  */
+case class QualityLrScoreExpr(child: Expression, model: QualityLrModel)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feat", LongType, nullable = false),
+    StructField("margin", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.qualityLrScore(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityLrModel", model,
+      classOf[QualityLrModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.qualityLrScore($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityLrScoreExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quality_lr_score"
+}
+
 /** True iff any of the text's n-gram hashes is in a trained
   * [[GramSetModel]] — one scan, early exit, no gram array materialized.
   * Model-parameterized like [[BpeCount]] (codegen reference object).

@@ -346,6 +346,78 @@ object TextAnalysis {
       packed.map(_._1), packed.map(_._2))
   }
 
+  /** Train the hashed-n-gram quality classifier for [[qualityClassify]]
+    * — a fastText-style linear text classifier (Joulin et al., EACL
+    * 2017) fit by batch least-squares gradient descent in PURE INTEGER
+    * fixed-point arithmetic, so training is bit-reproducible in any
+    * engine: margins, errors, gradients, and weight updates are all
+    * 64-bit integer adds and truncating divisions (no float anywhere,
+    * no saturating link whose dead gradient would stall batch GD — the
+    * LMS rule converges for lrDiv ≳ the mean feature count, and the
+    * update divisor n·lrDiv normalizes the step by sample size so the
+    * same lrDiv works at every SF). `sample` must already carry the
+    * label column and be BOUNDED (the frame is collected — pass the
+    * seeded/limited sample, maxSample only guards the collect).
+    * Features per doc: [[graft.functions.Kernels.qualityFeatures]]
+    * (distinct hashed unigram/bigram buckets + bias/length/shape
+    * structural grams). Labels: any deterministic boolean (the
+    * [[gopherFilter]] `gopher_pass` flag in the flagship query).
+    */
+  def trainQualityClassifier(sample: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 4096, iters: Int = 64, scale: Long = 65536L,
+      lrDiv: Long = 64L, maxSample: Int = 65536): graft.functions.QualityLrModel = {
+    val rows = sample
+      .filter(col(textCol).isNotNull)
+      .select(col(textCol), col(labelCol).cast("boolean"))
+      .collect()
+    require(rows.length <= maxSample,
+      s"training sample ${rows.length} exceeds maxSample $maxSample — pre-sample the frame")
+    require(rows.nonEmpty, "empty training sample")
+    val n = rows.length.toLong
+    val feats = rows.map { r =>
+      (graft.functions.Kernels.qualityFeatures(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), numBuckets),
+        if (r.getBoolean(1)) 1L else 0L)
+    }
+    val w = new Array[Long](numBuckets)
+    var t = 0
+    while (t < iters) {
+      val grad = new Array[Long](numBuckets)
+      feats.foreach { case (bs, y) =>
+        var m = 0L
+        var i = 0
+        while (i < bs.length) { m += w(bs(i)); i += 1 }
+        val err = m - y * scale
+        i = 0
+        while (i < bs.length) { grad(bs(i)) += err; i += 1 }
+      }
+      var j = 0
+      while (j < numBuckets) { w(j) -= grad(j) / (n * lrDiv); j += 1 }
+      t += 1
+    }
+    new graft.functions.QualityLrModel(w, numBuckets, scale)
+  }
+
+  /** Score every document under a trained [[trainQualityClassifier]]
+    * model: ONE codegen kernel scan, zero shuffle (the model rides as a
+    * codegen reference object like [[lmFluency]]'s). Appends n_feat /
+    * margin / q_score / pred_pass; the double `q_score` is one exact
+    * long→double division, so it is bit-identical in any engine. NULL
+    * text scores 0 features / 0 margin / 0.0 / false (the
+    * [[lmFluency]] NULL contract).
+    */
+  def qualityClassify(df: DataFrame, textCol: String,
+      model: graft.functions.QualityLrModel): DataFrame =
+    df.withColumn("__q",
+        GraftFunctions.qualityLrScore(df.sparkSession, col(textCol), model))
+      .withColumn("n_feat", coalesce(col("__q.n_feat"), lit(0L)))
+      .withColumn("margin", coalesce(col("__q.margin"), lit(0L)))
+      .withColumn("q_score",
+        least(lit(1.0), greatest(lit(0.0),
+          col("margin").cast("double") / lit(model.scale.toDouble))))
+      .withColumn("pred_pass", col("margin") > lit(model.scale / 2))
+      .drop("__q")
+
   /** Bigram-LM fluency per document under a trained [[trainLmModel]]
     * model: mean next-word relative frequency c(w1,w2)/c(w1) over
     * in-vocabulary adjacent pairs — ONE kernel scan, zero shuffle (the

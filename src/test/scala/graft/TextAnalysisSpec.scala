@@ -373,4 +373,67 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("top_word") =!= col("e_word") || col("top_word_cnt") =!= col("e_cnt"))
     assert(bad.count() === 0, bad.take(3).mkString("\n"))
   }
+
+  test("qualityFeatures match a hand-computed code-point polynomial hash") {
+    import graft.functions.Kernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = 4096
+    def bucket(g: String): Int = {
+      var h = 0L
+      g.codePoints().forEach(cp => h = (h * 31 + cp) % 1000003L)
+      (h % d).toInt
+    }
+    // " a bb a" -> tokens [a, bb, a]; unigrams {a, bb}, bigrams
+    // {"a bb", "bb a"}; n_words=3, n_chars=7 (untrimmed), mean word len
+    // = (7 - 2) / 3 = 1, floor(log2 3) = 1
+    val expected = Set(bucket("a"), bucket("bb"), bucket("a bb"), bucket("bb a"),
+      bucket("\u0001B"), bucket("\u0001L1"), bucket("\u0001M1"))
+    val got = Kernels.qualityFeatures(UTF8String.fromString(" a bb a"), d)
+    assert(got.toSet === expected)
+    assert(got.toSeq === got.toSeq.sorted, "buckets must be sorted")
+    // astral chars: one code point each, not two UTF-16 units
+    val astral = Kernels.qualityFeatures(UTF8String.fromString("😀"), d)
+    assert(astral.toSet.contains(bucket(new String(Character.toChars(0x1f600)))))
+  }
+
+  test("trainQualityClassifier is deterministic and beats the majority baseline") {
+    val docs = wh.loadTable("documents")
+    val labeled = TextAnalysis.gopherFilter(docs.filter(col("text").isNotNull), "text")
+    val sample = labeled.filter(col("doc_id") % 2 === 0)
+      .orderBy("doc_id").limit(1024)
+      .select(col("text"), col("gopher_pass"))
+    val m1 = TextAnalysis.trainQualityClassifier(sample, "text", "gopher_pass")
+    val m2 = TextAnalysis.trainQualityClassifier(sample, "text", "gopher_pass")
+    assert(m1.weights.toSeq === m2.weights.toSeq, "training must be bit-reproducible")
+    assert(m1.weights.exists(_ != 0L), "training must move some weight")
+    // full-corpus accuracy vs the gopher labels must beat always-majority —
+    // the classifier generalizes to the odd-doc_id half it never saw
+    val scored = TextAnalysis.qualityClassify(labeled, "text", m1)
+      .select(col("gopher_pass"), col("pred_pass"))
+      .collect()
+    val n = scored.length
+    val acc = scored.count(r => r.getBoolean(0) == r.getBoolean(1)).toDouble / n
+    val pos = scored.count(_.getBoolean(0))
+    val base = math.max(pos, n - pos).toDouble / n
+    assert(acc >= base + 0.05,
+      s"classifier accuracy $acc must beat majority baseline $base by >= 0.05")
+  }
+
+  test("qualityClassify is one map-side kernel scan (zero exchanges) and handles NULL text") {
+    val docs = wh.loadTable("documents")
+    val sample = TextAnalysis.gopherFilter(docs.filter(col("text").isNotNull), "text")
+      .filter(col("doc_id") % 2 === 0).orderBy("doc_id").limit(64)
+      .select(col("text"), col("gopher_pass"))
+    val model = TextAnalysis.trainQualityClassifier(sample, "text", "gopher_pass")
+    val plan = TextAnalysis.qualityClassify(docs, "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    val withNull = Seq((1L, "the cat sat"), (2L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassify(withNull, "text", model)
+      .orderBy("doc_id")
+      .select("n_feat", "margin", "q_score", "pred_pass").collect()
+    assert(out(1).getLong(0) === 0L && out(1).getLong(1) === 0L &&
+      out(1).getDouble(2) === 0.0 && !out(1).getBoolean(3),
+      s"NULL text must score 0/0/0.0/false, got ${out(1)}")
+  }
 }
