@@ -182,6 +182,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfPqTopK scans codes map-side — corpus never shuffles before the partial agg") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      val df = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, model, numCells = 16, numProbe = 4)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!plan.contains("hashpartitioning(neighbor_id"),
+        "corpus shuffled on neighbor_id:\n" + plan)
+      assert(!plan.contains("hashpartitioning(cell"),
+        "codes shuffled on cell — probed queries must broadcast:\n" + plan)
+      // the only exchange is the bounded per-query partial-agg shuffle
+      assert(plan.contains("hashpartitioning(query_id"),
+        "expected the TopKAgg partial shuffle on query_id:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ivfPqTopK full-probe + full-shortlist rerank recovers brute force exactly") {
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    val n = emb.count().toInt
+    // probe every cell and rerank the whole corpus → the composition
+    // degenerates to brute force: ids, ranks and tie-breaks must be
+    // IDENTICAL, and every returned score must be exact cosine
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, model,
+      numCells = 16, numProbe = 16, rerankShortlistK = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === reference)
+    // a realistic probe/shortlist keeps exact scores for what it returns
+    val quick = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, model,
+      numCells = 16, numProbe = 4, rerankShortlistK = 50)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .select(col("score"), GraftFunctions.cosineSim(col("nv"), col("qv")).as("exact"))
+      .collect()
+    assert(quick.nonEmpty && quick.forall(r => r.getDouble(0) === r.getDouble(1)),
+      "rerank scores must be exact cosine")
+  }
+
   test("pqTopKExactRerank with a generous shortlist recovers brute force exactly") {
     val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
     val n = emb.count().toInt
