@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.{GraftSession, Warehouse}
 
 import org.apache.spark.sql.functions._
 
