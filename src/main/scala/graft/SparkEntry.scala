@@ -949,6 +949,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL paragraph dedup, oracle-checked: docs with doc_id % 3
+    * = 0 are the already-ingested history (their segment hashes form the
+    * persisted store), the rest arrive as the new batch —
+    * store-membership collapse plus within-batch keep-first election
+    * ([[Dedup.paragraphDedupIncremental]]). DuckDB rebuilds the store
+    * hash set and every cleaned batch text byte-for-byte.
+    */
+  private def qParagraphIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
+    val store = Dedup.paragraphHashStore(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sep = " ")
+    Dedup.paragraphDedupIncremental(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", store, sep = " ")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-frequency boilerplate removal, oracle-checked: segments
     * (words, sep=" " — see [[qParagraphDedup]]) present in ≥ 50 distinct
     * documents are dropped from EVERY document, first occurrence
@@ -1975,6 +1991,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_stream_pipeline" -> (qStreamPipeline _),
     "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_paragraph_incremental" -> (qParagraphIncremental _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_repetition" -> (qRepetition _),
@@ -3142,6 +3159,34 @@ object SparkEntry {
         | cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
         | coalesce(agg.text_clean, '') AS text_clean
         |FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // history store = doc_id % 3 = 0; batch keeps only store-unseen
+    // segments, first-in-batch occurrence wins
+    "q_paragraph_incremental" ->
+      """WITH s AS (
+        | SELECT doc_id, string_split(text, ' ') AS ps
+        | FROM documents WHERE text IS NOT NULL),
+        |hist AS (
+        | SELECT DISTINCT md5(p) AS h FROM (
+        |  SELECT unnest(ps) AS p FROM s WHERE doc_id % 3 = 0)),
+        |b AS (SELECT doc_id, ps FROM s WHERE doc_id % 3 <> 0),
+        |paras AS (
+        | SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM b),
+        |p2 AS (SELECT doc_id, pos, ps[pos] AS p, md5(ps[pos]) AS h FROM paras),
+        |fresh AS (SELECT doc_id, pos, p, h FROM p2
+        |          WHERE h NOT IN (SELECT h FROM hist)),
+        |k AS (SELECT h, doc_id, pos FROM (
+        |  SELECT h, doc_id, pos,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM fresh) WHERE rn = 1),
+        |kept AS (SELECT f.doc_id, f.pos, f.p
+        |         FROM fresh f JOIN k USING (h, doc_id, pos)),
+        |agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_kept,
+        |        string_agg(p, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, cast(len(b.ps) AS bigint) AS n_paras,
+        | cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+        | coalesce(agg.text_clean, '') AS text_clean
+        |FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // hot-segment set (>= 50 distinct docs) removed everywhere
     "q_boilerplate" ->
       """WITH s AS (

@@ -158,6 +158,85 @@ object Dedup {
           lit("")).as("text_clean"))
   }
 
+  /** Distinct paragraph-hash store of a corpus — the persisted artifact
+    * [[paragraphDedupIncremental]] probes each snapshot (the 39c
+    * signature-store pattern applied to sub-document exact dedup): one
+    * md5 per DISTINCT segment, built by the same partial-combined
+    * aggregate as [[paragraphDedup]]'s keeper election. Persist it as a
+    * table once over the historical corpus; each arriving batch then
+    * pays only its own split + hash. Returns `(h)`.
+    */
+  def paragraphHashStore(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "p")))
+      .select(md5(col("p")).as("h"))
+      .distinct()
+
+  /** INCREMENTAL paragraph dedup: clean a NEW batch against an EXISTING
+    * paragraph-hash store ([[paragraphHashStore]], persisted) and within
+    * itself — the steady-state CCNet ingestion form of
+    * [[paragraphDedup]]. History always wins: a batch segment whose hash
+    * is in the store collapses everywhere (its first corpus occurrence
+    * already survived in an earlier snapshot); among store-unseen
+    * segments the batch-wide first occurrence (min (doc_id, pos)) is
+    * kept, exactly the batch election. When batch ids follow history ids
+    * (the temporal ingestion order), the result equals
+    * [[paragraphDedup]] over history ∪ batch restricted to the batch —
+    * the stream==batch parity contract (DedupSpec).
+    *
+    * 100 TB shape: the store is probed by the batch's DISTINCT segment
+    * hashes — a broadcast semi-join onto the store scan, so the store
+    * (the big side, one narrow md5 column) is read once per snapshot and
+    * NEVER shuffled; the hit-set comes back bounded by the batch's own
+    * distinct-hash count and broadcast-anti-joins the batch's narrow
+    * (hash, doc_id, pos) frame. Batch text crosses the wire exactly once
+    * (the final splice join, as in [[paragraphDedup]]). A giant backfill
+    * batch (hit-set too big to broadcast) passes `broadcastProbe =
+    * false` — both joins become AQE-planned shuffles of the two narrow
+    * hash frames, result-identical. Store maintenance between snapshots
+    * is `store.unionByName(paragraphHashStore(batch)).distinct()` —
+    * re-aggregation of narrow hashes, no text.
+    *
+    * Composes with Structured Streaming as `foreachBatch`: apply this
+    * per micro-batch and fold each batch's hashes into the store
+    * (StreamingSpec asserts multi-batch == one-batch parity).
+    *
+    * Returns (doc_id, n_paras, n_kept, text_clean) for the NEW batch.
+    */
+  def paragraphDedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingHashes: DataFrame, sep: String = "\n",
+      broadcastProbe: Boolean = true): DataFrame = {
+    val base = newDocs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("ps"))
+    val paras = base
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), md5(col("p")).as("h")) // narrow from here
+    val newHashes = paras.select("h").distinct()
+    // store scan side: the big frame streams through a broadcast
+    // semi-join and never shuffles (the distinct __store_h name makes
+    // the no-exchange contract assertable in DedupSpec)
+    val probe = if (broadcastProbe) broadcast(newHashes) else newHashes
+    val hits = existingHashes.select(col("h").as("__store_h"))
+      .join(probe, col("__store_h") === probe("h"), "left_semi")
+      .select(col("__store_h").as("h"))
+    val keepPos = paras
+      .join(if (broadcastProbe) broadcast(hits) else hits, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("k.pos"))).as("keep"))
+    base.join(keepPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_paras"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(transform(col("keep"),
+            i => element_at(col("ps"), i + 1)), sep),
+          lit("")).as("text_clean"))
+  }
+
   /** Connected components over a near-dup pair list: every node gets its
     * component's MINIMUM id as `component`. Pregel-style min-label
     * propagation — per round, each node takes the min of its own and its

@@ -312,6 +312,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) === ((1L, 0L, "")))
   }
 
+  test("paragraphDedupIncremental: history wins, batch elects first, parity with batch dedup") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "alpha\nshared footer"),
+      (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha\nnew one\nshared footer"),
+      (11L, "new one\nnew two\ngamma")).toDF("doc_id", "text")
+    val store = Dedup.paragraphHashStore(hist, "doc_id", "text")
+    val got = Dedup.paragraphDedupIncremental(batch, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // history segments collapse everywhere; "new one" first occurs in 10
+    assert(got(10L) === ((3L, 1L, "new one")))
+    assert(got(11L) === ((3L, 1L, "new two")))
+    // corpus parity: with batch ids AFTER history ids (temporal order),
+    // incremental == full-corpus keep-first restricted to the batch
+    val docs = wh.loadTable("documents").filter(col("text").isNotNull)
+    val h = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    val inc = Dedup.paragraphDedupIncremental(b, "doc_id", "text",
+      Dedup.paragraphHashStore(h, "doc_id", "text", sep = " "), sep = " ")
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.paragraphDedup(docs, "doc_id", "text", sep = " ")
+      .filter(col("doc_id") >= 250)
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    // the AQE shuffle fallback is result-identical
+    val incShuffle = Dedup.paragraphDedupIncremental(b, "doc_id", "text",
+      Dedup.paragraphHashStore(h, "doc_id", "text", sep = " "), sep = " ",
+      broadcastProbe = false)
+      .collect().map(_.toSeq).toSet
+    assert(incShuffle === full)
+  }
+
+  test("paragraphDedupIncremental probes the store without shuffling it") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = wh.loadTable("documents").filter(col("text").isNotNull)
+      val store = Dedup.paragraphHashStore(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", sep = " ")
+      val plan = Dedup.paragraphDedupIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", store, sep = " ")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(__store_h"),
+        "store must stream through the broadcast semi-join, never shuffle:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("removeBoilerplate drops hot lines everywhere, first occurrence included") {
     import spark.implicits._
     val docs = Seq(

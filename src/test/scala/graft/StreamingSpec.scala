@@ -208,6 +208,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect)
   }
 
+  test("incremental paragraph dedup over foreachBatch equals one-shot batch dedup") {
+    // The steady-state ingestion composition: a document stream is
+    // cleaned per micro-batch against the accumulated paragraph-hash
+    // store (Dedup.paragraphDedupIncremental inside foreachBatch, store
+    // folded between triggers). With ids arriving in temporal order the
+    // concatenated per-batch outputs must equal Dedup.paragraphDedup run
+    // once over everything — stream == batch, state externalized to the
+    // store instead of an in-stream state operator (text never enters
+    // streaming state).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val b1 = Seq((1L, "alpha\nshared footer\nbeta"), (2L, "gamma\nshared footer"))
+    val b2 = Seq((3L, "alpha\ndelta"), (4L, "delta\nshared footer\nepsilon"))
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    var store = Seq.empty[String].toDF("h")
+    val out = collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= Dedup.paragraphDedupIncremental(batch, "doc_id", "text", store)
+          .collect().map(_.toSeq)
+        // fold this batch's hashes into the store; localCheckpoint
+        // materializes so the union never re-reads a spent micro-batch
+        store = store.unionByName(
+            Dedup.paragraphHashStore(batch, "doc_id", "text"))
+          .distinct().localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expect = Dedup.paragraphDedup(all, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(out.toSet === expect)
+    // the fixture exercises BOTH halves: cross-batch collapse (doc 3
+    // loses "alpha" to batch 1) and within-batch election (doc 4 loses
+    // "delta" to doc 3)
+    val byId = out.map(s => s.head -> s(3)).toMap
+    assert(byId(3L) === "delta" && byId(4L) === "epsilon")
+  }
+
   test("partitionPreReservoir bounds per-stratum volume and preserves exact min-k") {
     // the map-side reduction in front of the stateful shuffle: per
     // stratum, at most max(1, target) rows leave a partition, and they
