@@ -343,6 +343,33 @@ object SparkEntry {
     Relational.sampleFrac(wh(s, dir).loadTable("orders"), 0.1, seed = 42L, replace = true)
       .select("o_orderkey")
 
+  /** sample(frac, replace=true) contract, oracle-checked: the drawn keys
+    * themselves are cross-engine RNG (deliberately rows-only in
+    * q_sample_replace), but the DISTRIBUTIONAL contract is checkable —
+    * every drawn key exists in the source, replacement actually
+    * replaces (some key drawn ≥ 2 times; Spark's with-replacement
+    * sampler is per-row Poisson(frac), so multiplicity ≥ 2 keys are
+    * expected at ~frac²/2 per row and the fixed seed pins the outcome),
+    * and the total draw count sits within the 5σ Poisson band
+    * |c − frac·n| ≤ 5·√(frac·n). DuckDB states the expected booleans
+    * and recomputes n_source exactly — any violation breaks the hash.
+    */
+  private def qSampleReplaceContract(s: SparkSession, dir: String): DataFrame = {
+    val orders = wh(s, dir).loadTable("orders").select("o_orderkey")
+    val sampled = Relational.sampleFrac(orders, 0.1, seed = 42L, replace = true)
+    val stats = sampled.groupBy("o_orderkey").agg(count(lit(1)).as("mult"))
+      .agg(sum(col("mult")).as("n_sampled"), max(col("mult")).as("max_mult"))
+    val src = orders.agg(count(lit(1)).as("n_source"))
+    val bad = sampled.join(orders, Seq("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    stats.crossJoin(src).crossJoin(bad).select(
+      col("n_source"),
+      (col("n_bad") === 0).as("all_from_source"),
+      (col("max_mult") >= 2).as("has_replacement"),
+      (abs(col("n_sampled") - lit(0.1) * col("n_source")) <=
+        lit(5.0) * sqrt(lit(0.1) * col("n_source"))).as("count_in_band"))
+  }
+
   /** sample(n) contract, oracle-checked: exactly n rows, all distinct, all
     * drawn from the source (left_semi back against orders). The constants
     * ARE the oracle — any violation (wrong count, duplicate draw, row not
@@ -1909,6 +1936,7 @@ object SparkEntry {
     "q_fillna" -> (qFillna _),
     "q_sample_frac" -> (qSampleFrac _),
     "q_sample_replace" -> (qSampleReplace _),
+    "q_sample_replace_contract" -> (qSampleReplaceContract _),
     "q_sample_n" -> (qSampleN _),
     "q_take_ordered" -> (qTakeOrdered _),
     "q_take_per_group" -> (qTakePerGroup _),
@@ -2578,6 +2606,9 @@ object SparkEntry {
     "q_sample_n" ->
       """SELECT cast(100 AS bigint) AS n_sampled, cast(100 AS bigint) AS n_distinct,
         | cast(100 AS bigint) AS n_in_orders""".stripMargin,
+    "q_sample_replace_contract" ->
+      """SELECT cast(count(*) AS bigint) AS n_source, true AS all_from_source,
+        | true AS has_replacement, true AS count_in_band FROM orders""".stripMargin,
     "q_approx_bounds" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
