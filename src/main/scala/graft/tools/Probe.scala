@@ -17,6 +17,50 @@ object Probe {
     val docs = w.loadTable("documents")
     val emb = w.loadTable("embeddings")
 
+    // round-8 margin measurements only: `Probe <dir> r8`
+    if (args.length > 1 && args(1) == "r8") {
+      // A. weighted-simhash hamming vs exact WEIGHTED jaccard >= 0.7
+      val jtrim = regexp_replace(col("text"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+      val wsigs = docs.select(col("doc_id").as("id"), col("text"))
+        .filter(size(split(jtrim, " ", -1)) >= 3)
+        .select(col("id"), GraftFunctions.simhashTf(col("text"), 3).as("sig"))
+      val wexact = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf")
+      val wj = wexact
+        .join(wsigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(wsigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .select("id_a", "id_b", "jaccard", "hamming").collect()
+      println(s"== wsimhash vs wjaccard: n=${wj.length}")
+      for (t <- Seq(0.7, 0.8, 0.9)) {
+        val sub = wj.filter(_.getDouble(2) >= t)
+        if (sub.nonEmpty)
+          println(f"   wj>=$t%.1f: n=${sub.length} maxHamming=${sub.map(_.getInt(3)).max}")
+        else println(f"   wj>=$t%.1f: n=0")
+      }
+      // B. semantic near-dup recall over the planted-clone corpus
+      val cloneS = emb.filter(col("vec_id") < 16)
+        .select((lit(2000000L) + col("vec_id")).as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i = vec_id % 64, CAST(0 AS FLOAT), x))").as("embedding"))
+      val augS = emb.select("vec_id", "embedding").unionByName(cloneS)
+      val exactS = augS.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .crossJoin(broadcast(cloneS.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", GraftFunctions.cosineSim(col("va"), col("vb")))
+        .filter(col("cosine") >= 0.7)
+        .select("id_a", "id_b").cache()
+      println(s"== planted exact cosine>=0.7 pairs: ${exactS.count()}")
+      for (cells <- Seq(8, 16, 32)) {
+        val found = Dedup.semanticNearDup(augS, "vec_id", "embedding",
+            threshold = 0.5, numCells = cells)
+          .select("id_a", "id_b")
+        val miss = exactS.join(found, Seq("id_a", "id_b"), "left_anti").count()
+        println(s"== PLANTED semanticNearDup cells=$cells: misses=$miss")
+      }
+      s.stop()
+      return
+    }
+
     // 1. hamming distance of exact high-jaccard pairs under simhash sigs
     for (weighted <- Seq(false, true)) {
       val sigs =
