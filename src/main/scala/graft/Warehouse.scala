@@ -60,6 +60,10 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — normalize to
     // microsecond timestamps so downstream code sees real timestamps.
     df = Warehouse.normalizeNanos(table.split("\\.").last, df)
+    // Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ,
+    // which half of Spark's timestamp surface (unix_micros, watermarks on
+    // some paths, Timestamp encoders) rejects — normalize to LTZ here.
+    df = Warehouse.normalizeNtz(df)
     rowFilter.foreach(f => df = df.filter(f))
     if (columns.nonEmpty) df = df.select(columns.map(df.col): _*)
     if (sample < 1.0) df = df.sample(withReplacement = false, sample, seed)
@@ -431,6 +435,22 @@ object Warehouse {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP_LTZ. Warehouse parquet
+    * written by other engines (pandas/pyarrow default) carries
+    * isAdjustedToUTC=false and loads as NTZ; with the session timezone
+    * pinned to UTC (GraftSession) this cast preserves the stored instant
+    * bit-for-bit while restoring the full LTZ API surface (unix_micros,
+    * typed java.sql.Timestamp encoders). No-op on LTZ frames.
+    */
+  private[graft] def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df) { (d, c) =>
+      d.withColumn(c, literalCol(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   def apply(spark: SparkSession, baseDir: String): Warehouse =
     new Warehouse(spark, baseDir)

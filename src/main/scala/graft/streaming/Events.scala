@@ -21,13 +21,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
+  /** Defensive boundary normalization: cast any TIMESTAMP_NTZ column to
+    * TIMESTAMP_LTZ so every operator below works regardless of how the
+    * caller loaded the frame. Warehouse.loadTable already normalizes, but
+    * these entry points also take frames built elsewhere (tests, streams,
+    * user code); `unix_micros` and java.sql.Timestamp encoders accept only
+    * LTZ. With the session timezone at UTC (GraftSession) the cast
+    * preserves the stored instant exactly. No-op (plan-identical) on
+    * already-LTZ frames.
+    */
+  private[graft] def tsLtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
   /** Tumbling-window aggregate, batch form. Value sums are cents-exact
     * (clean 2-decimal doubles), window start rendered as a string so the
     * output is engine-portable (raw timestamps differ in physical precision
     * between engines).
     */
   def windowedAggBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
-    windowedAggShape(events.groupBy(
+    windowedAggShape(tsLtz(events).groupBy(
       window(col("ts"), windowLen).as("w"), col("event_type")))
 
   /** Tumbling-window aggregate over a stream: same shape plus a watermark
@@ -37,7 +54,7 @@ object Events {
   def windowedAggStream(
       events: DataFrame, windowLen: String = "1 hour",
       watermarkDelay: String = "2 hours"): DataFrame =
-    windowedAggShape(events.withWatermark("ts", watermarkDelay).groupBy(
+    windowedAggShape(tsLtz(events).withWatermark("ts", watermarkDelay).groupBy(
       window(col("ts"), windowLen).as("w"), col("event_type")))
 
   private def windowedAggShape(
@@ -62,7 +79,7 @@ object Events {
     val gapUs = gapMinutes * 60L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+    tsLtz(events)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_sess",
@@ -89,9 +106,9 @@ object Events {
       idCol: String = "event_id", valueCol: String = "value",
       lookbackMinutes: Int = 30): DataFrame = {
     val lookUs = lookbackMinutes * 60L * 1000000L
-    val l = left.select(col(keyCol).as("k"), col(idCol).as("l_id"),
+    val l = tsLtz(left).select(col(keyCol).as("k"), col(idCol).as("l_id"),
       unix_micros(col(tsCol)).as("l_us"))
-    val r = right.select(col(keyCol).as("k"), col(idCol).as("r_id"),
+    val r = tsLtz(right).select(col(keyCol).as("k"), col(idCol).as("r_id"),
       unix_micros(col(tsCol)).as("r_us"), col(valueCol).as("r_value"))
     l.join(r, Seq("k"))
       .filter(col("r_us") >= col("l_us") - lookUs && col("r_us") <= col("l_us"))
@@ -109,8 +126,8 @@ object Events {
       keyCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", valueCol: String = "value",
       lookbackMinutes: Int = 30, watermarkDelay: String = "0 seconds"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
-    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    val l = tsLtz(left).withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = tsLtz(right).withWatermark(tsCol, watermarkDelay).alias("r")
     l.join(r, expr(
       s"""l.$keyCol = r.$keyCol AND
          |r.$tsCol >= l.$tsCol - INTERVAL $lookbackMinutes MINUTES AND
@@ -128,7 +145,7 @@ object Events {
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermarkDelay: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+    tsLtz(events).withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Batch re-expression of [[dedupStream]]: first occurrence per key over
@@ -344,8 +361,9 @@ object Events {
     val raw =
       if (isDir) reader.parquet(tablePath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    tsLtz(
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw)
   }
 }

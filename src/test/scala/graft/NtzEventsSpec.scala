@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Events
+
+/** Regression pin for the round-8 driver break: events parquet written with
+  * isAdjustedToUTC=false loads as TIMESTAMP_NTZ, which `unix_micros` (and
+  * the java.sql.Timestamp encoders) reject. StreamingSpec's fixtures are
+  * built from java.sql.Timestamp — always LTZ — so only an NTZ-typed frame
+  * can see the failure. This suite runs the whole §2.4 family over NTZ
+  * inputs and asserts bit-parity with the LTZ forms (session timezone is
+  * UTC, so the cast preserves instants exactly).
+  */
+class NtzEventsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ltz: DataFrame = wh.loadTable("events").limit(2000).cache()
+  private lazy val ntz: DataFrame = ltz.withColumn("ts", col("ts").cast(TimestampNTZType))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("loadTable normalizes NTZ parquet timestamps to LTZ, instants intact") {
+    val tmp = Files.createTempDirectory("graft-ntz").toString
+    ntz.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // pin the fixture: the file on disk must actually be NTZ, or this suite
+    // silently stops guarding the type family
+    assert(spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType == TimestampNTZType)
+    val loaded = Warehouse(spark, tmp).loadTable("events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    assert(rows(loaded.select(col("event_id"), unix_micros(col("ts")))) ===
+      rows(ltz.select(col("event_id"), unix_micros(col("ts")))))
+  }
+
+  test("sessionizeBatch accepts raw NTZ frames and matches the LTZ result") {
+    assert(rows(Events.sessionizeBatch(ntz)) === rows(Events.sessionizeBatch(ltz)))
+  }
+
+  test("intervalJoinBatch accepts raw NTZ frames and matches the LTZ result") {
+    def split(df: DataFrame) =
+      (df.filter(col("event_type") === "purchase"), df.filter(col("event_type") === "click"))
+    val (lp, lc) = split(ltz); val (np, nc) = split(ntz)
+    assert(rows(Events.intervalJoinBatch(np, nc)) === rows(Events.intervalJoinBatch(lp, lc)))
+  }
+
+  test("windowedAggBatch / dedupBatch accept raw NTZ frames") {
+    assert(rows(Events.windowedAggBatch(ntz)) === rows(Events.windowedAggBatch(ltz)))
+    // dedup passes ts through untouched (NTZ out for NTZ in — it never
+    // needed LTZ), so parity is asserted on the key/payload columns
+    assert(rows(Events.dedupBatch(ntz.unionAll(ntz), Seq("event_id"))
+        .select("event_id", "user_id", "event_type", "value")) ===
+      rows(Events.dedupBatch(ltz, Seq("event_id"))
+        .select("event_id", "user_id", "event_type", "value")))
+  }
+
+  test("to_date over an NTZ ts matches LTZ (SparkEntry q_assign-family guard)") {
+    assert(rows(ntz.select(col("event_id"), to_date(col("ts")).as("day"))) ===
+      rows(ltz.select(col("event_id"), to_date(col("ts")).as("day"))))
+  }
+
+  test("streaming forms (windowed agg, dedup, interval join) run over NTZ streams") {
+    implicit val sqlCtx = spark.sqlContext
+    // LocalDateTime encodes as TIMESTAMP_NTZ — a genuinely NTZ stream
+    val base = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def ev(id: Long, min: Long, uid: Long, typ: String, v: Double) =
+      (id, base.plusMinutes(min), uid, typ, v)
+    val data = Seq(
+      ev(1, 5, 1, "click", 1.0), ev(2, 10, 1, "purchase", 2.5),
+      ev(3, 65, 2, "view", 3.0), ev(4, 70, 1, "click", 4.25))
+    val sentinel = ev(99, 60L * 24 * 400, 99, "sentinel", 0.0)
+    def toDf(m: MemoryStream[(Long, LocalDateTime, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val mem = MemoryStream[(Long, LocalDateTime, Long, String, Double)]
+    assert(toDf(mem).schema("ts").dataType == TimestampNTZType)
+    val q = Events.windowedAggStream(toDf(mem), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ntz_win").outputMode("append").start()
+    try {
+      mem.addData(data: _*); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ntz_win").filter($"event_type" =!= "sentinel")
+    val batchDf = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(rows(got) === rows(Events.windowedAggBatch(batchDf)))
+
+    val memD = MemoryStream[(Long, LocalDateTime, Long, String, Double)]
+    val qd = Events.dedupStream(toDf(memD), Seq("event_id"))
+      .writeStream.format("memory").queryName("ntz_dedup").outputMode("append").start()
+    try {
+      memD.addData(data: _*); memD.addData(data: _*) // at-least-once replay
+      qd.processAllAvailable()
+    } finally qd.stop()
+    assert(spark.table("ntz_dedup").count() === data.length)
+
+    val memL = MemoryStream[(Long, LocalDateTime, Long, String, Double)]
+    val memR = MemoryStream[(Long, LocalDateTime, Long, String, Double)]
+    val qj = Events.intervalJoinStream(
+        toDf(memL).filter($"event_type" === "purchase"),
+        toDf(memR).filter($"event_type" === "click"))
+      .writeStream.format("memory").queryName("ntz_ij").outputMode("append").start()
+    try {
+      memL.addData(data: _*); memR.addData(data: _*)
+      qj.processAllAvailable()
+      memL.addData(sentinel); memR.addData(sentinel)
+      qj.processAllAvailable()
+    } finally qj.stop()
+    val gotJoin = spark.table("ntz_ij").filter($"l_id" =!= 99)
+    val expectJoin = Events.intervalJoinBatch(
+      batchDf.filter($"event_type" === "purchase"),
+      batchDf.filter($"event_type" === "click"))
+    assert(rows(gotJoin) === rows(expectJoin))
+  }
+}
