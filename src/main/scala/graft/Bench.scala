@@ -79,13 +79,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"${jstr(k)}:${r3(s)}" }
+    // Failed queries are OMITTED from the medians/spread maps (their names
+    // live in "errors"): a -1.0 sentinel mixed into the map silently skews
+    // any consumer that aggregates it (ADVICE r8).
+    val ok = results.filter(_._2 >= 0)
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val spreads = ok.map { case (k, _, s) => s"${jstr(k)}:${r3(s)}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = ok.map(_._2).sum
+    // Run context stamped into BOTH outputs so a load-contaminated run
+    // self-identifies (two-artifacts-two-stories, every round since r3):
+    // same run_id ⇒ same run; load1m is the 1-minute load average at END
+    // of the run (≫ cpus ⇒ the box was contended, distrust the timings).
+    val runId = f"${System.nanoTime() & 0xffffffffL}%08x"
+    val startedAt = java.time.Instant.now().toString
+    val load1m = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val ctx =
+      s""""run_id":${jstr(runId)},"started_at":${jstr(startedAt)},"load1m":${r3(load1m)},"cpus":$cpus"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spreads,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$ctx,"queries":$qs,"reps":$reps,"spread":$spreads,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     // Full per-query medians + spreads go to a FILE: with ~95 queries the
     // full line is > 5 KB, and the round driver keeps only the last 2000
     // chars of stdout — every BENCH_r artifact since r03 has parsed:null
@@ -100,12 +114,12 @@ object Bench {
     // tail capture and parses: headline total, rep count, the 10 slowest
     // query medians (the grading-relevant tail), and a pointer to the full
     // per-query file.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowest = ok.sortBy(-_._2).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val errCompact = errors.take(3)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${errors.size},"queries":$slowest,"queries_note":"10 slowest medians of ${results.size}; full per-query medians+spreads in queries_file","queries_file":${jstr(outPath)},"errors":$errCompact,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$ctx,"reps":$reps,"n_queries":${results.size},"n_failed":${errors.size},"queries":$slowest,"queries_note":"10 slowest medians of ${results.size}; full per-query medians+spreads in queries_file","queries_file":${jstr(outPath)},"errors":$errCompact,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -18,6 +18,46 @@ object SparkEntry {
 
   private def wh(s: SparkSession, dir: String) = Warehouse(s, dir)
 
+  /** Memoized exact-jaccard ground truth for the RECALL CONTRACT rows:
+    * `ngramJaccard(documents, n=3, threshold=0.7)` with the given
+    * shingler. Two contract pairs recompute the identical pass —
+    * (q_minhash_recall, q_simhash_recall) share the word-trigram truth
+    * and (q_wminhash_recall, q_simhash_weighted_recall) the word_tf one —
+    * so it is computed ONCE per (session, dir, shingler) and served from
+    * Spark's block cache after that (r8 verdict item 6: ~18% of the
+    * bench was duplicated ground truth). Only the contracts' shared
+    * REFERENCE truth is memoized; the finder under test, and the
+    * headline operator rows (q_dedup_jaccard / q_dedup_wjaccard), run
+    * uncached every time. Keyed by session identity so a cached plan
+    * never outlives its session.
+    */
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private def exactPairsGroundTruth(
+      s: SparkSession, dir: String, shingler: String): DataFrame =
+    exactPairsCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, shingler),
+      _ => Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id",
+          "text", n = 3, threshold = 0.7, shingler = shingler)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Memoized exact top-2 over the planted ANN corpus — the shared
+    * reference truth of q_ivf_recall / q_ivfpq_recall / q_lsh_topk_recall
+    * (q_pq_recall's corpus is unplanted and stays standalone). Same
+    * contract-only scope and session-keying as [[exactPairsGroundTruth]].
+    */
+  private val plantedTop2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def plantedTop2GroundTruth(s: SparkSession, dir: String): DataFrame =
+    plantedTop2Cache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val emb = wh(s, dir).loadTable("embeddings")
+      Similarity.bruteForceTopK(planted2Clones(emb), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Per-process scratch dir for contract rows that materialize to disk:
     * keyed by the input dir AND the JVM pid, so two concurrent runs
     * against the same sfDir (e.g. Bench and Verify) never overwrite each
@@ -718,8 +758,7 @@ object SparkEntry {
   private def qSimhashRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     val docs = wh(s, dir).loadTable("documents")
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val exact = exactPairsGroundTruth(s, dir, "word")
     val found = Dedup.simhash(docs, "doc_id", "text",
         shingleWidth = 3, maxHamming = 14)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
@@ -741,8 +780,7 @@ object SparkEntry {
   private def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     val docs = wh(s, dir).loadTable("documents")
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val exact = exactPairsGroundTruth(s, dir, "word")
     val found = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
@@ -829,9 +867,7 @@ object SparkEntry {
   private def qWminhashRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     val docs = wh(s, dir).loadTable("documents")
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.7, shingler = "word_tf")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val exact = exactPairsGroundTruth(s, dir, "word_tf")
     val found = Dedup.icwsLsh(docs, "doc_id", "text",
         shingleWidth = 3, numPerms = 128, bands = 32, threshold = 0.5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
@@ -859,9 +895,7 @@ object SparkEntry {
   private def qSimhashWeightedRecall(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensure(s)
     val docs = wh(s, dir).loadTable("documents")
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.7, shingler = "word_tf")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val exact = exactPairsGroundTruth(s, dir, "word_tf")
     val found = Dedup.simhash(docs, "doc_id", "text",
         shingleWidth = 3, maxHamming = 14, weighted = true)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(true).as("__hit"))
@@ -1241,9 +1275,7 @@ object SparkEntry {
         queries, "vec_id", "embedding", k = 20, model,
         numCells = 16, numProbe = 6)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
-    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 2)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val exact = plantedTop2GroundTruth(s, dir)
     exact.join(found, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         coalesce(col("__hit"), lit(false)).as("found_by_ivfpq"))
@@ -1309,9 +1341,7 @@ object SparkEntry {
     val found = Similarity.lshTopK(aug, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 20, numBits = 8, numTables = 16)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
-    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 2)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val exact = plantedTop2GroundTruth(s, dir)
     exact.join(found, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
@@ -1333,9 +1363,7 @@ object SparkEntry {
     val found = Similarity.ivfTopK(aug, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 20, numCells = 16, numProbe = 6)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
-    val exact = Similarity.bruteForceTopK(aug, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 2)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val exact = plantedTop2GroundTruth(s, dir)
     exact.join(found, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         coalesce(col("__hit"), lit(false)).as("found_by_ivf"))
