@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, ModelStore, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Every oracle-checked query:
@@ -1282,6 +1282,49 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN MODEL PERSISTENCE contract, oracle-checked: train the IVF-PQ
+    * models (PQ codebook m=32 ksub=64 + 16 k-means cells), SAVE both as
+    * warehouse model tables ([[ModelStore]]), LOAD them back, and score
+    * the same top-k query twice — once with the trained in-memory models,
+    * once with the reloaded ones. The contract asserts (a) the reloaded
+    * model bits equal the trained bits (floats/longs round-trip parquet
+    * exactly) and (b) the two scored results are row-for-row identical —
+    * train→score == store→load→score, the property a real pipeline relies
+    * on when it trains an index once and serves it for months. The
+    * constants ARE the oracle: any drift breaks the hash.
+    */
+  private def qAnnModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val emb = w.loadTable("embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val pq = Similarity.trainPq(emb, "vec_id", "embedding", m = 32, ksub = 64)
+    val cells = Similarity.trainCentroidsKMeans(emb, "vec_id", "embedding", numCells = 16)
+    val outDir = scratch("models", dir)
+    ModelStore.savePqModel(w, outDir, "pq_model", pq)
+    ModelStore.saveCentroids(w, outDir, "ivf_cells", cells)
+    val mw = Warehouse(s, outDir)
+    val pq2 = ModelStore.loadPqModel(mw, "pq_model")
+    val cells2 = ModelStore.loadCentroids(mw, "ivf_cells")
+    val modelExact = pq.m == pq2.m && pq.dsub == pq2.dsub && pq.ksub == pq2.ksub &&
+      java.util.Arrays.equals(pq.flat, pq2.flat) &&
+      cells.length == cells2.length && cells.indices.forall(i => cells(i) == cells2(i))
+    def score(p: graft.functions.PqModel, c: Array[Seq[Float]]): DataFrame =
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, p,
+        numCells = 16, numProbe = 6, trainedCentroids = Some(c))
+    val fresh = score(pq, cells)
+      .withColumnRenamed("neighbor_id", "n1").withColumnRenamed("score", "s1")
+    val reloaded = score(pq2, cells2)
+      .withColumnRenamed("neighbor_id", "n2").withColumnRenamed("score", "s2")
+    fresh.join(reloaded, Seq("query_id", "rank"), "full")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n1") <=> col("n2") && col("s1") <=> col("s2"), 0)
+          .otherwise(1)).as("__mismatch"))
+      .select(col("n_rows"),
+        (col("__mismatch") === 0).as("scores_identical"),
+        lit(modelExact).as("model_bits_identical"))
+  }
+
   /** PQ recall contract, oracle-checked: every DuckDB-exact top-2 cosine
     * neighbor of each query must appear in the PQ top-20 (the standard
     * over-fetch regime: PQ shortlists ~10k, exact-rerank picks k). DuckDB
@@ -2081,6 +2124,7 @@ object SparkEntry {
     "q_pq_recall" -> (qPqRecall _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ivfpq_recall" -> (qIvfpqRecall _),
+    "q_ann_model_roundtrip" -> (qAnnModelRoundtrip _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2845,6 +2889,12 @@ object SparkEntry {
         |           FROM scored)
         |SELECT query_id, rank, neighbor_id, true AS found_by_ivfpq
         |FROM ranked WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    // ANN model persistence CONTRACT: 8 queries x k=5 rows scored twice
+    // (trained vs reloaded models) must agree exactly, and the reloaded
+    // model bits must equal the trained bits — constants ARE the oracle
+    "q_ann_model_roundtrip" ->
+      """SELECT cast(40 AS bigint) AS n_rows, true AS scores_identical,
+        | true AS model_bits_identical""".stripMargin,
     // embedding near-dup PAIR recall CONTRACT: one clone per vec_id < 16
     // (zero element id mod 64), exact cosine >= 0.7 pairs involving a
     // clone recomputed corpus x clones, literal-true found flag

@@ -930,11 +930,14 @@ object Dedup {
       threshold: Double, numCells: Int = 16, numProbe: Int = 2,
       iters: Int = 10, sampleSize: Int = 10000, maxCellSize: Int = 100000,
       seed: Long = 42L,
-      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
     GraftFunctions.ensure(df.sparkSession)
     require(numProbe >= 1, s"numProbe must be >= 1, got $numProbe")
-    val cents = Similarity.trainCentroidsKMeans(
-      df, idCol, vecCol, numCells, iters, sampleSize, seed)
+    // trainedCentroids: a persisted cell model ([[ModelStore]]) — train
+    // once, dedup arriving corpora for months against the same cells
+    val cents = trainedCentroids.getOrElse(Similarity.trainCentroidsKMeans(
+      df, idCol, vecCol, numCells, iters, sampleSize, seed))
     val base = persistIf(
       df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec")),
       persistLevel) // assignment + both verify joins

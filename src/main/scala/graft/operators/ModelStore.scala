@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Warehouse
+import graft.functions.{PqModel, QualityLrModel}
+
+/** Persistence for the engine's trained models — IVF/k-means centroids,
+  * PQ codebooks, and the hashed-n-gram quality classifier.
+  *
+  * Real pipelines train once and score for months: the index model is a
+  * versioned warehouse artifact, not a per-session side effect (the
+  * reference materializes every derived artifact as a warehouse table —
+  * fugue_trino/execution_engine.py:124-133 persists via df_to_table; model
+  * tables get the same treatment). Each model round-trips through plain
+  * parquet rows via [[Warehouse.saveTable]]/[[Warehouse.loadTable]], so
+  * saves invalidate stale views like any other table write, the artifacts
+  * are readable by any engine (a row per centroid/code, no opaque blobs),
+  * and a load rebuilds the literal in-memory model BIT-IDENTICALLY —
+  * floats and longs round-trip parquet exactly, pinned by the
+  * q_ann_model_roundtrip contract row (store→load→score == train→score).
+  *
+  * Scale: every model here is bounded by design (centroids: numCells × dim
+  * floats; PQ: m × ksub × dsub floats; classifier: numBuckets longs) — the
+  * collect in each load is O(model), never O(corpus).
+  */
+object ModelStore {
+
+  // ---- IVF / k-means centroids ----------------------------------------
+
+  /** Save centroids as rows (cell INT, centroid ARRAY<FLOAT>). */
+  def saveCentroids(wh: Warehouse, outDir: String, table: String,
+      centroids: Array[Seq[Float]]): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cell", "centroid"),
+      outDir, table)
+  }
+
+  /** Load centroids ordered by cell id — the exact array
+    * [[Similarity.trainCentroidsKMeans]] returned at save time.
+    */
+  def loadCentroids(wh: Warehouse, table: String): Array[Seq[Float]] =
+    wh.loadTable(table).orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Float](0))
+
+  // ---- PQ codebook -----------------------------------------------------
+
+  /** Save a PQ codebook as rows (subspace INT, code INT,
+    * sub_centroid ARRAY<FLOAT> of dsub) — m and ksub are recovered from
+    * the row coordinates, dsub from the array length.
+    */
+  def savePqModel(wh: Warehouse, outDir: String, table: String,
+      model: PqModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    val rows = for (s <- 0 until model.m; j <- 0 until model.ksub) yield {
+      val off = (s * model.ksub + j) * model.dsub
+      (s, j, model.flat.slice(off, off + model.dsub).toSeq)
+    }
+    wh.saveTable(rows.toDF("subspace", "code", "sub_centroid"), outDir, table)
+  }
+
+  /** Rebuild the PqModel from its row form (bit-identical flat array). */
+  def loadPqModel(wh: Warehouse, table: String): PqModel = {
+    val rows = wh.loadTable(table).orderBy("subspace", "code")
+      .select("subspace", "code", "sub_centroid").collect()
+    require(rows.nonEmpty, s"empty PQ model table: $table")
+    val dsub = rows.head.getSeq[Float](2).length
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ksub,
+      s"PQ model table $table has ${rows.length} rows, expected ${m * ksub}")
+    val flat = new Array[Float](m * ksub * dsub)
+    rows.foreach { r =>
+      val off = (r.getInt(0) * ksub + r.getInt(1)) * dsub
+      val v = r.getSeq[Float](2)
+      require(v.length == dsub, s"ragged sub_centroid in $table")
+      var t = 0
+      while (t < dsub) { flat(off + t) = v(t); t += 1 }
+    }
+    new PqModel(m, dsub, ksub, flat)
+  }
+
+  // ---- quality classifier ---------------------------------------------
+
+  /** Save a trained quality classifier as rows (bucket INT, weight BIGINT,
+    * scale BIGINT) — scale repeats per row (constant column; negligible
+    * for a bounded model and keeps the table self-describing).
+    */
+  def saveQualityModel(wh: Warehouse, outDir: String, table: String,
+      model: QualityLrModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(
+      model.weights.zipWithIndex.map { case (w, b) => (b, w, model.scale) }
+        .toSeq.toDF("bucket", "weight", "scale"),
+      outDir, table)
+  }
+
+  /** Rebuild the classifier (bit-identical integer weights). */
+  def loadQualityModel(wh: Warehouse, table: String): QualityLrModel = {
+    val rows = wh.loadTable(table).orderBy("bucket")
+      .select("bucket", "weight", "scale").collect()
+    require(rows.nonEmpty, s"empty quality model table: $table")
+    new QualityLrModel(rows.map(_.getLong(1)), rows.length, rows.head.getLong(2))
+  }
+}
