@@ -1607,6 +1607,30 @@ object SparkEntry {
         col("pos_a"), col("pos_b"), col("span_len"))
       .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
 
+  /** INCREMENTAL substring dedup, oracle-checked EXACTLY: every 25th
+    * document spawns a prefix-edited clone as the "arriving batch"; the
+    * batch is deduped against the PERSISTED ANCHOR STORE of the
+    * historical corpus ([[Dedup.sharedSpansIncremental]] — history never
+    * re-anchored, old-vs-old pairs never generated), and DuckDB
+    * recomputes the full span set over history ∪ batch with its
+    * independent all-positions formulation, filtered to pairs involving
+    * a batch doc — every (pair, pos_a, pos_b, span_len) tuple must match
+    * bit-for-bit (caps off: exactness is the contract under test).
+    */
+  private def qSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("INCREMENTAL SPAN BATCH :: "), col("text")).as("text"))
+    val store = Dedup.spanAnchorStore(docs, "doc_id", "text", minLen = 40, k = 20)
+    Dedup.sharedSpansIncremental(batch, "doc_id", "text", store, docs,
+        minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("pos_a"), col("pos_b"), col("span_len"))
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
   /** Per-document duplicated-span mass (the Lee et al. removal-policy
     * input): chars covered by ≥1 shared span as a union of intervals.
     * DuckDB replays the same islands logic over ITS independently
@@ -2134,6 +2158,7 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_containment" -> (qContainment _),
     "q_substring" -> (qSubstring _),
+    "q_substring_incremental" -> (qSubstringIncremental _),
     "q_substring_stats" -> (qSubstringStats _),
     "q_substring_clean" -> (qSubstringClean _),
     "q_self_spans" -> (qSelfSpans _),
@@ -3044,6 +3069,37 @@ object SparkEntry {
       """
         |SELECT doc_a, doc_b, pos_a, pos_b, span_len FROM spans
         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin),
+    // incremental substring dedup: the SAME all-positions recompute over
+    // history UNION the prefix-edited batch, filtered to batch pairs
+    "q_substring_incremental" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000,
+        |  'INCREMENTAL SPAN BATCH :: ' || text
+        | FROM documents WHERE doc_id % 25 = 0),
+        |g AS (
+        | SELECT doc_id,
+        |  unnest(generate_series(1, greatest(length(text) - 39, 0))) AS i,
+        |  text
+        | FROM corpus),
+        |h AS (
+        | SELECT doc_id, i, md5(substr(text, i, 40)) AS gh FROM g),
+        |m AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        | FROM h a JOIN h b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |r AS (
+        | SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+        |  ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+        | FROM m),
+        |spans AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(min(ia) AS BIGINT) AS pos_a, CAST(min(ib) AS BIGINT) AS pos_b,
+        |  CAST(count(*) + 39 AS BIGINT) AS span_len
+        | FROM r GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, pos_a, pos_b, span_len FROM spans
+        |WHERE doc_a >= 1000000 OR doc_b >= 1000000
+        |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin,
     "q_self_spans" ->
       """WITH g AS (
         | SELECT doc_id,

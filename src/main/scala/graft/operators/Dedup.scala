@@ -1155,6 +1155,102 @@ object Dedup {
       .distinct()
   }
 
+  /** Persisted anchor store for INCREMENTAL substring dedup — the
+    * [[paragraphHashStore]]/[[minhashSignatures]] pattern applied to
+    * [[sharedSpans]]' winnowing anchors: one (id, pos, h) row per
+    * selected anchor of the historical corpus. Built ONCE (the expensive
+    * winnowPos scan over history), saved as a narrow warehouse table
+    * (bucket it by `h` at scale — arriving batches probe by hash), and
+    * probed by every arriving batch without re-anchoring history.
+    * Parameters must match the later [[sharedSpansIncremental]] calls
+    * (anchors are only comparable under the same k and window).
+    */
+  def spanAnchorStore(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, k: Int = 20): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    GraftFunctions.ensure(df.sparkSession)
+    val w = minLen - k + 1
+    df.select(col(idCol).cast("long").as("id"),
+        explode(GraftFunctions.winnowPos(col(textCol), k, w)).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.h").as("h"))
+  }
+
+  /** INCREMENTAL shared spans: dedup an arriving batch against a
+    * historical corpus via its persisted [[spanAnchorStore]] — history is
+    * never re-anchored, and old-vs-old pairs are never generated (the
+    * [[minhashLshIncremental]] contract). Returns exactly the
+    * [[sharedSpans]] rows of `history ∪ newDocs` in which at least one
+    * side is a batch document: the store is probed by the batch's anchor
+    * hashes (left-semi on `h` — with the store bucketed by `h`, a
+    * bucket-pruned probe), per-hash doc/occurrence caps are computed over
+    * batch ∪ probed-store anchors (identical counts to the full-corpus
+    * pass for every hash that can produce a batch pair, so parity with
+    * the one-shot operator is EXACT, caps included), and history text is
+    * fetched only for the bounded candidate ids. Batch-internal
+    * duplicates surface too (both sides new). `history` supplies old
+    * texts for extension; ids must be disjoint from the batch's.
+    *
+    * 100 TB shape: per batch the work is one anchor pass over the BATCH,
+    * one hash-probe of the store, and text joins onto bounded candidates
+    * — O(batch + matches), not O(corpus); the store grows by appending
+    * the batch's own anchors ([[spanAnchorStore]] of the batch).
+    */
+  def sharedSpansIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, history: DataFrame,
+      minLen: Int = 40, k: Int = 20, maxHashDocs: Int = 100,
+      maxHashOccurrences: Int = 1000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    GraftFunctions.ensure(newDocs.sparkSession)
+    val newBase = persistIf(
+      newDocs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+      persistLevel) // anchor pass + two text joins
+    val newAnchors = persistIf(
+      spanAnchorStore(newBase, "id", "text", minLen, k).withColumn("__new", lit(true)),
+      persistLevel)
+    // store probe: only hashes the batch actually carries can pair with it
+    val probed = store.select(col("id"), col("pos"), col("h"))
+      .join(newAnchors.select("h").distinct(), Seq("h"), "left_semi")
+      .withColumn("__new", lit(false))
+    val combined = persistIf(newAnchors.unionByName(probed), persistLevel)
+    val capped =
+      if (maxHashDocs > 0 || maxHashOccurrences > 0) {
+        // identical counts to the one-shot pass: for any hash present in
+        // the batch, combined holds ALL of that hash's anchors
+        val hot = combined.groupBy("h")
+          .agg(countDistinct(col("id")).as("__hd"), count(lit(1)).as("__ho"))
+          .filter(
+            (if (maxHashDocs > 0) col("__hd") > maxHashDocs else lit(false)) ||
+            (if (maxHashOccurrences > 0) col("__ho") > maxHashOccurrences else lit(false)))
+          .select("h")
+        combined.join(broadcast(hot), Seq("h"), "left_anti")
+      } else combined
+    val cand = capped
+      .select(col("id").as("id_a"), col("pos").as("pa"), col("__new").as("na"), col("h"))
+      .join(capped
+        .select(col("id").as("id_b"), col("pos").as("pb"), col("__new").as("nb"), col("h")), "h")
+      .filter(col("id_a") < col("id_b") && (col("na") || col("nb")))
+      .select("id_a", "id_b", "pa", "pb")
+      .distinct()
+    val texts = newBase.unionByName(
+      history.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
+    val m = GraftFunctions.extendMatch(col("ta"), col("tb"), col("pa"), col("pb"), k)
+    cand
+      .join(texts.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("m", m)
+      .filter(col("m").isNotNull && col("m.len") >= minLen)
+      .select(col("id_a"), col("id_b"),
+        col("m.start_a").cast("long").as("pos_a"),
+        col("m.start_b").cast("long").as("pos_b"),
+        col("m.len").cast("long").as("span_len"))
+      .distinct()
+  }
+
   /** WITHIN-document repeated spans — the intra-doc complement of
     * [[sharedSpans]]: every maximal pair of exact repeats of ≥ `minLen`
     * characters inside ONE document, as (id, pos_a, pos_b, span_len) with

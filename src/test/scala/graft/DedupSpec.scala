@@ -609,6 +609,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped >= 66, s"uncapped must report all boilerplate pairs, got $uncapped")
   }
 
+  test("sharedSpansIncremental against an anchor store equals the filtered one-shot pass") {
+    val history = docs.select("doc_id", "text").filter(col("doc_id") < 60)
+    // prefix-edited clones guarantee nontrivial cross-boundary spans
+    val batch = history.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(lit("BATCH CLONE PREFIX >> "), col("text")).as("text"))
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val store = Dedup.spanAnchorStore(history, "doc_id", "text", minLen = 40, k = 20)
+    val got = spanSet(Dedup.sharedSpansIncremental(batch, "doc_id", "text",
+      store, history, minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0))
+    val full = spanSet(Dedup.sharedSpans(history.unionByName(batch), "doc_id",
+        "text", minLen = 40, k = 20, maxHashDocs = 0, maxHashOccurrences = 0)
+      .filter(col("id_a") >= 1000L || col("id_b") >= 1000L))
+    assert(got.nonEmpty, "fixture must produce cross-boundary spans")
+    assert(got === full)
+    // the incremental contract: no old-vs-old pair is ever generated
+    assert(!got.exists(p => p._1 < 1000L && p._2 < 1000L))
+  }
+
+  test("sharedSpansIncremental cap parity: per-hash counts match the one-shot pass") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate license header appears in every single document verbatim"
+    val history = (1L to 8L)
+      .map(i => (i, s"doc $i unique preamble number$i $boiler unique tail $i"))
+      .toDF("doc_id", "text")
+    val batch = (101L to 104L)
+      .map(i => (i, s"batch doc $i other words $boiler closing part $i"))
+      .toDF("doc_id", "text")
+    val store = Dedup.spanAnchorStore(history, "doc_id", "text", minLen = 40, k = 8)
+    def runInc(cap: Int) = Dedup.sharedSpansIncremental(batch, "doc_id", "text",
+        store, history, minLen = 40, k = 8, maxHashDocs = cap,
+        maxHashOccurrences = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def runFull(cap: Int) = Dedup.sharedSpans(history.unionByName(batch),
+        "doc_id", "text", minLen = 40, k = 8, maxHashDocs = cap,
+        maxHashOccurrences = 0)
+      .filter(col("id_a") >= 100L || col("id_b") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 12 docs carry the boilerplate: under cap 5 its anchors must be
+    // dropped on the FULL corpus count (8 history + 4 batch > 5) — a
+    // batch-only count (4) would diverge from the one-shot pass. The
+    // batch docs' private context anchors (4 docs <= 5) survive on both
+    // sides, so parity, not emptiness, is the property.
+    val inc5 = runInc(5)
+    assert(inc5 === runFull(5))
+    // history-vs-batch boilerplate pairs ARE capped out under cap 5
+    assert(!inc5.exists(p => p._1 < 100L))
+    assert(runInc(0) === runFull(0))
+    assert(runInc(0).exists(p => p._1 < 100L))
+  }
+
   /** Intra-doc ground truth: maximal repeated-pair spans >= minLen via
     * the same L-gram diagonal method, per document.
     */

@@ -251,6 +251,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(3L) === "delta" && byId(4L) === "epsilon")
   }
 
+  test("incremental substring dedup over foreachBatch equals one-shot shared spans") {
+    // Streaming-native substring dedup: each micro-batch probes the
+    // accumulated ANCHOR STORE (Dedup.sharedSpansIncremental inside
+    // foreachBatch), then folds its own anchors into the store — the
+    // paragraph-incremental composition applied to spans. Concatenated
+    // per-batch outputs must equal the one-shot sharedSpans over
+    // everything, minus the old-vs-old (history-internal) pairs.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val lic = "This exactly repeated licensing paragraph spans well over forty characters total."
+    val h = Seq((1L, s"first historical document body $lic with tail one"),
+      (2L, "second historical body sharing nothing with anything else at all"))
+    val b1 = Seq((10L, s"batch one document $lic and a different tail"))
+    val b2 = Seq((20L, s"batch two document with $lic plus more"),
+      (21L, s"batch two document with $lic plus more")) // batch-internal pair
+    val all = (h ++ b1 ++ b2).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    var history = h.toDF("doc_id", "text").localCheckpoint(eager = true)
+    var store = Dedup.spanAnchorStore(history, "doc_id", "text", minLen = 40, k = 8)
+      .localCheckpoint(eager = true)
+    val out = collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= Dedup.sharedSpansIncremental(batch, "doc_id", "text", store,
+            history, minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0)
+          .collect().map(_.toSeq)
+        store = store.unionByName(
+            Dedup.spanAnchorStore(batch, "doc_id", "text", minLen = 40, k = 8))
+          .localCheckpoint(eager = true)
+        history = history.unionByName(batch.select("doc_id", "text"))
+          .localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expect = Dedup.sharedSpans(all, "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 0, maxHashOccurrences = 0)
+      .filter($"id_a" >= 10L || $"id_b" >= 10L) // old-old never generated
+      .collect().map(_.toSeq).toSet
+    assert(out.toSet === expect)
+    // nontrivial on both halves: cross-batch (10 vs 20/21) AND
+    // batch-internal (20 vs 21) pairs surfaced
+    assert(out.exists(s => s.head == 10L && Seq(20L, 21L).contains(s(1))))
+    assert(out.exists(s => s.head == 20L && s(1) == 21L))
+  }
+
   test("partitionPreReservoir bounds per-stratum volume and preserves exact min-k") {
     // the map-side reduction in front of the stateful shuffle: per
     // stratum, at most max(1, target) rows leave a partition, and they
