@@ -1222,7 +1222,7 @@ object SparkEntry {
     Similarity.ivfTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, numCells = 16, numProbe = 6)
+        k = 5, numCells = 16, numProbe = 6, probeMargin = 0.1)
       .orderBy("query_id", "rank")
   }
 
@@ -1253,16 +1253,19 @@ object SparkEntry {
     Similarity.ivfPqTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, model, numCells = 16, numProbe = 6, rerankShortlistK = 50)
+        k = 5, model, numCells = 16, numProbe = 6, rerankShortlistK = 50,
+        probeMargin = 0.1)
       .orderBy("query_id", "rank")
   }
 
   /** IVF-PQ recall contract, oracle-checked: every DuckDB-exact top-2
     * neighbor over the planted corpus ([[planted2Clones]]) must appear
-    * in the composed IVF-PQ top-20 (16 cells / 6 probes, m=32 ksub=64
-    * codebook, pure ADC — no rerank, so the contract pins the composed
-    * index itself). Two independent miss terms, both tiny: the clone's
-    * cell unprobed (measured 0 at probe=4, we run 6) and ADC error
+    * in the composed IVF-PQ top-20 (16 cells / probe ceiling 6 with
+    * ADAPTIVE probeMargin 0.1 — the q_ann_ivfpq production config, see
+    * [[qIvfRecall]] for the measured margin — m=32 ksub=64 codebook,
+    * pure ADC — no rerank, so the contract pins the composed index
+    * itself). Two independent miss terms, both tiny: the clone's cell
+    * unprobed (measured worst needed margin 0.0414 ≪ 0.1) and ADC error
     * demoting a cosine ≥ 0.94 clone below rank 20 (ADC error ≈ 0.05 ≪
     * the 0.3+ clone/noise gap).
     */
@@ -1273,7 +1276,7 @@ object SparkEntry {
     val model = Similarity.trainPq(aug, "vec_id", "embedding", m = 32, ksub = 64)
     val found = Similarity.ivfPqTopK(aug, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 20, model,
-        numCells = 16, numProbe = 6)
+        numCells = 16, numProbe = 6, probeMargin = 0.1)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
     val exact = plantedTop2GroundTruth(s, dir)
     exact.join(found, Seq("query_id", "neighbor_id"), "left")
@@ -1393,18 +1396,23 @@ object SparkEntry {
 
   /** IVF top-k recall contract, oracle-checked like [[qLshTopkRecall]]:
     * every DuckDB-exact top-2 neighbor over the planted corpus must
-    * appear in the IVF top-20 at the headline params (16 cells, 6
-    * probes — q_ann_ivf's). A clone at cosine ≥ 0.94 to its query
-    * assigns to the query's own nearest cell (or one adjacent), which
-    * the 6-probe always visits; measured 0 misses at all three SFs with
-    * margin (probe=4 is already clean).
+    * appear in the IVF top-20 at the headline params (16 cells, probe
+    * ceiling 6 with ADAPTIVE probeMargin 0.1 — q_ann_ivf's). A clone at
+    * cosine ≥ 0.94 to its query assigns to the query's own nearest cell
+    * (or one adjacent); the margin is measured, not guessed: the worst
+    * clone cell across all SFs sits 0.0414 below the best cell's sim
+    * (tools.Probe r9 sweep), so 0.1 carries 2.4× headroom while mean
+    * probed cells drop from 6.0 fixed to 3.4-4.6 — the contract
+    * certifies the production adaptive config itself (0 misses at all
+    * three SFs).
     */
   private def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = wh(s, dir).loadTable("embeddings")
     val aug = planted2Clones(emb)
     val queries = emb.filter(col("vec_id") < 8)
     val found = Similarity.ivfTopK(aug, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 20, numCells = 16, numProbe = 6)
+        queries, "vec_id", "embedding", k = 20, numCells = 16, numProbe = 6,
+        probeMargin = 0.1)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
     val exact = plantedTop2GroundTruth(s, dir)
     exact.join(found, Seq("query_id", "neighbor_id"), "left")

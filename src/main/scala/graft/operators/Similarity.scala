@@ -206,10 +206,20 @@ object Similarity {
     * max_by aggregation — one narrow shuffle on the id, no giant plan.
     * Tie-breaking is identical on both paths (max over struct(sim, cell)
     * picks the LARGEST cell id on exact score ties).
+    *
+    * `probeMargin` (NaN = off) makes the probe count ADAPTIVE per query:
+    * within the numProbe nearest cells, only those with
+    * sim ≥ best_sim − probeMargin are probed. numProbe stays the recall
+    * CEILING (the cover the contracts certify); the margin prunes probes
+    * that cannot matter — a query whose best cell dominates scans one
+    * cell, a boundary query near several centroids keeps all numProbe.
+    * Mean probed cells (= scanned corpus fraction × numCells) drops
+    * measurably at equal recall; see [[graft.tools.Probe]] margin sweep.
     */
   private def assignCells(
       c: DataFrame, q: DataFrame, centroids: Array[(Int, Seq[Float])],
-      numProbe: Int, literalModelLimit: Int): (DataFrame, DataFrame) = {
+      numProbe: Int, literalModelLimit: Int,
+      probeMargin: Double = Double.NaN): (DataFrame, DataFrame) = {
     val spark = c.sparkSession
     val dim = centroids.head._2.length
     val literalOk = centroids.length.toLong * dim <= literalModelLimit
@@ -221,9 +231,14 @@ object Similarity {
         // corpus → its single nearest cell (argmax via struct array_max)
         val a = c.withColumn("cell",
           array_max(cellSims(col("nbr_vec"))).getField("cell"))
-        // queries → their numProbe nearest cells (sort desc, slice)
-        val p = q.withColumn("__cells",
-            slice(reverse(array_sort(cellSims(col("query_vec")))), 1, numProbe))
+        // queries → their numProbe nearest cells (sort desc, slice),
+        // margin-pruned against the best cell when adaptive
+        val top = slice(reverse(array_sort(cellSims(col("query_vec")))), 1, numProbe)
+        val sel =
+          if (probeMargin.isNaN) top
+          else filter(top, e =>
+            e.getField("sim") >= element_at(top, 1).getField("sim") - lit(probeMargin))
+        val p = q.withColumn("__cells", sel)
           .select(col("query_id"), col("query_vec"),
             explode(col("__cells").getField("cell")).as("cell"))
         (a, p)
@@ -238,11 +253,17 @@ object Similarity {
             first(col("nbr_vec")).as("nbr_vec"))
         val pw = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("__sim").desc, col("cell").desc)
-        val p = q.crossJoin(cellDf)
+        val pq0 = q.crossJoin(cellDf)
           .withColumn("__sim", GraftFunctions.cosineSim(col("query_vec"), col("centroid")))
           .withColumn("__rk", row_number().over(pw))
           .filter(col("__rk") <= numProbe)
-          .select("query_id", "query_vec", "cell")
+        val pq1 =
+          if (probeMargin.isNaN) pq0
+          else pq0
+            .withColumn("__best", max(col("__sim")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+            .filter(col("__sim") >= col("__best") - lit(probeMargin))
+        val p = pq1.select("query_id", "query_vec", "cell")
         (a, p)
       }
     (assigned, probed)
@@ -253,7 +274,8 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
       excludeSelf: Boolean = true, literalModelLimit: Int = 64 * 1024,
-      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+      trainedCentroids: Option[Array[Seq[Float]]] = None,
+      probeMargin: Double = Double.NaN): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
@@ -265,7 +287,8 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "score")
     }
-    val (assigned, probed) = assignCells(c, q, centroids, numProbe, literalModelLimit)
+    val (assigned, probed) =
+      assignCells(c, q, centroids, numProbe, literalModelLimit, probeMargin)
     // each corpus row lives in exactly one cell and probed cells are
     // distinct, so (query, neighbor) pairs are already unique: no dedup
     val scored = assigned
@@ -308,7 +331,8 @@ object Similarity {
       numCells: Int = 16, numProbe: Int = 4, seed: Long = 42L,
       excludeSelf: Boolean = true, rerankShortlistK: Int = 0,
       literalModelLimit: Int = 64 * 1024,
-      trainedCentroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+      trainedCentroids: Option[Array[Seq[Float]]] = None,
+      probeMargin: Double = Double.NaN): DataFrame = {
     require(rerankShortlistK == 0 || rerankShortlistK >= k,
       s"rerankShortlistK ($rerankShortlistK) must be 0 (off) or >= k ($k)")
     val spark = corpus.sparkSession
@@ -321,7 +345,8 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "score")
     }
-    val (assigned, probed) = assignCells(c, q, centroids, numProbe, literalModelLimit)
+    val (assigned, probed) =
+      assignCells(c, q, centroids, numProbe, literalModelLimit, probeMargin)
     // one pass over corpus vectors: cell id + m-byte code, vector dropped
     val codes = assigned.select(col("cell"), col("neighbor_id"),
       GraftFunctions.pqEncode(spark, col("nbr_vec"), model).as("codes"))

@@ -17,6 +17,68 @@ object Probe {
     val docs = w.loadTable("documents")
     val emb = w.loadTable("embeddings")
 
+    // round-9 adaptive-probe margin sweep: `Probe <dir> r9` — on the
+    // q_ivf/q_ivfpq recall-contract setup (planted 2-clone corpus,
+    // default-seed uniform centroids, 16 cells, probe ceiling 6), for
+    // each candidate probeMargin report (a) clone-cell misses and (b)
+    // mean probed cells per query. Replicates selectCentroids' seeding
+    // and assignCells' argmax/desc-sort driver-side (8 queries × 16
+    // cells — trivial), so the sweep is exact.
+    if (args.length > 1 && args(1) == "r9") {
+      def clone2(j: Int) = emb.filter(col("vec_id") < 8)
+        .select((lit(1000000L + j) + col("vec_id") * 2).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> IF(i = vec_id * 2 + $j, CAST(0 AS FLOAT), x))")
+            .as("embedding"))
+      val aug = emb.select("vec_id", "embedding")
+        .unionByName(clone2(0)).unionByName(clone2(1))
+      val cents: Array[Array[Float]] = aug
+        .withColumn("__h", xxhash64(col("vec_id"), lit(42L)))
+        .orderBy("__h").limit(16)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val queries = emb.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val clones = aug.filter(col("vec_id") >= 1000000L)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // clone → its single assigned cell (argmax, ties → largest cell id)
+      def bestCell(v: Array[Float]): Int =
+        cents.indices.maxBy(i => (cos(v, cents(i)), i))
+      val cloneCell = clones.map { case (id, v) => id -> bestCell(v) }.toMap
+      println("== r9 adaptive-probe sweep (16 cells, ceiling 6)")
+      for (margin <- Seq(0.02, 0.05, 0.08, 0.12, 0.2, 0.3, Double.NaN)) {
+        var probedTotal = 0; var misses = 0
+        queries.foreach { case (qid, qv) =>
+          val sims = cents.indices.map(i => (cos(qv, cents(i)), i))
+            .sortBy(t => (-t._1, -t._2)).take(6)
+          val best = sims.head._1
+          val probed =
+            if (margin.isNaN) sims else sims.filter(_._1 >= best - margin)
+          probedTotal += probed.length
+          val probedSet = probed.map(_._2).toSet
+          Seq(0, 1).foreach { j =>
+            val cid = 1000000L + j + qid * 2
+            if (!probedSet.contains(cloneCell(cid))) misses += 1
+          }
+        }
+        val label = if (margin.isNaN) "fixed-6" else f"margin=$margin%.2f"
+        println(f"   $label: meanProbed=${probedTotal / 8.0}%.2f cloneMisses=$misses")
+      }
+      // needed margin per clone: best query sim minus sim to clone's cell
+      val needed = queries.flatMap { case (qid, qv) =>
+        val simByCell = cents.indices.map(i => cos(qv, cents(i)))
+        val best = simByCell.max
+        Seq(0, 1).map { j => best - simByCell(cloneCell(1000000L + j + qid * 2)) }
+      }
+      println(f"   needed margin: max=${needed.max}%.4f  p50=${needed.sorted.apply(needed.length / 2)}%.4f")
+      return
+    }
+
     // round-8 margin measurements only: `Probe <dir> r8`
     if (args.length > 1 && args(1) == "r8") {
       // A. weighted-simhash hamming vs exact WEIGHTED jaccard >= 0.7

@@ -54,6 +54,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(run(bcast = false) === run(bcast = true))
   }
 
+  test("adaptive probeMargin: an unprunable margin is result-identical on both paths") {
+    // cosine sims live in [-1, 1], so margin 2 can never prune a probe —
+    // the adaptive path must then equal fixed probing exactly, on the
+    // literal-model path AND the broadcast-join fallback
+    for (limit <- Seq(64 * 1024, 1)) {
+      def run(margin: Double) = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, numCells = 8, numProbe = 4,
+        literalModelLimit = limit, probeMargin = margin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(run(2.0) === run(Double.NaN), s"literalModelLimit=$limit")
+    }
+  }
+
+  test("adaptive probeMargin prunes probed cells while keeping self-recall") {
+    // margin 0.1 at ceiling 6: every query's own vector sits in the
+    // query's best cell, which is always probed (margin is relative to
+    // the best), so self-neighbors at rank 1 must survive pruning
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6,
+        excludeSelf = false, probeMargin = 0.1)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === queries.select("vec_id").collect()
+      .map(r => { val v = r.getLong(0); (v, v) }).toSet)
+  }
+
   test("ivfTopK reaches usable recall and degenerates to exact at full probe") {
     val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6)
