@@ -59,7 +59,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     var df = spark.read.parquet(path(table))
     // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — normalize to
     // microsecond timestamps so downstream code sees real timestamps.
-    df = Warehouse.normalizeNanos(table.split("\\.").last, df)
+    df = Warehouse.normalizeNanos(spark, path(table), baseDir, df)
     // Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ,
     // which half of Spark's timestamp surface (unix_micros, watermarks on
     // some paths, Timestamp encoders) rejects — normalize to LTZ here.
@@ -426,15 +426,78 @@ object Warehouse {
     (Seq(dir) ++ parts.init :+ s"${parts.last}.parquet").mkString("/")
   }
 
-  /** Tables with TIMESTAMP(NANOS) columns (read as long under
-    * nanosAsLong): convert to microsecond timestamps.
+  /** TIMESTAMP(NANOS) columns arrive as plain long under the
+    * `nanosAsLong` legacy flag (GraftSession sets it — Spark's
+    * vectorized reader rejects nanos outright without it). Which columns
+    * those are is detected from the PARQUET FOOTER of one leaf file, not
+    * hardcoded per table: the round-8 NTZ break proved that pinning
+    * normalization to a (table, column) pair breaks silently the moment
+    * the data generator changes an encoding, and a footer check is one
+    * bounded metadata read per loadTable. Conversion truncates
+    * nanos → micros (Spark timestamps are microsecond; sub-microsecond
+    * precision is below every oracle's resolution).
     */
-  private[graft] def normalizeNanos(table: String, df: DataFrame): DataFrame =
-    if (table == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+  private[graft] def normalizeNanos(spark: SparkSession, path: String,
+      dir: String, df: DataFrame): DataFrame = {
+    val longCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
+    }.toSet
+    if (longCols.isEmpty) return df
+    val nanosCols = nanosTimestampColumns(spark, path, dir).filter(longCols)
+    nanosCols.foldLeft(df) { (d, c) =>
+      val q = encodeColumnName(c)
+      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(s"$q div 1000")))
+    }
+  }
+
+  /** Footer-detected TIMESTAMP(NANOS) column names of one leaf parquet
+    * file under `path` (bounded recursive search — partitioned layouts
+    * nest part files under key directories). Cached per (path, dir
+    * epoch): one bounded metadata read per table per write generation,
+    * and a [[invalidate]]-bumping rewrite re-reads the footer instead of
+    * serving a stale column set. Unreadable/absent footers yield the
+    * empty set — loadTable then behaves exactly as a plain parquet read.
+    */
+  private val nanosColsCache =
+    new ConcurrentHashMap[(String, Long), Set[String]]()
+  private[graft] def nanosTimestampColumns(
+      spark: SparkSession, path: String, dir: String): Set[String] =
+    nanosColsCache.computeIfAbsent((path, epochOf(dir).get()), _ => try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val hp = new HPath(path)
+      val fs = hp.getFileSystem(conf)
+      def findLeaf(p: HPath, depth: Int): Option[HPath] = {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) Some(p)
+        else if (depth <= 0) None
+        else fs.listStatus(p).iterator
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .flatMap { s =>
+            if (s.isDirectory) findLeaf(s.getPath, depth - 1)
+            else if (s.getPath.getName.endsWith(".parquet")) Some(s.getPath)
+            else None
+          }
+          .take(1).toSeq.headOption
+      }
+      findLeaf(hp, 3) match {
+        case None => Set.empty[String]
+        case Some(leaf) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(leaf, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+              case f if f.isPrimitive && (f.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              }) => f.getName
+            }.toSet
+          } finally reader.close()
+      }
+    } catch { case _: Exception => Set.empty[String] })
 
   /** Cast every TIMESTAMP_NTZ column to TIMESTAMP_LTZ. Warehouse parquet
     * written by other engines (pandas/pyarrow default) carries

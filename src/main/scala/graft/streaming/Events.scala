@@ -361,9 +361,13 @@ object Events {
     val raw =
       if (isDir) reader.parquet(tablePath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    tsLtz(
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw)
+    // nanos columns detected from the parquet footer (not assumed by
+    // name/table — the Warehouse.normalizeNanos rule), NTZ cast to LTZ
+    val nanos = graft.Warehouse.nanosTimestampColumns(spark, tablePath, dir)
+      .filter(c => raw.schema.fieldNames.contains(c) &&
+        raw.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    tsLtz(nanos.foldLeft(raw)((d, c) =>
+      d.withColumn(c, timestamp_micros(expr(
+        s"${graft.Warehouse.encodeColumnName(c)} div 1000")))))
   }
 }

@@ -40,6 +40,43 @@ class NtzEventsSpec extends AnyFunSuite with SparkTestBase {
       rows(ltz.select(col("event_id"), unix_micros(col("ts")))))
   }
 
+  test("loadTable detects TIMESTAMP(NANOS) columns from the footer, any table/column") {
+    // genuine nanos parquet, written with the low-level writer (Spark
+    // cannot produce one) — on a table name and column names the old
+    // hardcoded events.ts rule would never have matched
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).as(
+        LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("created_at")
+      .required(PrimitiveTypeName.INT64).named("row_id")
+      .named("m")
+    val tmp = Files.createTempDirectory("graft-nanos").toString
+    val file = new org.apache.hadoop.fs.Path(s"$tmp/readings.parquet")
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file,
+          spark.sparkContext.hadoopConfiguration))
+      .withType(schema).build()
+    val fac = new SimpleGroupFactory(schema)
+    val baseNanos = 1700000000000000000L // 2023-11-14T22:13:20Z
+    try (1 to 3).foreach { i =>
+      val g = fac.newGroup()
+      g.add("created_at", baseNanos + i * 1500L) // sub-micro tails truncate
+      g.add("row_id", i.toLong)
+      writer.write(g)
+    } finally writer.close()
+    val loaded = Warehouse(spark, tmp).loadTable("readings")
+    assert(loaded.schema("created_at").dataType == TimestampType)
+    assert(rows(loaded.select(col("row_id"), unix_micros(col("created_at")))) ===
+      (1 to 3).map(i => Seq(i.toLong, (baseNanos + i * 1500L) / 1000L)).toSet)
+    // plain long columns stay long — only footer-annotated nanos convert
+    assert(loaded.schema("row_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("sessionizeBatch accepts raw NTZ frames and matches the LTZ result") {
     assert(rows(Events.sessionizeBatch(ntz)) === rows(Events.sessionizeBatch(ltz)))
   }
