@@ -300,6 +300,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.exists(s => s.head == 20L && s(1) == 21L))
   }
 
+  test("SpanDedupStream: durable store sink is restart-safe and replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.SpanDedupStream
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-spanstore").toString
+    val w = Warehouse(spark, storeDir)
+    val lic = "This exactly repeated licensing paragraph spans well over forty characters total."
+    val h = Seq((1L, s"first historical document body $lic with tail one"))
+    val b1 = Seq((10L, s"batch one document $lic and a different tail"))
+    val b2 = Seq((20L, s"batch two document with $lic plus more"),
+      (21L, s"batch two document with $lic plus more"))
+    // bootstrap: history ingested as the first batch (absent store tables)
+    SpanDedupStream.processBatch(w, h.toDF("doc_id", "text"), "doc_id", "text",
+      "ss", minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0).count()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(SpanDedupStream.sink(w, "doc_id", "text", "ss",
+        minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // at-least-once replay
+    } finally q.stop()
+    val got = w.loadTable("ss_spans").collect().map(_.toSeq).toSet
+    val expect = Dedup.sharedSpans((h ++ b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 0, maxHashOccurrences = 0)
+      .filter($"id_a" >= 10L || $"id_b" >= 10L)
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // replay was a no-op: one store row per distinct ingested doc
+    assert(w.loadTable("ss_texts").count() === (h ++ b1 ++ b2).length)
+    // restart: a FRESH warehouse over the same dir continues from disk —
+    // a new batch still dedups against everything ingested before it
+    val w2 = Warehouse(spark, storeDir)
+    val b3 = Seq((30L, s"post restart document carrying $lic once more"))
+    val spans3 = SpanDedupStream.processBatch(w2, b3.toDF("doc_id", "text"),
+        "doc_id", "text", "ss", minLen = 40, k = 8,
+        maxHashDocs = 0, maxHashOccurrences = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spans3 === Set((1L, 30L), (10L, 30L), (20L, 30L), (21L, 30L)))
+  }
+
   test("partitionPreReservoir bounds per-stratum volume and preserves exact min-k") {
     // the map-side reduction in front of the stateful shuffle: per
     // stratum, at most max(1, target) rows leave a partition, and they
