@@ -64,6 +64,11 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // which half of Spark's timestamp surface (unix_micros, watermarks on
     // some paths, Timestamp encoders) rejects — normalize to LTZ here.
     df = Warehouse.normalizeNtz(df)
+    // The engine's vector contract is array<float> (every ANN kernel and
+    // driver-side collect reads float arrays); a generator switch to
+    // array<double> would break the whole family the way the NTZ switch
+    // broke events — normalize at the same boundary.
+    df = Warehouse.normalizeVectors(df)
     rowFilter.foreach(f => df = df.filter(f))
     if (columns.nonEmpty) df = df.select(columns.map(df.col): _*)
     if (sample < 1.0) df = df.sample(withReplacement = false, sample, seed)
@@ -512,6 +517,23 @@ object Warehouse {
     }
     ntz.foldLeft(df) { (d, c) =>
       d.withColumn(c, literalCol(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
+
+  /** Cast every ARRAY<DOUBLE> column to ARRAY<FLOAT> — the engine's
+    * vector representation (float32 embeddings: half the bytes at
+    * negligible cosine error, and what every ANN kernel reads). No-op on
+    * frames without double arrays.
+    */
+  private[graft] def normalizeVectors(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val dbl = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] &&
+        f.dataType.asInstanceOf[ArrayType].elementType == DoubleType => f.name
+    }
+    dbl.foldLeft(df) { (d, c) =>
+      d.withColumn(c, literalCol(c).cast(ArrayType(FloatType,
+        d.schema(c).dataType.asInstanceOf[ArrayType].containsNull)))
     }
   }
 

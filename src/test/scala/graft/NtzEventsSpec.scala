@@ -77,6 +77,29 @@ class NtzEventsSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("loadTable normalizes array<double> vector columns to array<float>") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val tmp = Files.createTempDirectory("graft-dblvec").toString
+    wh.loadTable("embeddings").limit(50)
+      .withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val loaded = Warehouse(spark, tmp).loadTable("embeddings")
+    assert(loaded.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+    // the whole ANN family must run over the re-float frame — and since
+    // float→double→float round-trips exactly, results match the original
+    val q = loaded.filter(col("vec_id") < 2)
+    val got = graft.operators.Similarity.bruteForceTopK(
+        loaded, "vec_id", "embedding", q, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val orig = wh.loadTable("embeddings").limit(50)
+    val want = graft.operators.Similarity.bruteForceTopK(
+        orig, "vec_id", "embedding", orig.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("sessionizeBatch accepts raw NTZ frames and matches the LTZ result") {
     assert(rows(Events.sessionizeBatch(ntz)) === rows(Events.sessionizeBatch(ltz)))
   }
