@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Warehouse
-import graft.functions.{PqModel, QualityLrModel}
+import graft.functions.{BpeModel, DfModel, GramSetModel, LmModel, PqModel, QualityLrModel}
 
 /** Persistence for the engine's trained models — IVF/k-means centroids,
   * PQ codebooks, and the hashed-n-gram quality classifier.
@@ -106,5 +106,93 @@ object ModelStore {
       .select("bucket", "weight", "scale").collect()
     require(rows.nonEmpty, s"empty quality model table: $table")
     new QualityLrModel(rows.map(_.getLong(1)), rows.length, rows.head.getLong(2))
+  }
+
+  // ---- BPE merge table -------------------------------------------------
+
+  /** Save a BPE model as rows (merge_key BIGINT, rank INT) — sortedKeys
+    * is already the binary-search order, recovered by ordering on load.
+    */
+  def saveBpeModel(wh: Warehouse, outDir: String, table: String,
+      model: BpeModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(model.sortedKeys.zip(model.rankAt).toSeq
+      .toDF("merge_key", "rank"), outDir, table)
+  }
+
+  def loadBpeModel(wh: Warehouse, table: String): BpeModel = {
+    val rows = wh.loadTable(table).orderBy("merge_key")
+      .select("merge_key", "rank").collect()
+    new BpeModel(rows.map(_.getLong(0)), rows.map(_.getInt(1)))
+  }
+
+  // ---- bigram LM -------------------------------------------------------
+
+  /** Save a bigram LM as TWO tables: `table` (word_id INT, word STRING,
+    * n BIGINT — the sorted vocabulary) and `table`_bigrams
+    * (bigram_key BIGINT, n BIGINT). Word ids are positions in the sorted
+    * vocab, so the packed bigram keys stay valid across the round-trip.
+    */
+  def saveLmModel(wh: Warehouse, outDir: String, table: String,
+      model: LmModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(model.sortedWords.zip(model.wordCount).zipWithIndex
+      .map { case ((w, n), i) => (i, w, n) }.toSeq
+      .toDF("word_id", "word", "n"), outDir, table)
+    wh.saveTable(model.bigramKeys.zip(model.bigramCount).toSeq
+      .toDF("bigram_key", "n"), outDir, s"${table}_bigrams")
+  }
+
+  def loadLmModel(wh: Warehouse, table: String): LmModel = {
+    val vocab = wh.loadTable(table).orderBy("word_id")
+      .select("word", "n").collect()
+    val bi = wh.loadTable(s"${table}_bigrams").orderBy("bigram_key")
+      .select("bigram_key", "n").collect()
+    new LmModel(vocab.map(_.getString(0)), vocab.map(_.getLong(1)),
+      bi.map(_.getLong(0)), bi.map(_.getLong(1)))
+  }
+
+  // ---- document-frequency (IDF) model ---------------------------------
+
+  /** Save a DF model as rows (word STRING, df BIGINT, n_docs BIGINT). */
+  def saveDfModel(wh: Warehouse, outDir: String, table: String,
+      model: DfModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(model.sortedWords.zip(model.dfAt)
+      .map { case (w, d) => (w, d, model.nDocs) }.toSeq
+      .toDF("word", "df", "n_docs"), outDir, table)
+  }
+
+  def loadDfModel(wh: Warehouse, table: String): DfModel = {
+    val rows = wh.loadTable(table).orderBy("word")
+      .select("word", "df", "n_docs").collect()
+    require(rows.nonEmpty, s"empty df model table: $table")
+    new DfModel(rows.map(_.getString(0)), rows.map(_.getLong(1)),
+      rows.head.getLong(2))
+  }
+
+  // ---- decontamination gram set ---------------------------------------
+
+  /** Save an eval-set gram membership model as rows (h BIGINT, n INT,
+    * is_char BOOLEAN) — the shingling params repeat per row so the model
+    * stays self-contained (a probe can never run with mismatched params).
+    */
+  def saveGramSetModel(wh: Warehouse, outDir: String, table: String,
+      model: GramSetModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(model.sorted.map(h => (h, model.n, model.char)).toSeq
+      .toDF("h", "n", "is_char"), outDir, table)
+  }
+
+  def loadGramSetModel(wh: Warehouse, table: String): GramSetModel = {
+    val rows = wh.loadTable(table).orderBy("h")
+      .select("h", "n", "is_char").collect()
+    require(rows.nonEmpty, s"empty gram-set model table: $table")
+    new GramSetModel(rows.map(_.getLong(0)), rows.head.getInt(1),
+      rows.head.getBoolean(2))
   }
 }

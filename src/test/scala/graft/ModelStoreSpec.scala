@@ -77,6 +77,46 @@ class ModelStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(score(model2) === score(model))
   }
 
+  test("BPE, bigram-LM, DF, and gram-set models round-trip bit-identically") {
+    val docs = wh.loadTable("documents").limit(200)
+    val bpe = graft.operators.Bpe.train(docs, "text", numMerges = 100)
+    ModelStore.saveBpeModel(wh, outDir, "bpe_m", bpe)
+    val bpe2 = ModelStore.loadBpeModel(mw, "bpe_m")
+    assert(java.util.Arrays.equals(bpe2.sortedKeys, bpe.sortedKeys))
+    assert(java.util.Arrays.equals(bpe2.rankAt, bpe.rankAt))
+
+    val lm = TextAnalysis.trainLmModel(docs, "text")
+    ModelStore.saveLmModel(wh, outDir, "lm_m", lm)
+    val lm2 = ModelStore.loadLmModel(mw, "lm_m")
+    assert(lm2.sortedWords.toSeq === lm.sortedWords.toSeq)
+    assert(java.util.Arrays.equals(lm2.wordCount, lm.wordCount))
+    assert(java.util.Arrays.equals(lm2.bigramKeys, lm.bigramKeys))
+    assert(java.util.Arrays.equals(lm2.bigramCount, lm.bigramCount))
+    // scoring under the reloaded model is scoring under the model
+    def flu(m: graft.functions.LmModel) =
+      TextAnalysis.lmFluency(docs, "text", m).collect().map(_.toSeq).toSet
+    assert(flu(lm2) === flu(lm))
+
+    val dfm = TextAnalysis.trainDfModel(docs, "text")
+    ModelStore.saveDfModel(wh, outDir, "df_m", dfm)
+    val dfm2 = ModelStore.loadDfModel(mw, "df_m")
+    assert(dfm2.sortedWords.toSeq === dfm.sortedWords.toSeq)
+    assert(java.util.Arrays.equals(dfm2.dfAt, dfm.dfAt))
+    assert(dfm2.nDocs === dfm.nDocs)
+
+    val gs = graft.operators.Dedup.trainDecontaminationSet(
+      docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+    ModelStore.saveGramSetModel(wh, outDir, "gs_m", gs)
+    val gs2 = ModelStore.loadGramSetModel(mw, "gs_m")
+    assert(java.util.Arrays.equals(gs2.sorted, gs.sorted))
+    assert((gs2.n, gs2.char) === ((gs.n, gs.char)))
+    def decon(m: graft.functions.GramSetModel) =
+      graft.operators.Dedup.decontaminateMapSide(
+        docs.filter(col("doc_id") % 20 =!= 0), "text", m)
+        .select("doc_id", "contaminated").collect().map(_.toSeq).toSet
+    assert(decon(gs2) === decon(gs))
+  }
+
   test("loadPqModel rejects a ragged or truncated model table") {
     val spark2 = spark
     import spark2.implicits._
