@@ -1193,9 +1193,13 @@ object Dedup {
     * texts for extension; ids must be disjoint from the batch's.
     *
     * 100 TB shape: per batch the work is one anchor pass over the BATCH,
-    * one hash-probe of the store, and text joins onto bounded candidates
-    * — O(batch + matches), not O(corpus); the store grows by appending
-    * the batch's own anchors ([[spanAnchorStore]] of the batch).
+    * one broadcast hash-probe of the store (no store shuffle — measured
+    * 2× on the 50k-doc harness, see SURVEY §5), and text joins onto
+    * bounded candidates; the store grows by appending the batch's own
+    * anchors ([[spanAnchorStore]] of the batch). The candidate text
+    * fetch scans `history` map-side (broadcast probe, never a shuffle);
+    * store the text table bucketed by id at warehouse scale so that
+    * scan prunes buckets.
     */
   def sharedSpansIncremental(
       newDocs: DataFrame, idCol: String, textCol: String,
@@ -1212,9 +1216,15 @@ object Dedup {
     val newAnchors = persistIf(
       spanAnchorStore(newBase, "id", "text", minLen, k).withColumn("__new", lit(true)),
       persistLevel)
-    // store probe: only hashes the batch actually carries can pair with it
+    // store probe: only hashes the batch actually carries can pair with
+    // it. The batch hash set BROADCASTS (a micro-batch's distinct anchor
+    // hashes are bounded by design — ~2/(w+1) per char of batch text);
+    // without the hint Spark's post-distinct stats can pick a sort-merge
+    // join that shuffles the WHOLE store by hash, turning the O(batch)
+    // probe into an O(corpus) exchange — with a bucketed-by-h store the
+    // broadcast probe is additionally bucket-local.
     val probed = store.select(col("id"), col("pos"), col("h"))
-      .join(newAnchors.select("h").distinct(), Seq("h"), "left_semi")
+      .join(broadcast(newAnchors.select("h").distinct()), Seq("h"), "left_semi")
       .withColumn("__new", lit(false))
     val combined = persistIf(newAnchors.unionByName(probed), persistLevel)
     val capped =

@@ -179,6 +179,38 @@ object Scaling {
       drain(Dedup.minhashLshIncremental(
         big.filter(col("doc_id") % 10 === 0), "doc_id", "text", store))
     }
+    if (fullSuite) {
+      // the 38d-inc claim under test: per-batch cost is O(batch +
+      // matches), so a 10% batch against a 90% store must run FAR below
+      // the one-shot pass over everything (store build timed separately —
+      // it amortizes over every later batch)
+      val history = big.filter(col("doc_id") % 10 =!= 0)
+      val spanBatch = big.filter(col("doc_id") % 10 === 0)
+      var store: DataFrame = null
+      time("spanAnchorStore build over the 90% history") {
+        store = Dedup.spanAnchorStore(history, "doc_id", "text")
+          .localCheckpoint(eager = true)
+      }
+      time("sharedSpansIncremental: 10% near-dup batch probes the store") {
+        drain(Dedup.sharedSpansIncremental(spanBatch, "doc_id", "text",
+          store, history))
+      }
+      // steady-state shape: most arriving docs are NOVEL — deterministic
+      // token shuffle collapses shingle overlap with history, so the
+      // probe finds (almost) nothing and per-batch cost is the batch's
+      // own anchor pass + a near-empty candidate join
+      val novelBatch = spanBatch.select(
+        (col("doc_id") + 100000000L).as("doc_id"),
+        concat_ws(" ", transform(array_sort(zip_with(
+            split(col("text"), " "),
+            sequence(lit(1), size(split(col("text"), " "))),
+            (t, i) => struct(xxhash64(t, i, col("doc_id")).as("k"), t.as("t")))),
+          s => s.getField("t"))).as("text"))
+      time("sharedSpansIncremental: 10% NOVEL batch probes the store") {
+        drain(Dedup.sharedSpansIncremental(novelBatch, "doc_id", "text",
+          store, history))
+      }
+    }
     spark.stop()
   }
 }
