@@ -1091,6 +1091,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped.queryExecution.analyzed.toString.indexOf("count(1)") < 0)
   }
 
+  test("sharedSpansIncremental probes the store by BROADCAST, never a store shuffle") {
+    // the O(batch) contract's load-bearing join: the batch's distinct
+    // anchor hashes broadcast into the store semi-join — a sort-merge
+    // probe would shuffle the WHOLE store by hash every batch (measured
+    // 2× on the 50k-doc harness, SURVEY §5)
+    val history = docs.select("doc_id", "text").filter(col("doc_id") < 60)
+    val batch = history.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val store = Dedup.spanAnchorStore(history, "doc_id", "text")
+    val plan = Dedup.sharedSpansIncremental(batch, "doc_id", "text",
+        store, history)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"store probe must be a broadcast semi-join:\n$plan")
+    assert(!"SortMergeJoin[^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"store probe must not sort-merge the store:\n$plan")
+  }
+
   test("decontaminateMapSide plans with ZERO exchanges (pure map over the corpus)") {
     val model = Dedup.trainDecontaminationSet(
       docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
