@@ -1285,6 +1285,21 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN label classification, oracle-checked EXACTLY: each query takes
+    * the majority label of its 7 nearest neighbors (exact brute-force
+    * cosine — the deterministic tie chain is score desc → neighbor_id
+    * for the neighbor set, then votes desc → label asc for the winner).
+    * DuckDB replays the same pipeline relationally; every
+    * (query, pred_label, votes) row must hash-match.
+    */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val emb = wh(s, dir).loadTable("embeddings")
+    Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 32), "vec_id", "embedding", k = 7)
+      .orderBy("query_id")
+  }
+
   /** ANN MODEL PERSISTENCE contract, oracle-checked: train the IVF-PQ
     * models (PQ codebook m=32 ksub=64 + 16 k-means cells), SAVE both as
     * warehouse model tables ([[ModelStore]]), LOAD them back, and score
@@ -2157,6 +2172,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ivfpq_recall" -> (qIvfpqRecall _),
     "q_ann_model_roundtrip" -> (qAnnModelRoundtrip _),
+    "q_knn_classify" -> (qKnnClassify _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2928,6 +2944,28 @@ object SparkEntry {
     "q_ann_model_roundtrip" ->
       """SELECT cast(40 AS bigint) AS n_rows, true AS scores_identical,
         | true AS model_bits_identical""".stripMargin,
+    // kNN label classification: exact top-7 by cosine, majority vote,
+    // ties toward the smallest label — replayed relationally
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 32),
+        |c AS (SELECT vec_id AS neighbor_id, label,
+        |      CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id, label,
+        |           list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE neighbor_id != query_id),
+        |ranked AS (SELECT query_id, label,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, neighbor_id) AS rank
+        |           FROM scored),
+        |votes AS (SELECT query_id, label, count(*) AS votes
+        |          FROM ranked WHERE rank <= 7 GROUP BY query_id, label),
+        |best AS (SELECT query_id, label AS pred_label, votes,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY votes DESC, label) AS rk
+        |         FROM votes)
+        |SELECT query_id, pred_label, votes FROM best WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
     // embedding near-dup PAIR recall CONTRACT: one clone per vec_id < 16
     // (zero element id mod 64), exact cosine >= 0.7 pairs involving a
     // clone recomputed corpus x clones, literal-true found flag

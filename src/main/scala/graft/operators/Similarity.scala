@@ -498,6 +498,50 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** kNN LABEL CLASSIFICATION — the ANN consumer every training-data
+    * pipeline ends up writing (label propagation / weak supervision /
+    * quality-tier transfer): each query takes the MAJORITY label of its
+    * k nearest corpus neighbors. Deterministic end-to-end: the top-k
+    * contract's tie order (score desc, neighbor_id asc) fixes the
+    * neighbor set, and vote ties break toward the SMALLEST label, so
+    * results are engine-exact and the DuckDB oracle replays them
+    * bit-for-bit.
+    *
+    * `searcher` swaps the neighbor source: brute force by default
+    * (exact — the oracle-checkable form), or any index variant via the
+    * ANN family ([[ivfTopK]] etc. — same output contract), e.g.
+    * `knnClassify(..., searcher = ivfTopK(c, "id", "v", q, "id", "v", k,
+    * numCells = 16, probeMargin = 0.1))`.
+    *
+    * Scale shape: the label join probes the corpus by neighbor id with a
+    * BROADCAST of the bounded (queries × k) neighbor list — corpus rows
+    * never shuffle; the vote aggregation keys on (query, label), both
+    * bounded.
+    */
+  def knnClassify(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, searcher: DataFrame = null): DataFrame = {
+    val topk =
+      if (searcher != null) searcher
+      else bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("__label"))
+    val votes = labels
+      .join(broadcast(topk.select("query_id", "neighbor_id")), "neighbor_id")
+      .groupBy("query_id", "__label")
+      .agg(count(lit(1)).as("votes"))
+    // majority with deterministic tie-break: max over struct ranks by
+    // votes first, then by REVERSED label order so equal votes pick the
+    // smallest label — engine-exact, no window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__label").asc)
+    votes
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("__label").as("pred_label"), col("votes"))
+  }
+
   /** Shared tail: bounded top-k per query (TopKAgg partial-aggregates
     * map-side), exploded to (query_id, rank, neighbor_id, score) rows.
     */

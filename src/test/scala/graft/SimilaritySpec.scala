@@ -81,6 +81,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => { val v = r.getLong(0); (v, v) }).toSet)
   }
 
+  test("knnClassify: ANN searcher at full probe equals the brute-force classifier") {
+    val emb2 = emb.select("vec_id", "embedding", "label")
+    def classify(searcher: org.apache.spark.sql.DataFrame) =
+      Similarity.knnClassify(emb2, "vec_id", "embedding", "label",
+          queries, "vec_id", "embedding", k = 7, searcher = searcher)
+        .collect().map(_.toSeq).toSet
+    val brute = Similarity.knnClassify(emb2, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", k = 7)
+      .collect().map(_.toSeq).toSet
+    // full probe ⇒ IVF is exact ⇒ identical votes and winners
+    val ivf = Similarity.ivfTopK(emb2, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7, numCells = 8, numProbe = 8)
+    assert(classify(ivf) === brute)
+    assert(brute.nonEmpty && brute.forall(_.length == 3))
+  }
+
+  test("knnClassify votes break ties toward the smallest label") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 query at the origin-ish vector; 4 corpus points, two labels with
+    // 2 votes each → the winner must be the SMALLER label
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.8f, 0.2f), 3), (4L, Seq(0.7f, 0.3f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+        q, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((100L, 3, 2L)))
+  }
+
   test("ivfTopK reaches usable recall and degenerates to exact at full probe") {
     val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6)
