@@ -1285,6 +1285,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** TEMPERATURE-scaled mixture (XLM-R rebalancing at α = 1/2),
+    * oracle-checked end-to-end: per language, target = budget·⌊√n⌋ ÷
+    * Σ⌊√n⌋ in pure integer arithmetic, and the sampler must deliver
+    * EXACTLY min(target, n) rows — DuckDB recomputes counts, weights,
+    * floor-division targets, and the delivered-count rule; any sampler
+    * drift breaks the hash. (en at 218 docs is down-weighted toward the
+    * 64-75-doc tail — the head-language fix this operator exists for.)
+    */
+  private def qMixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = wh(s, dir).loadTable("documents")
+    val budget = 250L
+    val targets = Relational.temperatureTargets(docs, "lang", budget)
+    val sampled = Relational.temperatureMixture(docs, "lang", Seq("doc_id"), budget)
+    val tDf = targets.toSeq.toDF("lang", "target")
+    docs.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(tDf, "lang")
+      .join(sampled.groupBy("lang").agg(count(lit(1)).as("n_sampled")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** kNN label classification, oracle-checked EXACTLY: each query takes
     * the majority label of its 7 nearest neighbors (exact brute-force
     * cosine — the deterministic tie chain is score desc → neighbor_id
@@ -2173,6 +2198,7 @@ object SparkEntry {
     "q_ivfpq_recall" -> (qIvfpqRecall _),
     "q_ann_model_roundtrip" -> (qAnnModelRoundtrip _),
     "q_knn_classify" -> (qKnnClassify _),
+    "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2944,6 +2970,19 @@ object SparkEntry {
     "q_ann_model_roundtrip" ->
       """SELECT cast(40 AS bigint) AS n_rows, true AS scores_identical,
         | true AS model_bits_identical""".stripMargin,
+    // temperature-scaled mixture: integer sqrt weights, floor-division
+    // targets, delivered counts == min(target, n) — all replayed
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |      CAST(floor(sqrt(n_docs)) AS BIGINT) AS wgt FROM c),
+        |t AS (SELECT lang, n_docs,
+        |      CAST((250 * wgt) // (SELECT sum(wgt) FROM w) AS BIGINT) AS target
+        |      FROM w)
+        |SELECT lang, n_docs, target,
+        | least(target, n_docs) AS n_sampled
+        |FROM t ORDER BY lang""".stripMargin,
     // kNN label classification: exact top-7 by cosine, majority vote,
     // ties toward the smallest label — replayed relationally
     "q_knn_classify" ->

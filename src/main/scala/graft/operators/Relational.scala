@@ -227,6 +227,55 @@ object Relational {
     * With a partition spec it is row_number over a window — one shuffle
     * on the partition keys, heap-bounded per key.
     */
+  /** Exact integer square root — engine-independent (no floating-point
+    * boundary cases), used by the temperature weights so Spark and any
+    * SQL replay agree bit-for-bit.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    if (n == 0) return 0L
+    var r = math.max(1L, math.sqrt(n.toDouble).toLong)
+    // division-form comparisons: r² and (r+1)² overflow Long near 2³¹√2
+    while (r > n / r) r -= 1
+    while (r + 1 <= n / (r + 1)) r += 1
+    r
+  }
+
+  /** TEMPERATURE-scaled mixture targets (the multilingual rebalancing of
+    * Conneau et al. 2020, XLM-R §3.1, at T = 2 i.e. α = 1/2): stratum s
+    * gets target_s = budget · ⌊√n_s⌋ ÷ Σ⌊√n_s⌋ — high-resource strata
+    * are down-weighted toward (not onto) uniform, the standard fix for
+    * head languages/sources drowning the tail. ALL-INTEGER arithmetic
+    * (exact isqrt, BIGINT floor division), so any engine replays the
+    * targets exactly; floor division means Σ targets ≤ budget (the
+    * deliberate contract — no largest-remainder juggling whose tie order
+    * engines disagree on). Bounded: one aggregate row per stratum,
+    * collected driver-side like the trained-model fits. NULL strata are
+    * excluded (they cannot be mixture keys).
+    */
+  def temperatureTargets(df: DataFrame, stratumCol: String,
+      budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.filter(lcol(stratumCol).isNotNull)
+      .groupBy(lcol(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val w = counts.map { case (_, n) => isqrt(n) }
+    val wSum = w.sum
+    if (wSum == 0) return counts.map { case (s, _) => s -> 0L }.toMap
+    counts.zip(w).map { case ((s, _), wi) => s -> budget * wi / wSum }.toMap
+  }
+
+  /** Temperature-scaled EXACT-N mixture sample: [[temperatureTargets]]
+    * composed with [[mixtureSample]] — per stratum, exactly
+    * min(target_s, n_s) rows, deterministic in the seed.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+      keyCols: Seq[String], budget: Long, seed: Long = 42L): DataFrame =
+    mixtureSample(df, stratumCol, temperatureTargets(df, stratumCol, budget),
+      keyCols, seed)
+
   def take(df: DataFrame, n: Int, presort: Seq[Column], partitionBy: Seq[String] = Nil): DataFrame =
     if (partitionBy.isEmpty) {
       if (presort.isEmpty) df.limit(n) else df.orderBy(presort: _*).limit(n)

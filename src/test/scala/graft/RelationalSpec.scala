@@ -149,6 +149,45 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(byLang.getOrElse("en", 0L) > 0)
   }
 
+  test("temperatureMixture flattens skewed strata with integer-exact targets") {
+    val docs = wh.loadTable("documents")
+    val n = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 100L
+    val targets = Relational.temperatureTargets(docs, "lang", budget)
+    // exact integer replay: budget·isqrt(n_s) ÷ Σ isqrt(n_s)
+    val wSum = n.values.toSeq.map(Relational.isqrt).sum
+    n.foreach { case (s, c) =>
+      assert(targets(s) === budget * Relational.isqrt(c) / wSum, s)
+    }
+    assert(targets.values.sum <= budget)
+    // temperature flattens: the head stratum's share of the target mass
+    // is strictly below its share of the corpus
+    val head = n.maxBy(_._2)._1
+    assert(targets(head).toDouble / targets.values.sum <
+      n(head).toDouble / n.values.sum)
+    // the sampler delivers exactly min(target, n) per stratum
+    val got = Relational.temperatureMixture(docs, "lang", Seq("doc_id"), budget)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === targets.collect {
+      case (s, t) if math.min(t, n(s)) > 0 => s -> math.min(t, n(s))
+    })
+  }
+
+  test("isqrt is exact at perfect-square boundaries, no Long overflow") {
+    assert(Relational.isqrt(0L) === 0L)
+    // 3037000499 is the largest k with k² < Long.MaxValue — the naive
+    // (r+1)² probe overflows there
+    for (k <- Seq(1L, 2L, 3L, 999L, 46340L, 3037000499L)) {
+      assert(Relational.isqrt(k * k - 1) === k - 1, s"k=$k below")
+      assert(Relational.isqrt(k * k) === k, s"k=$k exact")
+      assert(Relational.isqrt(k * k + 1) === k, s"k=$k above")
+    }
+    assert(Relational.isqrt(Long.MaxValue) === 3037000499L)
+  }
+
   test("mixtureSample draws exactly min(target, available) per stratum, deterministically") {
     val docs = wh.loadTable("documents")
     val avail = docs.groupBy("source").count()
