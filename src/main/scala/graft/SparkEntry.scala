@@ -1285,6 +1285,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Sequence-packing plan, oracle-checked EXACTLY: each document's
+    * global token offset in the id-ordered corpus concatenation and its
+    * 2048-token context-window assignment, computed with the two-pass
+    * distributed prefix sum (never a one-reducer global window). DuckDB
+    * replays it with a cumulative-sum window — all-integer, bit-exact.
+    */
+  private def qPackWindows(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packWindows(wh(s, dir).loadTable("documents"),
+        "doc_id", "text", windowTokens = 2048L)
+      .orderBy("doc_id")
+
   /** TEMPERATURE-scaled mixture (XLM-R rebalancing at α = 1/2),
     * oracle-checked end-to-end: per language, target = budget·⌊√n⌋ ÷
     * Σ⌊√n⌋ in pure integer arithmetic, and the sampler must deliver
@@ -2199,6 +2210,7 @@ object SparkEntry {
     "q_ann_model_roundtrip" -> (qAnnModelRoundtrip _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_mixture_temperature" -> (qMixtureTemperature _),
+    "q_pack_windows" -> (qPackWindows _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2970,6 +2982,22 @@ object SparkEntry {
     "q_ann_model_roundtrip" ->
       """SELECT cast(40 AS bigint) AS n_rows, true AS scores_identical,
         | true AS model_bits_identical""".stripMargin,
+    // sequence-packing plan: exclusive cumulative token sum in id order,
+    // window = start div 2048 — all integers, replayed with one window
+    "q_pack_windows" ->
+      """WITH t AS (SELECT doc_id,
+        | CASE WHEN text IS NULL THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents),
+        |s AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS global_start
+        | FROM t)
+        |SELECT doc_id, n_tokens, global_start,
+        | global_start // 2048 AS window_id,
+        | global_start % 2048 AS offset_in_window
+        |FROM s ORDER BY doc_id""".stripMargin,
     // temperature-scaled mixture: integer sqrt weights, floor-division
     // targets, delivered counts == min(target, n) — all replayed
     "q_mixture_temperature" ->

@@ -109,6 +109,63 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+"), lit(0))))
   }
 
+  /** SEQUENCE-PACKING PLAN: every document's global token offset in the
+    * id-ordered corpus concatenation, plus the context window it starts
+    * in — the deterministic sharding step of "concatenate the corpus and
+    * cut every `windowTokens` tokens" pretraining-batch construction
+    * (each trainer shard then materializes only its own window range).
+    *
+    * The global running sum is a DISTRIBUTED two-pass prefix sum, never
+    * a global single-task window (`Window.orderBy` without partitions is
+    * the one-reducer anti-pattern at corpus scale): range-partition the
+    * narrow (id, n_tokens) frame by id, collect ONE partial sum per
+    * partition (bytes, not rows), broadcast the exclusive per-partition
+    * offsets, and emit global starts map-side in the second pass. The
+    * narrow frame persists between the passes so both observe the
+    * identical range boundaries (the range partitioner samples — an
+    * unpersisted re-execution could re-draw them).
+    *
+    * All-integer output (whitespace token counts — swap in
+    * [[tokenCountBpe]] upstream for tokenizer-accurate budgets), so any
+    * engine replays it with a cumulative-sum window. NULL text counts 0.
+    */
+  def packWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be > 0, got $windowTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"), lit(0L))
+        .as("n_tokens"))
+    val ranged = toks
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSums = ranged.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, t) => s += t }
+        Iterator((pid, s))
+      }.collect().sortBy(_._1)
+      val offsets = partSums.map(_._2).scanLeft(0L)(_ + _).init
+      val offByPid = partSums.map(_._1).zip(offsets).toMap
+      val bc = spark.sparkContext.broadcast(offByPid)
+      val withStart = ranged.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, t) => val start = acc; acc += t; (id, t, start) }
+      }.toDF("id", "n_tokens", "global_start")
+      withStart.select(
+          col("id").as(idCol), col("n_tokens"), col("global_start"),
+          expr(s"global_start div ${windowTokens}L").as("window_id"),
+          (col("global_start") % lit(windowTokens)).as("offset_in_window"))
+        // materialize before unpersist in the finally — the caller's plan
+        // must not depend on the evicted cache
+        .localCheckpoint(true)
+    } finally ranged.unpersist()
+  }
+
   /** Token count under a TRAINED BPE merge table ([[Bpe.train]]) — the
     * budget estimate that tracks a real LLM tokenizer far closer than
     * whitespace/word-run counts (common words collapse to one token, rare

@@ -436,4 +436,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       out(1).getDouble(2) === 0.0 && !out(1).getBoolean(3),
       s"NULL text must score 0/0/0.0/false, got ${out(1)}")
   }
+
+  test("packWindows assigns exact global offsets — the naive running sum, distributed") {
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val got = TextAnalysis.packWindows(docs, "doc_id", "text", windowTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // reference: driver-side exclusive prefix sum over id order
+    val toks = docs
+      .select(col("doc_id").cast("long"),
+        coalesce(size(split(trim(col("text")), "\\s+")).cast("long"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val want = toks.map { case (id, t) =>
+      val s = acc; acc += t; (id, t, s, s / 100L, s % 100L)
+    }
+    assert(got.toSeq === want.toSeq)
+    // windows are dense: consecutive docs' windows never skip backwards
+    assert(got.sliding(2).forall(p => p.length < 2 || p(0)._4 <= p(1)._4))
+  }
+
+  test("packWindows counts NULL text as zero tokens") {
+    val docs = Seq((1L, "one two three"), (2L, null.asInstanceOf[String]),
+      (3L, "four five")).toDF("doc_id", "text")
+    val got = TextAnalysis.packWindows(docs, "doc_id", "text", windowTokens = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
+  }
 }
