@@ -28,6 +28,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // stamped into the outputs: capture at actual run START, not at
+    // serialization time (which is the run's END)
+    val startedAt = java.time.Instant.now().toString
     val spark = GraftSession
       .builder(master = Some(s"local[$cpus]"), shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -93,7 +96,6 @@ object Bench {
     // same run_id ⇒ same run; load1m is the 1-minute load average at END
     // of the run (≫ cpus ⇒ the box was contended, distrust the timings).
     val runId = f"${System.nanoTime() & 0xffffffffL}%08x"
-    val startedAt = java.time.Instant.now().toString
     val load1m = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val ctx =

@@ -31,32 +31,40 @@ object SparkEntry {
     * uncached every time. Keyed by session identity so a cached plan
     * never outlives its session.
     */
-  private val exactPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val gtCaches =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[(String, String, Long), DataFrame]]()
+  // Weak session key: a stopped-and-collected session releases its cached
+  // plans instead of pinning them (and an identity hash reused by a new
+  // session object can never serve a dead session's plan). The dir's
+  // write epoch rides in the key, so a rewrite of the warehouse tables
+  // within a session invalidates the memo like any registered view.
+  private def gtCached(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = gtCaches.synchronized {
+    val perSession = gtCaches.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty)
+    perSession.getOrElseUpdate((dir, tag, Warehouse.epochOf(dir).get()),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
   private def exactPairsGroundTruth(
       s: SparkSession, dir: String, shingler: String): DataFrame =
-    exactPairsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, shingler),
-      _ => Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id",
+    gtCached(s, dir, s"pairs:$shingler") {
+      Dedup.ngramJaccard(wh(s, dir).loadTable("documents"), "doc_id",
           "text", n = 3, threshold = 0.7, shingler = shingler)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Memoized exact top-2 over the planted ANN corpus — the shared
     * reference truth of q_ivf_recall / q_ivfpq_recall / q_lsh_topk_recall
     * (q_pq_recall's corpus is unplanted and stays standalone). Same
     * contract-only scope and session-keying as [[exactPairsGroundTruth]].
     */
-  private val plantedTop2Cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def plantedTop2GroundTruth(s: SparkSession, dir: String): DataFrame =
-    plantedTop2Cache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    gtCached(s, dir, "plantedTop2") {
       val emb = wh(s, dir).loadTable("embeddings")
       Similarity.bruteForceTopK(planted2Clones(emb), "vec_id", "embedding",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Per-process scratch dir for contract rows that materialize to disk:
     * keyed by the input dir AND the JVM pid, so two concurrent runs
@@ -1309,7 +1317,9 @@ object SparkEntry {
     val docs = wh(s, dir).loadTable("documents")
     val budget = 250L
     val targets = Relational.temperatureTargets(docs, "lang", budget)
-    val sampled = Relational.temperatureMixture(docs, "lang", Seq("doc_id"), budget)
+    // sample with the targets already computed above — temperatureMixture
+    // would recompute the stratum-count collect a second time
+    val sampled = Relational.mixtureSample(docs, "lang", targets, Seq("doc_id"))
     val tDf = targets.toSeq.toDF("lang", "target")
     docs.filter(col("lang").isNotNull)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))

@@ -467,8 +467,12 @@ object Warehouse {
   private val nanosColsCache =
     new ConcurrentHashMap[(String, Long), Set[String]]()
   private[graft] def nanosTimestampColumns(
-      spark: SparkSession, path: String, dir: String): Set[String] =
-    nanosColsCache.computeIfAbsent((path, epochOf(dir).get()), _ => try {
+      spark: SparkSession, path: String, dir: String): Set[String] = {
+    val epoch = epochOf(dir).get()
+    // evict superseded epochs for this path so append-heavy streams
+    // (one epoch bump per micro-batch) don't grow the cache unboundedly
+    nanosColsCache.keySet.removeIf(k => k._1 == path && k._2 != epoch)
+    nanosColsCache.computeIfAbsent((path, epoch), _ => try {
       val conf = spark.sparkContext.hadoopConfiguration
       val hp = new HPath(path)
       val fs = hp.getFileSystem(conf)
@@ -503,6 +507,7 @@ object Warehouse {
           } finally reader.close()
       }
     } catch { case _: Exception => Set.empty[String] })
+  }
 
   /** Cast every TIMESTAMP_NTZ column to TIMESTAMP_LTZ. Warehouse parquet
     * written by other engines (pandas/pyarrow default) carries
@@ -520,15 +525,23 @@ object Warehouse {
     }
   }
 
-  /** Cast every ARRAY<DOUBLE> column to ARRAY<FLOAT> — the engine's
-    * vector representation (float32 embeddings: half the bytes at
-    * negligible cosine error, and what every ANN kernel reads). No-op on
-    * frames without double arrays.
+  /** Cast ARRAY<DOUBLE> columns that are VECTORS BY NAME CONTRACT
+    * ("embedding", "vec", "vector", or a `_embedding`/`_vec`/`_vector`
+    * suffix) to ARRAY<FLOAT> — the engine's vector representation
+    * (float32: half the bytes at negligible cosine error, and what every
+    * ANN kernel reads). Deliberately NOT a blanket element-type cast: a
+    * legitimate double-array column that is not a vector (probability
+    * lists, stats arrays) must keep its precision.
     */
+  private[graft] def isVectorColumnName(name: String): Boolean = {
+    val n = name.toLowerCase
+    Seq("embedding", "vec", "vector").exists(s => n == s || n.endsWith("_" + s))
+  }
   private[graft] def normalizeVectors(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val dbl = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[ArrayType] &&
+      case f if isVectorColumnName(f.name) &&
+        f.dataType.isInstanceOf[ArrayType] &&
         f.dataType.asInstanceOf[ArrayType].elementType == DoubleType => f.name
     }
     dbl.foldLeft(df) { (d, c) =>

@@ -1248,10 +1248,20 @@ object Dedup {
       .distinct()
     val texts = newBase.unionByName(
       history.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
+    // text fetch in the O(batch + matches) shape: the bounded candidate
+    // id set BROADCASTS into one map-side scan of the text table (same
+    // reasoning as the store probe above — post-distinct stats can push
+    // the planner to sort-merge, which would shuffle the whole history
+    // text table per batch), and only the fetched candidate texts (also
+    // bounded) broadcast into the pair join
+    val needed = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val fetched = persistIf(texts.join(broadcast(needed), Seq("id")),
+      persistLevel)
     val m = GraftFunctions.extendMatch(col("ta"), col("tb"), col("pa"), col("pb"), k)
     cand
-      .join(texts.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
-      .join(texts.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .join(broadcast(fetched.select(col("id").as("id_a"), col("text").as("ta"))), "id_a")
+      .join(broadcast(fetched.select(col("id").as("id_b"), col("text").as("tb"))), "id_b")
       .withColumn("m", m)
       .filter(col("m").isNotNull && col("m.len") >= minLen)
       .select(col("id_a"), col("id_b"),

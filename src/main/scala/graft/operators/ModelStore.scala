@@ -42,9 +42,12 @@ object ModelStore {
   /** Load centroids ordered by cell id — the exact array
     * [[Similarity.trainCentroidsKMeans]] returned at save time.
     */
-  def loadCentroids(wh: Warehouse, table: String): Array[Seq[Float]] =
-    wh.loadTable(table).orderBy("cell")
+  def loadCentroids(wh: Warehouse, table: String): Array[Seq[Float]] = {
+    val rows = wh.loadTable(table).orderBy("cell")
       .select("centroid").collect().map(_.getSeq[Float](0))
+    require(rows.nonEmpty, s"empty centroid model table: $table")
+    rows
+  }
 
   // ---- PQ codebook -----------------------------------------------------
 
@@ -124,6 +127,7 @@ object ModelStore {
   def loadBpeModel(wh: Warehouse, table: String): BpeModel = {
     val rows = wh.loadTable(table).orderBy("merge_key")
       .select("merge_key", "rank").collect()
+    require(rows.nonEmpty, s"empty BPE model table: $table")
     new BpeModel(rows.map(_.getLong(0)), rows.map(_.getInt(1)))
   }
 

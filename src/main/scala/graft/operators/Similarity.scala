@@ -220,6 +220,9 @@ object Similarity {
       c: DataFrame, q: DataFrame, centroids: Array[(Int, Seq[Float])],
       numProbe: Int, literalModelLimit: Int,
       probeMargin: Double = Double.NaN): (DataFrame, DataFrame) = {
+    require(probeMargin.isNaN || probeMargin >= 0,
+      s"probeMargin must be NaN (off) or >= 0, got $probeMargin — a " +
+        "negative margin would silently prune below the certified recall")
     val spark = c.sparkSession
     val dim = centroids.head._2.length
     val literalOk = centroids.length.toLong * dim <= literalModelLimit
@@ -525,15 +528,21 @@ object Similarity {
     val topk =
       if (searcher != null) searcher
       else bruteForceTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
-    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(labelCol).as("__label"))
+    // NULL labels cannot vote (and Spark's NULLS FIRST asc vs SQL
+    // engines' NULLS LAST default would make a NULL winner's tie-break
+    // engine-dependent) — an unlabeled neighbor simply contributes no
+    // evidence
+    val labels = corpus
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).as("__label"))
     val votes = labels
       .join(broadcast(topk.select("query_id", "neighbor_id")), "neighbor_id")
       .groupBy("query_id", "__label")
       .agg(count(lit(1)).as("votes"))
-    // majority with deterministic tie-break: max over struct ranks by
-    // votes first, then by REVERSED label order so equal votes pick the
-    // smallest label — engine-exact, no window
+    // majority winner; the row_number window is over the BOUNDED vote
+    // rows (≤ queries × k), not corpus rows — ties pick the smallest
+    // label, engine-exact
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("votes").desc, col("__label").asc)
     votes

@@ -14,30 +14,44 @@ import graft.operators.Dedup
   * like any other table, and store growth is append-only parquet (bucket
   * the anchor table by `h` at scale for bucket-pruned probes).
   *
-  * Idempotent by document id: a micro-batch replay (foreachBatch is
-  * at-least-once on failure recovery) re-processes only ids absent from
-  * the store, so re-delivered documents neither duplicate store rows nor
-  * re-emit their spans — the [[Events.mixtureReservoir]] re-delivery rule
-  * applied at the document level.
+  * CRASH-SAFE idempotence: plain appends would break in the window
+  * between the three writes (a replay after a partial failure would
+  * either double-append anchors — inflating the occurrence-cap counts
+  * forever — or skip the spans write entirely). Every write therefore
+  * goes to a hive-style `batch_id=N` PARTITION of its table, overwritten
+  * whole: replaying micro-batch N (foreachBatch is at-least-once on
+  * recovery) rewrites exactly the same three partitions to the same
+  * contents, regardless of where the previous attempt died. Cross-batch
+  * re-delivery of already-ingested documents is separately dropped by
+  * the id guard (ids already in the texts store under a DIFFERENT
+  * batch_id), so duplicated docs neither duplicate store rows nor
+  * re-emit spans.
   *
   * Per batch the work is O(batch + matches): one anchor pass over the
-  * batch, a hash-probe of the store, text fetches for bounded candidates
-  * ([[Dedup.sharedSpansIncremental]]'s contract), then two appends.
+  * batch, a broadcast hash-probe of the store, text fetches for bounded
+  * candidates ([[Dedup.sharedSpansIncremental]]'s contract), then three
+  * partition writes.
   */
 object SpanDedupStream {
 
   private def anchorsTable(storeName: String) = s"${storeName}_anchors"
   private def textsTable(storeName: String) = s"${storeName}_texts"
 
-  /** Process one arriving micro-batch against the persisted store under
-    * `wh.baseDir`/`outDir`: returns the spans found (batch-vs-history and
-    * batch-internal; never history-vs-history) and appends the NEW batch
-    * docs' anchors and texts to the store tables. Absent store tables
-    * bootstrap as empty history. Returns an empty frame for an
-    * all-replayed batch.
+  private def partitionPath(wh: Warehouse, dir: String, table: String,
+      batchId: Long): String =
+    s"${graft.Warehouse.tablePath(dir, table)}/batch_id=$batchId"
+
+  /** Process micro-batch `batchId` against the persisted store under
+    * `wh.baseDir`/`outDir`: returns the spans found (batch-vs-history
+    * and batch-internal; never history-vs-history) and overwrites the
+    * batch's `batch_id=$batchId` partitions of the anchors and texts
+    * store tables. Absent store tables bootstrap as empty history.
+    * Batch ids must be unique per batch and stable across replays of
+    * the same batch (foreachBatch's batchId contract). Returns an empty
+    * frame for an all-replayed batch.
     */
   def processBatch(wh: Warehouse, batch: DataFrame, idCol: String,
-      textCol: String, storeName: String, outDir: String = "",
+      textCol: String, storeName: String, batchId: Long, outDir: String = "",
       minLen: Int = 40, k: Int = 20, maxHashDocs: Int = 100,
       maxHashOccurrences: Int = 1000): DataFrame = {
     val dir = if (outDir.nonEmpty) outDir else wh.baseDir
@@ -48,26 +62,37 @@ object SpanDedupStream {
     val b = batch.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val (storeAnchors, history, haveStore) =
       if (wh.tableExists(dir, tT))
-        (swh.loadTable(aT), swh.loadTable(tT), true)
+        // exclude THIS batch's partitions: a replay after a partial
+        // failure must see the state as if its previous attempt never
+        // ran, or the id guard below would filter the whole batch out
+        // and overwrite its partitions with empty data
+        (swh.loadTable(aT).filter(col("batch_id") =!= batchId)
+           .select("id", "pos", "h"),
+         swh.loadTable(tT).filter(col("batch_id") =!= batchId)
+           .select("id", "text"), true)
       else
         (Dedup.spanAnchorStore(b.limit(0), "id", "text", minLen, k),
           b.limit(0), false)
-    // id-level idempotence: drop already-ingested docs before any work
+    // id-level idempotence for CROSS-batch re-delivery: drop docs already
+    // ingested by an earlier batch before any work
     val fresh = (if (haveStore)
         b.join(history.select("id"), Seq("id"), "left_anti")
       else b)
       .localCheckpoint(true) // frozen: batch sources are spent after the trigger
     val spans = Dedup.sharedSpansIncremental(fresh, "id", "text",
       storeAnchors, history, minLen, k, maxHashDocs, maxHashOccurrences)
-      .localCheckpoint(true) // materialize BEFORE the store appends below
-    wh.saveTable(Dedup.spanAnchorStore(fresh, "id", "text", minLen, k),
-      dir, aT, mode = "append")
-    wh.saveTable(fresh, dir, tT, mode = "append")
+      .localCheckpoint(true) // materialize BEFORE the store writes below
+    wh.saveDf(Dedup.spanAnchorStore(fresh, "id", "text", minLen, k),
+      partitionPath(wh, dir, aT, batchId))
+    wh.saveDf(fresh, partitionPath(wh, dir, tT, batchId))
+    Warehouse.invalidate(dir, aT)
+    Warehouse.invalidate(dir, tT)
     spans
   }
 
-  /** foreachBatch sink: spans of each micro-batch append to
-    * `storeName`_spans alongside the store tables.
+  /** foreachBatch sink: spans of micro-batch N overwrite the
+    * `batch_id=N` partition of `storeName`_spans alongside the store
+    * tables — replay-idempotent end to end.
     *
     * {{{
     * docsStream.writeStream
@@ -78,10 +103,12 @@ object SpanDedupStream {
   def sink(wh: Warehouse, idCol: String, textCol: String, storeName: String,
       outDir: String = "", minLen: Int = 40, k: Int = 20,
       maxHashDocs: Int = 100, maxHashOccurrences: Int = 1000):
-      (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+      (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val dir = if (outDir.nonEmpty) outDir else wh.baseDir
-    val spans = processBatch(wh, batch, idCol, textCol, storeName, dir,
-      minLen, k, maxHashDocs, maxHashOccurrences)
-    wh.saveTable(spans, dir, s"${storeName}_spans", mode = "append")
+    val spans = processBatch(wh, batch, idCol, textCol, storeName, batchId,
+      dir, minLen, k, maxHashDocs, maxHashOccurrences)
+    val sT = s"${storeName}_spans"
+    wh.saveDf(spans, partitionPath(wh, dir, sT, batchId))
+    Warehouse.invalidate(dir, sT)
   }
 }

@@ -311,9 +311,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val b1 = Seq((10L, s"batch one document $lic and a different tail"))
     val b2 = Seq((20L, s"batch two document with $lic plus more"),
       (21L, s"batch two document with $lic plus more"))
-    // bootstrap: history ingested as the first batch (absent store tables)
+    // bootstrap: history ingested as a batch with its own id (absent
+    // store tables); the streaming batchIds below start at 0
     SpanDedupStream.processBatch(w, h.toDF("doc_id", "text"), "doc_id", "text",
-      "ss", minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0).count()
+      "ss", batchId = 1000L, minLen = 40, k = 8,
+      maxHashDocs = 0, maxHashOccurrences = 0).count()
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch(SpanDedupStream.sink(w, "doc_id", "text", "ss",
@@ -324,7 +326,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       mem.addData(b2: _*); q.processAllAvailable()
       mem.addData(b1: _*); q.processAllAvailable() // at-least-once replay
     } finally q.stop()
-    val got = w.loadTable("ss_spans").collect().map(_.toSeq).toSet
+    val spanCols = Seq("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    val got = w.loadTable("ss_spans")
+      .select(spanCols.head, spanCols.tail: _*).collect().map(_.toSeq).toSet
     val expect = Dedup.sharedSpans((h ++ b1 ++ b2).toDF("doc_id", "text"),
         "doc_id", "text", minLen = 40, k = 8,
         maxHashDocs = 0, maxHashOccurrences = 0)
@@ -333,12 +337,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect)
     // replay was a no-op: one store row per distinct ingested doc
     assert(w.loadTable("ss_texts").count() === (h ++ b1 ++ b2).length)
+    // crash-window idempotence: re-running an OLD batch id end-to-end
+    // (simulating recovery after any partial failure) rewrites its own
+    // partitions to identical contents — store and spans are unchanged
+    SpanDedupStream.sink(w, "doc_id", "text", "ss", minLen = 40, k = 8,
+      maxHashDocs = 0, maxHashOccurrences = 0)(b2.toDF("doc_id", "text"), 1L)
+    assert(w.loadTable("ss_texts").count() === (h ++ b1 ++ b2).length)
+    assert(w.loadTable("ss_spans")
+      .select(spanCols.head, spanCols.tail: _*).collect().map(_.toSeq).toSet === expect)
     // restart: a FRESH warehouse over the same dir continues from disk —
     // a new batch still dedups against everything ingested before it
     val w2 = Warehouse(spark, storeDir)
     val b3 = Seq((30L, s"post restart document carrying $lic once more"))
     val spans3 = SpanDedupStream.processBatch(w2, b3.toDF("doc_id", "text"),
-        "doc_id", "text", "ss", minLen = 40, k = 8,
+        "doc_id", "text", "ss", batchId = 2000L, minLen = 40, k = 8,
         maxHashDocs = 0, maxHashOccurrences = 0)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(spans3 === Set((1L, 30L), (10L, 30L), (20L, 30L), (21L, 30L)))
