@@ -335,7 +335,8 @@ object Similarity {
       excludeSelf: Boolean = true, rerankShortlistK: Int = 0,
       literalModelLimit: Int = 64 * 1024,
       trainedCentroids: Option[Array[Seq[Float]]] = None,
-      probeMargin: Double = Double.NaN): DataFrame = {
+      probeMargin: Double = Double.NaN,
+      shortlistMargin: Double = Double.NaN): DataFrame = {
     require(rerankShortlistK == 0 || rerankShortlistK >= k,
       s"rerankShortlistK ($rerankShortlistK) must be 0 (off) or >= k ($k)")
     val spark = corpus.sparkSession
@@ -365,7 +366,8 @@ object Similarity {
       if (excludeSelf) scored.filter(col("neighbor_id") =!= col("query_id")) else scored
     if (rerankShortlistK == 0) topKPerQuery(filtered, k)
     else {
-      val shortlist = topKPerQuery(filtered, rerankShortlistK)
+      val shortlist = pruneShortlist(
+        topKPerQuery(filtered, rerankShortlistK), k, shortlistMargin)
         .select("query_id", "neighbor_id")
       val rescored = c
         .join(broadcast(shortlist), "neighbor_id")
@@ -373,6 +375,28 @@ object Similarity {
         .withColumn("score", GraftFunctions.cosineSim(col("nbr_vec"), col("query_vec")))
       topKPerQuery(rescored, k)
     }
+  }
+
+  /** Margin-adaptive shortlist cut for exact-rerank paths: keep
+    * candidates whose approximate (ADC) score is within `margin` of the
+    * approximate score at rank k — a candidate further below cannot be
+    * promoted into the true top-k unless the ADC error on that pair
+    * exceeds the margin, so the margin is the measured ADC-error budget
+    * (tools.Probe r9b sweep), not a guess. NaN = off (keep the full
+    * shortlist). The per-query kth score is taken from the shortlist
+    * itself (bounded rows); queries with fewer than k shortlist rows
+    * keep everything.
+    */
+  private def pruneShortlist(shortlist: DataFrame, k: Int,
+      margin: Double): DataFrame = {
+    require(margin.isNaN || margin >= 0,
+      s"shortlistMargin must be NaN (off) or >= 0, got $margin")
+    if (margin.isNaN) return shortlist
+    val kth = shortlist.filter(col("rank") === k)
+      .select(col("query_id"), col("score").as("__kth"))
+    shortlist.join(broadcast(kth), Seq("query_id"), "left")
+      .filter(col("__kth").isNull || col("score") >= col("__kth") - lit(margin))
+      .drop("__kth")
   }
 
   /** Product-quantization codebook training (Jégou et al., TPAMI 2011):
@@ -485,12 +509,14 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, shortlistK: Int, model: graft.functions.PqModel,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      shortlistMargin: Double = Double.NaN): DataFrame = {
     require(shortlistK >= k, s"shortlistK ($shortlistK) must be >= k ($k)")
     val spark = corpus.sparkSession
     GraftFunctions.ensure(spark)
-    val shortlist = pqTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
-        shortlistK, model, excludeSelf)
+    val shortlist = pruneShortlist(
+        pqTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol,
+          shortlistK, model, excludeSelf), k, shortlistMargin)
       .select("query_id", "neighbor_id")
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nbr_vec"))
     val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("query_vec"))

@@ -79,6 +79,41 @@ object Probe {
       return
     }
 
+    // round-9b shortlist-margin sweep: `Probe <dir> r9b` — on the
+    // headline IVF-PQ rerank config (m=16 ksub=32, 16 cells / probe
+    // ceiling 6 @ margin 0.1, shortlist 50, k=5), for each candidate
+    // shortlistMargin report result parity vs the unpruned rerank and
+    // the mean surviving shortlist size, plus the measured NEEDED
+    // margin: max over final top-5 neighbors of (adc@5 − adc(neighbor)).
+    if (args.length > 1 && args(1) == "r9b") {
+      val queries = emb.filter(col("vec_id") < 8)
+      val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+      def run(margin: Double) = Similarity.ivfPqTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, model, numCells = 16, numProbe = 6, rerankShortlistK = 50,
+          probeMargin = 0.1, shortlistMargin = margin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = run(Double.NaN)
+      // needed margin, from the pure-ADC ranking of the same index
+      val adc = Similarity.ivfPqTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 50, model, numCells = 16, numProbe = 6, probeMargin = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val adcByQn = adc.map(r => (r._1, r._3) -> r._4).toMap
+      val adcAt5 = adc.filter(_._2 == 5L).map(r => r._1 -> r._4).toMap
+      val needed = full.toSeq.flatMap { case (qid, _, nid) =>
+        for (a5 <- adcAt5.get(qid); an <- adcByQn.get((qid, nid)))
+          yield math.max(0.0, a5 - an)
+      }
+      println(f"== r9b needed shortlistMargin: max=${needed.max}%.4f p50=${needed.sorted.apply(needed.length / 2)}%.4f")
+      for (m <- Seq(0.01, 0.02, 0.05, 0.1, 0.2)) {
+        val kept = adc.count { case (qid, _, nid, sc) =>
+          adcAt5.get(qid).forall(a5 => sc >= a5 - m) }
+        println(f"   margin=$m%.2f: parity=${run(m) == full} meanShortlist=${kept / 8.0}%.1f (of 50)")
+      }
+      return
+    }
+
     // round-8 margin measurements only: `Probe <dir> r8`
     if (args.length > 1 && args(1) == "r8") {
       // A. weighted-simhash hamming vs exact WEIGHTED jaccard >= 0.7

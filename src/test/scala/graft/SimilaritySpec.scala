@@ -113,6 +113,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((100L, 3, 2L)))
   }
 
+  test("shortlistMargin: unprunable margin is result-identical; tight margin only prunes") {
+    GraftFunctions.ensure(spark)
+    val model = Similarity.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 32)
+    def rerank(margin: Double) = Similarity.pqTopKExactRerank(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, shortlistK = 50, model, shortlistMargin = margin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ADC scores live in [-1, 1]: margin 4 can never prune
+    assert(rerank(4.0) === rerank(Double.NaN))
+    // a zero margin keeps only the ADC top-k — results may differ, but
+    // stay well-formed (k rows per query) and are a subset of the
+    // corpus; this is the measured-and-rejected operating point
+    // (tools.Probe r9b: natural-corpus parity needs margin >= 0.2)
+    val zero = rerank(0.0)
+    assert(zero.groupBy(_._1).forall(_._2.size == 5))
+    assertThrows[IllegalArgumentException] { rerank(-0.1) }
+  }
+
   test("ivfTopK reaches usable recall and degenerates to exact at full probe") {
     val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k = 5, numCells = 16, numProbe = 6)
