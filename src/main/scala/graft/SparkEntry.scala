@@ -1293,6 +1293,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IMAGE near-dup recall contract, oracle-checked: 64 planted images
+    * (ids < 64) each get a clone at id + 76800 — the fixture encoder is
+    * periodic in id mod 768, so clone bytes are IDENTICAL — and every
+    * (base, clone) pair must be surfaced by the perceptual-hash pass
+    * (decode → dHash → pigeonhole blocking, [[Multimodal.imageNearDup]]
+    * at hamming 0). The expected pair set is pure id arithmetic, so
+    * DuckDB replays it without decoding anything; extra natural dHash
+    * collisions (gradient fixtures hash coarsely) don't enter the
+    * contract output.
+    */
+  private def qImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val ids = wh(s, dir).loadTable("documents")
+      .select("doc_id").filter(col("doc_id") < 64)
+    val aug = ids.unionByName(ids.select((col("doc_id") + 76800L).as("doc_id")))
+    val found = Multimodal.imageNearDup(
+        Multimodal.attachImage(aug, "doc_id"), "id", "media", maxHamming = 0)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    ids.select(col("doc_id").as("id_a"), (col("doc_id") + 76800L).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_dhash"))
+      .orderBy("id_a")
+  }
+
   /** Sequence-packing plan, oracle-checked EXACTLY: each document's
     * global token offset in the id-ordered corpus concatenation and its
     * 2048-token context-window assignment, computed with the two-pass
@@ -2221,6 +2246,7 @@ object SparkEntry {
     "q_knn_classify" -> (qKnnClassify _),
     "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_pack_windows" -> (qPackWindows _),
+    "q_image_neardup" -> (qImageNeardup _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -2992,6 +3018,13 @@ object SparkEntry {
     "q_ann_model_roundtrip" ->
       """SELECT cast(40 AS bigint) AS n_rows, true AS scores_identical,
         | true AS model_bits_identical""".stripMargin,
+    // image near-dup recall: planted identical clones at +76800 (the
+    // fixture encoder is periodic mod 768) — expected pairs are pure id
+    // arithmetic, no decoding in the oracle
+    "q_image_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 76800 AS id_b,
+        | true AS found_by_dhash
+        |FROM documents WHERE doc_id < 64 ORDER BY id_a""".stripMargin,
     // sequence-packing plan: exclusive cumulative token sum in id order,
     // window = start div 2048 — all integers, replayed with one window
     "q_pack_windows" ->

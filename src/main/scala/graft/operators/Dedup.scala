@@ -779,8 +779,6 @@ object Dedup {
       "weighted simhash requires the word shingler")
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val nBlocks = maxHamming + 1
-    val blocks = pigeonholeBlocks(nBlocks)
     // drop gram-less docs — all-zero signatures would flood the blocks
     // with false duplicates (same guard as minhashSignatures)
     // Gram-less docs are dropped in both modes (all-zero signatures would
@@ -803,6 +801,38 @@ object Dedup {
           .filter(size(col("g")) > 0)
           .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
     }, persistLevel) // 3 consumers, 16 B/doc
+    hammingPairsOverSigs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Hamming near-dup pairs over PRECOMPUTED 64-bit signatures — the
+    * [[simhash]] pigeonhole machinery opened up to any signature family:
+    * perceptual image hashes ([[Multimodal.imageNearDup]] routes here),
+    * audio fingerprints, or simhashes computed by another system. Exact
+    * for the radius (the disjoint block partition guarantees any pair
+    * within `maxHamming` shares a whole block verbatim); NULL signatures
+    * are dropped (undecodable media). Same degenerate-bucket cap and
+    * plan shape as [[simhash]].
+    */
+  def hammingNearDup(
+      df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 100000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val sigs = persistIf(
+      df.filter(col(sigCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig")),
+      persistLevel) // 3 consumers, 16 B/doc
+    hammingPairsOverSigs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Shared tail of [[simhash]]/[[hammingNearDup]]: pigeonhole-block a
+    * persisted (id, sig) frame, cap degenerate buckets, verify exact
+    * hamming on candidate pairs.
+    */
+  private def hammingPairsOverSigs(
+      sigs: DataFrame, maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val blocks = pigeonholeBlocks(maxHamming + 1)
     val blockStructs = blocks.zipWithIndex.map { case ((off, width), i) =>
       struct(lit(i).as("blk"),
         expr(s"shiftrightunsigned(sig, $off) & ${blockMask(width)}L").as("bucket"))

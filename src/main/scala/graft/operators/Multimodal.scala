@@ -279,6 +279,63 @@ object Multimodal {
       }
     }
 
+  val dhashSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dhash",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** Perceptual difference hash (dHash, 64-bit): decode → 9×8
+    * nearest-neighbor downsample ([[resampleNearest]] — the same integer
+    * resampler the resize operator uses) → integer grayscale
+    * (299r + 587g + 114b) / 1000 → bit (x, y) set iff gray(x+1, y) >
+    * gray(x, y). Every step is integer arithmetic over deterministic
+    * decode output, so the hash is reproducible across JVMs and runs —
+    * near-identical images (re-encodes, small edits, minor crops) land
+    * within a small hamming radius while distinct images scatter.
+    * Undecodable bytes degrade to a NULL hash (the [[decodeImage]]
+    * degrade contract). One map-side pass; 8 bytes per image out.
+    */
+  def imageDHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, dhashSchema) { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) Row(id, null)
+          else {
+            val small = resampleNearest(img, 9, 8)
+            def gray(px: Int): Int =
+              (299 * ((px >> 16) & 255) + 587 * ((px >> 8) & 255) + 114 * (px & 255)) / 1000
+            var hash = 0L
+            var bit = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(small.getRGB(x + 1, y)) > gray(small.getRGB(x, y)))
+                  hash |= 1L << bit
+                bit += 1; x += 1
+              }
+              y += 1
+            }
+            Row(id, hash)
+          }
+        } catch { case _: Exception => Row(id, null) }
+      }
+    }
+
+  /** IMAGE near-dup pairs: [[imageDHash]] composed with the simhash
+    * pigeonhole blocking ([[Dedup.hammingNearDup]]) — the multimodal
+    * form of document near-dup detection (re-encoded/lightly-edited
+    * image duplicates in a crawl corpus). Exact for the radius over the
+    * hash; map-side hashing, blocked pair generation, no all-pairs.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 100000): DataFrame =
+    Dedup.hammingNearDup(imageDHash(df, idCol, mediaCol), "id", "dhash",
+      maxHamming, maxBucketSize)
+
   def decodeImage(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
     mapBinaryBatches(df, idCol, mediaCol, imageSchema) { batch =>
       // per-batch decoder setup: keep ImageIO's stream spooling in memory

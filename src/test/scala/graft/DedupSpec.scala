@@ -1109,6 +1109,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"store probe must not sort-merge the store:\n$plan")
   }
 
+  test("hammingNearDup over precomputed signatures: exact pairs, nulls dropped") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, java.lang.Long.valueOf(0x00FFL)), (2L, java.lang.Long.valueOf(0x00FDL)), // hamming 1
+      (3L, java.lang.Long.valueOf(0xFF00L)),                                        // far from 1/2
+      (4L, null.asInstanceOf[java.lang.Long])                                       // undecodable
+    ).toDF("id", "sig")
+    def run(r: Int) = Dedup.hammingNearDup(sigs, "id", "sig", maxHamming = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2).toLong)).toSet
+    assert(run(1) === Set((1L, 2L, 1L)))
+    assert(run(0) === Set.empty)
+    // radius 8 spans the 1↔3 distance (16 differing bits) only at 16+
+    assert(run(16).contains((1L, 3L, 16L)))
+  }
+
   test("decontaminateMapSide plans with ZERO exchanges (pure map over the corpus)") {
     val model = Dedup.trainDecontaminationSet(
       docs.filter(col("doc_id") % 20 === 0), "text", n = 3)

@@ -177,6 +177,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_bytes") === 29L)
   }
 
+  test("imageDHash is deterministic, format-invariant for lossless codecs, null on junk") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L to 9L).toDF("doc_id")
+    def hashes(fmt: String) = Multimodal.imageDHash(
+        Multimodal.attachImage(ids, "doc_id", fmt), "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val png = hashes("png")
+    assert(png === hashes("png"), "re-run must reproduce identical hashes")
+    // BMP is lossless too: identical pixels ⇒ identical perceptual hash
+    assert(png === hashes("bmp"))
+    // undecodable bytes degrade to a NULL hash
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    assert(Multimodal.imageDHash(junk, "doc_id", "media")
+      .filter(col("dhash").isNull).count() === 1)
+  }
+
+  test("imageNearDup surfaces identical-image clones via hamming blocking") {
+    val spark2 = spark
+    import spark2.implicits._
+    // fixture encoder is periodic mod 768: id and id + 768 are the SAME
+    // image — every (i, i+768) pair must appear at hamming 0
+    val ids = ((0L to 7L) ++ (0L to 7L).map(_ + 768L)).toDF("doc_id")
+    val got = Multimodal.imageNearDup(
+        Multimodal.attachImage(ids, "doc_id"), "id", "media", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    (0L to 7L).foreach { i =>
+      assert(got.contains((i, i + 768L, 0L)), s"planted pair $i missing")
+    }
+  }
+
   test("mapBinaryBatches streams partition batches through the decoder fn") {
     val docs = wh.loadTable("documents").limit(10)
     val out = Multimodal.mapBinaryBatches(
