@@ -1318,6 +1318,30 @@ object SparkEntry {
       .orderBy("id_a")
   }
 
+  /** AUDIO near-dup recall contract — the [[qImageNeardup]] construction
+    * over WAV clips: 64 planted clips (ids < 64) each get a clone at
+    * id + 65536 — the waveform generator is periodic mod 65536
+    * (sample values id·11 mod 2¹⁶; clip length id mod 64, and
+    * 65536 ≡ 0 mod 64), so clone bytes are IDENTICAL — and every
+    * (base, clone) pair must surface from the
+    * energy-contour fingerprint pass at hamming 0. Expected pairs are
+    * pure id arithmetic; no audio decoding in the oracle.
+    */
+  private def qAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val ids = wh(s, dir).loadTable("documents")
+      .select("doc_id").filter(col("doc_id") < 64)
+    val aug = ids.unionByName(ids.select((col("doc_id") + 65536L).as("doc_id")))
+    val found = Multimodal.audioNearDup(
+        Multimodal.attachWav(aug, "doc_id"), "id", "media", maxHamming = 0)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    ids.select(col("doc_id").as("id_a"), (col("doc_id") + 65536L).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_afp"))
+      .orderBy("id_a")
+  }
+
   /** Sequence-packing plan, oracle-checked EXACTLY: each document's
     * global token offset in the id-ordered corpus concatenation and its
     * 2048-token context-window assignment, computed with the two-pass
@@ -2247,6 +2271,7 @@ object SparkEntry {
     "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_pack_windows" -> (qPackWindows _),
     "q_image_neardup" -> (qImageNeardup _),
+    "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_chunk" -> (qChunk _),
@@ -3024,6 +3049,12 @@ object SparkEntry {
     "q_image_neardup" ->
       """SELECT doc_id AS id_a, doc_id + 76800 AS id_b,
         | true AS found_by_dhash
+        |FROM documents WHERE doc_id < 64 ORDER BY id_a""".stripMargin,
+    // audio near-dup recall: planted-clone id arithmetic (the waveform
+    // generator is periodic mod 65536)
+    "q_audio_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 65536 AS id_b,
+        | true AS found_by_afp
         |FROM documents WHERE doc_id < 64 ORDER BY id_a""".stripMargin,
     // sequence-packing plan: exclusive cumulative token sum in id order,
     // window = start div 2048 — all integers, replayed with one window

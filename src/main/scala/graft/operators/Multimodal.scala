@@ -565,6 +565,76 @@ object Multimodal {
     * Lossy/compressed codecs (mp3/aac) need ffmpeg, which this container
     * lacks — those bytes take the degrade path by construction.
     */
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = true)))
+
+  /** Perceptual AUDIO fingerprint (64-bit): decode the first channel,
+    * split the sample stream into 65 equal windows, sum |amplitude| per
+    * window, bit i = window i+1 louder than window i — the energy-contour
+    * analogue of [[imageDHash]]'s gradient bits. Comparisons are
+    * cross-multiplied integer sums (sumA·nB > sumB·nA), so the hash is
+    * exact-integer end-to-end: identical audio always collides,
+    * re-encodes/level-preserving edits stay within a small hamming
+    * radius. Undecodable or non-16-bit audio degrades to NULL (the
+    * [[decodeAudio]] contract). One map-side pass, 8 bytes per clip out.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, audioFpSchema) { batch =>
+      batch.map { case (id, bytes) =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) Row(id, null)
+            else {
+              val pcm = ais.readAllBytes()
+              val step = fmt.getFrameSize
+              val n = pcm.length / step
+              if (n == 0) Row(id, null)
+              else {
+                val sums = new Array[Long](65)
+                val counts = new Array[Long](65)
+                var f = 0
+                while (f < n) {
+                  val i = f * step
+                  val s =
+                    if (fmt.isBigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+                    else (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort
+                  val w = (f.toLong * 65 / n).toInt
+                  sums(w) += math.abs(s.toLong)
+                  counts(w) += 1
+                  f += 1
+                }
+                var hash = 0L
+                var b = 0
+                while (b < 64) {
+                  // mean(w+1) > mean(w) via cross-multiplication; empty
+                  // windows (short clips) count as mean 0
+                  val lhs = sums(b + 1) * math.max(counts(b), 1L)
+                  val rhs = sums(b) * math.max(counts(b + 1), 1L)
+                  if (lhs > rhs) hash |= 1L << b
+                  b += 1
+                }
+                Row(id, hash)
+              }
+            }
+          } finally ais.close()
+        } catch { case _: Exception => Row(id, null) }
+      }
+    }
+
+  /** AUDIO near-dup pairs: [[audioFingerprint]] composed with the shared
+    * hamming blocking ([[Dedup.hammingNearDup]]) — duplicate-clip
+    * detection for crawled audio corpora. Exact for the radius over the
+    * fingerprint; map-side hashing, blocked pair generation.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 100000): DataFrame =
+    Dedup.hammingNearDup(audioFingerprint(df, idCol, mediaCol), "id", "afp",
+      maxHamming, maxBucketSize)
+
   def decodeAudio(df: DataFrame, idCol: String, mediaCol: String): DataFrame =
     mapBinaryBatches(df, idCol, mediaCol, audioSchema) { batch =>
       batch.map { case (id, bytes) =>

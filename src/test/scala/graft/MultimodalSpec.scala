@@ -208,6 +208,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audioFingerprint is deterministic; near-dup surfaces identical-clip clones") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the waveform generator's true period: sample values are id*11 mod
+    // 2^16 and clip length id mod 64, so id + 65536 is the identical clip
+    val ids = ((0L to 7L) ++ (0L to 7L).map(_ + 65536L)).toDF("doc_id")
+    def fps() = Multimodal.audioFingerprint(
+        Multimodal.attachWav(ids, "doc_id"), "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = fps()
+    assert(a === fps(), "re-run must reproduce identical fingerprints")
+    (0L to 7L).foreach(i => assert(a(i) === a(i + 65536L), s"clone $i"))
+    val got = Multimodal.audioNearDup(
+        Multimodal.attachWav(ids, "doc_id"), "id", "media", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 7L).foreach(i => assert(got.contains((i, i + 65536L)), s"pair $i"))
+    // junk bytes degrade to a NULL fingerprint
+    val junk = Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "media")
+    assert(Multimodal.audioFingerprint(junk, "doc_id", "media")
+      .filter(col("afp").isNull).count() === 1)
+  }
+
   test("mapBinaryBatches streams partition batches through the decoder fn") {
     val docs = wh.loadTable("documents").limit(10)
     val out = Multimodal.mapBinaryBatches(
