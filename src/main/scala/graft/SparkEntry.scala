@@ -2187,6 +2187,62 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Warehouse MERGE / upsert (SURVEY row 34b): the customer table merged
+    * with a per-customer order-spend batch — matched customers get segment
+    * and balance overwritten, remapped (negative) keys become inserts,
+    * order-less customers pass through. Exact long-cents arithmetic so the
+    * oracle replays the whole merged table byte-for-byte.
+    */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val target = w.loadTable("customer").select(
+      col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("acct_cents"))
+    val source = w.loadTable("orders")
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("acct_cents"))
+      .select(
+        when(col("o_custkey") % 50 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        lit("MERGED").as("c_mktsegment"),
+        col("acct_cents"))
+    operators.Merge.mergeUpsert(target, source, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** SCD Type 2 dimension maintenance (SURVEY row 34c): a versioned
+    * customer-segment dimension (synthetic LEGACY history for every 100th
+    * key) updated from an order-derived batch — max order priority as the
+    * new tier (every 7th key re-asserts its current segment → no-op path),
+    * effective-dated at the customer's last order date, every 97th key
+    * remapped negative → brand-new-key path. All five SCD2 row fates land
+    * in one output the oracle rebuilds exactly.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val cust = w.loadTable("customer").select("c_custkey", "c_mktsegment")
+    val dim = cust.select(
+      col("c_custkey"), col("c_mktsegment").as("tier"),
+      to_date(lit("1995-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .unionByName(cust.filter(col("c_custkey") % 100 === 0).select(
+        col("c_custkey"), lit("LEGACY").as("tier"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        to_date(lit("1995-01-01")).as("valid_to"), lit(false).as("is_current")))
+    val perCust = w.loadTable("orders").groupBy("o_custkey")
+      .agg(max("o_orderpriority").as("prio"),
+        max(to_date(col("o_orderdate"))).as("eff"))
+    val updates = perCust
+      .join(cust, perCust("o_custkey") === cust("c_custkey"))
+      .select(
+        when(col("o_custkey") % 97 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        when(col("o_custkey") % 7 === 0, col("c_mktsegment"))
+          .otherwise(col("prio")).as("tier"),
+        col("eff"))
+    operators.Merge.scd2Apply(dim, updates, Seq("c_custkey"), Seq("tier"), "eff")
+      .orderBy("c_custkey", "valid_from", "is_current")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2314,7 +2370,9 @@ object SparkEntry {
     "q_mixture_stream" -> (qMixtureStream _),
     "q_tfidf" -> (qTfidf _),
     "q_gopher_filter" -> (qGopherFilter _),
-    "q_quality_classifier" -> (qQualityClassifier _)
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_scd2" -> (qScd2 _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -3806,6 +3864,65 @@ object SparkEntry {
         |  PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rnk FROM scored)
         |SELECT doc_id, cast(rnk AS bigint) AS rank, t AS term, tf, df, score
         |FROM ranked WHERE rnk <= 3
-        |ORDER BY doc_id, rank""".stripMargin
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH tgt AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  cast(round(c_acctbal*100) AS bigint) AS acct_cents FROM customer),
+        |src AS (
+        | SELECT CASE WHEN o_custkey % 50 = 0 THEN -o_custkey ELSE o_custkey END
+        |   AS c_custkey,
+        |  'MERGED' AS c_mktsegment,
+        |  cast(sum(cast(round(o_totalprice*100) AS bigint)) AS bigint) AS acct_cents
+        | FROM orders GROUP BY o_custkey)
+        |SELECT t.c_custkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+        |      ELSE t.c_mktsegment END AS c_mktsegment,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.acct_cents
+        |      ELSE t.acct_cents END AS acct_cents
+        |FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |UNION ALL
+        |SELECT s.c_custkey, s.c_mktsegment, s.acct_cents
+        |FROM src s WHERE NOT EXISTS (
+        |  SELECT 1 FROM tgt t WHERE t.c_custkey = s.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |dim AS (
+        | SELECT c_custkey, c_mktsegment AS tier, DATE '1995-01-01' AS valid_from,
+        |        cast(NULL AS date) AS valid_to, TRUE AS is_current FROM cust
+        | UNION ALL
+        | SELECT c_custkey, 'LEGACY', DATE '1990-01-01', DATE '1995-01-01', FALSE
+        | FROM cust WHERE c_custkey % 100 = 0),
+        |upd AS (
+        | SELECT CASE WHEN o.o_custkey % 97 = 0 THEN -o.o_custkey
+        |             ELSE o.o_custkey END AS c_custkey,
+        |        CASE WHEN o.o_custkey % 7 = 0 THEN c.c_mktsegment
+        |             ELSE o.prio END AS tier,
+        |        o.eff
+        | FROM (SELECT o_custkey, max(o_orderpriority) AS prio,
+        |              cast(max(o_orderdate) AS date) AS eff
+        |       FROM orders GROUP BY o_custkey) o
+        | JOIN cust c ON o.o_custkey = c.c_custkey),
+        |cur AS (SELECT * FROM dim WHERE is_current),
+        |hist AS (SELECT * FROM dim WHERE NOT is_current),
+        |j AS (SELECT d.c_custkey, d.tier AS dtier, d.valid_from, d.valid_to,
+        |             u.tier AS utier, u.eff, u.c_custkey IS NOT NULL AS matched
+        |      FROM cur d LEFT JOIN upd u ON d.c_custkey = u.c_custkey)
+        |SELECT * FROM hist
+        |UNION ALL
+        |SELECT c_custkey, dtier AS tier, valid_from, valid_to, TRUE AS is_current
+        |FROM j WHERE NOT (matched AND dtier IS DISTINCT FROM utier)
+        |UNION ALL
+        |SELECT c_custkey, dtier, valid_from, eff, FALSE
+        |FROM j WHERE matched AND dtier IS DISTINCT FROM utier
+        |UNION ALL
+        |SELECT c_custkey, utier, eff, cast(NULL AS date), TRUE
+        |FROM j WHERE matched AND dtier IS DISTINCT FROM utier
+        |UNION ALL
+        |SELECT u.c_custkey, u.tier, u.eff, cast(NULL AS date), TRUE
+        |FROM upd u WHERE NOT EXISTS (
+        |  SELECT 1 FROM cur d WHERE d.c_custkey = u.c_custkey)
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin
   )
 }

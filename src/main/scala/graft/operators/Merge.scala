@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Warehouse MERGE / upsert and SCD Type 2 dimension maintenance, the two
+  * table-maintenance verbs every warehouse the reference connects to
+  * exposes natively (BigQuery/Snowflake/Trino `MERGE INTO`; the reference
+  * itself only reaches them through raw-SQL passthrough —
+  * fugue_bigquery/execution_engine.py select / fugue_trino
+  * execution_engine.py:124 df_to_table — so here they become first-class
+  * DataFrame transforms).
+  *
+  * Both operators are pure frame→frame transforms: the caller persists the
+  * result through [[graft.Warehouse.saveTable]] /
+  * [[graft.Warehouse.persistToTable]] (which handle view/catalog
+  * invalidation) — keeping compute and table lifecycle orthogonal, exactly
+  * like the rest of the engine.
+  *
+  * Scale shape (100 TB target, small-batch source): the matched-row pass is
+  * a single equi-join of target×source that AQE broadcasts when the batch
+  * is small — the target never shuffles. The unmatched-source (insert)
+  * pass anti-joins the batch against the target's KEY COLUMNS ONLY, so the
+  * second target scan is column-pruned to the key; with a bucketed target
+  * both passes are shuffle-free. Nothing here is quadratic and no pass
+  * materializes more than target+batch rows.
+  */
+object Merge {
+
+  private def lcol(name: String): Column = graft.Warehouse.literalCol(name)
+
+  /** MERGE INTO semantics over frames: rows of `target` whose `keys` match
+    * a `source` row get `updateCols` overwritten from the source (true
+    * overwrite — a source NULL updates to NULL, unlike a coalesce
+    * formulation); source rows matching nothing are inserted, with target
+    * columns absent from the source filled with NULL; everything else
+    * passes through byte-identical. Output columns = target columns, in
+    * target order.
+    *
+    * `updateCols` defaults to every common non-key column. Source columns
+    * outside keys++updateCols are ignored. `deleteMatched=true` flips the
+    * matched branch from update to delete (CDC delete application).
+    *
+    * The source must be key-unique — warehouse MERGE errors on ambiguous
+    * matches (multiple source rows per target row would make the result
+    * nondeterministic); `checkUniqueSource` enforces it with one cheap
+    * aggregation over the (small) source side.
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String] = Nil,
+      insertUnmatched: Boolean = true,
+      deleteMatched: Boolean = false,
+      checkUniqueSource: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert: at least one key column required")
+    val tCols = target.columns.toSeq
+    val sCols = source.columns.toSet
+    keys.foreach { k =>
+      require(tCols.contains(k) && sCols.contains(k),
+        s"mergeUpsert: key column '$k' must exist on both sides")
+    }
+    val upd =
+      if (updateCols.nonEmpty) updateCols
+      else tCols.filter(c => !keys.contains(c) && sCols.contains(c))
+    upd.foreach { c =>
+      require(sCols.contains(c), s"mergeUpsert: update column '$c' missing from source")
+      require(!keys.contains(c), s"mergeUpsert: key column '$c' cannot be updated")
+    }
+
+    // prune the source to what the merge reads, once, before any join
+    val src = source.select((keys ++ upd).map(lcol): _*)
+    if (checkUniqueSource) {
+      val dup = src.groupBy(keys.map(lcol): _*).count().filter(col("count") > 1).limit(1)
+      require(dup.isEmpty,
+        s"mergeUpsert: source is not unique on keys ${keys.mkString(",")} — " +
+          "warehouse MERGE semantics reject ambiguous matches")
+    }
+
+    // matched pass: target LEFT JOIN source; the marker (not coalesce)
+    // distinguishes "no match" from "update to NULL". All references are
+    // alias-qualified strings so the plan stays unambiguous even when
+    // target and source share lineage (self-merge).
+    def q(side: String, c: String): Column = col(s"$side.`${c.replace("`", "``")}`")
+    val marked = src.withColumn("__graft_matched", lit(true))
+    val joined = target.as("t").join(
+      marked.as("s"),
+      keys.map(k => q("t", k) === q("s", k)).reduce(_ && _),
+      "left")
+    val matchedFlag = q("s", "__graft_matched").isNotNull
+    val updatedTarget0 = joined.select(tCols.map { c =>
+      (if (upd.contains(c)) when(matchedFlag, q("s", c)).otherwise(q("t", c))
+      else q("t", c)).as(c)
+    } :+ matchedFlag.as("__graft_matched"): _*)
+    val updatedTarget =
+      (if (deleteMatched) updatedTarget0.filter(!col("__graft_matched")) else updatedTarget0)
+        .drop("__graft_matched")
+
+    if (!insertUnmatched) updatedTarget
+    else {
+      // insert pass: batch rows with no target match; the anti join's right
+      // side is the target pruned to its key columns (column-pruned scan)
+      val inserts = src
+        .join(target.select(keys.map(lcol): _*), keys, "left_anti")
+        .select(tCols.map { c =>
+          if (keys.contains(c) || upd.contains(c)) lcol(c).as(c)
+          else lit(null).cast(target.schema(c).dataType).as(c)
+        }: _*)
+      updatedTarget.unionByName(inserts)
+    }
+  }
+
+  /** Slowly-changing-dimension Type 2 maintenance: apply an update batch to
+    * a versioned dimension, closing changed current rows and appending the
+    * new versions, keeping full history.
+    *
+    * The dimension carries `validFrom`/`validTo` (DateType; validTo NULL =
+    * open) and `currentFlag` (boolean). The update batch carries the keys,
+    * the tracked attribute columns, and `effectiveCol` (DateType — the
+    * change date). Per key-unique update row:
+    *
+    *  - key exists and any `trackCols` differ (null-safe compare) → the
+    *    open row is closed (`validTo` = effective, flag false) AND a new
+    *    open row is appended with the update's attributes; non-tracked
+    *    attribute columns carry over from the closed row.
+    *  - key exists and all `trackCols` equal → no-op (row passes through).
+    *  - key absent from the dimension → new open row, effective-dated;
+    *    non-tracked columns NULL.
+    *
+    * Historical (non-current) rows always pass through untouched. The
+    * caller contract mirrors [[mergeUpsert]]: update batches are key-unique
+    * (enforced via `checkUniqueSource`) and effective dates are later than
+    * the open rows' `validFrom` (the operator does not re-order history).
+    *
+    * Same scale shape as [[mergeUpsert]]: one equi-join of the open rows
+    * with the (small) batch plus a key-pruned anti join for brand-new keys.
+    */
+  def scd2Apply(
+      dim: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      trackCols: Seq[String],
+      effectiveCol: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to",
+      currentFlag: String = "is_current",
+      checkUniqueSource: Boolean = true): DataFrame = {
+    require(keys.nonEmpty && trackCols.nonEmpty, "scd2Apply: keys and trackCols required")
+    val dCols = dim.columns.toSeq
+    (keys ++ trackCols ++ Seq(validFrom, validTo, currentFlag)).foreach { c =>
+      require(dCols.contains(c), s"scd2Apply: dimension misses column '$c'")
+    }
+    (keys ++ trackCols :+ effectiveCol).foreach { c =>
+      require(updates.columns.contains(c), s"scd2Apply: update batch misses column '$c'")
+    }
+
+    val upd = updates.select((keys ++ trackCols :+ effectiveCol).map(lcol): _*)
+    if (checkUniqueSource) {
+      val dup = upd.groupBy(keys.map(lcol): _*).count().filter(col("count") > 1).limit(1)
+      require(dup.isEmpty,
+        s"scd2Apply: update batch is not unique on keys ${keys.mkString(",")}")
+    }
+
+    def q(side: String, c: String): Column = col(s"$side.`${c.replace("`", "``")}`")
+
+    // Single pass over the whole dimension (history AND current): one left
+    // join against the (small) batch, then each row EXPLODES into its fate
+    // — pass-through [row], or changed [closed, reopened]. A filter-per-
+    // branch formulation would scan the 100 TB dimension once per branch;
+    // this shape scans it exactly once.
+    val marked = upd.withColumn("__graft_matched", lit(true))
+    val joined = dim.as("d").join(
+      marked.as("u"),
+      keys.map(k => q("d", k) === q("u", k)).reduce(_ && _),
+      "left")
+    val matched = q("u", "__graft_matched").isNotNull
+    val changed = matched && q("d", currentFlag) &&
+      !trackCols.map(c => q("d", c) <=> q("u", c)).reduce(_ && _)
+
+    def rowAs(overrides: Map[String, Column]): Column =
+      struct(dCols.map(c => overrides.getOrElse(c, q("d", c)).as(c)): _*)
+    val nullValidTo = lit(null).cast(dim.schema(validTo).dataType)
+    val passRow = rowAs(Map.empty)
+    val closedRow = rowAs(Map(
+      validTo -> q("u", effectiveCol), currentFlag -> lit(false)))
+    val reopenedRow = rowAs(Map(
+      validFrom -> q("u", effectiveCol), validTo -> nullValidTo,
+      currentFlag -> lit(true)) ++ trackCols.map(t => t -> q("u", t)).toMap)
+
+    val applied = joined
+      .select(explode(when(changed, array(closedRow, reopenedRow))
+        .otherwise(array(passRow))).as("__graft_row"))
+      .select(dCols.map(c => col("__graft_row").getField(c).as(c)): _*)
+
+    // brand-new keys: open rows with NULL untracked attributes; the anti
+    // join's right side is the dimension pruned to keys + current flag
+    val fresh = upd
+      .join(dim.filter(lcol(currentFlag)).select(keys.map(lcol): _*), keys, "left_anti")
+      .select(dCols.map { c =>
+        (c match {
+          case `validFrom`               => lcol(effectiveCol)
+          case `validTo`                 => nullValidTo
+          case `currentFlag`             => lit(true)
+          case k if keys.contains(k)      => lcol(k)
+          case t if trackCols.contains(t) => lcol(t)
+          case other                     => lit(null).cast(dim.schema(other).dataType)
+        }).as(c)
+      }: _*)
+
+    applied.unionByName(fresh)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+
+class MergeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def target =
+    Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L))
+      .toDF("k", "seg", "bal")
+
+  test("mergeUpsert updates matched, inserts unmatched, passes the rest") {
+    val source = Seq((2L, "B2", 200L), (9L, "NEW", 900L)).toDF("k", "seg", "bal")
+    val out = Merge.mergeUpsert(target, source, Seq("k"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "A", 10L), (2L, "B2", 200L), (3L, "C", 30L), (9L, "NEW", 900L)))
+  }
+
+  test("mergeUpsert true-overwrites with source NULLs (no coalesce semantics)") {
+    val source = Seq((2L, Option.empty[String], Option(200L))).toDF("k", "seg", "bal")
+    val out = Merge.mergeUpsert(target, source, Seq("k"))
+      .filter($"k" === 2L).as[(Long, Option[String], Option[Long])].collect().head
+    assert(out === ((2L, None, Some(200L))))
+  }
+
+  test("mergeUpsert restricts updates to updateCols and nulls absent insert columns") {
+    val source = Seq((2L, "X", 999L), (9L, "Y", 900L)).toDF("k", "seg", "bal")
+    val out = Merge.mergeUpsert(target, source, Seq("k"), updateCols = Seq("seg"))
+      .orderBy("k").as[(Long, Option[String], Option[Long])].collect().toSeq
+    // bal untouched on update (20 stays); insert's bal is NULL (not an updateCol)
+    assert(out === Seq((1L, Some("A"), Some(10L)), (2L, Some("X"), Some(20L)),
+      (3L, Some("C"), Some(30L)), (9L, Some("Y"), None)))
+  }
+
+  test("mergeUpsert deleteMatched removes matched target rows") {
+    val source = Seq((1L, "z", 0L), (9L, "NEW", 900L)).toDF("k", "seg", "bal")
+    val out = Merge.mergeUpsert(target, source, Seq("k"), deleteMatched = true)
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((2L, "B", 20L), (3L, "C", 30L), (9L, "NEW", 900L)))
+  }
+
+  test("mergeUpsert insertUnmatched=false is update-only") {
+    val source = Seq((2L, "B2", 200L), (9L, "NEW", 900L)).toDF("k", "seg", "bal")
+    val out = Merge.mergeUpsert(target, source, Seq("k"), insertUnmatched = false)
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "A", 10L), (2L, "B2", 200L), (3L, "C", 30L)))
+  }
+
+  test("mergeUpsert rejects a key-duplicated source") {
+    val source = Seq((2L, "a", 1L), (2L, "b", 2L)).toDF("k", "seg", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(target, source, Seq("k"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("mergeUpsert works when target and source share lineage (self-merge)") {
+    val t = wh.loadTable("nation").select($"n_nationkey", $"n_name")
+    val s = wh.loadTable("nation").filter($"n_nationkey" < 5)
+      .select($"n_nationkey", upper($"n_name").as("n_name"))
+    val out = Merge.mergeUpsert(t, s, Seq("n_nationkey"))
+    assert(out.count() === t.count())
+    assert(out.filter($"n_nationkey" < 5 && $"n_name" =!= upper($"n_name")).count() === 0)
+  }
+
+  private def dim =
+    Seq(
+      (1L, "gold", "x", Date.valueOf("2020-01-01"), Option.empty[Date], true),
+      (1L, "bronze", "x", Date.valueOf("2019-01-01"), Option(Date.valueOf("2020-01-01")), false),
+      (2L, "silver", "y", Date.valueOf("2020-01-01"), Option.empty[Date], true)
+    ).toDF("k", "tier", "attr", "valid_from", "valid_to", "is_current")
+
+  test("scd2Apply closes changed rows, appends versions, inserts new keys") {
+    val updates = Seq(
+      (1L, "platinum", Date.valueOf("2021-06-01")), // changed tier
+      (2L, "silver", Date.valueOf("2021-06-01")),   // unchanged → no-op
+      (7L, "new", Date.valueOf("2021-06-01"))       // new key
+    ).toDF("k", "tier", "eff")
+    val out = Merge.scd2Apply(dim, updates, Seq("k"), Seq("tier"), "eff")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Option[String], Date, Option[Date], Boolean)].collect().toSeq
+
+    assert(out === Seq(
+      (1L, "bronze", Some("x"), Date.valueOf("2019-01-01"), Some(Date.valueOf("2020-01-01")), false),
+      (1L, "gold", Some("x"), Date.valueOf("2020-01-01"), Some(Date.valueOf("2021-06-01")), false),
+      (1L, "platinum", Some("x"), Date.valueOf("2021-06-01"), None, true),
+      (2L, "silver", Some("y"), Date.valueOf("2020-01-01"), None, true),
+      (7L, "new", None, Date.valueOf("2021-06-01"), None, true)))
+  }
+
+  test("scd2Apply null-safe compare: NULL->value and value->NULL both count as change") {
+    val d = Seq(
+      (1L, Option.empty[String], Date.valueOf("2020-01-01"), Option.empty[Date], true),
+      (2L, Option("v"), Date.valueOf("2020-01-01"), Option.empty[Date], true)
+    ).toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val u = Seq(
+      (1L, Option("v"), Date.valueOf("2021-01-01")),
+      (2L, Option.empty[String], Date.valueOf("2021-01-01"))
+    ).toDF("k", "tier", "eff")
+    val out = Merge.scd2Apply(d, u, Seq("k"), Seq("tier"), "eff")
+    assert(out.count() === 4) // both rows closed + reopened
+    assert(out.filter($"is_current").count() === 2)
+  }
+
+  test("scd2Apply leaves the dimension untouched on an empty batch") {
+    val updates = Seq.empty[(Long, String, Date)].toDF("k", "tier", "eff")
+    val out = Merge.scd2Apply(dim, updates, Seq("k"), Seq("tier"), "eff")
+      .orderBy("k", "valid_from").collect().toSeq
+    assert(out === dim.orderBy("k", "valid_from").collect().toSeq)
+  }
+}
