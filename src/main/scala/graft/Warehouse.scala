@@ -75,6 +75,39 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     df
   }
 
+  /** Streaming read of a warehouse table: the same parquet layout
+    * [[loadTable]] reads, consumed incrementally by Structured Streaming's
+    * file source (new part files / new hive partitions picked up per
+    * trigger), with the SAME load-boundary normalizations — nanos
+    * timestamps, NTZ→LTZ, vector element type — so batch and streaming
+    * consumers see one schema contract. `maxFilesPerTrigger` bounds
+    * per-micro-batch ingest volume (0 = all available).
+    */
+  def loadTableStream(table: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val tablePath = path(table)
+    val schema = spark.read.parquet(tablePath).schema
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    // The file-stream source wants a directory; a single-file table
+    // streams via its parent dir + a leaf glob (pathGlobFilter matches
+    // leaf files, not directories).
+    val raw =
+      if (isDir) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", hp.getName).parquet(hp.getParent.toString)
+    val nanos = Warehouse.nanosTimestampColumns(spark, tablePath, baseDir)
+      .filter(c => raw.schema.fieldNames.contains(c) &&
+        raw.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    val denanosed = nanos.foldLeft(raw)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(
+          s"${Warehouse.encodeColumnName(c)} div 1000"))))
+    Warehouse.normalizeVectors(Warehouse.normalizeNtz(denanosed))
+  }
+
   /** Register every known table as a temp view and run arbitrary SQL —
     * the Spark-native `load_sql` / Fugue `select` (SQL over named frames).
     */

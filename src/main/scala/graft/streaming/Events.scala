@@ -347,27 +347,6 @@ object Events {
   /** File-based event stream: same parquet layout the batch Warehouse
     * reads, consumed incrementally (nanos normalized to timestamps).
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val tablePath = s"$dir/events.parquet"
-    val schema = spark.read.parquet(tablePath).schema
-    // The file-stream source wants a directory. The table may be a
-    // directory of part files (stream it directly) or a single file
-    // (stream the warehouse dir with a glob matching the leaf file name —
-    // pathGlobFilter applies to leaf files, not directories).
-    val hp = new org.apache.hadoop.fs.Path(tablePath)
-    val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(hp).isDirectory
-    val reader = spark.readStream.schema(schema)
-    val raw =
-      if (isDir) reader.parquet(tablePath)
-      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    // nanos columns detected from the parquet footer (not assumed by
-    // name/table — the Warehouse.normalizeNanos rule), NTZ cast to LTZ
-    val nanos = graft.Warehouse.nanosTimestampColumns(spark, tablePath, dir)
-      .filter(c => raw.schema.fieldNames.contains(c) &&
-        raw.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    tsLtz(nanos.foldLeft(raw)((d, c) =>
-      d.withColumn(c, timestamp_micros(expr(
-        s"${graft.Warehouse.encodeColumnName(c)} div 1000")))))
-  }
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Warehouse(spark, dir).loadTableStream("events")
 }

@@ -111,4 +111,53 @@ object SpanDedupStream {
     wh.saveDf(spans, partitionPath(wh, dir, sT, batchId))
     Warehouse.invalidate(dir, sT)
   }
+
+  /** CONTINUOUS-QUERY form: the whole ingest→dedup→store pipeline as one
+    * long-running Structured Streaming query. Documents arrive as new
+    * parquet files under the `docsTable` warehouse table
+    * ([[Warehouse.loadTableStream]] — same schema contract as the batch
+    * load), each micro-batch runs [[sink]], and progress checkpoints to
+    * `checkpointDir`: a restarted query resumes at the next unread file
+    * with CONTINUOUS batch ids, which is exactly the contract the
+    * partition-overwrite idempotence of [[processBatch]] needs (a replay
+    * of the in-flight batch after a crash rewrites its own partitions).
+    *
+    * `availableNow = true` drains everything currently ingestible and
+    * terminates (incremental batch over a growing table — run it from
+    * cron); `false` keeps the query live, micro-batching as files land.
+    * `maxFilesPerTrigger` bounds per-batch volume for steady-state
+    * latency. Returns the running [[StreamingQuery]].
+    */
+  def start(wh: Warehouse, docsTable: String, idCol: String, textCol: String,
+      storeName: String, checkpointDir: String, outDir: String = "",
+      availableNow: Boolean = true, maxFilesPerTrigger: Int = 0,
+      minLen: Int = 40, k: Int = 20, maxHashDocs: Int = 100,
+      maxHashOccurrences: Int = 1000):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = wh.loadTableStream(docsTable, maxFilesPerTrigger)
+    var writer = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink(wh, idCol, textCol, storeName, outDir,
+        minLen, k, maxHashDocs, maxHashOccurrences))
+    if (availableNow) writer = writer.trigger(Trigger.AvailableNow())
+    writer.start()
+  }
+
+  /** Streaming read of the emitted spans — the downstream half of the
+    * continuous pipeline: a consumer (alerting, span-mass aggregation,
+    * removeSpans application) subscribes to spans as they are produced
+    * instead of re-scanning the table. New `batch_id=N` partitions are
+    * discovered as new files; the schema (incl. the `batch_id` partition
+    * column) comes from the table as written. The spans table must exist
+    * (at least one processed batch) before subscribing.
+    */
+  def spansStream(wh: Warehouse, storeName: String, outDir: String = ""): DataFrame = {
+    val dir = if (outDir.nonEmpty) outDir else wh.baseDir
+    val sT = s"${storeName}_spans"
+    require(wh.tableExists(dir, sT),
+      s"spansStream: spans table '$sT' does not exist yet under $dir")
+    val swh = if (dir == wh.baseDir) wh else Warehouse(wh.spark, dir)
+    swh.loadTableStream(sT)
+  }
 }

@@ -356,6 +356,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spans3 === Set((1L, 30L), (10L, 30L), (20L, 30L), (21L, 30L)))
   }
 
+  test("SpanDedupStream.start: continuous query drains, checkpoints, resumes") {
+    import graft.operators.Dedup
+    import graft.streaming.SpanDedupStream
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-cspan").toString
+    val ckpt = s"$baseDir/ckpt"
+    val docsPath = s"$baseDir/docs.parquet"
+    val w = Warehouse(spark, baseDir)
+    val lic = "This exactly repeated licensing paragraph spans well over forty characters total."
+    val wave1 = Seq((1L, s"first continuous document body $lic with tail one"),
+      (2L, s"second continuous document $lic and a different tail"))
+    val wave2 = Seq((10L, s"later wave document with $lic plus more"),
+      (11L, s"later wave document with $lic plus more"))
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(docsPath)
+
+    // wave 1: drain-and-terminate (AvailableNow)
+    val q1 = SpanDedupStream.start(w, "docs", "doc_id", "text", "css", ckpt,
+      minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0)
+    q1.awaitTermination()
+    val spanCols = Seq("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    def spansNow(): Set[Seq[Any]] = w.loadTable("css_spans")
+      .select(spanCols.head, spanCols.tail: _*).collect().map(_.toSeq).toSet
+    val expect1 = Dedup.sharedSpans(wave1.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0)
+      .collect().map(_.toSeq).toSet
+    assert(spansNow() === expect1 && expect1.nonEmpty)
+
+    // wave 2 lands as new files; a restarted query resumes from the
+    // checkpoint and processes ONLY the new files
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(docsPath)
+    val q2 = SpanDedupStream.start(w, "docs", "doc_id", "text", "css", ckpt,
+      minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0)
+    q2.awaitTermination()
+    val expectAll = Dedup.sharedSpans((wave1 ++ wave2).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 40, k = 8,
+        maxHashDocs = 0, maxHashOccurrences = 0)
+      .collect().map(_.toSeq).toSet
+    assert(spansNow() === expectAll)
+    assert(w.loadTable("css_texts").count() === (wave1 ++ wave2).length)
+
+    // idle restart: nothing new to read — store and spans unchanged
+    val q3 = SpanDedupStream.start(w, "docs", "doc_id", "text", "css", ckpt,
+      minLen = 40, k = 8, maxHashDocs = 0, maxHashOccurrences = 0)
+    q3.awaitTermination()
+    assert(spansNow() === expectAll)
+
+    // downstream continuous consumer: subscribe to the emitted spans and
+    // aggregate them incrementally (memory sink, drain-and-terminate)
+    val down = SpanDedupStream.spansStream(w, "css")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("css_span_counts")
+      .option("checkpointLocation", s"$baseDir/ckpt_down")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    down.awaitTermination()
+    val n = spark.table("css_span_counts").collect()(0).getLong(0)
+    assert(n === expectAll.size)
+  }
+
   test("partitionPreReservoir bounds per-stratum volume and preserves exact min-k") {
     // the map-side reduction in front of the stateful shuffle: per
     // stratum, at most max(1, target) rows leave a partition, and they
