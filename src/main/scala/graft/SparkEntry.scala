@@ -2243,6 +2243,14 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from", "is_current")
   }
 
+  /** PMI collocation mining (SURVEY row 47f): corpus-wide top adjacent
+    * word pairs by association lift, integer-exact scores and ordering
+    * ([[operators.TextAnalysis.collocations]]).
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.collocations(
+      wh(s, dir).loadTable("documents"), "text", minCount = 5, topK = 100)
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2372,7 +2380,8 @@ object SparkEntry {
     "q_gopher_filter" -> (qGopherFilter _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_merge_upsert" -> (qMergeUpsert _),
-    "q_scd2" -> (qScd2 _)
+    "q_scd2" -> (qScd2 _),
+    "q_collocations" -> (qCollocations _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -3923,6 +3932,24 @@ object SparkEntry {
         |SELECT u.c_custkey, u.tier, u.eff, cast(NULL AS date), TRUE
         |FROM upd u WHERE NOT EXISTS (
         |  SELECT 1 FROM cur d WHERE d.c_custkey = u.c_custkey)
-        |ORDER BY c_custkey, valid_from, is_current""".stripMargin
+        |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+        |words AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        |tot AS (SELECT count(*) AS n_tokens FROM words),
+        |pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |          FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS u(i)),
+        |big AS (SELECT w1, w2, count(*) AS pair_cnt FROM pairs
+        |        GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.pair_cnt, l.c AS left_cnt, r.c AS right_cnt,
+        | tot.n_tokens,
+        | cast((cast(b.pair_cnt AS hugeint) * tot.n_tokens * 1000000)
+        |      // (cast(l.c AS hugeint) * r.c) AS bigint) AS lift_e6
+        |FROM big b
+        |JOIN uni l ON b.w1 = l.w
+        |JOIN uni r ON b.w2 = r.w
+        |CROSS JOIN tot
+        |ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""".stripMargin
   )
 }

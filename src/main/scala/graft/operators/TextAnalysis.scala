@@ -510,6 +510,59 @@ object TextAnalysis {
     df.withColumn("tfidf",
       GraftFunctions.tfidfTopK(df.sparkSession, col(textCol), model, k))
 
+  /** PMI collocation mining (Church & Hanks, CL 1990): the corpus's most
+    * associated adjacent word pairs — phrase candidates for tokenizer
+    * vocabularies, boilerplate signatures, quality diagnostics. Emits the
+    * top `topK` bigrams with count ≥ `minCount`, ranked by association
+    * LIFT = P(w1,w2) / (P(w1)·P(w2)) = pair·N / (left·right); PMI is
+    * log(lift), monotone in it, so the ranking IS the PMI ranking. The
+    * lift is emitted as `lift_e6` — floor(10^6 · pair·N / (left·right))
+    * computed in EXACT decimal integer arithmetic (truncating `div`, all
+    * operands positive), so any engine replays the scores and the total
+    * (lift_e6 DESC, w1, w2) order bit-identically — no float log in the
+    * ranking path. Raw pair/left/right/N counts ride along for consumers
+    * that want real PMI or a different association measure (LLR, chi²).
+    *
+    * Tokenization is the engine-wide spaceTokens contract (trim spaces,
+    * split on ' ' keeping empties — [[trainLmModel]], the kernels, and
+    * the DuckDB oracles all agree).
+    *
+    * Scale shape: one map pass explodes bigrams, ONE wide shuffle counts
+    * them (partial aggregation map-side), the minCount filter prunes the
+    * candidate set BEFORE the two unigram-count joins, and the
+    * total-token count joins as a broadcast scalar. Nothing is
+    * quadratic; the expensive shuffle is bounded by the distinct-bigram
+    * count, the joins by the post-filter survivors.
+    */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 100): DataFrame = {
+    val toks = split(trim(col(textCol)), " ", -1)
+    val words = df.select(explode(toks).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_tokens"))
+    val pairs = df
+      .select(toks.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val dec = "decimal(38,0)"
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("left_cnt")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("right_cnt")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__num",
+        col("pair_cnt").cast(dec) * col("n_tokens").cast(dec) * lit(1000000L).cast(dec))
+      .withColumn("__den", col("left_cnt").cast(dec) * col("right_cnt").cast(dec))
+      .withColumn("lift_e6", expr("CAST(__num div __den AS long)"))
+      .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_tokens", "lift_e6")
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer
     * et al., SIGMOD 2003) plus summary stats. The full array<bigint> is the
     * join key set for containment-style near-dup detection; n/min/max give

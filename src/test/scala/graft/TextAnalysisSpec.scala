@@ -463,4 +463,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
   }
+
+  test("collocations: closed-form lifts, truncating division, tie-break order") {
+    // N=7 tokens; uni p=3 q=2 x=1 y=1; all lifts hand-computed, two of
+    // them non-integral (floor) and two tied (lexicographic tie-break)
+    val docs = Seq((1L, "p q x"), (2L, "q p p y")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("q", "x", 1L, 2L, 1L, 7L, 3500000L),
+      ("p", "y", 1L, 3L, 1L, 7L, 2333333L),
+      ("p", "q", 1L, 3L, 2L, 7L, 1166666L),
+      ("q", "p", 1L, 2L, 3L, 7L, 1166666L),
+      ("p", "p", 1L, 3L, 3L, 7L, 777777L)))
+  }
+
+  test("collocations: minCount prunes and topK caps") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (a,b) appears 3x, (b,a) 2x, (c,d) 1x pruned; topK=1 keeps the
+    // highest-lift survivor only
+    assert(got.length === 1 && got.head._3 >= 2L)
+  }
 }
