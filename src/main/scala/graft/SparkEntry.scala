@@ -2251,6 +2251,21 @@ object SparkEntry {
     operators.TextAnalysis.collocations(
       wh(s, dir).loadTable("documents"), "text", minCount = 5, topK = 100)
 
+  /** Column profiling (SURVEY row 22b): exact one-pass profile of a typed
+    * orders projection — row/non-null/distinct counts and min/max per
+    * column ([[operators.Relational.profile]]; the frame-valued describe).
+    * Longs/strings/dates only in the projection so the stringified
+    * min/max compare byte-identically across engines.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"),
+      to_date(col("o_orderdate")).as("order_date"),
+      col("o_orderpriority"))
+    operators.Relational.profile(o, exact = true).orderBy("col_name")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2381,7 +2396,8 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
-    "q_collocations" -> (qCollocations _)
+    "q_collocations" -> (qCollocations _),
+    "q_profile" -> (qProfile _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -3950,6 +3966,35 @@ object SparkEntry {
         |JOIN uni l ON b.w1 = l.w
         |JOIN uni r ON b.w2 = r.w
         |CROSS JOIN tot
-        |ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""".stripMargin
+        |ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  cast(round(o_totalprice*100) AS bigint) AS price_cents,
+        |  cast(o_orderdate AS date) AS order_date, o_orderpriority FROM orders)
+        |SELECT 'o_custkey' AS col_name, 'bigint' AS dtype, count(*) AS n_rows,
+        | count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct,
+        | cast(min(o_custkey) AS varchar) AS min_val,
+        | cast(max(o_custkey) AS varchar) AS max_val FROM o
+        |UNION ALL
+        |SELECT 'o_orderkey', 'bigint', count(*), count(o_orderkey),
+        | count(DISTINCT o_orderkey), cast(min(o_orderkey) AS varchar),
+        | cast(max(o_orderkey) AS varchar) FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'string', count(*), count(o_orderpriority),
+        | count(DISTINCT o_orderpriority), min(o_orderpriority),
+        | max(o_orderpriority) FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'string', count(*), count(o_orderstatus),
+        | count(DISTINCT o_orderstatus), min(o_orderstatus),
+        | max(o_orderstatus) FROM o
+        |UNION ALL
+        |SELECT 'order_date', 'date', count(*), count(order_date),
+        | count(DISTINCT order_date), cast(min(order_date) AS varchar),
+        | cast(max(order_date) AS varchar) FROM o
+        |UNION ALL
+        |SELECT 'price_cents', 'bigint', count(*), count(price_cents),
+        | count(DISTINCT price_cents), cast(min(price_cents) AS varchar),
+        | cast(max(price_cents) AS varchar) FROM o
+        |ORDER BY col_name""".stripMargin
   )
 }

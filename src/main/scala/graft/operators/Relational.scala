@@ -418,6 +418,48 @@ object Relational {
     * pass over the data to discover columns, which is a full scan at scale;
     * warehouses require the value list for the same reason.
     */
+  /** Column profiling: one row per column with row/non-null/distinct
+    * counts and stringified min/max — the frame-valued form of the
+    * reference's describe surface (fugue_trino/api.py `describe`,
+    * fugue_bigquery/api.py `get_schema`), useful as a data-quality gate
+    * before/after pipeline stages.
+    *
+    * ONE aggregation pass over the frame. `exact = false` (the 100 TB
+    * default) counts distincts with HyperLogLog++ (`approx_count_distinct`,
+    * relative error `rsd`): every metric then folds into a single
+    * partial-aggregated scan with no data expansion. `exact = true` uses
+    * true COUNT(DISTINCT) — Catalyst plans k distinct aggregates via
+    * Expand (k+1 rows per input row through one shuffle): exact answers,
+    * k× shuffle volume; right for gate-scale checks, wrong for a 100 TB
+    * wide table. Min/max are cast to string so one schema carries any
+    * column type; profile long/string/date projections (not raw
+    * double/timestamp) when cross-engine string equality matters.
+    */
+  def profile(df: DataFrame, exact: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    require(df.schema.nonEmpty, "profile: frame has no columns")
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = lcol(f.name)
+      Seq(
+        count(c).as(s"__p${i}_nn"),
+        (if (exact) count_distinct(c) else approx_count_distinct(c, rsd))
+          .as(s"__p${i}_nd"),
+        min(c).cast("string").as(s"__p${i}_mn"),
+        max(c).cast("string").as(s"__p${i}_mx"))
+    } :+ count(lit(1)).as("__p_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__p_rows").as("n_rows"),
+        col(s"__p${i}_nn").as("n_nonnull"),
+        col(s"__p${i}_nd").as("n_distinct"),
+        col(s"__p${i}_mn").as("min_val"),
+        col(s"__p${i}_mx").as("max_val"))
+    }: _*)).as("p")).select("p.*")
+  }
+
   def pivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
       values: Seq[String], agg: Column): DataFrame =
     df.groupBy(groupCols.map(lcol): _*).pivot(pivotCol, values).agg(agg)

@@ -27,6 +27,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(maxPerGroup <= 3)
   }
 
+  test("profile: exact counts, nulls, min/max per column in one pass") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")), (2L, None))
+      .toDF("k", "v")
+    val got = Relational.profile(df, exact = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toSeq
+    assert(got === Seq(
+      ("k", "bigint", 3L, 3L, 2L, "1", "2"),
+      ("v", "string", 3L, 2L, 2L, "a", "b")))
+  }
+
+  test("profile: approx mode stays within HLL error on distinct counts") {
+    val df = wh.loadTable("orders").select("o_orderkey", "o_orderpriority")
+    val got = Relational.profile(df, exact = false, rsd = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toMap
+    val nd = wh.loadTable("orders").select("o_orderkey").distinct().count()
+    assert(math.abs(got("o_orderkey") - nd).toDouble / nd < 0.2)
+    assert(got("o_orderpriority") === 5L) // tiny cardinality is exact in HLL
+  }
+
   test("take per group without presort returns any n per group") {
     val t = Relational.take(wh.loadTable("orders"), 2, Nil, partitionBy = Seq("o_orderpriority"))
     val counts = t.groupBy("o_orderpriority").count().collect().map(_.getLong(1))
