@@ -1342,6 +1342,30 @@ object SparkEntry {
       .orderBy("id_a")
   }
 
+  /** VIDEO near-dup recall contract — the [[qImageNeardup]] construction
+    * over multi-page TIFF clips: 64 planted clips (ids < 64) each get a
+    * clone at id + 76800 (divisible by 256, 16 and 6 — pixel, dims and
+    * frame-count periods — so clone clip bytes are IDENTICAL), and every
+    * (base, clone) pair must surface from the temporal majority-vote
+    * fingerprint at hamming 0. Expected pairs are pure id arithmetic;
+    * no decoding in the oracle.
+    */
+  private def qVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val ids = wh(s, dir).loadTable("documents")
+      .select("doc_id").filter(col("doc_id") < 64)
+    val aug = ids.unionByName(ids.select((col("doc_id") + 76800L).as("doc_id")))
+    val found = Multimodal.videoNearDup(
+        Multimodal.attachTiffClip(aug, "doc_id"), "id", "media",
+        k = 4, maxHamming = 0)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    ids.select(col("doc_id").as("id_a"), (col("doc_id") + 76800L).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_by_vhash"))
+      .orderBy("id_a")
+  }
+
   /** Sequence-packing plan, oracle-checked EXACTLY: each document's
     * global token offset in the id-ordered corpus concatenation and its
     * 2048-token context-window assignment, computed with the two-pass
@@ -2397,7 +2421,8 @@ object SparkEntry {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
     "q_collocations" -> (qCollocations _),
-    "q_profile" -> (qProfile _)
+    "q_profile" -> (qProfile _),
+    "q_video_neardup" -> (qVideoNeardup _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -3132,6 +3157,12 @@ object SparkEntry {
     "q_image_neardup" ->
       """SELECT doc_id AS id_a, doc_id + 76800 AS id_b,
         | true AS found_by_dhash
+        |FROM documents WHERE doc_id < 64 ORDER BY id_a""".stripMargin,
+    // video near-dup recall: planted-clone id arithmetic (clip generator
+    // periodic mod lcm(256,16,6) | 76800)
+    "q_video_neardup" ->
+      """SELECT doc_id AS id_a, doc_id + 76800 AS id_b,
+        | true AS found_by_vhash
         |FROM documents WHERE doc_id < 64 ORDER BY id_a""".stripMargin,
     // audio near-dup recall: planted-clone id arithmetic (the waveform
     // generator is periodic mod 65536)

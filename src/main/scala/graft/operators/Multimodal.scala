@@ -302,28 +302,32 @@ object Multimodal {
       batch.map { case (id, bytes) =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          if (img == null) Row(id, null)
-          else {
-            val small = resampleNearest(img, 9, 8)
-            def gray(px: Int): Int =
-              (299 * ((px >> 16) & 255) + 587 * ((px >> 8) & 255) + 114 * (px & 255)) / 1000
-            var hash = 0L
-            var bit = 0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (gray(small.getRGB(x + 1, y)) > gray(small.getRGB(x, y)))
-                  hash |= 1L << bit
-                bit += 1; x += 1
-              }
-              y += 1
-            }
-            Row(id, hash)
-          }
+          if (img == null) Row(id, null) else Row(id, dhashOf(img))
         } catch { case _: Exception => Row(id, null) }
       }
     }
+
+  /** The dHash core shared by [[imageDHash]] and [[videoFingerprint]]:
+    * 9×8 integer downsample → integer grayscale → gradient bits.
+    */
+  private def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = resampleNearest(img, 9, 8)
+    def gray(px: Int): Int =
+      (299 * ((px >> 16) & 255) + 587 * ((px >> 8) & 255) + 114 * (px & 255)) / 1000
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(small.getRGB(x + 1, y)) > gray(small.getRGB(x, y)))
+          hash |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    hash
+  }
 
   /** IMAGE near-dup pairs: [[imageDHash]] composed with the simhash
     * pigeonhole blocking ([[Dedup.hammingNearDup]]) — the multimodal
@@ -495,6 +499,74 @@ object Multimodal {
         } catch { case _: Exception => Iterator.empty }
       }
     }
+
+  /** Output schema of [[videoFingerprint]]. */
+  val vhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("vhash", LongType)))
+
+  /** Temporal perceptual fingerprint of a multi-frame clip: sample `k`
+    * evenly-spaced frames (the [[decodeFrames]] / [[sampleFramesMeta]]
+    * rule — all frames when n ≤ k, else floor(i·n/k)), dHash each
+    * SAMPLED frame only (the rest are never decoded), and fold the
+    * per-frame hashes into one 64-bit signature by per-bit MAJORITY
+    * vote (bit set iff set in a strict majority of sampled frames; ties
+    * clear). Majority voting makes the signature stable under
+    * re-encoding and small frame perturbations — a clip differing in
+    * one of k frames moves few bits — while frame ORDER robustness
+    * comes from sampling the same relative positions. All integer
+    * arithmetic over deterministic decodes: reproducible across JVMs.
+    * Undecodable bytes degrade to a NULL signature.
+    */
+  def videoFingerprint(df: DataFrame, idCol: String, mediaCol: String,
+      k: Int = 4): DataFrame =
+    mapBinaryBatches(df, idCol, mediaCol, vhashSchema) { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { case (id, bytes) =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Row(id, null)
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val idxs: Seq[Int] =
+                  if (n <= 0) Seq.empty
+                  else if (n <= k) 0 until n
+                  else (0 until k).map(i => (i.toLong * n / k).toInt)
+                if (idxs.isEmpty) Row(id, null)
+                else {
+                  val hashes = idxs.map(fi => dhashOf(reader.read(fi)))
+                  var sig = 0L
+                  var b = 0
+                  while (b < 64) {
+                    var ones = 0
+                    hashes.foreach(h => if (((h >>> b) & 1L) == 1L) ones += 1)
+                    if (2 * ones > hashes.length) sig |= 1L << b
+                    b += 1
+                  }
+                  Row(id, sig)
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case _: Exception => Row(id, null) }
+      }
+    }
+
+  /** VIDEO near-dup pairs: [[videoFingerprint]] composed with the
+    * pigeonhole hamming blocking ([[Dedup.hammingNearDup]]) — re-encoded
+    * or lightly-perturbed clip duplicates surface without any all-pairs
+    * comparison; same composition as [[imageNearDup]]/[[audioNearDup]].
+    */
+  def videoNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      k: Int = 4, maxHamming: Int = 6, maxBucketSize: Int = 100000): DataFrame =
+    Dedup.hammingNearDup(videoFingerprint(df, idCol, mediaCol, k), "id", "vhash",
+      maxHamming, maxBucketSize)
 
   // ---- real audio decode (javax.sound.sampled, JDK-builtin) -------------
 

@@ -230,6 +230,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("afp").isNull).count() === 1)
   }
 
+  test("videoFingerprint: majority of sampled-frame dHashes, clone-stable, null on junk") {
+    val ids = (0L to 7L).toDF("doc_id")
+    val clips = Multimodal.attachTiffClip(
+      ids.unionByName(ids.select((col("doc_id") + 76800L).as("doc_id"))), "doc_id")
+    def fps(): Map[Long, Long] =
+      Multimodal.videoFingerprint(clips, "id", "media", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = fps()
+    assert(a === fps(), "re-run must reproduce identical fingerprints")
+    (0L to 7L).foreach(i => assert(a(i) === a(i + 76800L), s"clone $i"))
+
+    // expected vhash from first principles: dHash each sampled frame via
+    // the lossless PNG path, majority-vote the bits
+    (0L to 7L).foreach { id =>
+      val n = Multimodal.plantedFrameCount(id)
+      val idxs = if (n <= 4) 0 until n else (0 until 4).map(i => i * n / 4)
+      val frames = idxs.zipWithIndex.map { case (fi, j) =>
+        val png = {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(Multimodal.plantedFrame(id, fi), "png", bos)
+          bos.toByteArray
+        }
+        (j.toLong, png)
+      }
+      val hs = Multimodal.imageDHash(
+          frames.toDF("doc_id", "media"), "doc_id", "media")
+        .collect().map(_.getLong(1))
+      var want = 0L
+      (0 until 64).foreach { b =>
+        if (2 * hs.count(h => ((h >>> b) & 1L) == 1L) > hs.length) want |= 1L << b
+      }
+      assert(a(id) === want, s"vhash of clip $id")
+    }
+
+    val junk = Seq((1L, Array[Byte](7, 7, 7))).toDF("doc_id", "media")
+    assert(Multimodal.videoFingerprint(junk, "doc_id", "media")
+      .filter(col("vhash").isNull).count() === 1)
+
+    val got = Multimodal.videoNearDup(clips, "id", "media", k = 4, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 7L).foreach(i => assert(got.contains((i, i + 76800L)), s"pair $i"))
+  }
+
   test("mapBinaryBatches streams partition batches through the decoder fn") {
     val docs = wh.loadTable("documents").limit(10)
     val out = Multimodal.mapBinaryBatches(
