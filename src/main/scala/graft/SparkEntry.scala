@@ -2290,6 +2290,23 @@ object SparkEntry {
     operators.Relational.profile(o, exact = true).orderBy("col_name")
   }
 
+  /** Ordered event funnel (SURVEY row 50b): view → click → purchase
+    * within a 3-day window of each user's first view, exact user counts
+    * per step ([[operators.EventAnalytics.funnel]]).
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.funnel(wh(s, dir).loadTable("events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+      withinMinutes = 4320)
+
+  /** Retention cohort triangle (SURVEY row 50c): first-activity cohorts ×
+    * day offsets ≤ 7, exact active-user counts
+    * ([[operators.EventAnalytics.retention]]).
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.retention(wh(s, dir).loadTable("events"),
+      "user_id", "ts", maxDays = 7)
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2422,7 +2439,9 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_collocations" -> (qCollocations _),
     "q_profile" -> (qProfile _),
-    "q_video_neardup" -> (qVideoNeardup _)
+    "q_video_neardup" -> (qVideoNeardup _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4026,6 +4045,41 @@ object SparkEntry {
         |SELECT 'price_cents', 'bigint', count(*), count(price_cents),
         | count(DISTINCT price_cents), cast(min(price_cents) AS varchar),
         | cast(max(price_cents) AS varchar) FROM o
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+        |s1 AS (SELECT u, min(ts) AS ts_1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT s1.u, s1.ts_1, min(e.ts) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.u = s1.u AND e.t = 'click'
+        |         AND e.ts >= s1.ts_1
+        |         AND e.ts <= s1.ts_1 + INTERVAL 4320 MINUTE
+        |       GROUP BY s1.u, s1.ts_1),
+        |s3 AS (SELECT s2.u, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.u = s2.u AND e.t = 'purchase'
+        |         AND e.ts >= s2.ts_2
+        |         AND e.ts <= s2.ts_1 + INTERVAL 4320 MINUTE
+        |       GROUP BY s2.u, s2.ts_1, s2.ts_2)
+        |SELECT * FROM (
+        | SELECT 1 AS step, 'view' AS step_name, count(ts_1) AS n_users FROM s3
+        | UNION ALL
+        | SELECT 2, 'click', count(ts_2) FROM s3
+        | UNION ALL
+        | SELECT 3, 'purchase', count(ts_3) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, cast(ts AS date) AS d
+        |            FROM events),
+        |coh AS (SELECT u, min(d) AS cohort_date FROM ud GROUP BY u),
+        |sizes AS (SELECT cohort_date, count(*) AS n_cohort FROM coh
+        |          GROUP BY cohort_date)
+        |SELECT j.cohort_date, j.day_offset, j.n_active, sizes.n_cohort
+        |FROM (SELECT coh.cohort_date,
+        |        datediff('day', coh.cohort_date, ud.d) AS day_offset,
+        |        count(*) AS n_active
+        |      FROM ud JOIN coh ON ud.u = coh.u
+        |      WHERE datediff('day', coh.cohort_date, ud.d) <= 7
+        |      GROUP BY coh.cohort_date, datediff('day', coh.cohort_date, ud.d)) j
+        |JOIN sizes ON j.cohort_date = sizes.cohort_date
+        |ORDER BY j.cohort_date, j.day_offset""".stripMargin
   )
 }
