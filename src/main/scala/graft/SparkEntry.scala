@@ -2307,6 +2307,21 @@ object SparkEntry {
     operators.EventAnalytics.retention(wh(s, dir).loadTable("events"),
       "user_id", "ts", maxDays = 7)
 
+  /** Heavy hitters (SURVEY row 56c): Misra-Gries sketch over the corpus
+    * word stream at k=64 ≥ the 31-word vocabulary — the sketch is in its
+    * exact regime (no decrement can fire), so the counters equal true
+    * counts deterministically and the oracle replays them outright; the
+    * sub-k estimator regime (decrements, merge subtraction, the error
+    * band) is guarantee-pinned in StatsSpec with forced multi-partition
+    * merges ([[operators.Stats.heavyHitters]]).
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = wh(s, dir).loadTable("documents")
+      .select(explode(split(trim(col("text")), " ", -1)).as("w"))
+    operators.Stats.heavyHitters(words, "w", k = 64)
+      .orderBy(col("est_count").desc, col("item"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2441,7 +2456,8 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_video_neardup" -> (qVideoNeardup _),
     "q_funnel" -> (qFunnel _),
-    "q_retention" -> (qRetention _)
+    "q_retention" -> (qRetention _),
+    "q_heavy_hitters" -> (qHeavyHitters _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4080,6 +4096,11 @@ object SparkEntry {
         |      WHERE datediff('day', coh.cohort_date, ud.d) <= 7
         |      GROUP BY coh.cohort_date, datediff('day', coh.cohort_date, ud.d)) j
         |JOIN sizes ON j.cohort_date = sizes.cohort_date
-        |ORDER BY j.cohort_date, j.day_offset""".stripMargin
+        |ORDER BY j.cohort_date, j.day_offset""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT t AS item, count(*) AS est_count
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS t
+        |      FROM documents)
+        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin
   )
 }

@@ -76,7 +76,10 @@ object GraftFunctions {
       ((args: Seq[Expression]) => PqAdcScore(args.head, args(1))),
     "graft_topk" ->
       ((args: Seq[Expression]) =>
-        TopKAgg(args.head, args(1), intLit(args(2), "k")).toAggregateExpression())
+        TopKAgg(args.head, args(1), intLit(args(2), "k")).toAggregateExpression()),
+    "graft_heavy_hitters" ->
+      ((args: Seq[Expression]) =>
+        MisraGriesAgg(args.head, intLit(args(1), "k")).toAggregateExpression())
   )
 
   def ensure(spark: SparkSession): Unit = {
@@ -156,6 +159,9 @@ object GraftFunctions {
   /** top-k (id, score) pairs per group, best first. */
   def topK(id: Column, score: Column, k: Int): Column =
     call_function("graft_topk", id, score, lit(k))
+
+  def heavyHitters(item: Column, k: Int): Column =
+    call_function("graft_heavy_hitters", item, lit(k))
 
   /** BPE token count under a trained model. The model is a parameter
     * object (not SQL-expressible), so each model registers its own

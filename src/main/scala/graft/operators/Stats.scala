@@ -43,6 +43,22 @@ object Stats {
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))
         .as("approx_distinct_merged"))
 
+  /** Heavy hitters (frequent items) of a string column via the mergeable
+    * Misra-Gries sketch ([[graft.functions.MisraGriesAgg]]): at most `k`
+    * (item, est_count) rows with the guarantee
+    * `true − n/(k+1) ≤ est ≤ true` — every item with frequency > n/(k+1)
+    * is present. Single pass, map-side partial aggregation, shuffle
+    * volume numPartitions × k independent of cardinality — the scalable
+    * complement to [[approxDistinct]] for "WHAT are the top values", not
+    * just how many. While distinct items ≤ k the counters are exact.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    df.agg(graft.functions.GraftFunctions.heavyHitters(col(valueCol), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
+  }
+
   /** One-pass numeric summary per group: count, mean, stddev, min, max,
     * approx p50/p95 (percentile_approx is a mergeable sketch, safe at any
     * group cardinality).

@@ -44,6 +44,41 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(q.head - exact) / exact < 0.05)
   }
 
+  test("heavyHitters: exact regime (distinct <= k) equals true counts") {
+    import spark.implicits._
+    val data = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c"))
+    val df = spark.sparkContext.parallelize(data, 4).toDF("v")
+    val got = Stats.heavyHitters(df, "v", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 30L), ("b", 20L), ("c", 10L)))
+  }
+
+  test("heavyHitters: MG guarantee holds under decrements and forced merges") {
+    import spark.implicits._
+    // Zipf-ish: a=100, b=50, then 40 singletons; n=190, k=2 →
+    // error bound n/(k+1) = 63.33: "a" (100 > 63.3) MUST surface
+    val data = Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      (1 to 40).map(i => s"x$i")
+    val n = data.length.toLong
+    val k = 2
+    val bound = n / (k + 1)
+    // several partitionings (different merge orders) — guarantee must
+    // hold in every one
+    Seq(1, 3, 8).foreach { parts =>
+      val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(data), parts).toDF("v")
+      val got = Stats.heavyHitters(df, "v", k = k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got.size <= k, s"parts=$parts: more than k items")
+      assert(got.contains("a"), s"parts=$parts: guaranteed heavy item missing")
+      val trueCounts = Map("a" -> 100L, "b" -> 50L).withDefaultValue(1L)
+      got.foreach { case (item, est) =>
+        val t = trueCounts(item)
+        assert(est <= t, s"parts=$parts: $item overestimated ($est > $t)")
+        assert(t - est <= bound, s"parts=$parts: $item error ${t - est} > $bound")
+      }
+    }
+  }
+
   test("summarize emits a full numeric profile per group") {
     val s = Stats.summarize(wh.loadTable("lineitem"), Seq("l_returnflag"), "l_quantity")
     val r = s.collect()
