@@ -2322,6 +2322,28 @@ object SparkEntry {
       .orderBy(col("est_count").desc, col("item"))
   }
 
+  /** Keyless binned range join (SURVEY row 30c): order totals against
+    * overlapping price bands — the predicate Spark would otherwise plan
+    * as a BroadcastNestedLoopJoin, run as an exact equi-join on bins
+    * ([[operators.Relational.rangeJoin]]). Bands derive from nation (25
+    * overlapping intervals); exact long-cents arithmetic throughout.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val pts = w.loadTable("orders").select(
+      col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val bands = w.loadTable("nation").select(
+      col("n_nationkey").as("band_id"),
+      (lit(1000000L) + col("n_nationkey") * 1500000L).as("lo_cents"),
+      (lit(1000000L) + col("n_nationkey") * 1500000L + 4000000L).as("hi_cents"))
+    operators.Relational.rangeJoin(pts, bands, "price_cents",
+        "lo_cents", "hi_cents", binSize = 1000000L)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).cast("long").as("sum_cents"))
+      .orderBy("band_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2457,7 +2479,8 @@ object SparkEntry {
     "q_video_neardup" -> (qVideoNeardup _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
-    "q_heavy_hitters" -> (qHeavyHitters _)
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_range_join" -> (qRangeJoin _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4101,6 +4124,17 @@ object SparkEntry {
       """SELECT t AS item, count(*) AS est_count
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS t
         |      FROM documents)
-        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin
+        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin,
+    "q_range_join" ->
+      """WITH pts AS (SELECT o_orderkey,
+        |  cast(round(o_totalprice*100) AS bigint) AS price_cents FROM orders),
+        |bands AS (SELECT n_nationkey AS band_id,
+        |  1000000 + n_nationkey * 1500000 AS lo_cents,
+        |  1000000 + n_nationkey * 1500000 + 4000000 AS hi_cents FROM nation)
+        |SELECT band_id, count(*) AS n_orders,
+        | cast(sum(price_cents) AS bigint) AS sum_cents
+        |FROM pts JOIN bands
+        |  ON price_cents >= lo_cents AND price_cents <= hi_cents
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
   )
 }

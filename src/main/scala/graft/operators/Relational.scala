@@ -523,6 +523,58 @@ object Relational {
     * Output: every left column, plus each requested right column suffixed
     * (e.g. value_right) — null when no right row precedes the left row.
     */
+  /** Binned range join: `left.point BETWEEN right.lo AND right.hi`
+    * (inclusive) WITHOUT an equi-key. Spark plans a bare range predicate
+    * as BroadcastNestedLoopJoin — O(|L|·|R|) compares and a broadcast of
+    * a whole side, the classic scale cliff. Here both sides get a
+    * synthetic equi-key: the left point maps to ONE bin
+    * (floor(point/binSize)), each right interval EXPLODES to the bins it
+    * overlaps, the join is a plain shuffled equi-join on the bin, and
+    * the exact BETWEEN filter runs on the matches. Every matching pair
+    * meets in exactly one bin (the point's), so no dedup is needed and
+    * the result is exact for ANY binSize — binSize only tunes the
+    * replication (interval span / binSize copies per right row) against
+    * join selectivity (bin width of false candidates). Pick binSize ≈
+    * the typical interval span. Rows with NULL point/bounds or hi < lo
+    * never match (and are preserved by `how = "left"`).
+    *
+    * `how`: "inner" or "left" (unmatched left rows padded with NULLs via
+    * a key-pruned anti join, the [[graft.operators.Merge]] pattern).
+    * Column names must be disjoint across the two sides.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, binSize: Long,
+      how: String = "inner"): DataFrame = {
+    require(binSize > 0, "rangeJoin: binSize must be positive")
+    require(Set("inner", "left").contains(how.toLowerCase),
+      s"rangeJoin: unsupported how '$how' (inner | left)")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"rangeJoin: overlapping column names: ${clash.mkString(",")}")
+    val p = lcol(pointCol)
+    // floor division, exact for negatives (pmod-adjusted) and for the
+    // full long range (decimal, not double, carries the quotient)
+    def binOf(c: Column): Column =
+      ((c.cast("decimal(38,0)") - pmod(c, lit(binSize)).cast("decimal(38,0)"))
+        / lit(binSize).cast("decimal(38,0)")).cast("long")
+    val l = left.withColumn("__bin", binOf(p))
+    val r = right
+      .filter(lcol(loCol).isNotNull && lcol(hiCol).isNotNull &&
+        lcol(hiCol) >= lcol(loCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(lcol(loCol)), binOf(lcol(hiCol)))))
+    val matched = l.join(r, Seq("__bin"))
+      .filter(p >= lcol(loCol) && p <= lcol(hiCol))
+      .drop("__bin")
+    if (how.toLowerCase == "inner") matched
+    else {
+      val unmatched = l.drop("__bin")
+        .join(matched.select(left.columns.map(lcol): _*), left.columns.toSeq, "left_anti")
+        .select(left.columns.map(lcol) ++
+          right.columns.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      matched.unionByName(unmatched)
+    }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       rightCols: Seq[String], rightSuffix: String = "_right"): DataFrame = {
     val suffixed = rightCols.map(c => c -> s"$c$rightSuffix")

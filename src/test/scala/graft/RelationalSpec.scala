@@ -27,6 +27,39 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(maxPerGroup <= 3)
   }
 
+  test("rangeJoin equals the naive cross-filter join at any binSize") {
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, -3L), (5L, 100L))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, 0L, 10L), (20L, 9L, 16L), (30L, -5L, -1L),
+      (40L, 17L, 17L), (50L, 8L, 3L) /* inverted: never matches */ )
+      .toDF("iid", "lo", "hi")
+    val want = pts.crossJoin(ivs)
+      .filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && want.contains((3L, 40L)) && want.contains((4L, 30L)))
+    Seq(1L, 4L, 100L).foreach { bin =>
+      val got = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"binSize=$bin")
+    }
+  }
+
+  test("rangeJoin left keeps unmatched points with NULL band columns") {
+    val pts = Seq((1L, 5L), (2L, 999L)).toDF("pid", "p")
+    val ivs = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val got = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", 10L, how = "left")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("rangeJoin plans an equi-join on the bin, not a nested loop") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val plan = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("profile: exact counts, nulls, min/max per column in one pass") {
     val df = Seq((1L, Option("a")), (2L, Option("b")), (2L, None))
       .toDF("k", "v")

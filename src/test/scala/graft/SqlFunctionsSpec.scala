@@ -59,7 +59,8 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
       "graft_simhash_tf", "graft_cosine", "graft_hyperplane_lsh_multi",
       "graft_langid_hits", "graft_quality_counts", "graft_normalize",
       "graft_repetition_stats", "graft_winnow", "graft_winnow_pos",
-      "graft_extend_match", "graft_pq_adc_score", "graft_topk"))
+      "graft_extend_match", "graft_pq_adc_score", "graft_topk",
+      "graft_heavy_hitters"))
     // and the extensions class constructs + applies cleanly
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
