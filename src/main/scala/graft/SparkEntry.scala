@@ -2344,6 +2344,28 @@ object SparkEntry {
       .orderBy("band_id")
   }
 
+  /** BLOOM decontamination contract (SURVEY row 38c-b): every EXACTLY
+    * contaminated doc must also be bloom-flagged (no false negatives —
+    * the guarantee that matters for decontamination). Output = exact hits
+    * with their bloom flags; a bloom miss breaks the hash. FP behavior is
+    * spec-gated (deterministic bits, fixture-measured).
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val rest = docs.filter(col("doc_id") % 20 =!= 0)
+    val exact = Dedup.decontaminateMapSide(rest, "text",
+        Dedup.trainDecontaminationSet(eval, "text", n = 3))
+      .select(col("doc_id"), col("contaminated").as("exact_hit"))
+    val bloomed = Dedup.decontaminateBloom(rest.select("doc_id", "text"), "text",
+        Dedup.trainDecontaminationBloom(eval, "text", n = 3))
+      .select(col("doc_id"), col("contaminated").as("bloom_hit"))
+    exact.join(bloomed, Seq("doc_id")).filter(col("exact_hit"))
+      .select(col("doc_id"), col("exact_hit"), col("bloom_hit"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2480,7 +2502,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_range_join" -> (qRangeJoin _)
+    "q_range_join" -> (qRangeJoin _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4135,6 +4158,17 @@ object SparkEntry {
         | cast(sum(price_cents) AS bigint) AS sum_cents
         |FROM pts JOIN bands
         |  ON price_cents >= lo_cents AND price_cents <= hi_cents
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |bg AS (SELECT DISTINCT unnest(g) AS gr FROM grams WHERE doc_id % 20 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
+        |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr)
+        |SELECT h.doc_id, true AS exact_hit, true AS bloom_hit
+        |FROM hit h ORDER BY h.doc_id""".stripMargin
   )
 }

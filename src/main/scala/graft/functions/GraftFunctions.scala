@@ -224,6 +224,24 @@ object GraftFunctions {
   private val gramSetNames = new java.util.IdentityHashMap[GramSetModel, String]()
   private val gramSetCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Bloom gram membership under a trained [[GramBloomModel]] —
+    * model-parameterized registration exactly like [[gramSetContains]].
+    */
+  def gramBloomContains(spark: SparkSession, text: Column,
+      model: GramBloomModel): Column = {
+    val name = gramBloomNames.synchronized {
+      gramBloomNames.computeIfAbsent(model,
+        _ => s"graft_gram_bloom_contains_${gramBloomCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => GramBloomContains(args.head, model),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val gramBloomNames = new java.util.IdentityHashMap[GramBloomModel, String]()
+  private val gramBloomCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Bigram-LM fluency under a trained [[LmModel]] — model-parameterized
     * registration exactly like [[bpeCount]] (same uniqueness and lifetime
     * caveats).

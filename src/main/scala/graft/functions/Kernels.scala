@@ -38,10 +38,35 @@ final class BpeModel(val sortedKeys: Array[Long], val rankAt: Array[Int])
   * rides to executors as one codegen reference object.
   */
 final class GramSetModel(val sorted: Array[Long], val n: Int,
-    val char: Boolean) extends Serializable {
+    val char: Boolean) extends Serializable with GramProbe {
   def size: Int = sorted.length
   def contains(h: Long): Boolean =
     java.util.Arrays.binarySearch(sorted, h) >= 0
+}
+
+/** Common face of the gram-membership models ([[GramSetModel]] exact,
+  * [[GramBloomModel]] approximate) — [[Kernels.anyGramIn]] probes either.
+  */
+trait GramProbe {
+  def n: Int
+  def char: Boolean
+  def contains(h: Long): Boolean
+}
+
+/** Bloom-filter gram membership for map-side decontamination at eval-set
+  * sizes the exact sorted-array model refuses (beyond its maxGrams the
+  * array would not fit a codegen reference object): ~1.2 bytes/gram at
+  * 1% fpp instead of 8, built DISTRIBUTED (treeAggregate — grams never
+  * collect to the driver). One-sided error in the SAFE direction for
+  * decontamination: an inserted gram always probes true (no false
+  * negatives ⇒ nothing contaminated ever slips through); false positives
+  * over-flag clean documents at a bounded, seedless-deterministic rate
+  * (bloom bits are an OR over value hashes — insertion-order and
+  * partitioning independent).
+  */
+final class GramBloomModel(val bloom: org.apache.spark.util.sketch.BloomFilter,
+    val n: Int, val char: Boolean) extends Serializable with GramProbe {
+  def contains(h: Long): Boolean = bloom.mightContainLong(h)
 }
 
 /** Trained bigram language model for fluency scoring (the CCNet-style
@@ -958,7 +983,7 @@ object Kernels {
     * explode, the shuffle, and the join: this is the streaming-safe,
     * zero-shuffle form of benchmark decontamination.
     */
-  def anyGramIn(text: UTF8String, model: GramSetModel): Boolean = {
+  def anyGramIn(text: UTF8String, model: GramProbe): Boolean = {
     val n = model.n
     if (model.char) {
       val s = text.toString.trim

@@ -415,6 +415,24 @@ case class GramSetContains(child: Expression, model: GramSetModel)
   override def prettyName: String = "graft_gram_set_contains"
 }
 
+/** Bloom-filter gram membership probe under a trained [[GramBloomModel]] —
+  * the same [[Kernels.anyGramIn]] scan as [[GramSetContains]] against the
+  * approximate (no-false-negative) backend.
+  */
+case class GramBloomContains(child: Expression, model: GramBloomModel)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.anyGramIn(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBloom", model, classOf[GramBloomModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.anyGramIn($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramBloomContains =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_bloom_contains"
+}
+
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

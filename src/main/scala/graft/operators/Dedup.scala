@@ -499,6 +499,50 @@ object Dedup {
     new graft.functions.GramSetModel(grams, n, shingler == "char")
   }
 
+  /** Train a BLOOM gram-membership model for map-side decontamination at
+    * eval-set sizes the exact [[trainDecontaminationSet]] refuses: the
+    * filter is built DISTRIBUTED (`DataFrameStatFunctions.bloomFilter`
+    * treeAggregates bit vectors — the grams never collect to the driver),
+    * sized from an HLL distinct estimate (+25% headroom) unless
+    * `expectedGrams` is given. Bloom bits are an OR over value hashes —
+    * insertion-order and partitioning independent, so the model (and
+    * every flag it produces) is deterministic for fixed data. Error is
+    * ONE-SIDED the safe way: a trained gram always probes true, so
+    * nothing contaminated ever slips through; clean documents over-flag
+    * at ≈ gramsPerDoc × `fpp`.
+    */
+  def trainDecontaminationBloom(
+      bench: DataFrame, textCol: String,
+      n: Int = 3, shingler: String = "word",
+      fpp: Double = 1e-4, expectedGrams: Long = 0L): graft.functions.GramBloomModel = {
+    require(shingler == "word" || shingler == "char",
+      s"decontamination models support word/char shinglers, got $shingler")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    GraftFunctions.ensure(bench.sparkSession)
+    val grams = bench
+      .select(explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
+    val expected =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(64L,
+        (grams.agg(approx_count_distinct(col("__g")))
+          .collect()(0).getLong(0) * 1.25).toLong)
+    val bloom = grams.stat.bloomFilter("__g", expected, fpp)
+    new graft.functions.GramBloomModel(bloom, n, shingler == "char")
+  }
+
+  /** [[decontaminateMapSide]] against a trained BLOOM model — identical
+    * one-scan early-exit kernel and NULL contract, approximate membership:
+    * `contaminated` is a SUPERSET of the exact flags (never misses), with
+    * false positives bounded by the model's fpp per probed gram.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, textCol: String,
+      model: graft.functions.GramBloomModel): DataFrame =
+    corpus.withColumn("contaminated",
+      coalesce(
+        GraftFunctions.gramBloomContains(corpus.sparkSession, col(textCol), model),
+        lit(false)))
+
   /** MAP-SIDE benchmark decontamination: flag every document sharing an
     * n-gram with a TRAINED eval-set model ([[trainDecontaminationSet]]) in
     * one kernel scan per document — no explode, no shuffle, no join, so

@@ -1028,6 +1028,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(mapSide === got)
   }
 
+  test("decontaminateBloom: superset of exact flags, no false negatives, both shinglers") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we saw the quick brown animal run"),
+      (2L, "entirely different words appear here now"),
+      (3L, "fox jumps high over everything else"),
+      (4L, "too short"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    Seq("word", "char").foreach { sh =>
+      val exact = Dedup.decontaminateMapSide(corpus, "text",
+          Dedup.trainDecontaminationSet(bench, "text", n = 3, shingler = sh))
+        .select("doc_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val bloom = Dedup.decontaminateBloom(corpus, "text",
+          Dedup.trainDecontaminationBloom(bench, "text", n = 3, shingler = sh))
+        .select("doc_id", "contaminated")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // one-sided: every exact hit is bloom-flagged
+      exact.foreach { case (id, hit) =>
+        if (hit) assert(bloom(id), s"shingler=$sh: bloom missed exact hit $id") }
+      // at fpp=1e-4 over a handful of grams, this fixture has no FPs —
+      // and bloom bits are deterministic, so this equality is stable
+      assert(bloom === exact, s"shingler=$sh")
+    }
+    // determinism across rebuilds and repartitionings
+    val m1 = Dedup.trainDecontaminationBloom(bench, "text", n = 3)
+    val m2 = Dedup.trainDecontaminationBloom(bench.repartition(4), "text", n = 3)
+    val f1 = Dedup.decontaminateBloom(corpus, "text", m1)
+      .select("doc_id", "contaminated").collect().map(_.toSeq).toSet
+    val f2 = Dedup.decontaminateBloom(corpus, "text", m2)
+      .select("doc_id", "contaminated").collect().map(_.toSeq).toSet
+    assert(f1 === f2)
+  }
+
   test("decontaminateMapSide equals the join form on the corpus (word and char shinglers)") {
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
     val bench = docs.filter(col("doc_id") % 20 === 0)
