@@ -2366,6 +2366,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Join-key skew profile (SURVEY row 56d): top (priority, status) keys
+    * of orders with exact share arithmetic — k=64 exceeds the key
+    * cardinality, so the MG pass is in its exact regime and DuckDB
+    * replays counts AND floor-divided shares outright
+    * ([[operators.Stats.skewProfile]]).
+    */
+  private def qSkewProfile(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.skewProfile(wh(s, dir).loadTable("orders"),
+        Seq("o_orderpriority", "o_orderstatus"), k = 64)
+      .orderBy(col("est_count").desc, col("item"))
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2503,7 +2514,8 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_range_join" -> (qRangeJoin _),
-    "q_decontaminate_bloom" -> (qDecontaminateBloom _)
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_skew_profile" -> (qSkewProfile _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4169,6 +4181,16 @@ object SparkEntry {
         |cg AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE doc_id % 20 <> 0),
         |hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gr = bg.gr)
         |SELECT h.doc_id, true AS exact_hit, true AS bloom_hit
-        |FROM hit h ORDER BY h.doc_id""".stripMargin
+        |FROM hit h ORDER BY h.doc_id""".stripMargin,
+    "q_skew_profile" ->
+      """WITH keyed AS (SELECT o_orderpriority || chr(1) || o_orderstatus AS item
+        |              FROM orders),
+        |tot AS (SELECT count(*) AS n_rows FROM keyed)
+        |SELECT k.item, count(*) AS est_count, tot.n_rows,
+        | cast((cast(count(*) AS hugeint) * 1000000) // tot.n_rows AS bigint)
+        |   AS share_e6
+        |FROM keyed k CROSS JOIN tot
+        |GROUP BY k.item, tot.n_rows
+        |ORDER BY est_count DESC, item""".stripMargin
   )
 }

@@ -59,6 +59,35 @@ object Stats {
       .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
   }
 
+  /** Join-key skew profile: the operational question behind every slow
+    * join — "is one key hot, and how hot?" — answered in ONE bounded
+    * pass. Emits the top `k` keys by (estimated) frequency with total
+    * rows and the skew factor est/(n/k_distinct-ish): `est_count`, the
+    * key's share `share_e6` (floor(10⁶·est/n), integer-exact), and the
+    * row total. Uses [[heavyHitters]] (Misra-Gries) so the pass costs
+    * partitions × k shuffle rows at ANY cardinality; while distinct keys
+    * ≤ k the counts are exact. Keys are profiled as their string form
+    * (concat_ws on multi-column keys) — the same shape a salt decision
+    * needs ([[Relational.saltedJoin]] is the fix this diagnoses).
+    */
+  def skewProfile(df: DataFrame, keyCols: Seq[String], k: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "skewProfile: at least one key column")
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    // \u0001 separator: multi-column keys must not alias across the boundary
+    val keyed = df.select(concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*).as("__key"))
+    // row total and the sketch fold into ONE aggregation pass (no action)
+    keyed
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.GraftFunctions.heavyHitters(col("__key"), k).as("hh"))
+      .select(col("n_rows"), explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est_count").as("est_count"),
+        col("n_rows"))
+      .withColumn("share_e6",
+        expr("CAST((CAST(est_count AS decimal(38,0)) * 1000000) div " +
+          "CAST(n_rows AS decimal(38,0)) AS long)"))
+  }
+
   /** One-pass numeric summary per group: count, mean, stddev, min, max,
     * approx p50/p95 (percentile_approx is a mergeable sketch, safe at any
     * group cardinality).

@@ -79,6 +79,18 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("skewProfile: exact shares in one pass, multi-column keys don't alias") {
+    import spark.implicits._
+    val df = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("ab", ""), ("x", "y"))
+      .toDF("k1", "k2")
+    val got = Stats.skewProfile(df, Seq("k1", "k2"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 3) // ("a","b") must NOT merge with ("ab","")
+    val top = got.head
+    assert(top._2 === 3L && top._3 === 5L && top._4 === 600000L)
+    assert(got.map(_._2).sum === 5L)
+  }
+
   test("summarize emits a full numeric profile per group") {
     val s = Stats.summarize(wh.loadTable("lineitem"), Seq("l_returnflag"), "l_quantity")
     val r = s.collect()
