@@ -2377,6 +2377,37 @@ object SparkEntry {
         Seq("o_orderpriority", "o_orderstatus"), k = 64)
       .orderBy(col("est_count").desc, col("item"))
 
+  /** Z-order curve values (SURVEY row 33b): the exact integer quantize +
+    * Morton interleave behind [[Warehouse.saveTableZordered]], replayed
+    * bit-for-bit — layout benefit (per-file bounding boxes) is
+    * spec-measured, the transform itself is oracle-exact.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      cents(col("o_totalprice")).as("price_cents"))
+    Warehouse.zOrderValue(o, Seq("o_custkey", "price_cents"), bits = 8)
+      .select(col("o_orderkey"), col("__graft_z").as("zval"))
+      .orderBy("o_orderkey")
+  }
+
+  private def zorderOracleSql: String = {
+    val terms = (for { b <- 0 until 8; i <- 0 until 2 } yield
+      s"(((q$i >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |  cast(round(o_totalprice*100) AS bigint) AS price_cents FROM orders),
+       |st AS (SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+       |       min(price_cents) AS mn1, max(price_cents) AS mx1 FROM o),
+       |q AS (SELECT o_orderkey,
+       |  CASE WHEN mx0 = mn0 THEN 0 ELSE cast((cast(o_custkey - mn0 AS hugeint)
+       |    * 255) // (mx0 - mn0) AS bigint) END AS q0,
+       |  CASE WHEN mx1 = mn1 THEN 0 ELSE cast((cast(price_cents - mn1 AS hugeint)
+       |    * 255) // (mx1 - mn1) AS bigint) END AS q1
+       | FROM o CROSS JOIN st)
+       |SELECT o_orderkey, cast($terms AS bigint) AS zval
+       |FROM q ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2515,7 +2546,8 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_range_join" -> (qRangeJoin _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
-    "q_skew_profile" -> (qSkewProfile _)
+    "q_skew_profile" -> (qSkewProfile _),
+    "q_zorder" -> (qZorder _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4191,6 +4223,7 @@ object SparkEntry {
         |   AS share_e6
         |FROM keyed k CROSS JOIN tot
         |GROUP BY k.item, tot.n_rows
-        |ORDER BY est_count DESC, item""".stripMargin
+        |ORDER BY est_count DESC, item""".stripMargin,
+    "q_zorder" -> zorderOracleSql
   )
 }

@@ -245,6 +245,33 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     spark.read.parquet(Warehouse.tablePath(outDir, t))
   }
 
+  /** Z-ORDERED table write: cluster rows along a Morton (Z) space-filling
+    * curve over `zCols` so parquet row-group/file min-max stats prune
+    * MULTI-dimensional predicates — the layout step behind "OPTIMIZE
+    * ZORDER BY" in lakehouse engines, for plain parquet. A single-column
+    * sort prunes one predicate and scatters the rest; the Z curve keeps
+    * every zCol's value range locally narrow in every file, so a query
+    * boxing any subset of the columns skips most of the data at scan
+    * time. Rows land range-partitioned + sorted by the z-value (a total
+    * order — deterministic file contents), written via [[saveTable]]
+    * (same view/catalog invalidation).
+    *
+    * `zCols` must be long-castable (integers, cents, date-days — the
+    * exactness contract: quantization is integer floor division, no
+    * float rounding anywhere). One extra aggregation pass computes the
+    * per-column min/max the quantization normalizes by.
+    */
+  def saveTableZordered(df: DataFrame, outDir: String, table: String,
+      zCols: Seq[String], bits: Int = 16, numFiles: Int = 0): Unit = {
+    val z = Warehouse.zOrderValue(df, zCols, bits)
+    val parts = if (numFiles > 0) numFiles else df.rdd.getNumPartitions
+    val ordered = z
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+    saveTable(ordered, outDir, table)
+  }
+
   /** Register every table under `baseDir/<ns>/` as an external parquet
     * table in catalog database `<ns>`, making qualified `ns.table` names
     * usable from loadSql — the Spark-native form of the reference's
@@ -566,6 +593,55 @@ object Warehouse {
     * legitimate double-array column that is not a vector (probability
     * lists, stats arrays) must keep its precision.
     */
+  /** Morton interleave of pre-quantized values: bit b of `qs(i)` lands at
+    * output bit b·cols + i. Pure long shift/mask column arithmetic —
+    * codegen'd, and replayable verbatim with any engine's integer bit ops.
+    */
+  private[graft] def zInterleave(qs: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(qs.nonEmpty && bits >= 1 && bits * qs.size <= 63,
+      s"zInterleave: need 1..${63 / math.max(1, qs.size)} bits for ${qs.size} cols")
+    val terms = for {
+      b <- 0 until bits
+      i <- qs.indices
+    } yield shiftleft(shiftright(qs(i), b).bitwiseAND(lit(1L)), b * qs.size + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Attach the z-value column `__graft_z`: per-column min/max (ONE
+    * aggregation pass, the only action), exact integer quantization to
+    * `bits` bits — q = (v−min)·(2^bits−1) div (max−min), decimal
+    * arithmetic so no long overflow and no float rounding — then
+    * [[zInterleave]]. Constant columns (min == max) quantize to 0.
+    */
+  private[graft] def zOrderValue(df: DataFrame, zCols: Seq[String],
+      bits: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "zOrderValue: at least one column")
+    val longs = zCols.map(c => literalCol(c).cast("long"))
+    val stats = df.agg(
+      longs.zipWithIndex.map { case (c, i) => min(c).as(s"mn$i") }.head,
+      (longs.zipWithIndex.map { case (c, i) => min(c).as(s"mn$i") }.tail ++
+        longs.zipWithIndex.map { case (c, i) => max(c).as(s"mx$i") }): _*)
+      .collect()(0)
+    val maxQ = (1L << bits) - 1
+    val withQ = longs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val mn = stats.getAs[Long](s"mn$i")
+      val mx = stats.getAs[Long](s"mx$i")
+      if (mx == mn) d.withColumn(s"__graft_q$i", lit(0L))
+      else d
+        .withColumn(s"__graft_qn$i",
+          (c - lit(mn)).cast("decimal(38,0)") * lit(maxQ).cast("decimal(38,0)"))
+        .withColumn(s"__graft_q$i",
+          expr(s"CAST(__graft_qn$i div CAST(${mx - mn} AS decimal(38,0)) AS long)"))
+    }
+    withQ
+      .withColumn("__graft_z",
+        zInterleave(zCols.indices.map(i => col(s"__graft_q$i")), bits))
+      .drop(zCols.indices.flatMap(i => Seq(s"__graft_q$i", s"__graft_qn$i")): _*)
+  }
+
   private[graft] def isVectorColumnName(name: String): Boolean = {
     val n = name.toLowerCase
     Seq("embedding", "vec", "vector").exists(s => n == s || n.endsWith("_" + s))

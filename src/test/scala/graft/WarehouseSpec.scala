@@ -252,4 +252,44 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(a.count() === 5)
     assert(b.count() === 25)
   }
+
+  test("zInterleave places bit b of column i at position b*cols+i") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(1).select(lit(5L).as("a"), lit(3L).as("b")) // 0b101, 0b011
+    val z = df.select(Warehouse.zInterleave(Seq(col("a"), col("b")), 3).as("z"))
+      .collect()(0).getLong(0)
+    // bits: (b0,a)=1->pos0, (b0,b)=1->pos1, (b1,a)=0, (b1,b)=1->pos3,
+    // (b2,a)=1->pos4, (b2,b)=0  =>  1+2+8+16 = 27
+    assert(z === 27L)
+  }
+
+  test("saveTableZordered: rows preserved, per-file boxes far tighter than natural") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    // 32x32 grid in random-ish row order (hash shuffle)
+    val grid = spark.range(1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"),
+      col("id").as("rid"))
+      .orderBy(expr("hash(id)"))
+    wh.saveDf(grid.repartition(8), s"$tmp/natural.parquet")
+    Warehouse(spark, tmp).saveTableZordered(grid, tmp, "zordered",
+      Seq("x", "y"), bits = 5, numFiles = 8)
+
+    // contents identical
+    val back = Warehouse(spark, tmp).loadTable("zordered")
+    assert(back.count() === 1024)
+    assert(back.select("rid").except(grid.select("rid")).count() === 0)
+
+    def boxArea(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(org.apache.spark.sql.functions.sum("area")).collect()(0).getLong(0)
+    val natural = boxArea(s"$tmp/natural.parquet")
+    val zord = boxArea(Warehouse.tablePath(tmp, "zordered"))
+    // hash-scattered files each span ~the whole grid (area ~1024 x 8);
+    // z-ordered files cover compact tiles - demand at least 4x tighter
+    assert(zord * 4 <= natural, s"zordered=$zord natural=$natural")
+  }
 }
