@@ -2408,6 +2408,18 @@ object SparkEntry {
        |FROM q ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Per-group heavy hitters (SURVEY row 56c, grouped form): top words
+    * per document language — exact regime (31-word vocab ≤ k), so DuckDB
+    * replays grouped counts outright
+    * ([[operators.Stats.heavyHittersByGroup]]).
+    */
+  private def qHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    val words = wh(s, dir).loadTable("documents")
+      .select(col("lang"), explode(split(trim(col("text")), " ", -1)).as("w"))
+    operators.Stats.heavyHittersByGroup(words, Seq("lang"), "w", k = 64)
+      .orderBy(col("lang"), col("est_count").desc, col("item"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2547,7 +2559,8 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_skew_profile" -> (qSkewProfile _),
-    "q_zorder" -> (qZorder _)
+    "q_zorder" -> (qZorder _),
+    "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4224,6 +4237,11 @@ object SparkEntry {
         |FROM keyed k CROSS JOIN tot
         |GROUP BY k.item, tot.n_rows
         |ORDER BY est_count DESC, item""".stripMargin,
-    "q_zorder" -> zorderOracleSql
+    "q_zorder" -> zorderOracleSql,
+    "q_heavy_hitters_grouped" ->
+      """SELECT lang, t AS item, count(*) AS est_count
+        |FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS t
+        |      FROM documents)
+        |GROUP BY lang, t ORDER BY lang, est_count DESC, item""".stripMargin
   )
 }

@@ -59,6 +59,23 @@ object Stats {
       .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
   }
 
+  /** Per-group heavy hitters: the Misra-Gries sketch as a grouped
+    * aggregate — top values of `valueCol` within every `groupCols` group
+    * (e.g. top domains per language, top error codes per service), one
+    * row per (group, item). Same guarantee and shuffle bound as
+    * [[heavyHitters]], per group.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "heavyHittersByGroup: need group columns")
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions.heavyHitters(col(valueCol), k).as("hh"))
+      .select(groupCols.map(col) :+ explode(col("hh")).as("h"): _*)
+      .select(groupCols.map(col) :+ col("h.item").as("item") :+
+        col("h.est_count").as("est_count"): _*)
+  }
+
   /** Join-key skew profile: the operational question behind every slow
     * join — "is one key hot, and how hot?" — answered in ONE bounded
     * pass. Emits the top `k` keys by (estimated) frequency with total

@@ -79,6 +79,15 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("heavyHittersByGroup: per-group exact counts in the exact regime") {
+    import spark.implicits._
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "c"))
+      .toDF("g", "v")
+    val got = Stats.heavyHittersByGroup(df, Seq("g"), "v", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("g1", "a", 2L), ("g1", "b", 1L), ("g2", "c", 1L)))
+  }
+
   test("skewProfile: exact shares in one pass, multi-column keys don't alias") {
     import spark.implicits._
     val df = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("ab", ""), ("x", "y"))
