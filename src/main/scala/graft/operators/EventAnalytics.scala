@@ -27,7 +27,12 @@ object EventAnalytics {
     * events bucketed/partitioned by user the whole chain co-locates.
     * The final count is ONE aggregation over the reach-times frame.
     */
-  def funnel(events: DataFrame, userCol: String, typeCol: String,
+  /** Per-user reach times of the ordered funnel — the frame [[funnel]]
+    * aggregates and the batch side of the [[funnelStream]] parity
+    * contract: one row per user with a step-1 event, columns
+    * `ts_1..ts_k` (NULL from the first unreached step on).
+    */
+  def funnelReachTimes(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], withinMinutes: Long = 0): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step required")
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
@@ -49,6 +54,12 @@ object EventAnalytics {
         .groupBy(prevCols.map(col): _*)
         .agg(min("__cand").as(s"ts_$i"))
     }
+    cur
+  }
+
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], withinMinutes: Long = 0): DataFrame = {
+    val cur = funnelReachTimes(events, userCol, typeCol, tsCol, steps, withinMinutes)
     val fates = steps.zipWithIndex.map { case (name, i) =>
       struct(lit(i + 1L).as("step"), lit(name).as("step_name"),
         col(s"__n_${i + 1}").as("n_users"))
@@ -60,6 +71,95 @@ object EventAnalytics {
       .select("f.*")
       .orderBy("step")
   }
+
+  /** Per-user funnel reach emitted by a STREAM: buffered step events per
+    * user close when the event-time watermark passes the user's funnel
+    * horizon (first-touch anchor + window, or last seen + window while no
+    * anchor exists — the [[graft.streaming.Events.sessionizeStream]]
+    * timeout pattern), then the SAME greedy chain as the batch form runs
+    * over the buffer — arrival order across triggers cannot change the
+    * result because nothing is decided until close — WITHIN the
+    * lateness allowance: rows behind the watermark are dropped by the
+    * engine before the stateful operator, so `watermarkDelay` must cover
+    * the stream's actual disorder (0 seconds = in-order only). Requires
+    * `withinMinutes > 0`: an unbounded funnel never closes on a stream.
+    * State per user is the buffered (step, ts) pairs, capped at
+    * `maxBuffered` (beyond the cap further events are dropped — bound
+    * the horizon to bound the buffer). Emits one [[FunnelReach]] per
+    * user with at least one step-typed event and an anchor.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[graft.streaming.Events.Event],
+      steps: Seq[String], withinMinutes: Long,
+      watermarkDelay: String = "0 seconds",
+      maxBuffered: Int = 10000): org.apache.spark.sql.Dataset[FunnelReach] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnelStream: at least one step required")
+    require(withinMinutes > 0, "funnelStream: a completion window is required")
+    val windowUs = withinMinutes * 60L * 1000000L
+    val stepIdx = steps.zipWithIndex.toMap
+    implicit val stateEnc = E.product[FunnelBuf]
+    implicit val outEnc = E.product[FunnelReach]
+    implicit val longEnc = E.scalaLong
+
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+    def close(uid: Long, buf: FunnelBuf): Iterator[FunnelReach] = {
+      val anchorOpt = buf.evts.filter(_._1 == 0).map(_._2).sorted.headOption
+      anchorOpt match {
+        case None => Iterator.empty
+        case Some(anchor) =>
+          var prev = anchor
+          var reached = 1
+          var i = 1
+          var stalled = false
+          while (i < steps.length && !stalled) {
+            val cand = buf.evts.iterator
+              .filter(e => e._1 == i && e._2 >= prev && e._2 <= anchor + windowUs)
+              .map(_._2)
+            if (cand.isEmpty) stalled = true
+            else { prev = cand.min; reached += 1; i += 1 }
+          }
+          Iterator.single(FunnelReach(uid, reached, anchor))
+      }
+    }
+
+    def fn(uid: Long, rows: Iterator[graft.streaming.Events.Event],
+        state: GroupState[FunnelBuf]): Iterator[FunnelReach] = {
+      if (rows.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).getOrElse(Iterator.empty)
+        state.remove()
+        return out
+      }
+      val prev = state.getOption.map(_.evts).getOrElse(Seq.empty)
+      val fresh = rows.map(e => (stepIdx(e.event_type), micros(e.ts))).toSeq
+      val buf = FunnelBuf((prev ++ fresh).take(maxBuffered))
+      state.update(buf)
+      val anchor = buf.evts.filter(_._1 == 0).map(_._2).sorted.headOption
+      val horizonUs = anchor.getOrElse(buf.evts.map(_._2).max) + windowUs
+      state.setTimeoutTimestamp(
+        math.max(horizonUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+
+    // the event-time (ts) column must survive to the stateful operator —
+    // EventTimeTimeout requires the watermark column in its input, so the
+    // (step, micros) projection happens INSIDE the state function
+    events
+      .filter((e: graft.streaming.Events.Event) => stepIdx.contains(e.event_type))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey((e: graft.streaming.Events.Event) => e.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Buffered step events per user for [[funnelStream]]. */
+  case class FunnelBuf(evts: Seq[(Int, Long)])
+
+  /** One user's funnel outcome from [[funnelStream]]: how many steps were
+    * reached and the first-touch anchor (epoch micros).
+    */
+  case class FunnelReach(user_id: Long, reached: Int, anchor_us: Long)
 
   /** Retention cohorts: users grouped by their first-activity date, then
     * per (cohort_date, day_offset ≤ maxDays) the number still active that

@@ -50,6 +50,49 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq((1L, 1L), (2L, 0L)))
   }
 
+  test("funnelStream: watermark-closed stream equals the batch chain, out-of-order safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Events.Event
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("A", "B", "C")
+    val ev = Seq(
+      Event(1, ts(0), 1, "A", 0), Event(2, ts(10), 1, "B", 0), Event(3, ts(20), 1, "C", 0),
+      Event(4, ts(10), 2, "B", 0), Event(5, ts(5), 2, "A", 0), Event(6, ts(50), 2, "C", 0),
+      Event(7, ts(0), 3, "A", 0), Event(8, ts(40), 3, "B", 0), Event(9, ts(45), 3, "C", 0),
+      Event(10, ts(0), 4, "B", 0), Event(11, ts(1), 4, "C", 0),
+      Event(12, ts(2), 5, "A", 0), Event(13, ts(3), 5, "noise", 0))
+    val sentinel = Event(99, ts(60 * 24 * 400), 99, "A", 0)
+
+    val mem = MemoryStream[Event]
+    val q = graft.operators.EventAnalytics.funnelStream(mem.toDS(), steps,
+        withinMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode("append").start()
+    try {
+      // deliberately out-of-order split: user 1's B/C arrive a trigger
+      // BEFORE its anchor A; user 2 spread across triggers
+      mem.addData(ev.filter(e => Seq(2L, 3L, 4L, 6L).contains(e.event_id)): _*)
+      q.processAllAvailable()
+      mem.addData(ev.filterNot(e => Seq(2L, 3L, 4L, 6L).contains(e.event_id)): _*)
+      q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+    val got = spark.table("funnel_stream_out")
+      .filter(col("user_id") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    val batch = graft.operators.EventAnalytics.funnelReachTimes(
+        ev.toDF(), "user_id", "event_type", "ts", steps, withinMinutes = 30)
+      .collect().map { r =>
+        (r.getLong(0), (1 to 3).count(i => !r.isNullAt(r.fieldIndex(s"ts_$i"))))
+      }.toMap
+    assert(got === batch)
+    // sanity on the fixture itself: full chain, B-before-A stall, window miss
+    assert(got(1L) === 3 && got(2L) === 2 && got(3L) === 1 && got(5L) === 1)
+    assert(!got.contains(4L)) // no anchor -> no emission, matching batch
+  }
+
   test("retention: cohort triangle with exact counts") {
     def d(day: Int) = ts(day * 1440L)
     val ev = Seq(
