@@ -211,6 +211,31 @@ object Scaling {
           store, history))
       }
     }
+
+    // ---- r9s2 additions --------------------------------------------------
+    val words = big.select(explode(split(trim(col("text")), " ", -1)).as("w"))
+    time("heavyHitters k=64 over the word stream (MG sketch)") {
+      drain(graft.operators.Stats.heavyHitters(words, "w", k = 64))
+    }
+    time("exact word groupBy count (the MG comparison point)") {
+      drain(words.groupBy("w").count())
+    }
+    timeFull("collocations minCount=5 topK=100 (bigram shuffle + lift)") {
+      drain(TextAnalysis.collocations(big, "text"))
+    }
+    timeFull("bloom decontamination vs 10%-of-corpus eval set") {
+      val model = Dedup.trainDecontaminationBloom(
+        big.filter(col("doc_id") % 10 === 0), "text", n = 3)
+      drain(Dedup.decontaminateBloom(
+        big.filter(col("doc_id") % 10 =!= 0), "text", model))
+    }
+    timeFull("mergeUpsert: 10% batch into the full corpus (broadcast probe)") {
+      val target = big.select(col("doc_id"), col("text"))
+      val source = big.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+      drain(graft.operators.Merge.mergeUpsert(target, source, Seq("doc_id"),
+        checkUniqueSource = false))
+    }
     spark.stop()
   }
 }
