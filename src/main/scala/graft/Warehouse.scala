@@ -393,6 +393,9 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
         c.csv(paths: _*)
       case "json" => r.json(paths: _*)
       case "orc"  => r.orc(paths: _*)
+      // raw line-per-row corpora (one `value` string column) — the
+      // plain-text ingest path of crawl pipelines
+      case "text" => r.text(paths: _*)
       case other  => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }
@@ -409,6 +412,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     case "csv"     => df.write.mode(mode).option("header", header.toString).csv(path)
     case "json"    => df.write.mode(mode).json(path)
     case "orc"     => df.write.mode(mode).orc(path)
+    case "text"    => df.write.mode(mode).text(path)
     case other     => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 }

@@ -253,6 +253,16 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(b.count() === 25)
   }
 
+  test("text format: line-per-row corpus write + read back") {
+    val tmp = Files.createTempDirectory("graft-text").toString
+    val names = wh.loadTable("nation").select(expr("n_name AS value"))
+    wh.saveDf(names, s"$tmp/corpus", format = "text")
+    val back = wh.loadDf(s"$tmp/corpus", "text", None, header = false)
+    assert(back.columns.toSeq === Seq("value"))
+    assert(back.count() === 25)
+    assert(back.except(names).count() === 0 && names.except(back).count() === 0)
+  }
+
   test("zInterleave places bit b of column i at position b*cols+i") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = spark.range(1).select(lit(5L).as("a"), lit(3L).as("b")) // 0b101, 0b011
