@@ -631,6 +631,12 @@ object Warehouse {
       .collect()(0)
     val maxQ = (1L << bits) - 1
     val withQ = longs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      // a NULL min/max means the column is all-NULL or not long-castable —
+      // silently unboxing to 0 would degrade the layout to fewer
+      // dimensions with zero diagnostics
+      require(stats.getAs[java.lang.Long](s"mn$i") != null &&
+        stats.getAs[java.lang.Long](s"mx$i") != null,
+        s"zOrderValue: column '${zCols(i)}' has no long-castable values")
       val mn = stats.getAs[Long](s"mn$i")
       val mx = stats.getAs[Long](s"mx$i")
       if (mx == mn) d.withColumn(s"__graft_q$i", lit(0L))

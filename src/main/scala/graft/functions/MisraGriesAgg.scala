@@ -49,7 +49,12 @@ case class MisraGriesAgg(
       input: InternalRow): java.util.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
+      // tolerate any input type (top error CODES are numeric): non-string
+      // values key by toString instead of an executor ClassCastException
+      val key = v match {
+        case u: UTF8String => u.toString
+        case other         => other.toString
+      }
       val cur = buf.getOrDefault(key, 0L)
       if (cur != 0L) buf.put(key, cur + 1L)
       else if (buf.size < k) buf.put(key, 1L)
@@ -108,19 +113,25 @@ case class MisraGriesAgg(
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    // encode each key ONCE — this runs per partial-aggregation shuffle row
+    val keys = new Array[Array[Byte]](buf.size)
+    val vals = new Array[Long](buf.size)
     var size = 4
-    val it0 = buf.entrySet().iterator()
-    while (it0.hasNext) {
-      val e = it0.next()
-      size += 4 + e.getKey.getBytes(StandardCharsets.UTF_8).length + 8
-    }
-    val bb = ByteBuffer.allocate(size)
-    bb.putInt(buf.size)
+    var i = 0
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
-      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+      keys(i) = e.getKey.getBytes(StandardCharsets.UTF_8)
+      vals(i) = e.getValue
+      size += 4 + keys(i).length + 8
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.size)
+    i = 0
+    while (i < keys.length) {
+      bb.putInt(keys(i).length); bb.put(keys(i)); bb.putLong(vals(i))
+      i += 1
     }
     bb.array()
   }

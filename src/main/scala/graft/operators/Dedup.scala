@@ -521,13 +521,20 @@ object Dedup {
     GraftFunctions.ensure(bench.sparkSession)
     val grams = bench
       .select(explode(shingleHashes(col(textCol), n, shingler)).as("__g"))
-    val expected =
-      if (expectedGrams > 0) expectedGrams
-      else math.max(64L,
-        (grams.agg(approx_count_distinct(col("__g")))
-          .collect()(0).getLong(0) * 1.25).toLong)
-    val bloom = grams.stat.bloomFilter("__g", expected, fpp)
-    new graft.functions.GramBloomModel(bloom, n, shingler == "char")
+    // two actions read the grams (HLL sizing + filter build) — persist so
+    // the shingle hashing runs once, not twice, at the large-eval-set
+    // scale this API exists for
+    val needSizing = expectedGrams <= 0
+    if (needSizing) grams.persist()
+    try {
+      val expected =
+        if (!needSizing) expectedGrams
+        else math.max(64L,
+          (grams.agg(approx_count_distinct(col("__g")))
+            .collect()(0).getLong(0) * 1.25).toLong)
+      val bloom = grams.stat.bloomFilter("__g", expected, fpp)
+      new graft.functions.GramBloomModel(bloom, n, shingler == "char")
+    } finally if (needSizing) { grams.unpersist(); () }
   }
 
   /** [[decontaminateMapSide]] against a trained BLOOM model — identical

@@ -95,6 +95,10 @@ object EventAnalytics {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty, "funnelStream: at least one step required")
+    require(steps.distinct.size == steps.size,
+      "funnelStream: repeated step names are not supported (the per-type " +
+        "index map would silently drop earlier positions); use the batch " +
+        "funnel for repeated-step chains")
     require(withinMinutes > 0, "funnelStream: a completion window is required")
     val windowUs = withinMinutes * 60L * 1000000L
     val stepIdx = steps.zipWithIndex.toMap

@@ -567,8 +567,16 @@ object Relational {
       .drop("__bin")
     if (how.toLowerCase == "inner") matched
     else {
-      val unmatched = l.drop("__bin")
-        .join(matched.select(left.columns.map(lcol): _*), left.columns.toSeq, "left_anti")
+      // NULL-SAFE anti join: plain column-name anti uses EqualTo, under
+      // which a matched left row carrying a NULL in any column would
+      // compare unknown to itself and be re-emitted as unmatched too
+      val matchedKeys = matched.select(left.columns.map(lcol): _*)
+      val cond = left.columns
+        .map(c => col(s"L.`${c.replace("`", "``")}`") <=>
+          col(s"M.`${c.replace("`", "``")}`"))
+        .reduce(_ && _)
+      val unmatched = l.drop("__bin").as("L")
+        .join(matchedKeys.as("M"), cond, "left_anti")
         .select(left.columns.map(lcol) ++
           right.columns.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
       matched.unionByName(unmatched)

@@ -92,7 +92,10 @@ object Stats {
     graft.functions.GraftFunctions.ensure(df.sparkSession)
     // \u0001 separator: multi-column keys must not alias across the boundary
     val keyed = df.select(concat_ws("\u0001",
-      keyCols.map(c => col(c).cast("string")): _*).as("__key"))
+      keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002null\u0003"))): _*).as("__key"))
+    // NULL components coalesce to a control-char-framed sentinel above:
+    // concat_ws SKIPS nulls, which would merge ("a",NULL) with (NULL,"a")
     // row total and the sketch fold into ONE aggregation pass (no action)
     keyed
       .agg(count(lit(1)).as("n_rows"),

@@ -93,6 +93,18 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(4L)) // no anchor -> no emission, matching batch
   }
 
+  test("funnelStream rejects repeated step names loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Events.Event
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics.funnelStream(mem.toDS(),
+        Seq("A", "B", "A"), withinMinutes = 30)
+    }
+    assert(e.getMessage.contains("repeated step"))
+  }
+
   test("retention: cohort triangle with exact counts") {
     def d(day: Int) = ts(day * 1440L)
     val ev = Seq(

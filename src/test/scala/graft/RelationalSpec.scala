@@ -52,6 +52,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, Some(10L)), (2L, None)))
   }
 
+  test("rangeJoin left: matched rows with NULL columns are not re-emitted") {
+    val pts = Seq((1L, 5L, Option.empty[String]), (2L, 999L, Option("z")))
+      .toDF("pid", "p", "note")
+    val ivs = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val got = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", 10L, how = "left")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // pid=1 (note NULL) matched once and ONLY once; pid=2 unmatched padded
+    assert(got.sortBy(_._1).toSeq === Seq((1L, Some(10L)), (2L, None)))
+  }
+
   test("rangeJoin plans an equi-join on the bin, not a nested loop") {
     val pts = Seq((1L, 5L)).toDF("pid", "p")
     val ivs = Seq((10L, 0L, 10L)).toDF("iid", "lo", "hi")

@@ -100,6 +100,24 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).sum === 5L)
   }
 
+  test("heavyHitters casts non-string inputs instead of failing on executors") {
+    import spark.implicits._
+    val df = Seq(500L, 500L, 404L).toDF("code")
+    val got = Stats.heavyHitters(df, "code", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("500", 2L), ("404", 1L)))
+  }
+
+  test("skewProfile: NULL key components do not alias distinct keys") {
+    import spark.implicits._
+    val df = Seq((Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("a")), (Option("a"), Option.empty[String]))
+      .toDF("k1", "k2")
+    val got = Stats.skewProfile(df, Seq("k1", "k2"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === 2 && got.map(_._2).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("summarize emits a full numeric profile per group") {
     val s = Stats.summarize(wh.loadTable("lineitem"), Seq("l_returnflag"), "l_quantity")
     val r = s.collect()
