@@ -2420,6 +2420,82 @@ object SparkEntry {
       .orderBy(col("lang"), col("est_count").desc, col("item"))
   }
 
+  /** BM25 keyword top-20 (SURVEY row 60): integer-exact rational-idf
+    * BM25 over the documents corpus for a 3-term query — sparse
+    * retrieval, scored and ranked bit-identically by the DuckDB oracle
+    * ([[operators.Retrieval.bm25TopK]]).
+    */
+  private def qBm25Topk(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25TopK(
+        wh(s, dir).loadTable("documents"), "text", "doc_id",
+        Seq("vector", "join", "stream"), k = 20)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Hybrid retrieval via reciprocal-rank fusion (SURVEY row 60b): the
+    * dense brute-force cosine top-20 for query vector 0 fused with the
+    * sparse BM25 top-20 — the standard RAG hybrid-search combiner,
+    * integer-exact RRF so the fused ordering replays in the oracle
+    * ([[operators.Retrieval.rrfFuse]]).
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val emb = w.loadTable("embeddings")
+    val dense = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    val sparse = operators.Retrieval.bm25TopK(
+        w.loadTable("documents"), "text", "doc_id",
+        Seq("vector", "join", "stream"), k = 20)
+      .select(col("id"), col("rank"))
+    operators.Retrieval.rrfFuse(dense, sparse, "id", "rank", k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Sliding-window event aggregation (SURVEY row 50d): 1-hour windows
+    * every 15 minutes — each event in exactly 4 windows, starts emitted
+    * as epoch micros so the overlap arithmetic is integer-exact in any
+    * engine ([[streaming.Events.slidingWindowAggBatch]]).
+    */
+  private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.slidingWindowAggBatch(
+        wh(s, dir).loadTable("events"), "1 hour", "15 minutes")
+      .orderBy("window_start_us", "event_type")
+
+  /** Deterministic seeded shard assignment (SURVEY row 57e): the
+    * training-data writer's reproducible global shuffle — md5-keyed
+    * shard + within-shard sort key, a pure function of (seed, id)
+    * ([[operators.Relational.shardAssign]]).
+    */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.shardAssign(
+        wh(s, dir).loadTable("documents").select("doc_id"),
+        "doc_id", nShards = 8, seed = 42L)
+      .orderBy("doc_id")
+
+  /** URL canonicalization (SURVEY row 48e): scheme/host case, www,
+    * default ports, fragments, tracking params and param order all
+    * normalized away — the key-normalization step of URL-level dedup.
+    * Messy URLs are derived deterministically from (source, doc_id,
+    * lang) in BOTH engines, so the kernel's full surface (http and
+    * https branches, port stripping, www stripping, param sorting,
+    * tracking-param drop, trailing-slash strip, fragment drop) is
+    * hash-checked ([[TextAnalysis.canonicalizeUrl]]).
+    */
+  private def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val url = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("HTTP://"), col("source"), lit(".Example.COM:80/Docs/"),
+        col("doc_id").cast("string"), lit("/?b=2&a=1&utm_campaign=x")))
+      .otherwise(
+        concat(lit("HTTPS://WWW."), col("source"), lit(".example.com:443/Docs/"),
+          col("doc_id").cast("string"), lit("?z="), col("lang"),
+          lit("&a=1&fbclid=abc#frag")))
+    TextAnalysis.canonicalizeUrl(docs.withColumn("url", url), "url")
+      .select("doc_id", "url", "url_host", "url_canonical")
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2560,7 +2636,12 @@ object SparkEntry {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_skew_profile" -> (qSkewProfile _),
     "q_zorder" -> (qZorder _),
-    "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _)
+    "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
+    "q_bm25_topk" -> (qBm25Topk _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_events_sliding" -> (qEventsSliding _),
+    "q_shard_assign" -> (qShardAssign _),
+    "q_url_canonical" -> (qUrlCanonical _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4242,6 +4323,125 @@ object SparkEntry {
       """SELECT lang, t AS item, count(*) AS est_count
         |FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS t
         |      FROM documents)
-        |GROUP BY lang, t ORDER BY lang, est_count DESC, item""".stripMargin
+        |GROUP BY lang, t ORDER BY lang, est_count DESC, item""".stripMargin,
+    "q_bm25_topk" -> (bm25OracleCte +
+      """
+        |SELECT a.doc_id, r.rank, a.score_e6, a.n_matched, a.matched_terms,
+        |       CAST(dl.dl AS BIGINT) AS dl
+        |FROM bm25_ranked r JOIN bm25_agg a USING (doc_id)
+        |     JOIN bm25_dl dl USING (doc_id)
+        |WHERE r.rank <= 20 ORDER BY r.rank""".stripMargin),
+    "q_hybrid_rrf" -> (bm25OracleCte +
+      """,
+        |dq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |dc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings WHERE vec_id != 0),
+        |dense AS (
+        | SELECT neighbor_id AS doc_id,
+        |        row_number() OVER (ORDER BY list_cosine_similarity(cv, qv) DESC,
+        |                           neighbor_id) AS rank_a
+        | FROM dc, dq QUALIFY rank_a <= 20),
+        |sparse AS (SELECT doc_id, rank AS rank_b FROM bm25_ranked WHERE rank <= 20),
+        |fused AS (
+        | SELECT COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+        |        COALESCE(1000000000 // (rank_a + 60), 0)
+        |          + COALESCE(1000000000 // (rank_b + 60), 0) AS rrf_e9,
+        |        rank_a, rank_b
+        | FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id),
+        |franked AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY rrf_e9 DESC, doc_id) AS rank,
+        |        rrf_e9, rank_a, rank_b
+        | FROM fused)
+        |SELECT doc_id, rank, rrf_e9, rank_a, rank_b FROM franked
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin),
+    "q_events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (SELECT (us // 900000000 - j) * 900000000 AS window_start_us,
+        |             event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_shard_assign" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    AS sort_key,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+        |    AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_url_canonical" -> urlCanonicalOracleSql
   )
+
+  /** DuckDB re-expression of [[operators.Retrieval.bm25TopK]] on the
+    * documents corpus with query terms (vector, join, stream) and
+    * k1=6/5, b=3/4: the identical integer-cleared rational-idf scoring
+    * in HUGEINT arithmetic, one truncating division per (doc, term) at
+    * e6 scale, integer sums per doc. Yields `bm25_dl(doc_id, dl)`,
+    * `bm25_agg(doc_id, n_matched, matched_terms, score_e6)` and
+    * `bm25_ranked(doc_id, rank)` for the retrieval rows to project.
+    */
+  private val bm25OracleCte: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |bm25_dl AS (SELECT doc_id, len(t) AS dl FROM d),
+      |bm25_stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |               FROM bm25_dl),
+      |bm25_tf AS (
+      | SELECT doc_id, term, count(*) AS tf
+      | FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      | WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term),
+      |bm25_df AS (SELECT term, count(*) AS df FROM bm25_tf GROUP BY term),
+      |bm25_sc AS (
+      | SELECT tf.doc_id, tf.term,
+      |  CAST((CAST(1000000 AS HUGEINT)
+      |        * (2 * s.n_docs - 2 * f.df + 1) * 22 * tf.tf * s.sum_dl)
+      |    // ((2 * f.df + 1)
+      |        * (10 * CAST(s.sum_dl AS HUGEINT) * tf.tf + 3 * s.sum_dl
+      |           + 9 * dl.dl * s.n_docs)) AS BIGINT) AS term_score_e6
+      | FROM bm25_tf tf JOIN bm25_df f USING (term)
+      |      JOIN bm25_dl dl ON tf.doc_id = dl.doc_id
+      |      CROSS JOIN bm25_stats s),
+      |bm25_agg AS (
+      | SELECT doc_id, count(*) AS n_matched,
+      |        string_agg(term, ',' ORDER BY term) AS matched_terms,
+      |        CAST(sum(term_score_e6) AS BIGINT) AS score_e6
+      | FROM bm25_sc GROUP BY doc_id),
+      |bm25_ranked AS (
+      | SELECT doc_id, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+      | FROM bm25_agg)""".stripMargin
+
+  /** DuckDB replay of [[TextAnalysis.canonicalizeUrl]] over the same
+    * deterministically derived messy URLs as [[qUrlCanonical]] —
+    * function-for-function: the same RE2-safe regexes, the same
+    * tracking-param predicate generated from the one
+    * [[TextAnalysis.trackingParams]] list, the same sort-and-rejoin.
+    */
+  private val urlCanonicalOracleSql: String = {
+    val trackPred = TextAnalysis.trackingParams
+      .map(t => s"p = '$t' OR starts_with(p, '$t=')").mkString(" OR ")
+    s"""WITH u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN 'HTTP://' || source || '.Example.COM:80/Docs/'
+      |         || CAST(doc_id AS VARCHAR) || '/?b=2&a=1&utm_campaign=x'
+      |    ELSE 'HTTPS://WWW.' || source || '.example.com:443/Docs/'
+      |         || CAST(doc_id AS VARCHAR) || '?z=' || lang || '&a=1&fbclid=abc#frag'
+      |  END AS url FROM documents),
+      |parts AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+      |  regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      | FROM u),
+      |hostp AS (SELECT *, regexp_replace(
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$$', '')
+      |       WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+      |       ELSE rawhost END, '^www\\.', '') AS url_host FROM parts),
+      |qp AS (SELECT *, list_sort(list_filter(string_split(query0, '&'),
+      |  p -> p <> '' AND NOT ($trackPred))) AS kept FROM hostp)
+      |SELECT doc_id, url, url_host,
+      |  scheme || '://' || url_host || regexp_replace(path0, '/$$', '')
+      |    || CASE WHEN len(kept) = 0 THEN ''
+      |            ELSE '?' || array_to_string(kept, '&') END AS url_canonical
+      |FROM qp ORDER BY doc_id""".stripMargin
+  }
 }

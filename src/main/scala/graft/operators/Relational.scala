@@ -109,6 +109,44 @@ object Relational {
     r.orderBy(col("__rand")).limit(n).drop("__rand")
   }
 
+  /** Deterministic seeded shard assignment — the "global shuffle" of a
+    * training-data writer: every row gets a pseudorandom but REPRODUCIBLE
+    * (seed-keyed) shard in [0, nShards) plus a within-shard sort key, so
+    * N trainer workers each read one shard and iterate in a seeded random
+    * order with no coordination. The key is the first 60 bits of
+    * md5(seed:id) — cryptographic mixing, so shards are uniform and
+    * uncorrelated with any data attribute, and (unlike `rand()`) the
+    * assignment is a pure function of (seed, id): re-runs, retries and
+    * late-arriving partitions all agree.
+    *
+    * Scale shape: map-side only — zero shuffle for the ASSIGNMENT; the
+    * physical write then partitions by `shard` (one shuffle sized by the
+    * data, exactly the write's co-location requirement) and sorts within
+    * partitions by `sort_key`. md5 and hex→int land in one codegen'd
+    * projection.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val key = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.withColumn("sort_key", key)
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+  }
+
+  /** Write [[shardAssign]]'s layout to storage: one directory per shard,
+    * rows sorted by the seeded key within each file — the deterministic
+    * shuffle-shard writer. repartition by shard co-locates each shard's
+    * rows; sortWithinPartitions orders them without a global sort.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+      seed: Long = 42L): Unit =
+    shardAssign(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Stratified sample: per-stratum Bernoulli fractions (df.stat.sampleBy)
     * — the class-balanced sampling a training-data pipeline uses to
     * down-weight over-represented sources/languages. Map-side only.

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval and rank fusion — the sparse half of a RAG /
+  * retrieval pipeline (the dense half is [[Similarity]]'s ANN family).
+  *
+  * Reference scope: the warehouse backends expose full-text relevance
+  * ranking through their SQL engines (BigQuery SEARCH(), Snowflake/Trino
+  * full-text predicates ride through `load_sql` /
+  * `fugue_trino/execution_engine.py:27`'s raw-select path); re-expressed
+  * Spark-first as declarative DataFrame transforms over the engine-wide
+  * spaceTokens contract so Catalyst owns the plan.
+  *
+  * Scoring is INTEGER-EXACT (the lift_e6 / rational-idf house pattern —
+  * see [[TextAnalysis.collocations]] and [[TextAnalysis.tfidfTopK]]):
+  * BM25's idf is kept rational ((N-df+1/2)/(df+1/2), no log damping —
+  * monotone in Robertson idf per term), the length-normalized tf part is
+  * cleared of fractions by multiplying through by 10·SUMDL, and each
+  * term's score is emitted as one truncating decimal division to e6
+  * scale. Per-document scores are SUMS OF INTEGERS — order-free, so any
+  * engine (the DuckDB oracle included) replays scores and the total
+  * (score desc, id asc) ranking bit-identically. No float, no libm.
+  */
+object Retrieval {
+
+  /** BM25 top-k keyword search (Robertson–Spärck Jones / Okapi BM25,
+    * TREC-3 1994) with k1 = 6/5 and b = 3/4 — the standard defaults,
+    * chosen rational so the whole score clears to integers.
+    *
+    * Per query term t in doc d:
+    * {{{
+    *   idf(t)      = (2N - 2·df + 1) / (2·df + 1)          // rational, no log
+    *   tfnorm(t,d) = 22·tf·SUMDL / (10·SUMDL·tf + 3·SUMDL + 9·dl·N)
+    *                 // = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *                 //   cleared by 10·SUMDL, avgdl = SUMDL/N
+    *   score_e6(t,d) = floor(1e6 · idf · tfnorm)           // ONE truncating div
+    * }}}
+    * and score_e6(d) = Σ_t score_e6(t,d) — an integer sum. Decimal(38,0)
+    * headroom: the numerator is ≤ 2e6·22·N·tf·SUMDL, under 10^38 for
+    * N·tf·SUMDL < 2e30 (a 10^9-doc corpus of 500-token docs with tf
+    * up to 10^3 fits with margin).
+    *
+    * Plan shape (the part that must survive 100 TB): the term filter is
+    * applied AT THE EXPLODE, before any shuffle — only query-term hits
+    * leave the scan stage. The one wide shuffle is the (id, term) tf
+    * count, bounded by matched-docs × |query|; df comes from a second
+    * tiny aggregation of that same frame and joins back as a broadcast;
+    * the corpus scalars (N, SUMDL) join as a broadcast single row; the
+    * final top-k is `orderBy(...).limit(k)` which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    *
+    * Output: (id, dl, n_matched, matched_terms, score_e6, rank) for the
+    * top `k` docs by (score_e6 desc, id asc). `matched_terms` is the
+    * comma-joined sorted term list (engine-portable string, not array).
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val dec = "decimal(38,0)"
+    // spaceTokens contract: trim spaces, split on ' ' keeping empties
+    val toks = split(trim(col(textCol)), " ", -1)
+    val withDl = df.select(col(idCol).as("id"), toks.as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    // corpus scalars: one row, broadcast into the scoring join
+    val stats = withDl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // term filter BEFORE the shuffle: only query-term occurrences survive
+    // the explode; everything else dies in the scan stage
+    val hits = withDl
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy("id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term: |query|-row frame, broadcast back
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__num",
+        lit(1000000L).cast(dec)
+          * (lit(2).cast(dec) * col("n_docs").cast(dec)
+             - lit(2).cast(dec) * col("df").cast(dec) + lit(1).cast(dec))
+          * lit(22).cast(dec) * col("tf").cast(dec) * col("sum_dl").cast(dec))
+      .withColumn("__den",
+        (lit(2).cast(dec) * col("df").cast(dec) + lit(1).cast(dec))
+          * (lit(10).cast(dec) * col("sum_dl").cast(dec) * col("tf").cast(dec)
+             + lit(3).cast(dec) * col("sum_dl").cast(dec)
+             + lit(9).cast(dec) * col("dl").cast(dec) * col("n_docs").cast(dec)))
+      .withColumn("term_score_e6", expr("CAST(__num div __den AS long)"))
+    val perDoc = scored.groupBy("id", "dl").agg(
+      count(lit(1)).as("n_matched"),
+      concat_ws(",", sort_array(collect_list(col("term")))).as("matched_terms"),
+      sum(col("term_score_e6")).as("score_e6"))
+    val top = perDoc.orderBy(col("score_e6").desc, col("id")).limit(k)
+    // rank materializes on the k-row result only — the single-partition
+    // window touches k rows, never the corpus
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_e6").desc, col("id")))
+        .cast("long"))
+      .select("id", "rank", "score_e6", "n_matched", "matched_terms", "dl")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two rankings — the standard hybrid-retrieval combiner (sparse BM25 +
+    * dense ANN). Contribution of a list where the doc holds rank r is
+    * 1/(rrfK + r); we emit it integer-exact as floor(1e9 / (rrfK + r)),
+    * so the fused score is a sum of two integers and every engine
+    * replays the fused ordering bit-identically. Docs present in only
+    * one list contribute 0 from the other (standard RRF semantics).
+    *
+    * Both inputs are top-k lists — bounded, broadcast-sized frames; the
+    * full-outer join and the final TakeOrdered are trivially small. The
+    * heavy lifting (corpus-scale search) already happened upstream in
+    * [[bm25TopK]] / [[Similarity]].
+    *
+    * Output: (id, rrf_e9, rank_a, rank_b, rank) by (rrf_e9 desc, id asc),
+    * top `k`. Absent ranks surface as NULL (portable to the oracle).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    def side(d: DataFrame, out: String) =
+      d.select(col(idCol).as("id"), col(rankCol).cast("long").as(out))
+    val fused = side(a, "rank_a").join(side(b, "rank_b"), Seq("id"), "full_outer")
+      .withColumn("rrf_e9",
+        coalesce(expr(s"CAST(1000000000 div (rank_a + $rrfK) AS long)"), lit(0L))
+          + coalesce(expr(s"CAST(1000000000 div (rank_b + $rrfK) AS long)"), lit(0L)))
+    fused.orderBy(col("rrf_e9").desc, col("id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_e9").desc, col("id")))
+          .cast("long"))
+      .select("id", "rank", "rrf_e9", "rank_a", "rank_b")
+  }
+}

@@ -575,4 +575,56 @@ object TextAnalysis {
       .withColumn("fp_min", array_min(col("fp")))
       .withColumn("fp_max", array_max(col("fp")))
   }
+
+  /** Query parameters dropped by URL canonicalization: the tracking
+    * params that make two fetches of the same page distinct strings
+    * (the CCNet / RefinedWeb URL-dedup prefilter drops these before
+    * hashing). Matched on the exact `name=` prefix or bare name.
+    */
+  val trackingParams: Seq[String] =
+    Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
+      "utm_content", "fbclid", "gclid", "msclkid", "ref")
+
+  /** URL canonicalization — the key-normalization step of URL-level
+    * dedup, the cheapest and first dedup pass of every web-corpus
+    * pipeline (two crawls of one page almost always differ only in
+    * scheme case, www, default port, fragment, tracking params, or
+    * param order). Emits:
+    *
+    *  - `url_host`: lowercased host, `www.` and default port stripped
+    *    (`:80` for http, `:443` for https) — the domain-cap grouping key;
+    *  - `url_canonical`: scheme lowercased, canonical host, path with
+    *    the trailing slash stripped (root stays `/`... emitted as empty
+    *    path + no slash, matching the host-only form), fragment dropped,
+    *    tracking params dropped, surviving query params SORTED
+    *    bytewise and rejoined.
+    *
+    * Everything is a chain of codegen'd `regexp_extract` / array
+    * functions over regexes written to mean the same thing in Java
+    * regex and RE2 (no lookaround, no \b) — one map-side scan, zero
+    * shuffle, and the DuckDB oracle replays it function-for-function.
+    * Path CASE is preserved (paths are case-sensitive per RFC 3986;
+    * only scheme and host are case-insensitive).
+    */
+  def canonicalizeUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noPort = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = regexp_replace(path0, "/$", "")
+    val query0 = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(
+      split(query0, "&", -1),
+      p => p =!= "" && !trackingParams
+        .map(t => p === t || p.startsWith(t + "=")).reduce(_ || _)))
+    val query = array_join(kept, "&")
+    df.withColumn("url_host", host)
+      .withColumn("url_canonical",
+        concat(scheme, lit("://"), host, path,
+          when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
 }

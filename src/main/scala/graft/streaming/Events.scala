@@ -70,6 +70,47 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value_cents"),
         col("min_value"), col("max_value"))
 
+  /** SLIDING-window aggregate, batch form: overlapping windows of
+    * `windowLen` advancing every `slide` — each event lands in
+    * len/slide windows (Spark's `window(ts, len, slide)`, epoch-aligned
+    * origin). The rolling-traffic / rolling-error-rate staple that
+    * tumbling windows can't express. Window starts are emitted as epoch
+    * MICROS (bigint): with both lengths whole seconds the start is
+    * `(us div slideUs - j)·slideUs`, integer arithmetic any engine
+    * replays exactly — no timestamp rendering in the compare path.
+    *
+    * Scale: Spark expands each row to its len/slide windows map-side and
+    * partially aggregates BEFORE the one (window, event_type) shuffle —
+    * state is O(active windows × types), like the tumbling form times
+    * the overlap factor.
+    */
+  def slidingWindowAggBatch(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    slidingShape(tsLtz(events).groupBy(
+      window(col("ts"), windowLen, slide).as("w"), col("event_type")))
+
+  /** Sliding-window aggregate over a stream: same shape plus a watermark;
+    * window state evicts once the watermark passes each window's end —
+    * identical semantics to [[windowedAggStream]] with overlap.
+    */
+  def slidingWindowAggStream(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermarkDelay: String = "2 hours"): DataFrame =
+    slidingShape(tsLtz(events).withWatermark("ts", watermarkDelay).groupBy(
+      window(col("ts"), windowLen, slide).as("w"), col("event_type")))
+
+  private def slidingShape(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_cents"),
+        col("min_value"), col("max_value"))
+
   /** Gap-based sessionization, batch form: a new session starts when the
     * gap to the user's previous event exceeds `gapMinutes`. One shuffle on
     * user_id; microsecond integer arithmetic end-to-end (event timestamps
