@@ -2496,6 +2496,93 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Table time travel (SURVEY row 33c): two versioned writes, then
+    * version-1, version-2, latest and as-of-now reads — the
+    * Snowflake/BigQuery AT(version)/FOR SYSTEM_TIME AS OF surface on the
+    * `_graft_v=N` + `_SUCCESS` commit layout
+    * ([[Warehouse.saveTableVersioned]]). The oracle replays each
+    * version's DERIVATION, so latest/as-of resolving to the wrong
+    * version hash-mismatches.
+    */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("tt", dir)
+    val w = wh(s, dir)
+    val wt = Warehouse(s, tmp)
+    // idempotent under bench reps: drop any versions from a prior rep
+    val base = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, "ordersv"))
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val o = w.loadTable("orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    require(wt.saveTableVersioned(o.filter(col("o_orderstatus") === "F"),
+      tmp, "ordersv") == 1L)
+    require(wt.saveTableVersioned(
+      o.filter(col("o_orderstatus").isin("F", "O")), tmp, "ordersv") == 2L)
+    def stats(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).cast("long").as("sum_price_cents"))
+        .select(lit(label).as("which"), col("n_rows"), col("sum_price_cents"))
+    stats(wt.loadTableVersion("ordersv", 1), "v1")
+      .unionByName(stats(wt.loadTableVersion("ordersv", 2), "v2"))
+      .unionByName(stats(wt.loadTable("ordersv"), "latest"))
+      .unionByName(stats(
+        wt.loadTableAsOf("ordersv", System.currentTimeMillis()), "asof_now"))
+      .orderBy("which")
+  }
+
+  /** Compaction (SURVEY row 33d): a 16-file table rewritten to 1 file by
+    * [[Warehouse.compactTable]]; the oracle replays the content from the
+    * source table, so any row lost or duplicated by the swap
+    * hash-mismatches, and the before/after file counts ride along as
+    * checked literals (16 round-robin partitions are all non-empty at
+    * every SF; the huge targetBytes forces n=1).
+    */
+  private def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("cmp", dir)
+    val w = wh(s, dir)
+    val wt = Warehouse(s, tmp)
+    val li = w.loadTable("lineitem").select(
+      col("l_orderkey"), col("l_returnflag"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    wt.saveTable(li.repartition(16), tmp, "li_small")
+    def dataFiles(): Int = {
+      val p = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, "li_small"))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+    val before = dataFiles()
+    wt.compactTable(tmp, "li_small", targetBytes = 1L << 40)
+    val after = dataFiles()
+    wt.loadTable("li_small")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).cast("long").as("sum_price_cents"))
+      .withColumn("files_before", lit(before))
+      .withColumn("files_after", lit(after))
+      .orderBy("l_returnflag")
+  }
+
+  /** Negative sampling (SURVEY row 57f): contrastive-training negatives
+    * for 8 query docs whose positives are their same-source docs — k=5
+    * seeded md5-ranked draws per query, positives and self excluded,
+    * ranking and 48-bit keys engine-exact
+    * ([[operators.Relational.negativeSample]]).
+    */
+  private def qNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val a = docs.select(col("doc_id").as("q_id"), col("source"))
+      .filter(col("q_id") < 8)
+    val positives = a.join(
+        docs.select(col("doc_id").as("pos_id"), col("source")), Seq("source"))
+      .filter(col("pos_id") =!= col("q_id"))
+      .select("q_id", "pos_id")
+    operators.Relational.negativeSample(
+        positives, docs, "q_id", "pos_id", "doc_id", k = 5, seed = 42L)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2641,7 +2728,10 @@ object SparkEntry {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_shard_assign" -> (qShardAssign _),
-    "q_url_canonical" -> (qUrlCanonical _)
+    "q_url_canonical" -> (qUrlCanonical _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_compact" -> (qCompact _),
+    "q_negative_sample" -> (qNegativeSample _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4370,7 +4460,51 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
         |    AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_url_canonical" -> urlCanonicalOracleSql
+    "q_url_canonical" -> urlCanonicalOracleSql,
+    // v1 = orders with status F; v2/latest/asof = F plus O — the oracle
+    // replays each read's DERIVATION, so wrong-version resolution breaks
+    "q_time_travel" ->
+      """WITH f AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders WHERE o_orderstatus = 'F'),
+        |fo AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT 'asof_now' AS which, fo.n_rows, fo.sum_price_cents FROM fo
+        |UNION ALL SELECT 'latest', fo.n_rows, fo.sum_price_cents FROM fo
+        |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
+        |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
+        |ORDER BY which""".stripMargin,
+    "q_compact" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  16 AS files_before, 1 AS files_after
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_negative_sample" ->
+      """WITH q AS (SELECT doc_id AS query_id, source FROM documents WHERE doc_id < 8),
+        |pos AS (SELECT q.query_id, d.doc_id AS cand_id
+        |        FROM q JOIN documents d ON d.source = q.source
+        |        WHERE d.doc_id != q.query_id),
+        |cand AS (
+        | SELECT q.query_id, d.doc_id AS cand_id,
+        |  CAST(('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
+        |    || CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS key
+        | FROM q CROSS JOIN documents d
+        | WHERE d.doc_id != q.query_id),
+        |neg AS (
+        | SELECT c.* FROM cand c LEFT JOIN pos p
+        |   ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+        | WHERE p.query_id IS NULL),
+        |ranked AS (
+        | SELECT query_id, cand_id, key,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY key, cand_id) AS rank
+        | FROM neg)
+        |SELECT query_id, rank, cand_id AS neg_id, key FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 
   /** DuckDB re-expression of [[operators.Retrieval.bm25TopK]] on the

@@ -56,10 +56,13 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       sample: Double = 1.0,
       seed: Long = 42L
   ): DataFrame = {
-    var df = spark.read.parquet(path(table))
+    // A versioned table (saveTableVersioned) resolves to its LATEST
+    // version directory; plain tables read their path directly.
+    val p = Warehouse.latestVersionDir(spark, path(table)).getOrElse(path(table))
+    var df = spark.read.parquet(p)
     // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — normalize to
     // microsecond timestamps so downstream code sees real timestamps.
-    df = Warehouse.normalizeNanos(spark, path(table), baseDir, df)
+    df = Warehouse.normalizeNanos(spark, p, baseDir, df)
     // Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ,
     // which half of Spark's timestamp surface (unix_micros, watermarks on
     // some paths, Timestamp encoders) rejects — normalize to LTZ here.
@@ -222,6 +225,111 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
 
   def tableExists(dir: String, table: String): Boolean =
     fsExists(Warehouse.tablePath(dir, table))
+
+  /** TIME TRAVEL — versioned table write. Every call appends an immutable
+    * version directory `_graft_v=NNNNN` under the table path (the
+    * Spark-native form of Snowflake/BigQuery time travel: AT(version) /
+    * FOR SYSTEM_TIME AS OF). The underscore prefix hides version dirs
+    * from plain `spark.read.parquet(tablePath)` listings, and a version
+    * COUNTS only once its `_SUCCESS` marker lands — Spark's own write
+    * commit is the manifest, so a crashed write can never become
+    * "latest". [[loadTable]] resolves versioned tables to the newest
+    * committed version; [[loadTableVersion]]/[[loadTableAsOf]] read
+    * history. No data is ever rewritten or duplicated: storage cost is
+    * one copy per version, exactly the deltas-as-full-snapshots model
+    * (retention pruning = deleting old version dirs).
+    *
+    * Returns the new version number. Concurrent writers race on the same
+    * next number and the loser fails (errorifexists) — first-wins, no
+    * torn state.
+    */
+  def saveTableVersioned(df: DataFrame, outDir: String, table: String): Long = {
+    val base = Warehouse.tablePath(outDir, table)
+    val next = Warehouse.committedVersions(spark, base).lastOption.getOrElse(0L) + 1
+    df.write.mode("errorifexists").parquet(Warehouse.versionDir(base, next))
+    Warehouse.invalidate(outDir, table)
+    next
+  }
+
+  /** Committed versions of a versioned table, oldest first (empty for a
+    * plain table).
+    */
+  def listVersions(table: String): Seq[Long] =
+    Warehouse.committedVersions(spark, path(table))
+
+  /** Read one specific committed version of a versioned table, with the
+    * same load-boundary normalizations as [[loadTable]].
+    */
+  def loadTableVersion(table: String, version: Long): DataFrame = {
+    val vd = Warehouse.versionDir(path(table), version)
+    require(Warehouse.committedVersions(spark, path(table)).contains(version),
+      s"table $table has no committed version $version")
+    normalizedRead(vd)
+  }
+
+  /** Read the newest version committed at or before `tsMillis` (epoch
+    * millis) — FOR SYSTEM_TIME AS OF. Commit times are the version
+    * directories' filesystem commit timestamps.
+    */
+  def loadTableAsOf(table: String, tsMillis: Long): DataFrame = {
+    val base = path(table)
+    val vs = Warehouse.committedVersionTimes(spark, base)
+    require(vs.nonEmpty, s"table $table is not versioned")
+    val eligible = vs.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $table existed at $tsMillis (earliest: ${vs.head._2})")
+    normalizedRead(Warehouse.versionDir(base, eligible.last._1))
+  }
+
+  private def normalizedRead(p: String): DataFrame = {
+    var df = spark.read.parquet(p)
+    df = Warehouse.normalizeNanos(spark, p, baseDir, df)
+    Warehouse.normalizeVectors(Warehouse.normalizeNtz(df))
+  }
+
+  /** COMPACTION — rewrite a table's (or a versioned table's latest
+    * version's) small files into ~`targetBytes` files: the OPTIMIZE /
+    * auto-clustering maintenance verb. Small-file proliferation is the
+    * classic warehouse decay mode (every incremental append adds a file;
+    * scan cost becomes per-file overhead, not bytes), and the fix is a
+    * periodic rewrite sized by max(1, ceil(totalBytes / targetBytes)).
+    *
+    * The rewrite is read → repartition(n) → write to a sibling tmp dir,
+    * then a delete + rename swap — the new layout is fully durable
+    * before the old one disappears, so a crash leaves either the old or
+    * the new complete layout (plus at worst an orphan tmp dir). A
+    * SINGLE-WRITER maintenance op: concurrent readers that already
+    * listed the old files can hit vanished-file errors during the swap
+    * (the same window every file-listing-based engine has without a
+    * transaction log). Content is byte-preserved, only layout changes.
+    * Hive-partitioned layouts are refused rather than silently
+    * flattened. Returns the new file count.
+    */
+  def compactTable(dir: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val base = Warehouse.tablePath(dir, table)
+    val p = Warehouse.latestVersionDir(spark, base).getOrElse(base)
+    val hp = new HPath(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(hp).isDirectory,
+      s"compactTable needs a directory table, got single file $p")
+    val entries = fs.listStatus(hp).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    require(entries.forall(_.isFile),
+      s"refusing to compact hive-partitioned layout under $p — " +
+        "compact each partition directory instead")
+    val total = entries.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(p)
+    val tmp = new HPath(p + "__compact_tmp")
+    df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hp, true)
+    require(fs.rename(tmp, hp), s"compaction swap failed: rename $tmp -> $hp")
+    Warehouse.invalidate(dir, table)
+    spark.catalog.refreshByPath(p)
+    n
+  }
 
   /** Persist by MATERIALIZING to a warehouse table and re-reading it — the
     * reference's persist, which writes a temp TABLE and re-reads it
@@ -443,6 +551,45 @@ object Warehouse {
 
   private[graft] def epochOf(dir: String): java.util.concurrent.atomic.AtomicLong =
     epochs.computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+
+  // ---- time-travel layout helpers ----------------------------------------
+
+  private val VersionDirPattern = "_graft_v=(\\d{5,})".r
+
+  private[graft] def versionDir(base: String, v: Long): String =
+    f"$base/_graft_v=$v%05d"
+
+  /** Version numbers with a landed `_SUCCESS` marker, oldest first.
+    * Empty for plain tables, missing paths, or single-file tables.
+    */
+  private[graft] def committedVersions(spark: SparkSession, base: String): Seq[Long] =
+    committedVersionTimes(spark, base).map(_._1)
+
+  /** (version, commit epoch-millis) pairs for committed versions, oldest
+    * first. Commit time = the `_SUCCESS` marker's modification time (the
+    * instant the write committed, not when its data files were started).
+    */
+  private[graft] def committedVersionTimes(
+      spark: SparkSession, base: String): Seq[(Long, Long)] = {
+    val hp = new HPath(base)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp) || !fs.getFileStatus(hp).isDirectory) return Nil
+    fs.listStatus(hp).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionDirPattern(n) if st.isDirectory =>
+          val marker = new HPath(st.getPath, "_SUCCESS")
+          if (fs.exists(marker))
+            Some((n.toLong, fs.getFileStatus(marker).getModificationTime))
+          else None
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** The newest committed version's directory, or None for plain tables. */
+  private[graft] def latestVersionDir(
+      spark: SparkSession, base: String): Option[String] =
+    committedVersions(spark, base).lastOption.map(v => versionDir(base, v))
 
   /** Evict every session's ownership of `table` over `dir` and bump the
     * dir's epoch, forcing re-registration with a fresh file index on the

@@ -147,6 +147,49 @@ object Relational {
       .sortWithinPartitions(col("shard"), col("sort_key"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** NEGATIVE SAMPLING for contrastive training — for every query in
+    * `positives`, draw `k` deterministic pseudo-random negatives from the
+    * corpus, excluding the query itself and ALL of its listed positives
+    * (the in-batch-negatives / hard-negative-mining precursor every
+    * embedding-model pipeline runs). "Random" is the first 48 bits of
+    * md5(seed:query:candidate) — a pure function of (seed, ids), so the
+    * draw is reproducible across re-runs and partitionings, uniform over
+    * the corpus, and any engine replays it exactly (48 bits so the key
+    * is exact in the top-k aggregate's double score; ties — 2^-48 —
+    * break by candidate id).
+    *
+    * Scale shape: the bounded query set broadcasts; the corpus streams
+    * ONCE through a map-side expansion (corpus × |queries|), the
+    * positives exclusion is a broadcast anti-join, and per-query min-k
+    * runs as the partial-aggregating [[graft.functions.TopKAgg]] — the
+    * only shuffle is |queries| × partitions sketch rows. Nothing is
+    * quadratic in the corpus.
+    */
+  def negativeSample(positives: DataFrame, corpus: DataFrame,
+      qIdCol: String, posIdCol: String, corpusIdCol: String,
+      k: Int = 5, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.ensure(corpus.sparkSession)
+    val queries = positives.select(col(qIdCol).cast("long").as("query_id")).distinct()
+    val pos = positives.select(col(qIdCol).cast("long").as("query_id"),
+      col(posIdCol).cast("long").as("cand_id"))
+    val keyed = corpus.select(col(corpusIdCol).cast("long").as("cand_id"))
+      .crossJoin(broadcast(queries))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(broadcast(pos), Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("key", conv(
+        substring(md5(concat(lit(seed.toString), lit(":"),
+          col("query_id").cast("string"), lit(":"),
+          col("cand_id").cast("string"))), 1, 12), 16, 10).cast("long"))
+    keyed
+      .groupBy("query_id")
+      .agg(graft.functions.GraftFunctions
+        .topK(col("cand_id"), -col("key").cast("double"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("entry.id").as("neg_id"),
+        (-col("entry.score")).cast("long").as("key"))
+  }
+
   /** Stratified sample: per-stratum Bernoulli fractions (df.stat.sampleBy)
     * — the class-balanced sampling a training-data pipeline uses to
     * down-weight over-represented sources/languages. Map-side only.

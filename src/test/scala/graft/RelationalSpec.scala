@@ -380,4 +380,37 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(back.columns.sorted.toSeq === names.sorted)
     assert(back.count() === 3)
   }
+
+  test("negativeSample: excludes self+positives, md5 min-k, deterministic") {
+    import spark.implicits._
+    val corpus = (0L until 10L).toDF("id")
+    val positives = Seq((1L, 2L), (1L, 3L), (5L, 0L)).toDF("q", "p")
+    val got = Relational.negativeSample(positives, corpus, "q", "p", "id",
+        k = 3, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // first-principles replay of the md5 ranking
+    def key(q: Long, c: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"42:$q:$c".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    def expect(q: Long, excl: Set[Long]) =
+      (0L until 10L).filter(c => c != q && !excl(c))
+        .map(c => (c, key(q, c))).sortBy(x => (x._2, x._1)).take(3)
+        .zipWithIndex.map { case ((c, k2), i) => (q, i + 1L, c, k2) }
+    assert(got.toSeq === (expect(1L, Set(2L, 3L)) ++ expect(5L, Set(0L))))
+    // pure function of (seed, ids): repartitioned input agrees
+    val again = Relational.negativeSample(positives, corpus.repartition(4),
+        "q", "p", "id", k = 3, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(again.toSeq === got.toSeq)
+    // a different seed draws a different set for at least one query
+    val other = Relational.negativeSample(positives, corpus, "q", "p", "id",
+        k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(other !== got.map(r => (r._1, r._3)).toSet)
+  }
 }

@@ -302,4 +302,74 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     // z-ordered files cover compact tiles - demand at least 4x tighter
     assert(zord * 4 <= natural, s"zordered=$zord natural=$natural")
   }
+
+  test("time travel: versions are immutable, latest resolves, as-of by time") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_tt").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    assert(w.listVersions("nv") === Seq.empty)
+    assert(w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv") === 1L)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    assert(w.saveTableVersioned(n.filter(col("n_nationkey") < 10), tmp, "nv") === 2L)
+    assert(w.listVersions("nv") === Seq(1L, 2L))
+    assert(w.loadTableVersion("nv", 1).count() === 5)
+    assert(w.loadTableVersion("nv", 2).count() === 10)
+    // loadTable resolves the LATEST committed version
+    assert(w.loadTable("nv").count() === 10)
+    // as-of t1 sees only v1; as-of now sees v2
+    assert(w.loadTableAsOf("nv", t1).count() === 5)
+    assert(w.loadTableAsOf("nv", System.currentTimeMillis()).count() === 10)
+    // a version dir without _SUCCESS is not committed (crashed write)
+    val junk = new org.apache.hadoop.fs.Path(
+      Warehouse.versionDir(Warehouse.tablePath(tmp, "nv"), 3))
+    val fs = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(junk)
+    assert(w.listVersions("nv") === Seq(1L, 2L))
+    assert(w.loadTable("nv").count() === 10)
+    // next write claims version 3's slot is taken -> becomes 4? No: the
+    // uncommitted dir already occupies v3, so errorifexists fails the
+    // writer rather than silently merging into a torn directory
+    intercept[Exception] {
+      w.saveTableVersioned(n, tmp, "nv")
+    }
+    intercept[IllegalArgumentException] { w.loadTableVersion("nv", 7) }
+    intercept[IllegalArgumentException] { w.loadTableAsOf("nv", 0L) }
+  }
+
+  test("compactTable: content preserved, files merged, views refreshed") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_cmp").toString
+    val w = Warehouse(spark, tmp)
+    val o = wh.loadTable("orders").select("o_orderkey", "o_totalprice")
+    w.saveTable(o.repartition(12), tmp, "om")
+    def files(): Int = {
+      val p = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, "om"))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+    assert(files() === 12)
+    val before = w.loadTable("om").collect().map(_.toSeq).toSet
+    val n = w.compactTable(tmp, "om", targetBytes = 1L << 40)
+    assert(n === 1 && files() === 1)
+    assert(w.loadTable("om").collect().map(_.toSeq).toSet === before)
+    // a partitioned layout is refused, not flattened
+    val p = wh.loadTable("orders")
+      .withColumn("yr", org.apache.spark.sql.functions.year(col("o_orderdate")))
+    w.saveTable(p, tmp, "op", partitionBy = Seq("yr"))
+    intercept[IllegalArgumentException] { w.compactTable(tmp, "op") }
+    // compacting a VERSIONED table compacts only its latest version
+    w.saveTableVersioned(o.repartition(8), tmp, "ov")
+    w.saveTableVersioned(o.repartition(8), tmp, "ov")
+    w.compactTable(tmp, "ov", targetBytes = 1L << 40)
+    assert(w.loadTable("ov").count() === o.count())
+    assert(w.loadTableVersion("ov", 1).count() === o.count())
+    val v1dir = new org.apache.hadoop.fs.Path(
+      Warehouse.versionDir(Warehouse.tablePath(tmp, "ov"), 1))
+    val fs1 = v1dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs1.listStatus(v1dir).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_")) === 8, "v1 layout untouched")
+  }
 }
