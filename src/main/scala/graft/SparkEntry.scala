@@ -2583,6 +2583,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversity re-rank (SURVEY row 44f): the brute-force top-20
+    * shortlists of 4 query vectors re-ranked to 5 diverse picks by
+    * greedy maximal marginal relevance (λ=0.7) — the redundancy-removal
+    * step between ANN retrieval and a RAG context window; every greedy
+    * argmax replayed bit-identically by the oracle
+    * ([[operators.Retrieval.mmrRerank]]).
+    */
+  private def qAnnMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val shortlist = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding", k = 20)
+    val cands = shortlist.join(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      Seq("neighbor_id"))
+    operators.Retrieval.mmrRerank(
+        cands, "query_id", "neighbor_id", "embedding", "score", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2731,7 +2751,8 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
-    "q_negative_sample" -> (qNegativeSample _)
+    "q_negative_sample" -> (qNegativeSample _),
+    "q_ann_mmr" -> (qAnnMmr _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4504,8 +4525,58 @@ object SparkEntry {
         |                           ORDER BY key, cand_id) AS rank
         | FROM neg)
         |SELECT query_id, rank, cand_id AS neg_id, key FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_mmr" -> mmrOracleSql
   )
+
+  /** DuckDB replay of [[operators.Retrieval.mmrRerank]] over the
+    * brute-force top-20 shortlists of query vectors 0–3: the five greedy
+    * steps UNROLLED (the 64-CTE classifier-oracle pattern) — step i
+    * joins picks p1..p(i−1), excludes their ids, takes the redundancy
+    * term as greatest over the selected cosines, and argmaxes
+    * 0.7·score − 0.3·m with the (mmr desc, id asc) tie-break. Every
+    * float op is the same IEEE double op in the same order as the Spark
+    * side, so picks AND mmr values match bit-for-bit.
+    */
+  private val mmrOracleSql: String = {
+    val base =
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT query_id, cand_id, cv,
+        |           list_cosine_similarity(cv, qv) AS score
+        |           FROM q, c WHERE cand_id != query_id),
+        |sl AS MATERIALIZED (SELECT query_id, cand_id, cv, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, cand_id) AS rn
+        | FROM scored) WHERE rn <= 20),
+        |s1 AS (SELECT query_id, cand_id, cv, score,
+        |       0.7 * score - 0.3 * 0.0 AS mmr FROM sl),
+        |p1 AS (SELECT query_id, cand_id AS id1, cv AS v1, mmr AS mmr1 FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY mmr DESC, cand_id) AS rn
+        | FROM s1) WHERE rn = 1)""".stripMargin
+    val steps = (2 to 5).map { i =>
+      val joins = (1 until i).map(j => s"JOIN p$j USING (query_id)").mkString(" ")
+      val excl = (1 until i).map(j => s"sl.cand_id != p$j.id$j").mkString(" AND ")
+      val sims = (1 until i)
+        .map(j => s"list_cosine_similarity(sl.cv, p$j.v$j)").mkString(", ")
+      val m = if (i == 2) sims else s"greatest($sims)"
+      s""",
+         |s$i AS (SELECT sl.query_id, sl.cand_id, sl.cv, sl.score,
+         |       0.7 * sl.score - 0.3 * $m AS mmr
+         |       FROM sl $joins WHERE $excl),
+         |p$i AS (SELECT query_id, cand_id AS id$i, cv AS v$i, mmr AS mmr$i FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY mmr DESC, cand_id) AS rn
+         | FROM s$i) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val finals = (1 to 5)
+      .map(i => s"SELECT query_id, CAST($i AS BIGINT) AS rank, " +
+        s"id$i AS neighbor_id, mmr$i AS mmr FROM p$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY query_id, rank")
+    base + steps + finals
+  }
 
   /** DuckDB re-expression of [[operators.Retrieval.bm25TopK]] on the
     * documents corpus with query terms (vector, join, stream) and

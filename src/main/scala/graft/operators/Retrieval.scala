@@ -72,8 +72,14 @@ object Retrieval {
     val hits = withDl
       .select(col("id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
+    // persisted: df below re-aggregates this frame, and without the
+    // materialization Catalyst column-prunes the two consumers into
+    // DIFFERENT subtrees (no exchange reuse) and scans the corpus twice
+    // more. tf is the bounded matched-docs × |query| frame — the cheap
+    // thing to keep; the corpus is the thing to scan once.
     val tf = hits.groupBy("id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .persist()
     // document frequency per query term: |query|-row frame, broadcast back
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
@@ -101,6 +107,69 @@ object Retrieval {
       row_number().over(Window.orderBy(col("score_e6").desc, col("id")))
         .cast("long"))
       .select("id", "rank", "score_e6", "n_matched", "matched_terms", "dl")
+  }
+
+  /** MMR diversity re-rank (maximal marginal relevance — Carbonell &
+    * Goldstein, SIGIR 1998): greedily select `k` of each query's
+    * shortlist candidates, each step taking the candidate maximizing
+    * {{{ mmr = 0.7·score − 0.3·max_{s ∈ selected} cosine(cand, s) }}}
+    * (ties broken by candidate id) — the standard redundancy-removal
+    * re-rank between ANN retrieval and a RAG context window. The first
+    * pick has no selected set: the redundancy term is 0 and the pick is
+    * the plain top-scored candidate.
+    *
+    * The k greedy steps are built as k chained aggregations over the
+    * PERSISTED shortlist frame — bounded (|queries| × shortlist) rows,
+    * never the corpus; each step is one `max_by` argmax per query plus a
+    * broadcastable join of the accumulated picks. All arithmetic is the
+    * engine's exact cosine kernel plus IEEE double multiply/subtract in
+    * a fixed order, so the DuckDB oracle replays every step's argmax
+    * bit-identically.
+    *
+    * `candidates`: one row per (query, candidate) with the candidate's
+    * vector and relevance score (e.g. [[Similarity.bruteForceTopK]]
+    * output joined back to its vectors). Output: (query_id, rank,
+    * neighbor_id, mmr) for ranks 1..k.
+    */
+  def mmrRerank(candidates: DataFrame, qIdCol: String, cIdCol: String,
+      vecCol: String, scoreCol: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensure(candidates.sparkSession)
+    val cands = candidates.select(
+      col(qIdCol).cast("long").as("query_id"),
+      col(cIdCol).cast("long").as("cand_id"),
+      col(vecCol).as("vec"), col(scoreCol).cast("double").as("score"))
+      .persist()
+    var picks: DataFrame = null
+    for (i <- 1 to k) {
+      val scored =
+        if (picks == null) cands.withColumn("m", lit(null).cast("double"))
+        else {
+          val selected = picks.groupBy("query_id").agg(
+            collect_list(col("cand_id")).as("sel_ids"),
+            collect_list(col("vec")).as("sel_vecs"))
+          cands.join(broadcast(selected), Seq("query_id"))
+            .filter(!array_contains(col("sel_ids"), col("cand_id")))
+            .withColumn("m", array_max(transform(col("sel_vecs"),
+              v => graft.functions.GraftFunctions.cosineSim(col("vec"), v))))
+            .drop("sel_ids", "sel_vecs")
+        }
+      val stepped = scored.withColumn("mmr",
+        lit(0.7) * col("score") - lit(0.3) * coalesce(col("m"), lit(0.0)))
+      val pick = stepped.groupBy("query_id")
+        .agg(max_by(
+          struct(col("cand_id"), col("vec"), col("mmr")),
+          struct(col("mmr"), (-col("cand_id")).as("tie"))).as("p"))
+        .select(col("query_id"), col("p.cand_id").as("cand_id"),
+          col("p.vec").as("vec"), col("p.mmr").as("mmr"),
+          lit(i.toLong).as("rank"))
+        // each pick is |queries| rows; persisting caps the otherwise
+        // exponential plan nesting (step i's join would re-embed every
+        // earlier step's full plan)
+        .persist()
+      picks = if (picks == null) pick else picks.unionByName(pick)
+    }
+    picks.select(col("query_id"), col("rank"),
+      col("cand_id").as("neighbor_id"), col("mmr"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of

@@ -236,6 +236,27 @@ object Scaling {
       drain(graft.operators.Merge.mergeUpsert(target, source, Seq("doc_id"),
         checkUniqueSource = false))
     }
+
+    // ---- r9s3 additions --------------------------------------------------
+    time("bm25TopK 3-term query, k=20 (tf persist + broadcast model)") {
+      drain(graft.operators.Retrieval.bm25TopK(
+        big, "text", "doc_id", Seq("vector", "join", "stream"), k = 20))
+    }
+    time("negativeSample: 64 queries x k=5 over the corpus (one pass)") {
+      val positives = big.filter(col("doc_id") < 64)
+        .select(col("doc_id").as("q"), (col("doc_id") + 1).as("p"))
+      drain(graft.operators.Relational.negativeSample(
+        positives, big, "q", "p", "doc_id", k = 5))
+    }
+    time("shardAssign 1024 shards (map-side md5)") {
+      drain(graft.operators.Relational.shardAssign(big, "doc_id", 1024))
+    }
+    timeFull("canonicalizeUrl kernel (derived messy URLs)") {
+      val urls = big.select(concat(lit("HTTPS://WWW.site"),
+        pmod(col("doc_id"), lit(977)), lit(".Example.COM:443/Docs/"),
+        col("doc_id"), lit("/?utm_source=feed&b=2&a=1#f")).as("url"))
+      drain(TextAnalysis.canonicalizeUrl(urls, "url"))
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,53 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(top === 2L)
   }
 
+  // ---- MMR diversity re-rank ------------------------------------------
+
+  test("mmrRerank: diverse pick beats a more-relevant near-duplicate") {
+    // a is the top hit at angle -0.2 from the query, b its near-clone at
+    // -0.25 (more relevant than c), c diverse at +0.35 on the other side:
+    // step 2 trades b's relevance (0.969) against its redundancy to a
+    // (0.999) and picks c (relevance 0.939, redundancy 0.853):
+    // mmr_b = .7*.969-.3*.999 = .379 < mmr_c = .7*.939-.3*.853 = .402
+    def unit(rad: Double) = Array(math.cos(rad).toFloat, math.sin(rad).toFloat)
+    val q = unit(0.0)
+    val a = unit(-0.2)
+    val b = unit(-0.25)
+    val cv = unit(0.35)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, r) => p.toDouble * r.toDouble }.sum
+      val na = x.map(v => v.toDouble * v.toDouble).sum
+      val nb = y.map(v => v.toDouble * v.toDouble).sum
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = Seq(
+      (0L, 1L, a, cos(q, a)), (0L, 2L, b, cos(q, b)), (0L, 3L, cv, cos(q, cv)))
+      .toDF("query_id", "cand_id", "vec", "score")
+    val got = Retrieval.mmrRerank(cands, "query_id", "cand_id", "vec", "score", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) === Seq(1L, 3L, 2L),
+      s"expected diverse c at rank 2, got $got")
+    // plain relevance would have ordered b second
+    assert(cos(q, b) > cos(q, cv))
+  }
+
+  test("mmrRerank: first pick is the top-scored candidate; k caps; multi-query") {
+    val v = (i: Int) => Array(math.cos(i * 0.4).toFloat, math.sin(i * 0.4).toFloat)
+    val rows = for (q <- 0L to 1L; c <- 1L to 6L)
+      yield (q, c, v(c.toInt), 1.0 - 0.01 * c - 0.1 * q)
+    val cands = rows.toDF("query_id", "cand_id", "vec", "score")
+    val got = Retrieval.mmrRerank(cands, "query_id", "cand_id", "vec", "score", k = 4)
+    assert(got.count() === 8) // 4 per query
+    val firsts = got.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(firsts === Map(0L -> 1L, 1L -> 1L)) // highest score per query
+    // no candidate picked twice within a query
+    val dups = got.groupBy("query_id", "neighbor_id").count()
+      .filter($"count" > 1).count()
+    assert(dups === 0)
+  }
+
   // ---- URL canonicalization -------------------------------------------
 
   private def canon(url: String): (String, String) = {
