@@ -2603,6 +2603,51 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Event transition matrix (SURVEY row 50e): first-order Markov
+    * (from → to) counts over each user's (ts, event_id)-ordered chain,
+    * with integer-exact transition shares
+    * ([[operators.EventAnalytics.transitions]]).
+    */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.transitions(
+      wh(s, dir).loadTable("events"), "user_id", "event_type", "ts", "event_id")
+
+  /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
+    * Deequ expectation surface over orders — not-null, range, accepted
+    * values, two unique keys (one deliberately failing) and a row-count
+    * floor, all exact counts ([[operators.Relational.checkConstraints]]).
+    */
+  private def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    import operators.Relational.Constraint._
+    operators.Relational.checkConstraints(
+      wh(s, dir).loadTable("orders"),
+      Seq(NotNull("o_custkey"),
+        InRange("o_totalprice", 1000.0, 400000.0),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey")),
+        MinRows(100)))
+  }
+
+  /** Streaming heavy-hitters store (SURVEY row 56c-s): the word stream
+    * split into two batches, each sketched and merged into the store via
+    * the relational MG merge — run in the sketch's EXACT regime
+    * (vocabulary < k), where store-then-merge provably equals the true
+    * counts, so the oracle replays them outright; the estimator regime
+    * is guarantee-pinned in StatsSpec
+    * ([[operators.Stats.updateHeavyHitterStore]]).
+    */
+  private def qHeavyHittersStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    def words(d: DataFrame) =
+      d.select(explode(split(trim(col("text")), " ", -1)).as("w"))
+    val store1 = operators.Stats.heavyHitters(
+      words(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), "w", k = 64)
+    operators.Stats.updateHeavyHitterStore(
+        store1, words(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)), "w", k = 64)
+      .orderBy(col("est_count").desc, col("item"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2752,7 +2797,10 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
-    "q_ann_mmr" -> (qAnnMmr _)
+    "q_ann_mmr" -> (qAnnMmr _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_constraints" -> (qConstraints _),
+    "q_heavy_hitters_stream" -> (qHeavyHittersStream _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4526,7 +4574,48 @@ object SparkEntry {
         | FROM neg)
         |SELECT query_id, rank, cand_id AS neg_id, key FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q_ann_mmr" -> mmrOracleSql
+    "q_ann_mmr" -> mmrOracleSql,
+    "q_event_transitions" ->
+      """WITH chain AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS from_type
+        | FROM events),
+        |pairs AS (SELECT from_type, event_type AS to_type, count(*) AS n_pairs
+        |          FROM chain WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |        FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n_pairs, t.n_from,
+        | CAST((CAST(p.n_pairs AS HUGEINT) * 1000000) // t.n_from AS BIGINT)
+        |   AS share_e6
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_constraints" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |r AS (
+        | SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |   (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+        | UNION ALL SELECT 'in_range', 'o_totalprice',
+        |   (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0))
+        | UNION ALL SELECT 'accepted_values', 'o_orderstatus',
+        |   (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O', 'P'))
+        | UNION ALL SELECT 'min_rows', '100',
+        |   (SELECT greatest(100 - n, 0) FROM n)
+        | UNION ALL SELECT 'unique', 'o_orderkey',
+        |   (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        | UNION ALL SELECT 'unique', 'o_custkey',
+        |   (SELECT count(*) - count(DISTINCT o_custkey) FROM orders))
+        |SELECT rule, target, CAST(violations AS BIGINT) AS violations,
+        |       violations = 0 AS passed
+        |FROM r ORDER BY rule, target""".stripMargin,
+    // exact regime (31-word vocabulary < k=64): the two-batch store
+    // merge provably equals the true corpus counts
+    "q_heavy_hitters_stream" ->
+      """SELECT t AS item, count(*) AS est_count
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Retrieval.mmrRerank]] over the

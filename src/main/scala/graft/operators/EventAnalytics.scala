@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse event analytics: ordered funnels and retention cohorts —
@@ -189,5 +190,38 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, Seq("cohort_date"))
       .orderBy("cohort_date", "day_offset")
+  }
+
+  /** Event TRANSITION MATRIX (first-order Markov over the per-user event
+    * chain): for every adjacent pair of one user's events — ordered by
+    * (ts, tiebreakCol), a TOTAL order so the chain is deterministic even
+    * with same-timestamp events — count (from_type → to_type) and emit
+    * each from-state's transition share as `share_e6` =
+    * floor(10⁶·pairs/from_total), exact integer division any engine
+    * replays (the collocations lift_e6 convention). The
+    * "what do users do next" staple behind funnel discovery and
+    * session-flow diagrams.
+    *
+    * One shuffle on the user key for the lag window; the (from, to)
+    * aggregation partially aggregates map-side; the per-from totals come
+    * from a second aggregation of the (from, to) counts (bounded by
+    * |types|²) — never a rescan of the events.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .withColumn("to_type", col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy("from_type").agg(sum("n_pairs").as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .withColumn("share_e6", expr(
+        "CAST((CAST(n_pairs AS decimal(38,0)) * 1000000) div n_from AS long)"))
+      .select("from_type", "to_type", "n_pairs", "n_from", "share_e6")
+      .orderBy("from_type", "to_type")
   }
 }

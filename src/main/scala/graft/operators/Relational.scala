@@ -147,6 +147,73 @@ object Relational {
       .sortWithinPartitions(col("shard"), col("sort_key"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Data-quality constraint rules for [[checkConstraints]] — the
+    * dbt-test / Deequ / warehouse-ASSERT surface: declarative
+    * expectations evaluated into a violations report instead of a job
+    * failure, so pipelines can gate on the REPORT (fail, quarantine, or
+    * alert per rule).
+    */
+  sealed trait Constraint
+  object Constraint {
+    /** `column` must never be NULL. */
+    case class NotNull(column: String) extends Constraint
+    /** `columns` must be a unique key; violations = extra duplicate rows
+      * (n_rows − n_distinct_keys). */
+    case class Unique(columns: Seq[String]) extends Constraint
+    /** `column` must lie in [lo, hi] (NULLs are not range violations —
+      * pair with NotNull to forbid them). */
+    case class InRange(column: String, lo: Double, hi: Double) extends Constraint
+    /** `column`'s non-NULL values must come from `values`. */
+    case class AcceptedValues(column: String, values: Seq[String]) extends Constraint
+    /** the frame must have at least `n` rows; violations = the shortfall. */
+    case class MinRows(n: Long) extends Constraint
+  }
+
+  /** Evaluate `constraints` against `df` into one report row per rule:
+    * (rule, target, violations, passed). ALL row-level rules (not_null /
+    * in_range / accepted_values / min_rows) fold into a SINGLE
+    * aggregation pass over the frame — one scan however many rules —
+    * and each `unique` rule adds one groupBy on its key (count of
+    * surplus rows, n − distinct). Exact counts, so any engine replays
+    * the report.
+    */
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    import Constraint._
+    require(constraints.nonEmpty, "checkConstraints: no rules given")
+    val rowRules = constraints.zipWithIndex.collect {
+      case (NotNull(c), i) =>
+        (i, "not_null", c, sum(when(lcol(c).isNull, 1L).otherwise(0L)))
+      case (InRange(c, lo, hi), i) =>
+        (i, "in_range", c,
+          sum(when(lcol(c).isNotNull && (lcol(c) < lo || lcol(c) > hi), 1L)
+            .otherwise(0L)))
+      case (AcceptedValues(c, vs), i) =>
+        (i, "accepted_values", c,
+          sum(when(lcol(c).isNotNull && !lcol(c).isin(vs: _*), 1L).otherwise(0L)))
+      case (MinRows(n), i) =>
+        (i, "min_rows", n.toString, greatest(lit(n) - count(lit(1)), lit(0L)))
+    }
+    val aggExprs = count(lit(1)).as("__n") +:
+      rowRules.map { case (i, _, _, e) => e.as(s"__v$i") }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rowReports = rowRules.map { case (i, rule, target, _) =>
+      one.select(lit(rule).as("rule"), lit(target).as("target"),
+        col(s"__v$i").cast("long").as("violations"),
+        (col(s"__v$i") === 0).as("passed"))
+    }
+    val uniqueReports = constraints.collect { case Unique(cols) =>
+      require(cols.nonEmpty, "unique constraint needs columns")
+      df.groupBy(cols.map(lcol): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("__v"))
+        .select(lit("unique").as("rule"),
+          lit(cols.mkString(",")).as("target"),
+          col("__v").cast("long").as("violations"),
+          (col("__v") === 0).as("passed"))
+    }
+    (rowReports ++ uniqueReports).reduce(_ unionByName _)
+      .orderBy("rule", "target")
+  }
+
   /** NEGATIVE SAMPLING for contrastive training — for every query in
     * `positives`, draw `k` deterministic pseudo-random negatives from the
     * corpus, excluding the query itself and ALL of its listed positives

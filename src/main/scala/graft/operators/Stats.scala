@@ -108,6 +108,47 @@ object Stats {
           "CAST(n_rows AS decimal(38,0)) AS long)"))
   }
 
+  /** Merge Misra-Gries sketch FRAMES (item, est_count) — the relational
+    * form of [[graft.functions.MisraGriesAgg]]'s merge, for sketches that
+    * live as TABLES (a streaming store, per-partition/per-day sketches to
+    * roll up): sum counters per item, and if more than k items survive,
+    * subtract the (k+1)-th largest total from every counter and evict
+    * ≤ 0 (Agarwal et al., "Mergeability of Summaries", PODS 2012 — the
+    * combined sketch keeps the summed-N error bound). Identical
+    * arithmetic to the in-aggregate merge, so store-then-merge and
+    * one-shot sketching give the same guarantee; while total distinct
+    * items ≤ k nothing is ever subtracted and counters stay EXACT.
+    *
+    * Bounded input (sketches are ≤ k rows each); the (k+1)-th-largest
+    * cut is a bounded sort over ≤ a few k rows, computed with an exact
+    * per-item aggregation + a cross-joined scalar — no window over data.
+    */
+  def mergeHeavyHitterSketches(sketches: DataFrame, k: Int = 64): DataFrame = {
+    val tot = sketches.groupBy("item")
+      .agg(sum(col("est_count")).as("est_count"))
+    val cut = tot.select(col("est_count"))
+      .orderBy(col("est_count").desc).limit(k + 1)
+      .agg(when(count(lit(1)) > k, min(col("est_count")))
+        .otherwise(lit(0L)).as("__cut"))
+    tot.crossJoin(broadcast(cut))
+      .filter(col("est_count") > col("__cut"))
+      .select(col("item"), (col("est_count") - col("__cut")).as("est_count"))
+  }
+
+  /** One micro-batch of a STREAMING heavy-hitters store: sketch the
+    * arriving batch and merge it into the persisted (item, est_count)
+    * store frame via [[mergeHeavyHitterSketches]] — the 39c
+    * signature-store pattern for frequency sketches. Wire it under
+    * `foreachBatch` (store in a warehouse table; StatsSpec drives the
+    * MemoryStream form): state is ≤ k rows per group of interest,
+    * independent of stream length.
+    */
+  def updateHeavyHitterStore(store: DataFrame, batch: DataFrame,
+      valueCol: String, k: Int = 64): DataFrame =
+    mergeHeavyHitterSketches(
+      store.select(col("item"), col("est_count"))
+        .unionByName(heavyHitters(batch, valueCol, k)), k)
+
   /** One-pass numeric summary per group: count, mean, stddev, min, max,
     * approx p50/p95 (percentile_approx is a mergeable sketch, safe at any
     * group cardinality).

@@ -128,4 +128,39 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val got = EventAnalytics.retention(ev, "u", "ts", maxDays = 7).count()
     assert(got === 1L)
   }
+
+  test("transitions: per-user chains, same-ts tiebreak, integer shares") {
+    // user 1: A->B->A; user 2: A->B (same ts, event_id breaks the tie)
+    val ev = Seq(
+      (1L, 1L, "A", ts(0)), (2L, 1L, "B", ts(5)), (3L, 1L, "A", ts(9)),
+      (4L, 2L, "A", ts(0)), (5L, 2L, "B", ts(0))
+    ).toDF("eid", "u", "t", "ts")
+    val got = EventAnalytics.transitions(ev, "u", "t", "ts", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // from A: 2x A->B; from B: 1x B->A => shares 1000000 each
+    assert(got === Seq(
+      ("A", "B", 2L, 2L, 1000000L),
+      ("B", "A", 1L, 1L, 1000000L)))
+    // flipping the event ids flips the same-ts chain for user 2: B->A
+    val ev2 = Seq(
+      (1L, 2L, "A", ts(0)), (0L, 2L, "B", ts(0))
+    ).toDF("eid", "u", "t", "ts")
+    val got2 = EventAnalytics.transitions(ev2, "u", "t", "ts", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got2 === Seq(("B", "A")))
+  }
+
+  test("transitions: share_e6 floors, multiple to-states sum to <= 1e6") {
+    // from A: 2x ->B, 1x ->C => shares 666666 and 333333
+    val ev = Seq(
+      (1L, 1L, "A", ts(0)), (2L, 1L, "B", ts(1)),
+      (3L, 1L, "A", ts(2)), (4L, 1L, "C", ts(3)),
+      (5L, 1L, "A", ts(4)), (6L, 1L, "B", ts(5))
+    ).toDF("eid", "u", "t", "ts")
+    val got = EventAnalytics.transitions(ev, "u", "t", "ts", "eid")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(got(("A", "B")) === 666666L)
+    assert(got(("A", "C")) === 333333L)
+  }
 }

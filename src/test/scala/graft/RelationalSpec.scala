@@ -381,6 +381,43 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 3)
   }
 
+  test("checkConstraints: one report row per rule, exact violation counts") {
+    import graft.operators.Relational.Constraint._
+    val df = Seq[(Option[Long], Option[Double], Option[String])](
+      (Some(1L), Some(5.0), Some("a")),
+      (Some(2L), Some(50.0), Some("b")),
+      (Some(2L), None, Some("z")),     // dup key, null value
+      (None, Some(-1.0), None)         // null key, out-of-range
+    ).toDF("k", "v", "s")
+    val got = Relational.checkConstraints(df, Seq(
+        NotNull("k"), NotNull("v"),
+        InRange("v", 0.0, 10.0),
+        AcceptedValues("s", Seq("a", "b")),
+        Unique(Seq("k")),
+        Unique(Seq("k", "s")),
+        MinRows(10)))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(("not_null", "k")) === ((1L, false)))
+    assert(got(("not_null", "v")) === ((1L, false)))
+    // NULL v is not a range violation; 50.0 and -1.0 are
+    assert(got(("in_range", "v")) === ((2L, false)))
+    // NULL s is not an accepted-values violation; "z" is
+    assert(got(("accepted_values", "s")) === ((1L, false)))
+    assert(got(("unique", "k")) === ((1L, false)))
+    assert(got(("unique", "k,s")) === ((0L, true)))
+    assert(got(("min_rows", "10")) === ((6L, false)))
+    assert(got.size === 7)
+  }
+
+  test("checkConstraints: all-green report on a clean frame") {
+    import graft.operators.Relational.Constraint._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val got = Relational.checkConstraints(df,
+      Seq(NotNull("k"), Unique(Seq("k")), MinRows(2)))
+    assert(got.collect().forall(_.getBoolean(3)))
+  }
+
   test("negativeSample: excludes self+positives, md5 min-k, deterministic") {
     import spark.implicits._
     val corpus = (0L until 10L).toDF("id")

@@ -118,6 +118,58 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.length === 2 && got.map(_._2).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("mergeHeavyHitterSketches: exact regime equals one-shot; store form too") {
+    import spark.implicits._
+    val d1 = (Seq.fill(30)("a") ++ Seq.fill(5)("b")).toDF("v")
+    val d2 = (Seq.fill(10)("a") ++ Seq.fill(25)("c")).toDF("v")
+    val store = Stats.updateHeavyHitterStore(
+      Stats.heavyHitters(d1, "v", k = 8), d2, "v", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(store === Map("a" -> 40L, "b" -> 5L, "c" -> 25L))
+  }
+
+  test("mergeHeavyHitterSketches: estimator regime keeps the summed-N bound") {
+    import spark.implicits._
+    // two batches, k=2: batch sketches underestimate, the merge subtracts
+    // the (k+1)-th largest — combined error must stay <= (n1+n2)/(k+1)
+    val b1 = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ (1 to 20).map(i => s"x$i")
+    val b2 = Seq.fill(50)("a") ++ Seq.fill(25)("c") ++ (1 to 20).map(i => s"y$i")
+    val k = 2
+    val bound = (b1.length + b2.length) / (k + 1) // 68
+    val store = Stats.updateHeavyHitterStore(
+      Stats.heavyHitters(b1.toDF("v"), "v", k = k), b2.toDF("v"), "v", k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(store.size <= k)
+    assert(store.contains("a"), "110 > 68: the guaranteed hitter must survive")
+    val trueCounts = Map("a" -> 110L, "b" -> 30L, "c" -> 25L).withDefaultValue(1L)
+    store.foreach { case (item, est) =>
+      assert(est <= trueCounts(item), s"$item overestimated")
+      assert(trueCounts(item) - est <= bound, s"$item error beyond bound")
+    }
+  }
+
+  test("streaming heavy-hitters store: foreachBatch drive equals batch updates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq.fill(12)("a") ++ Seq.fill(7)("b")
+    val b2 = Seq.fill(3)("a") ++ Seq.fill(9)("c")
+    val mem = MemoryStream[String]
+    var store = spark.emptyDataset[(String, Long)].toDF("item", "est_count")
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Stats.updateHeavyHitterStore(store, batch.toDF("v"), "v", k = 8)
+          .localCheckpoint() // snapshot: the next trigger must not replay this one
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = store.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("a" -> 15L, "b" -> 7L, "c" -> 9L))
+  }
+
   test("summarize emits a full numeric profile per group") {
     val s = Stats.summarize(wh.loadTable("lineitem"), Seq("l_returnflag"), "l_quantity")
     val r = s.collect()
