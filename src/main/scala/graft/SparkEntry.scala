@@ -2648,6 +2648,44 @@ object SparkEntry {
       .orderBy(col("est_count").desc, col("item"))
   }
 
+  /** Snapshot diff (SURVEY row 34d): two deterministically derived
+    * versions of orders classified into inserted / deleted / changed /
+    * unchanged — the backfill-audit / CDC-reconciliation verb; the
+    * oracle replays the full-outer classification, so any misclassified
+    * key breaks the aggregate hash ([[operators.Merge.diffTables]]).
+    */
+  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val before = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+    val after = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("price_cents",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("price_cents") + 1)
+          .otherwise(col("price_cents")))
+    operators.Merge.diffTables(before, after, Seq("o_orderkey"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("sum_keys"))
+      .orderBy("diff_status")
+  }
+
+  /** Fuzzy string join (SURVEY row 30d): record linkage between the
+    * even- and odd-keyed halves of the part table on trigram jaccard ≥
+    * 1/2 — exact integer decision, gram-blocked plan; the oracle
+    * replays the whole pair set with counts and jaccard_e6
+    * ([[operators.Relational.fuzzyJoin]]). Uncapped here (the cap's
+    * recall trade is spec-pinned).
+    */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = wh(s, dir).loadTable("part").select(col("p_partkey"), col("p_name"))
+    val l = p.filter(pmod(col("p_partkey"), lit(2)) === 0)
+    val r = p.filter(pmod(col("p_partkey"), lit(2)) === 1)
+    operators.Relational.fuzzyJoin(l, r, "p_partkey", "p_name",
+        "p_partkey", "p_name", thresholdNum = 1, thresholdDen = 2,
+        n = 3, maxGramFreq = 0)
+      .orderBy("l_id", "r_id")
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2800,7 +2838,9 @@ object SparkEntry {
     "q_ann_mmr" -> (qAnnMmr _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_constraints" -> (qConstraints _),
-    "q_heavy_hitters_stream" -> (qHeavyHittersStream _)
+    "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
+    "q_table_diff" -> (qTableDiff _),
+    "q_fuzzy_join" -> (qFuzzyJoin _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4615,7 +4655,43 @@ object SparkEntry {
     "q_heavy_hitters_stream" ->
       """SELECT t AS item, count(*) AS est_count
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
-        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin
+        |GROUP BY t ORDER BY est_count DESC, item""".stripMargin,
+    "q_table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 11 != 0),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 1
+        |       ELSE price_cents END AS price_cents
+        | FROM o WHERE o_orderkey % 13 != 0),
+        |d AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+        |       WHEN a.o_orderkey IS NULL THEN 'deleted'
+        |       WHEN b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+        |        AND b.price_cents IS NOT DISTINCT FROM a.price_cents
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS diff_status
+        | FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT diff_status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH l AS (SELECT p_partkey AS l_id, p_name AS s FROM part WHERE p_partkey % 2 = 0),
+        |r AS (SELECT p_partkey AS r_id, p_name AS s FROM part WHERE p_partkey % 2 = 1),
+        |lg AS (SELECT l_id, len(gs) AS l_grams, unnest(gs) AS g FROM (
+        |  SELECT l_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(s) - 2, 0)),
+        |    i -> substr(s, i, 3))) AS gs FROM l)),
+        |rg AS (SELECT r_id, len(gs) AS r_grams, unnest(gs) AS g FROM (
+        |  SELECT r_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(s) - 2, 0)),
+        |    i -> substr(s, i, 3))) AS gs FROM r)),
+        |pairs AS (SELECT l_id, r_id, l_grams, r_grams, count(*) AS shared_grams
+        |          FROM lg JOIN rg USING (g) GROUP BY 1, 2, 3, 4),
+        |sel AS (SELECT *, l_grams + r_grams - shared_grams AS u FROM pairs
+        |        WHERE shared_grams * 2 >= 1 * (l_grams + r_grams - shared_grams))
+        |SELECT l_id, r_id, shared_grams, l_grams, r_grams,
+        |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
+        |FROM sel ORDER BY l_id, r_id""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Retrieval.mmrRerank]] over the

@@ -147,6 +147,66 @@ object Relational {
       .sortWithinPartitions(col("shard"), col("sort_key"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** FUZZY (approximate string) join — record linkage across two tables
+    * on character-n-gram jaccard similarity: the entity-resolution verb
+    * (same product under two spellings, same customer across systems)
+    * that exact equi-joins cannot express and a cross join cannot
+    * survive. Blocking: each side explodes to its DISTINCT n-grams, the
+    * only join is the gram equi-join, and a pair is verified by exact
+    * set jaccard — computed in INTEGER cross-multiplication
+    * (shared·den ≥ num·(union) for threshold num/den), no float in the
+    * decision; `jaccard_e6` = floor(10⁶·shared/union) rides along.
+    *
+    * `maxGramFreq` caps blocking frequency: grams appearing in more
+    * rows than the cap (on either side) generate no candidates — the
+    * PPJoin-style bound that keeps candidates ≤ Σ min(df_l, cap) ×
+    * min(df_r, cap) instead of quadratic on stopword-grams. A true pair
+    * sharing ONLY capped grams is missed: a documented recall trade, 0
+    * disables it.
+    *
+    * Output: (left id, right id, shared_grams, l_grams, r_grams,
+    * jaccard_e6); rows whose strings are shorter than `n` have no grams
+    * and never match.
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      lIdCol: String, lStrCol: String, rIdCol: String, rStrCol: String,
+      thresholdNum: Long, thresholdDen: Long,
+      n: Int = 3, maxGramFreq: Long = 10000L): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be >= 0")
+    def grams(df: DataFrame, idC: String, strC: String, side: String) =
+      df.select(lcol(idC).cast("long").as(s"${side}_id"),
+          // sequence(1, len-n+1) would run DESCENDING for short strings
+          // (Spark sequences reverse when start > stop) — guard to empty
+          when(length(lcol(strC)) < n, array().cast("array<string>"))
+            // functions.transform, NOT this object's mapPartitions verb
+            .otherwise(array_distinct(org.apache.spark.sql.functions.transform(
+              sequence(lit(1), length(lcol(strC)) - (n - 1)),
+              i => lcol(strC).substr(i, lit(n)))))
+            .as("gs"))
+        .withColumn(s"${side}_grams", size(col("gs")).cast("long"))
+        .select(col(s"${side}_id"), col(s"${side}_grams"),
+          explode(col("gs")).as("g"))
+    val lg = grams(left, lIdCol, lStrCol, "l")
+    val rg = grams(right, rIdCol, rStrCol, "r")
+    def uncapped(g: DataFrame) =
+      if (maxGramFreq <= 0) g
+      else {
+        val hot = g.groupBy("g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxGramFreq).select("g")
+        g.join(broadcast(hot), Seq("g"), "left_anti")
+      }
+    val pairs = uncapped(lg).join(uncapped(rg), Seq("g"))
+      .groupBy("l_id", "r_id", "l_grams", "r_grams")
+      .agg(count(lit(1)).as("shared_grams"))
+    val union = col("l_grams") + col("r_grams") - col("shared_grams")
+    pairs
+      .filter(col("shared_grams") * thresholdDen >= lit(thresholdNum) * union)
+      .withColumn("jaccard_e6", expr(
+        "CAST((CAST(shared_grams AS decimal(38,0)) * 1000000) div " +
+          "(l_grams + r_grams - shared_grams) AS long)"))
+      .select("l_id", "r_id", "shared_grams", "l_grams", "r_grams", "jaccard_e6")
+  }
+
   /** Data-quality constraint rules for [[checkConstraints]] — the
     * dbt-test / Deequ / warehouse-ASSERT surface: declarative
     * expectations evaluated into a violations report instead of a job

@@ -113,4 +113,30 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("k", "valid_from").collect().toSeq
     assert(out === dim.orderBy("k", "valid_from").collect().toSeq)
   }
+
+  test("diffTables: all four fates, null-safe value compare") {
+    val before = Seq[(Long, Option[String])](
+      (1L, Some("a")),   // unchanged
+      (2L, Some("b")),   // changed: b -> c
+      (3L, None),        // unchanged with NULL value (NULL <=> NULL)
+      (4L, Some("d")),   // changed: d -> NULL
+      (5L, Some("e"))    // deleted
+    ).toDF("k", "v")
+    val after = Seq[(Long, Option[String])](
+      (1L, Some("a")), (2L, Some("c")), (3L, None), (4L, None),
+      (6L, Some("f"))    // inserted
+    ).toDF("k", "v")
+    val got = Merge.diffTables(before, after, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "deleted", 6L -> "inserted"))
+  }
+
+  test("diffTables: extra columns outside the shared set are ignored") {
+    val before = Seq((1L, "a", 9L)).toDF("k", "v", "only_before")
+    val after = Seq((1L, "a")).toDF("k", "v")
+    val got = Merge.diffTables(before, after, Seq("k")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "unchanged")))
+  }
 }

@@ -381,6 +381,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 3)
   }
 
+  test("fuzzyJoin: exact trigram jaccard pairs, threshold boundary, short strings") {
+    val l = Seq((1L, "widget blue"), (2L, "xy"), (3L, "gadget red"))
+      .toDF("id", "s")
+    val r = Seq((10L, "widget blu"), (20L, "unrelated zzz"), (30L, "gadget red"))
+      .toDF("id", "s")
+    val got = Relational.fuzzyJoin(l, r, "id", "s", "id", "s",
+        thresholdNum = 1, thresholdDen = 2, n = 3, maxGramFreq = 0)
+      .collect().map(r2 => ((r2.getLong(0), r2.getLong(1)),
+        (r2.getLong(2), r2.getLong(3), r2.getLong(4), r2.getLong(5)))).toMap
+    // identical strings: jaccard 1
+    assert(got(((3L, 30L)))._4 === 1000000L)
+    // "widget blue"(9 grams) vs "widget blu"(8): shared 8 -> 8/9 >= 1/2
+    assert(got(((1L, 10L))) === ((8L, 9L, 8L, 888888L)))
+    // short string (len < n) has no grams and never matches
+    assert(!got.keySet.exists(_._1 == 2L))
+    assert(!got.keySet.exists(_._2 == 20L))
+  }
+
+  test("fuzzyJoin: maxGramFreq cap drops hot-gram-only pairs (recall trade)") {
+    // 5 left and 5 right rows all share ONLY the hot gram "aaa"
+    val l = (1L to 5L).map(i => (i, s"aaa${i}xx")).toDF("id", "s")
+    val r = (11L to 15L).map(i => (i, s"aaa${i}yy")).toDF("id", "s")
+    val uncapped = Relational.fuzzyJoin(l, r, "id", "s", "id", "s",
+      thresholdNum = 1, thresholdDen = 10, n = 3, maxGramFreq = 0).count()
+    val capped = Relational.fuzzyJoin(l, r, "id", "s", "id", "s",
+      thresholdNum = 1, thresholdDen = 10, n = 3, maxGramFreq = 2).count()
+    assert(uncapped === 25L, "every pair shares the hot gram at 1/10")
+    assert(capped === 0L, "capped hot gram generates no candidates")
+  }
+
   test("checkConstraints: one report row per rule, exact violation counts") {
     import graft.operators.Relational.Constraint._
     val df = Seq[(Option[Long], Option[Double], Option[String])](
