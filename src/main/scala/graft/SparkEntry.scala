@@ -4800,7 +4800,7 @@ object SparkEntry {
       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS rawhost,
       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-      |  regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      |  regexp_extract(regexp_replace(url, '#.*', ''), '\\?(.*)', 1) AS query0
       | FROM u),
       |hostp AS (SELECT *, regexp_replace(
       |  CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$$', '')

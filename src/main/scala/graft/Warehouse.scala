@@ -59,19 +59,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // A versioned table (saveTableVersioned) resolves to its LATEST
     // version directory; plain tables read their path directly.
     val p = Warehouse.latestVersionDir(spark, path(table)).getOrElse(path(table))
-    var df = spark.read.parquet(p)
-    // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong) — normalize to
-    // microsecond timestamps so downstream code sees real timestamps.
-    df = Warehouse.normalizeNanos(spark, p, baseDir, df)
-    // Parquet written with isAdjustedToUTC=false loads as TIMESTAMP_NTZ,
-    // which half of Spark's timestamp surface (unix_micros, watermarks on
-    // some paths, Timestamp encoders) rejects — normalize to LTZ here.
-    df = Warehouse.normalizeNtz(df)
-    // The engine's vector contract is array<float> (every ANN kernel and
-    // driver-side collect reads float arrays); a generator switch to
-    // array<double> would break the whole family the way the NTZ switch
-    // broke events — normalize at the same boundary.
-    df = Warehouse.normalizeVectors(df)
+    var df = normalizedRead(p)
     rowFilter.foreach(f => df = df.filter(f))
     if (columns.nonEmpty) df = df.select(columns.map(df.col): _*)
     if (sample < 1.0) df = df.sample(withReplacement = false, sample, seed)
@@ -87,7 +75,11 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * per-micro-batch ingest volume (0 = all available).
     */
   def loadTableStream(table: String, maxFilesPerTrigger: Int = 0): DataFrame = {
-    val tablePath = path(table)
+    // a versioned table streams from its LATEST committed version dir
+    // (new part files appear only via a new version — re-start to pick
+    // up; the plain-table path tails new files/partitions live)
+    val tablePath =
+      Warehouse.latestVersionDir(spark, path(table)).getOrElse(path(table))
     val schema = spark.read.parquet(tablePath).schema
     val hp = new org.apache.hadoop.fs.Path(tablePath)
     val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -170,8 +162,12 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     if (Warehouse.isSelectQuery(tableOrQuery)) loadSql(tableOrQuery)
     else loadTable(tableOrQuery)
 
-  def getSchema(table: String): StructType =
-    spark.read.parquet(path(table)).schema
+  def getSchema(table: String): StructType = {
+    // versioned tables resolve to their latest committed version (their
+    // base dir holds only underscore-hidden version dirs)
+    val p = Warehouse.latestVersionDir(spark, path(table)).getOrElse(path(table))
+    spark.read.parquet(p).schema
+  }
 
   /** describe: compiled plan + output schema, mirroring
     * fugue_trino/api.py:14 `describe` (SQL + schema dump).
@@ -281,6 +277,13 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     normalizedRead(Warehouse.versionDir(base, eligible.last._1))
   }
 
+  /** THE load-boundary normalization chain — every read path (loadTable,
+    * version/as-of reads) goes through here so the three accreted
+    * generator-drift defenses can never diverge between paths:
+    * TIMESTAMP(NANOS)-as-long → microsecond timestamps; TIMESTAMP_NTZ →
+    * LTZ (unix_micros, watermarks and Timestamp encoders reject NTZ);
+    * array<double> vectors → the engine's array<float> contract.
+    */
   private def normalizedRead(p: String): DataFrame = {
     var df = spark.read.parquet(p)
     df = Warehouse.normalizeNanos(spark, p, baseDir, df)
@@ -295,9 +298,13 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * periodic rewrite sized by max(1, ceil(totalBytes / targetBytes)).
     *
     * The rewrite is read → repartition(n) → write to a sibling tmp dir,
-    * then a delete + rename swap — the new layout is fully durable
-    * before the old one disappears, so a crash leaves either the old or
-    * the new complete layout (plus at worst an orphan tmp dir). A
+    * then a RENAME-ASIDE swap (old → __compact_old, tmp → table path,
+    * delete old) — nothing is deleted before the new layout is fully in
+    * place, so no crash point loses data; the worst crash artifact is a
+    * briefly-absent table path with both complete layouts parked in the
+    * sibling dirs (details at the swap site). A versioned table's
+    * commit timestamp (_SUCCESS mtime) is preserved across the rewrite
+    * so as-of reads keep resolving to the same version. A
     * SINGLE-WRITER maintenance op: concurrent readers that already
     * listed the old files can hit vanished-file errors during the swap
     * (the same window every file-listing-based engine has without a
@@ -324,8 +331,29 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     val df = spark.read.parquet(p)
     val tmp = new HPath(p + "__compact_tmp")
     df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hp, true)
+    // For a VERSIONED table the commit timestamp IS the _SUCCESS marker's
+    // mtime (loadTableAsOf resolves on it) — a rewritten marker would
+    // silently shift the version's commit time to compaction time and
+    // re-route as-of reads to an older version. Capture and restore it.
+    val oldMarker = new HPath(hp, "_SUCCESS")
+    val markerTime =
+      if (fs.exists(oldMarker)) Some(fs.getFileStatus(oldMarker).getModificationTime)
+      else None
+    // rename-aside swap: NOTHING is deleted until the new layout is fully
+    // in place. Crash before the first rename: old layout intact. Crash
+    // between the renames: the path is briefly absent but BOTH complete
+    // layouts are parked at __compact_old / __compact_tmp (a rename
+    // restores service, nothing lost). Crash after: at worst an orphan
+    // __compact_old to sweep.
+    val old = new HPath(p + "__compact_old")
+    fs.delete(old, true) // orphan from a prior crashed run
+    require(fs.rename(hp, old), s"compaction swap failed: rename $hp -> $old")
     require(fs.rename(tmp, hp), s"compaction swap failed: rename $tmp -> $hp")
+    markerTime.foreach { t =>
+      val m = new HPath(hp, "_SUCCESS")
+      if (fs.exists(m)) fs.setTimes(m, t, -1)
+    }
+    fs.delete(old, true)
     Warehouse.invalidate(dir, table)
     spark.catalog.refreshByPath(p)
     n

@@ -136,46 +136,6 @@ object Merge {
     * Same scale shape as [[mergeUpsert]]: one equi-join of the open rows
     * with the (small) batch plus a key-pruned anti join for brand-new keys.
     */
-  /** SNAPSHOT DIFF — classify every key of two table versions as
-    * `inserted` / `deleted` / `changed` / `unchanged`: the data-validation
-    * verb behind pipeline migrations, backfill audits and CDC
-    * reconciliation (warehouses expose it as EXCEPT/table_changes; here
-    * it is one declarative pass). ONE full-outer join on the key, then a
-    * null-safe (`<=>`) comparison of every shared non-key column —
-    * NULL→value and value→NULL both count as changed, NULL<=>NULL does
-    * not. Output: key columns + `diff_status`; aggregate downstream for
-    * the summary, or filter `!= 'unchanged'` for the change feed.
-    *
-    * Scale: the join shuffles both snapshots on the key once (AQE
-    * handles skew); the column comparison is a codegen'd projection.
-    * Both frames must share the compared columns (the non-key
-    * intersection is used, so added/dropped COLUMNS are ignored here —
-    * schema diffs are [[graft.Warehouse.getSchema]]'s job).
-    */
-  def diffTables(before: DataFrame, after: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "diffTables: need key columns")
-    val shared = before.columns.toSeq.intersect(after.columns.toSeq)
-      .filterNot(keys.contains)
-    val b = before.select((keys ++ shared).map(lcol): _*).alias("b")
-    val a = after.select((keys ++ shared).map(lcol): _*).alias("a")
-    def q(side: String, c: String): Column = col(s"$side.`${c.replace("`", "``")}`")
-    val joinCond = keys.map(k => q("b", k) <=> q("a", k)).reduce(_ && _)
-    val bPresent = keys.map(k => q("b", k).isNotNull).reduce(_ && _)
-    val aPresent = keys.map(k => q("a", k).isNotNull).reduce(_ && _)
-    val sameRow =
-      if (shared.isEmpty) lit(true)
-      else shared.map(c => q("b", c) <=> q("a", c)).reduce(_ && _)
-    b.join(a, joinCond, "full_outer")
-      .withColumn("diff_status",
-        when(!bPresent, lit("inserted"))
-          .when(!aPresent, lit("deleted"))
-          .when(sameRow, lit("unchanged"))
-          .otherwise(lit("changed")))
-      .select(keys.map(k => coalesce(q("b", k), q("a", k)).as(k))
-        :+ col("diff_status"): _*)
-  }
-
   def scd2Apply(
       dim: DataFrame,
       updates: DataFrame,
@@ -249,5 +209,58 @@ object Merge {
       }: _*)
 
     applied.unionByName(fresh)
+  }
+  /** SNAPSHOT DIFF — classify every key of two table versions as
+    * `inserted` / `deleted` / `changed` / `unchanged`: the data-validation
+    * verb behind pipeline migrations, backfill audits and CDC
+    * reconciliation (warehouses expose it as EXCEPT/table_changes; here
+    * it is one declarative pass). ONE full-outer join on the key, then a
+    * null-safe (`<=>`) comparison of every shared non-key column —
+    * NULL→value and value→NULL both count as changed, NULL<=>NULL does
+    * not. Output: key columns + `diff_status`; aggregate downstream for
+    * the summary, or filter `!= 'unchanged'` for the change feed.
+    *
+    * Scale: the join shuffles both snapshots on the key once (AQE
+    * handles skew); the column comparison is a codegen'd projection.
+    * Both frames must share the compared columns (the non-key
+    * intersection is used, so added/dropped COLUMNS are ignored here —
+    * schema diffs are [[graft.Warehouse.getSchema]]'s job).
+    */
+  def diffTables(before: DataFrame, after: DataFrame,
+      keys: Seq[String], checkUniqueKeys: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "diffTables: need key columns")
+    val shared = before.columns.toSeq.intersect(after.columns.toSeq)
+      .filterNot(keys.contains)
+    // presence via per-side MARKER columns, not key nullability: the join
+    // matches NULL key parts (<=>), so a matched all/partially-NULL key
+    // must still read as present on both sides
+    val b = before.select((keys ++ shared).map(lcol): _*)
+      .withColumn("__graft_b", lit(true)).alias("b")
+    val a = after.select((keys ++ shared).map(lcol): _*)
+      .withColumn("__graft_a", lit(true)).alias("a")
+    if (checkUniqueKeys) {
+      // duplicate keys fan out m×n through the full-outer join and
+      // silently inflate every downstream count — reject like mergeUpsert
+      Seq(("before", before), ("after", after)).foreach { case (name, df) =>
+        val dup = df.groupBy(keys.map(lcol): _*).count()
+          .filter(col("count") > 1).limit(1)
+        require(dup.isEmpty,
+          s"diffTables: $name is not unique on keys ${keys.mkString(",")} — " +
+            "pass checkUniqueKeys = false to diff anyway (fan-out applies)")
+      }
+    }
+    def q(side: String, c: String): Column = col(s"$side.`${c.replace("`", "``")}`")
+    val joinCond = keys.map(k => q("b", k) <=> q("a", k)).reduce(_ && _)
+    val sameRow =
+      if (shared.isEmpty) lit(true)
+      else shared.map(c => q("b", c) <=> q("a", c)).reduce(_ && _)
+    b.join(a, joinCond, "full_outer")
+      .withColumn("diff_status",
+        when(q("b", "__graft_b").isNull, lit("inserted"))
+          .when(q("a", "__graft_a").isNull, lit("deleted"))
+          .when(sameRow, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keys.map(k => coalesce(q("b", k), q("a", k)).as(k))
+        :+ col("diff_status"): _*)
   }
 }

@@ -72,14 +72,17 @@ object Retrieval {
     val hits = withDl
       .select(col("id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    // persisted: df below re-aggregates this frame, and without the
+    // materialized: df below re-aggregates this frame, and without the
     // materialization Catalyst column-prunes the two consumers into
     // DIFFERENT subtrees (no exchange reuse) and scans the corpus twice
-    // more. tf is the bounded matched-docs × |query| frame — the cheap
-    // thing to keep; the corpus is the thing to scan once.
+    // more. localCheckpoint (not persist) so the cached blocks are
+    // released by the ContextCleaner when the result frame is dropped —
+    // a persist() would sit in the CacheManager until an explicit
+    // unpersist the operator has no hook for. tf is the bounded
+    // matched-docs × |query| frame; the corpus is the thing to scan once.
     val tf = hits.groupBy("id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint(true)
     // document frequency per query term: |query|-row frame, broadcast back
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
@@ -119,7 +122,7 @@ object Retrieval {
     * the plain top-scored candidate.
     *
     * The k greedy steps are built as k chained aggregations over the
-    * PERSISTED shortlist frame — bounded (|queries| × shortlist) rows,
+    * eagerly checkpointed shortlist frame — bounded (|queries| × shortlist) rows,
     * never the corpus; each step is one `max_by` argmax per query plus a
     * broadcastable join of the accumulated picks. All arithmetic is the
     * engine's exact cosine kernel plus IEEE double multiply/subtract in
@@ -138,7 +141,10 @@ object Retrieval {
       col(qIdCol).cast("long").as("query_id"),
       col(cIdCol).cast("long").as("cand_id"),
       col(vecCol).as("vec"), col(scoreCol).cast("double").as("score"))
-      .persist()
+      // localCheckpoint: k steps re-read this bounded frame; blocks are
+      // ContextCleaner-released with the result (persist would leak in
+      // the CacheManager — no unpersist hook after return)
+      .localCheckpoint(true)
     var picks: DataFrame = null
     for (i <- 1 to k) {
       val scored =
@@ -162,10 +168,11 @@ object Retrieval {
         .select(col("query_id"), col("p.cand_id").as("cand_id"),
           col("p.vec").as("vec"), col("p.mmr").as("mmr"),
           lit(i.toLong).as("rank"))
-        // each pick is |queries| rows; persisting caps the otherwise
-        // exponential plan nesting (step i's join would re-embed every
-        // earlier step's full plan)
-        .persist()
+        // each pick is |queries| rows; the eager checkpoint caps the
+        // otherwise exponential plan nesting (step i's join would
+        // re-embed every earlier step's full plan) and its blocks are
+        // GC-released with the result
+        .localCheckpoint(true)
       picks = if (picks == null) pick else picks.unionByName(pick)
     }
     picks.select(col("query_id"), col("rank"),

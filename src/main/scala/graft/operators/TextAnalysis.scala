@@ -616,7 +616,10 @@ object TextAnalysis {
     val host = regexp_replace(noPort, "^www\\.", "")
     val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val path = regexp_replace(path0, "/$", "")
-    val query0 = regexp_extract(u, "\\?([^#]*)", 1)
+    // the query must come from the PRE-fragment part: a '?' inside the
+    // fragment (SPA routes like '#/x?tab=1') is fragment content, and
+    // matching it would leak the fragment into the canonical URL
+    val query0 = regexp_extract(regexp_replace(u, "#.*", ""), "\\?(.*)", 1)
     val kept = array_sort(filter(
       split(query0, "&", -1),
       p => p =!= "" && !trackingParams

@@ -139,4 +139,27 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((1L, "unchanged")))
   }
+
+  test("diffTables: NULL key parts match via <=> and still read as present") {
+    // (1, NULL) exists identically on both sides -> unchanged, not
+    // 'inserted' (presence comes from markers, not key nullability)
+    val before = Seq[(Long, Option[String], String)](
+      (1L, None, "a"), (2L, None, "gone")).toDF("k1", "k2", "v")
+    val after = Seq[(Long, Option[String], String)](
+      (1L, None, "a")).toDF("k1", "k2", "v")
+    val got = Merge.diffTables(before, after, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "deleted"))
+  }
+
+  test("diffTables: duplicate keys rejected unless explicitly allowed") {
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val clean = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Merge.diffTables(dup, clean, Seq("k"))
+    }
+    // opt-out keeps the fan-out semantics available
+    assert(Merge.diffTables(dup, clean, Seq("k"), checkUniqueKeys = false)
+      .count() === 2)
+  }
 }

@@ -144,6 +144,15 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(canon("https://a.com/p?ref&refx=1")._2 === "https://a.com/p?refx=1")
   }
 
+  test("canonicalizeUrl: a '?' inside the fragment is NOT a query") {
+    // SPA-style fragment routing: everything after '#' drops, including
+    // its embedded '?tab=1'
+    assert(canon("https://a.com/#/route?tab=1")._2 === "https://a.com")
+    assert(canon("https://a.com/p#sec?x=1")._2 === "https://a.com/p")
+    // a real query AND a fragment '?': only the real one survives
+    assert(canon("https://a.com/p?a=1#sec?x=2")._2 === "https://a.com/p?a=1")
+  }
+
   test("canonicalizeUrl: root slash strips to host; path case preserved") {
     assert(canon("https://a.com/")._2 === "https://a.com")
     assert(canon("https://a.com/CaseSensitive/Path")._2

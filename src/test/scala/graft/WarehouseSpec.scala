@@ -372,4 +372,40 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(fs1.listStatus(v1dir).count(st => st.isFile &&
       !st.getPath.getName.startsWith("_")) === 8, "v1 layout untouched")
   }
+
+  test("compaction preserves a versioned table's commit timestamps (as-of)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_ttc").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5).repartition(4), tmp, "nv")
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 10).repartition(4), tmp, "nv")
+    Thread.sleep(20)
+    val t2 = System.currentTimeMillis()
+    w.compactTable(tmp, "nv", targetBytes = 1L << 40)
+    // as-of reads resolve exactly as before the rewrite: t1 -> v1, t2 -> v2
+    assert(w.loadTableAsOf("nv", t1).count() === 5)
+    assert(w.loadTableAsOf("nv", t2).count() === 10)
+    assert(w.loadTable("nv").count() === 10)
+  }
+
+  test("getSchema and loadTableStream resolve versioned tables") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_ttv").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.select("n_nationkey", "n_name"), tmp, "nv")
+    w.saveTableVersioned(n.select("n_nationkey", "n_name", "n_regionkey"), tmp, "nv")
+    // schema of the LATEST version (3 columns)
+    assert(w.getSchema("nv").fieldNames.toSeq
+      === Seq("n_nationkey", "n_name", "n_regionkey"))
+    // streaming read drains the latest version's rows
+    val q = w.loadTableStream("nv").writeStream
+      .format("memory").queryName("ttv_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("ttv_out").count() === n.count())
+  }
 }
