@@ -2686,6 +2686,53 @@ object SparkEntry {
       .orderBy("l_id", "r_id")
   }
 
+  /** PageRank over the customer↔supplier trade graph (SURVEY row 61):
+    * 8 fixed-point integer iterations on the symmetrized distinct edge
+    * list (suppliers offset by 1e6 into a shared node-id space). Every
+    * rank is replayed bit-identically by the oracle's 8 unrolled CTE
+    * iterations — same truncating `div` shares, same rational damping
+    * ([[operators.Graph.pageRank]]).
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    operators.Graph.pageRank(sym, "src", "dst", iters = 8).orderBy("node")
+  }
+
+  /** Degree profile of the same trade graph (SURVEY row 61b): in/out
+    * degree per node in one pass over the distinct edge list
+    * ([[operators.Graph.degrees]]).
+    */
+  private def qGraphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    operators.Graph.degrees(e, "src", "dst").orderBy("node")
+  }
+
+  /** DSIR importance selection (SURVEY row 46g): target = the English
+    * docs, raw = the whole corpus; trainDsir reduces both to 4096
+    * integer bucket weights (fixed-point log2, no float anywhere) and
+    * the top 200 most-target-like docs are selected with deterministic
+    * (score desc, id) ranking. The oracle rebuilds counts, weights
+    * (20-step ilog2 recurrence UNROLLED in a list_reduce), scores AND
+    * the selection bit-identically ([[operators.TextAnalysis.trainDsir]]
+    * / [[operators.TextAnalysis.dsirSelect]]). NULL-text docs are
+    * excluded up front: they carry no grams, and excluding them in both
+    * engines keeps the selection comparison total.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents").filter(col("text").isNotNull)
+    val model = operators.TextAnalysis.trainDsir(
+      docs.filter(col("lang") === "en"), docs, "text")
+    operators.TextAnalysis.dsirSelect(docs, "doc_id", "text", model, 200)
+      .select(col("doc_id"), col("n_grams"), col("dsir_score"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2840,7 +2887,10 @@ object SparkEntry {
     "q_constraints" -> (qConstraints _),
     "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
     "q_table_diff" -> (qTableDiff _),
-    "q_fuzzy_join" -> (qFuzzyJoin _)
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_pagerank" -> (qPagerank _),
+    "q_graph_degrees" -> (qGraphDegrees _),
+    "q_dsir" -> (qDsir _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4691,8 +4741,132 @@ object SparkEntry {
         |        WHERE shared_grams * 2 >= 1 * (l_grams + r_grams - shared_grams))
         |SELECT l_id, r_id, shared_grams, l_grams, r_grams,
         |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
-        |FROM sel ORDER BY l_id, r_id""".stripMargin
+        |FROM sel ORDER BY l_id, r_id""".stripMargin,
+    "q_pagerank" -> pagerankOracleSql,
+    "q_graph_degrees" ->
+      """WITH e AS (
+        | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+        |SELECT coalesce(o.node, i.node) AS node,
+        | coalesce(o.out_deg, 0) AS out_deg,
+        | coalesce(i.in_deg, 0) AS in_deg
+        |FROM o FULL JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
+    "q_dsir" -> dsirOracleSql
   )
+
+  /** The 20-step [[graft.functions.Kernels.ilog2Fp]] square-and-
+    * normalize recurrence as a DuckDB expression over a BIGINT operand
+    * `v` (≥ 1): exponent from the bin-string length (the classifier
+    * oracle's floor-log2 trick), mantissa normalized into Q30, then 20
+    * squarings via list_reduce with the prepend-the-init accumulator
+    * pattern — every op integer, so the fixed-point log matches the
+    * Scala kernel bit-for-bit.
+    */
+  private def ilogSql(v: String): String = {
+    val e = s"(length(bin($v)) - 1)"
+    s"""(list_reduce(list_prepend(
+       |  {'x': CASE WHEN $e <= 30 THEN $v << (30 - $e) ELSE $v >> ($e - 30) END,
+       |   'a': CAST($e AS BIGINT) * 1048576, 'i': CAST(0 AS BIGINT)},
+       |  list_transform(generate_series(1, 20),
+       |    j -> {'x': CAST(0 AS BIGINT), 'a': CAST(0 AS BIGINT), 'i': CAST(j AS BIGINT)})),
+       |  (s, el) -> CASE WHEN ((s.x * s.x) >> 30) >= 2147483648
+       |    THEN {'x': ((s.x * s.x) >> 30) >> 1,
+       |          'a': s.a | (CAST(1 AS BIGINT) << CAST(20 - el.i AS INTEGER)),
+       |          'i': CAST(0 AS BIGINT)}
+       |    ELSE {'x': (s.x * s.x) >> 30, 'a': s.a, 'i': CAST(0 AS BIGINT)}
+       |  END)).a""".stripMargin
+  }
+
+  /** DuckDB replay of the whole DSIR pipeline
+    * ([[operators.TextAnalysis.trainDsir]] + `dsirSelect`): the
+    * classifier oracle's gram walk WITHOUT distinct (bag counts) and
+    * without structural grams, bucket counts for target (lang = 'en')
+    * and raw corpora over the full 4096-bucket space, the 20-step
+    * integer log2 recurrence per count ([[ilogSql]]), integer weights,
+    * integer per-doc sums, and the (score desc, doc_id) top-200 — every
+    * stage bit-identical to the Spark kernels.
+    */
+  private val dsirOracleSql: String = {
+    val d = 4096
+    s"""WITH base0 AS (
+       | SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+       | FROM documents WHERE text IS NOT NULL),
+       |gram AS (
+       | SELECT doc_id, lang, unnest(w) AS g FROM base0
+       | UNION ALL
+       | SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(w) - 1),
+       |   i -> concat(w[i], ' ', w[i+1]))) AS g
+       | FROM base0 WHERE len(w) >= 2),
+       |feat AS MATERIALIZED (
+       | SELECT doc_id, lang,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length(g)),
+       |      i -> CAST(unicode(substring(g, i, 1)) AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % 1000003) % $d AS bucket
+       | FROM gram),
+       |ctab AS (SELECT bucket, count(*) AS c FROM feat WHERE lang = 'en' GROUP BY bucket),
+       |rtab AS (SELECT bucket, count(*) AS c FROM feat GROUP BY bucket),
+       |nn AS (SELECT CAST((SELECT coalesce(sum(c), 0) FROM ctab) AS BIGINT) AS nt,
+       |              CAST((SELECT coalesce(sum(c), 0) FROM rtab) AS BIGINT) AS nr),
+       |wtab AS MATERIALIZED (
+       | SELECT b.bucket, ${ilogSql("b.ct")} - ${ilogSql("b.cr")} AS w
+       | FROM (
+       |   SELECT a.bucket,
+       |    coalesce(c1.c, 0) + 1 AS ct, coalesce(c2.c, 0) + 1 AS cr
+       |   FROM generate_series(0, ${d - 1}) AS a(bucket)
+       |   LEFT JOIN ctab c1 ON c1.bucket = a.bucket
+       |   LEFT JOIN rtab c2 ON c2.bucket = a.bucket) b),
+       |pg AS (SELECT ${ilogSql(s"(nn.nr + $d)")} - ${ilogSql(s"(nn.nt + $d)")}
+       |       AS pergram FROM nn)
+       |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(SUM(w.w) AS BIGINT) + CAST(count(*) AS BIGINT) * pg.pergram
+       |   AS dsir_score
+       |FROM feat f JOIN wtab w ON w.bucket = f.bucket CROSS JOIN pg
+       |GROUP BY f.doc_id, pg.pergram
+       |ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Graph.pageRank]] on the symmetrized
+    * customer↔supplier trade graph: the 8 fixed-point iterations
+    * UNROLLED as CTEs (the 64-CTE classifier-oracle pattern). Same
+    * integer semantics as the Spark side — truncating `//` per-edge
+    * shares, rational 85/100 damping multiply-then-divide, bigint sums —
+    * so every rank matches bit-for-bit. SUM promotes to HUGEINT in
+    * DuckDB; cast back to BIGINT before the damping multiply (values are
+    * bounded by N·scale ≈ 2.6e13 at sf0.1, far inside both ranges).
+    */
+  private val pagerankOracleSql: String = {
+    val iters = 8; val scale = 1000000000L
+    val dampNum = 85L; val dampDen = 100L
+    val base = (dampDen - dampNum) * scale / dampDen
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         | SELECT n.node, CAST($base + ($dampNum *
+         |   CAST(coalesce(s.s, 0) AS BIGINT)) // $dampDen AS BIGINT) AS rank_fp
+         | FROM nodes n LEFT JOIN (
+         |   SELECT ed.dst AS node, SUM(p.rank_fp // ed.outdeg) AS s
+         |   FROM edeg ed JOIN $prev p ON p.node = ed.src
+         |   GROUP BY ed.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       | SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |edeg AS MATERIALIZED (
+       | SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+       |nodes AS MATERIALIZED (
+       | SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
+       |$iterCtes
+       |SELECT node, rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** DuckDB replay of [[operators.Retrieval.mmrRerank]] over the
     * brute-force top-20 shortlists of query vectors 0–3: the five greedy

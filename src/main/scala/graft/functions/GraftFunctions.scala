@@ -277,6 +277,34 @@ object GraftFunctions {
   private val qualityLrNames = new java.util.IdentityHashMap[QualityLrModel, String]()
   private val qualityLrCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** All hashed DSIR gram buckets (multiset) of a text column —
+    * registration keyed by the bucket-space size.
+    */
+  def dsirBuckets(spark: SparkSession, text: Column, d: Int): Column = {
+    val name = s"graft_dsir_buckets_$d"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => DsirBucketsExpr(args.head, d),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  /** DSIR importance sum under a trained [[DsirModel]] —
+    * model-parameterized registration exactly like [[qualityLrScore]].
+    */
+  def dsirScore(spark: SparkSession, text: Column, model: DsirModel): Column = {
+    val name = dsirNames.synchronized {
+      dsirNames.computeIfAbsent(model,
+        _ => s"graft_dsir_${dsirCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => DsirScoreExpr(args.head, model),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val dsirNames = new java.util.IdentityHashMap[DsirModel, String]()
+  private val dsirCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** PQ byte codes of a float-vector column under a trained [[PqModel]] —
     * model-parameterized registration exactly like [[bpeCount]] (same
     * uniqueness and lifetime caveats).

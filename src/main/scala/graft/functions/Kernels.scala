@@ -147,6 +147,23 @@ final class QualityLrModel(val weights: Array[Long], val numBuckets: Int,
   require(scale > 0, s"scale must be positive, got $scale")
 }
 
+/** Trained DSIR importance model (Data Selection via Importance
+  * Resampling, Xie et al. NeurIPS 2023, reduced to engine-exact integer
+  * arithmetic): `weights(b)` = ilog2Fp(c_target(b)+1) −
+  * ilog2Fp(c_raw(b)+1) for hashed-n-gram bucket `b`, and `perGram` =
+  * ilog2Fp(N_raw + d) − ilog2Fp(N_target + d) carries the two
+  * normalizer constants once per gram instance, so a document's
+  * importance score Σ_g [log2 p̂_target(g) − log2 p̂_raw(g)] (add-one
+  * smoothing, fixed point 2^-20) is a pure LONG sum — order-free,
+  * bit-identical in any engine. Trained by
+  * [[graft.operators.TextAnalysis.trainDsir]].
+  */
+final class DsirModel(val weights: Array[Long], val numBuckets: Int,
+    val perGram: Long) extends Serializable {
+  require(weights.length == numBuckets,
+    s"weights length ${weights.length} != numBuckets $numBuckets")
+}
+
 /** Packed stopword lookup table for [[Kernels.langIdHits]]: each word
   * (≤ 8 ASCII word chars) packs into one long (8 bits/char); `packed` is
   * sorted for binary search and `langIdx(i)` is the language index of
@@ -1302,6 +1319,66 @@ object Kernels {
       i += Character.charCount(cp)
     }
     (h % d).toInt
+  }
+
+  /** Fixed-point base-2 logarithm of a positive integer, 20 fraction
+    * bits, computed by the classic integer square-and-normalize digit
+    * recurrence — NO floating point anywhere, so any engine replays it
+    * bit-identically (the DuckDB oracle unrolls the same 20 steps over
+    * BIGINTs). x is carried in Q30 (x ∈ [2^30, 2^31) after normalize, so
+    * x·x < 2^62 never overflows a long); each step squares, renormalizes,
+    * and emits one result bit. Result ≈ floor(log2(n) · 2^20) (the
+    * truncating recurrence, exactly defined; ilog2Fp(1) = 0).
+    */
+  def ilog2Fp(n: Long): Long = {
+    require(n >= 1, s"ilog2Fp needs n >= 1, got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = if (e <= 30) n << (30 - e) else n >> (e - 30)
+    var acc = e.toLong << 20
+    var i = 1
+    while (i <= 20) {
+      x = (x * x) >> 30
+      if (x >= (1L << 31)) { x >>= 1; acc |= 1L << (20 - i) }
+      i += 1
+    }
+    acc
+  }
+
+  /** All hashed gram buckets of one document WITH multiplicity, in doc
+    * order — the DSIR feature contract: word unigrams and adjacent-pair
+    * bigrams (w1 + ' ' + w2) over [[spaceTokens]], each through
+    * [[qualityBucket]]'s polynomial hash mod `d`. Unlike
+    * [[qualityFeatures]] (distinct set + structural grams), DSIR's bag
+    * model counts every instance and adds nothing structural — the
+    * paper's hashed n-gram estimator.
+    */
+  def dsirBuckets(text: UTF8String, d: Int): Array[Int] = {
+    val toks = spaceTokens(text)
+    val n = toks.length
+    val out = new Array[Int](2 * n - 1)
+    var i = 0
+    while (i < n) {
+      out(i) = qualityBucket(toks(i), d)
+      if (i + 1 < n) out(n + i) = qualityBucket(toks(i) + " " + toks(i + 1), d)
+      i += 1
+    }
+    out
+  }
+
+  /** DSIR importance of one document under a trained [[DsirModel]] in
+    * ONE scan: struct(n_grams, w_sum) where w_sum = Σ over gram
+    * INSTANCES of the bucket weight (long adds — order-free, engine
+    * exact). The score is w_sum + n_grams · perGram in plain column
+    * arithmetic downstream.
+    */
+  def dsirScore(text: UTF8String, model: DsirModel)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val bs = dsirBuckets(text, model.numBuckets)
+    var s = 0L
+    var i = 0
+    while (i < bs.length) { s += model.weights(bs(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bs.length.toLong, s))
   }
 
   /** Distinct sorted feature buckets of one document for the quality

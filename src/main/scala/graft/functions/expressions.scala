@@ -397,6 +397,45 @@ case class QualityLrScoreExpr(child: Expression, model: QualityLrModel)
   override def prettyName: String = "graft_quality_lr_score"
 }
 
+/** All hashed DSIR gram buckets of a string column (multiset, doc
+  * order) → array<int>. Used by the trainer's distributed bucket-count
+  * aggregation; `d` is the bucket-space size.
+  */
+case class DsirBucketsExpr(child: Expression, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Kernels.dsirBuckets(input.asInstanceOf[UTF8String], d))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Kernels.dsirBuckets($c, $d))")
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dsir_buckets"
+}
+
+/** DSIR importance of a string column under a trained [[DsirModel]] →
+  * struct(n_grams, w_sum). Model-parameterized like
+  * [[QualityLrScoreExpr]].
+  */
+case class DsirScoreExpr(child: Expression, model: DsirModel)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("w_sum", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.dsirScore(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirModel", model, classOf[DsirModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dsirScore($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dsir_score"
+}
+
 /** True iff any of the text's n-gram hashes is in a trained
   * [[GramSetModel]] — one scan, early exit, no gram array materialized.
   * Model-parameterized like [[BpeCount]] (codegen reference object).

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics over edge frames — the host/page authority
+  * signals large web-corpus curation pipelines weight documents by
+  * (Common-Crawl-derived corpora rank hosts to pick crawl/keep budgets;
+  * see e.g. RefinedWeb, Penedo et al. 2023, and the original
+  * PageRank, Brin & Page 1998).
+  *
+  * Everything here is FIXED-POINT INTEGER arithmetic: ranks are scaled
+  * longs, per-edge shares use truncating `div`, and damping is a
+  * rational (dampNum/dampDen) applied with integer multiply-then-div.
+  * Summation is long addition (associative, order-free), so every engine
+  * replays the iteration bit-identically — the DuckDB oracle unrolls the
+  * same iterations as CTEs and must hash-match exactly, the same
+  * contract as the trained quality classifier
+  * (TextAnalysis.trainQualityClassifier).
+  *
+  * Scale posture (100 TB): the edge list is the big side — it is
+  * distincted once, degree-joined once, and persisted pre-partitioned on
+  * `src`; each iteration shuffles only the rank frame (O(nodes), narrow
+  * (long, long) rows) to the edge partitioning, then one groupBy(dst)
+  * with map-side partial sums. Per-round localCheckpoint (or reliable
+  * checkpoints under `checkpointDir`) truncates the linearly-growing
+  * iterative lineage, the Dedup.connectedComponents pattern.
+  */
+object Graph {
+
+  /** PageRank with fixed iteration count.
+    *
+    * Semantics (all integer):
+    *  - edges are `(src, dst)` pairs; duplicates collapse (distinct),
+    *    self-loops participate like any edge.
+    *  - nodes = distinct src ∪ dst; outdeg(u) = distinct out-neighbors.
+    *  - r_0(v) = `scale`.
+    *  - r_{k+1}(v) = base + (dampNum · Σ_{u→v} (r_k(u) div outdeg(u)))
+    *    div dampDen, with base = ((dampDen − dampNum) · scale) div
+    *    dampDen.
+    *  - dangling nodes (outdeg 0) contribute nothing: their mass leaks,
+    *    the standard simplification when ranks are used as a relative
+    *    keep-budget signal rather than a probability.
+    *
+    * Overflow bound: dampNum · N · scale must stay below 2^63 — at a
+    * billion nodes pass scale ≤ 10^8 (ranks keep 8 significant digits;
+    * the default 10^9 covers corpora to ~10^8 nodes).
+    *
+    * Returns `(node, rank_fp)`, rank in units of `scale`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
+    val spark = edges.sparkSession
+    val base = (dampDen - dampNum) * scale / dampDen
+
+    checkpointDir.foreach { dir =>
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    // Same materialization contract as Dedup.connectedComponents:
+    // localCheckpoint for single-process speed, reliable checkpoint files
+    // for executor-loss tolerance on real clusters.
+    var pendingCaches: List[DataFrame] = Nil
+    def materialize(plan: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        val cached = persistIf(plan)
+        if (persistLevel != StorageLevel.NONE) pendingCaches ::= cached
+        cached.checkpoint(eager = false)
+      } else if (persistLevel == StorageLevel.NONE) plan
+      else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
+    def releaseCheckpointedCaches(): Unit = {
+      pendingCaches.foreach(_.unpersist())
+      pendingCaches = Nil
+    }
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    // (src, dst, outdeg), pre-partitioned on the per-round join key so
+    // the big side never reshuffles after the first materialization
+    val edgeDeg = persistIf(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(col("src")))
+    val nodes = persistIf(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+
+    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    try {
+      var k = 0
+      while (k < iters) {
+        val contribs = edgeDeg
+          .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+          .select(col("dst").as("node"),
+            expr("rank_fp div outdeg").as("share"))
+          .groupBy("node")
+          .agg(sum(col("share")).as("s"))
+        val next = materialize(
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + expr(
+                s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
+                .as("rank_fp")))
+        // one cheap action per round: writes the checkpoint (reliable
+        // path) / stores the blocks (local path), then the superseded
+        // round's cache can go
+        next.count()
+        releaseCheckpointedCaches()
+        ranks = next
+        k += 1
+      }
+      ranks
+    } finally {
+      releaseCheckpointedCaches()
+      if (persistLevel != StorageLevel.NONE) { edgeDeg.unpersist(); nodes.unpersist() }
+    }
+  }
+
+  /** Degree summary of an edge frame — in/out degree per node in one
+    * pass over the distinct edge list (the quick structural profile run
+    * before committing to an iterative job: degree skew here predicts
+    * PageRank shuffle skew).
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -475,6 +475,78 @@ object TextAnalysis {
       .withColumn("pred_pass", col("margin") > lit(model.scale / 2))
       .drop("__q")
 
+  /** Train a DSIR importance model (Data Selection via Importance
+    * Resampling, Xie et al. NeurIPS 2023): hashed unigram+bigram bag
+    * counts of a TARGET corpus (what good data looks like) and of the
+    * RAW corpus (what's available), add-one smoothed, reduced to one
+    * integer weight per bucket via [[graft.functions.Kernels.ilog2Fp]]
+    * (fixed-point log2 — square-and-normalize digit recurrence, no
+    * float anywhere) so scoring is pure long addition and any engine
+    * replays weights AND scores bit-identically.
+    *
+    * Scale posture: each corpus is ONE map-side gram-explode +
+    * groupBy(bucket) — the shuffle is bounded by `numBuckets` (4096
+    * default) regardless of corpus size; only the d-row count tables
+    * are collected (the bounded trained-model contract, like
+    * [[trainQualityClassifier]]).
+    */
+  def trainDsir(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int = 4096): graft.functions.DsirModel = {
+    def bucketCounts(df: DataFrame): (Array[Long], Long) = {
+      val rows = df
+        .filter(col(textCol).isNotNull)
+        .select(explode(GraftFunctions.dsirBuckets(
+          df.sparkSession, col(textCol), numBuckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+      val counts = new Array[Long](numBuckets)
+      var total = 0L
+      rows.foreach { r =>
+        val c = r.getLong(1)
+        counts(r.getInt(0)) = c
+        total += c
+      }
+      (counts, total)
+    }
+    val (ct, nt) = bucketCounts(target)
+    val (cr, nr) = bucketCounts(raw)
+    val ilog = graft.functions.Kernels.ilog2Fp _
+    val w = Array.tabulate(numBuckets)(b => ilog(ct(b) + 1) - ilog(cr(b) + 1))
+    new graft.functions.DsirModel(w, numBuckets,
+      ilog(nr + numBuckets) - ilog(nt + numBuckets))
+  }
+
+  /** Score every document's DSIR importance under a trained
+    * [[trainDsir]] model: ONE codegen kernel scan, zero shuffle.
+    * Appends n_grams and dsir_score = Σ_g [log2 p̂_target(g) − log2
+    * p̂_raw(g)] in 2^-20 fixed point — positive means "more like the
+    * target corpus than the raw pool". NULL text scores 0 grams / 0
+    * (the [[lmFluency]] NULL contract).
+    */
+  def dsirScore(df: DataFrame, textCol: String,
+      model: graft.functions.DsirModel): DataFrame =
+    df.withColumn("__d",
+        GraftFunctions.dsirScore(df.sparkSession, col(textCol), model))
+      .withColumn("n_grams", coalesce(col("__d.n_grams"), lit(0L)))
+      .withColumn("dsir_score",
+        coalesce(col("__d.w_sum"), lit(0L)) +
+          col("n_grams") * lit(model.perGram))
+      .drop("__d")
+
+  /** DSIR selection: the `k` documents whose importance is highest,
+    * deterministic tie-break by id — the top-k importance-selection
+    * variant (the paper's sampled variant trades determinism for
+    * diversity; at warehouse scale the ranking is the reusable
+    * artifact, and a seeded Gumbel draw can ride on top). TakeOrdered
+    * plan: per-partition top-k, k × partitions rows to the driver-side
+    * merge, never a global sort.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.DsirModel, k: Int): DataFrame =
+    dsirScore(df, textCol, model)
+      .orderBy(col("dsir_score").desc, col(idCol).asc)
+      .limit(k)
+
   /** Bigram-LM fluency per document under a trained [[trainLmModel]]
     * model: mean next-word relative frequency c(w1,w2)/c(w1) over
     * in-vocabulary adjacent pairs — ONE kernel scan, zero shuffle (the

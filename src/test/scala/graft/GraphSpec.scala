@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  /** Local reference replay of the fixed-point recurrence — the same
+    * integer semantics the operator and the DuckDB oracle implement.
+    */
+  private def refPageRank(pairs: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val e = pairs.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (dampDen - dampNum) * scale / dampDen
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(n => n -> (base + dampNum * in.getOrElse(n, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  test("3-cycle is a fixed point: every rank stays exactly at scale") {
+    val out = Graph.pageRank(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), "src", "dst",
+        iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+  }
+
+  test("star with dangling center matches the hand-computed recurrence") {
+    // 2→1 and 3→1; node 1 is dangling (outdeg 0) so its mass leaks.
+    // iter1: r(1) = base + 85*(1e9 + 1e9)/100 = 0.15e9 + 1.7e9;
+    //        r(2) = r(3) = base (no in-edges)
+    val out = Graph.pageRank(edges(2L -> 1L, 3L -> 1L), "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 150000000L + 85L * 2000000000L / 100L)
+    assert(out(2L) == 150000000L && out(3L) == 150000000L)
+  }
+
+  test("operator matches the local reference replay on a skewed random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)((rnd.nextInt(40).toLong,
+      // skew: half the edges point into a 4-node hub set
+      if (rnd.nextBoolean()) rnd.nextInt(4).toLong else rnd.nextInt(40).toLong))
+    val expected = refPageRank(pairs, iters = 6)
+    val out = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+  }
+
+  test("duplicate edges collapse: ranks are multiplicity-invariant") {
+    val once = Graph.pageRank(edges(1L -> 2L, 2L -> 1L, 1L -> 3L), "src", "dst",
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = Graph.pageRank(
+        edges(1L -> 2L, 1L -> 2L, 2L -> 1L, 1L -> 3L, 1L -> 3L, 1L -> 3L),
+        "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == dup)
+  }
+
+  test("total mass is conserved up to truncation and dangling leak") {
+    // no dangling nodes -> mass can only shrink via the two truncating
+    // divisions; it must stay within N * (outdeg_max + dampDen) of N*scale
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 3L -> 2L)
+    val out = Graph.pageRank(edges(pairs: _*), "src", "dst", iters = 10)
+      .collect().map(_.getLong(1))
+    val total = out.sum
+    assert(total <= 3L * 1000000000L)
+    assert(total > 3L * 1000000000L - 3L * 100L * 10L)
+  }
+
+  test("degrees counts distinct in/out neighbors with zero-fill") {
+    val d = Graph.degrees(edges(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 3L),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
+  }
+
+  test("trade-graph query runs end-to-end and ranks hubs above leaves") {
+    val pr = SparkEntry.queries("q_pagerank")(spark, sfDir)
+    val rows = pr.collect()
+    assert(rows.length > 100)
+    // suppliers (node >= 1e6) have far higher in-degree than customers in
+    // the bipartite trade graph — their mean rank must dominate
+    val (supp, cust) = rows.partition(_.getLong(0) >= 1000000L)
+    val meanSupp = supp.map(_.getLong(1)).sum / supp.length
+    val meanCust = cust.map(_.getLong(1)).sum / cust.length
+    assert(meanSupp > 2 * meanCust,
+      s"supplier mean rank $meanSupp vs customer $meanCust")
+  }
+}

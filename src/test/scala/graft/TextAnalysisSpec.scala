@@ -487,4 +487,56 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // highest-lift survivor only
     assert(got.length === 1 && got.head._3 >= 2L)
   }
+
+  test("ilog2Fp: exact at powers of two, monotone, within 2^-20 of log2") {
+    import graft.functions.Kernels.ilog2Fp
+    assert(ilog2Fp(1L) === 0L)
+    (0 to 40).foreach(e => assert(ilog2Fp(1L << e) === e.toLong << 20))
+    val vals = Seq(2L, 3L, 7L, 100L, 12345L, 1000003L, (1L << 40) + 9999L)
+    vals.foreach { n =>
+      val fp = ilog2Fp(n).toDouble / (1 << 20)
+      val exact = math.log(n.toDouble) / math.log(2.0)
+      assert(math.abs(fp - exact) < 2.0 / (1 << 20) + 1e-9,
+        s"ilog2Fp($n) = $fp vs log2 = $exact")
+    }
+    vals.sliding(2).foreach { case Seq(a, b) =>
+      assert(ilog2Fp(a) < ilog2Fp(b))
+    }
+  }
+
+  test("dsirScore favors target-like docs; NULL text scores 0") {
+    // target corpus is all-'alpha' docs; raw mixes alpha and beta —
+    // an alpha doc must outscore a beta doc under the trained weights
+    val target = Seq.tabulate(8)(i => (i.toLong, "alpha alpha common"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(8)(i => (i.toLong, "alpha alpha common")) ++
+      Seq.tabulate(8)(i => (100L + i, "beta beta common")) :+
+      ((200L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val model = TextAnalysis.trainDsir(target, raw, "text")
+    val scored = TextAnalysis.dsirScore(raw, "text", model)
+      .select("doc_id", "n_grams", "dsir_score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scored(0L)._2 > scored(100L)._2)
+    assert(scored(200L) === ((0L, 0L)))
+    // kernel vs local replay: weights are pure ilog2Fp differences, the
+    // doc score a plain sum over gram instances
+    val m = model
+    val buckets = graft.functions.Kernels.dsirBuckets(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha alpha common"),
+      m.numBuckets)
+    val expected = buckets.map(b => m.weights(b)).sum + buckets.length * m.perGram
+    assert(scored(0L)._2 === expected)
+    assert(scored(0L)._1 === buckets.length.toLong)
+  }
+
+  test("dsirSelect returns exactly k docs ranked (score desc, id asc)") {
+    val target = Seq.tabulate(4)(i => (i.toLong, "x y z")).toDF("doc_id", "text")
+    val raw = (Seq.tabulate(6)(i => (i.toLong, "x y z")) ++
+      Seq.tabulate(6)(i => (50L + i, "q r s"))).toDF("doc_id", "text")
+    val model = TextAnalysis.trainDsir(target, raw, "text")
+    val sel = TextAnalysis.dsirSelect(raw, "doc_id", "text", model, 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // the 6 target-like docs win, in id order within the tied score
+    assert(sel === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
 }
