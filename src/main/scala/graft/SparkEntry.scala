@@ -2733,6 +2733,40 @@ object SparkEntry {
       .select(col("doc_id"), col("n_grams"), col("dsir_score"))
   }
 
+  /** Numeric distribution drift (SURVEY row 22c): o_totalprice of
+    * finished ('F') vs open ('O') orders on a fixed 10-bin [0, 600000)
+    * grid — per-bin smoothed counts and the fixed-point PSI₂ term
+    * (ilog2Fp — no libm ln anywhere, so the oracle replays every term
+    * bit-exactly; [[operators.Stats.driftNumeric]]).
+    */
+  private def qDriftNumeric(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    operators.Stats.driftNumeric(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"),
+      "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 10)
+  }
+
+  /** Categorical distribution drift (SURVEY row 22c) of o_orderpriority
+    * between finished and open orders ([[operators.Stats.driftCategorical]]).
+    */
+  private def qDriftCategorical(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    operators.Stats.driftCategorical(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"),
+      "o_orderpriority")
+  }
+
+  /** k-anonymity audit (SURVEY row 22d): customers under the
+    * (c_nationkey, c_mktsegment) quasi-identifier at k=5 — class and
+    * record counts, risky subsets, achieved k
+    * ([[operators.Stats.kAnonymity]]).
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.kAnonymity(wh(s, dir).loadTable("customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2890,7 +2924,10 @@ object SparkEntry {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_pagerank" -> (qPagerank _),
     "q_graph_degrees" -> (qGraphDegrees _),
-    "q_dsir" -> (qDsir _)
+    "q_dsir" -> (qDsir _),
+    "q_drift_numeric" -> (qDriftNumeric _),
+    "q_drift_categorical" -> (qDriftCategorical _),
+    "q_k_anonymity" -> (qKAnonymity _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4754,30 +4791,96 @@ object SparkEntry {
         | coalesce(i.in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
-    "q_dsir" -> dsirOracleSql
+    "q_dsir" -> dsirOracleSql,
+    "q_drift_numeric" -> driftNumericOracleSql,
+    "q_drift_categorical" -> driftCategoricalOracleSql,
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        | SELECT c_nationkey, c_mktsegment, count(*) AS cs
+        | FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        | CAST(SUM(cs) AS BIGINT) AS n_records,
+        | CAST(SUM(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+        | CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS n_risky_records,
+        | CAST(MIN(cs) AS BIGINT) AS achieved_k
+        |FROM cls""".stripMargin
   )
+
+  /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`
+    * CTE (smoothed per-bin counts), totals as BIGINT scalars, then the
+    * PSI₂ term with [[ilogSql]] fixed-point logs and one truncating
+    * HUGEINT division — the Spark side's decimal `div` on the same
+    * non-negative integers.
+    */
+  private def driftPsiSelect(keyCol: String): String =
+    s"""t AS (SELECT j.*,
+       |  CAST((SELECT SUM(n_a) FROM j) AS BIGINT) AS na,
+       |  CAST((SELECT SUM(n_b) FROM j) AS BIGINT) AS nb FROM j)
+       |SELECT $keyCol, n_a, n_b,
+       | CAST((CAST(n_a * nb - n_b * na AS HUGEINT) *
+       |   (${ilogSql("(n_a * nb)")} - ${ilogSql("(n_b * na)")}) * 1000000000)
+       |  // (CAST(na AS HUGEINT) * nb * 1048576) AS BIGINT) AS psi2_e9
+       |FROM t ORDER BY $keyCol""".stripMargin
+
+  private val driftNumericOracleSql: String =
+    s"""WITH a0 AS (
+       | SELECT least(9, greatest(0, CAST(floor(
+       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0) AS INTEGER))) AS bin
+       | FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+       |b0 AS (
+       | SELECT least(9, greatest(0, CAST(floor(
+       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0) AS INTEGER))) AS bin
+       | FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
+       |ca AS (SELECT bin, count(*) AS c FROM a0 GROUP BY bin),
+       |cb AS (SELECT bin, count(*) AS c FROM b0 GROUP BY bin),
+       |j AS (
+       | SELECT g.bin, coalesce(ca.c, 0) + 1 AS n_a, coalesce(cb.c, 0) + 1 AS n_b
+       | FROM generate_series(0, 9) AS g(bin)
+       | LEFT JOIN ca ON ca.bin = g.bin LEFT JOIN cb ON cb.bin = g.bin),
+       |${driftPsiSelect("bin")}""".stripMargin
+
+  private val driftCategoricalOracleSql: String =
+    s"""WITH ca AS (
+       | SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS c
+       | FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority IS NOT NULL
+       | GROUP BY 1),
+       |cb AS (
+       | SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS c
+       | FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority IS NOT NULL
+       | GROUP BY 1),
+       |j AS (
+       | SELECT coalesce(ca.value, cb.value) AS value,
+       |  coalesce(ca.c, 0) + 1 AS n_a, coalesce(cb.c, 0) + 1 AS n_b
+       | FROM ca FULL JOIN cb ON ca.value = cb.value),
+       |${driftPsiSelect("value")}""".stripMargin
 
   /** The 20-step [[graft.functions.Kernels.ilog2Fp]] square-and-
     * normalize recurrence as a DuckDB expression over a BIGINT operand
     * `v` (≥ 1): exponent from the bin-string length (the classifier
     * oracle's floor-log2 trick), mantissa normalized into Q30, then 20
-    * squarings via list_reduce with the prepend-the-init accumulator
-    * pattern — every op integer, so the fixed-point log matches the
-    * Scala kernel bit-for-bit.
+    * squarings via list_reduce with the prepend-the-init SCALAR
+    * accumulator pattern — (mantissa, result) packed into one BIGINT
+    * (mantissa · 2^27 | acc; mantissa < 2^31, acc < 2^27, packed < 2^58,
+    * squares < 2^62 — nothing overflows). A struct-typed accumulator
+    * would be the natural shape, but DuckDB's struct list_reduce
+    * mis-evaluates under vectorized execution (observed nondeterminism);
+    * the scalar form is the same proven pattern the classifier oracle
+    * uses. Every op integer, so the fixed-point log matches the Scala
+    * kernel bit-for-bit.
     */
   private def ilogSql(v: String): String = {
     val e = s"(length(bin($v)) - 1)"
+    val x0 = s"(CASE WHEN $e <= 30 THEN $v << (30 - $e) ELSE $v >> ($e - 30) END)"
+    // within the lambda: mantissa = a >> 27, acc = a & (2^27 - 1);
+    // nx = (mantissa^2) >> 30, appears inline (no struct, no nesting)
+    val nx = "(((a >> 27) * (a >> 27)) >> 30)"
     s"""(list_reduce(list_prepend(
-       |  {'x': CASE WHEN $e <= 30 THEN $v << (30 - $e) ELSE $v >> ($e - 30) END,
-       |   'a': CAST($e AS BIGINT) * 1048576, 'i': CAST(0 AS BIGINT)},
-       |  list_transform(generate_series(1, 20),
-       |    j -> {'x': CAST(0 AS BIGINT), 'a': CAST(0 AS BIGINT), 'i': CAST(j AS BIGINT)})),
-       |  (s, el) -> CASE WHEN ((s.x * s.x) >> 30) >= 2147483648
-       |    THEN {'x': ((s.x * s.x) >> 30) >> 1,
-       |          'a': s.a | (CAST(1 AS BIGINT) << CAST(20 - el.i AS INTEGER)),
-       |          'i': CAST(0 AS BIGINT)}
-       |    ELSE {'x': (s.x * s.x) >> 30, 'a': s.a, 'i': CAST(0 AS BIGINT)}
-       |  END)).a""".stripMargin
+       |  ($x0 << 27) | (CAST($e AS BIGINT) * 1048576),
+       |  list_transform(generate_series(1, 20), j -> CAST(j AS BIGINT))),
+       |  (a, j) -> CASE WHEN $nx >= 2147483648
+       |    THEN (($nx >> 1) << 27) | ((a & 134217727) | (CAST(1 AS BIGINT) << CAST(20 - j AS INTEGER)))
+       |    ELSE ($nx << 27) | (a & 134217727)
+       |  END) & 134217727)""".stripMargin
   }
 
   /** DuckDB replay of the whole DSIR pipeline

@@ -305,6 +305,17 @@ object GraftFunctions {
   private val dsirNames = new java.util.IdentityHashMap[DsirModel, String]()
   private val dsirCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Fixed-point log2 of a positive bigint column ([[Kernels.ilog2Fp]]
+    * as a codegen scalar) — registered once per session under a fixed
+    * name like the other kernel functions.
+    */
+  def ilog2FpCol(spark: SparkSession, n: Column): Column = {
+    val name = "graft_ilog2_fp"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => Ilog2Fp(args.head), "scala_udf")
+    call_function(name, n)
+  }
+
   /** PQ byte codes of a float-vector column under a trained [[PqModel]] —
     * model-parameterized registration exactly like [[bpeCount]] (same
     * uniqueness and lifetime caveats).

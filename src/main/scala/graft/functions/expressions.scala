@@ -416,6 +416,21 @@ case class DsirBucketsExpr(child: Expression, d: Int)
   override def prettyName: String = "graft_dsir_buckets"
 }
 
+/** Fixed-point log2 of a positive BIGINT column —
+  * [[Kernels.ilog2Fp]] as a codegen scalar (20 fraction bits, pure
+  * integer recurrence, engine-replayable). Input must be ≥ 1.
+  */
+case class Ilog2Fp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.ilog2Fp(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ilog2Fp($c)")
+  override protected def withNewChildInternal(newChild: Expression): Ilog2Fp =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ilog2_fp"
+}
+
 /** DSIR importance of a string column under a trained [[DsirModel]] →
   * struct(n_grams, w_sum). Model-parameterized like
   * [[QualityLrScoreExpr]].

@@ -165,4 +165,141 @@ object Stats {
         percentile_approx(v, lit(0.5), lit(10000)).as("p50"),
         percentile_approx(v, lit(0.95), lit(10000)).as("p95"))
   }
+
+  // ---- distribution drift ----------------------------------------------
+
+  /** Fixed-point PSI term from the four per-bin integers — shared by the
+    * numeric and categorical drift forms so the two cannot diverge.
+    * Population Stability Index per bin, in LOG2 units (PSI₂ = PSI /
+    * ln 2) and e9 fixed point:
+    *
+    *   psi2_e9 = (pa − pb) · log2(pa / pb) · 10^9
+    *           = (ca·Nb − cb·Na) · (ilog2Fp(ca·Nb) − ilog2Fp(cb·Na))
+    *             · 10^9 / (Na · Nb · 2^20)
+    *
+    * with add-one smoothed counts (ca, cb ≥ 1 — the standard empty-bin
+    * guard, which also keeps the log total). Every operation is integer
+    * (the wide products ride in decimal(38,0), the BM25 precedent), so
+    * any engine replays each term — and the integer-summable total —
+    * bit-identically. No transcendental libm call anywhere: cross-engine
+    * `ln` is NOT bit-stable, `Kernels.ilog2Fp` is.
+    */
+  /** Appends the term to a frame already carrying n_a/n_b/__na/__nb
+    * columns. `div` (Spark's truncating integral division on decimals =
+    * DuckDB `//` on HUGEINT for these non-negative terms — the
+    * skewProfile precedent); the term is mathematically ≥ 0 because
+    * (pa − pb) and log(pa/pb) always share a sign, so truncation ==
+    * floor in both engines. Domain bound: Na·Nb must stay below 2^62
+    * (counts to ~1.5e9 a side — drift-compare daily partitions, not raw
+    * century-scale tables).
+    */
+  private def withPsi2E9(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val x = col("n_a") * col("__nb")
+    val y = col("n_b") * col("__na")
+    df
+      .withColumn("__x", x)
+      .withColumn("__y", y)
+      .withColumn("__dl", graft.functions.GraftFunctions.ilog2FpCol(spark, col("__x")) -
+        graft.functions.GraftFunctions.ilog2FpCol(spark, col("__y")))
+      .withColumn("psi2_e9", expr(
+        "CAST((CAST(__x - __y AS decimal(38,0)) * __dl * 1000000000) div " +
+          "(CAST(__na AS decimal(38,0)) * __nb * 1048576) AS long)"))
+      .drop("__x", "__y", "__dl", "__na", "__nb")
+  }
+
+  /** Numeric distribution drift between two snapshots: both sides binned
+    * on the SAME fixed [lo, hi] × nBins grid (out-of-range values clamp
+    * into the edge bins — the PSI bucketing convention; the grid is a
+    * declared contract, not data-derived, so re-runs and engines agree),
+    * then one per-bin PSI₂ term from the smoothed counts. Total drift =
+    * SUM(psi2_e9) — a plain integer sum; ≥ 0.25·e9-ish in ln units
+    * (≈ 0.36·e9 in log2) is the usual "investigate" bar.
+    *
+    * Plan shape: one scan + one nBins-row groupBy per side, a broadcast
+    * join of two ≤ nBins-row frames — nothing data-sized shuffles.
+    */
+  def driftNumeric(before: DataFrame, after: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"need nBins >= 2 and hi > lo")
+    def binned(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(lit(nBins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins)
+          / lit(hi - lo)).cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val a = binned(before).select(col("bin"), col("c").as("raw_a"))
+    val b = binned(after).select(col("bin"), col("c").as("raw_b"))
+    val spark = before.sparkSession
+    import spark.implicits._
+    val bins = spark.createDataset(0 until nBins).toDF("bin")
+    val joined = bins
+      .join(broadcast(a), Seq("bin"), "left")
+      .join(broadcast(b), Seq("bin"), "left")
+      .select(col("bin"),
+        (coalesce(col("raw_a"), lit(0L)) + 1L).as("n_a"),
+        (coalesce(col("raw_b"), lit(0L)) + 1L).as("n_b"))
+      .withColumn("__na", sum(col("n_a")).over())
+      .withColumn("__nb", sum(col("n_b")).over())
+    withPsi2E9(joined)
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi2_e9"))
+      .orderBy("bin")
+  }
+
+  /** Categorical distribution drift between two snapshots: per-value
+    * smoothed counts over the union of observed values, same PSI₂ term
+    * as [[driftNumeric]]. Value cardinality is the caller's contract
+    * (priorities, statuses, langs — enumerable domains); for unbounded
+    * domains bucket first ([[heavyHitters]] tells you which values
+    * matter).
+    */
+  def driftCategorical(before: DataFrame, after: DataFrame,
+      valueCol: String): DataFrame = {
+    def counted(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("c"))
+    val a = counted(before).select(col("value"), col("c").as("raw_a"))
+    val b = counted(after).select(col("value"), col("c").as("raw_b"))
+    val joined = a.join(b, Seq("value"), "full")
+      .select(col("value"),
+        (coalesce(col("raw_a"), lit(0L)) + 1L).as("n_a"),
+        (coalesce(col("raw_b"), lit(0L)) + 1L).as("n_b"))
+      .withColumn("__na", sum(col("n_a")).over())
+      .withColumn("__nb", sum(col("n_b")).over())
+    withPsi2E9(joined)
+      .select(col("value"), col("n_a"), col("n_b"), col("psi2_e9"))
+      .orderBy("value")
+  }
+
+  // ---- k-anonymity ------------------------------------------------------
+
+  /** Per-equivalence-class k-anonymity detail: one row per distinct
+    * quasi-identifier combination with its class size and risk flag
+    * (size < k ⇒ the combination re-identifies to fewer than k people —
+    * Sweeney 2002). One groupBy on the quasi columns; at 100 TB that is
+    * one partial-aggregated shuffle bounded by the number of DISTINCT
+    * combinations, not rows.
+    */
+  def kAnonymityClasses(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("risky", col("class_size") < k)
+  }
+
+  /** k-anonymity audit summary: class count, record count, risky class /
+    * record counts, and the achieved k (the smallest class size — the
+    * dataset IS min_class_size-anonymous). One extra bounded aggregate
+    * over [[kAnonymityClasses]].
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    kAnonymityClasses(df, quasiCols, k)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_records"),
+        sum(when(col("risky"), 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("risky"), col("class_size")).otherwise(0L)).cast("long")
+          .as("n_risky_records"),
+        min(col("class_size")).as("achieved_k"))
 }

@@ -180,4 +180,74 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getDouble(row.fieldIndex("p95")) <= row.getDouble(row.fieldIndex("max")))
     }
   }
+
+  /** Local replay of the fixed-point PSI₂ term — the exact integer
+    * formula both the operator and the DuckDB oracle implement.
+    */
+  private def psiTerm(ca: Long, cb: Long, na: Long, nb: Long): Long = {
+    import graft.functions.Kernels.ilog2Fp
+    val x = ca * nb; val y = cb * na
+    val num = BigInt(x - y) * BigInt(ilog2Fp(x) - ilog2Fp(y)) * BigInt(1000000000L)
+    (num / (BigInt(na) * BigInt(nb) * BigInt(1048576L))).toLong
+  }
+
+  test("driftCategorical: exact fixed-point terms, smoothing, full domain") {
+    import spark.implicits._
+    val before = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("v")
+    val after = (Seq.fill(19)("a") :+ "c").toDF("v")
+    val got = Stats.driftCategorical(before, after, "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // smoothed: a=(11,20) b=(11,1) c=(1,2); totals na=23 nb=23
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got("a") === ((11L, 20L, psiTerm(11, 20, 23, 23))))
+    assert(got("b") === ((11L, 1L, psiTerm(11, 1, 23, 23))))
+    assert(got("c") === ((1L, 2L, psiTerm(1, 2, 23, 23))))
+    // every PSI term is non-negative by construction
+    got.values.foreach { case (_, _, t) => assert(t >= 0L) }
+  }
+
+  test("driftNumeric: identical snapshots give all-zero terms; shift registers") {
+    import spark.implicits._
+    val base = (1 to 100).map(_.toDouble).toDF("x")
+    val same = Stats.driftNumeric(base, base, "x", 0.0, 100.0, nBins = 5)
+      .collect()
+    assert(same.length === 5)
+    same.foreach(r => assert(r.getLong(3) === 0L))
+    val shifted = (1 to 100).map(i => i.toDouble + 60.0).toDF("x")
+    val drift = Stats.driftNumeric(base, shifted, "x", 0.0, 100.0, nBins = 5)
+      .collect().map(_.getLong(3)).sum
+    assert(drift > 100000000L, s"expected large PSI, got $drift")
+  }
+
+  test("driftNumeric clamps out-of-range values into the edge bins") {
+    import spark.implicits._
+    val before = Seq(-5.0, 0.5, 1.5, 99.0).toDF("x")
+    val after = Seq(250.0, 250.0).toDF("x")
+    val got = Stats.driftNumeric(before, after, "x", 0.0, 100.0, nBins = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // before: -5 and 0.5 and 1.5 clamp/fall to bin 0, 99 to bin 3;
+    // after: both 250s clamp to bin 3; +1 smoothing everywhere
+    assert(got(0) === ((4L, 1L)))
+    assert(got(1) === ((1L, 1L)))
+    assert(got(2) === ((1L, 1L)))
+    assert(got(3) === ((2L, 3L)))
+  }
+
+  test("kAnonymity: classes, summary, and the achieved-k contract") {
+    import spark.implicits._
+    val df = Seq(
+      (30, "m", 1L), (30, "m", 2L), (30, "m", 3L),
+      (40, "f", 4L), (40, "f", 5L),
+      (50, "x", 6L)).toDF("age", "g", "id")
+    val classes = Stats.kAnonymityClasses(df, Seq("age", "g"), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(classes((30, "m")) === ((3L, false)))
+    assert(classes((40, "f")) === ((2L, true)))
+    assert(classes((50, "x")) === ((1L, true)))
+    val s = Stats.kAnonymity(df, Seq("age", "g"), 3).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+      === ((3L, 6L, 2L, 3L, 1L)))
+  }
 }
