@@ -2758,6 +2758,32 @@ object SparkEntry {
       "o_orderpriority")
   }
 
+  /** Incremental drift contract (SURVEY row 22c-s): the baseline
+    * histogram persists as a warehouse table — two per-slice histograms
+    * merged through [[operators.Stats.updateHistogramStore]] (exact
+    * count addition, the store pattern for distributions) — reloads,
+    * and the drift of the open orders against the RELOADED store must
+    * equal [[operators.Stats.driftNumeric]] over the raw frames: the
+    * oracle is q_drift_numeric's, so any store/merge/reload drift goes
+    * red.
+    */
+  private def qDriftStore(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    val f = o.filter(col("o_orderstatus") === "F")
+    def hist(df: DataFrame) =
+      operators.Stats.histogramStore(df, "o_totalprice", 0.0, 600000.0, 10)
+    val outDir = scratch("driftstore", dir)
+    val w = Warehouse(s, outDir)
+    w.saveTable(
+      operators.Stats.updateHistogramStore(
+        hist(f.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+        hist(f.filter(pmod(col("o_orderkey"), lit(2)) === 1))),
+      outDir, "baseline_hist")
+    operators.Stats.driftAgainstStore(
+      w.loadTable("baseline_hist"),
+      hist(o.filter(col("o_orderstatus") === "O")), nBins = 10)
+  }
+
   /** k-anonymity audit (SURVEY row 22d): customers under the
     * (c_nationkey, c_mktsegment) quasi-identifier at k=5 — class and
     * record counts, risky subsets, achieved k
@@ -2927,6 +2953,7 @@ object SparkEntry {
     "q_dsir" -> (qDsir _),
     "q_drift_numeric" -> (qDriftNumeric _),
     "q_drift_categorical" -> (qDriftCategorical _),
+    "q_drift_store" -> (qDriftStore _),
     "q_k_anonymity" -> (qKAnonymity _)
   )
 
@@ -4794,6 +4821,7 @@ object SparkEntry {
     "q_dsir" -> dsirOracleSql,
     "q_drift_numeric" -> driftNumericOracleSql,
     "q_drift_categorical" -> driftCategoricalOracleSql,
+    "q_drift_store" -> driftNumericOracleSql,
     "q_k_anonymity" ->
       """WITH cls AS (
         | SELECT c_nationkey, c_mktsegment, count(*) AS cs

@@ -111,6 +111,31 @@ object ModelStore {
     new QualityLrModel(rows.map(_.getLong(1)), rows.length, rows.head.getLong(2))
   }
 
+  // ---- DSIR importance model -------------------------------------------
+
+  /** Save a trained DSIR model as rows (bucket INT, weight BIGINT,
+    * per_gram BIGINT) — per_gram repeats per row, the
+    * [[saveQualityModel]] constant-column convention.
+    */
+  def saveDsirModel(wh: Warehouse, outDir: String, table: String,
+      model: graft.functions.DsirModel): Unit = {
+    val spark = wh.spark
+    import spark.implicits._
+    wh.saveTable(
+      model.weights.zipWithIndex.map { case (w, b) => (b, w, model.perGram) }
+        .toSeq.toDF("bucket", "weight", "per_gram"),
+      outDir, table)
+  }
+
+  /** Rebuild the DSIR model (bit-identical integer weights). */
+  def loadDsirModel(wh: Warehouse, table: String): graft.functions.DsirModel = {
+    val rows = wh.loadTable(table).orderBy("bucket")
+      .select("bucket", "weight", "per_gram").collect()
+    require(rows.nonEmpty, s"empty DSIR model table: $table")
+    new graft.functions.DsirModel(rows.map(_.getLong(1)), rows.length,
+      rows.head.getLong(2))
+  }
+
   // ---- BPE merge table -------------------------------------------------
 
   /** Save a BPE model as rows (merge_key BIGINT, rank INT) — sortedKeys

@@ -220,17 +220,55 @@ object Stats {
     * join of two ≤ nBins-row frames — nothing data-sized shuffles.
     */
   def driftNumeric(before: DataFrame, after: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame =
+    driftFromCounts(
+      histogramStore(before, valueCol, lo, hi, nBins),
+      histogramStore(after, valueCol, lo, hi, nBins), nBins)
+
+  /** Fixed-grid histogram of a numeric column as a (bin, n) FRAME — the
+    * persistable form of [[driftNumeric]]'s binning (same grid contract,
+    * same edge-clamping). Histograms on a shared grid are trivially
+    * MERGEABLE (counts add), so the store pattern applies: persist one
+    * per day/partition through the Warehouse, roll up with
+    * [[updateHistogramStore]], and compare any two ranges later with
+    * [[driftAgainstStore]] — drift over any window without rescanning
+    * raw history (the 39c signature-store pattern for distributions).
+    */
+  def histogramStore(df: DataFrame, valueCol: String,
       lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
     require(nBins >= 2 && hi > lo, s"need nBins >= 2 and hi > lo")
-    def binned(df: DataFrame) = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(least(lit(nBins - 1), greatest(lit(0),
         floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins)
           / lit(hi - lo)).cast("int"))).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("c"))
-    val a = binned(before).select(col("bin"), col("c").as("raw_a"))
-    val b = binned(after).select(col("bin"), col("c").as("raw_b"))
-    val spark = before.sparkSession
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge a new batch's histogram into a persisted store frame: counts
+    * add per bin (exact mergeability — no error term, unlike sketch
+    * stores). Both sides must share the grid contract.
+    */
+  def updateHistogramStore(store: DataFrame, batch: DataFrame): DataFrame =
+    store.select(col("bin"), col("n"))
+      .unionByName(batch.select(col("bin"), col("n")))
+      .groupBy("bin").agg(sum(col("n")).cast("long").as("n"))
+
+  /** Drift of a fresh batch histogram against a persisted baseline
+    * store — [[driftNumeric]] with the baseline side already reduced to
+    * counts, so the raw baseline data is never rescanned.
+    */
+  def driftAgainstStore(store: DataFrame, batch: DataFrame,
+      nBins: Int): DataFrame =
+    driftFromCounts(store, batch, nBins)
+
+  /** Shared drift tail over two (bin, n) count frames: enumerate the
+    * full grid, smooth, one PSI₂ term per bin.
+    */
+  private def driftFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+      nBins: Int): DataFrame = {
+    val a = aCounts.select(col("bin"), col("n").as("raw_a"))
+    val b = bCounts.select(col("bin"), col("n").as("raw_b"))
+    val spark = aCounts.sparkSession
     import spark.implicits._
     val bins = spark.createDataset(0 until nBins).toDF("bin")
     val joined = bins

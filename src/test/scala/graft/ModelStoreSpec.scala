@@ -117,6 +117,21 @@ class ModelStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(decon(gs2) === decon(gs))
   }
 
+  test("DSIR model round-trips bit-identically and scores match") {
+    val docs = wh.loadTable("documents").limit(300)
+    val m = TextAnalysis.trainDsir(
+      docs.filter(col("lang") === "en"), docs, "text")
+    ModelStore.saveDsirModel(wh, outDir, "dsir_m", m)
+    val m2 = ModelStore.loadDsirModel(mw, "dsir_m")
+    assert(java.util.Arrays.equals(m2.weights, m.weights))
+    assert((m2.numBuckets, m2.perGram) === ((m.numBuckets, m.perGram)))
+    def score(mm: graft.functions.DsirModel) =
+      TextAnalysis.dsirScore(docs, "text", mm)
+        .select("doc_id", "n_grams", "dsir_score")
+        .collect().map(_.toSeq).toSet
+    assert(score(m2) === score(m))
+  }
+
   test("loadPqModel rejects a ragged or truncated model table") {
     val spark2 = spark
     import spark2.implicits._

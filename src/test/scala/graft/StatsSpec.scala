@@ -234,6 +234,27 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) === ((2L, 3L)))
   }
 
+  test("histogram store: mergeable counts, store-drift == one-shot drift") {
+    import spark.implicits._
+    val a1 = (1 to 40).map(_.toDouble).toDF("x")
+    val a2 = (30 to 80).map(_.toDouble).toDF("x")
+    val b = (50 to 120).map(_.toDouble).toDF("x")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Stats.histogramStore(df, "x", 0.0, 100.0, 5)
+    // mergeability: hist(a1) + hist(a2) == hist(a1 ∪ a2), bin for bin
+    val merged = Stats.updateHistogramStore(hist(a1), hist(a2))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oneShot = hist(a1.unionAll(a2))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot)
+    // store-based drift equals the raw two-frame drift
+    val viaStore = Stats.driftAgainstStore(hist(a1.unionAll(a2)), hist(b), 5)
+      .collect().map(_.toSeq)
+    val direct = Stats.driftNumeric(a1.unionAll(a2), b, "x", 0.0, 100.0, 5)
+      .collect().map(_.toSeq)
+    assert(viaStore.toSeq === direct.toSeq)
+  }
+
   test("kAnonymity: classes, summary, and the achieved-k contract") {
     import spark.implicits._
     val df = Seq(
