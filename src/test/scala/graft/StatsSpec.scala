@@ -255,6 +255,33 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaStore.toSeq === direct.toSeq)
   }
 
+  test("histogram store drives from a stream via foreachBatch == batch store") {
+    // the store's streaming form: each micro-batch's histogram merges
+    // into the running store — after any prefix the store equals the
+    // batch histogram over everything seen (counts add exactly)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[Double]
+    var store = spark.emptyDataset[(Int, Long)].toDF("bin", "n")
+    val q = mem.toDF().toDF("x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Stats.updateHistogramStore(store,
+          Stats.histogramStore(batch, "x", 0.0, 100.0, 5)).localCheckpoint()
+      }
+      .start()
+    try {
+      mem.addData((1 to 40).map(_.toDouble): _*); q.processAllAvailable()
+      mem.addData((30 to 80).map(_.toDouble): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = store.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Stats.histogramStore(
+      ((1 to 40).map(_.toDouble) ++ (30 to 80).map(_.toDouble)).toDF("x"),
+      "x", 0.0, 100.0, 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("kAnonymity: classes, summary, and the achieved-k contract") {
     import spark.implicits._
     val df = Seq(
