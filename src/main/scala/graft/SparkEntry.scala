@@ -2702,6 +2702,23 @@ object SparkEntry {
     operators.Graph.pageRank(sym, "src", "dst", iters = 8).orderBy("node")
   }
 
+  /** Personalized PageRank (SURVEY row 61c): teleport restricted to the
+    * nation-1 customers — suppliers serving that nation rank above
+    * globally-popular ones. Same integer machinery, oracle-unrolled with
+    * the seed-concentrated base ([[operators.Graph.personalizedPageRank]]).
+    */
+  private def qPagerankPersonalized(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = wh(s, dir).loadTable("customer")
+      .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+    operators.Graph.personalizedPageRank(sym, "src", "dst", seeds, "c_custkey",
+      iters = 8).orderBy("node")
+  }
+
   /** Degree profile of the same trade graph (SURVEY row 61b): in/out
     * degree per node in one pass over the distinct edge list
     * ([[operators.Graph.degrees]]).
@@ -2949,6 +2966,7 @@ object SparkEntry {
     "q_table_diff" -> (qTableDiff _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_personalized" -> (qPagerankPersonalized _),
     "q_graph_degrees" -> (qGraphDegrees _),
     "q_dsir" -> (qDsir _),
     "q_drift_numeric" -> (qDriftNumeric _),
@@ -4807,6 +4825,7 @@ object SparkEntry {
         |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
         |FROM sel ORDER BY l_id, r_id""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
+    "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_graph_degrees" ->
       """WITH e AS (
         | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
@@ -4969,16 +4988,37 @@ object SparkEntry {
     * DuckDB; cast back to BIGINT before the damping multiply (values are
     * bounded by N·scale ≈ 2.6e13 at sf0.1, far inside both ranges).
     */
-  private val pagerankOracleSql: String = {
+  private def pagerankSqlBuilder(seedSql: Option[String]): String = {
     val iters = 8; val scale = 1000000000L
     val dampNum = 85L; val dampDen = 100L
     val base = (dampDen - dampNum) * scale / dampDen
+    // per-node teleport base: constant for the global form; for the
+    // personalized form, N·base/|S| (one floor division) on seeds only
+    val (seedCtes, nodesCte) = seedSql match {
+      case None => ("", // global: nodes from edges only
+        s"""nodes AS MATERIALIZED (
+           | SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+           |bases AS (SELECT node, CAST($base AS BIGINT) AS b FROM nodes)""".stripMargin)
+      case Some(sql) => (s"seeds AS MATERIALIZED ($sql),\n",
+        s"""nodes AS MATERIALIZED (
+           | SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+           | UNION SELECT node FROM seeds),
+           |consts AS (SELECT (SELECT count(*) FROM nodes) AS n,
+           |                  (SELECT count(*) FROM seeds) AS ns),
+           |bases AS (
+           | SELECT n.node,
+           |  CASE WHEN s.node IS NOT NULL
+           |   THEN (CAST(${dampDen - dampNum} AS BIGINT) * $scale * c.n) // (c.ns * $dampDen)
+           |   ELSE CAST(0 AS BIGINT) END AS b
+           | FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+           | CROSS JOIN consts c)""".stripMargin)
+    }
     val iterCtes = (1 to iters).map { k =>
       val prev = s"r${k - 1}"
       s"""r$k AS MATERIALIZED (
-         | SELECT n.node, CAST($base + ($dampNum *
+         | SELECT n.node, CAST(n.b + ($dampNum *
          |   CAST(coalesce(s.s, 0) AS BIGINT)) // $dampDen AS BIGINT) AS rank_fp
-         | FROM nodes n LEFT JOIN (
+         | FROM bases n LEFT JOIN (
          |   SELECT ed.dst AS node, SUM(p.rank_fp // ed.outdeg) AS s
          |   FROM edeg ed JOIN $prev p ON p.node = ed.src
          |   GROUP BY ed.dst) s ON s.node = n.node)""".stripMargin
@@ -4992,12 +5032,16 @@ object SparkEntry {
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |edeg AS MATERIALIZED (
        | SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
-       |nodes AS MATERIALIZED (
-       | SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |$seedCtes$nodesCte,
        |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
        |$iterCtes
        |SELECT node, rank_fp FROM r$iters ORDER BY node""".stripMargin
   }
+
+  private val pagerankOracleSql: String = pagerankSqlBuilder(None)
+
+  private val ppagerankOracleSql: String = pagerankSqlBuilder(Some(
+    "SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1"))
 
   /** DuckDB replay of [[operators.Retrieval.mmrRerank]] over the
     * brute-force top-20 shortlists of query vectors 0–3: the five greedy

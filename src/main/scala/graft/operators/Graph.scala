@@ -53,12 +53,46 @@ object Graph {
       iters: Int = 8, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000L,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, None, iters, dampNum, dampDen,
+      scale, persistLevel, checkpointDir)
+
+  /** PERSONALIZED PageRank: the teleport term lands only on `seeds`
+    * (random surfer restarts at the seed set, not uniformly) — the
+    * related-entity ranking behind "customers also bought" / topic-
+    * conditioned authority. Same integer semantics as [[pageRank]] with
+    * the per-node base replaced by
+    *
+    *   base(v) = [v ∈ S] · ((dampDen − dampNum) · scale · N) div
+    *             (|S| · dampDen)
+    *
+    * — one floor division, so total teleport mass matches the global
+    * form's N·base up to truncation and any engine replays it. Seed ids
+    * not present in the graph still teleport (standard PPR: a seed with
+    * no edges is a pure source); overflow bound tightens to
+    * dampNum · N² · scale / |S| < 2^63 — scale down `scale` for extreme
+    * N/|S| ratios.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 8, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointDir: Option[String] = None): DataFrame =
+    pageRankCore(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long").as("node"))
+        .where(col("node").isNotNull).distinct()),
+      iters, dampNum, dampDen, scale, persistLevel, checkpointDir)
+
+  private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
+      seedsOpt: Option[DataFrame],
+      iters: Int, dampNum: Long, dampDen: Long, scale: Long,
+      persistLevel: StorageLevel,
+      checkpointDir: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
     val spark = edges.sparkSession
-    val base = (dampDen - dampNum) * scale / dampDen
 
     checkpointDir.foreach { dir =>
       val sc = spark.sparkContext
@@ -91,11 +125,35 @@ object Graph {
     val edgeDeg = persistIf(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
         .repartition(col("src")))
-    val nodes = persistIf(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-        .distinct())
+    val nodeIds = {
+      val base = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+      seedsOpt match {
+        case Some(s) => base.union(s).distinct()
+        case None => base.distinct()
+      }
+    }
+    // per-node teleport base: uniform for the global form; concentrated
+    // on the seed set for the personalized form (one floor division so
+    // both engines replay the constant)
+    val nodes = persistIf(seedsOpt match {
+      case None =>
+        nodeIds.withColumn("base", lit((dampDen - dampNum) * scale / dampDen))
+      case Some(s) =>
+        val n = nodeIds.count()
+        val nSeeds = s.count()
+        require(nSeeds > 0, "personalizedPageRank: empty seed set")
+        val t = (BigInt(dampDen - dampNum) * BigInt(scale) * BigInt(n) /
+          (BigInt(nSeeds) * BigInt(dampDen)))
+        require(t.isValidLong && BigInt(dampNum) * n * scale < BigInt(Long.MaxValue),
+          s"teleport mass overflows long (N=$n, seeds=$nSeeds) — reduce scale")
+        nodeIds.join(s.withColumn("__seed", lit(1L)), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__seed").isNotNull, lit(t.toLong)).otherwise(lit(0L))
+              .as("base"))
+    })
 
-    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
     try {
       var k = 0
       while (k < iters) {
@@ -108,7 +166,7 @@ object Graph {
         val next = materialize(
           nodes.join(contribs, Seq("node"), "left")
             .select(col("node"),
-              (lit(base) + expr(
+              (col("base") + expr(
                 s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
                 .as("rank_fp")))
         // one cheap action per round: writes the checkpoint (reliable

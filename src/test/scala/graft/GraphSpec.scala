@@ -82,6 +82,51 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(total > 3L * 1000000000L - 3L * 100L * 10L)
   }
 
+  /** Local replay of the personalized recurrence. */
+  private def refPpr(pairs: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val e = pairs.distinct
+    val nodes = ((e.map(_._1) ++ e.map(_._2)).toSet ++ seeds).toSeq
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val t = (BigInt(dampDen - dampNum) * BigInt(scale) * BigInt(nodes.size) /
+      (BigInt(seeds.size) * BigInt(dampDen))).toLong
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(n => n ->
+        ((if (seeds(n)) t else 0L) + dampNum * in.getOrElse(n, 0L) / dampDen)).toMap
+    }
+    r
+  }
+
+  test("personalized pageRank matches the local replay; seeds dominate") {
+    // 0 and 1 are seeds; 5 is a popular sink fed by everyone — under
+    // GLOBAL pagerank 5 wins, under PPR the seed side stays elevated
+    val pairs = Seq(0L -> 1L, 1L -> 0L, 2L -> 5L, 3L -> 5L, 4L -> 5L,
+      0L -> 5L, 5L -> 2L)
+    import spark.implicits._
+    val seeds = Seq(0L, 1L).toDF("id")
+    val got = Graph.personalizedPageRank(edges(pairs: _*), "src", "dst",
+        seeds, "id", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPpr(pairs, Set(0L, 1L), iters = 6))
+    // non-seed nodes with no seed-path inflow decay toward zero base
+    assert(got(0L) > got(3L) && got(1L) > got(3L))
+  }
+
+  test("personalized pageRank accepts seeds absent from the edge list") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L, 2L -> 1L)
+    val got = Graph.personalizedPageRank(edges(pairs: _*), "src", "dst",
+        Seq(99L).toDF("id"), "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPpr(pairs, Set(99L), iters = 3))
+    assert(got.contains(99L) && got(99L) > 0L)
+  }
+
   test("degrees counts distinct in/out neighbors with zero-fill") {
     val d = Graph.degrees(edges(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 3L),
         "src", "dst")
