@@ -2801,6 +2801,18 @@ object SparkEntry {
       hist(o.filter(col("o_orderstatus") === "O")), nBins = 10)
   }
 
+  /** Weight-proportional systematic sample (SURVEY row 57g): ~150 docs
+    * drawn proportional to n_chars — longer docs proportionally likelier,
+    * deterministic, the PPS budget-allocation draw
+    * ([[operators.Relational.weightedSystematicSample]]). The oracle
+    * replays the cumulative line with a window sum and the same two
+    * truncating divisions.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.weightedSystematicSample(
+      wh(s, dir).loadTable("documents"), "doc_id", "n_chars", target = 150)
+      .orderBy("doc_id")
+
   /** k-anonymity audit (SURVEY row 22d): customers under the
     * (c_nationkey, c_mktsegment) quasi-identifier at k=5 — class and
     * record counts, risky subsets, achieved k
@@ -2972,7 +2984,8 @@ object SparkEntry {
     "q_drift_numeric" -> (qDriftNumeric _),
     "q_drift_categorical" -> (qDriftCategorical _),
     "q_drift_store" -> (qDriftStore _),
-    "q_k_anonymity" -> (qKAnonymity _)
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_weighted_sample" -> (qWeightedSample _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -4841,6 +4854,24 @@ object SparkEntry {
     "q_drift_numeric" -> driftNumericOracleSql,
     "q_drift_categorical" -> driftCategoricalOracleSql,
     "q_drift_store" -> driftNumericOracleSql,
+    "q_weighted_sample" ->
+      """WITH w AS (
+        | SELECT doc_id AS id, CAST(greatest(0, n_chars) AS BIGINT) AS w
+        | FROM documents WHERE n_chars > 0),
+        |c AS (
+        | SELECT id, w,
+        |  CAST(coalesce(SUM(w) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        | FROM w),
+        |t AS (SELECT greatest(CAST(1 AS BIGINT),
+        |        CAST(SUM(w) AS BIGINT) // 150) AS stride FROM w),
+        |sel AS (
+        | SELECT c.id, c.w, c.start,
+        |  (c.start + c.w - 1 + t.stride) // t.stride
+        |   - (c.start - 1 + t.stride) // t.stride AS n_hits
+        | FROM c CROSS JOIN t)
+        |SELECT id AS doc_id, w AS weight, start AS global_start, n_hits
+        |FROM sel WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     "q_k_anonymity" ->
       """WITH cls AS (
         | SELECT c_nationkey, c_mktsegment, count(*) AS cs

@@ -816,4 +816,71 @@ object Relational {
     }
     extracted.filter(col("__tag") === 1).drop("__tag", "__r", "__rlast")
   }
+
+  /** WEIGHT-PROPORTIONAL systematic sampling (PPS, Madow 1949): ~`target`
+    * rows drawn with probability proportional to an integer weight column
+    * (quality score, token count, click count) — the weighted-sampling
+    * staple that Bernoulli `sample()` can't express. Rows are laid on a
+    * cumulative-weight line in id order, and every `stride`-th point
+    * (stride = max(1, ΣW div target), phase-shifted by `phase` mod
+    * stride) selects the row whose weight interval it lands in. All
+    * integer: cumulative starts from a distributed two-pass prefix sum
+    * (the [[graft.operators.TextAnalysis.packWindows]] machinery — no
+    * global window), hit counts from two truncating divisions kept
+    * non-negative by construction (truncation == floor in every engine).
+    * Deterministic and re-run-stable; a row with weight > stride is hit
+    * multiple times (`n_hits` — standard PPS with-replacement
+    * multiplicity, callers wanting without-replacement semantics treat
+    * n_hits ≥ 1 as selected).
+    *
+    * 100 TB shape: one range-partitioned sort by id, one tiny
+    * per-partition-totals collect (numPartitions longs), one map pass.
+    * No global window, no driver-side data.
+    */
+  def weightedSystematicSample(df: DataFrame, idCol: String, weightCol: String,
+      target: Long, phase: Long = 0L): DataFrame = {
+    require(target > 0, s"target must be > 0, got $target")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(col(idCol).cast("long").as("id"),
+        greatest(lit(0L), col(weightCol).cast("long")).as("w"))
+      .filter(col("w") > 0)
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSums = rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, w) => s += w }
+        Iterator((pid, s))
+      }.collect().sortBy(_._1)
+      val total = partSums.map(_._2).sum
+      require(total > 0, "weightedSystematicSample: no positive weights")
+      val stride = math.max(1L, total / target)
+      val off = ((phase % stride) + stride) % stride
+      val offsets = partSums.map(_._2).scanLeft(0L)(_ + _).init
+      val offByPid = partSums.map(_._1).zip(offsets).toMap
+      val bc = spark.sparkContext.broadcast(offByPid)
+      val withStart = rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, w) => val start = acc; acc += w; (id, w, start) }
+      }.toDF("id", "w", "start")
+      // points at off, off+stride, ... ; hits in [start, start+w) =
+      // pointsUpTo(start+w-1) - pointsUpTo(start-1), with pointsUpTo(x) =
+      // (x + stride - off) div stride shifted so operands never go
+      // negative (Spark div truncates toward zero, DuckDB // floors —
+      // they only agree on non-negatives)
+      withStart
+        .withColumn("n_hits", expr(
+          s"(start + w - 1 + ${stride}L - ${off}L) div ${stride}L - " +
+            s"(start - 1 + ${stride}L - ${off}L) div ${stride}L"))
+        .filter(col("n_hits") > 0)
+        .select(col("id").as(idCol), col("w").as("weight"),
+          col("start").as("global_start"), col("n_hits"))
+        .localCheckpoint(true)
+    } finally rows.unpersist()
+  }
 }

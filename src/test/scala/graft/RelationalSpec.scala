@@ -480,4 +480,43 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(other !== got.map(r => (r._1, r._3)).toSet)
   }
+
+  test("weightedSystematicSample: exact hit arithmetic, determinism, PPS bias") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // ids 1..10 with weight = id; total 55, target 5 => stride 11, points
+    // at 0, 11, 22, 33, 44: intervals in id order — local replay
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "w")
+    def localReplay(ws: Seq[(Long, Long)], target: Long): Seq[(Long, Long, Long, Long)] = {
+      val total = ws.map(_._2).sum
+      val stride = math.max(1L, total / target)
+      var start = 0L
+      ws.sortBy(_._1).flatMap { case (id, w) =>
+        val s = start; start += w
+        val hits = (s + w - 1 + stride) / stride - (s - 1 + stride) / stride
+        if (hits > 0) Some((id, w, s, hits)) else None
+      }
+    }
+    val got = Relational.weightedSystematicSample(df, "id", "w", target = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got === localReplay((1 to 10).map(i => (i.toLong, i.toLong)), 5))
+    // re-run and repartition stability
+    val again = Relational.weightedSystematicSample(df.repartition(7), "id", "w", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(again === got)
+    // PPS bias: a dominant-weight row must always be selected, with
+    // multiplicity ~ its weight share
+    val skewed = (1 to 50).map(i => (i.toLong, 1L)) :+ (99L, 1000L)
+    val sel = Relational.weightedSystematicSample(skewed.toDF("id", "w"),
+        "id", "w", target = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sel.contains(99L) && sel(99L) >= 8L,
+      s"dominant row multiplicity ${sel.get(99L)}")
+    // phase shifts the point lattice but keeps the count shape
+    val shifted = Relational.weightedSystematicSample(df, "id", "w", 5, phase = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(shifted.values.sum === 5L)
+  }
 }
