@@ -854,6 +854,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster resolution (SURVEY row 38j): same near-dup
+    * graph as q_dedup_clusters, but each cluster keeps its LONGEST
+    * member (n_chars score, tie-break min doc_id) — the keep-best
+    * policy. The oracle reuses the recursive-CC replay and elects with
+    * a (score desc, id) window ([[operators.Dedup.dedupByClustersKeepBest]]).
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+    Dedup.dedupByClustersKeepBest(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact TF-WEIGHTED n-gram jaccard (Σmin/Σmax), oracle-checked: the
     * occurrence-expansion reduction ([[graft.functions.Kernels.wordNgramHashesTf]])
     * makes the PPJoin pipeline compute the weighted coefficient exactly;
@@ -2885,6 +2901,7 @@ object SparkEntry {
     "q_simhash_recall" -> (qSimhashRecall _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
     "q_simhash_weighted_recall" -> (qSimhashWeightedRecall _),
@@ -3515,6 +3532,39 @@ object SparkEntry {
         | coalesce(c.cluster_id, d.doc_id) AS cluster_id,
         | d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) AS double)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+        |      UNION SELECT doc_b, doc_a FROM jpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |elect AS (
+        |  SELECT c.cluster_id, d.doc_id AS keeper_id,
+        |   row_number() OVER (PARTITION BY c.cluster_id
+        |                      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+        |keepers AS (SELECT cluster_id, keeper_id FROM elect WHERE rn = 1)
+        |SELECT d.doc_id,
+        | coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        | coalesce(k.keeper_id, d.doc_id) AS keeper_id,
+        | d.doc_id = coalesce(k.keeper_id, d.doc_id) AS keep
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |LEFT JOIN keepers k ON k.cluster_id = c.cluster_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_wjaccard" -> (wjaccardOracleCte +
       """

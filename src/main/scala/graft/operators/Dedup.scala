@@ -436,6 +436,50 @@ object Dedup {
       .drop("__cc_id", "component", "__keeper")
   }
 
+  /** Cluster resolution with a QUALITY-AWARE keep policy: like
+    * [[dedupByClusters]], but the keeper of each near-dup cluster is the
+    * member with the HIGHEST `scoreCol` (quality score, length, token
+    * count — tie-break lowest id, so the election is a total order and
+    * any engine replays it). Real pipelines keep the best duplicate, not
+    * the lowest-id one — the min-id policy silently discards the clean
+    * copy when a truncated scrape happens to carry the smaller id.
+    *
+    * Output: `cluster_id` (the component label = min id in the PAIR
+    * graph — a STABLE cluster identity independent of the keep policy;
+    * unlike [[dedupByClusters]] it is not re-elected among present ids,
+    * so over a superset pair graph it may name an absent doc),
+    * `keeper_id` (the elected member — always PRESENT in df), `keep`.
+    * Same plan shape as [[dedupByClusters]]: the election runs on the
+    * narrow (id, component, score) frame; the wide df joins exactly
+    * once.
+    */
+  def dedupByClustersKeepBest(
+      df: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    requireIntegralId(df, idCol)
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters,
+        checkpointDir = checkpointDir)
+      .withColumnRenamed("id", "__cc_id")
+    val scores = df.select(col(idCol).cast("long").as("__cc_id"),
+      col(scoreCol).cast("long").as("__s"))
+    val present = comp.join(scores, Seq("__cc_id"))
+    // argmax(score, tie min id) via max(struct(score, -id)): score first,
+    // then the larger -id ⇒ the smaller id
+    val keepers = present.groupBy("component")
+      .agg(max(struct(col("__s").as("s"), (-col("__cc_id")).as("n"))).as("__m"))
+      .select(col("component"), (-col("__m.n")).as("__keeper"))
+    val labeled = present.select("__cc_id", "component").join(keepers, Seq("component"))
+    df.join(labeled, col(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("keeper_id",
+        coalesce(col("__keeper"), col(idCol).cast("long")))
+      .withColumn("keep", col(idCol).cast("long") === col("keeper_id"))
+      .drop("__cc_id", "component", "__keeper")
+  }
+
   /** Benchmark DECONTAMINATION: flag every corpus document that shares at
     * least one n-gram with the evaluation set `bench` — the standard
     * train/test-overlap guard an LLM data pipeline runs before training

@@ -438,6 +438,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(perCluster.values.forall(_ == 1), s"keeper count per cluster: $perCluster")
   }
 
+  test("dedupByClustersKeepBest elects the highest score, ties to min id") {
+    import spark.implicits._
+    // cluster {1,2,3}: scores 5,9,9 → keeper 2 (max score, tie min id);
+    // cluster {10,11}: keeper 11 (higher score); singleton 50 keeps itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 8L), (50L, 1L))
+      .toDF("doc_id", "score")
+    val got = Dedup.dedupByClustersKeepBest(df, "doc_id", "score", pairs)
+      .select("doc_id", "cluster_id", "keeper_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (10L, 10L, 11L, false), (11L, 10L, 11L, true),
+      (50L, 50L, 50L, true)))
+    // the keeper must be elected among PRESENT members only
+    val df2 = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "score") // id 1 absent
+    val got2 = Dedup.dedupByClustersKeepBest(df2, "doc_id", "score", pairs)
+      .select("doc_id", "keeper_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got2 === Set((2L, 3L, false), (3L, 3L, true)))
+  }
+
   /** Count files under the context's checkpoint dir, tolerating the
     * ContextCleaner deleting superseded round dirs concurrently
     * (cleanCheckpoints=true — a plain Files.walk throws NoSuchFile
