@@ -707,6 +707,15 @@ object SparkEntry {
       .select("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_us")
       .orderBy("user_id", "session_idx")
 
+  /** NATIVE session_window sessionization (SURVEY row 51b): Spark's own
+    * merging-session-state operator, output-contract-identical to
+    * [[graft.streaming.Events.sessionizeBatch]] — shares q_events_sessions'
+    * oracle, so any semantic gap between the two forms goes red.
+    */
+  private def qSessionsNative(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.sessionizeNative(wh(s, dir).loadTable("events"))
+      .orderBy("user_id", "session_idx")
+
   // ---- §2.3 LLM-pipeline (first slice) --------------------------------
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2829,6 +2838,19 @@ object SparkEntry {
       wh(s, dir).loadTable("documents"), "doc_id", "n_chars", target = 150)
       .orderBy("doc_id")
 
+  /** Character-entropy gibberish detector (SURVEY row 46h): per-doc
+    * Shannon entropy of the code-point distribution in 2^-20 fixed
+    * point, all integer via ilog2Fp — the oracle replays the per-char
+    * walk, counts, and the same fixed-point logs
+    * ([[operators.TextAnalysis.charEntropy]]).
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.charEntropy(
+        wh(s, dir).loadTable("documents").filter(col("text").isNotNull), "text")
+      .select(col("doc_id"), col("n_chars_ent"), col("entropy_fp"),
+        col("low_entropy"))
+      .orderBy("doc_id")
+
   /** k-anonymity audit (SURVEY row 22d): customers under the
     * (c_nationkey, c_mktsegment) quasi-identifier at k=5 — class and
     * record counts, risky subsets, achieved k
@@ -2884,6 +2906,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_sessions_native" -> (qSessionsNative _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
@@ -3002,7 +3025,8 @@ object SparkEntry {
     "q_drift_categorical" -> (qDriftCategorical _),
     "q_drift_store" -> (qDriftStore _),
     "q_k_anonymity" -> (qKAnonymity _),
-    "q_weighted_sample" -> (qWeightedSample _)
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_char_entropy" -> (qCharEntropy _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -3252,6 +3276,25 @@ object SparkEntry {
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Shared oracle for the two sessionization forms (window-function
+    * and native session_window) — identical output contract.
+    */
+  private val sessionsOracleSql: String =
+    """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events),
+        |y AS (SELECT user_id, us,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (SELECT user_id, us,
+        |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_idx
+        |  FROM y)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us,
+        | max(us) - min(us) AS duration_us
+        |FROM z GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3647,21 +3690,9 @@ object SparkEntry {
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
-    "q_events_sessions" ->
-      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
-        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us FROM events),
-        |y AS (SELECT user_id, us,
-        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM x),
-        |z AS (SELECT user_id, us,
-        |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_idx
-        |  FROM y)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        | min(us) AS start_us, max(us) AS end_us,
-        | max(us) - min(us) AS duration_us
-        |FROM z GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_events_sessions" -> sessionsOracleSql,
+    "q_sessions_native" -> sessionsOracleSql,
+    
     "q_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_us
         |           FROM events WHERE event_type = 'purchase'),
@@ -4889,6 +4920,7 @@ object SparkEntry {
         |FROM sel ORDER BY l_id, r_id""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
     "q_pagerank_personalized" -> ppagerankOracleSql,
+    "q_char_entropy" -> charEntropyOracleSql,
     "q_graph_degrees" ->
       """WITH e AS (
         | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
@@ -5120,6 +5152,34 @@ object SparkEntry {
   }
 
   private val pagerankOracleSql: String = pagerankSqlBuilder(None)
+
+  /** DuckDB replay of [[operators.TextAnalysis.charEntropy]]: the
+    * classifier oracle's per-code-point walk (unicode(substring)), counts
+    * per (doc, code point), then ent_num = Σ c·(ilog2(n) − ilog2(c)) with
+    * the same 20-step fixed-point log and one truncating division —
+    * entropy and the low-entropy flag bit-exact.
+    */
+  private val charEntropyOracleSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, text, length(text) AS n
+       | FROM documents WHERE text IS NOT NULL),
+       |chars AS (
+       | SELECT doc_id, unicode(substring(text, i, 1)) AS cp
+       | FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM base)),
+       |cc AS MATERIALIZED (
+       | SELECT doc_id, cp, CAST(count(*) AS BIGINT) AS c
+       | FROM chars GROUP BY doc_id, cp),
+       |nums AS (
+       | SELECT b.doc_id, CAST(b.n AS BIGINT) AS n,
+       |  CAST(coalesce(SUM(cc.c * (${ilogSql("b.n")} - ${ilogSql("cc.c")})), 0)
+       |    AS BIGINT) AS num
+       | FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
+       | GROUP BY b.doc_id, b.n)
+       |SELECT doc_id, n AS n_chars_ent,
+       | CASE WHEN n > 0 THEN num // n ELSE CAST(0 AS BIGINT) END AS entropy_fp,
+       | (n >= 64 AND (CASE WHEN n > 0 THEN num // n ELSE CAST(0 AS BIGINT) END)
+       |  < 2097152) AS low_entropy
+       |FROM nums ORDER BY doc_id""".stripMargin
 
   private val ppagerankOracleSql: String = pagerankSqlBuilder(Some(
     "SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1"))

@@ -305,6 +305,17 @@ object GraftFunctions {
   private val dsirNames = new java.util.IdentityHashMap[DsirModel, String]()
   private val dsirCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Character-distribution entropy of a string column
+    * ([[Kernels.charEntropy]]) — fixed-name registration like
+    * [[ilog2FpCol]].
+    */
+  def charEntropy(spark: SparkSession, text: Column): Column = {
+    val name = "graft_char_entropy"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => CharEntropyExpr(args.head), "scala_udf")
+    call_function(name, text)
+  }
+
   /** Fixed-point log2 of a positive bigint column ([[Kernels.ilog2Fp]]
     * as a codegen scalar) — registered once per session under a fixed
     * name like the other kernel functions.

@@ -1381,6 +1381,45 @@ object Kernels {
       Array[Any](bs.length.toLong, s))
   }
 
+  /** Character-distribution Shannon entropy of one document in 2^-20
+    * fixed point (log2 units), computed ENTIRELY in integers via
+    * [[ilog2Fp]]: with n total code points and c_x the count of code
+    * point x,
+    *
+    *   ent_num = Σ_x c_x · (ilog2Fp(n) − ilog2Fp(c_x))
+    *
+    * and entropy ≈ ent_num / n (one truncating division downstream).
+    * Low entropy flags repeated-character runs and short alphabets
+    * (base64 blobs, ASCII art, keyboard mash); natural prose sits around
+    * 4–4.5 bits. Returns struct(n_chars, ent_num) — the division and any
+    * thresholding ride as plain column arithmetic so every engine
+    * replays them. Empty text → (0, 0).
+    */
+  def charEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < raw.length) {
+      val cp = raw.codePointAt(i)
+      val cell = counts.get(cp)
+      if (cell == null) counts.put(cp, Array(1L)) else cell(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var num = 0L
+    if (n > 0) {
+      val ln = ilog2Fp(n)
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        num += c * (ln - ilog2Fp(c))
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, num))
+  }
+
   /** Distinct sorted feature buckets of one document for the quality
     * classifier — the EXACT feature contract both engines replay:
     * word unigrams and adjacent-pair bigrams (w1 + ' ' + w2) over

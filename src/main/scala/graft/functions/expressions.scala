@@ -416,6 +416,22 @@ case class DsirBucketsExpr(child: Expression, d: Int)
   override def prettyName: String = "graft_dsir_buckets"
 }
 
+/** Character-distribution entropy of a string column →
+  * struct(n_chars, ent_num) in 2^-20 fixed point ([[Kernels.charEntropy]]).
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("ent_num", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_entropy"
+}
+
 /** Fixed-point log2 of a positive BIGINT column —
   * [[Kernels.ilog2Fp]] as a codegen scalar (20 fraction bits, pure
   * integer recurrence, engine-replayable). Input must be ≥ 1.

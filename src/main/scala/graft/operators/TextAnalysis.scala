@@ -177,6 +177,30 @@ object TextAnalysis {
     df.withColumn("n_bpe_tokens",
       GraftFunctions.bpeCount(df.sparkSession, col(textCol), model))
 
+  /** Character-distribution entropy per document — the gibberish /
+    * encoded-blob detector (low entropy = repeated chars or a tiny
+    * alphabet: base64 walls, ASCII art, keyboard mash; natural prose
+    * sits ~4–4.5 bits). ONE codegen kernel scan, zero shuffle, and the
+    * arithmetic is pure integer ([[graft.functions.Kernels.charEntropy]]
+    * over [[graft.functions.Kernels.ilog2Fp]]), so `entropy_fp` (2^-20
+    * fixed-point bits) replays bit-identically in any engine. NULL text
+    * → (0, 0, false) (the [[lmFluency]] NULL contract). `low_entropy`
+    * flags docs below `minEntropyFp` with at least `minChars` chars
+    * (short docs are legitimately low-entropy).
+    */
+  def charEntropy(df: DataFrame, textCol: String,
+      minEntropyFp: Long = 2097152L /* 2.0 bits */,
+      minChars: Long = 64L): DataFrame =
+    df.withColumn("__e",
+        GraftFunctions.charEntropy(df.sparkSession, col(textCol)))
+      .withColumn("n_chars_ent", coalesce(col("__e.n_chars"), lit(0L)))
+      .withColumn("entropy_fp",
+        when(col("n_chars_ent") > 0,
+          expr("__e.ent_num div n_chars_ent")).otherwise(lit(0L)))
+      .withColumn("low_entropy",
+        col("n_chars_ent") >= minChars && col("entropy_fp") < minEntropyFp)
+      .drop("__e")
+
   /** Canonical normalization (NFC + lowercase + whitespace collapse) —
     * run before dedup so case/whitespace variants stop counting as
     * distinct documents. One codegen'd kernel pass.

@@ -134,6 +134,38 @@ object Events {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` — the
+    * Structured-Streaming-idiomatic form of [[sessionizeBatch]] (same
+    * gap semantics: a session extends while consecutive events are
+    * within `gapMinutes`). The native operator carries its own merging
+    * session state in streaming mode, so this form composes with
+    * `withWatermark` + `groupBy(session_window(...))` out of the box;
+    * here the batch degeneration is the oracle surface. Output matches
+    * [[sessionizeBatch]]'s contract exactly — (user_id, session_idx,
+    * n_events, start_us, end_us, duration_us) with session_idx numbered
+    * by start time — so the two forms share one oracle and the parity
+    * is hash-checked, not approximate.
+    *
+    * One caveat the parity encodes: `session_window` ends a session at
+    * last_event + gap, so `end_us` is re-derived from the event max
+    * inside the window (the window's own `end` field would differ from
+    * the window-function form by the gap).
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byStart = Window.partitionBy("user_id").orderBy("start_us")
+    tsLtz(events)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .withColumn("session_idx", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+
   /** Interval (stream-stream) join, batch form: each left event paired
     * with the right events of the same key whose timestamp falls in
     * [left.ts - lookback, left.ts] — the event-enrichment staple

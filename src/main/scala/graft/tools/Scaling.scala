@@ -257,6 +257,30 @@ object Scaling {
         col("doc_id"), lit("/?utm_source=feed&b=2&a=1#f")).as("url"))
       drain(TextAnalysis.canonicalizeUrl(urls, "url"))
     }
+
+    // ---- r9s4 additions --------------------------------------------------
+    timeFull("pageRank 8 iters over a 5-out synthetic doc graph") {
+      // ~5 deterministic out-edges per doc: a skewed directed graph with
+      // rows ∝ corpus size — times the per-round rank shuffle + groupBy
+      val edges = big.select(col("doc_id").as("src"),
+          explode(transform(sequence(lit(1), lit(5)),
+            j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
+      drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 8))
+    }
+    timeFull("trainDsir + dsirScore corpus-wide (4096-bucket bag model)") {
+      val m = TextAnalysis.trainDsir(
+        big.filter(col("lang") === "en"), big, "text")
+      drain(TextAnalysis.dsirScore(big, "text", m))
+    }
+    time("weightedSystematicSample target=1000 (two-pass prefix sum)") {
+      drain(graft.operators.Relational.weightedSystematicSample(
+        big, "doc_id", "n_chars", target = 1000))
+    }
+    time("driftNumeric 10 bins between corpus halves") {
+      drain(graft.operators.Stats.driftNumeric(
+        big.filter(col("doc_id") % 2 === 0), big.filter(col("doc_id") % 2 === 1),
+        "n_chars", 0.0, 5000.0, 10))
+    }
     spark.stop()
   }
 }

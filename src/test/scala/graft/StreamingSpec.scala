@@ -59,6 +59,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("native session_window sessionization equals the window-function form") {
+    // full-contract parity on the real events table: same sessions, same
+    // indices, same microsecond bounds — the two forms share one oracle
+    val ev = wh.loadTable("events")
+    val a = Events.sessionizeBatch(ev)
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_us")
+      .collect().map(_.toSeq).toSet
+    val b = Events.sessionizeNative(ev)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(

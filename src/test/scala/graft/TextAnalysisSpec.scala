@@ -529,6 +529,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(scored(0L)._1 === buckets.length.toLong)
   }
 
+  test("charEntropy: closed-form values, flag thresholds, NULL contract") {
+    import graft.functions.Kernels.ilog2Fp
+    val docs = Seq(
+      (1L, "aaaa"),                       // one symbol → entropy 0
+      (2L, "ab"),                         // two equiprobable → exactly 1.0 bit
+      (3L, "a" * 100),                    // long single-symbol → low_entropy
+      (4L, ("abcdefghijklmnop" * 8)),     // 16 symbols uniform → 4.0 bits
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "text")
+      .select("doc_id", "n_chars_ent", "entropy_fp", "low_entropy")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((4L, 0L, false)))       // short → no flag
+    assert(got(2L) === ((2L, 1L << 20, false))) // exactly 1.0 bit
+    assert(got(3L) === ((100L, 0L, true)))      // long + zero entropy → flag
+    assert(got(4L)._2 === 4L << 20)             // exactly 4.0 bits
+    assert(!got(4L)._3)
+    assert(got(5L) === ((0L, 0L, false)))       // NULL contract
+    // local replay on a mixed-text value
+    val text = "hello world, hello entropy!"
+    val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = text.length.toLong
+    val num = counts.values.map(c => c * (ilog2Fp(n) - ilog2Fp(c))).sum
+    val row = TextAnalysis.charEntropy(Seq((9L, text)).toDF("doc_id", "text"), "text")
+      .select("entropy_fp").collect().head.getLong(0)
+    assert(row === num / n)
+  }
+
   test("dsirSelect returns exactly k docs ranked (score desc, id asc)") {
     val target = Seq.tabulate(4)(i => (i.toLong, "x y z")).toDF("doc_id", "text")
     val raw = (Seq.tabulate(6)(i => (i.toLong, "x y z")) ++
