@@ -2744,6 +2744,20 @@ object SparkEntry {
       iters = 8).orderBy("node")
   }
 
+  /** Deterministic label propagation (SURVEY row 61d) on the symmetrized
+    * trade graph, 4 synchronous rounds — argmax-count labels with min-label
+    * ties, oracle-unrolled round by round
+    * ([[operators.Graph.labelPropagation]]).
+    */
+  private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    operators.Graph.labelPropagation(sym, "src", "dst", iters = 4).orderBy("node")
+  }
+
   /** Degree profile of the same trade graph (SURVEY row 61b): in/out
     * degree per node in one pass over the distinct edge list
     * ([[operators.Graph.degrees]]).
@@ -3020,6 +3034,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_personalized" -> (qPagerankPersonalized _),
     "q_graph_degrees" -> (qGraphDegrees _),
+    "q_label_propagation" -> (qLabelPropagation _),
     "q_dsir" -> (qDsir _),
     "q_drift_numeric" -> (qDriftNumeric _),
     "q_drift_categorical" -> (qDriftCategorical _),
@@ -4921,6 +4936,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracleSql,
     "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_char_entropy" -> charEntropyOracleSql,
+    "q_label_propagation" -> labelPropagationOracleSql,
     "q_graph_degrees" ->
       """WITH e AS (
         | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
@@ -5152,6 +5168,40 @@ object SparkEntry {
   }
 
   private val pagerankOracleSql: String = pagerankSqlBuilder(None)
+
+  /** DuckDB replay of [[operators.Graph.labelPropagation]]: 4 synchronous
+    * rounds unrolled — per round, in-neighbor label counts, max count per
+    * node, min label among the maxima, left-joined back to the node list
+    * (no-in-edge nodes keep their id, matching the Spark fallback).
+    */
+  private val labelPropagationOracleSql: String = {
+    val iters = 4
+    val rounds = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""v$k AS MATERIALIZED (
+         | SELECT e.dst AS node, p.label, count(*) AS c
+         | FROM edges e JOIN $prev p ON p.node = e.src
+         | GROUP BY e.dst, p.label),
+         |m$k AS (SELECT node, max(c) AS mc FROM v$k GROUP BY node),
+         |w$k AS (SELECT v.node, min(v.label) AS lab
+         |        FROM v$k v JOIN m$k m ON m.node = v.node AND v.c = m.mc
+         |        GROUP BY v.node),
+         |l$k AS MATERIALIZED (
+         | SELECT n.node, coalesce(w.lab, n.node) AS label
+         | FROM nodes n LEFT JOIN w$k w ON w.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS (
+       | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       | SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |nodes AS MATERIALIZED (
+       | SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
 
   /** DuckDB replay of [[operators.TextAnalysis.charEntropy]]: the
     * classifier oracle's per-code-point walk (unicode(substring)), counts

@@ -184,6 +184,67 @@ object Graph {
     }
   }
 
+  /** DETERMINISTIC synchronous label propagation (community detection,
+    * Raghavan et al. 2007 made engine-exact): every node starts labeled
+    * with its own id; each round, every node adopts the label with the
+    * HIGHEST count among its in-neighbors' current labels, ties broken
+    * by the SMALLEST label, keeping its own when it has no in-edges.
+    * Fixed `iters` rounds of the synchronous update — no random order,
+    * no float, so any engine replays every round bit-identically (the
+    * classic async formulation converges better but is order-dependent;
+    * determinism is the property the oracle contract needs, and a few
+    * synchronous rounds already group dense near-dup neighborhoods that
+    * connected components would over-merge through one bridge edge).
+    *
+    * Plan: same shape as [[pageRank]] — edges persisted pre-partitioned
+    * on src, per round one (dst, label) groupBy count + one argmax
+    * aggregate + one left join back to the node list, lineage truncated
+    * per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    val e = persistIf(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val nodes = persistIf(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    var labels = nodes.withColumn("label", col("node"))
+    try {
+      var k = 0
+      while (k < iters) {
+        // count in-neighbor labels per node, argmax(count, tie min label)
+        val votes = e
+          .join(labels.select(col("node").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c").as("c"), (-col("label")).as("n"))).as("__m"))
+          .select(col("node"), (-col("__m.n")).as("__new"))
+        val plan = nodes.join(votes, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+        val next =
+          if (persistLevel == StorageLevel.NONE) plan
+          else {
+            val c = plan.localCheckpoint(eager = false, storageLevel = persistLevel)
+            c.count()
+            c
+          }
+        labels = next
+        k += 1
+      }
+      labels
+    } finally {
+      if (persistLevel != StorageLevel.NONE) { e.unpersist(); nodes.unpersist() }
+    }
+  }
+
   /** Degree summary of an edge frame — in/out degree per node in one
     * pass over the distinct edge list (the quick structural profile run
     * before committing to an iterative job: degree skew here predicts

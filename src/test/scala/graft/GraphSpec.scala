@@ -127,6 +127,49 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains(99L) && got(99L) > 0L)
   }
 
+  /** Local replay of the synchronous label-propagation recurrence. */
+  private def refLp(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = pairs.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      val votes = e.groupBy(_._2).map { case (d, es) =>
+        val counts = es.groupBy { case (s, _) => lab(s) }
+          .map { case (l, g) => l -> g.size }
+        // max count, tie min label
+        d -> counts.toSeq.map { case (l, c) => (c, -l) }.max._2 * -1
+      }
+      lab = nodes.map(n => n -> votes.getOrElse(n, n)).toMap
+    }
+    lab
+  }
+
+  test("labelPropagation matches the local replay and groups two cliques") {
+    // two 3-cliques bridged by one edge: LP keeps them as separate
+    // communities where connected components would merge them
+    val pairs = (for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a != b
+    } yield a -> b) ++ (for {
+      a <- Seq(10L, 11L, 12L); b <- Seq(10L, 11L, 12L) if a != b
+    } yield a -> b) :+ (3L -> 10L)
+    val got = Graph.labelPropagation(edges(pairs: _*), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refLp(pairs, 4))
+    // the two cliques carry distinct labels
+    val cliqueA = Set(1L, 2L, 3L).map(got)
+    val cliqueB = Set(10L, 11L, 12L).map(got)
+    assert(cliqueA.size === 1 && cliqueB.size === 1)
+    assert(cliqueA != cliqueB)
+  }
+
+  test("labelPropagation: no-in-edge nodes keep their own id") {
+    val got = Graph.labelPropagation(edges(5L -> 6L, 6L -> 7L), "src", "dst",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === 5L) // never receives a vote
+    assert(got === refLp(Seq(5L -> 6L, 6L -> 7L), 3))
+  }
+
   test("degrees counts distinct in/out neighbors with zero-fill") {
     val d = Graph.degrees(edges(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 3L),
         "src", "dst")
