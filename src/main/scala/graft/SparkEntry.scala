@@ -2758,6 +2758,21 @@ object SparkEntry {
     operators.Graph.labelPropagation(sym, "src", "dst", iters = 4).orderBy("node")
   }
 
+  /** Per-node triangle counts (SURVEY row 61e) over a circulant customer
+    * graph (c→c+1, c→c+2 — consecutive keys close triangles; the
+    * bipartite trade graph has none by construction). Degree-ordered
+    * wedge generation in Spark; the oracle counts the same triangle set
+    * id-ordered ([[operators.Graph.triangleCounts]]).
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val c = wh(s, dir).loadTable("customer").select(col("c_custkey"))
+    val e = c.select(col("c_custkey").as("src"), (col("c_custkey") + 1).as("dst"))
+      .union(c.select(col("c_custkey").as("src"), (col("c_custkey") + 2).as("dst")))
+      // keep only edges whose endpoint exists as a customer
+      .join(c.select(col("c_custkey").as("dst")), Seq("dst"), "left_semi")
+    operators.Graph.triangleCounts(e, "src", "dst").orderBy("node")
+  }
+
   /** Degree profile of the same trade graph (SURVEY row 61b): in/out
     * degree per node in one pass over the distinct edge list
     * ([[operators.Graph.degrees]]).
@@ -3035,6 +3050,7 @@ object SparkEntry {
     "q_pagerank_personalized" -> (qPagerankPersonalized _),
     "q_graph_degrees" -> (qGraphDegrees _),
     "q_label_propagation" -> (qLabelPropagation _),
+    "q_triangles" -> (qTriangles _),
     "q_dsir" -> (qDsir _),
     "q_drift_numeric" -> (qDriftNumeric _),
     "q_drift_categorical" -> (qDriftCategorical _),
@@ -4937,6 +4953,28 @@ object SparkEntry {
     "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_char_entropy" -> charEntropyOracleSql,
     "q_label_propagation" -> labelPropagationOracleSql,
+    "q_triangles" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |e0 AS (
+        | SELECT k AS src, k + 1 AS dst FROM c
+        | UNION ALL SELECT k, k + 2 FROM c),
+        |e AS (SELECT e0.src, e0.dst FROM e0 JOIN c ON c.k = e0.dst),
+        |ce AS (
+        | SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM e WHERE src <> dst),
+        |tri AS (
+        | SELECT a.u AS x, a.v AS y, b.v AS z
+        | FROM ce a JOIN ce b ON b.u = a.v
+        | JOIN ce cc ON cc.u = a.u AND cc.v = b.v),
+        |corners AS (
+        | SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        | UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM corners GROUP BY node),
+        |nodes AS (SELECT u AS node FROM ce UNION SELECT v FROM ce)
+        |SELECT n.node, coalesce(pn.n_triangles, 0) AS n_triangles
+        |FROM nodes n LEFT JOIN pn ON pn.node = n.node
+        |ORDER BY n.node""".stripMargin,
     "q_graph_degrees" ->
       """WITH e AS (
         | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst

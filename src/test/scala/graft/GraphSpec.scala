@@ -170,6 +170,43 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got === refLp(Seq(5L -> 6L, 6L -> 7L), 3))
   }
 
+  /** Brute-force triangle replay: all unordered triples with all three
+    * canonical edges present.
+    */
+  private def refTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ce = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val nodes = ce.toSeq.flatMap(p => Seq(p._1, p._2)).distinct
+    val tris = for {
+      x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+      if ce((x, y)) && ce((y, z)) && ce((x, z))
+    } yield (x, y, z)
+    val counts = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    nodes.map(n => n -> counts.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangleCounts matches brute force on a hub-skewed random graph") {
+    val rnd = new scala.util.Random(11)
+    // hub skew: node 0 participates in most edges — the case degree
+    // ordering exists for
+    val pairs = Seq.fill(120)((
+      if (rnd.nextBoolean()) 0L else rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong))
+    val got = Graph.triangleCounts(edges(pairs: _*), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refTriangles(pairs))
+    assert(got.values.sum > 0, "fixture must actually contain triangles")
+  }
+
+  test("triangleCounts: direction and duplicates collapse; self-loops drop") {
+    val got = Graph.triangleCounts(
+        edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 1L, 2L -> 3L),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("degrees counts distinct in/out neighbors with zero-fill") {
     val d = Graph.degrees(edges(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 3L),
         "src", "dst")
