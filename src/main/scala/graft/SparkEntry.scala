@@ -2694,22 +2694,33 @@ object SparkEntry {
       .orderBy("diff_status")
   }
 
-  /** Fuzzy string join (SURVEY row 30d): record linkage between the
-    * even- and odd-keyed halves of the part table on trigram jaccard ≥
-    * 1/2 — exact integer decision, gram-blocked plan; the oracle
-    * replays the whole pair set with counts and jaccard_e6
-    * ([[operators.Relational.fuzzyJoin]]). Uncapped here (the cap's
-    * recall trade is spec-pinned).
+  /** Fuzzy string join (SURVEY row 30d): record linkage on trigram
+    * jaccard >= 4/5 between 60-char document prefixes and a right side
+    * mixing the odd-doc prefixes with PLANTED single-char typos of the
+    * even ones (position 30 -> 'Z') — each left row links to its typo
+    * twin (~0.85 jaccard), unrelated prefixes fall under the bar. The
+    * previous part-name fixture was degenerate: only 64 distinct names
+    * exist at any SF, so every threshold emitted the ~1.5M
+    * identical-name pairs — an output-sized cost that measures nothing
+    * about linkage. Uncapped; the cap's recall trade is spec-pinned,
+    * and the 50k-corpus scale evidence lives in the Scaling harness
+    * ([[operators.Relational.fuzzyJoin]], PPJoin prefix blocking).
     */
   private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = wh(s, dir).loadTable("part").select(col("p_partkey"), col("p_name"))
-    val l = p.filter(pmod(col("p_partkey"), lit(2)) === 0)
-    val r = p.filter(pmod(col("p_partkey"), lit(2)) === 1)
-    operators.Relational.fuzzyJoin(l, r, "p_partkey", "p_name",
-        "p_partkey", "p_name", thresholdNum = 1, thresholdDen = 2,
+    val d = wh(s, dir).loadTable("documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+    val l = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val rClean = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val rTypo = l.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("s"), 1, 29), lit("Z"),
+        substring(col("s"), 31, 60)).as("s"))
+    operators.Relational.fuzzyJoin(l, rClean.unionByName(rTypo),
+        "doc_id", "s", "doc_id", "s", thresholdNum = 4, thresholdDen = 5,
         n = 3, maxGramFreq = 0)
       .orderBy("l_id", "r_id")
   }
+
 
   /** PageRank over the customer↔supplier trade graph (SURVEY row 61):
     * 8 fixed-point integer iterations on the symmetrized distinct edge
@@ -4932,8 +4943,13 @@ object SparkEntry {
         |SELECT diff_status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH l AS (SELECT p_partkey AS l_id, p_name AS s FROM part WHERE p_partkey % 2 = 0),
-        |r AS (SELECT p_partkey AS r_id, p_name AS s FROM part WHERE p_partkey % 2 = 1),
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+        |           WHERE text IS NOT NULL AND length(text) >= 40),
+        |l AS (SELECT doc_id AS l_id, s FROM d WHERE doc_id % 2 = 0),
+        |rc AS (SELECT doc_id AS r_id, s FROM d WHERE doc_id % 2 = 1),
+        |rt AS (SELECT l_id + 1000000 AS r_id,
+        |       concat(substr(s, 1, 29), 'Z', substr(s, 31, 60)) AS s FROM l),
+        |r AS (SELECT * FROM rc UNION ALL SELECT * FROM rt),
         |lg AS (SELECT l_id, len(gs) AS l_grams, unnest(gs) AS g FROM (
         |  SELECT l_id, list_distinct(list_transform(
         |    generate_series(1, greatest(length(s) - 2, 0)),
@@ -4945,7 +4961,7 @@ object SparkEntry {
         |pairs AS (SELECT l_id, r_id, l_grams, r_grams, count(*) AS shared_grams
         |          FROM lg JOIN rg USING (g) GROUP BY 1, 2, 3, 4),
         |sel AS (SELECT *, l_grams + r_grams - shared_grams AS u FROM pairs
-        |        WHERE shared_grams * 2 >= 1 * (l_grams + r_grams - shared_grams))
+        |        WHERE shared_grams * 5 >= 4 * (l_grams + r_grams - shared_grams))
         |SELECT l_id, r_id, shared_grams, l_grams, r_grams,
         |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
         |FROM sel ORDER BY l_id, r_id""".stripMargin,

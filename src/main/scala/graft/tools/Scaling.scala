@@ -259,6 +259,21 @@ object Scaling {
     }
 
     // ---- r9s4 additions --------------------------------------------------
+    timeFull("fuzzyJoin 4/5 on 60-char prefixes, planted typos (PPJoin)") {
+      // distinct-ish prefixes at corpus scale: even half vs odd half plus
+      // a typo'd copy of the even half — the linkage regime q_fuzzy_join
+      // runs at gate scale, here at mult x corpus size
+      val pref = big.filter(length(col("text")) >= 40)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+      val l = pref.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val r = pref.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(l.select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(substring(col("s"), 1, 29), lit("Z"),
+            substring(col("s"), 31, 60)).as("s")))
+      drain(graft.operators.Relational.fuzzyJoin(l, r, "doc_id", "s",
+        "doc_id", "s", thresholdNum = 4, thresholdDen = 5, n = 3,
+        maxGramFreq = 0))
+    }
     timeFull("pageRank 8 iters over a 5-out synthetic doc graph") {
       // ~5 deterministic out-edges per doc: a skewed directed graph with
       // rows ∝ corpus size — times the per-round rank shuffle + groupBy
