@@ -2722,6 +2722,21 @@ object SparkEntry {
   }
 
 
+  /** Shared customer↔supplier trade-graph edge list (suppliers offset by
+    * 1e6 into one node-id space); `symmetric` adds the reverse edges.
+    * One definition for the four graph queries AND mirrored by their
+    * oracles' e0 CTE — the construction cannot drift per query.
+    */
+  private def tradeGraphEdges(s: SparkSession, dir: String,
+      symmetric: Boolean): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    if (symmetric) e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    else e
+  }
+
   /** PageRank over the customer↔supplier trade graph (SURVEY row 61):
     * 8 fixed-point integer iterations on the symmetrized distinct edge
     * list (suppliers offset by 1e6 into a shared node-id space). Every
@@ -2730,11 +2745,7 @@ object SparkEntry {
     * ([[operators.Graph.pageRank]]).
     */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = tradeGraphEdges(s, dir, symmetric = true)
     operators.Graph.pageRank(sym, "src", "dst", iters = 8).orderBy("node")
   }
 
@@ -2744,11 +2755,7 @@ object SparkEntry {
     * the seed-concentrated base ([[operators.Graph.personalizedPageRank]]).
     */
   private def qPagerankPersonalized(s: SparkSession, dir: String): DataFrame = {
-    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = tradeGraphEdges(s, dir, symmetric = true)
     val seeds = wh(s, dir).loadTable("customer")
       .filter(col("c_nationkey") === 1).select(col("c_custkey"))
     operators.Graph.personalizedPageRank(sym, "src", "dst", seeds, "c_custkey",
@@ -2761,11 +2768,7 @@ object SparkEntry {
     * ([[operators.Graph.labelPropagation]]).
     */
   private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = tradeGraphEdges(s, dir, symmetric = true)
     operators.Graph.labelPropagation(sym, "src", "dst", iters = 4).orderBy("node")
   }
 
@@ -2789,11 +2792,8 @@ object SparkEntry {
     * ([[operators.Graph.degrees]]).
     */
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame = {
-    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
-    operators.Graph.degrees(e, "src", "dst").orderBy("node")
+    operators.Graph.degrees(tradeGraphEdges(s, dir, symmetric = false),
+      "src", "dst").orderBy("node")
   }
 
   /** DSIR importance selection (SURVEY row 46g): target = the English
@@ -5054,12 +5054,12 @@ object SparkEntry {
 
   private val driftNumericOracleSql: String =
     s"""WITH a0 AS (
-       | SELECT least(9, greatest(0, CAST(floor(
-       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0) AS INTEGER))) AS bin
+       | SELECT CAST(floor(least(9.0, greatest(0.0,
+       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0))) AS INTEGER) AS bin
        | FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
        |b0 AS (
-       | SELECT least(9, greatest(0, CAST(floor(
-       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0) AS INTEGER))) AS bin
+       | SELECT CAST(floor(least(9.0, greatest(0.0,
+       |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 10 / 600000.0))) AS INTEGER) AS bin
        | FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
        |ca AS (SELECT bin, count(*) AS c FROM a0 GROUP BY bin),
        |cb AS (SELECT bin, count(*) AS c FROM b0 GROUP BY bin),

@@ -125,7 +125,11 @@ object Graph {
     val edgeDeg = persistIf(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
         .repartition(col("src")))
-    val nodeIds = {
+    // persisted so the personalized branch's eager count (needed for the
+    // teleport LITERAL — inherent to the exact-integer contract) and the
+    // base-frame build below read one materialization, not two distinct
+    // passes over the edge union
+    val nodeIds = persistIf {
       val base = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
       seedsOpt match {
@@ -180,7 +184,9 @@ object Graph {
       ranks
     } finally {
       releaseCheckpointedCaches()
-      if (persistLevel != StorageLevel.NONE) { edgeDeg.unpersist(); nodes.unpersist() }
+      if (persistLevel != StorageLevel.NONE) {
+        edgeDeg.unpersist(); nodes.unpersist(); nodeIds.unpersist()
+      }
     }
   }
 
@@ -264,12 +270,15 @@ object Graph {
     def persistIf(df: DataFrame): DataFrame =
       if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
     val s = col(srcCol).cast("long"); val d = col(dstCol).cast("long")
-    val und = edges
+    // und feeds the degree aggregate AND the orientation join; deg feeds
+    // both orientation sides AND the final node list — persist both so
+    // the distinct-edge collapse and the degree shuffle run once
+    val und = persistIf(edges
       .select(least(s, d).as("u"), greatest(s, d).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .distinct())
+    val deg = persistIf(und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("dg")))
     // orient low rank → high rank, rank = (deg, id); carry the head's
     // rank for the wedge ordering below
     val oriented = persistIf(und

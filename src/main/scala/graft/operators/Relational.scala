@@ -178,7 +178,11 @@ object Relational {
       thresholdNum: Long, thresholdDen: Long,
       n: Int = 3, maxGramFreq: Long = 10000L): DataFrame = {
     require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be >= 0")
-    def grams(df: DataFrame, idC: String, strC: String, side: String) =
+    // gram ARRAYS are the one persisted artifact: freq, both prefixes and
+    // the verification all derive from them, so the
+    // substring/transform/array_distinct gram generation runs ONCE per
+    // side instead of once per consumer
+    def gramArrays(df: DataFrame, idC: String, strC: String, side: String) =
       df.select(lcol(idC).cast("long").as(s"${side}_id"),
           // sequence(1, len-n+1) would run DESCENDING for short strings
           // (Spark sequences reverse when start > stop) — guard to empty
@@ -187,12 +191,19 @@ object Relational {
             .otherwise(array_distinct(org.apache.spark.sql.functions.transform(
               sequence(lit(1), length(lcol(strC)) - (n - 1)),
               i => lcol(strC).substr(i, lit(n)))))
-            .as("gs"))
-        .withColumn(s"${side}_grams", size(col("gs")).cast("long"))
+            .as(s"${side}_gs"))
+        .withColumn(s"${side}_grams", size(col(s"${side}_gs")).cast("long"))
+        .filter(col(s"${side}_grams") > 0)
+    val lArr = gramArrays(left, lIdCol, lStrCol, "l")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rArr = gramArrays(right, rIdCol, rStrCol, "r")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def explodedGrams(side: String) =
+      (if (side == "l") lArr else rArr)
         .select(col(s"${side}_id"), col(s"${side}_grams"),
-          explode(col("gs")).as("g"))
-    val lg = grams(left, lIdCol, lStrCol, "l")
-    val rg = grams(right, rIdCol, rStrCol, "r")
+          explode(col(s"${side}_gs")).as("g"))
+    val lg = explodedGrams("l")
+    val rg = explodedGrams("r")
     // PPJoin prefix filtering (Xiao et al. WWW 2008), bipartite form —
     // the same machinery as Dedup.ngramJaccard: candidates only need to
     // collide on a gram in each string's PREFIX (its rarest
@@ -205,12 +216,6 @@ object Relational {
     // the part-name corpus). ⌈t·sz⌉ in exact integer arithmetic
     // ((num·sz + den − 1) div den) — the rational threshold never
     // touches a double.
-    val arrays = (side: String) =>
-      (if (side == "l") lg else rg)
-        .groupBy(col(s"${side}_id"), col(s"${side}_grams"))
-        .agg(collect_list(col("g")).as(s"${side}_gs"))
-    val lArr = arrays("l").persist(StorageLevel.MEMORY_AND_DISK)
-    val rArr = arrays("r").persist(StorageLevel.MEMORY_AND_DISK)
     val freq = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("__df"))
     def prefix(g: DataFrame, side: String) = {

@@ -237,10 +237,15 @@ object Stats {
   def histogramStore(df: DataFrame, valueCol: String,
       lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
     require(nBins >= 2 && hi > lo, s"need nBins >= 2 and hi > lo")
+    // clamp in DOUBLE space BEFORE floor/cast: a wild outlier (3e10, or
+    // Infinity) would otherwise blow the int cast under ANSI mode
+    // (CAST_OVERFLOW) instead of landing in the edge bin — a drift
+    // monitor exists precisely to survive corrupt rows. NaN clamps to
+    // the top bin (NaN sorts greatest in both engines).
+    val raw = (col(valueCol).cast("double") - lit(lo)) * lit(nBins) / lit(hi - lo)
     df.filter(col(valueCol).isNotNull)
-      .select(least(lit(nBins - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - lit(lo)) * lit(nBins)
-          / lit(hi - lo)).cast("int"))).as("bin"))
+      .select(floor(least(lit((nBins - 1).toDouble), greatest(lit(0.0), raw)))
+        .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 

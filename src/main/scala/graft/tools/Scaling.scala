@@ -283,18 +283,21 @@ object Scaling {
       drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 8))
     }
     timeFull("trainDsir + dsirScore corpus-wide (4096-bucket bag model)") {
+      // target slice = every 7th doc (big carries only doc_id/text)
       val m = TextAnalysis.trainDsir(
-        big.filter(col("lang") === "en"), big, "text")
+        big.filter(col("doc_id") % 7 === 0), big, "text")
       drain(TextAnalysis.dsirScore(big, "text", m))
     }
     time("weightedSystematicSample target=1000 (two-pass prefix sum)") {
       drain(graft.operators.Relational.weightedSystematicSample(
-        big, "doc_id", "n_chars", target = 1000))
+        big.withColumn("w", length(col("text")).cast("long")),
+        "doc_id", "w", target = 1000))
     }
-    time("driftNumeric 10 bins between corpus halves") {
+    time("driftNumeric 10 bins between corpus halves (text length)") {
+      val lens = big.select(col("doc_id"), length(col("text")).cast("double").as("len"))
       drain(graft.operators.Stats.driftNumeric(
-        big.filter(col("doc_id") % 2 === 0), big.filter(col("doc_id") % 2 === 1),
-        "n_chars", 0.0, 5000.0, 10))
+        lens.filter(col("doc_id") % 2 === 0), lens.filter(col("doc_id") % 2 === 1),
+        "len", 0.0, 5000.0, 10))
     }
     spark.stop()
   }

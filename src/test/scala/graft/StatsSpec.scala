@@ -222,16 +222,20 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
 
   test("driftNumeric clamps out-of-range values into the edge bins") {
     import spark.implicits._
-    val before = Seq(-5.0, 0.5, 1.5, 99.0).toDF("x")
+    // 3e10 would overflow the int cast under ANSI mode if clamping ran
+    // after the cast (observed CAST_OVERFLOW) — wild outliers are exactly
+    // what a drift monitor must survive, so the clamp runs in double space
+    val before = Seq(-5.0, 0.5, 1.5, 99.0, 3.0e10, Double.PositiveInfinity)
+      .toDF("x")
     val after = Seq(250.0, 250.0).toDF("x")
     val got = Stats.driftNumeric(before, after, "x", 0.0, 100.0, nBins = 4)
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // before: -5 and 0.5 and 1.5 clamp/fall to bin 0, 99 to bin 3;
+    // before: -5, 0.5, 1.5 clamp/fall to bin 0; 99, 3e10, Inf to bin 3;
     // after: both 250s clamp to bin 3; +1 smoothing everywhere
     assert(got(0) === ((4L, 1L)))
     assert(got(1) === ((1L, 1L)))
     assert(got(2) === ((1L, 1L)))
-    assert(got(3) === ((2L, 3L)))
+    assert(got(3) === ((4L, 3L)))
   }
 
   test("histogram store: mergeable counts, store-drift == one-shot drift") {
