@@ -216,8 +216,11 @@ object Relational {
     // the part-name corpus). ⌈t·sz⌉ in exact integer arithmetic
     // ((num·sz + den − 1) div den) — the rational threshold never
     // touches a double.
+    // persisted: both prefix streams consume it (small — one row per
+    // distinct gram)
     val freq = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("__df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def prefix(g: DataFrame, side: String) = {
       val withFreq = g.join(freq, Seq("g"))
       val capped =

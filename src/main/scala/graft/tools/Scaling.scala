@@ -260,10 +260,12 @@ object Scaling {
 
     // ---- r9s4 additions --------------------------------------------------
     timeFull("fuzzyJoin 4/5 on 60-char prefixes, planted typos (PPJoin)") {
-      // distinct-ish prefixes at corpus scale: even half vs odd half plus
-      // a typo'd copy of the even half — the linkage regime q_fuzzy_join
-      // runs at gate scale, here at mult x corpus size
-      val pref = big.filter(length(col("text")) >= 40)
+      // DISTINCT strings only (variant rows share their base's 60-char
+      // prefix verbatim — identical-string groups measure output size,
+      // not linkage; the same degeneracy the part-name fixture had):
+      // one prefix per variant GROUP, still mult/10 x the corpus
+      val pref = big.filter(col("doc_id") % 10 === 0)
+        .filter(length(col("text")) >= 40)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
       val l = pref.filter(pmod(col("doc_id"), lit(2)) === 0)
       val r = pref.filter(pmod(col("doc_id"), lit(2)) === 1)
