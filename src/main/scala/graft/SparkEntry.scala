@@ -2637,6 +2637,47 @@ object SparkEntry {
     operators.EventAnalytics.transitions(
       wh(s, dir).loadTable("events"), "user_id", "event_type", "ts", "event_id")
 
+  /** Bloom-prefiltered join (SURVEY row 29d): lineitem pre-filtered
+    * map-side against a Bloom sketch of the selective high-value order
+    * keys before the join shuffle — result row-identical to the plain
+    * join ([[operators.Relational.bloomPrefilteredJoin]]).
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val hot = w.loadTable("orders").filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    operators.Relational.bloomPrefilteredJoin(
+        w.loadTable("lineitem"), hot, Seq("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Per-source quota cap (SURVEY row 57h): at most 10 documents per
+    * source, keeping the longest (n_chars desc, tie doc_id asc) — the
+    * per-domain cap of web-corpus curation, elected by the bounded
+    * [[graft.functions.TopKAgg]] instead of a full per-group sort
+    * ([[operators.Relational.capPerKey]]).
+    */
+  private def qQuotaCap(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.capPerKey(
+        wh(s, dir).loadTable("documents"), "source", "doc_id", n = 10,
+        scoreCol = Some("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Rolling z-score anomaly detection (SURVEY row 50f): each event vs
+    * the integer mean/variance of its user's previous 20 events, flagged
+    * beyond 3σ via the cross-multiplied all-long decision
+    * (n·v − s)² > 9·(n·s2 − s²) ([[operators.EventAnalytics.rollingAnomaly]]).
+    */
+  private def qRollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.rollingAnomaly(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        window = 20, minPrev = 8, z = 3)
+      .orderBy("event_id")
+
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
     * values, two unique keys (one deliberately failing) and a row-count
@@ -3068,7 +3109,10 @@ object SparkEntry {
     "q_drift_store" -> (qDriftStore _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_weighted_sample" -> (qWeightedSample _),
-    "q_char_entropy" -> (qCharEntropy _)
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_quota_cap" -> (qQuotaCap _),
+    "q_rolling_anomaly" -> (qRollingAnomaly _),
+    "q_bloom_join" -> (qBloomJoin _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5033,7 +5077,37 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
         | CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS n_risky_records,
         | CAST(MIN(cs) AS BIGINT) AS achieved_k
-        |FROM cls""".stripMargin
+        |FROM cls""".stripMargin,
+    "q_quota_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+    "q_rolling_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |w AS (SELECT event_id, user_id, us, vc,
+        |  CAST(count(vc) OVER win AS BIGINT) AS n_prev,
+        |  CAST(sum(vc) OVER win AS BIGINT) AS s,
+        |  CAST(sum(vc * vc) OVER win AS BIGINT) AS s2
+        | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, us, vc AS value_cents, n_prev,
+        | coalesce(n_prev >= 8 AND
+        |  (n_prev * vc - s) * (n_prev * vc - s) >
+        |   9 * (n_prev * s2 - s * s), FALSE) AS anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_qty_cents
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

@@ -242,6 +242,26 @@ object GraftFunctions {
   private val gramBloomNames = new java.util.IdentityHashMap[GramBloomModel, String]()
   private val gramBloomCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Long-key Bloom membership probe — sketch-parameterized registration
+    * like [[gramBloomContains]]; used as the map-side pre-filter of
+    * [[graft.operators.Relational.bloomPrefilteredJoin]].
+    */
+  def bloomContainsLong(spark: SparkSession, keyHash: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val name = bloomLongNames.synchronized {
+      bloomLongNames.computeIfAbsent(bloom,
+        _ => s"graft_bloom_contains_long_${bloomLongCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => BloomContainsLong(args.head, bloom),
+      "scala_udf")
+    call_function(name, keyHash)
+  }
+
+  private val bloomLongNames = new java.util.IdentityHashMap[
+    org.apache.spark.util.sketch.BloomFilter, String]()
+  private val bloomLongCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Bigram-LM fluency under a trained [[LmModel]] — model-parameterized
     * registration exactly like [[bpeCount]] (same uniqueness and lifetime
     * caveats).

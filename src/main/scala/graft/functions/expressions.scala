@@ -503,6 +503,28 @@ case class GramBloomContains(child: Expression, model: GramBloomModel)
   override def prettyName: String = "graft_gram_bloom_contains"
 }
 
+/** Long-key membership probe against a broadcast-serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the map-side pre-filter
+  * of [[graft.operators.Relational.bloomPrefilteredJoin]]. No false
+  * negatives by the sketch contract, so filtering a join side with it
+  * never loses a matching row; false positives are removed by the join
+  * itself. Codegen'd, stays inside whole-stage codegen.
+  */
+case class BloomContainsLong(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_contains_long"
+}
+
 /** Winnowing fingerprint of a string column → array<bigint> (sorted). */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {

@@ -224,4 +224,49 @@ object EventAnalytics {
       .select("from_type", "to_type", "n_pairs", "n_from", "share_e6")
       .orderBy("from_type", "to_type")
   }
+
+  /** ROLLING Z-SCORE ANOMALY DETECTION over a per-key event stream: each
+    * event is compared against the mean/stddev of its key's previous
+    * `window` events (ordered by (ts, idCol) — a TOTAL order, so the
+    * rolling frame is deterministic even with same-timestamp events), and
+    * flagged when it deviates by more than `z` standard deviations — the
+    * metric-spike / fraud-velocity / sensor-outlier staple.
+    *
+    * The decision is ENGINE-EXACT INTEGER arithmetic, no float mean or
+    * sqrt anywhere: with v = cents(value), s = Σ prev v, s2 = Σ prev v²,
+    * n = |prev|, the test |v − s/n| > z·σ (population σ over the window)
+    * cross-multiplies to (n·v − s)² > z²·(n·s2 − s²) — all longs
+    * (|v| ≤ ~10⁶ cents, window ≤ ~10³ keeps every term < 2⁶³).
+    * Events with fewer than `minPrev` predecessors are never flagged
+    * (`n_prev` rides along so consumers can tell "normal" from
+    * "insufficient history").
+    *
+    * Scale shape: ONE shuffle on the key; the rolling sums are a bounded
+    * ROWS-frame window (state = `window` longs per key, streamed in ts
+    * order within each key partition). State is O(keys) like
+    * sessionization, not O(events).
+    */
+  def rollingAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20, minPrev: Int = 8,
+      z: Int = 3): DataFrame = {
+    require(window >= 1 && minPrev >= 2 && z >= 1,
+      s"rollingAnomaly: need window >= 1, minPrev >= 2, z >= 1")
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("us"), col(idCol))
+      .rowsBetween(-window.toLong, -1L)
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("vc", expr(s"CAST(round(`$valueCol` * 100) AS bigint)"))
+      .withColumn("n_prev", count(col("vc")).over(byKey))
+      .withColumn("s", sum(col("vc")).over(byKey))
+      .withColumn("s2", sum(col("vc") * col("vc")).over(byKey))
+      .withColumn("anomaly", coalesce(
+        col("n_prev") >= minPrev &&
+          (col("n_prev") * col("vc") - col("s")) *
+            (col("n_prev") * col("vc") - col("s")) >
+          lit(z.toLong * z) * (col("n_prev") * col("s2") - col("s") * col("s")),
+        lit(false)))
+      .select(col(idCol), col(keyCol), col("us"), col("vc").as("value_cents"),
+        col("n_prev"), col("anomaly"))
+  }
 }

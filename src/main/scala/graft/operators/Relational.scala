@@ -924,4 +924,93 @@ object Relational {
         .localCheckpoint(true)
     } finally rows.unpersist()
   }
+
+  /** PER-KEY QUOTA CAP: keep at most `n` rows per `keyCol` group — the
+    * per-domain document cap every web-corpus curation pipeline runs
+    * (C4/RefinedWeb-style "limit N pages per host" so one crawl-heavy
+    * domain can't dominate the training mix). Kept rows are the group's
+    * `n` BEST by `scoreCol` (ties → smaller id — a total order, so the
+    * selection is deterministic and engine-replayable); with no score
+    * column the cap keeps the `n` smallest ids (first-crawled under
+    * monotone id assignment).
+    *
+    * Plan shape (the point of the operator): the winner election runs as
+    * the partial-aggregating [[graft.functions.TopKAgg]] over a NARROW
+    * (key, id, score) projection — each map task reduces every key it
+    * sees to ≤ n entries before the one key shuffle, so shuffle volume is
+    * O(keys × n × partitions-touched), independent of group skew. A hot
+    * domain with 10M pages contributes n rows per map partition, never
+    * 10M sorted rows — the window-function formulation
+    * (`row_number over (partition by key order by score)`) would sort the
+    * full group on one reducer, which is exactly what dies at 100 TB.
+    * The wide frame then left-semi joins the bounded keeper set on
+    * (key, id) — AQE broadcasts it when keys × n is small (the common
+    * case) and falls back to a shuffled semi join when the key space
+    * itself is huge; the wide rows never sort either way.
+    *
+    * `scoreCol` must cast to double exactly for determinism (integer
+    * scores up to 2^53 — doc lengths, token counts, quality scores in
+    * fixed point all qualify); ids likewise (long up to 2^53 negated for
+    * the no-score path).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      scoreCol: Option[String] = None): DataFrame = {
+    require(n > 0, s"capPerKey: n must be > 0, got $n")
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    val score = scoreCol match {
+      case Some(c) => lcol(c).cast("double")
+      case None    => -lcol(idCol).cast("long").cast("double")
+    }
+    val keepers = df
+      .select(lcol(keyCol).as("__key"), lcol(idCol).cast("long").as("__id"),
+        score.as("__score"))
+      .groupBy(col("__key"))
+      .agg(graft.functions.GraftFunctions.topK(col("__id"), col("__score"), n).as("__topk"))
+      .select(col("__key"), explode(col("__topk")).as("__e"))
+      .select(col("__key"), col("__e.id").as("__id"))
+    df.join(keepers,
+      lcol(keyCol) <=> col("__key") && lcol(idCol).cast("long") === col("__id"),
+      "left_semi")
+  }
+
+  /** BLOOM-PREFILTERED JOIN: the semi-join-reduction technique of every
+    * distributed warehouse — before shuffling a huge fact side into a
+    * join, probe each row against a Bloom filter of the (much smaller,
+    * typically pre-filtered) dimension side's join keys and drop
+    * non-matching rows MAP-SIDE, at the scan. At 100 TB the shuffle is
+    * the join's dominant cost, and a selective dimension filter ("this
+    * week's orders") means most fact rows shuffle only to be discarded;
+    * the Bloom probe discards them before the exchange for the cost of a
+    * broadcast bitmap. Spark's own runtime bloom-filter injection covers
+    * some shapes under AQE; this is the explicit, always-on form with a
+    * chosen fpp.
+    *
+    * Correctness: the probe key is xxhash64 over the key struct on BOTH
+    * sides, the sketch has NO false negatives, and false positives are
+    * eliminated by the exact join that follows — the result is
+    * row-identical to the plain join (the oracle + parity spec pin it).
+    * Restricted to `inner` and `left_semi` joins, the two shapes where
+    * dropping provably-unmatched left rows cannot change the result.
+    *
+    * The filter build is DISTRIBUTED (`stat.bloomFilter` treeAggregates
+    * per-partition sketches — keys never collect to the driver) and
+    * sized from a cheap count of the small side (which callers should
+    * hand in pre-filtered and narrow).
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, on: Seq[String],
+      how: String = "inner", fpp: Double = 0.01): DataFrame = {
+    require(on.nonEmpty, "bloomPrefilteredJoin: need join columns")
+    require(how == "inner" || how == "left_semi",
+      s"bloomPrefilteredJoin: only inner/left_semi are filter-safe, got $how")
+    graft.functions.GraftFunctions.ensure(big.sparkSession)
+    def keyHash(df: DataFrame): Column =
+      xxhash64(on.map(c => df(c)): _*)
+    val keys = small.select(keyHash(small).as("__h"))
+    val expected = math.max(1000L, keys.count())
+    val bloom = keys.stat.bloomFilter("__h", expected, fpp)
+    val bigFiltered = big.filter(
+      graft.functions.GraftFunctions.bloomContainsLong(
+        big.sparkSession, keyHash(big), bloom))
+    bigFiltered.join(small, on, how)
+  }
 }

@@ -422,4 +422,81 @@ object Events {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     graft.Warehouse(spark, dir).loadTableStream("events")
+
+  /** Rolling-window state for [[rollingAnomalyStream]]: the key's last
+    * ≤ window value_cents, oldest first. */
+  case class RollingState(vals: Seq[Long])
+
+  /** One scored event from [[rollingAnomalyStream]] — the streaming
+    * counterpart of [[graft.operators.EventAnalytics.rollingAnomaly]]'s
+    * output row. */
+  case class AnomalyFlag(event_id: Long, user_id: Long, us: Long,
+      value_cents: Long, n_prev: Long, anomaly: Boolean)
+
+  /** STREAMING rolling z-score anomaly detection — flag ON ARRIVAL, the
+    * real-time form of [[graft.operators.EventAnalytics.rollingAnomaly]]:
+    * each event is tested against its key's last `window` previously seen
+    * values with the same cross-multiplied all-long decision
+    * (n·v − s)² > z²·(n·s2 − s²), then joins the window itself. Within a
+    * micro-batch events fold in (ts, event_id) order, so an in-order
+    * stream produces EXACTLY the batch operator's flags
+    * (StreamingSpec pins the parity); out-of-order arrivals within the
+    * `allowedLateness` horizon are scored against what had arrived — the
+    * honest real-time semantics (a fraud check cannot wait for the
+    * watermark); rows later than the watermark are dropped like any
+    * watermarked stateful operator.
+    *
+    * State per key is `window` longs (a few hundred bytes), O(keys)
+    * total — the sessionization bound. Keys idle for `stateTtlMinutes`
+    * of EVENT time evict via event-time timeout (scoring restarts cold
+    * if they return) — the same eviction machinery as
+    * [[sessionizeStream]]; processing-time timeouts would spin
+    * continuous empty micro-batches on an idle stream.
+    */
+  def rollingAnomalyStream(events: Dataset[Event], window: Int = 20,
+      minPrev: Int = 8, z: Int = 3, allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 24 * 60): Dataset[AnomalyFlag] = {
+    require(window >= 1 && minPrev >= 2 && z >= 1,
+      "rollingAnomalyStream: need window >= 1, minPrev >= 2, z >= 1")
+    implicit val stateEnc = Encoders.product[RollingState]
+    implicit val outEnc = Encoders.product[AnomalyFlag]
+    implicit val longEnc = Encoders.scalaLong
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[RollingState]): Iterator[AnomalyFlag] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var vals = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty[Long])
+      var lastUs = 0L
+      val out = rows.toArray.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+        // HALF_UP like the batch form's SQL round(value*100) — math.round
+        // rounds half toward +inf, which diverges on negative values
+        val vc = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        val n = vals.length.toLong
+        var s = 0L; var s2 = 0L
+        vals.foreach { w => s += w; s2 += w * w }
+        val flag = n >= minPrev &&
+          (n * vc - s) * (n * vc - s) > z.toLong * z * (n * s2 - s * s)
+        vals = (vals :+ vc).takeRight(window)
+        lastUs = math.max(lastUs, micros(e.ts))
+        AnomalyFlag(e.event_id, uid, micros(e.ts), vc, n, flag)
+      }
+      state.update(RollingState(vals))
+      // evict once the watermark passes last event + TTL (clamped above
+      // the current watermark so a deeply-late group cannot make
+      // setTimeoutTimestamp throw — the sessionizeStream rule)
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

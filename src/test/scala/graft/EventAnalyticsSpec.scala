@@ -163,4 +163,64 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("A", "B")) === 666666L)
     assert(got(("A", "C")) === 333333L)
   }
+
+  test("rollingAnomaly: spike over a stable history flags; equal value never does") {
+    // user 1: six events at value 1.00, then a 50.00 spike, then 1.00 again.
+    // window=5, minPrev=3, z=3: history variance is 0, so ANY deviation
+    // flags ((n·v−s)² > 0) and an equal value never does (0 > 0 false).
+    val ev = (1 to 6).map(i => (i.toLong, 1L, ts(i.toLong), 1.00)) ++
+      Seq((7L, 1L, ts(7), 50.00), (8L, 1L, ts(8), 1.00))
+    val got = EventAnalytics.rollingAnomaly(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v",
+        window = 5, minPrev = 3, z = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) === (0L, false) && got(2L) === (1L, false) &&
+      got(3L) === (2L, false)) // insufficient history, never flagged
+    assert(got(4L) === (3L, false) && got(6L) === (5L, false))
+    assert(got(7L) === (5L, true)) // the spike
+    // event 8's window now contains the spike: mean 10.8, var huge —
+    // 1.00 is within 3σ of that contaminated window
+    assert(got(8L) === (5L, false))
+  }
+
+  test("rollingAnomaly matches a local integer replay on mixed users") {
+    val rnd = new scala.util.Random(7)
+    val ev = (1 to 200).map { i =>
+      (i.toLong, (i % 3).toLong, ts(rnd.nextInt(60).toLong),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val (window, minPrev, z) = (10, 4, 3)
+    val got = EventAnalytics.rollingAnomaly(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v",
+        window, minPrev, z)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    // local replay: per user, (us, eid)-ordered chain, exact longs
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val chain = rows.map { case (eid, _, t, v) =>
+        (eid, t.getTime * 1000L, math.round(v * 100)) }
+        .sortBy { case (eid, us, _) => (us, eid) }
+      chain.zipWithIndex.map { case ((eid, _, vc), i) =>
+        val prev = chain.slice(math.max(0, i - window), i).map(_._3)
+        val n = prev.length.toLong
+        val s = prev.sum; val s2 = prev.map(w => w * w).sum
+        val flag = n >= minPrev &&
+          (n * vc - s) * (n * vc - s) > z.toLong * z * (n * s2 - s * s)
+        eid -> (n, flag)
+      }
+    }
+    expected.foreach { case (eid, e) => assert(got(eid) === e, s"event $eid") }
+  }
+
+  test("rollingAnomaly: same-timestamp events order deterministically by id") {
+    val ev = Seq( // all at one ts — frame order must be eid order
+      (1L, 1L, ts(0), 1.0), (2L, 1L, ts(0), 1.0), (3L, 1L, ts(0), 1.0),
+      (4L, 1L, ts(0), 99.0))
+    val got = EventAnalytics.rollingAnomaly(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v",
+        window = 5, minPrev = 2, z = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L)._1 === 0L && got(2L)._1 === 1L && got(3L)._1 === 2L &&
+      got(4L)._1 === 3L)
+    assert(got(4L)._2 === true && !got(3L)._2)
+  }
 }

@@ -519,4 +519,75 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(shifted.values.sum === 5L)
   }
+
+  test("capPerKey keeps the n best per key by score, ties to smaller id") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: 4 rows, cap 2 — top scores 9 and the 7-tie resolved to id 1
+      (1L, "a", 7L, "x1"), (2L, "a", 7L, "x2"), (3L, "a", 9L, "x3"),
+      (4L, "a", 1L, "x4"),
+      // key b: under quota, all kept
+      (5L, "b", 5L, "x5"),
+      // null key is its own group
+      (6L, null, 3L, "x6"), (7L, null, 8L, "x7"), (8L, null, 4L, "x8")
+    ).toDF("id", "k", "score", "payload")
+    val got = Relational.capPerKey(df, "k", "id", 2, Some("score"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq.sorted
+    // wide columns survive intact; election: a → {3, 1}, b → {5}, null → {7, 8}
+    assert(got === Seq((1L, "x1"), (3L, "x3"), (5L, "x5"), (7L, "x7"), (8L, "x8")))
+  }
+
+  test("capPerKey without a score keeps the n smallest ids per key") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, s"k${i % 2}")).toDF("id", "k")
+    val got = Relational.capPerKey(df, "k", "id", 3, None)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("bloomPrefilteredJoin is row-identical to the plain join") {
+    import spark.implicits._
+    // duplicate keys both sides + null keys + non-matching rows
+    val big = Seq((Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"),
+      (Some(3L), "d"), (Some(3L), "e"), (Some(7L), "x"), (Some(8L), "y"),
+      (None, "n")).toDF("k", "payload")
+    val small = Seq((Some(1L), 10L), (Some(1L), 11L), (Some(3L), 30L),
+      (None, 99L)).toDF("k", "v")
+    val got = Relational.bloomPrefilteredJoin(big, small, Seq("k"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val plain = big.join(small, Seq("k"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(got === plain && got.nonEmpty)
+    // left_semi parity too
+    val gotSemi = Relational.bloomPrefilteredJoin(big, small, Seq("k"), "left_semi")
+      .collect().map(_.toSeq).toSet
+    assert(gotSemi === big.join(small, Seq("k"), "left_semi")
+      .collect().map(_.toSeq).toSet)
+    // unsafe join types are refused
+    assertThrows[IllegalArgumentException] {
+      Relational.bloomPrefilteredJoin(big, small, Seq("k"), "left")
+    }
+  }
+
+  test("bloomPrefilteredJoin probes map-side before the join in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // file-backed big side: an in-memory fixture would let the optimizer
+    // constant-fold the probe into the LocalTableScan
+    val big = wh.loadTable("lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("x"))
+    val small = Seq((5L, 1L), (10L, 2L)).toDF("k", "y")
+    val joined = Relational.bloomPrefilteredJoin(big, small, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains_long"),
+      s"bloom probe missing from plan:\n$plan")
+    // and the probe actually prunes: only the two orderkeys' lines plus
+    // the fpp-rate false positives survive (deterministic for fixed data)
+    val total = big.count()
+    val kept = big.filter(graft.functions.GraftFunctions.bloomContainsLong(
+      spark, xxhash64(big("k")),
+      small.select(xxhash64(small("k")).as("h"))
+        .stat.bloomFilter("h", 1000L, 0.01))).count()
+    assert(kept < total / 10, s"bloom kept $kept of $total")
+  }
 }

@@ -517,4 +517,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val expected = wh.loadTable("events").count()
     assert(n === expected, s"stream delivered $n of $expected rows")
   }
+
+  test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // one user, stable history then a spike, split across three triggers
+    // in ts order — arrival order == event-time order, so the stream must
+    // reproduce the batch operator's flags exactly
+    val evs = (1 to 6).map(i => Event(i.toLong, ts(i.toLong), 1L, "m", 2.00)) ++
+      Seq(Event(7, ts(7), 1L, "m", 80.00), Event(8, ts(8), 1L, "m", 2.00),
+        Event(9, ts(9), 2L, "m", 5.00)) // second key: cold, never flags
+    val mem = MemoryStream[Event]
+    val q = Events.rollingAnomalyStream(mem.toDS(), window = 5, minPrev = 3, z = 3)
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(3): _*); q.processAllAvailable()
+      mem.addData(evs.slice(3, 7): _*); q.processAllAvailable()
+      mem.addData(evs.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_out")
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    val batch = graft.operators.EventAnalytics.rollingAnomaly(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        window = 5, minPrev = 3, z = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got === batch)
+    assert(got(7L)._2 === true)
+    assert(got.forall { case (k, (_, f)) => k == 7L || !f })
+    // state carried across triggers: event 7's window spans trigger 1+2
+    assert(got(7L)._1 === 5L)
+  }
 }
