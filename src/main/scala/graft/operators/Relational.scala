@@ -185,12 +185,19 @@ object Relational {
     def gramArrays(df: DataFrame, idC: String, strC: String, side: String) =
       df.select(lcol(idC).cast("long").as(s"${side}_id"),
           // sequence(1, len-n+1) would run DESCENDING for short strings
-          // (Spark sequences reverse when start > stop) — guard to empty
-          when(length(lcol(strC)) < n, array().cast("array<string>"))
+          // (Spark sequences reverse when start > stop) — guard to empty.
+          // Grams are HASHED to longs at generation (the ngramJaccard
+          // design): every downstream shuffle/join keys on 8 bytes
+          // instead of n-char strings and the verify intersect runs on
+          // long arrays; distinct counts are preserved modulo 64-bit
+          // collisions (~|grams|²/2⁶⁴ ≈ 0, far below any oracle's noise
+          // floor). xxhash64 over the raw substring — no trim, so gram
+          // counts match the string-substring oracle replay exactly.
+          when(length(lcol(strC)) < n, array().cast("array<bigint>"))
             // functions.transform, NOT this object's mapPartitions verb
             .otherwise(array_distinct(org.apache.spark.sql.functions.transform(
               sequence(lit(1), length(lcol(strC)) - (n - 1)),
-              i => lcol(strC).substr(i, lit(n)))))
+              i => xxhash64(lcol(strC).substr(i, lit(n))))))
             .as(s"${side}_gs"))
         .withColumn(s"${side}_grams", size(col(s"${side}_gs")).cast("long"))
         .filter(col(s"${side}_grams") > 0)
@@ -228,12 +235,29 @@ object Relational {
         else withFreq.filter(col("__df") <= maxGramFreq)
       val byStr = Window.partitionBy(s"${side}_id").orderBy(col("__df"), col("g"))
       capped
-        .withColumn("__rk", row_number().over(byStr))
-        .filter(col("__rk") <= col(s"${side}_grams") -
+        .withColumn(s"${side}_rk", row_number().over(byStr))
+        .filter(col(s"${side}_rk") <= col(s"${side}_grams") -
           expr(s"($thresholdNum * ${side}_grams + $thresholdDen - 1) div $thresholdDen") + 1)
-        .select(col(s"${side}_id"), col("g"))
+        .select(col(s"${side}_id"), col("g"), col(s"${side}_rk"),
+          col(s"${side}_grams").as(s"${side}_sz"))
     }
+    // PAIRWISE-TIGHT prefix filter at collision time: the per-side prefix
+    // above covers the worst admissible partner (size t·sz, overlap bound
+    // ⌈t·sz⌉), but once BOTH sizes are known the true overlap bound is
+    // α = ⌈t/(1+t)·(sz_l+sz_r)⌉ ≥ ⌈t·sz⌉ — for same-size strings
+    // substantially larger (t=0.8, 58/58: α=52 vs 47, tight prefix 7 vs
+    // 12). A qualifying pair's α-prefixes must intersect, so any pair
+    // whose collisions all sit beyond the tight prefix on either side
+    // cannot reach the threshold and drops BEFORE the expensive
+    // verification join — on template-heavy corpora (hot grams, low
+    // prefix selectivity) this prunes most of the candidate explosion
+    // at the cost of one integer comparison per collision.
+    val alpha = expr(
+      s"($thresholdNum * (l_sz + r_sz) + $thresholdNum + $thresholdDen - 1) " +
+        s"div ($thresholdNum + $thresholdDen)")
     val cand = prefix(lg, "l").join(prefix(rg, "r"), Seq("g"))
+      .filter(col("l_rk") <= col("l_sz") - alpha + 1 &&
+        col("r_rk") <= col("r_sz") - alpha + 1)
       .select("l_id", "r_id").distinct()
     val shared = size(array_intersect(col("l_gs"), col("r_gs"))).cast("long")
     val union = col("l_grams") + col("r_grams") - col("shared_grams")

@@ -301,6 +301,22 @@ object Scaling {
         lens.filter(col("doc_id") % 2 === 0), lens.filter(col("doc_id") % 2 === 1),
         "len", 0.0, 5000.0, 10))
     }
+
+    // ---- r9s5 additions --------------------------------------------------
+    time("capPerKey 977 hosts, quota 20 (TopKAgg election, skewed keys)") {
+      // host key deliberately skewed (Zipf-ish via mod of a hash) so the
+      // measurement exercises the map-side reduction, not just the join
+      drain(graft.operators.Relational.capPerKey(
+        big.withColumn("host",
+          pmod(xxhash64(col("doc_id")), lit(977L)) * pmod(col("doc_id"), lit(3))),
+        "host", "doc_id", n = 20, scoreCol = Some("doc_id")))
+    }
+    time("bloomPrefilteredJoin: corpus vs 1% hot-key dim (map-side prune)") {
+      val dim = big.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"))
+      drain(graft.operators.Relational.bloomPrefilteredJoin(
+        big, dim, Seq("doc_id")))
+    }
     spark.stop()
   }
 }
