@@ -2637,6 +2637,31 @@ object SparkEntry {
     operators.EventAnalytics.transitions(
       wh(s, dir).loadTable("events"), "user_id", "event_type", "ts", "event_id")
 
+  /** Token-budget mixture sample (SURVEY row 57i): per-source document
+    * selection in seeded md5 order until each source's 4000-char budget
+    * is exhausted (boundary doc included; src18/src19 have no budget and
+    * contribute nothing) — the tokens-not-doc-counts form of mixture
+    * sampling, on the distributed two-pass prefix sum
+    * ([[operators.Relational.tokenBudgetSample]]).
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budgets = (0 until 18).map(i => s"src$i" -> 4000L).toMap
+    operators.Relational.tokenBudgetSample(
+        wh(s, dir).loadTable("documents"), "source", "doc_id", "n_chars",
+        budgets)
+      .orderBy("stratum", "id")
+  }
+
+  /** Exact grouped quantiles (SURVEY row 56e): per-order-priority
+    * o_totalprice at q ∈ {0.5, 0.9, 0.99}, rank ⌈q·n⌉ computed in
+    * integer millionths — no float rank anywhere
+    * ([[operators.Stats.groupedQuantiles]], exact form).
+    */
+  private def qGroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.groupedQuantiles(
+      wh(s, dir).loadTable("orders"), "o_orderpriority", "o_totalprice",
+      Seq(500000L, 900000L, 990000L), exact = true)
+
   /** Bloom-prefiltered join (SURVEY row 29d): lineitem pre-filtered
     * map-side against a Bloom sketch of the selective high-value order
     * keys before the join shuffle — result row-identical to the plain
@@ -3112,7 +3137,9 @@ object SparkEntry {
     "q_char_entropy" -> (qCharEntropy _),
     "q_quota_cap" -> (qQuotaCap _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
-    "q_bloom_join" -> (qBloomJoin _)
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_grouped_quantiles" -> (qGroupedQuantiles _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5107,7 +5134,35 @@ object SparkEntry {
         |FROM lineitem
         |JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) o
         |  ON l_orderkey = o_orderkey
-        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (
+        | SELECT source AS stratum, doc_id AS id,
+        |  greatest(0, n_chars) AS n_tokens,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT) AS key
+        | FROM documents WHERE source IS NOT NULL),
+        |c AS (
+        | SELECT stratum, id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY stratum
+        |    ORDER BY key, id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS tokens_before
+        | FROM d)
+        |SELECT stratum, id, n_tokens, tokens_before FROM c
+        |WHERE tokens_before < 4000
+        |  AND stratum NOT IN ('src18', 'src19')
+        |ORDER BY stratum, id""".stripMargin,
+    "q_grouped_quantiles" ->
+      """WITH b AS (SELECT o_orderpriority AS grp, o_totalprice AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT grp, v,
+        |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY grp) AS n FROM b),
+        |q AS (SELECT unnest([500000, 900000, 990000]) AS q_e6)
+        |SELECT grp, CAST(q.q_e6 AS BIGINT) AS q_e6, v AS value
+        |FROM r, q
+        |WHERE rk = (q.q_e6 * n + 999999) // 1000000
+        |ORDER BY grp, q_e6""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

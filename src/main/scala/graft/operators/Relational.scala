@@ -949,6 +949,89 @@ object Relational {
     } finally rows.unpersist()
   }
 
+  /** TOKEN-BUDGET mixture sampling: per stratum, select documents in a
+    * seeded pseudo-random order until the stratum's TOKEN budget is
+    * exhausted — pretraining mixes are specified in tokens ("web 500B,
+    * code 150B, books 50B"), not document counts, which is exactly the
+    * gap [[mixtureSample]] (doc counts) and [[stratifiedSample]]
+    * (fractions) leave open. A document is selected iff the tokens
+    * accumulated BEFORE it in its stratum's order are < budget, so the
+    * boundary document is included (budgets are met-or-slightly-exceeded,
+    * never silently undershot; a stratum absent from `budgets` has
+    * budget 0 and contributes nothing).
+    *
+    * The order key is the first 48 bits of md5(seed:id) (the
+    * [[negativeSample]] convention): a pure function of (seed, id), so
+    * selection is uniform over each stratum, reproducible across re-runs
+    * and partitionings, and any engine replays it exactly.
+    *
+    * Scale shape: the cumulative-token line is the DISTRIBUTED two-pass
+    * prefix sum of [[weightedSystematicSample]], generalized per stratum
+    * — range-partition by (stratum, key, id), one per-(partition,
+    * stratum) totals collect (numPartitions × strata longs), exclusive
+    * offsets broadcast, one map-side emit pass. NO per-stratum window
+    * (which would sort a "70% web" stratum on one reducer — the exact
+    * skew mixtureSample's pre-reservoir exists to avoid).
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      seed: Long = 42L): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample: need at least one budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(lcol(stratumCol).cast("string").as("s"),
+        lcol(idCol).cast("long").as("id"),
+        greatest(lit(0L), lcol(tokenCol).cast("long")).as("tok"),
+        conv(substring(md5(concat(lit(seed.toString), lit(":"),
+          lcol(idCol).cast("long").cast("string"))), 1, 12), 16, 10)
+          .cast("long").as("key"))
+      .filter(col("s").isNotNull)
+      .repartitionByRange(col("s"), col("key"), col("id"))
+      .sortWithinPartitions("s", "key", "id")
+      .as[(String, Long, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, stratum) token totals — strata are
+      // contiguous within a range partition, but a stratum may span
+      // partitions, hence the per-stratum offset chain below
+      val partials = rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (s, _, tok, _) =>
+          sums.update(s, sums.getOrElse(s, 0L) + tok)
+        }
+        sums.iterator.map { case (s, t) => (pid, s, t) }
+      }.collect()
+      // exclusive offset of each (partition, stratum): tokens of the same
+      // stratum in all earlier partitions (range partitioning orders the
+      // stratum's rows across partitions by (key, id))
+      val byStratum = partials.groupBy(_._2)
+      val offsets: Map[(Int, String), Long] = byStratum.flatMap {
+        case (s, parts) =>
+          val sorted = parts.sortBy(_._1)
+          val offs = sorted.map(_._3).scanLeft(0L)(_ + _).init
+          sorted.map(_._1).zip(offs).map { case (pid, off) => (pid, s) -> off }
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val bcBudgets = spark.sparkContext.broadcast(budgets)
+      rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var acc = 0L
+        it.flatMap { case (s, id, tok, _) =>
+          if (s != cur) { cur = s; acc = bc.value.getOrElse((pid, s), 0L) }
+          val before = acc
+          acc += tok
+          if (before < bcBudgets.value.getOrElse(s, 0L))
+            Some((s, id, tok, before))
+          else None
+        }
+      }.toDF("stratum", "id", "n_tokens", "tokens_before")
+        .localCheckpoint(true)
+    } finally rows.unpersist()
+  }
+
   /** PER-KEY QUOTA CAP: keep at most `n` rows per `keyCol` group — the
     * per-domain document cap every web-corpus curation pipeline runs
     * (C4/RefinedWeb-style "limit N pages per host" so one crawl-heavy

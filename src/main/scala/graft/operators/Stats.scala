@@ -345,4 +345,56 @@ object Stats {
         sum(when(col("risky"), col("class_size")).otherwise(0L)).cast("long")
           .as("n_risky_records"),
         min(col("class_size")).as("achieved_k"))
+
+  /** GROUPED QUANTILES — per-group order statistics, the calibration step
+    * behind per-language/per-source quality cutoffs ("keep the top 10%
+    * of each language"): one row per (group, quantile) with the group's
+    * value at that quantile.
+    *
+    * Quantiles are given in MILLIONTHS (`qE6`, e.g. 500000 = median) and
+    * the exact form picks the value at rank ⌈q·n⌉ computed in INTEGER
+    * arithmetic — (q_e6·n + 999999) div 10⁶ — the percentile_disc
+    * contract with no float rank anywhere, so any engine replays the
+    * picked values bit-for-bit (a float ⌈0.9·n⌉ is off-by-one whenever
+    * q·n lands on an ulp boundary; the rational form never is).
+    *
+    * `exact = true` ranks each group with one window sort — per-group
+    * order statistics fundamentally need the group's order, so this is
+    * the GATE/audit form (bounded groups). The default is Spark's
+    * grouped `percentile_approx` (one partial-aggregated pass, no
+    * per-group sort) — the 100 TB path, same output shape, accuracy
+    * `approxAccuracy`.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qE6: Seq[Long], exact: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
+    require(qE6.nonEmpty && qE6.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1000000] millionths: $qE6")
+    val base = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("v")
+      val counts = base.groupBy("grp").agg(count(lit(1)).as("n"))
+      base
+        .withColumn("rk", row_number().over(w))
+        .join(counts, Seq("grp"))
+        .crossJoin(broadcast(df.sparkSession.range(1)
+          .select(explode(array(qE6.map(lit): _*)).as("q_e6"))))
+        .filter(col("rk") === expr("(q_e6 * n + 999999) div 1000000"))
+        .select(col("grp"), col("q_e6"), col("v").as("value"))
+        .orderBy("grp", "q_e6")
+    } else {
+      val qs = qE6.map(_ / 1e6)
+      base.groupBy("grp")
+        .agg(percentile_approx(col("v"),
+          array(qs.map(lit): _*), lit(approxAccuracy)).as("vals"))
+        .select(col("grp"), posexplode(col("vals")).as(Seq("i", "value")))
+        .withColumn("q_e6",
+          element_at(array(qE6.map(lit): _*), col("i").cast("int") + 1))
+        .select(col("grp"), col("q_e6"), col("value"))
+        .orderBy("grp", "q_e6")
+    }
+  }
 }

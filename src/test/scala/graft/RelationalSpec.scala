@@ -545,6 +545,49 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("tokenBudgetSample fills each stratum's token budget in md5 order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
+    val df = ((1 to 30).map(i => (i.toLong, "a", 100L)) ++
+      (31 to 40).map(i => (i.toLong, "b", 100L)) ++
+      Seq((41L, "c", 100L))) // stratum with no budget
+      .toDF("id", "s", "tok")
+    val budgets = Map("a" -> 1000L, "b" -> 5000L)
+    val got = Relational.tokenBudgetSample(df, "s", "id", "tok", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val byStratum = got.groupBy(_._1)
+    // a: 100-token docs against a 1000 budget → exactly 10 selected,
+    // tokens_before of the last one = 900 (< 1000, boundary included)
+    assert(byStratum("a").length === 10)
+    assert(byStratum("a").map(_._3).max === 900L)
+    // b: budget exceeds the stratum → everything selected
+    assert(byStratum("b").length === 10)
+    // c: no declared budget → nothing
+    assert(!byStratum.contains("c"))
+    // selection must equal the local md5-order replay
+    val keyOf = df.select(col("id"),
+      conv(substring(md5(concat(lit("42:"), col("id").cast("string"))), 1, 12),
+        16, 10).cast("long").as("key")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectA = (1 to 30).map(_.toLong).sortBy(id => (keyOf(id), id)).take(10).toSet
+    assert(byStratum("a").map(_._2).toSet === expectA)
+    // partitioning-independence: same selection from a different layout
+    val again = Relational.tokenBudgetSample(df.repartition(7), "s", "id", "tok",
+      budgets).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again === got.toSet)
+  }
+
+  test("tokenBudgetSample includes the boundary doc that crosses the budget") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L)).toDF("id", "s", "tok")
+    // budget 1000: first doc (before=0) + the crossing doc (before=600) —
+    // third (before=1200) excluded, whatever the md5 order
+    val got = Relational.tokenBudgetSample(df, "s", "id", "tok", Map("a" -> 1000L))
+      .collect()
+    assert(got.length === 2)
+    assert(got.map(_.getLong(3)).sorted.toSeq === Seq(0L, 600L))
+  }
+
   test("bloomPrefilteredJoin is row-identical to the plain join") {
     import spark.implicits._
     // duplicate keys both sides + null keys + non-matching rows

@@ -302,4 +302,36 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
       === ((3L, 6L, 2L, 3L, 1L)))
   }
+
+  test("groupedQuantiles exact: integer rank ⌈q·n⌉, ties, exact-multiple edge") {
+    import spark.implicits._
+    // group a: n=10, values 10..100 — q=0.5 → rank ceil(5.0)=5 → 50
+    // (exact-multiple edge: 500000·10 = 5·10⁶ exactly, +999999 div 10⁶ = 5);
+    // q=0.91 → rank ceil(9.1)=10 → 100. group b: n=4 with tied values.
+    val df = ((1 to 10).map(i => ("a", i * 10.0)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 2.0), ("b", 9.0))).toDF("g", "v")
+    val got = Stats.groupedQuantiles(df, "g", "v",
+        Seq(500000L, 910000L), exact = true)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got(("a", 500000L)) === 50.0)
+    assert(got(("a", 910000L)) === 100.0)
+    // b: q=0.5 → rank ceil(2.0)=2 → the tied 2.0; q=0.91 → rank 4 → 9.0
+    assert(got(("b", 500000L)) === 2.0)
+    assert(got(("b", 910000L)) === 9.0)
+  }
+
+  test("groupedQuantiles approx agrees with exact in the exact regime") {
+    import spark.implicits._
+    val df = (1 to 200).flatMap(i => Seq(("a", i.toDouble), ("b", (i * 3).toDouble)))
+      .toDF("g", "v")
+    val exact = Stats.groupedQuantiles(df, "g", "v", Seq(500000L, 900000L),
+      exact = true).collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    // accuracy >> n ⇒ the sketch stores every value and is exact
+    val approx = Stats.groupedQuantiles(df, "g", "v", Seq(500000L, 900000L),
+      exact = false, approxAccuracy = 100000)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= 1.0, s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
 }
