@@ -2652,6 +2652,24 @@ object SparkEntry {
       .orderBy("stratum", "id")
   }
 
+  /** Incremental quota store (SURVEY row 57h-inc): the per-source cap
+    * maintained across two arriving halves of the corpus — store from
+    * batch 1, batch 2 folded in (better rows evict stored ones), final
+    * store must equal the ONE-SHOT election over everything
+    * ([[operators.Relational.quotaStore]]/[[operators.Relational.updateQuotaStore]]).
+    */
+  private def qQuotaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val store1 = operators.Relational.quotaStore(
+      docs.filter(col("doc_id") % 2 === 0), "source", "doc_id", 10,
+      Some("n_chars"))
+    operators.Relational.updateQuotaStore(
+        store1, docs.filter(col("doc_id") % 2 === 1), "source", "doc_id", 10,
+        Some("n_chars"))
+      .select(col("doc_id"), col("source"), col("__score").as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Exact grouped quantiles (SURVEY row 56e): per-order-priority
     * o_totalprice at q ∈ {0.5, 0.9, 0.99}, rank ⌈q·n⌉ computed in
     * integer millionths — no float rank anywhere
@@ -3139,7 +3157,8 @@ object SparkEntry {
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_token_budget" -> (qTokenBudget _),
-    "q_grouped_quantiles" -> (qGroupedQuantiles _)
+    "q_grouped_quantiles" -> (qGroupedQuantiles _),
+    "q_quota_incremental" -> (qQuotaIncremental _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5162,7 +5181,14 @@ object SparkEntry {
         |SELECT grp, CAST(q.q_e6 AS BIGINT) AS q_e6, v AS value
         |FROM r, q
         |WHERE rk = (q.q_e6 * n + 999999) // 1000000
-        |ORDER BY grp, q_e6""".stripMargin
+        |ORDER BY grp, q_e6""".stripMargin,
+    "q_quota_incremental" ->
+      """SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id) AS rn
+        | FROM documents) WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

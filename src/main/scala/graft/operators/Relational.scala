@@ -1080,6 +1080,38 @@ object Relational {
       "left_semi")
   }
 
+  /** Narrow quota-store frame for INCREMENTAL [[capPerKey]]: the kept
+    * rows' (key, id, score) — bounded at n per key, so the store is
+    * O(keys × n) however much history it summarizes. Persist through the
+    * Warehouse like the other operator stores (39c / 38h-inc / 22c-s).
+    */
+  def quotaStore(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      scoreCol: Option[String] = None): DataFrame =
+    storeProjection(capPerKey(df, keyCol, idCol, n, scoreCol),
+      keyCol, idCol, scoreCol)
+
+  /** Incremental per-key quota maintenance: fold an arriving batch into
+    * the store — union the bounded store with the batch's narrow
+    * projection and re-elect. EXACT parity with the one-shot cap over
+    * everything seen: top-n election under the total (score desc, id asc)
+    * order is associative (top-n of top-n ∪ new == global top-n), the
+    * same min-k composition argument as the streaming mixture reservoir.
+    * A newly-arrived better row EVICTS a stored one (diff the store
+    * frames to emit deletions downstream); history rows never re-scan —
+    * per batch the work is O(store ∩ touched keys + batch).
+    */
+  def updateQuotaStore(store: DataFrame, batch: DataFrame, keyCol: String,
+      idCol: String, n: Int, scoreCol: Option[String] = None): DataFrame =
+    capPerKey(
+      store.unionByName(storeProjection(batch, keyCol, idCol, scoreCol)),
+      keyCol, idCol, n, scoreCol.map(_ => "__score"))
+
+  private def storeProjection(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: Option[String]): DataFrame =
+    df.select(lcol(keyCol).as(keyCol), lcol(idCol).cast("long").as(idCol),
+      scoreCol.map(c => lcol(c).cast("double")).getOrElse(lit(null).cast("double"))
+        .as("__score"))
+
   /** BLOOM-PREFILTERED JOIN: the semi-join-reduction technique of every
     * distributed warehouse — before shuffling a huge fact side into a
     * join, probe each row against a Bloom filter of the (much smaller,

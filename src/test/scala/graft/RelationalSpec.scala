@@ -588,6 +588,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getLong(3)).sorted.toSeq === Seq(0L, 600L))
   }
 
+  test("quota store folds batches with exact one-shot parity and evicts") {
+    import spark.implicits._
+    val all = (1 to 40).map(i => (i.toLong, s"k${i % 3}", (i * 7 % 40).toLong, s"p$i"))
+    val df = all.toDF("id", "k", "score", "payload")
+    val oneShot = Relational.capPerKey(df, "k", "id", 4, Some("score"))
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // fold in 4 arbitrary batches — final store must equal the one-shot
+    val batches = all.grouped(10).toSeq.map(_.toDF("id", "k", "score", "payload"))
+    val store0 = Relational.quotaStore(batches.head, "k", "id", 4, Some("score"))
+    val folded = batches.tail.foldLeft(store0)(
+      (st, b) => Relational.updateQuotaStore(st, b, "k", "id", 4, Some("score")))
+    assert(folded.select("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === oneShot)
+    // eviction: a later, better row displaces a stored one
+    val s1 = Relational.quotaStore(Seq((1L, "a", 1L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 1, Some("score"))
+    val s2 = Relational.updateQuotaStore(s1,
+      Seq((2L, "a", 9L, "")).toDF("id", "k", "score", "p"), "k", "id", 1, Some("score"))
+    assert(s2.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // no-score path: smallest ids win across batches
+    val n1 = Relational.quotaStore(Seq((5L, "a", 0L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 2, None)
+    val n2 = Relational.updateQuotaStore(n1,
+      Seq((3L, "a", 0L, ""), (9L, "a", 0L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 2, None)
+    assert(n2.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 5L))
+  }
+
   test("bloomPrefilteredJoin is row-identical to the plain join") {
     import spark.implicits._
     // duplicate keys both sides + null keys + non-matching rows
