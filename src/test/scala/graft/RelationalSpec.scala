@@ -616,6 +616,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(n2.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 5L))
   }
 
+  test("quota store drives from a stream via foreachBatch == one-shot cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val all = (1 to 60).map(i => (i.toLong, s"k${i % 4}", (i * 13 % 50).toLong))
+    val mem = MemoryStream[(Long, String, Long)]
+    var store = Seq.empty[(String, Long, Double)].toDF("k", "id", "__score")
+    val q = mem.toDF().toDF("id", "k", "score").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Relational.updateQuotaStore(store, batch, "k", "id", 5,
+          Some("score")).localCheckpoint()
+      }
+      .start()
+    try {
+      mem.addData(all.take(20): _*); q.processAllAvailable()
+      mem.addData(all.slice(20, 45): _*); q.processAllAvailable()
+      mem.addData(all.drop(45): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = store.select("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val oneShot = Relational.capPerKey(
+        all.toDF("id", "k", "score"), "k", "id", 5, Some("score"))
+      .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === oneShot)
+  }
+
   test("bloomPrefilteredJoin is row-identical to the plain join") {
     import spark.implicits._
     // duplicate keys both sides + null keys + non-matching rows
