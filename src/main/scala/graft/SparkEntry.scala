@@ -2652,6 +2652,17 @@ object SparkEntry {
       .orderBy("stratum", "id")
   }
 
+  /** Unpivot / melt (SURVEY row 53b): orders' numeric metrics folded to
+    * long (o_orderkey, metric, value) rows — the warehouse UNPIVOT verb,
+    * inverse of pivot ([[operators.Relational.unpivot]]).
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.unpivot(
+        wh(s, dir).loadTable("orders")
+          .withColumn("o_key_x2", col("o_orderkey") * 2.0),
+        Seq("o_orderkey"), Seq("o_totalprice", "o_key_x2"))
+      .orderBy("o_orderkey", "metric")
+
   /** Incremental quota store (SURVEY row 57h-inc): the per-source cap
     * maintained across two arriving halves of the corpus — store from
     * batch 1, batch 2 folded in (better rows evict stored ones), final
@@ -3158,7 +3169,8 @@ object SparkEntry {
     "q_bloom_join" -> (qBloomJoin _),
     "q_token_budget" -> (qTokenBudget _),
     "q_grouped_quantiles" -> (qGroupedQuantiles _),
-    "q_quota_incremental" -> (qQuotaIncremental _)
+    "q_quota_incremental" -> (qQuotaIncremental _),
+    "q_unpivot" -> (qUnpivot _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5188,7 +5200,14 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source
         |                     ORDER BY n_chars DESC, doc_id) AS rn
         | FROM documents) WHERE rn <= 10
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_key_x2', CAST(o_orderkey * 2.0 AS DOUBLE)
+        |FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

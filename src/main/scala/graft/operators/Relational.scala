@@ -737,6 +737,24 @@ object Relational {
       values: Seq[String], agg: Column): DataFrame =
     df.groupBy(groupCols.map(lcol): _*).pivot(pivotCol, values).agg(agg)
 
+  /** UNPIVOT / melt — the inverse of [[pivot]] and the warehouse UNPIVOT
+    * verb (BigQuery/Snowflake UNPIVOT, dbt melt): wide metric columns →
+    * long (id..., metric, value) rows. Value columns cast to a common
+    * double before the fold (Spark's native unpivot requires one type —
+    * same rule the SQL verb enforces); NULL metric values are KEPT (the
+    * INCLUDE NULLS form — a melted null is still an observation; pinned
+    * by spec so the contract can't drift). Map-side only: each row
+    * expands to |values| rows in place, no shuffle.
+    */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "metric", valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "unpivot: need value columns")
+    val cast = valueCols.foldLeft(df)(
+      (d, c) => d.withColumn(c, lcol(c).cast("double")))
+    cast.unpivot(idCols.map(lcol).toArray, valueCols.map(lcol).toArray,
+      varName, valueName)
+  }
+
   /** ROLLUP / CUBE grouping sets (partial-agg map-side like plain groupBy). */
   def rollup(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
     df.rollup(cols.map(lcol): _*).agg(aggs.head, aggs.tail: _*)

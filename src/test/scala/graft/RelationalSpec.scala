@@ -616,6 +616,23 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(n2.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 5L))
   }
 
+  test("unpivot melts wide metrics to long rows, keeps nulls, inverts pivot") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), 5.0), (2L, None, 7.0)).toDF("id", "a", "b")
+    val long = Relational.unpivot(df, Seq("id"), Seq("a", "b"))
+    val got = long.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    // INCLUDE NULLS form: (2, a, null) survives the melt
+    assert(got === Set((1L, "a", 10.0), (1L, "b", 5.0),
+      (2L, "a", null), (2L, "b", 7.0)))
+    // pivot inverts the melt
+    val wide = Relational.pivot(long, Seq("id"), "metric", Seq("a", "b"),
+      org.apache.spark.sql.functions.first("value"))
+    val back = wide.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getDouble(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, 10.0, 5.0), (2L, null, 7.0)))
+  }
+
   test("quota store drives from a stream via foreachBatch == one-shot cap") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
