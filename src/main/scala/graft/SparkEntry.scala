@@ -2652,6 +2652,38 @@ object SparkEntry {
       .orderBy("stratum", "id")
   }
 
+  /** Schema evolution (SURVEY row 33e): a table written with two columns,
+    * appended with a third — the merged read yields the union schema with
+    * NULLs for the pre-evolution rows (BigQuery schema relaxation /
+    * Snowflake ADD COLUMN semantics); a column retype is refused
+    * ([[graft.Warehouse.appendTable]], `loadTable(mergeSchema = true)`).
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val tmp = scratch("evo", dir)
+    val orders = w.loadTable("orders")
+    w.saveTable(orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")), tmp, "t")
+    val wt = Warehouse(s, tmp)
+    wt.appendTable(orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey")),
+      tmp, "t")
+    val retypeRefused =
+      try {
+        wt.appendTable(orders.limit(1)
+          .select(col("o_orderkey").cast("string"), col("o_totalprice")),
+          tmp, "t")
+        false
+      } catch { case _: IllegalArgumentException => true }
+    wt.loadTable("t", mergeSchema = true)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("n_evolved"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+        sum(col("o_custkey")).cast("long").as("sum_custkey"))
+      .select(col("n_rows"), col("n_evolved"), col("sum_price_cents"),
+        col("sum_custkey"), lit(retypeRefused).as("retype_refused"))
+  }
+
   /** Unpivot / melt (SURVEY row 53b): orders' numeric metrics folded to
     * long (o_orderkey, metric, value) rows — the warehouse UNPIVOT verb,
     * inverse of pivot ([[operators.Relational.unpivot]]).
@@ -3170,7 +3202,8 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_grouped_quantiles" -> (qGroupedQuantiles _),
     "q_quota_incremental" -> (qQuotaIncremental _),
-    "q_unpivot" -> (qUnpivot _)
+    "q_unpivot" -> (qUnpivot _),
+    "q_schema_evolution" -> (qSchemaEvolution _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5207,7 +5240,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'o_key_x2', CAST(o_orderkey * 2.0 AS DOUBLE)
         |FROM orders
-        |ORDER BY o_orderkey, metric""".stripMargin
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END)
+        |   AS BIGINT) AS n_evolved,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_price_cents,
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END)
+        |   AS BIGINT) AS sum_custkey,
+        | TRUE AS retype_refused
+        |FROM orders""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

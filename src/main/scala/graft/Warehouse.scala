@@ -54,16 +54,51 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       columns: Seq[String] = Nil,
       rowFilter: Option[String] = None,
       sample: Double = 1.0,
-      seed: Long = 42L
+      seed: Long = 42L,
+      mergeSchema: Boolean = false
   ): DataFrame = {
     // A versioned table (saveTableVersioned) resolves to its LATEST
     // version directory; plain tables read their path directly.
     val p = Warehouse.latestVersionDir(spark, path(table)).getOrElse(path(table))
-    var df = normalizedRead(p)
+    var df = normalizedRead(p, mergeSchema)
     rowFilter.foreach(f => df = df.filter(f))
     if (columns.nonEmpty) df = df.select(columns.map(df.col): _*)
     if (sample < 1.0) df = df.sample(withReplacement = false, sample, seed)
     df
+  }
+
+  /** SCHEMA EVOLUTION append: add `df` to an existing table whose schema
+    * may differ by ADDED (or absent) columns — the BigQuery
+    * schema-relaxation / Snowflake ALTER ADD COLUMN path, kept
+    * warehouse-shaped: evolution means widening by nullable columns, so
+    * an append whose columns are neither a superset nor a subset of the
+    * stored schema (or that RETYPES an existing column) is refused
+    * rather than silently forked (parquet would happily write it; every
+    * later merged read would then fail or coerce). Reading an evolved
+    * table needs `loadTable(..., mergeSchema = true)` — footer-union
+    * schema, files missing a column yield NULLs (exactly the warehouse
+    * semantics for rows predating an added column). mergeSchema stays
+    * opt-in on the read: it reads EVERY file's footer, a real cost on
+    * 100k-file tables, and non-evolved tables shouldn't pay it.
+    */
+  def appendTable(df: DataFrame, outDir: String, table: String): Unit = {
+    val p = Warehouse.tablePath(outDir, table)
+    if (fsExists(p)) {
+      val existing = spark.read.option("mergeSchema", "true").parquet(p).schema
+      val exNames = existing.fieldNames.toSet
+      val dfNames = df.schema.fieldNames.toSet
+      require(exNames.subsetOf(dfNames) || dfNames.subsetOf(exNames),
+        s"appendTable: schema of $table can only evolve by adding columns " +
+          s"(stored: ${exNames.toSeq.sorted.mkString(",")}; " +
+          s"append: ${dfNames.toSeq.sorted.mkString(",")})")
+      val retyped = existing.fields
+        .filter(f => df.schema.fieldNames.contains(f.name))
+        .filter(f => df.schema(f.name).dataType != f.dataType)
+      require(retyped.isEmpty,
+        s"appendTable: column retype refused: ${retyped.map(_.name).mkString(",")}")
+    }
+    df.write.mode("append").parquet(p)
+    Warehouse.invalidate(outDir, table)
   }
 
   /** Streaming read of a warehouse table: the same parquet layout
@@ -284,8 +319,10 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     * LTZ (unix_micros, watermarks and Timestamp encoders reject NTZ);
     * array<double> vectors → the engine's array<float> contract.
     */
-  private def normalizedRead(p: String): DataFrame = {
-    var df = spark.read.parquet(p)
+  private def normalizedRead(p: String, mergeSchema: Boolean = false): DataFrame = {
+    var df =
+      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(p)
+      else spark.read.parquet(p)
     df = Warehouse.normalizeNanos(spark, p, baseDir, df)
     Warehouse.normalizeVectors(Warehouse.normalizeNtz(df))
   }

@@ -408,4 +408,30 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("ttv_out").count() === n.count())
   }
+
+  test("appendTable evolves schema by added columns; merged read NULL-fills") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_evo").toString
+    val w = Warehouse(spark, tmp)
+    w.saveTable(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), tmp, "t")
+    // superset append (evolution)
+    w.appendTable(Seq((3L, 30.0, "x")).toDF("id", "v", "tag"), tmp, "t")
+    // subset append (rows predating nothing — missing column NULL-fills)
+    w.appendTable(Seq((4L, 40.0)).toDF("id", "v"), tmp, "t")
+    val merged = w.loadTable("t", mergeSchema = true)
+    assert(merged.schema.fieldNames.sorted.toSeq === Seq("id", "tag", "v"))
+    val tags = merged.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("tag"))).toMap
+    assert(tags === Map(1L -> None, 2L -> None, 3L -> Some("x"), 4L -> None))
+    // a NON-merged read still works (sees some footer's schema)
+    assert(w.loadTable("t").count() === 4)
+    // disjoint schema refused
+    assertThrows[IllegalArgumentException] {
+      w.appendTable(Seq((5L, "y")).toDF("id", "other"), tmp, "t")
+    }
+    // retype refused
+    assertThrows[IllegalArgumentException] {
+      w.appendTable(Seq(("6", 60.0)).toDF("id", "v"), tmp, "t")
+    }
+  }
 }
