@@ -2652,6 +2652,39 @@ object SparkEntry {
       .orderBy("stratum", "id")
   }
 
+  /** INCREMENTAL embedding near-dup recall (SURVEY row 42-inc),
+    * oracle-checked like [[qDedupIncremental]]: 16 perturbed clones
+    * arrive as the batch, deduped against the VECTOR STORE of the
+    * historical corpus ([[Dedup.embeddingNearDupIncremental]] — old-old
+    * pairs never generated), and every DuckDB-exact cosine ≥ 0.7 pair
+    * involving a clone must be found at threshold 0.5 (the
+    * [[qEmbeddingRecall]] margin).
+    */
+  private def qEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val emb = wh(s, dir).loadTable("embeddings")
+    val clones = emb.filter(col("vec_id") < 16)
+      .select((lit(2000000L) + col("vec_id")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = vec_id % 64, CAST(0 AS FLOAT), x))")
+          .as("embedding"))
+    val store = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val found = Dedup.embeddingNearDupIncremental(clones, "vec_id", "embedding",
+        store, threshold = 0.5, numBits = 8, numTables = 16)
+      .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+    val aug = emb.select("vec_id", "embedding").unionByName(clones)
+    val exact = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(broadcast(
+        clones.select(col("vec_id").as("id_b"), col("embedding").as("vb"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", GraftFunctions.cosineSim(col("va"), col("vb")))
+      .filter(col("__cos") >= 0.7)
+      .select("id_a", "id_b")
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__hit"), lit(false)).as("found_incremental"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Schema evolution (SURVEY row 33e): a table written with two columns,
     * appended with a third — the merged read yields the union schema with
     * NULLs for the pre-evolution rows (BigQuery schema relaxation /
@@ -3203,7 +3236,8 @@ object SparkEntry {
     "q_grouped_quantiles" -> (qGroupedQuantiles _),
     "q_quota_incremental" -> (qQuotaIncremental _),
     "q_unpivot" -> (qUnpivot _),
-    "q_schema_evolution" -> (qSchemaEvolution _)
+    "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_embedding_incremental" -> (qEmbeddingIncremental _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5250,7 +5284,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END)
         |   AS BIGINT) AS sum_custkey,
         | TRUE AS retype_refused
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q_embedding_incremental" ->
+      """WITH clones AS (
+        |  SELECT 2000000 + vec_id AS vec_id,
+        |    embedding[1:(vec_id % 64)] || [CAST(0 AS FLOAT)]
+        |      || embedding[(vec_id % 64 + 2):] AS embedding
+        |  FROM embeddings WHERE vec_id < 16),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL SELECT vec_id, embedding FROM clones),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM aug a, clones b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, true AS found_incremental FROM pairs
+        |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

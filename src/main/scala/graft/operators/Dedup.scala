@@ -1021,6 +1021,76 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** INCREMENTAL embedding near-dup — the [[minhashLshIncremental]] /
+    * 39c store pattern for the hyperplane-LSH family: an arriving batch
+    * of vectors is deduped against the persisted VECTOR store
+    * (`existingVecs`: (id, vec) — for embeddings the vectors ARE the
+    * store; buckets recompute in one cheap map pass and the verify
+    * needs the vectors anyway, unlike minhash where re-shingling text
+    * would be the expensive part). Old-vs-old pairs are never
+    * generated: candidates pair a NEW id with any colliding id, so per
+    * batch the work is O(batch buckets + collisions), not O(corpus²).
+    * Re-delivered ids are idempotent (store rows for arriving ids drop
+    * before the union). The hot-bucket cap sees store + batch TOGETHER
+    * (aggregate + broadcast anti-join — a window would shuffle every
+    * banded store row per snapshot; same rule as the minhash form).
+    */
+  def embeddingNearDupIncremental(
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      existingVecs: DataFrame,
+      threshold: Double = 0.4, numBits: Int = 8, numTables: Int = 16,
+      seed: Long = 42L, maxBucketSize: Int = 100000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    GraftFunctions.ensure(newVecs.sparkSession)
+    requireIntegralId(newVecs, idCol)
+    requireIntegralId(existingVecs, "id")
+    val newBase = persistIf(
+      newVecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      persistLevel)
+    val oldBase = existingVecs.select(col("id").cast("long").as("id"), col("vec"))
+      .join(broadcast(newBase.select("id")), Seq("id"), "left_anti")
+    // one persisted all-vectors frame: bucketing + both verify joins
+    val allBase = persistIf(
+      oldBase.withColumn("__new", lit(false))
+        .unionByName(newBase.withColumn("__new", lit(true))),
+      persistLevel)
+    val bucketed = allBase
+      .withColumn("bks",
+        GraftFunctions.hyperplaneLshMulti(col("vec"), numBits, numTables, seed))
+      .select(col("id"), col("__new"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = bucketed.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select("tbl", "bucket")
+        bucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+      } else bucketed
+    val cand = capped.filter(col("__new"))
+      .select(col("tbl"), col("bucket"), col("id").as("__nid"))
+      .join(capped.select(col("tbl"), col("bucket"), col("id").as("__mid")),
+        Seq("tbl", "bucket"))
+      .filter(col("__nid") =!= col("__mid"))
+      .select(least(col("__nid"), col("__mid")).as("id_a"),
+        greatest(col("__nid"), col("__mid")).as("id_b"))
+      .distinct()
+    val result = cand
+      .join(allBase.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(allBase.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", GraftFunctions.cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    // steady-state ingestion path: eagerly materialize the small pair
+    // frame and release the per-snapshot caches (the minhash form's rule)
+    if (persistLevel == StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true, storageLevel = persistLevel)
+      newBase.unpersist()
+      allBase.unpersist()
+      out
+    }
+  }
+
   /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space (bounded
     * driver-side spherical k-means, [[Similarity.trainCentroidsKMeans]] —

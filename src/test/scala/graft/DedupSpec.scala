@@ -166,6 +166,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"recall $recall (${got.size}/${brute.size})")
   }
 
+  test("incremental embedding near-dup probes the vector store, no old-old") {
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val emb = wh.loadTable("embeddings")
+    val store = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // batch: exact copies of two stored vectors (cosine 1.0) + themselves
+    val batch = emb.filter(col("vec_id").isin(3L, 11L))
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val got = Dedup.embeddingNearDupIncremental(batch, "vec_id", "embedding",
+        store, threshold = 0.9, numBits = 6, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 5000003L)) && got.contains((11L, 5000011L)),
+      s"planted copies not found: $got")
+    // every pair involves a new id
+    assert(got.forall(p => p._1 >= 5000000L || p._2 >= 5000000L),
+      s"old-vs-old pair leaked: $got")
+    // parity with the one-shot operator restricted to batch-involving pairs
+    val full = Dedup.embeddingNearDup(
+        store.select(col("id").as("vec_id"), col("vec").as("embedding"))
+          .unionByName(batch), "vec_id", "embedding",
+        threshold = 0.9, numBits = 6, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 5000000L || p._2 >= 5000000L)
+    assert(got === full, "incremental diverges from full-run batch-involving pairs")
+    // re-delivery of a stored id supersedes it: no self pair
+    val reIngest = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id"), col("embedding"))
+    val got2 = Dedup.embeddingNearDupIncremental(reIngest, "vec_id", "embedding",
+        store, threshold = 0.9, numBits = 6, numTables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got2.contains((3L, 3L)), "stale self-comparison leaked")
+  }
+
   test("fingerprintOverlap finds containment that symmetric jaccard misses") {
     import spark.implicits._
     GraftFunctions.ensure(spark)
