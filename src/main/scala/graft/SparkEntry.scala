@@ -2685,6 +2685,34 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL simhash near-dup contract (SURVEY row 40-inc),
+    * oracle-checked: every 25th long document arrives again as an exact
+    * copy; the batch's signatures probe the historical SIGNATURE STORE
+    * ([[Dedup.simhashSignatures]] + [[Dedup.hammingNearDupIncremental]]
+    * — old-old pairs never generated), and every (original, copy) pair
+    * MUST surface: identical text → identical signature → hamming 0,
+    * which the disjoint pigeonhole blocking finds deterministically at
+    * any radius.
+    */
+  private def qSimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents").select("doc_id", "text", "n_chars")
+    val store = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 25 === 0 && col("n_chars") >= 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val found = Dedup.hammingNearDupIncremental(
+        Dedup.simhashSignatures(batch, "doc_id", "text"), "id", "sig", store,
+        maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(true).as("__hit"))
+    docs.filter(col("doc_id") % 25 === 0 && col("n_chars") >= 100)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("__hit"), lit(false)).as("found_incremental"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Schema evolution (SURVEY row 33e): a table written with two columns,
     * appended with a third — the merged read yields the union schema with
     * NULLs for the pre-evolution rows (BigQuery schema relaxation /
@@ -3237,7 +3265,8 @@ object SparkEntry {
     "q_quota_incremental" -> (qQuotaIncremental _),
     "q_unpivot" -> (qUnpivot _),
     "q_schema_evolution" -> (qSchemaEvolution _),
-    "q_embedding_incremental" -> (qEmbeddingIncremental _)
+    "q_embedding_incremental" -> (qEmbeddingIncremental _),
+    "q_simhash_incremental" -> (qSimhashIncremental _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5298,7 +5327,13 @@ object SparkEntry {
         |                           CAST(b.embedding AS DOUBLE[])) AS cosine
         |  FROM aug a, clones b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, true AS found_incremental FROM pairs
-        |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin
+        |WHERE cosine >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_incremental" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        | true AS found_incremental
+        |FROM documents
+        |WHERE doc_id % 25 = 0 AND n_chars >= 100
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

@@ -874,29 +874,41 @@ object Dedup {
       "weighted simhash requires the word shingler")
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    // drop gram-less docs — all-zero signatures would flood the blocks
-    // with false duplicates (same guard as minhashSignatures)
-    // Gram-less docs are dropped in both modes (all-zero signatures would
-    // flood the blocks with false duplicates). The weighted path filters on
-    // the raw token count using the KERNEL's exact tokenization — Java
-    // String.trim strips every char <= U+0020, which Spark's trim() (spaces
-    // only) does not, so the regexp below replicates Java trim; a filter
-    // that over-counts tokens would let the kernel's sig=0 docs (e.g.
-    // leading-newline shorts) flood every block as false hamming-0 dups.
-    val sigs = persistIf({
-      if (weighted) {
-        val jtrim = regexp_replace(col("__t"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
-        df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
-          .filter(size(split(jtrim, " ", -1)) >= shingleWidth)
-          .select(col("id"), GraftFunctions.simhashTf(col("__t"), shingleWidth).as("sig"))
-      }
-      else
-        df.select(col(idCol).cast("long").as("id"),
-          shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
-          .filter(size(col("g")) > 0)
-          .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
-    }, persistLevel) // 3 consumers, 16 B/doc
+    val sigs = persistIf(
+      simhashSignatures(df, idCol, textCol, shingleWidth, shingler, weighted),
+      persistLevel) // 3 consumers, 16 B/doc
     hammingPairsOverSigs(sigs, maxHamming, maxBucketSize)
+  }
+
+  /** Simhash SIGNATURE frame (id, sig) — the persistable store for
+    * [[hammingNearDupIncremental]] (the [[minhashSignatures]] analogue:
+    * sign history once, dedup arriving batches forever; 16 B/doc).
+    *
+    * Gram-less docs are dropped in both modes (all-zero signatures would
+    * flood the blocks with false duplicates). The weighted path filters on
+    * the raw token count using the KERNEL's exact tokenization — Java
+    * String.trim strips every char <= U+0020, which Spark's trim() (spaces
+    * only) does not, so the regexp below replicates Java trim; a filter
+    * that over-counts tokens would let the kernel's sig=0 docs (e.g.
+    * leading-newline shorts) flood every block as false hamming-0 dups.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, shingler: String = "word",
+      weighted: Boolean = false): DataFrame = {
+    GraftFunctions.ensure(df.sparkSession)
+    require(!weighted || shingler == "word",
+      "weighted simhash requires the word shingler")
+    if (weighted) {
+      val jtrim = regexp_replace(col("__t"), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+        .filter(size(split(jtrim, " ", -1)) >= shingleWidth)
+        .select(col("id"), GraftFunctions.simhashTf(col("__t"), shingleWidth).as("sig"))
+    }
+    else
+      df.select(col(idCol).cast("long").as("id"),
+        shingleHashes(col(textCol), shingleWidth, shingler).as("g"))
+        .filter(size(col("g")) > 0)
+        .select(col("id"), GraftFunctions.simhash64(col("g")).as("sig"))
   }
 
   /** Hamming near-dup pairs over PRECOMPUTED 64-bit signatures — the
@@ -942,6 +954,81 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** INCREMENTAL hamming near-dup over 64-bit signatures — the 39c store
+    * pattern for the simhash / perceptual-hash family, closing the
+    * incremental matrix alongside minhash (39c) and embedding (42-inc):
+    * history persists as the narrow (id, sig) SIGNATURE store (16 B/doc,
+    * cheap to keep however large the corpus), an arriving batch of
+    * signatures blocks against store ∪ batch with the same DISJOINT
+    * pigeonhole partition (exact for the radius), and candidates always
+    * pair a NEW id — old-vs-old never generated. Re-delivered ids
+    * supersede their store rows; the degenerate-bucket cap sees store +
+    * batch together. Compose with [[simhashSignatures]] stores or any
+    * external 64-bit family ([[hammingNearDup]]'s contract — perceptual
+    * image/audio hashes route here the same way).
+    */
+  def hammingNearDupIncremental(
+      newSigs: DataFrame, idCol: String, sigCol: String,
+      existingSigs: DataFrame,
+      maxHamming: Int = 3, maxBucketSize: Int = 100000,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    requireIntegralId(newSigs, idCol)
+    requireIntegralId(existingSigs, "id")
+    val newBase = persistIf(
+      newSigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig")),
+      persistLevel)
+    val oldBase = existingSigs.filter(col("sig").isNotNull)
+      .select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig"))
+      .join(broadcast(newBase.select("id")), Seq("id"), "left_anti")
+    val allSigs = persistIf(
+      oldBase.withColumn("__new", lit(false))
+        .unionByName(newBase.withColumn("__new", lit(true))),
+      persistLevel)
+    val blocks = pigeonholeBlocks(maxHamming + 1)
+    val blockStructs = blocks.zipWithIndex.map { case ((off, width), i) =>
+      struct(lit(i).as("blk"),
+        expr(s"shiftrightunsigned(sig, $off) & ${blockMask(width)}L").as("bucket"))
+    }
+    val blocked = allSigs
+      .select(col("id"), col("__new"),
+        explode(array(blockStructs.toIndexedSeq: _*)).as("bb"))
+      .select(col("id"), col("__new"), col("bb.blk").as("blk"),
+        col("bb.bucket").as("bucket"))
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = blocked.groupBy("blk", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select("blk", "bucket")
+        blocked.join(broadcast(hot), Seq("blk", "bucket"), "left_anti")
+      } else blocked
+    val cand = capped.filter(col("__new"))
+      .select(col("blk"), col("bucket"), col("id").as("__nid"))
+      .join(capped.select(col("blk"), col("bucket"), col("id").as("__mid")),
+        Seq("blk", "bucket"))
+      .filter(col("__nid") =!= col("__mid"))
+      .select(least(col("__nid"), col("__mid")).as("id_a"),
+        greatest(col("__nid"), col("__mid")).as("id_b"))
+      .distinct()
+    val result = cand
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    // steady-state ingestion: eager bounded pair frame, caches released
+    if (persistLevel == StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true, storageLevel = persistLevel)
+      newBase.unpersist()
+      allSigs.unpersist()
+      out
+    }
   }
 
   /** Exact n-gram Jaccard pairs (jaccard ≥ threshold), via PPJoin-style

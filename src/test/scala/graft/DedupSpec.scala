@@ -199,6 +199,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got2.contains((3L, 3L)), "stale self-comparison leaked")
   }
 
+  test("incremental simhash probes the signature store, no old-old pairs") {
+    GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val store = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val old7 = docs.filter(col("doc_id") === 7L).collect()(0).getString(1)
+    val batch = Seq(
+      (1000007L, old7), // exact copy → hamming 0, must be found
+      (1000999L, (1 to 40).map(i => s"zq$i unique").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.hammingNearDupIncremental(
+        Dedup.simhashSignatures(batch, "doc_id", "text"), "id", "sig", store,
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((7L, 1000007L)), s"planted copy not found: $got")
+    assert(got.forall(p => p._1 >= 1000000L || p._2 >= 1000000L),
+      s"old-vs-old pair leaked: $got")
+    // parity with the one-shot simhash restricted to batch-involving pairs
+    val full = Dedup.simhash(docs.unionByName(batch), "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 1000000L || p._2 >= 1000000L)
+    assert(got === full, "incremental diverges from full-run batch pairs")
+    // re-delivered stored id supersedes: no self pair
+    val got2 = Dedup.hammingNearDupIncremental(
+        Dedup.simhashSignatures(Seq((7L, old7)).toDF("doc_id", "text"),
+          "doc_id", "text"), "id", "sig", store, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got2.contains((7L, 7L)), "stale self-comparison leaked")
+  }
+
   test("fingerprintOverlap finds containment that symmetric jaccard misses") {
     import spark.implicits._
     GraftFunctions.ensure(spark)
