@@ -518,6 +518,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(n === expected, s"stream delivered $n of $expected rows")
   }
 
+  test("incremental simhash over foreachBatch: growing store == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+      .filter($"doc_id" < 60)
+    // stream the corpus in 3 slices; each batch dedups against the store
+    // of everything BEFORE it, then its signatures join the store —
+    // accumulated pairs must equal the one-shot run (every pair has a
+    // unique later side, so exactly one batch emits it)
+    val slices = Seq(docs.filter($"doc_id" < 20),
+      docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+      docs.filter($"doc_id" >= 40))
+    var store = Dedup.simhashSignatures(docs.limit(0), "doc_id", "text")
+      .localCheckpoint()
+    var pairs = Set.empty[(Long, Long)]
+    // batch 1 has an empty store: its pairs are new-new, still emitted
+    slices.foreach { slice =>
+      val sigs = Dedup.simhashSignatures(slice, "doc_id", "text").localCheckpoint()
+      pairs ++= Dedup.hammingNearDupIncremental(sigs, "id", "sig", store,
+          maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      store = store.unionByName(sigs).localCheckpoint()
+    }
+    val oneShot = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === oneShot,
+      s"fold diverges: extra=${pairs -- oneShot} missing=${oneShot -- pairs}")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
