@@ -83,22 +83,31 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     */
   def appendTable(df: DataFrame, outDir: String, table: String): Unit = {
     val p = Warehouse.tablePath(outDir, table)
-    if (fsExists(p)) {
-      val existing = spark.read.option("mergeSchema", "true").parquet(p).schema
-      val exNames = existing.fieldNames.toSet
-      val dfNames = df.schema.fieldNames.toSet
-      require(exNames.subsetOf(dfNames) || dfNames.subsetOf(exNames),
-        s"appendTable: schema of $table can only evolve by adding columns " +
-          s"(stored: ${exNames.toSeq.sorted.mkString(",")}; " +
-          s"append: ${dfNames.toSeq.sorted.mkString(",")})")
-      val retyped = existing.fields
-        .filter(f => df.schema.fieldNames.contains(f.name))
-        .filter(f => df.schema(f.name).dataType != f.dataType)
-      require(retyped.isEmpty,
-        s"appendTable: column retype refused: ${retyped.map(_.name).mkString(",")}")
-    }
+    val union: org.apache.spark.sql.types.StructType =
+      if (fsExists(p)) {
+        // cached union schema — incrementally maintained below, so N
+        // appends cost ONE real footer-union read, not N (O(N²) files)
+        val existing = Warehouse.mergedSchemaOf(spark, p, outDir)
+        val exNames = existing.fieldNames.toSet
+        val dfNames = df.schema.fieldNames.toSet
+        require(exNames.subsetOf(dfNames) || dfNames.subsetOf(exNames),
+          s"appendTable: schema of $table can only evolve by adding columns " +
+            s"(stored: ${exNames.toSeq.sorted.mkString(",")}; " +
+            s"append: ${dfNames.toSeq.sorted.mkString(",")})")
+        val retyped = existing.fields
+          .filter(f => df.schema.fieldNames.contains(f.name))
+          .filter(f => df.schema(f.name).dataType != f.dataType)
+        require(retyped.isEmpty,
+          s"appendTable: column retype refused: ${retyped.map(_.name).mkString(",")}")
+        org.apache.spark.sql.types.StructType(
+          existing.fields ++ df.schema.fields.filterNot(
+            f => exNames.contains(f.name)))
+      } else df.schema
     df.write.mode("append").parquet(p)
     Warehouse.invalidate(outDir, table)
+    // prime the union cache at the new epoch — evolution only widens, so
+    // the in-memory union is exactly what a footer re-scan would derive
+    Warehouse.recordMergedSchema(p, outDir, union)
   }
 
   /** Streaming read of a warehouse table: the same parquet layout
@@ -742,6 +751,32 @@ object Warehouse {
     */
   private val nanosColsCache =
     new ConcurrentHashMap[(String, Long), Set[String]]()
+
+  /** Union (merged) schema per (path, write-epoch) — the appendTable
+    * evolution check needs the union of EVERY file's footer, which is
+    * O(files) to derive; re-deriving it per append would make N appends
+    * O(N²) footer reads. The cache is primed incrementally by
+    * [[recordMergedSchema]] after each append (evolution only widens, so
+    * union(old, appended) is exact without touching storage); a
+    * cold/foreign-writer epoch falls back to one real mergeSchema read.
+    */
+  private val mergedSchemaCache =
+    new ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  private[graft] def mergedSchemaOf(spark: SparkSession, path: String,
+      dir: String): org.apache.spark.sql.types.StructType = {
+    val epoch = epochOf(dir).get()
+    mergedSchemaCache.keySet.removeIf(k => k._1 == path && k._2 != epoch)
+    mergedSchemaCache.computeIfAbsent((path, epoch),
+      _ => spark.read.option("mergeSchema", "true").parquet(path).schema)
+  }
+
+  private[graft] def recordMergedSchema(path: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val epoch = epochOf(dir).get()
+    mergedSchemaCache.keySet.removeIf(k => k._1 == path && k._2 != epoch)
+    mergedSchemaCache.put((path, epoch), schema)
+  }
   private[graft] def nanosTimestampColumns(
       spark: SparkSession, path: String, dir: String): Set[String] = {
     val epoch = epochOf(dir).get()

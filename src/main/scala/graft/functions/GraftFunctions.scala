@@ -243,23 +243,36 @@ object GraftFunctions {
   private val gramBloomCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Long-key Bloom membership probe — sketch-parameterized registration
-    * like [[gramBloomContains]]; used as the map-side pre-filter of
-    * [[graft.operators.Relational.bloomPrefilteredJoin]].
+    * like [[gramBloomContains]], but with BOUNDED retention: unlike the
+    * few long-lived trained gram models, these filters are PER-CALL
+    * throwaways (one fresh ~MB sketch per [[graft.operators.Relational.bloomPrefilteredJoin]]),
+    * so pinning each forever in the function registry would leak the
+    * driver dry on a long-lived session. Names are unique per call and
+    * the oldest registrations beyond the last 64 are DROPPED — safe
+    * because classic DataFrames analyze EAGERLY at construction (the
+    * resolved plan embeds the expression + filter; the registry entry is
+    * only needed until then), and a plan somehow left unanalyzed past 64
+    * later bloom joins fails RESOLUTION loudly instead of running with
+    * the wrong filter.
     */
   def bloomContainsLong(spark: SparkSession, keyHash: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
-    val name = bloomLongNames.synchronized {
-      bloomLongNames.computeIfAbsent(bloom,
-        _ => s"graft_bloom_contains_long_${bloomLongCounter.incrementAndGet()}")
-    }
+    val name = s"graft_bloom_contains_long_${bloomLongCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, (args: Seq[Expression]) => BloomContainsLong(args.head, bloom),
       "scala_udf")
+    bloomLongQueue.synchronized {
+      bloomLongQueue.addLast(name)
+      while (bloomLongQueue.size > 64) {
+        val old = bloomLongQueue.removeFirst()
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(old))
+      }
+    }
     call_function(name, keyHash)
   }
 
-  private val bloomLongNames = new java.util.IdentityHashMap[
-    org.apache.spark.util.sketch.BloomFilter, String]()
+  private val bloomLongQueue = new java.util.ArrayDeque[String]()
   private val bloomLongCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Bigram-LM fluency under a trained [[LmModel]] — model-parameterized

@@ -999,22 +999,7 @@ object Dedup {
         explode(array(blockStructs.toIndexedSeq: _*)).as("bb"))
       .select(col("id"), col("__new"), col("bb.blk").as("blk"),
         col("bb.bucket").as("bucket"))
-    val capped =
-      if (maxBucketSize > 0) {
-        val hot = blocked.groupBy("blk", "bucket")
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select("blk", "bucket")
-        blocked.join(broadcast(hot), Seq("blk", "bucket"), "left_anti")
-      } else blocked
-    val cand = capped.filter(col("__new"))
-      .select(col("blk"), col("bucket"), col("id").as("__nid"))
-      .join(capped.select(col("blk"), col("bucket"), col("id").as("__mid")),
-        Seq("blk", "bucket"))
-      .filter(col("__nid") =!= col("__mid"))
-      .select(least(col("__nid"), col("__mid")).as("id_a"),
-        greatest(col("__nid"), col("__mid")).as("id_b"))
-      .distinct()
+    val cand = incrementalCandidatePairs(blocked, Seq("blk", "bucket"), maxBucketSize)
     val result = cand
       .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -1145,22 +1130,7 @@ object Dedup {
       .withColumn("bks",
         GraftFunctions.hyperplaneLshMulti(col("vec"), numBits, numTables, seed))
       .select(col("id"), col("__new"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    val capped =
-      if (maxBucketSize > 0) {
-        val hot = bucketed.groupBy("tbl", "bucket")
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select("tbl", "bucket")
-        bucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
-      } else bucketed
-    val cand = capped.filter(col("__new"))
-      .select(col("tbl"), col("bucket"), col("id").as("__nid"))
-      .join(capped.select(col("tbl"), col("bucket"), col("id").as("__mid")),
-        Seq("tbl", "bucket"))
-      .filter(col("__nid") =!= col("__mid"))
-      .select(least(col("__nid"), col("__mid")).as("id_a"),
-        greatest(col("__nid"), col("__mid")).as("id_b"))
-      .distinct()
+    val cand = incrementalCandidatePairs(bucketed, Seq("tbl", "bucket"), maxBucketSize)
     val result = cand
       .join(allBase.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(allBase.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
@@ -1728,6 +1698,34 @@ object Dedup {
     * bucket-size cap (window count reuses the same partitioning) so a
     * degenerate bucket can't go quadratic.
     */
+  /** Shared candidate machinery of the INCREMENTAL near-dup forms
+    * ([[hammingNearDupIncremental]], [[embeddingNearDupIncremental]]):
+    * given (id, __new, bucketCols...) rows over store ∪ batch, cap hot
+    * buckets over the COMBINED population (aggregate + broadcast
+    * anti-join — a window would shuffle every store row per snapshot),
+    * then pair every NEW id with its colliding ids — old-vs-old never
+    * generated — deduped id-only.
+    */
+  private def incrementalCandidatePairs(
+      blocked: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = blocked.groupBy(bucketCols.map(col): _*)
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(bucketCols.map(col): _*)
+        blocked.join(broadcast(hot), bucketCols, "left_anti")
+      } else blocked
+    capped.filter(col("__new"))
+      .select((col("id").as("__nid") +: bucketCols.map(col)): _*)
+      .join(capped.select((col("id").as("__mid") +: bucketCols.map(col)): _*),
+        bucketCols)
+      .filter(col("__nid") =!= col("__mid"))
+      .select(least(col("__nid"), col("__mid")).as("id_a"),
+        greatest(col("__nid"), col("__mid")).as("id_b"))
+      .distinct()
+  }
+
   private def candidatePairs(
       blocked: DataFrame, bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val capped =

@@ -1117,12 +1117,25 @@ object Relational {
     * A newly-arrived better row EVICTS a stored one (diff the store
     * frames to emit deletions downstream); history rows never re-scan —
     * per batch the work is O(store ∩ touched keys + batch).
+    *
+    * RE-DELIVERY is idempotent: an id arriving again SUPERSEDES its
+    * store row (the incremental-dedup contract), and duplicate (key, id)
+    * rows within one batch collapse to their best score first — without
+    * this, TopKAgg keeps ENTRIES, so a re-delivered row would occupy two
+    * top-n slots, wrongly evict a distinct row, and leave duplicate
+    * store rows.
     */
   def updateQuotaStore(store: DataFrame, batch: DataFrame, keyCol: String,
-      idCol: String, n: Int, scoreCol: Option[String] = None): DataFrame =
-    capPerKey(
-      store.unionByName(storeProjection(batch, keyCol, idCol, scoreCol)),
+      idCol: String, n: Int, scoreCol: Option[String] = None): DataFrame = {
+    val batchRows = storeProjection(batch, keyCol, idCol, scoreCol)
+      .groupBy(lcol(keyCol), lcol(idCol))
+      .agg(max(col("__score")).as("__score"))
+    val survivors = store.join(
+      batchRows.select(lcol(keyCol).as("__bk"), lcol(idCol).as("__bi")),
+      lcol(keyCol) <=> col("__bk") && lcol(idCol) === col("__bi"), "left_anti")
+    capPerKey(survivors.unionByName(batchRows),
       keyCol, idCol, n, scoreCol.map(_ => "__score"))
+  }
 
   private def storeProjection(df: DataFrame, keyCol: String, idCol: String,
       scoreCol: Option[String]): DataFrame =
@@ -1160,14 +1173,47 @@ object Relational {
     require(how == "inner" || how == "left_semi",
       s"bloomPrefilteredJoin: only inner/left_semi are filter-safe, got $how")
     graft.functions.GraftFunctions.ensure(big.sparkSession)
-    def keyHash(df: DataFrame): Column =
-      xxhash64(on.map(c => df(c)): _*)
-    val keys = small.select(keyHash(small).as("__h"))
-    val expected = math.max(1000L, keys.count())
-    val bloom = keys.stat.bloomFilter("__h", expected, fpp)
+    // The probe hash must agree WHENEVER THE JOIN WOULD MATCH, or the
+    // no-false-negative contract is voided one layer up: xxhash64 hashes
+    // an int and a long holding the same value DIFFERENTLY (4- vs 8-byte
+    // paths), while the equi-join coerces them equal — an un-normalized
+    // hash would silently drop matching fact rows. Normalize each key to
+    // the joint family the join itself coerces to (integrals → long,
+    // mixed numerics → double) and REFUSE cross-family pairs outright
+    // (explicit beats silently-empty).
+    import org.apache.spark.sql.types._
+    def isIntegral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+    }
+    def isNumeric(t: DataType) = isIntegral(t) || (t match {
+      case FloatType | DoubleType | _: DecimalType => true; case _ => false
+    })
+    def normKey(df: DataFrame, other: DataFrame, c: String): Column = {
+      val (ta, tb) = (df.schema(c).dataType, other.schema(c).dataType)
+      if (isIntegral(ta) && isIntegral(tb)) df(c).cast("long")
+      else if (isNumeric(ta) && isNumeric(tb)) df(c).cast("double")
+      else {
+        require(ta == tb,
+          s"bloomPrefilteredJoin: join column $c has incompatible types " +
+            s"($ta vs $tb) — cast the sides to one type first")
+        df(c)
+      }
+    }
+    def keyHash(df: DataFrame, other: DataFrame): Column =
+      xxhash64(on.map(c => normKey(df, other, c)): _*)
+    // one materialization serves the count (bloom sizing) and the build;
+    // without it the small side's plan runs twice before the join even
+    // starts (three times total for a derived dimension)
+    val keys = small.select(keyHash(small, big).as("__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val expected = math.max(1000L, keys.count())
+        keys.stat.bloomFilter("__h", expected, fpp)
+      } finally keys.unpersist(blocking = false)
     val bigFiltered = big.filter(
       graft.functions.GraftFunctions.bloomContainsLong(
-        big.sparkSession, keyHash(big), bloom))
+        big.sparkSession, keyHash(big, small), bloom))
     bigFiltered.join(small, on, how)
   }
 }

@@ -357,6 +357,14 @@ object Events {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Full-microsecond-precision epoch micros of a Timestamp: getTime is
+    * ms-truncated, the sub-ms fraction lives in getNanos. Stateful
+    * operators MUST use this (not getTime*1000) or their event times
+    * diverge from the batch forms' unix_micros.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
   /** Open-session state carried between micro-batches. */
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
@@ -384,16 +392,11 @@ object Events {
         state.remove()
         return out
       }
-      // full microsecond precision: getTime is ms-truncated, the sub-ms
-      // fraction lives in getNanos (batch form uses unix_micros — the two
-      // must agree or stream/batch session boundaries diverge)
-      def micros(ts: java.sql.Timestamp): Long =
-        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
-      val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val sorted = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
       var cur = state.getOption.orNull
       val closed = List.newBuilder[Session]
       sorted.foreach { e =>
-        val us = micros(e.ts)
+        val us = tsMicros(e.ts)
         if (cur == null) cur = SessionState(us, us, 1)
         else if (us - cur.lastUs > gapUs) {
           closed += close(uid, cur)
@@ -424,8 +427,10 @@ object Events {
     graft.Warehouse(spark, dir).loadTableStream("events")
 
   /** Rolling-window state for [[rollingAnomalyStream]]: the key's last
-    * ≤ window value_cents, oldest first. */
-  case class RollingState(vals: Seq[Long])
+    * ≤ window value_cents (oldest first) and the newest event time seen —
+    * persisted so a late-but-in-watermark batch of OLDER events cannot
+    * move the TTL deadline backwards (the sessionizeStream lastUs rule). */
+  case class RollingState(vals: Seq[Long], lastUs: Long)
 
   /** One scored event from [[rollingAnomalyStream]] — the streaming
     * counterpart of [[graft.operators.EventAnalytics.rollingAnomaly]]'s
@@ -462,15 +467,16 @@ object Events {
     implicit val outEnc = Encoders.product[AnomalyFlag]
     implicit val longEnc = Encoders.scalaLong
     val ttlUs = stateTtlMinutes * 60L * 1000000L
-    def micros(ts: java.sql.Timestamp): Long =
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
     def fn(uid: Long, rows: Iterator[Event],
         state: GroupState[RollingState]): Iterator[AnomalyFlag] = {
       if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var vals = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty[Long])
-      var lastUs = 0L
-      val out = rows.toArray.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+      val prev = state.getOption.getOrElse(RollingState(Nil, 0L))
+      var vals = prev.vals.toVector
+      // seeded from state: a late batch of older events must not move
+      // the TTL deadline backwards
+      var lastUs = prev.lastUs
+      val out = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
         // HALF_UP like the batch form's SQL round(value*100) — math.round
         // rounds half toward +inf, which diverges on negative values
         val vc = java.math.BigDecimal.valueOf(e.value * 100)
@@ -481,10 +487,10 @@ object Events {
         val flag = n >= minPrev &&
           (n * vc - s) * (n * vc - s) > z.toLong * z * (n * s2 - s * s)
         vals = (vals :+ vc).takeRight(window)
-        lastUs = math.max(lastUs, micros(e.ts))
-        AnomalyFlag(e.event_id, uid, micros(e.ts), vc, n, flag)
+        lastUs = math.max(lastUs, tsMicros(e.ts))
+        AnomalyFlag(e.event_id, uid, tsMicros(e.ts), vc, n, flag)
       }
-      state.update(RollingState(vals))
+      state.update(RollingState(vals, lastUs))
       // evict once the watermark passes last event + TTL (clamped above
       // the current watermark so a deeply-late group cannot make
       // setTimeoutTimestamp throw — the sessionizeStream rule)

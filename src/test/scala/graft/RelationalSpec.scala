@@ -683,6 +683,49 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bloomPrefilteredJoin: coercible key types keep row-identity; cross-family refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // int keys vs long keys — the equi-join coerces them equal, and the
+    // probe hash must agree (un-normalized xxhash64 hashes int and long
+    // DIFFERENTLY and would silently drop every matching row)
+    val big = (1 to 100).map(i => (i, s"p$i")).toDF("k", "payload") // int k
+    val small = Seq((5L, 1L), (50L, 2L)).toDF("k", "v")             // long k
+    val got = Relational.bloomPrefilteredJoin(big, small, Seq("k"))
+      .collect().map(_.toSeq).toSet
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    assert(got === plain && got.size === 2)
+    // int vs double also coerces in the join — normalized to double
+    val smallD = Seq((5.0, 9L)).toDF("k", "v")
+    assert(Relational.bloomPrefilteredJoin(big, smallD, Seq("k")).count() === 1)
+    // cross-family (string vs long) is refused, not silently empty
+    val smallS = Seq(("5", 9L)).toDF("k", "v")
+    assertThrows[IllegalArgumentException] {
+      Relational.bloomPrefilteredJoin(big, smallS, Seq("k"))
+    }
+  }
+
+  test("quota store: re-delivered rows supersede, never evict distinct ids") {
+    import spark.implicits._
+    // store: key a holds ids 1 (score 5) and 2 (score 4) at n=2
+    val s0 = Relational.quotaStore(
+      Seq((1L, "a", 5L, ""), (2L, "a", 4L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 2, Some("score"))
+    // re-deliver id 1 (same score, twice in one batch): id 2 must survive
+    // and the store must stay duplicate-free
+    val s1 = Relational.updateQuotaStore(s0,
+      Seq((1L, "a", 5L, ""), (1L, "a", 5L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 2, Some("score"))
+    val rows = s1.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows === Seq(1L, 2L), s"re-delivery corrupted the store: $rows")
+    // a re-delivered id with an UPDATED score supersedes its store row
+    val s2 = Relational.updateQuotaStore(s1,
+      Seq((2L, "a", 9L, "")).toDF("id", "k", "score", "p"),
+      "k", "id", 2, Some("score"))
+    val scores = s2.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scores === Map(1L -> 5.0, 2L -> 9.0))
+  }
+
   test("bloomPrefilteredJoin probes map-side before the join in the plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, xxhash64}
