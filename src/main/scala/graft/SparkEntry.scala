@@ -2832,14 +2832,29 @@ object SparkEntry {
     */
   private def qConstraints(s: SparkSession, dir: String): DataFrame = {
     import operators.Relational.Constraint._
+    val w = wh(s, dir)
+    // 2000-01-01T00:00:00Z — a fixed as-of point so freshness is
+    // deterministic; orders end in 1998, so 1h staleness fails and a
+    // 100-year horizon passes
+    val asOfUs = 946684800000000L
     operators.Relational.checkConstraints(
-      wh(s, dir).loadTable("orders"),
+      w.loadTable("orders"),
       Seq(NotNull("o_custkey"),
         InRange("o_totalprice", 1000.0, 400000.0),
         AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
         Unique(Seq("o_orderkey")),
         Unique(Seq("o_custkey")),
-        MinRows(100)))
+        MinRows(100),
+        // referential integrity: every order's customer exists (passes);
+        // against the DELIBERATELY truncated dim (c_custkey < 100) it fails
+        ForeignKey("o_custkey", "customer", "c_custkey"),
+        ForeignKey("o_custkey", "customer_small", "c_custkey"),
+        Freshness("o_orderdate", 60L, asOfUs),
+        Freshness("o_orderdate", 52560000L, asOfUs)),
+      refs = Map(
+        "customer" -> w.loadTable("customer"),
+        "customer_small" -> w.loadTable("customer")
+          .filter(col("c_custkey") < 100)))
   }
 
   /** Streaming heavy-hitters store (SURVEY row 56c-s): the word stream
@@ -5112,7 +5127,27 @@ object SparkEntry {
         | UNION ALL SELECT 'unique', 'o_orderkey',
         |   (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
         | UNION ALL SELECT 'unique', 'o_custkey',
-        |   (SELECT count(*) - count(DISTINCT o_custkey) FROM orders))
+        |   (SELECT count(*) - count(DISTINCT o_custkey) FROM orders)
+        | UNION ALL SELECT 'foreign_key', 'o_custkey -> customer.c_custkey',
+        |   (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer c
+        |                      WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL SELECT 'foreign_key', 'o_custkey -> customer_small.c_custkey',
+        |   (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer c
+        |                      WHERE c.c_custkey < 100
+        |                        AND c.c_custkey = o.o_custkey))
+        | UNION ALL SELECT 'freshness', 'o_orderdate@60m',
+        |   (SELECT CASE WHEN coalesce(epoch_us(max(o_orderdate)),
+        |        -9223372036854775808) <
+        |      946684800000000 - CAST(60 AS BIGINT) * 60000000
+        |    THEN 1 ELSE 0 END FROM orders)
+        | UNION ALL SELECT 'freshness', 'o_orderdate@52560000m',
+        |   (SELECT CASE WHEN coalesce(epoch_us(max(o_orderdate)),
+        |        -9223372036854775808) <
+        |      946684800000000 - CAST(52560000 AS BIGINT) * 60000000
+        |    THEN 1 ELSE 0 END
+        |    FROM orders))
         |SELECT rule, target, CAST(violations AS BIGINT) AS violations,
         |       violations = 0 AS passed
         |FROM r ORDER BY rule, target""".stripMargin,

@@ -292,6 +292,17 @@ object Relational {
     case class AcceptedValues(column: String, values: Seq[String]) extends Constraint
     /** the frame must have at least `n` rows; violations = the shortfall. */
     case class MinRows(n: Long) extends Constraint
+    /** referential integrity (dbt `relationships`): every non-NULL value
+      * of `column` must exist in `refColumn` of the frame passed as
+      * `refs(refName)`; violations = missing non-NULL keys. */
+    case class ForeignKey(column: String, refName: String,
+        refColumn: String) extends Constraint
+    /** source freshness (dbt `freshness`): the NEWEST `column` timestamp
+      * must be within `maxAgeMinutes` of the explicit `asOfUs` epoch-micros
+      * reference point (explicit so the check is deterministic);
+      * violations = 0 or 1. */
+    case class Freshness(column: String, maxAgeMinutes: Long,
+        asOfUs: Long) extends Constraint
   }
 
   /** Evaluate `constraints` against `df` into one report row per rule:
@@ -302,9 +313,15 @@ object Relational {
     * surplus rows, n − distinct). Exact counts, so any engine replays
     * the report.
     */
-  def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint],
+      refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     import Constraint._
     require(constraints.nonEmpty, "checkConstraints: no rules given")
+    constraints.collect { case ForeignKey(_, refName, _) =>
+      require(refs.contains(refName),
+        s"checkConstraints: foreign_key references '$refName' but no such " +
+          s"frame was passed in refs (have: ${refs.keys.toSeq.sorted.mkString(",")})")
+    }
     val rowRules = constraints.zipWithIndex.collect {
       case (NotNull(c), i) =>
         (i, "not_null", c, sum(when(lcol(c).isNull, 1L).otherwise(0L)))
@@ -317,6 +334,17 @@ object Relational {
           sum(when(lcol(c).isNotNull && !lcol(c).isin(vs: _*), 1L).otherwise(0L)))
       case (MinRows(n), i) =>
         (i, "min_rows", n.toString, greatest(lit(n) - count(lit(1)), lit(0L)))
+      case (Freshness(c, maxAgeMin, asOfUs), i) =>
+        // violations = 0/1: the NEWEST event older than asOf − maxAge (or
+        // no rows at all) means the source is stale. asOf is an explicit
+        // parameter so the check is deterministic and engine-replayable.
+        // target carries the horizon so two freshness rules on one column
+        // stay distinct (report rows sort by (rule, target) — duplicates
+        // would make the order nondeterministic)
+        (i, "freshness", s"$c@${maxAgeMin}m",
+          when(coalesce(max(unix_micros(lcol(c).cast("timestamp"))),
+              lit(Long.MinValue)) <
+            lit(asOfUs - maxAgeMin * 60L * 1000000L), 1L).otherwise(0L))
     }
     val aggExprs = count(lit(1)).as("__n") +:
       rowRules.map { case (i, _, _, e) => e.as(s"__v$i") }
@@ -335,7 +363,22 @@ object Relational {
           col("__v").cast("long").as("violations"),
           (col("__v") === 0).as("passed"))
     }
-    (rowReports ++ uniqueReports).reduce(_ unionByName _)
+    // referential integrity (dbt `relationships`): non-NULL keys missing
+    // from the referenced frame. One left-anti join per rule against the
+    // DISTINCT reference keys — broadcastable for dimension-sized refs,
+    // shuffled-semi otherwise; NULL keys are not violations (pair with
+    // NotNull to forbid them, the in_range convention).
+    val fkReports = constraints.collect { case ForeignKey(c, refName, refCol) =>
+      val refKeys = refs(refName).select(lcol(refCol).as("__rk")).distinct()
+      df.select(lcol(c).as("__fk")).filter(col("__fk").isNotNull)
+        .join(refKeys, col("__fk") === col("__rk"), "left_anti")
+        .agg(count(lit(1)).as("__v"))
+        .select(lit("foreign_key").as("rule"),
+          lit(s"$c -> $refName.$refCol").as("target"),
+          col("__v").cast("long").as("violations"),
+          (col("__v") === 0).as("passed"))
+    }
+    (rowReports ++ uniqueReports ++ fkReports).reduce(_ unionByName _)
       .orderBy("rule", "target")
   }
 

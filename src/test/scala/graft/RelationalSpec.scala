@@ -448,6 +448,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.collect().forall(_.getBoolean(3)))
   }
 
+  test("checkConstraints: foreign_key and freshness rules") {
+    import spark.implicits._
+    import graft.operators.Relational.Constraint._
+    val facts = Seq((Some(1L), ts(0)), (Some(2L), ts(10)),
+      (Some(9L), ts(20)), (None, ts(30))).toDF("fk", "t")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    // as-of = minute 40; newest fact is minute 30 → fresh at 15m horizon?
+    // no: 30 < 40-15=25 is false → fresh; at 5m horizon 30 < 35 → stale
+    val asOf = tsUs(40)
+    val got = Relational.checkConstraints(facts,
+        Seq(ForeignKey("fk", "dim", "pk"),
+          Freshness("t", 15L, asOf), Freshness("t", 5L, asOf)),
+        refs = Map("dim" -> dim))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val byTarget = got.map(x => x._2 -> ((x._3, x._4))).toMap
+    // one non-NULL key (9) missing from the dim; NULL fk is not a violation
+    assert(byTarget("fk -> dim.pk") === ((1L, false)))
+    assert(byTarget("t@15m") === ((0L, true)))
+    assert(byTarget("t@5m") === ((1L, false)))
+    // a FK rule without its ref frame is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Relational.checkConstraints(facts, Seq(ForeignKey("fk", "nope", "pk")))
+    }
+  }
+
+  private def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+  private def tsUs(min: Long) = (1700000000000L + min * 60000L) * 1000L
+
   test("negativeSample: excludes self+positives, md5 min-k, deterministic") {
     import spark.implicits._
     val corpus = (0L until 10L).toDF("id")
