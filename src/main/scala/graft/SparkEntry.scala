@@ -2637,6 +2637,43 @@ object SparkEntry {
     operators.EventAnalytics.transitions(
       wh(s, dir).loadTable("events"), "user_id", "event_type", "ts", "event_id")
 
+  /** K-core decomposition (SURVEY row 61f): the 10-core of the trade
+    * graph by synchronous peeling — survivors and their in-core degrees,
+    * every round replayed relationally ([[operators.Graph.kCore]]).
+    */
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.kCore(tradeGraphEdges(s, dir, symmetric = false),
+        "src", "dst", k = 10, maxIters = 8)
+      .orderBy("node")
+
+  /** DuckDB replay of [[operators.Graph.kCore]]: 8 synchronous peel
+    * rounds unrolled — per round, surviving degrees, the ≥ k keep set,
+    * and the edge restriction to kept endpoints; monotone peeling makes
+    * a converged result identical to the full unroll, so operator
+    * early-exit cannot diverge.
+    */
+  private val kCoreOracleSql: String = {
+    val (k, iters) = (10, 8)
+    val rounds = (1 to iters).map { i =>
+      val prev = s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         | SELECT src FROM $prev GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         | SELECT e.src, e.dst FROM $prev e
+         | JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       | SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e0 AS MATERIALIZED (
+       | SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+       | WHERE src != dst),
+       |$rounds
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$iters GROUP BY src ORDER BY node""".stripMargin
+  }
+
   /** Token-budget mixture sample (SURVEY row 57i): per-source document
     * selection in seeded md5 order until each source's 4000-char budget
     * is exhausted (boundary doc included; src18/src19 have no budget and
@@ -3281,7 +3318,8 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_embedding_incremental" -> (qEmbeddingIncremental _),
-    "q_simhash_incremental" -> (qSimhashIncremental _)
+    "q_simhash_incremental" -> (qSimhashIncremental _),
+    "q_kcore" -> (qKCore _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5368,7 +5406,8 @@ object SparkEntry {
         | true AS found_incremental
         |FROM documents
         |WHERE doc_id % 25 = 0 AND n_chars >= 100
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_kcore" -> kCoreOracleSql
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`

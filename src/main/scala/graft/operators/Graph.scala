@@ -327,4 +327,73 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** K-CORE decomposition (Seidman 1983) by SYNCHRONOUS peeling: each
+    * round removes every node whose degree in the surviving UNDIRECTED
+    * graph (direction and duplicates collapse, self-loops drop) is < k;
+    * the k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors — the link-graph quality/spam filter ("drop pages that
+    * survive only via low-connectivity tendrils") and the density
+    * preprocessing step of community mining.
+    *
+    * Runs at most `maxIters` synchronous rounds with EARLY EXIT when a
+    * round removes nothing; because peeling is monotone (removals only
+    * ever cascade), a converged result is identical to running all
+    * `maxIters` rounds — which is exactly what the oracle unrolls, so
+    * parity holds whether or not the operator exits early. On a graph
+    * needing more rounds the result is the documented "after maxIters
+    * synchronous peels" partial peel (same as the oracle's).
+    *
+    * Output: surviving (node, degree) — degree within the core, ≥ k.
+    *
+    * Scale shape per round: one degree aggregation over surviving edges
+    * (map-side partial) + two semi joins to drop edges of removed nodes;
+    * edges persist pre-partitioned on src and every round's survivor
+    * frame is lineage-truncated (the pageRank materialization contract).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 16,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(maxIters >= 1, s"maxIters must be >= 1 (got $maxIters)")
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    // undirected simple graph: symmetrize, drop self-loops, dedup
+    val base = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e0 = persistIf(
+      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("src")))
+    var alive = e0
+    var lastCount = -1L
+    try {
+      var i = 0
+      var converged = false
+      while (i < maxIters && !converged) {
+        val deg = alive.groupBy("src").agg(count(lit(1)).as("__d"))
+        val keep = deg.filter(col("__d") >= k).select(col("src").as("__keep"))
+        val plan = alive
+          .join(keep, alive("src") === col("__keep"), "left_semi")
+          .join(keep.select(col("__keep").as("__keep2")),
+            alive("dst") === col("__keep2"), "left_semi")
+        val next =
+          if (persistLevel == StorageLevel.NONE) plan
+          else {
+            val c = plan.localCheckpoint(eager = false, storageLevel = persistLevel)
+            c.count()
+            c
+          }
+        val n = next.count()
+        converged = n == lastCount
+        lastCount = n
+        alive = next
+        i += 1
+      }
+      alive.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    } finally {
+      if (persistLevel != StorageLevel.NONE) e0.unpersist()
+    }
+  }
 }

@@ -226,4 +226,45 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(meanSupp > 2 * meanCust,
       s"supplier mean rank $meanSupp vs customer $meanCust")
   }
+
+  test("kCore: clique survives, tendril peels over cascading rounds") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-5-6-7: at k=3 the chain
+    // peels end-first over THREE rounds (7, then 6, then 5), the clique
+    // survives with in-core degree exactly 3 everywhere
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = Graph.kCore((clique ++ chain).toDF("src", "dst"), "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: the chain still peels (ends have degree 1), clique keeps all
+    val got2 = Graph.kCore((clique ++ chain).toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got2 === Set(1L, 2L, 3L, 4L))
+    // a pure path fully peels at k=2 (cascade to empty)
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2).count() === 0)
+  }
+
+  test("kCore matches a local peel replay; duplicates/direction collapse") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val k = 4
+    val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local replay: undirected simple graph, synchronous peel to fixpoint
+    var adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val keep = adj.filter(_._2.size >= k).keySet
+      changed = keep.size != adj.size
+      adj = adj.view.filterKeys(keep).mapValues(_.intersect(keep))
+        .toMap.filter(_._2.nonEmpty)
+    }
+    val expect = adj.view.mapValues(_.size.toLong).toMap
+    assert(got === expect, s"diff: ${(got.toSet diff expect.toSet)} / ${(expect.toSet diff got.toSet)}")
+  }
 }
