@@ -2637,6 +2637,25 @@ object SparkEntry {
     operators.EventAnalytics.transitions(
       wh(s, dir).loadTable("events"), "user_id", "event_type", "ts", "event_id")
 
+  /** Quantile-calibrated per-group filter (SURVEY row 56e consumer):
+    * "keep each language's top ~30% by length" — per-lang p70 cutoffs
+    * from [[operators.Stats.groupedQuantiles]] (exact form), docs join
+    * their group's cutoff (broadcast — the cutoff frame is |groups| ×
+    * |qs| rows) and filter value ≥ cutoff. The per-source/per-language
+    * quality-threshold calibration step of corpus curation, composed
+    * from the quantile operator so the whole chain stays oracle-exact.
+    */
+  private def qQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val cuts = operators.Stats.groupedQuantiles(
+        docs, "lang", "n_chars", Seq(700000L), exact = true)
+      .select(col("grp").as("lang"), col("value").as("__cut"))
+    docs.join(broadcast(cuts), Seq("lang"))
+      .filter(col("n_chars").cast("double") >= col("__cut"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** K-core decomposition (SURVEY row 61f): the 10-core of the trade
     * graph by synchronous peeling — survivors and their in-core degrees,
     * every round replayed relationally ([[operators.Graph.kCore]]).
@@ -3319,7 +3338,8 @@ object SparkEntry {
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_embedding_incremental" -> (qEmbeddingIncremental _),
     "q_simhash_incremental" -> (qSimhashIncremental _),
-    "q_kcore" -> (qKCore _)
+    "q_kcore" -> (qKCore _),
+    "q_quantile_filter" -> (qQuantileFilter _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5407,7 +5427,18 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 25 = 0 AND n_chars >= 100
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_kcore" -> kCoreOracleSql
+    "q_kcore" -> kCoreOracleSql,
+    "q_quantile_filter" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |cut AS (SELECT lang, CAST(n_chars AS DOUBLE) AS c FROM r
+        |        WHERE rk = (700000 * n + 999999) // 1000000)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN cut ON d.lang = cut.lang
+        |WHERE CAST(d.n_chars AS DOUBLE) >= cut.c
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared tail of the two drift oracles: from a `j(key, n_a, n_b)`
