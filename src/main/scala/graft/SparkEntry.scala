@@ -863,6 +863,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split (SURVEY row 38k): same near-dup graph as
+    * q_dedup_clusters, but the output is a train/dev/test FOLD that is a
+    * pure md5 function of the cluster id — a doc and its near-duplicate
+    * can never straddle the train/test line. Weights 8/1/1 in ppm
+    * thresholds, all integer; the oracle replays CC recursively, then
+    * the md5-mod-10⁶ draw and the threshold CASE bit-exactly
+    * ([[operators.Dedup.splitByCluster]]).
+    */
+  private def qSplitByCluster(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.7)
+    Dedup.splitByCluster(docs.select(col("doc_id")), "doc_id", pairs,
+        weights = Seq(8, 1, 1))
+      .select(col("doc_id"), col("cluster_id"), col("keep"),
+        col("fold").cast("long").as("fold"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware cluster resolution (SURVEY row 38j): same near-dup
     * graph as q_dedup_clusters, but each cluster keeps its LONGEST
     * member (n_chars score, tie-break min doc_id) — the keep-best
@@ -1400,6 +1419,18 @@ object SparkEntry {
   private def qPackWindows(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packWindows(wh(s, dir).loadTable("documents"),
         "doc_id", "text", windowTokens = 2048L)
+      .orderBy("doc_id")
+
+  /** NO-SPLIT next-fit bin packing (SFT-style: a training example never
+    * straddles two sequences), oracle-checked EXACTLY: documents hash to
+    * 8 independent md5-keyed packing lines and fill 90-token bins in id
+    * order; docs over the budget get a bin of their own, flagged. DuckDB
+    * replays the per-shard sequential fold as a recursive CTE — bins,
+    * running fills and oversize flags all bit-exact.
+    */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packBins(wh(s, dir).loadTable("documents"),
+        "doc_id", "text", binTokens = 90L, nShards = 8)
       .orderBy("doc_id")
 
   /** TEMPERATURE-scaled mixture (XLM-R rebalancing at α = 1/2),
@@ -2456,6 +2487,37 @@ object SparkEntry {
         Seq("vector", "join", "stream"), k = 20)
       .withColumnRenamed("id", "doc_id")
 
+  /** IR evaluation metrics (SURVEY row 60d): recall@10 / MRR@10 /
+    * nDCG@10 per judged query, all integer fixed-point. The harness
+    * input is deterministic and relational on purpose — every doc_id
+    * divisible by 50 is a query, its ranked list is the next 10 doc ids
+    * (rank = distance), and its qrels are all same-lang docs — so the
+    * oracle rebuilds results, qrels, the ilog2Fp DCG discounts AND the
+    * cumulative ideal-DCG table, then replays every metric bit-exactly
+    * ([[operators.Retrieval.retrievalMetrics]]).
+    */
+  private def qRetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents").select("doc_id", "lang")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("lang").as("qlang"))
+    // ranked lists: candidate id = qid + rank, kept only if the doc
+    // exists (equi-joins only — no range/BNLJ shape even at demo scale)
+    val results = queries
+      .select(col("qid"), explode(sequence(lit(1L), lit(10L))).as("rank"))
+      .withColumn("doc_id", col("qid") + col("rank"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
+    val qrels = queries.join(docs,
+        docs("lang") === queries("qlang") && docs("doc_id") =!= queries("qid"))
+      .select(col("qid"), col("doc_id"))
+    operators.Retrieval.retrievalMetrics(
+        results.select(col("qid").as("doc_id"), col("doc_id").as("did"),
+          col("rank")),
+        qrels.select(col("qid").as("doc_id"), col("doc_id").as("did")),
+        "doc_id", "did", "rank", k = 10)
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (SURVEY row 60b): the
     * dense brute-force cosine top-20 for query vector 0 fused with the
     * sparse BM25 top-20 — the standard RAG hybrid-search combiner,
@@ -3223,6 +3285,7 @@ object SparkEntry {
     "q_simhash_recall" -> (qSimhashRecall _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_split_by_cluster" -> (qSplitByCluster _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_wjaccard" -> (qDedupWjaccard _),
     "q_wminhash_recall" -> (qWminhashRecall _),
@@ -3244,6 +3307,7 @@ object SparkEntry {
     "q_knn_classify" -> (qKnnClassify _),
     "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_pack_windows" -> (qPackWindows _),
+    "q_pack_bins" -> (qPackBins _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -3303,6 +3367,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
     "q_bm25_topk" -> (qBm25Topk _),
+    "q_retrieval_metrics" -> (qRetrievalMetrics _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_shard_assign" -> (qShardAssign _),
@@ -3889,6 +3954,38 @@ object SparkEntry {
         | d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // leakage-safe split: CC replayed recursively, then fold =
+    // md5('42:'||cluster_id) mod 1e6 against the 8/1/1 ppm thresholds
+    "q_split_by_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w)-2),
+        |                i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) AS double)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+        |      UNION SELECT doc_b, doc_a FROM jpairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |lab AS (SELECT d.doc_id,
+        |  coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |keyed AS (SELECT doc_id, cluster_id,
+        |  CAST(('0x' || substr(md5('42:' || CAST(cluster_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 1000000 AS k
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep,
+        | CAST(CASE WHEN k < 800000 THEN 0 WHEN k < 900000 THEN 1 ELSE 2 END
+        |   AS BIGINT) AS fold
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "q_dedup_keep_best" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -4143,6 +4240,37 @@ object SparkEntry {
         | global_start // 2048 AS window_id,
         | global_start % 2048 AS offset_in_window
         |FROM s ORDER BY doc_id""".stripMargin,
+    // no-split next-fit packing: DuckDB replays the per-shard sequential
+    // fold as a recursive CTE stepping one rank per iteration — bin ids,
+    // running fills and oversize flags must all match bit-for-bit
+    "q_pack_bins" ->
+      """WITH RECURSIVE docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 AS shard
+        | FROM documents),
+        |ranked AS (SELECT doc_id, n_tokens, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+        | FROM docs),
+        |state AS (
+        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
+        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+        |   CAST(NULL AS BIGINT) AS n_tokens
+        | FROM (SELECT DISTINCT shard FROM ranked)
+        | UNION ALL
+        | SELECT r.shard, r.rk,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN s.bin + 1 ELSE s.bin END,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
+        |  r.doc_id, r.n_tokens
+        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1)
+        |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
+        | n_tokens > 90 AS oversize
+        |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
     // temperature-scaled mixture: integer sqrt weights, floor-division
     // targets, delivered counts == min(target, n) — all replayed
     "q_mixture_temperature" ->
@@ -5092,6 +5220,43 @@ object SparkEntry {
         | FROM fused)
         |SELECT doc_id, rank, rrf_e9, rank_a, rank_b FROM franked
         |WHERE rank <= 20 ORDER BY rank""".stripMargin),
+    // IR eval metrics: results/qrels rebuilt relationally, DCG discounts
+    // via the 20-step ilog2 recurrence, ideal-DCG as a cumulative sum —
+    // recall/MRR/nDCG all integer floor divisions, bit-exact
+    "q_retrieval_metrics" ->
+      s"""WITH q AS (SELECT doc_id AS qid, lang FROM documents WHERE doc_id % 50 = 0),
+         |res AS (
+         | SELECT q.qid, q.qid + g.r AS did, CAST(g.r AS BIGINT) AS rank
+         | FROM q CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS r) g
+         | WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = q.qid + g.r)),
+         |rel AS (
+         | SELECT q.qid, d.doc_id AS did FROM q
+         | JOIN documents d ON d.lang = q.lang AND d.doc_id <> q.qid),
+         |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+         |hit AS (
+         | SELECT r.qid, r.rank,
+         |  ${ilogSql("CAST(r.rank + 1 AS BIGINT)")} AS l
+         | FROM res r JOIN rel ON r.qid = rel.qid AND r.did = rel.did),
+         |agg AS (
+         | SELECT qid, CAST(count(*) AS BIGINT) AS hits_k, min(rank) AS best,
+         |  CAST(SUM(1048576000000 // l) AS BIGINT) AS dcg_e6
+         | FROM hit GROUP BY qid),
+         |idcg AS (
+         | SELECT CAST(m.m AS BIGINT) AS m,
+         |  CAST(SUM(1048576000000 // ${ilogSql("CAST(i.i + 1 AS BIGINT)")}) AS BIGINT)
+         |    AS idcg_e6
+         | FROM (SELECT unnest(generate_series(1, 10)) AS m) m
+         | JOIN (SELECT unnest(generate_series(1, 10)) AS i) i ON i.i <= m.m
+         | GROUP BY m.m)
+         |SELECT n.qid AS doc_id, n.n_rel,
+         | COALESCE(a.hits_k, 0) AS hits_k,
+         | COALESCE(a.hits_k, 0) * 1000000 // n.n_rel AS recall_ppm,
+         | CAST(COALESCE(1000000 // a.best, 0) AS BIGINT) AS rr_ppm,
+         | COALESCE(a.dcg_e6, 0) AS dcg_e6,
+         | COALESCE(a.dcg_e6, 0) * 1000000 // i.idcg_e6 AS ndcg_ppm
+         |FROM nrel n LEFT JOIN agg a ON a.qid = n.qid
+         |JOIN idcg i ON i.m = least(n.n_rel, 10)
+         |ORDER BY doc_id""".stripMargin,
     "q_events_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
         |w AS (SELECT (us // 900000000 - j) * 900000000 AS window_start_us,

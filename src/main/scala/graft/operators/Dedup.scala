@@ -480,6 +480,51 @@ object Dedup {
       .drop("__cc_id", "component", "__keeper")
   }
 
+  /** LEAKAGE-SAFE train/eval split: every member of a near-dup cluster
+    * lands in the SAME fold. A plain row-hash split
+    * ([[Relational.split]]) puts a document and its near-duplicate on
+    * opposite sides of the train/test line — the eval set then scores
+    * memorization, not generalization. Here the fold is a pure function
+    * of the CLUSTER id (the [[connectedComponents]] label over `pairs`,
+    * re-elected among present ids as in [[dedupByClusters]]), so the
+    * whole duplicate class moves together, and singletons split
+    * independently as usual.
+    *
+    * Fold assignment is integer end-to-end and engine-replayable: the
+    * [[Relational.shardAssign]] md5 key of (seed, cluster_id) mod 10⁶
+    * is a uniform ppm draw, compared against cumulative integer-weight
+    * thresholds floor(10⁶·Σwᵢ/W) — no floats, so DuckDB replays folds
+    * bit-exactly. Output: df's columns + `cluster_id`, `keep` (min-id
+    * keeper — split and dedup in one pass if wanted) and `fold`.
+    *
+    * Scale shape: identical to [[dedupByClusters]] (the wide df joins
+    * once on its id; CC runs on the narrow pair graph) plus one
+    * codegen'd md5 projection — the fold adds no shuffle.
+    */
+  def splitByCluster(
+      df: DataFrame, idCol: String, pairs: DataFrame, weights: Seq[Int],
+      aCol: String = "id_a", bCol: String = "id_b",
+      seed: Long = 42L, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"weights must be positive integers, got $weights")
+    val total = weights.map(_.toLong).sum
+    val cumPpm = weights.map(_.toLong).scanLeft(0L)(_ + _)
+      .map(c => c * 1000000L / total)
+    val clustered = dedupByClusters(df, idCol, pairs, aCol, bCol,
+      maxIters, checkpointDir)
+    val keyPpm = pmod(conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col("cluster_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    // ascending-threshold CASE: fold f covers key ∈ [cum_f, cum_{f+1})
+    val fold = cumPpm.tail.init.zipWithIndex.foldRight(
+        lit(weights.length - 1)) { case ((thr, idx), acc) =>
+      when(keyPpm < thr, lit(idx)).otherwise(acc)
+    }
+    clustered.withColumn("fold", fold.cast("int"))
+  }
+
   /** Benchmark DECONTAMINATION: flag every corpus document that shares at
     * least one n-gram with the evaluation set `bench` — the standard
     * train/test-overlap guard an LLM data pipeline runs before training

@@ -209,4 +209,60 @@ object Retrieval {
           .cast("long"))
       .select("id", "rank", "rrf_e9", "rank_a", "rank_b")
   }
+
+  /** IR EVALUATION metrics — recall@k, MRR@k and nDCG@k per query — the
+    * measurement verb that closes the retrieval loop: a pipeline that
+    * ships BM25 / ANN / fused rankers needs the eval harness next to
+    * them (TREC-style qrels in, per-query metrics out). Metrics are only
+    * emitted for JUDGED queries (those present in `qrels`, the TREC
+    * convention); ranked lists for unjudged queries are ignored.
+    *
+    * All arithmetic is integer fixed-point, so every metric replays
+    * bit-identically in any engine: recall and reciprocal rank as ppm
+    * floor divisions, and the DCG discount 1/log2(rank+1) as
+    * `1e6·2^20 div ilog2Fp(rank+1)` ([[graft.functions.Kernels.ilog2Fp]]
+    * — the same no-libm recurrence the drift monitor and the quality
+    * classifier replay; a rank-1 hit scores exactly 10⁶). Binary
+    * relevance; ideal DCG for m = min(n_rel, k) relevant docs is the
+    * cumulative discount sum, joined from a k-row broadcast lookup built
+    * with the same kernel.
+    *
+    * Scale shape: hits = one equi-join of the rank-k-truncated results
+    * against the (distinct) qrels, then a per-query partial aggregation;
+    * the idcg lookup broadcasts. Nothing corpus-sized shuffles beyond
+    * the judged result lists themselves.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      qCol: String, dCol: String, rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = results.sparkSession
+    import spark.implicits._
+    val r = results.select(col(qCol).as("__q"), col(dCol).as("__d"),
+        col(rankCol).cast("long").as("__rk"))
+      .filter(col("__rk") >= 1 && col("__rk") <= k)
+    val rel = qrels.select(col(qCol).as("__q"), col(dCol).as("__d")).distinct()
+    val nrel = rel.groupBy("__q").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(rel, Seq("__q", "__d"))
+      .withColumn("__l", graft.functions.GraftFunctions.ilog2FpCol(
+        spark, col("__rk") + lit(1L)))
+      .withColumn("__term", expr("1048576000000 div __l"))
+      .groupBy("__q")
+      .agg(count(lit(1)).as("hits_k"), min("__rk").as("__best"),
+        sum("__term").as("dcg_e6"))
+    val idcgRows = (1 to k).scanLeft(0L) { (acc, i) =>
+        acc + 1048576000000L / graft.functions.Kernels.ilog2Fp(i + 1L)
+      }.tail.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+    val idcg = broadcast(idcgRows.toDF("__m", "idcg_e6"))
+    nrel
+      .join(hits, Seq("__q"), "left")
+      .withColumn("hits_k", coalesce(col("hits_k"), lit(0L)))
+      .withColumn("dcg_e6", coalesce(col("dcg_e6"), lit(0L)))
+      .withColumn("__m", least(col("n_rel"), lit(k.toLong)))
+      .join(idcg, Seq("__m"))
+      .withColumn("recall_ppm", expr("hits_k * 1000000 div n_rel"))
+      .withColumn("rr_ppm", coalesce(expr("1000000 div __best"), lit(0L)))
+      .withColumn("ndcg_ppm", expr("dcg_e6 * 1000000 div idcg_e6"))
+      .select(col("__q").as(qCol), col("n_rel"), col("hits_k"),
+        col("recall_ppm"), col("rr_ppm"), col("dcg_e6"), col("ndcg_ppm"))
+  }
 }

@@ -166,6 +166,67 @@ object TextAnalysis {
     } finally ranged.unpersist()
   }
 
+  /** NO-SPLIT bin packing (next-fit): each document lands INTACT in
+    * exactly one fixed-capacity bin — the SFT / instruction-tuning
+    * packing discipline, where an example must not straddle two
+    * training sequences ([[packWindows]] is the pretraining
+    * concat-and-chunk that splits freely). Documents hash to `nShards`
+    * independent packing lines via the [[Relational.shardAssign]] md5
+    * key (pure function of (seed, id): retries and re-runs agree), and
+    * within a shard bins fill in id order by the NEXT-FIT rule: a doc
+    * that would overflow the open bin closes it and opens the next
+    * (≤ 2× OPT bins — Johnson 1973; the price of one streaming pass).
+    * Docs longer than `binTokens` get a bin of their own, flagged
+    * `oversize` (the caller truncates or routes them).
+    *
+    * Scale shape: sequential packing needs a total order, but only
+    * WITHIN a shard — at corpus scale each trainer shard packs alone,
+    * so the sequential dependency never crosses a shard and `nShards`
+    * scales with the data. Plan: one hash exchange on shard + an
+    * in-partition sort by (shard, id), then ONE streaming pass per
+    * partition with O(1) state (shards are co-located by the exchange
+    * and contiguous after the sort; state resets at each shard
+    * boundary). No global window, nothing driver-side. All-integer
+    * output (`bin_fill` pins the running recurrence), so any engine
+    * replays it as a per-shard sequential fold. NULL text counts 0.
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val key = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"), lit(0L))
+        .as("n_tokens"),
+      pmod(key, lit(nShards.toLong)).as("shard"))
+    toks
+      .repartition(nShards.min(64), col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // O(1) state; Long.MinValue fill is the open-no-bin sentinel so
+        // the first doc of a shard always opens bin 0 (and an overflow
+        // test against it never runs — checked first).
+        var curShard = Long.MinValue
+        var bin = -1L
+        var fill = Long.MinValue
+        it.map { case (id, t, sh) =>
+          if (sh != curShard) { curShard = sh; bin = -1L; fill = Long.MinValue }
+          if (fill == Long.MinValue || fill + t > binTokens) { bin += 1; fill = t }
+          else fill += t
+          (id, t, sh, bin, fill)
+        }
+      }
+      .toDF("id", "n_tokens", "shard", "bin", "bin_fill")
+      .select(col("id").as(idCol), col("n_tokens"), col("shard"),
+        col("bin"), col("bin_fill"),
+        (col("n_tokens") > lit(binTokens)).as("oversize"))
+  }
+
   /** Token count under a TRAINED BPE merge table ([[Bpe.train]]) — the
     * budget estimate that tracks a real LLM tokenizer far closer than
     * whitespace/word-run counts (common words collapse to one token, rare

@@ -502,6 +502,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(perCluster.values.forall(_ == 1), s"keeper count per cluster: $perCluster")
   }
 
+  test("splitByCluster: cluster members share a fold, folds replay the md5 draw") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 60L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.splitByCluster(docs, "id", pairs, weights = Seq(8, 1, 1))
+      .select("id", "cluster_id", "keep", "fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.length === 200)
+    // whole duplicate classes move together
+    assert(Set(byId(1L)._4, byId(2L)._4, byId(3L)._4).size === 1)
+    assert(byId(10L)._4 === byId(11L)._4)
+    assert(byId(50L)._4 === byId(60L)._4)
+    // keep is the min-id dedupByClusters election, unchanged
+    assert(byId(1L)._3 && !byId(2L)._3 && !byId(3L)._3 && byId(4L)._3)
+    // exact local replay: fold is a pure md5 function of cluster_id
+    def foldOf(cid: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42:$cid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val k = java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+      if (k < 800000L) 0 else if (k < 900000L) 1 else 2
+    }
+    got.foreach { case (id, cid, _, f) =>
+      assert(f === foldOf(cid), s"id $id cluster $cid") }
+    // 8/1/1 over 196 clusters: the big fold dominates and no fold is empty
+    val byFold = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byFold.keySet.subsetOf(Set(0, 1, 2)))
+    assert(byFold(0) > 100, s"train fold implausibly small: $byFold")
+    // invalid weights refused
+    intercept[IllegalArgumentException] {
+      Dedup.splitByCluster(docs, "id", pairs, weights = Seq(1, 0))
+    }
+  }
+
   test("dedupByClustersKeepBest elects the highest score, ties to min id") {
     import spark.implicits._
     // cluster {1,2,3}: scores 5,9,9 → keeper 2 (max score, tie min id);

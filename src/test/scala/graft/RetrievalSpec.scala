@@ -243,4 +243,57 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     val expect = Events.slidingWindowAggBatch(real.toDF()).collect().map(_.toSeq).toSet
     assert(got === expect)
   }
+
+  test("retrievalMetrics: hand-exact fixtures — hit@1, hit@3, zero hits, rank>k ignored") {
+    // ilog2Fp(2)=2^20 and ilog2Fp(4)=2·2^20 exactly, so q1/q3 metrics
+    // are hand-computable integers with no kernel replay
+    val results = Seq(
+      ("q1", "d3", 3L),           // only hit at rank 3
+      ("q1", "dx", 1L),           // irrelevant at rank 1
+      ("q2", "dy", 1L),           // no relevant doc retrieved
+      ("q3", "da", 1L),           // perfect hit at rank 1
+      ("q3", "da", 11L),          // beyond k: ignored
+      ("q4", "dz", 2L)            // unjudged query: no output row
+    ).toDF("q", "d", "rank")
+    val qrels = Seq(
+      ("q1", "d3"), ("q1", "d3"), // duplicate qrel collapses
+      ("q2", "dq"),
+      ("q3", "da")
+    ).toDF("q", "d")
+    val got = Retrieval.retrievalMetrics(results, qrels, "q", "d", "rank", k = 10)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      // q1: n_rel 1, hit@3: recall 1e6, rr 333333, dcg 5e5, ndcg 5e5
+      ("q1", 1L, 1L, 1000000L, 333333L, 500000L, 500000L),
+      // q2: judged, zero hits
+      ("q2", 1L, 0L, 0L, 0L, 0L, 0L),
+      // q3: perfect
+      ("q3", 1L, 1L, 1000000L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("retrievalMetrics: multi-hit nDCG and min(n_rel,k) ideal replay the kernel") {
+    import graft.functions.Kernels
+    def term(rank: Long): Long = 1048576000000L / Kernels.ilog2Fp(rank + 1L)
+    val results = Seq(
+      ("q", "a", 1L), ("q", "b", 2L), ("q", "c", 5L), ("q", "x", 3L))
+      .toDF("q", "d", "rank")
+    // n_rel = 4 > hits; one relevant doc never retrieved
+    val qrels = Seq(("q", "a"), ("q", "b"), ("q", "c"), ("q", "missing"))
+      .toDF("q", "d")
+    val row = Retrieval.retrievalMetrics(results, qrels, "q", "d", "rank", k = 3)
+      .collect().head
+    val dcg = term(1) + term(2)            // c@5 is beyond k=3
+    val idcg = term(1) + term(2) + term(3) // m = min(4, 3) = 3
+    assert(row.getLong(1) === 4L)          // n_rel
+    assert(row.getLong(2) === 2L)          // hits_k
+    assert(row.getLong(3) === 2L * 1000000L / 4L)
+    assert(row.getLong(4) === 1000000L)    // best rank 1
+    assert(row.getLong(5) === dcg)
+    assert(row.getLong(6) === dcg * 1000000L / idcg)
+    intercept[IllegalArgumentException] {
+      Retrieval.retrievalMetrics(results, qrels, "q", "d", "rank", k = 0)
+    }
+  }
 }

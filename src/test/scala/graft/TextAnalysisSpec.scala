@@ -464,6 +464,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
   }
 
+  test("packBins replays the per-shard next-fit fold on the real corpus") {
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val got = TextAnalysis.packBins(docs, "doc_id", "text",
+        binTokens = 90L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // independent driver-side fold: group by the operator's own shard
+    // assignment, order by id, replay next-fit — bins and fills must match
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      var bin = -1L; var fill = Long.MinValue
+      rows.sortBy(_._1).foreach { case (id, t, _, gotBin, gotFill, over) =>
+        if (fill == Long.MinValue || fill + t > 90L) { bin += 1; fill = t }
+        else fill += t
+        assert((gotBin, gotFill) === (bin, fill), s"doc $id")
+        assert(over === (t > 90L), s"doc $id oversize flag")
+      }
+    }
+    // token counts agree with the packWindows counting contract
+    val want = docs.select(col("doc_id").cast("long"),
+        coalesce(size(split(trim(col("text")), "\\s+")).cast("long"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, t, _, _, _, _) => assert(t === want(id), s"doc $id") }
+    // every shard's bins are dense from 0
+    got.groupBy(_._3).foreach { case (sh, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins === (0L until bins.length).toArray.toSeq, s"shard $sh")
+    }
+  }
+
+  test("packBins: no-split, oversize singleton, NULL text, fresh bin after overflow") {
+    val docs = Seq(
+      (1L, "a b c"),                  // 3 -> bin 0 fill 3
+      (2L, "d e"),                    // 2 -> fits exactly: bin 0 fill 5
+      (3L, "p q r s t u"),            // 6 > 5: oversize, own bin 1
+      (4L, "y"),                      // overflows the oversize bin -> bin 2
+      (5L, null.asInstanceOf[String]) // 0 tokens joins bin 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packBins(docs, "doc_id", "text",
+        binTokens = 5L, nShards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 0L, 3L, false), (2L, 2L, 0L, 5L, false),
+      (3L, 6L, 1L, 6L, true), (4L, 1L, 2L, 1L, false),
+      (5L, 0L, 2L, 1L, false)))
+  }
+
+  test("packBins is invariant to input partitioning") {
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packBins(d, "doc_id", "text", binTokens = 90L, nShards = 4)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(docs) === run(docs.repartition(17)))
+  }
+
   test("collocations: closed-form lifts, truncating division, tie-break order") {
     // N=7 tokens; uni p=3 q=2 x=1 y=1; all lifts hand-computed, two of
     // them non-integral (floor) and two tied (lexicographic tie-break)
