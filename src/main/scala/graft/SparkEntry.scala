@@ -1433,6 +1433,17 @@ object SparkEntry {
         "doc_id", "text", binTokens = 90L, nShards = 8)
       .orderBy("doc_id")
 
+  /** Packed-sequence MATERIALIZATION (the step after q_pack_bins'
+    * assignment): one row per (shard, bin) with member texts joined in
+    * id order, doc/token counts and the oversize flag — DuckDB replays
+    * the recursive next-fit fold, then string_agg in the same order
+    * ([[operators.TextAnalysis.packSequences]]).
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(wh(s, dir).loadTable("documents"),
+        "doc_id", "text", binTokens = 90L, nShards = 8)
+      .orderBy("shard", "bin")
+
   /** TEMPERATURE-scaled mixture (XLM-R rebalancing at α = 1/2),
     * oracle-checked end-to-end: per language, target = budget·⌊√n⌋ ÷
     * Σ⌊√n⌋ in pure integer arithmetic, and the sampler must deliver
@@ -3308,6 +3319,7 @@ object SparkEntry {
     "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_pack_windows" -> (qPackWindows _),
     "q_pack_bins" -> (qPackBins _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -4271,6 +4283,40 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
         | n_tokens > 90 AS oversize
         |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
+    // packed-sequence materialization: the same recursive fold, then
+    // per-(shard, bin) counts + id-ordered string_agg of member texts
+    "q_pack_sequences" ->
+      """WITH RECURSIVE docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 AS shard
+        | FROM documents),
+        |ranked AS (SELECT doc_id, n_tokens, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+        | FROM docs),
+        |state AS (
+        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
+        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+        |   CAST(NULL AS BIGINT) AS n_tokens
+        | FROM (SELECT DISTINCT shard FROM ranked)
+        | UNION ALL
+        | SELECT r.shard, r.rk,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN s.bin + 1 ELSE s.bin END,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
+        |  r.doc_id, r.n_tokens
+        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1),
+        |asg AS (SELECT doc_id, n_tokens, shard, bin FROM state WHERE rk > 0)
+        |SELECT a.shard, a.bin, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+        | max(a.n_tokens > 90) AS oversize,
+        | string_agg(coalesce(d.text, ''), ' ' ORDER BY a.doc_id) AS seq_text
+        |FROM asg a JOIN documents d ON d.doc_id = a.doc_id
+        |GROUP BY a.shard, a.bin ORDER BY a.shard, a.bin""".stripMargin,
     // temperature-scaled mixture: integer sqrt weights, floor-division
     // targets, delivered counts == min(target, n) — all replayed
     "q_mixture_temperature" ->

@@ -227,6 +227,40 @@ object TextAnalysis {
         (col("n_tokens") > lit(binTokens)).as("oversize"))
   }
 
+  /** MATERIALIZE [[packBins]]' assignment into the actual training
+    * sequences: one row per (shard, bin) with the member documents'
+    * texts joined in id order — the final "write the packed batches"
+    * step after the assignment plan. NULL text joins as the empty
+    * string (its 0-token contract). `n_tokens` is the sum of member
+    * token counts — the packing budget's currency; the space-separated
+    * join adds no tokens for non-empty members.
+    *
+    * Scale shape: [[packBins]]' exchange + one groupBy(shard, bin)
+    * whose per-group state is BOUNDED BY THE BIN BUDGET (a bin holds at
+    * most `binTokens` tokens plus one oversize doc) — collect_list here
+    * is safe by construction, unlike a per-key collect over arbitrary
+    * groups. The wide text column joins the narrow assignment once, on
+    * the id.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame = {
+    val assign = packBins(df, idCol, textCol, binTokens, nShards, seed)
+    val texts = df.select(col(idCol).cast("long").as("__pid"),
+      coalesce(col(textCol).cast("string"), lit("")).as("__ptxt"))
+    assign
+      .join(texts, col(idCol).cast("long") === col("__pid"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        max("oversize").as("oversize"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pid").as("i"),
+              col("__ptxt").as("t")))),
+            x => x.getField("t")),
+          " ").as("seq_text"))
+  }
+
   /** Token count under a TRAINED BPE merge table ([[Bpe.train]]) — the
     * budget estimate that tracks a real LLM tokenizer far closer than
     * whitespace/word-run counts (common words collapse to one token, rare

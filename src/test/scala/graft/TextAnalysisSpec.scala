@@ -512,6 +512,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       (5L, 0L, 2L, 1L, false)))
   }
 
+  test("packSequences joins member texts in id order; counts conserve the corpus") {
+    val fix = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "p q r s t u"),
+      (4L, "y"), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(fix, "doc_id", "text",
+        binTokens = 5L, nShards = 1)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5))).toSeq
+    assert(got === Seq(
+      (0L, 2L, 5L, false, "a b c d e"),
+      (1L, 1L, 6L, true, "p q r s t u"),
+      (2L, 2L, 1L, false, "y ")))
+    // corpus conservation on real data: every doc lands in exactly one bin
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val seqs = TextAnalysis.packSequences(docs, "doc_id", "text",
+      binTokens = 90L, nShards = 8)
+    val (nDocs, nToks) = seqs.agg(sum("n_docs"), sum("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(nDocs === docs.count())
+    val totalToks = docs
+      .select(coalesce(size(split(trim(col("text")), "\\s+")).cast("long"),
+        lit(0L)).as("t"))
+      .agg(sum("t")).collect().head.getLong(0)
+    assert(nToks === totalToks)
+  }
+
   test("packBins is invariant to input partitioning") {
     val docs = wh.loadTable("documents").select("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =
