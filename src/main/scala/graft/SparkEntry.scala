@@ -1433,6 +1433,23 @@ object SparkEntry {
         "doc_id", "text", binTokens = 90L, nShards = 8)
       .orderBy("doc_id")
 
+  /** INCREMENTAL packing (SURVEY row 47e-inc): history (doc_id < 250)
+    * collapses to the nShards-row open-bin store, the arriving batch
+    * packs CONTINUING from it — output must equal the one-shot
+    * q_pack_bins fold restricted to the batch, which is exactly what
+    * the oracle replays ([[operators.TextAnalysis.packBinsIncremental]]).
+    */
+  private def qPackIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val store = TextAnalysis.packStore(
+      docs.filter(col("doc_id") < 250), "doc_id", "text",
+      binTokens = 90L, nShards = 8)
+    TextAnalysis.packBinsIncremental(
+        docs.filter(col("doc_id") >= 250), store, "doc_id", "text",
+        binTokens = 90L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
   /** Packed-sequence MATERIALIZATION (the step after q_pack_bins'
     * assignment): one row per (shard, bin) with member texts joined in
     * id order, doc/token counts and the oversize flag — DuckDB replays
@@ -3320,6 +3337,7 @@ object SparkEntry {
     "q_pack_windows" -> (qPackWindows _),
     "q_pack_bins" -> (qPackBins _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_incremental" -> (qPackIncremental _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -4283,6 +4301,36 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
         | n_tokens > 90 AS oversize
         |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
+    // incremental packing == the one-shot fold restricted to the batch
+    // (batch ids all sort after history's — the append contract)
+    "q_pack_incremental" ->
+      """WITH RECURSIVE docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 AS shard
+        | FROM documents),
+        |ranked AS (SELECT doc_id, n_tokens, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+        | FROM docs),
+        |state AS (
+        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
+        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+        |   CAST(NULL AS BIGINT) AS n_tokens
+        | FROM (SELECT DISTINCT shard FROM ranked)
+        | UNION ALL
+        | SELECT r.shard, r.rk,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN s.bin + 1 ELSE s.bin END,
+        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
+        |  r.doc_id, r.n_tokens
+        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1)
+        |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
+        | n_tokens > 90 AS oversize
+        |FROM state WHERE rk > 0 AND doc_id >= 250 ORDER BY doc_id""".stripMargin,
     // packed-sequence materialization: the same recursive fold, then
     // per-(shard, bin) counts + id-ordered string_agg of member texts
     "q_pack_sequences" ->

@@ -227,6 +227,90 @@ object TextAnalysis {
         (col("n_tokens") > lit(binTokens)).as("oversize"))
   }
 
+  /** Per-shard OPEN-BIN state after packing `df` — the persistable
+    * store for [[packBinsIncremental]] (the 39c signature-store pattern
+    * for packing: pack history once, continue packing arriving batches
+    * forever without re-touching it). One narrow row per shard:
+    * (shard, bin, fill) of the LAST-packed doc, i.e. the open bin the
+    * next append continues into. nShards rows total — trivially
+    * persistable through the Warehouse.
+    */
+  def packStore(df: DataFrame, idCol: String, textCol: String,
+      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame =
+    packBins(df, idCol, textCol, binTokens, nShards, seed)
+      .groupBy("shard")
+      .agg(max(struct(col(idCol).as("i"), col("bin").as("b"),
+        col("bin_fill").as("f"))).as("__m"))
+      .select(col("shard"), col("__m.b").as("bin"), col("__m.f").as("fill"))
+
+  /** Merge a new batch's assignment into the store: touched shards take
+    * the batch's final open-bin state, untouched shards carry over. */
+  def updatePackStore(store: DataFrame, newAssign: DataFrame,
+      idCol: String): DataFrame = {
+    val upd = newAssign.groupBy("shard")
+      .agg(max(struct(col(idCol).as("i"), col("bin").as("b"),
+        col("bin_fill").as("f"))).as("__m"))
+      .select(col("shard"), col("__m.b").as("bin"), col("__m.f").as("fill"))
+    store.join(upd.select(col("shard")), Seq("shard"), "left_anti")
+      .unionByName(upd)
+  }
+
+  /** INCREMENTAL [[packBins]]: pack an arriving batch CONTINUING from a
+    * persisted [[packStore]] — bins keep filling and numbering from
+    * where history left off, history is never rescanned (its whole
+    * footprint is the nShards-row store). Exactly equals the one-shot
+    * [[packBins]] over history∪batch whenever batch ids sort after
+    * history's within each shard — the append-ordered arrival every
+    * log/stream source provides (the 38h-inc contract). Shards absent
+    * from the store start fresh at bin 0.
+    *
+    * Plan: the store broadcast-joins the batch's narrow token frame on
+    * shard (nShards rows), then the same one-streaming-pass shape as
+    * [[packBins]].
+    */
+  def packBinsIncremental(batch: DataFrame, store: DataFrame,
+      idCol: String, textCol: String,
+      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val key = conv(
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val toks = batch.select(col(idCol).cast("long").as("id"),
+      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"), lit(0L))
+        .as("n_tokens"),
+      pmod(key, lit(nShards.toLong)).as("shard"))
+    val st = store.select(col("shard"),
+      col("bin").cast("long").as("__sb"), col("fill").cast("long").as("__sf"))
+    toks
+      .join(broadcast(st), Seq("shard"), "left")
+      .select("id", "n_tokens", "shard", "__sb", "__sf")
+      .repartition(nShards.min(64), col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = -1L
+        var fill = Long.MinValue
+        it.map { case (id, t, sh, sb, sf) =>
+          if (sh != curShard) {
+            curShard = sh
+            bin = sb.getOrElse(-1L)
+            fill = sf.getOrElse(Long.MinValue)
+          }
+          if (fill == Long.MinValue || fill + t > binTokens) { bin += 1; fill = t }
+          else fill += t
+          (id, t, sh, bin, fill)
+        }
+      }
+      .toDF("id", "n_tokens", "shard", "bin", "bin_fill")
+      .select(col("id").as(idCol), col("n_tokens"), col("shard"),
+        col("bin"), col("bin_fill"),
+        (col("n_tokens") > lit(binTokens)).as("oversize"))
+  }
+
   /** MATERIALIZE [[packBins]]' assignment into the actual training
     * sequences: one row per (shard, bin) with the member documents'
     * texts joined in id order — the final "write the packed batches"

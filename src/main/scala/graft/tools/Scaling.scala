@@ -317,6 +317,35 @@ object Scaling {
       drain(graft.operators.Relational.bloomPrefilteredJoin(
         big, dim, Seq("doc_id")))
     }
+    time("packBins 2048-token bins, 256 shards (next-fit streaming pass)") {
+      drain(TextAnalysis.packBins(big, "doc_id", "text",
+        binTokens = 2048L, nShards = 256))
+    }
+    timeFull("packSequences 2048-token bins, 256 shards (materialized)") {
+      drain(TextAnalysis.packSequences(big, "doc_id", "text",
+        binTokens = 2048L, nShards = 256))
+    }
+    timeFull("splitByCluster 8/1/1 over the near-dup pair graph") {
+      // pair graph from the production-default simhash radius — the
+      // realistic upstream for a leakage-safe split
+      val pairs = Dedup.simhash(big, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      drain(Dedup.splitByCluster(big.select(col("doc_id")), "doc_id",
+        pairs, weights = Seq(8, 1, 1)))
+    }
+    time("retrievalMetrics k=10 over 1% judged queries") {
+      val queries = big.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("qid"))
+      val results = queries
+        .select(col("qid"), explode(sequence(lit(1L), lit(10L))).as("rank"))
+        .withColumn("did", col("qid") + col("rank"))
+      val qrels = queries
+        .select(col("qid"), explode(sequence(lit(1L), lit(5L))).as("j"))
+        .withColumn("did", col("qid") + col("j") * 2)
+        .select("qid", "did")
+      drain(graft.operators.Retrieval.retrievalMetrics(
+        results, qrels, "qid", "did", "rank", k = 10))
+    }
     spark.stop()
   }
 }

@@ -540,6 +540,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(nToks === totalToks)
   }
 
+  test("packBinsIncremental: snapshot-fold == one-shot under append-ordered batches") {
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val oneShot = TextAnalysis.packBins(docs, "doc_id", "text",
+        binTokens = 90L, nShards = 8)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    // three append-ordered batches folded through the store
+    val cuts = Seq(0L, 150L, 350L, 10000L)
+    var store = TextAnalysis.packStore(
+      docs.filter(col("doc_id") < 0), "doc_id", "text", 90L, 8)
+    val folded = cuts.sliding(2).flatMap { case Seq(lo, hi) =>
+      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val asg = TextAnalysis.packBinsIncremental(batch, store,
+        "doc_id", "text", 90L, 8)
+      store = TextAnalysis.updatePackStore(store, asg, "doc_id")
+      asg.collect().map(_.toSeq)
+    }.toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(folded === oneShot.toSeq)
+    // final store equals the one-shot store
+    val gotStore = store.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantStore = TextAnalysis.packStore(docs, "doc_id", "text", 90L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotStore === wantStore)
+  }
+
+  test("packBinsIncremental: store-less shards start fresh; open bin continues or overflows") {
+    // one shard; history packs (3) into bin 0 fill 3 of budget 5
+    val hist = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val store = TextAnalysis.packStore(hist, "doc_id", "text", 5L, 1)
+    assert(store.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq === Seq((0L, 0L, 3L)))
+    // batch: (2) fits the open bin -> bin 0 fill 5; (4) overflows -> bin 1
+    val batch = Seq((2L, "d e"), (3L, "f g h i")).toDF("doc_id", "text")
+    val got = TextAnalysis.packBinsIncremental(batch, store,
+        "doc_id", "text", 5L, 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((2L, 0L, 5L), (3L, 1L, 4L)))
+    // empty store: identical to packBins
+    val fresh = TextAnalysis.packBinsIncremental(batch,
+        store.filter(col("shard") < 0), "doc_id", "text", 5L, 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val plain = TextAnalysis.packBins(batch, "doc_id", "text", 5L, 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fresh === plain)
+  }
+
   test("packBins is invariant to input partitioning") {
     val docs = wh.loadTable("documents").select("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =
