@@ -2646,6 +2646,45 @@ object SparkEntry {
       .orderBy("which")
   }
 
+  /** Retention / VACUUM (SURVEY row 33f): three versions written, the
+    * oldest vacuumed under keepLast = 2 — the oracle replays the
+    * SURVIVING versions' derivations plus the retention metadata, and
+    * the query itself asserts the dropped version is unreadable and the
+    * version list shrank ([[Warehouse.vacuumTable]]).
+    */
+  private def qVacuum(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("vac", dir)
+    val w = wh(s, dir)
+    val wt = Warehouse(s, tmp)
+    val base = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, "ordersvac"))
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val o = w.loadTable("orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    require(wt.saveTableVersioned(o.filter(col("o_orderstatus") === "F"),
+      tmp, "ordersvac") == 1L)
+    require(wt.saveTableVersioned(
+      o.filter(col("o_orderstatus").isin("F", "O")), tmp, "ordersvac") == 2L)
+    require(wt.saveTableVersioned(o, tmp, "ordersvac") == 3L)
+    val dropped = wt.vacuumTable(tmp, "ordersvac", keepLast = 2)
+    require(dropped == Seq(1L), s"expected to drop v1, got $dropped")
+    require(wt.listVersions("ordersvac") == Seq(2L, 3L),
+      s"expected versions [2, 3], got ${wt.listVersions("ordersvac")}")
+    require(scala.util.Try(wt.loadTableVersion("ordersvac", 1).count()).isFailure,
+      "vacuumed version must be unreadable")
+    def stats(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).cast("long").as("sum_price_cents"))
+        .select(lit(label).as("which"), col("n_rows"), col("sum_price_cents"))
+    stats(wt.loadTable("ordersvac"), "latest")
+      .unionByName(stats(wt.loadTableVersion("ordersvac", 2), "oldest_kept"))
+      .unionByName(s.range(1).select(lit("meta").as("which"),
+        lit(wt.listVersions("ordersvac").length.toLong).as("n_rows"),
+        lit(dropped.head).as("sum_price_cents")))
+      .orderBy("which")
+  }
+
   /** Compaction (SURVEY row 33d): a 16-file table rewritten to 1 file by
     * [[Warehouse.compactTable]]; the oracle replays the content from the
     * source table, so any row lost or duplicated by the swap
@@ -3403,6 +3442,7 @@ object SparkEntry {
     "q_shard_assign" -> (qShardAssign _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_vacuum" -> (qVacuum _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_ann_mmr" -> (qAnnMmr _),
@@ -5383,6 +5423,22 @@ object SparkEntry {
         |UNION ALL SELECT 'latest', fo.n_rows, fo.sum_price_cents FROM fo
         |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
         |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
+        |ORDER BY which""".stripMargin,
+    // vacuum: surviving versions' derivations + retention metadata
+    // (2 versions kept, v1 dropped); the query itself asserts the
+    // dropped version is unreadable
+    "q_vacuum" ->
+      """WITH fo AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |al AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders)
+        |SELECT 'latest' AS which, al.n_rows, al.sum_price_cents FROM al
+        |UNION ALL SELECT 'meta', CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'oldest_kept', fo.n_rows, fo.sum_price_cents FROM fo
         |ORDER BY which""".stripMargin,
     "q_compact" ->
       """SELECT l_returnflag, count(*) AS n_rows,

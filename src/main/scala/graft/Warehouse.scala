@@ -405,6 +405,40 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     n
   }
 
+  /** RETENTION (VACUUM) for versioned tables: delete every committed
+    * version older than the newest `keepLast` — the Snowflake
+    * DATA_RETENTION_TIME_IN_DAYS / Delta VACUUM maintenance verb for the
+    * [[saveTableVersioned]] snapshots-as-versions model, where retention
+    * is literally "delete old version dirs". Returns the versions
+    * removed, oldest first.
+    *
+    * Only COMMITTED versions (landed `_SUCCESS`) are touched: an
+    * uncommitted dir is either an in-flight concurrent write (deleting
+    * it would race the writer) or a torn crash remnant that
+    * [[loadTable]] already refuses to resolve — sweep those explicitly
+    * with the writer quiesced, not from retention. The newest version
+    * can never be vacuumed (`keepLast >= 1` enforced), so readers of
+    * "latest" are never broken; readers of a vacuumed HISTORICAL
+    * version fail on their next cold read, the documented retention
+    * trade every warehouse makes.
+    */
+  def vacuumTable(dir: String, table: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val base = Warehouse.tablePath(dir, table)
+    val vs = Warehouse.committedVersions(spark, base)
+    require(vs.nonEmpty, s"table $table is not versioned — nothing to vacuum")
+    val drop = vs.dropRight(keepLast)
+    if (drop.nonEmpty) {
+      val hp = new HPath(base)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drop.foreach { v =>
+        fs.delete(new HPath(Warehouse.versionDir(base, v)), true)
+      }
+      Warehouse.invalidate(dir, table)
+    }
+    drop
+  }
+
   /** Persist by MATERIALIZING to a warehouse table and re-reading it — the
     * reference's persist, which writes a temp TABLE and re-reads it
     * (fugue_trino/execution_engine.py:124-133 df_to_table → query_to_ibis)

@@ -338,6 +338,32 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.loadTableAsOf("nv", 0L) }
   }
 
+  test("vacuumTable: drops oldest committed versions, keeps latest, spares uncommitted") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_vac").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 10), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 15), tmp, "nv")
+    // an uncommitted (torn) dir beyond the committed range must survive
+    val junk = new org.apache.hadoop.fs.Path(
+      Warehouse.versionDir(Warehouse.tablePath(tmp, "nv"), 4))
+    val fs = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(junk)
+    assert(w.vacuumTable(tmp, "nv", keepLast = 2) === Seq(1L))
+    assert(w.listVersions("nv") === Seq(2L, 3L))
+    assert(w.loadTable("nv").count() === 15)
+    assert(w.loadTableVersion("nv", 2).count() === 10)
+    intercept[IllegalArgumentException] { w.loadTableVersion("nv", 1) }
+    assert(fs.exists(junk), "uncommitted dir must not be vacuumed")
+    // keepLast covering everything is a no-op
+    assert(w.vacuumTable(tmp, "nv", keepLast = 10) === Seq.empty)
+    assert(w.listVersions("nv") === Seq(2L, 3L))
+    intercept[IllegalArgumentException] { w.vacuumTable(tmp, "nv", keepLast = 0) }
+    intercept[IllegalArgumentException] { w.vacuumTable(tmp, "region", keepLast = 1) }
+  }
+
   test("compactTable: content preserved, files merged, views refreshed") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft_cmp").toString
