@@ -548,6 +548,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"fold diverges: extra=${pairs -- oneShot} missing=${oneShot -- pairs}")
   }
 
+  test("incremental packing over foreachBatch: store continuation == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val rows = wh.loadTable("documents").select("doc_id", "text")
+      .filter($"doc_id" < 90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    var store = TextAnalysis.packStore(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", 90L, 4)
+      .localCheckpoint(true)
+    var assigns = Vector.empty[Seq[Any]]
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val asg = TextAnalysis.packBinsIncremental(batch, store,
+          "doc_id", "text", 90L, 4).localCheckpoint(true)
+        assigns ++= asg.collect().map(_.toSeq)
+        store = TextAnalysis.updatePackStore(store, asg, "doc_id")
+          .localCheckpoint(true)
+        ()
+      }.start()
+    // append-ordered triggers: each batch's ids sort after the previous
+    rows.grouped(30).foreach { g =>
+      in.addData(g.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val oneShot = TextAnalysis.packBins(
+        rows.toSeq.toDF("doc_id", "text"), "doc_id", "text", 90L, 4)
+      .collect().map(_.toSeq)
+    assert(assigns.sortBy(_.head.asInstanceOf[Long]) ===
+      oneShot.sortBy(_.head.asInstanceOf[Long]).toVector)
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
