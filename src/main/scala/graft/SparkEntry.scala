@@ -2351,6 +2351,32 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from", "is_current")
   }
 
+  /** Point-in-time join (SURVEY row 34d): every order joins the customer
+    * dimension VERSION valid at its order date — %100 customers carry a
+    * LEGACY pre-1995 version, everyone a current one from 1995, so the
+    * result exercises historical hits, current hits AND left-padded
+    * facts predating the dimension; the oracle replays the validity
+    * join relationally ([[operators.Merge.pointInTimeJoin]]).
+    */
+  private def qPointInTime(s: SparkSession, dir: String): DataFrame = {
+    val w = wh(s, dir)
+    val cust = w.loadTable("customer").select("c_custkey", "c_mktsegment")
+    val dim = cust.select(
+      col("c_custkey"), col("c_mktsegment").as("tier"),
+      to_date(lit("1995-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .unionByName(cust.filter(col("c_custkey") % 100 === 0).select(
+        col("c_custkey"), lit("LEGACY").as("tier"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        to_date(lit("1995-01-01")).as("valid_to"), lit(false).as("is_current")))
+    val facts = w.loadTable("orders").select(
+      col("o_orderkey"), col("o_custkey").as("c_custkey"),
+      to_date(col("o_orderdate")).as("order_date"))
+    operators.Merge.pointInTimeJoin(facts, dim, Seq("c_custkey"),
+        "order_date", strict = true)
+      .orderBy("o_orderkey")
+  }
+
   /** PMI collocation mining (SURVEY row 47f): corpus-wide top adjacent
     * word pairs by association lift, integer-exact scores and ordering
     * ([[operators.TextAnalysis.collocations]]).
@@ -3443,6 +3469,7 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_time_travel" -> (qTimeTravel _),
     "q_vacuum" -> (qVacuum _),
+    "q_point_in_time" -> (qPointInTime _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_ann_mmr" -> (qAnnMmr _),
@@ -5424,6 +5451,25 @@ object SparkEntry {
         |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
         |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
         |ORDER BY which""".stripMargin,
+    // point-in-time join: the validity-interval join replayed outright
+    "q_point_in_time" ->
+      """WITH dim AS (
+        | SELECT c_custkey, c_mktsegment AS tier,
+        |  DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |  true AS is_current
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, 'LEGACY', DATE '1990-01-01', DATE '1995-01-01',
+        |  false
+        | FROM customer WHERE c_custkey % 100 = 0),
+        |f AS (SELECT o_orderkey, o_custkey AS c_custkey,
+        |  CAST(o_orderdate AS DATE) AS order_date FROM orders)
+        |SELECT f.o_orderkey, f.c_custkey, f.order_date,
+        | d.tier, d.valid_from, d.valid_to, d.is_current
+        |FROM f LEFT JOIN dim d ON d.c_custkey = f.c_custkey
+        | AND d.valid_from <= f.order_date
+        | AND (d.valid_to IS NULL OR f.order_date < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
     // vacuum: surviving versions' derivations + retention metadata
     // (2 versions kept, v1 dropped); the query itself asserts the
     // dropped version is unreadable

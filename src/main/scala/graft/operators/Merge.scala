@@ -263,4 +263,55 @@ object Merge {
       .select(keys.map(k => coalesce(q("b", k), q("a", k)).as(k))
         :+ col("diff_status"): _*)
   }
+
+  /** POINT-IN-TIME join — the consumption verb for an SCD2 dimension
+    * ([[scd2Apply]]'s output): each fact row joins the dimension VERSION
+    * that was valid at the fact's event time (`validFrom` ≤ t <
+    * `validTo`, NULL `validTo` = open) — the "as the world was then"
+    * join every feature-backfill / training-snapshot pipeline needs.
+    * Joining only current versions backfills the PRESENT into the past:
+    * a model trained on such features sees attributes that did not exist
+    * at event time (leakage). `how` = inner | left (left pads facts with
+    * no valid version — e.g. events before the key first appeared).
+    *
+    * Plan: a plain EQUI-join on the keys with the validity predicate as
+    * an extra join condition — per key a dimension holds a handful of
+    * versions, so the shuffle is keyed exactly like the current-version
+    * join (no range-join machinery) and AQE broadcasts dims that fit.
+    * The dimension contract guarantees ≤ 1 valid version per (key, t),
+    * so fact rows are never duplicated; `strict = true` verifies that
+    * contract first (one dim-sized window pass + an action — cheap for
+    * dimensions, skip it in tight loops).
+    */
+  def pointInTimeJoin(
+      facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      factTimeCol: String,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      how: String = "left", strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "pointInTimeJoin: keys required")
+    require(Seq("inner", "left").contains(how),
+      s"pointInTimeJoin supports inner|left, got $how")
+    if (strict) {
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(lcol): _*).orderBy(lcol(validFrom))
+      val overlaps = dim
+        .withColumn("__nf", lead(lcol(validFrom), 1).over(wnd))
+        .filter(col("__nf").isNotNull &&
+          (lcol(validTo).isNull || lcol(validTo) > col("__nf")))
+        .limit(1).count()
+      require(overlaps == 0L,
+        "pointInTimeJoin: dimension has overlapping validity intervals")
+    }
+    val f = facts.alias("__f")
+    val d = dim.alias("__d")
+    def fc(c: String) = col(s"__f.`$c`")
+    def dc(c: String) = col(s"__d.`$c`")
+    val cond = keys.map(k => fc(k) === dc(k)).reduce(_ && _) &&
+      dc(validFrom) <= fc(factTimeCol) &&
+      (dc(validTo).isNull || fc(factTimeCol) < dc(validTo))
+    val dimAttrs = dim.columns.toSeq.filterNot(keys.contains)
+    f.join(d, cond, how)
+      .select(facts.columns.toSeq.map(c => fc(c).as(c)) ++
+        dimAttrs.map(c => dc(c).as(c)): _*)
+  }
 }

@@ -162,4 +162,42 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(Merge.diffTables(dup, clean, Seq("k"), checkUniqueKeys = false)
       .count() === 2)
   }
+
+  test("pointInTimeJoin picks the version valid at event time; left pads; strict catches overlap") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val dim = Seq(
+      (1L, "old", d("2020-01-01"), d("2021-01-01"), false),
+      (1L, "mid", d("2021-01-01"), d("2022-01-01"), false),
+      (1L, "new", d("2022-01-01"), null.asInstanceOf[Date], true),
+      (2L, "only", d("2021-06-01"), null.asInstanceOf[Date], true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, d("2020-06-15")), // -> old
+      (11L, 1L, d("2021-01-01")), // boundary: from inclusive -> mid
+      (12L, 1L, d("2021-12-31")), // -> mid (to exclusive)
+      (13L, 1L, d("2025-01-01")), // open version -> new
+      (14L, 2L, d("2021-01-01")), // before key existed -> null pad
+      (15L, 3L, d("2021-01-01"))  // unknown key -> null pad
+    ).toDF("fid", "k", "t")
+    val got = Merge.pointInTimeJoin(facts, dim, Seq("k"), "t", strict = true)
+      .orderBy("fid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(got === Seq((10L, Some("old")), (11L, Some("mid")),
+      (12L, Some("mid")), (13L, Some("new")), (14L, None), (15L, None)))
+    // inner drops the padded rows
+    assert(Merge.pointInTimeJoin(facts, dim, Seq("k"), "t", how = "inner")
+      .count() === 4)
+    // strict refuses an overlapping dimension
+    val overlap = dim.unionByName(Seq(
+      (1L, "dup", d("2020-06-01"), d("2020-09-01"), false))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current"))
+    intercept[IllegalArgumentException] {
+      Merge.pointInTimeJoin(facts, overlap, Seq("k"), "t", strict = true)
+    }
+    // non-strict joins an scd2Apply-produced dim without duplication
+    intercept[IllegalArgumentException] {
+      Merge.pointInTimeJoin(facts, dim, Seq("k"), "t", how = "full")
+    }
+  }
 }
