@@ -1433,6 +1433,20 @@ object SparkEntry {
         "doc_id", "text", binTokens = 90L, nShards = 8)
       .orderBy("doc_id")
 
+  /** Content-defined chunking (SURVEY row 47c-b): Gear-rolling-hash
+    * chunk boundaries over every document at maskBits = 6 with min/max
+    * disabled, so cuts are exactly the mask-zero positions of the
+    * closed-form windowed hash — DuckDB recomputes every h_i as a
+    * 40-term windowed sum, derives the cut set, segments, and md5s each
+    * chunk substring ([[operators.TextAnalysis.cdcChunkDocs]]).
+    */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    TextAnalysis.cdcChunkDocs(wh(s, dir).loadTable("documents"),
+        "doc_id", "text", maskBits = 6, minLen = 1, maxLen = 1000000)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** INCREMENTAL packing (SURVEY row 47e-inc): history (doc_id < 250)
     * collapses to the nShards-row open-bin store, the arriving batch
     * packs CONTINUING from it — output must equal the one-shot
@@ -3403,6 +3417,7 @@ object SparkEntry {
     "q_pack_bins" -> (qPackBins _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_incremental" -> (qPackIncremental _),
+    "q_cdc_chunks" -> (qCdcChunks _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -4368,6 +4383,7 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
         | n_tokens > 90 AS oversize
         |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
+    "q_cdc_chunks" -> cdcChunksOracleSql,
     // incremental packing == the one-shot fold restricted to the batch
     // (batch ids all sort after history's — the append contract)
     "q_pack_incremental" ->
@@ -6029,6 +6045,48 @@ object SparkEntry {
     * the same 20-step fixed-point log and one truncating division —
     * entropy and the low-entropy flag bit-exact.
     */
+  /** DuckDB replay of [[operators.TextAnalysis.cdcChunkDocs]] at
+    * minLen = 1 / unbounded maxLen: the non-resetting Gear hash has the
+    * closed form h_i = Σ_{k=0..39} g_{i−k}·2^k mod 2^40, so every
+    * position's hash is a 40-term windowed sum (per-term
+    * (g mod 2^{40−k})·2^k keeps everything under 2^63 — exact, no
+    * HUGEINT needed); cut positions are the mask-zero hashes, segments
+    * come from a lag window over the cut set, and each chunk substring
+    * md5s to the kernel's dedup key.
+    */
+  private val cdcChunksOracleSql: String =
+    """WITH base AS (
+      | SELECT doc_id, text, length(text) AS n
+      | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |chars AS MATERIALIZED (
+      | SELECT doc_id, i, unicode(substring(text, i, 1)) AS cp
+      | FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM base)),
+      |g AS MATERIALIZED (
+      | SELECT doc_id, i,
+      |  (CAST(cp AS BIGINT) * 2654435761) % 1099511627776 AS gv
+      | FROM chars),
+      |h AS (
+      | SELECT a.doc_id, a.i,
+      |  CAST(SUM((b.gv % (CAST(1 AS BIGINT) << CAST(40 - (a.i - b.i) AS INTEGER)))
+      |         << CAST(a.i - b.i AS INTEGER)) % 1099511627776 AS BIGINT) AS hv
+      | FROM g a JOIN g b
+      |   ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 39 AND a.i
+      | GROUP BY a.doc_id, a.i),
+      |cuts AS (SELECT doc_id, i FROM h WHERE (hv & 63) = 0),
+      |ends AS (
+      | SELECT doc_id, i AS e FROM cuts
+      | UNION SELECT doc_id, n FROM base),
+      |segs AS (
+      | SELECT doc_id, e,
+      |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
+      | FROM ends)
+      |SELECT sg.doc_id, CAST(sg.chunk_idx AS BIGINT) AS chunk_idx,
+      | CAST(sg.s - 1 AS BIGINT) AS start, CAST(sg.e - sg.s + 1 AS BIGINT) AS len,
+      | md5(substring(b.text, sg.s, sg.e - sg.s + 1)) AS chunk_md5
+      |FROM segs sg JOIN base b ON b.doc_id = sg.doc_id
+      |ORDER BY sg.doc_id, chunk_idx""".stripMargin
+
   private val charEntropyOracleSql: String =
     s"""WITH base AS (
        | SELECT doc_id, text, length(text) AS n

@@ -349,6 +349,19 @@ object GraftFunctions {
     call_function(name, text)
   }
 
+  /** Content-defined chunks of a string column ([[Kernels.cdcChunks]]) —
+    * parameter-suffixed registration so distinct configurations coexist
+    * in one session.
+    */
+  def cdcChunks(spark: SparkSession, text: Column, maskBits: Int,
+      minLen: Int, maxLen: Int): Column = {
+    val name = s"graft_cdc_chunks_${maskBits}_${minLen}_$maxLen"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) =>
+        CdcChunksExpr(args.head, maskBits, minLen, maxLen), "scala_udf")
+    call_function(name, text)
+  }
+
   /** Fixed-point log2 of a positive bigint column ([[Kernels.ilog2Fp]]
     * as a codegen scalar) — registered once per session under a fixed
     * name like the other kernel functions.

@@ -1395,6 +1395,69 @@ object Kernels {
     * thresholding ride as plain column arithmetic so every engine
     * replays them. Empty text → (0, 0).
     */
+  /** CONTENT-DEFINED chunking (Gear-style rolling hash; Muthitacharoen
+    * et al. SOSP 2001 LBFS / FastCDC family): cut a document into
+    * chunks at positions where a rolling hash of the trailing content
+    * masks to zero — boundaries move WITH the content, so inserting a
+    * byte shifts only the chunk it lands in, where fixed-size chunking
+    * shifts every later boundary (the property sub-document dedup of
+    * shifted/edited text needs). One pass per doc, O(1) state.
+    *
+    * The hash is deliberately ENGINE-REPLAYABLE: per code point
+    * g = (cp · 2654435761) mod 2^40 (Knuth multiplicative), rolled as
+    * h = (2·h + g) mod 2^40 with NO reset at cuts — each code point's
+    * influence expires after 40 positions (2^40 | g·2^40), so
+    * h_i = Σ_{k=0..39} g_{i−k}·2^k mod 2^40 is a closed-form windowed
+    * sum any SQL engine computes without sequential state. Cut AFTER
+    * position i when (h_i & (2^maskBits − 1)) == 0 and the open chunk
+    * has ≥ minLen code points; a chunk reaching maxLen cuts regardless.
+    * Because h never resets, minLen/maxLen only gate WHICH mask
+    * positions become cuts — they never perturb the hash stream.
+    *
+    * Returns array<struct(start, len, chunk_md5)>: 0-based code-point
+    * offset, code-point length, and the md5 hex of the chunk substring
+    * (the dedup key). Empty text → empty array. Expected chunk size
+    * ≈ 2^maskBits + minLen.
+    */
+  def cdcChunks(text: UTF8String, maskBits: Int, minLen: Int,
+      maxLen: Int): ArrayData = {
+    val raw = text.toString
+    if (raw.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << maskBits) - 1
+    val mod = 1L << 40
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def emit(startCp: Long, lenCp: Long, startJ: Int, endJ: Int): Unit = {
+      md.reset()
+      val hex = md.digest(raw.substring(startJ, endJ).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](startCp, lenCp, UTF8String.fromString(hex)))
+    }
+    var h = 0L
+    var j = 0            // UTF-16 index
+    var cpIdx = 0L       // code-point index (0-based)
+    var chunkStartJ = 0
+    var chunkStartCp = 0L
+    var chunkLen = 0L
+    while (j < raw.length) {
+      val cp = raw.codePointAt(j)
+      j += Character.charCount(cp)
+      cpIdx += 1
+      chunkLen += 1
+      h = (2L * h + (cp.toLong * 2654435761L) % mod) % mod
+      if ((chunkLen >= minLen && (h & mask) == 0L) || chunkLen >= maxLen) {
+        emit(chunkStartCp, chunkLen, chunkStartJ, j)
+        chunkStartJ = j
+        chunkStartCp = cpIdx
+        chunkLen = 0L
+      }
+    }
+    if (chunkLen > 0) emit(chunkStartCp, chunkLen, chunkStartJ, raw.length)
+    new GenericArrayData(out.toArray[Any])
+  }
+
   def charEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val raw = text.toString
     val counts = new java.util.HashMap[Integer, Array[Long]]()

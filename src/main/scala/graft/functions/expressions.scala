@@ -432,6 +432,28 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_char_entropy"
 }
 
+/** Content-defined chunking of a string column →
+  * array<struct(start, len, chunk_md5)> ([[Kernels.cdcChunks]]) —
+  * parameters embedded at construction like the model-parameterized
+  * expressions.
+  */
+case class CdcChunksExpr(child: Expression, maskBits: Int, minLen: Int,
+    maxLen: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.cdcChunks(input.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.cdcChunks($c, $maskBits, $minLen, $maxLen)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
+}
+
 /** Fixed-point log2 of a positive BIGINT column —
   * [[Kernels.ilog2Fp]] as a codegen scalar (20 fraction bits, pure
   * integer recurrence, engine-replayable). Input must be ≥ 1.

@@ -227,6 +227,35 @@ object TextAnalysis {
         (col("n_tokens") > lit(binTokens)).as("oversize"))
   }
 
+  /** CONTENT-DEFINED chunking of documents ([[graft.functions.Kernels
+    * .cdcChunks]] — Gear-style rolling-hash boundaries, LBFS/FastCDC
+    * family): chunk boundaries move WITH the content, so an insertion
+    * shifts only the chunk it lands in, where fixed chunking ([[chunk]])
+    * shifts every later boundary — the property sub-document dedup of
+    * edited/shifted text needs (chunk_md5 is the dedup key; group on it
+    * like [[graft.operators.Dedup.paragraphDedup]] groups paragraph
+    * hashes). One codegen kernel scan + a map-side explode — ZERO
+    * shuffle; downstream dedup pays the one hash aggregation.
+    *
+    * Output: (id, chunk_idx, start, len, chunk_md5) — code-point
+    * offsets, engine-replayable: the rolling hash has a closed
+    * windowed-sum form (see the kernel) so any SQL engine recomputes
+    * boundaries without sequential state. NULL/empty text → no rows.
+    */
+  def cdcChunkDocs(df: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 40,
+      s"maskBits must be in [1, 40], got $maskBits")
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+    df.select(col(idCol),
+        posexplode(GraftFunctions.cdcChunks(df.sparkSession,
+          coalesce(col(textCol), lit("")), maskBits, minLen, maxLen)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        col("col.chunk_md5").as("chunk_md5"))
+  }
+
   /** Per-shard OPEN-BIN state after packing `df` — the persistable
     * store for [[packBinsIncremental]] (the 39c signature-store pattern
     * for packing: pack history once, continue packing arriving batches

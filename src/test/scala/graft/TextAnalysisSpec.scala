@@ -464,6 +464,84 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
   }
 
+  test("cdcChunkDocs matches an independent closed-form replay on the corpus") {
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val got = TextAnalysis.cdcChunkDocs(docs, "doc_id", "text",
+        maskBits = 6, minLen = 1, maxLen = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // independent replay from the CLOSED FORM (windowed sum, not the
+    // kernel's recurrence): h_i = sum_{k=0..39} g_{i-k} 2^k mod 2^40
+    val mod = 1L << 40
+    def replay(text: String): Seq[(Long, Long, String)] = {
+      val cps = text.codePoints().toArray
+      val g = cps.map(cp => (cp.toLong * 2654435761L) % mod)
+      val cutSet = g.indices.filter { i =>
+        val h = (0 to math.min(39, i)).map { k =>
+          (g(i - k) % (1L << (40 - k))) << k
+        }.sum % mod
+        (h & 63L) == 0L
+      }.map(_ + 1).toSet // cut AFTER position i (1-based end)
+      val ends = (cutSet + cps.length).toSeq.sorted
+      ends.zip(0L +: ends.map(_.toLong).dropRight(1)).map { case (e, s) =>
+        val sub = new String(cps.slice(s.toInt, e), 0, e - s.toInt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(sub.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (s, e - s, hex)
+      }
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.filter(r => r._2 != null && r._2.nonEmpty).foreach { case (id, text) =>
+      val want = replay(text)
+      val g = got.getOrElse(id, Seq.empty).map(t => (t._3, t._4, t._5))
+      assert(g === want, s"doc $id")
+    }
+    // contiguous cover: starts chain and lengths sum to the doc length
+    got.foreach { case (id, chunks) =>
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 === b._3, s"doc $id gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("cdcChunks: boundaries shift WITH content; min/max gate cuts; empty text") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensure(spark)
+    val base = wh.loadTable("documents").select("doc_id", "text")
+      .filter(col("text").isNotNull).limit(1)
+      .collect().head.getString(1)
+    val edited = "INSERTED PREFIX SENTENCE. " + base
+    val two = Seq((1L, base), (2L, edited), (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunkDocs(two, "doc_id", "text",
+        maskBits = 4, minLen = 1, maxLen = 1000000)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined: most of the original's chunks survive the prefix
+    // insertion (fixed-size chunking would share ~none)
+    assert(h1.intersect(h2).size * 2 >= h1.size,
+      s"shared=${h1.intersect(h2).size} of ${h1.size}")
+    assert(!chunks.exists(c => c._1 == 3L || c._1 == 4L), "no rows for null/empty")
+    // maxLen forces cuts on a cut-free run; minLen suppresses early cuts
+    val run = Seq((1L, "a" * 500)).toDF("doc_id", "text")
+    val forced = TextAnalysis.cdcChunkDocs(run, "doc_id", "text",
+        maskBits = 6, minLen = 1, maxLen = 50)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(forced.map(_._2).sum === 500L)
+    assert(forced.forall(_._2 <= 50L))
+    val gated = TextAnalysis.cdcChunkDocs(
+        Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text",
+        maskBits = 4, minLen = 24, maxLen = 64)
+      .collect().map(r => r.getLong(3))
+    gated.dropRight(1).foreach(l => assert(l >= 24L && l <= 64L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cdcChunkDocs(run, "doc_id", "text", maskBits = 0)
+    }
+  }
+
   test("packBins replays the per-shard next-fit fold on the real corpus") {
     val docs = wh.loadTable("documents").select("doc_id", "text")
     val got = TextAnalysis.packBins(docs, "doc_id", "text",
