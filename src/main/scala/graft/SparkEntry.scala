@@ -1447,6 +1447,19 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Content-defined sub-document dedup (SURVEY row 38h-cdc): keep-first
+    * over the Gear-CDC chunks at the q_cdc_chunks configuration, cleaned
+    * text respliced from surviving spans — DuckDB replays the shared
+    * segment CTE, the (doc_id, chunk_idx) keep-first election, and the
+    * zero-separator reconstruction ([[operators.Dedup.cdcDedup]]).
+    */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    Dedup.cdcDedup(wh(s, dir).loadTable("documents"), "doc_id", "text",
+        maskBits = 6, minLen = 1, maxLen = 1000000)
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL packing (SURVEY row 47e-inc): history (doc_id < 250)
     * collapses to the nShards-row open-bin store, the arriving batch
     * packs CONTINUING from it — output must equal the one-shot
@@ -3418,6 +3431,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_incremental" -> (qPackIncremental _),
     "q_cdc_chunks" -> (qCdcChunks _),
+    "q_cdc_dedup" -> (qCdcDedup _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -4384,6 +4398,7 @@ object SparkEntry {
         | n_tokens > 90 AS oversize
         |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
     "q_cdc_chunks" -> cdcChunksOracleSql,
+    "q_cdc_dedup" -> cdcDedupOracleSql,
     // incremental packing == the one-shot fold restricted to the batch
     // (batch ids all sort after history's — the append contract)
     "q_pack_incremental" ->
@@ -6054,7 +6069,7 @@ object SparkEntry {
     * come from a lag window over the cut set, and each chunk substring
     * md5s to the kernel's dedup key.
     */
-  private val cdcChunksOracleSql: String =
+  private val cdcSegsCte: String =
     """WITH base AS (
       | SELECT doc_id, text, length(text) AS n
       | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
@@ -6080,12 +6095,47 @@ object SparkEntry {
       | SELECT doc_id, e,
       |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
       |  row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS chunk_idx
-      | FROM ends)
+      | FROM ends)""".stripMargin
+
+  private val cdcChunksOracleSql: String = cdcSegsCte +
+    """
       |SELECT sg.doc_id, CAST(sg.chunk_idx AS BIGINT) AS chunk_idx,
       | CAST(sg.s - 1 AS BIGINT) AS start, CAST(sg.e - sg.s + 1 AS BIGINT) AS len,
       | md5(substring(b.text, sg.s, sg.e - sg.s + 1)) AS chunk_md5
       |FROM segs sg JOIN base b ON b.doc_id = sg.doc_id
       |ORDER BY sg.doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB replay of [[operators.Dedup.cdcDedup]]: the shared CDC
+    * segment CTE, keep-first election per chunk hash via a
+    * (doc_id, chunk_idx) row_number, and the cleaned text respliced
+    * with an idx-ordered zero-separator string_agg.
+    */
+  private val cdcDedupOracleSql: String = cdcSegsCte +
+    """,
+      |chunks AS MATERIALIZED (
+      | SELECT sg.doc_id, sg.chunk_idx, sg.s, sg.e,
+      |  md5(substring(b.text, sg.s, sg.e - sg.s + 1)) AS hh
+      | FROM segs sg JOIN base b ON b.doc_id = sg.doc_id),
+      |kept AS (
+      | SELECT doc_id, chunk_idx, s, e FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY hh
+      |    ORDER BY doc_id, chunk_idx) AS rn FROM chunks)
+      | WHERE rn = 1),
+      |agg AS (
+      | SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(substring(b.text, k.s, k.e - k.s + 1), ''
+      |    ORDER BY k.chunk_idx) AS text_clean
+      | FROM kept k JOIN base b ON b.doc_id = k.doc_id
+      | GROUP BY k.doc_id),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      |        FROM chunks GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(t.n_chunks, 0) AS n_chunks,
+      | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      | coalesce(a.text_clean, '') AS text_clean
+      |FROM documents d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   private val charEntropyOracleSql: String =
     s"""WITH base AS (

@@ -480,6 +480,50 @@ object Dedup {
       .drop("__cc_id", "component", "__keeper")
   }
 
+  /** CONTENT-DEFINED sub-document dedup: the [[paragraphDedup]] policy
+    * (keep the FIRST occurrence of every repeated segment, splice the
+    * survivors) over [[graft.operators.TextAnalysis.cdcChunkDocs]]'
+    * Gear-CDC chunks instead of separator-split paragraphs — the form
+    * that catches repeats which are SHIFTED or embedded mid-line
+    * (mirrored pages with injected headers, quoted emails, templated
+    * boilerplate without newline structure), where paragraph hashing
+    * only matches exact separator-aligned segments.
+    *
+    * Same 100 TB shape as paragraphDedup: everything past the kernel
+    * scan is narrow (doc_id, idx, span, 16-byte hash) — the election is
+    * one hash groupBy with partial aggregation, the keep-lists are
+    * bounded by each doc's chunk count, and document TEXT crosses the
+    * wire exactly once, in the final id join that resplices survivors
+    * map-side with code-point `substring` (contiguous spans ⇒
+    * zero-separator concat reconstructs the doc minus dup chunks).
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256): DataFrame = {
+    val chunks = graft.operators.TextAnalysis
+      .cdcChunkDocs(df, idCol, textCol, maskBits, minLen, maxLen)
+      .select(col(idCol).cast("long").as("doc_id"), col("chunk_idx"),
+        col("start"), col("len"), col("chunk_md5"))
+    val keep = chunks
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"),
+        col("start"), col("len"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(struct(col("k.chunk_idx").as("ci"),
+        col("k.start").as("s"), col("k.len").as("l")))).as("keep"))
+    val counts = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(expr(
+          "array_join(transform(keep, " +
+            "k -> substring(__t, CAST(k.s + 1 AS INT), CAST(k.l AS INT))), '')"),
+          lit("")).as("text_clean"))
+  }
+
   /** LEAKAGE-SAFE train/eval split: every member of a near-dup cluster
     * lands in the SAME fold. A plain row-hash split
     * ([[Relational.split]]) puts a document and its near-duplicate on

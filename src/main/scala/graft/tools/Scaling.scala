@@ -317,6 +317,10 @@ object Scaling {
       drain(graft.operators.Relational.bloomPrefilteredJoin(
         big, dim, Seq("doc_id")))
     }
+    time("cdcChunkDocs maskBits=8 (content-defined chunk kernel)") {
+      drain(TextAnalysis.cdcChunkDocs(big, "doc_id", "text",
+        maskBits = 8, minLen = 32, maxLen = 1024))
+    }
     time("packBins 2048-token bins, 256 shards (next-fit streaming pass)") {
       drain(TextAnalysis.packBins(big, "doc_id", "text",
         binTokens = 2048L, nShards = 256))

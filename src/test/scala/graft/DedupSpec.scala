@@ -502,6 +502,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(perCluster.values.forall(_ == 1), s"keeper count per cluster: $perCluster")
   }
 
+  test("cdcDedup: keep-first over CDC chunks, splice parity with a local election") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val base = wh.loadTable("documents").select("doc_id", "text")
+      .filter(col("text").isNotNull).orderBy("doc_id").limit(2)
+      .collect().map(_.getString(1))
+    val fix = Seq(
+      (1L, base(0)),                       // first occurrence: keeps all
+      (2L, base(0)),                       // exact clone: keeps nothing
+      (3L, base(0) + " TAIL " + base(1)),  // shifted reuse: tail survives
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcDedup(fix, "doc_id", "text",
+        maskBits = 4, minLen = 1, maxLen = 1000000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._4 === base(0), "first doc keeps its whole text")
+    assert(byId(1L)._2 === byId(1L)._3)
+    assert(byId(2L)._3 === 0L && byId(2L)._4 === "", "exact clone fully dedups")
+    assert(byId(4L) === ((4L, 0L, 0L, "")), "null text -> empty")
+    // local election parity over the operator's own chunk frame
+    val chunks = graft.operators.TextAnalysis.cdcChunkDocs(fix, "doc_id", "text",
+        maskBits = 4, minLen = 1, maxLen = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val firstOwner = chunks.groupBy(_._5).view
+      .mapValues(_.map(c => (c._1, c._2)).min).toMap
+    val wantKept = chunks.filter(c => firstOwner(c._5) == ((c._1, c._2)))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (id, _, nk, _) =>
+      assert(nk === wantKept.getOrElse(id, 0L), s"doc $id")
+    }
+    // doc 3 keeps its genuinely new content but drops the cloned prefix
+    assert(byId(3L)._3 > 0L && byId(3L)._3 < byId(3L)._2)
+    assert(byId(3L)._4.contains(base(1).takeRight(32)))
+  }
+
   test("splitByCluster: cluster members share a fold, folds replay the md5 draw") {
     import spark.implicits._
     val docs = (1L to 200L).toDF("id")
