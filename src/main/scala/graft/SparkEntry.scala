@@ -1460,6 +1460,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental content-defined dedup (SURVEY row 38h-cdc-inc):
+    * history (doc_id < 250) collapses to its distinct chunk-hash store,
+    * the arriving batch cleans against it and itself — output must
+    * equal one-shot q_cdc_dedup restricted to the batch, which is what
+    * the oracle replays ([[operators.Dedup.cdcDedupIncremental]]).
+    */
+  private def qCdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensure(s)
+    val docs = wh(s, dir).loadTable("documents")
+    val store = Dedup.cdcHashStore(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", maskBits = 6, minLen = 1, maxLen = 1000000)
+    Dedup.cdcDedupIncremental(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", store,
+        maskBits = 6, minLen = 1, maxLen = 1000000)
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL packing (SURVEY row 47e-inc): history (doc_id < 250)
     * collapses to the nShards-row open-bin store, the arriving batch
     * packs CONTINUING from it — output must equal the one-shot
@@ -3432,6 +3449,7 @@ object SparkEntry {
     "q_pack_incremental" -> (qPackIncremental _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_cdc_incremental" -> (qCdcIncremental _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_token_count" -> (qTokenCount _),
@@ -4399,6 +4417,7 @@ object SparkEntry {
         |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
     "q_cdc_chunks" -> cdcChunksOracleSql,
     "q_cdc_dedup" -> cdcDedupOracleSql,
+    "q_cdc_incremental" -> cdcIncrementalOracleSql,
     // incremental packing == the one-shot fold restricted to the batch
     // (batch ids all sort after history's — the append contract)
     "q_pack_incremental" ->
@@ -6110,8 +6129,17 @@ object SparkEntry {
     * (doc_id, chunk_idx) row_number, and the cleaned text respliced
     * with an idx-ordered zero-separator string_agg.
     */
-  private val cdcDedupOracleSql: String = cdcSegsCte +
-    """,
+  private val cdcDedupOracleSql: String = cdcDedupOracle("")
+
+  /** The incremental form must equal the one-shot dedup restricted to
+    * the batch (append-ordered ids — the 38h-inc parity contract), so
+    * its oracle is the same replay with a final batch filter.
+    */
+  private val cdcIncrementalOracleSql: String =
+    cdcDedupOracle("WHERE d.doc_id >= 250")
+
+  private def cdcDedupOracle(finalWhere: String): String = cdcSegsCte +
+    s""",
       |chunks AS MATERIALIZED (
       | SELECT sg.doc_id, sg.chunk_idx, sg.s, sg.e,
       |  md5(substring(b.text, sg.s, sg.e - sg.s + 1)) AS hh
@@ -6135,6 +6163,7 @@ object SparkEntry {
       |FROM documents d
       |LEFT JOIN tot t ON t.doc_id = d.doc_id
       |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |$finalWhere
       |ORDER BY d.doc_id""".stripMargin
 
   private val charEntropyOracleSql: String =

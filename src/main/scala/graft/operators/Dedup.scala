@@ -237,6 +237,67 @@ object Dedup {
           lit("")).as("text_clean"))
   }
 
+  /** Chunk-hash store for [[cdcDedupIncremental]]: one md5 per DISTINCT
+    * Gear-CDC chunk of the corpus ([[paragraphHashStore]]'s contract
+    * over content-defined segments). Returns `(h)`.
+    */
+  def cdcHashStore(df: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256): DataFrame =
+    graft.operators.TextAnalysis
+      .cdcChunkDocs(df, idCol, textCol, maskBits, minLen, maxLen)
+      .select(col("chunk_md5").as("h"))
+      .distinct()
+
+  /** INCREMENTAL content-defined dedup: clean a NEW batch against an
+    * existing [[cdcHashStore]] and within itself — the steady-state
+    * ingestion form of [[cdcDedup]], with exactly the
+    * [[paragraphDedupIncremental]] contract: history always wins
+    * (store-member chunks collapse everywhere), store-unseen chunks
+    * elect the batch-wide first (doc_id, chunk_idx), and under
+    * append-ordered ids the result equals [[cdcDedup]] over
+    * history ∪ batch restricted to the batch. Same probe shape too: the
+    * store is the big narrow side, read once and never shuffled — the
+    * batch's distinct hashes broadcast-semi-join it, the bounded hit
+    * set broadcast-anti-joins the batch's narrow chunk frame
+    * (`broadcastProbe = false` for giant backfills, result-identical).
+    * Store maintenance: `store.unionByName(cdcHashStore(batch))
+    * .distinct()`.
+    */
+  def cdcDedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      existingHashes: DataFrame,
+      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val chunks = graft.operators.TextAnalysis
+      .cdcChunkDocs(newDocs, idCol, textCol, maskBits, minLen, maxLen)
+      .select(col(idCol).cast("long").as("doc_id"), col("chunk_idx"),
+        col("start"), col("len"), col("chunk_md5").as("h"))
+    val newHashes = chunks.select("h").distinct()
+    val probe = if (broadcastProbe) broadcast(newHashes) else newHashes
+    val hits = existingHashes.select(col("h").as("__store_h"))
+      .join(probe, col("__store_h") === probe("h"), "left_semi")
+      .select(col("__store_h").as("h"))
+    val keep = chunks
+      .join(if (broadcastProbe) broadcast(hits) else hits, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"),
+        col("start"), col("len"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(struct(col("k.chunk_idx").as("ci"),
+        col("k.start").as("s"), col("k.len").as("l")))).as("keep"))
+    val counts = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    newDocs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        coalesce(expr(
+          "array_join(transform(keep, " +
+            "k -> substring(__t, CAST(k.s + 1 AS INT), CAST(k.l AS INT))), '')"),
+          lit("")).as("text_clean"))
+  }
+
   /** Connected components over a near-dup pair list: every node gets its
     * component's MINIMUM id as `component`. Pregel-style min-label
     * propagation — per round, each node takes the min of its own and its

@@ -540,6 +540,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byId(3L)._4.contains(base(1).takeRight(32)))
   }
 
+  test("cdcDedupIncremental: store probe == one-shot restricted to the batch") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val docs = wh.loadTable("documents").select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val store = Dedup.cdcHashStore(hist, "doc_id", "text",
+      maskBits = 5, minLen = 1, maxLen = 1000000).localCheckpoint()
+    val inc = Dedup.cdcDedupIncremental(batch, "doc_id", "text", store,
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val oneShot = Dedup.cdcDedup(docs, "doc_id", "text",
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .filter(col("doc_id") >= 300)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(inc.toSeq === oneShot.toSeq)
+    // history wins outright: a batch clone of a history doc keeps nothing
+    val histText = hist.filter(col("text").isNotNull).limit(1)
+      .collect().head.getString(1)
+    val clone = Seq((9999L, histText)).toDF("doc_id", "text")
+    val cleaned = Dedup.cdcDedupIncremental(clone, "doc_id", "text", store,
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .collect().head
+    assert(cleaned.getLong(2) === 0L && cleaned.getString(3) === "")
+    // empty store degenerates to the one-shot batch dedup
+    val empty = store.filter(lit(false))
+    val fresh = Dedup.cdcDedupIncremental(batch, "doc_id", "text", empty,
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val plain = Dedup.cdcDedup(batch, "doc_id", "text",
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(fresh.toSeq === plain.toSeq)
+  }
+
   test("splitByCluster: cluster members share a fold, folds replay the md5 draw") {
     import spark.implicits._
     val docs = (1L to 200L).toDF("id")
