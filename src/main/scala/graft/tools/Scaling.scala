@@ -321,6 +321,10 @@ object Scaling {
       drain(TextAnalysis.cdcChunkDocs(big, "doc_id", "text",
         maskBits = 8, minLen = 32, maxLen = 1024))
     }
+    timeFull("cdcDedup maskBits=8 (keep-first election + resplice)") {
+      drain(Dedup.cdcDedup(big, "doc_id", "text",
+        maskBits = 8, minLen = 32, maxLen = 1024))
+    }
     time("packBins 2048-token bins, 256 shards (next-fit streaming pass)") {
       drain(TextAnalysis.packBins(big, "doc_id", "text",
         binTokens = 2048L, nShards = 256))

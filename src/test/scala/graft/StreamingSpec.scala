@@ -581,6 +581,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       oneShot.sortBy(_.head.asInstanceOf[Long]).toVector)
   }
 
+  test("incremental CDC dedup over foreachBatch: growing store == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.ensure(spark)
+    val rows = wh.loadTable("documents").select("doc_id", "text")
+      .filter($"doc_id" < 90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    var store = Dedup.cdcHashStore(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+        maskBits = 5, minLen = 1, maxLen = 1000000)
+      .localCheckpoint(true)
+    var cleaned = Vector.empty[Seq[Any]]
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cleaned ++= Dedup.cdcDedupIncremental(batch, "doc_id", "text", store,
+            maskBits = 5, minLen = 1, maxLen = 1000000)
+          .collect().map(_.toSeq)
+        store = store.unionByName(Dedup.cdcHashStore(batch, "doc_id", "text",
+            maskBits = 5, minLen = 1, maxLen = 1000000))
+          .distinct().localCheckpoint(true)
+        ()
+      }.start()
+    rows.grouped(30).foreach { g =>
+      in.addData(g.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val oneShot = Dedup.cdcDedup(rows.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", maskBits = 5, minLen = 1, maxLen = 1000000)
+      .collect().map(_.toSeq)
+    assert(cleaned.sortBy(_.head.asInstanceOf[Long]) ===
+      oneShot.sortBy(_.head.asInstanceOf[Long]).toVector)
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
