@@ -2395,6 +2395,17 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from", "is_current")
   }
 
+  /** Market-basket association pairs (SURVEY row 22e): parts
+    * co-purchased within one order — support, directed confidences and
+    * lift over lineitem baskets, integer-exact and fully replayed
+    * relationally ([[operators.Stats.associationPairs]]).
+    */
+  private def qAssociation(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.associationPairs(
+        wh(s, dir).loadTable("lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L, topK = 100)
+      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
+
   /** Point-in-time join (SURVEY row 34d): every order joins the customer
     * dimension VERSION valid at its order date — %100 customers carry a
     * LEGACY pre-1995 version, everyone a current one from 1995, so the
@@ -3517,6 +3528,7 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_vacuum" -> (qVacuum _),
     "q_point_in_time" -> (qPointInTime _),
+    "q_association" -> (qAssociation _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_ann_mmr" -> (qAnnMmr _),
@@ -5501,6 +5513,30 @@ object SparkEntry {
         |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
         |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
         |ORDER BY which""".stripMargin,
+    // market-basket pairs: support / confidences / lift replayed with
+    // the same integer arithmetic (HUGEINT where decimal(38) is used)
+    "q_association" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
+        |       WHERE c <= 64),
+        |bf AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM bf),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM bf GROUP BY it),
+        |p AS (SELECT a.it AS item_a, c.it AS item_b,
+        |       CAST(count(*) AS BIGINT) AS pair_count
+        |      FROM bf a JOIN bf c ON a.bk = c.bk AND a.it < c.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, pair_count,
+        | ca.cnt AS count_a, cb.cnt AS count_b, n.n_baskets,
+        | pair_count * 1000000 // ca.cnt AS conf_ab_e6,
+        | pair_count * 1000000 // cb.cnt AS conf_ba_e6,
+        | CAST((CAST(pair_count AS HUGEINT) * n.n_baskets * 1000000)
+        |   // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_e6
+        |FROM p JOIN ic ca ON ca.it = p.item_a
+        |       JOIN ic cb ON cb.it = p.item_b CROSS JOIN n
+        |ORDER BY pair_count DESC, item_a, item_b LIMIT 100""".stripMargin,
     // point-in-time join: the validity-interval join replayed outright
     "q_point_in_time" ->
       """WITH dim AS (

@@ -397,4 +397,61 @@ object Stats {
         .orderBy("grp", "q_e6")
     }
   }
+
+  /** MARKET-BASKET association pairs (Agrawal & Srikant VLDB 1994,
+    * the 2-itemset core of Apriori): items co-occurring in one basket
+    * (order, session, cart), with support, both directed confidences
+    * and lift — "bought A, also bought B" / co-view analytics, the
+    * canonical warehouse mining verb. ALL integer: confidences as ppm
+    * floor divisions, lift_e6 = ⌊10⁶·pairs·N ÷ (cntA·cntB)⌋ through one
+    * decimal(38,0) division (the jaccard_e6 convention) — any engine
+    * replays scores AND the (support desc, a, b) top-k ordering.
+    *
+    * Scale shape: pair generation is a SELF-EQUI-JOIN on the basket key
+    * (shuffle keyed by basket, never all-pairs across baskets) and the
+    * in-basket blow-up is capped by `maxBasketSize` (a degenerate
+    * mega-basket — one SKU bought by everyone in one giant order —
+    * would be quadratic; capped baskets drop whole, spec-pinned, the
+    * bucket-cap convention). Pair counts partial-aggregate map-side;
+    * item counts join the (minSupport-filtered) pair table; the basket
+    * total rides as ONE broadcast row; top-k is TakeOrderedAndProject.
+    */
+  def associationPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, topK: Int = 100,
+      maxBasketSize: Int = 64): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(topK >= 1 && maxBasketSize >= 2,
+      s"need topK >= 1 and maxBasketSize >= 2, got ($topK, $maxBasketSize)")
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+    val sized = b.groupBy("bk").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select("bk")
+    val bf = b.join(sized, Seq("bk"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nB = bf.select(countDistinct(col("bk")).as("n_baskets"))
+    val ic = bf.groupBy("it").agg(count(lit(1)).as("cnt"))
+    val pairs = bf.select(col("bk"), col("it").as("item_a"))
+      .join(bf.select(col("bk"), col("it").as("item_b")), Seq("bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    pairs
+      .join(ic.select(col("it").as("item_a"), col("cnt").as("count_a")),
+        Seq("item_a"))
+      .join(ic.select(col("it").as("item_b"), col("cnt").as("count_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .withColumn("conf_ab_e6", expr("pair_count * 1000000 div count_a"))
+      .withColumn("conf_ba_e6", expr("pair_count * 1000000 div count_b"))
+      .withColumn("lift_e6", expr(
+        "CAST((CAST(pair_count AS decimal(38,0)) * n_baskets * 1000000) div " +
+          "(CAST(count_a AS decimal(38,0)) * count_b) AS long)"))
+      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .select("item_a", "item_b", "pair_count", "count_a", "count_b",
+        "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
+  }
 }

@@ -334,4 +334,35 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(approx(k) - v) <= 1.0, s"$k: approx ${approx(k)} vs exact $v")
     }
   }
+
+  test("associationPairs: hand-exact support/confidence/lift; caps and minSupport") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 2L),   // dup (basket, item) collapses
+      (30L, 1L), (30L, 2L),
+      (40L, 7L), (40L, 8L), (40L, 9L), (40L, 6L) // oversized at cap 3: dropped whole
+    ).toDF("bk", "it")
+    val got = Stats.associationPairs(rows, "bk", "it",
+        minSupport = 1L, topK = 10, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+    // 3 surviving baskets; item counts 1->3, 2->3, 3->1
+    assert(got === Seq(
+      (1L, 2L, 3L, 3L, 3L, 3L, 1000000L, 1000000L, 1000000L),
+      (1L, 3L, 1L, 3L, 1L, 3L, 333333L, 1000000L, 1000000L),
+      (2L, 3L, 1L, 3L, 1L, 3L, 333333L, 1000000L, 1000000L)))
+    // minSupport prunes the singletons; no basket-4 item ever appears
+    val pruned = Stats.associationPairs(rows, "bk", "it",
+        minSupport = 2L, topK = 10, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pruned === Seq((1L, 2L)))
+    assert(!got.exists(t => Set(6L, 7L, 8L, 9L)(t._1) || Set(6L, 7L, 8L, 9L)(t._2)))
+    // topK truncates under the total (support desc, a, b) order
+    assert(Stats.associationPairs(rows, "bk", "it", 1L, 2, 3).count() === 2)
+    intercept[IllegalArgumentException] {
+      Stats.associationPairs(rows, "bk", "it", minSupport = 0L)
+    }
+  }
 }
