@@ -2395,6 +2395,28 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from", "is_current")
   }
 
+  /** Entity resolution (SURVEY row 30e): the q_fuzzy_join typo corpus
+    * folded into ONE frame (originals + planted-typo copies at +10⁶
+    * ids), resolved to canonical entities — each (original, typo) pair
+    * must land in one cluster; the oracle replays the self fuzzy join
+    * AND the recursive CC election
+    * ([[operators.Relational.resolveEntities]]).
+    */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val d = wh(s, dir).loadTable("documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+    val base = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val typo = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("s"), 1, 29), lit("Z"),
+        substring(col("s"), 31, 60)).as("s"))
+    operators.Relational.resolveEntities(
+        base.unionByName(typo), "doc_id", "s",
+        thresholdNum = 4L, thresholdDen = 5L, n = 3, maxGramFreq = 0L)
+      .select(col("doc_id"), col("entity_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Market-basket association pairs (SURVEY row 22e): parts
     * co-purchased within one order — support, directed confidences and
     * lift over lineitem baskets, integer-exact and fully replayed
@@ -3529,6 +3551,7 @@ object SparkEntry {
     "q_vacuum" -> (qVacuum _),
     "q_point_in_time" -> (qPointInTime _),
     "q_association" -> (qAssociation _),
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_ann_mmr" -> (qAnnMmr _),
@@ -5513,6 +5536,35 @@ object SparkEntry {
         |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
         |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
         |ORDER BY which""".stripMargin,
+    // entity resolution: self fuzzy-join pairs + recursive CC election
+    "q_entity_resolution" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+        | WHERE text IS NOT NULL AND length(text) >= 40),
+        |base AS (SELECT doc_id, s FROM d WHERE doc_id % 2 = 0),
+        |typo AS (SELECT doc_id + 1000000 AS doc_id,
+        |  concat(substr(s, 1, 29), 'Z', substr(s, 31, 60)) AS s FROM base),
+        |corp AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+        |cg AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS g FROM (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(s) - 2, 0)),
+        |    i -> substr(s, i, 3))) AS gs FROM corp)),
+        |jp AS (SELECT a.doc_id AS x, b.doc_id AS y, a.ng AS na, b.ng AS nb,
+        |        count(*) AS sh
+        |       FROM cg a JOIN cg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT x, y FROM jp WHERE sh * 5 >= 4 * (na + nb - sh)),
+        |e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        |reach(src, dst) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS entity_id
+        |         FROM reach GROUP BY src)
+        |SELECT c.doc_id, coalesce(p2.entity_id, c.doc_id) AS entity_id,
+        | c.doc_id = coalesce(p2.entity_id, c.doc_id) AS keep
+        |FROM corp c LEFT JOIN comp p2 ON p2.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // market-basket pairs: support / confidences / lift replayed with
     // the same integer arithmetic (HUGEINT where decimal(38) is used)
     "q_association" ->

@@ -272,6 +272,35 @@ object Relational {
       .select("l_id", "r_id", "shared_grams", "l_grams", "r_grams", "jaccard_e6")
   }
 
+  /** ENTITY RESOLUTION within one table: the composed record-linkage
+    * verb — [[fuzzyJoin]]'s PPJoin blocking applied to the frame
+    * against ITSELF (each undirected near-match pair kept once via
+    * id < id), then [[graft.operators.Dedup.dedupByClusters]] resolves
+    * pair transitivity ("Acme Corp" ~ "Acme Corp." ~ "ACME CORP" is ONE
+    * entity even when the ends don't match each other directly) into a
+    * canonical `entity_id` (min present id) + `keep` flag. The "same
+    * customer under three spellings" dedup every warehouse needs and no
+    * equi-join can express.
+    *
+    * Scale shape: inherited outright — fuzzyJoin's hashed-gram prefix
+    * blocking (never all-pairs) and CC's narrow label iteration; the
+    * wide frame joins once at the end. Ids must be integral (the CC
+    * contract).
+    */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      thresholdNum: Long = 4L, thresholdDen: Long = 5L,
+      n: Int = 3, maxGramFreq: Long = 10000L, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = fuzzyJoin(df, df, idCol, nameCol, idCol, nameCol,
+        thresholdNum, thresholdDen, n, maxGramFreq)
+      .filter(col("l_id") < col("r_id"))
+      .select("l_id", "r_id")
+    graft.operators.Dedup
+      .dedupByClusters(df, idCol, pairs, "l_id", "r_id", maxIters,
+        checkpointDir)
+      .withColumnRenamed("cluster_id", "entity_id")
+  }
+
   /** Data-quality constraint rules for [[checkConstraints]] — the
     * dbt-test / Deequ / warehouse-ASSERT surface: declarative
     * expectations evaluated into a violations report instead of a job

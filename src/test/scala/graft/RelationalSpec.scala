@@ -381,6 +381,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 3)
   }
 
+  test("resolveEntities: transitive near-matches collapse to one canonical entity") {
+    import spark.implicits._
+    // 1~2 and 1~3 match at 4/5 trigram jaccard; 2~3 do NOT match each
+    // other directly (12/18) — only CC transitivity puts all three in
+    // one entity. 9 is an unrelated singleton.
+    val recs = Seq(
+      (1L, "acme corporation"),
+      (2L, "acme corporation."),
+      (3L, "acme corporatiom."),
+      (9L, "zenith industries")
+    ).toDF("id", "name")
+    val got = Relational.resolveEntities(recs, "id", "name",
+        thresholdNum = 4L, thresholdDen = 5L, n = 3, maxGramFreq = 0L)
+      .select("id", "entity_id", "keep").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((1L, false)))
+    assert(got(3L) === ((1L, false)))
+    assert(got(9L) === ((9L, true)))
+    // sanity: the direct 2~3 edge really is absent at this threshold
+    val direct = Relational.fuzzyJoin(
+        recs.filter($"id" === 2L), recs.filter($"id" === 3L),
+        "id", "name", "id", "name", 4L, 5L, n = 3, maxGramFreq = 0L)
+    assert(direct.count() === 0L)
+  }
+
   test("fuzzyJoin: exact trigram jaccard pairs, threshold boundary, short strings") {
     val l = Seq((1L, "widget blue"), (2L, "xy"), (3L, "gadget red"))
       .toDF("id", "s")
