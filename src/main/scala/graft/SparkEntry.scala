@@ -2395,6 +2395,29 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from", "is_current")
   }
 
+  /** Incremental association store (SURVEY row 22e-s): baskets arrive
+    * in two batches (orders split by parity), each collapses to the
+    * narrow mergeable count store, the merged store persists through
+    * the Warehouse and is RELOADED — metrics computed from it must
+    * equal the one-shot q_association oracle bit-for-bit
+    * ([[operators.Stats.associationStore]]).
+    */
+  private def qAssociationStore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("assoc", dir)
+    val w = wh(s, dir)
+    val wt = Warehouse(s, tmp)
+    val li = w.loadTable("lineitem").select("l_orderkey", "l_partkey")
+    val s1 = operators.Stats.associationStore(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0), "l_orderkey", "l_partkey")
+    val s2 = operators.Stats.associationStore(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1), "l_orderkey", "l_partkey")
+    wt.saveTable(operators.Stats.updateAssociationStore(s1, s2),
+      tmp, "assoc_store")
+    operators.Stats.associationFromStore(wt.loadTable("assoc_store"),
+        minSupport = 2L, topK = 100)
+      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
+  }
+
   /** Entity resolution (SURVEY row 30e): the q_fuzzy_join typo corpus
     * folded into ONE frame (originals + planted-typo copies at +10⁶
     * ids), resolved to canonical entities — each (original, typo) pair
@@ -3552,6 +3575,7 @@ object SparkEntry {
     "q_point_in_time" -> (qPointInTime _),
     "q_association" -> (qAssociation _),
     "q_entity_resolution" -> (qEntityResolution _),
+    "q_association_store" -> (qAssociationStore _),
     "q_compact" -> (qCompact _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_ann_mmr" -> (qAnnMmr _),
@@ -5567,28 +5591,10 @@ object SparkEntry {
         |ORDER BY c.doc_id""".stripMargin,
     // market-basket pairs: support / confidences / lift replayed with
     // the same integer arithmetic (HUGEINT where decimal(38) is used)
-    "q_association" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |           FROM lineitem
-        |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |sz AS (SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
-        |       WHERE c <= 64),
-        |bf AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
-        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM bf),
-        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM bf GROUP BY it),
-        |p AS (SELECT a.it AS item_a, c.it AS item_b,
-        |       CAST(count(*) AS BIGINT) AS pair_count
-        |      FROM bf a JOIN bf c ON a.bk = c.bk AND a.it < c.it
-        |      GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT item_a, item_b, pair_count,
-        | ca.cnt AS count_a, cb.cnt AS count_b, n.n_baskets,
-        | pair_count * 1000000 // ca.cnt AS conf_ab_e6,
-        | pair_count * 1000000 // cb.cnt AS conf_ba_e6,
-        | CAST((CAST(pair_count AS HUGEINT) * n.n_baskets * 1000000)
-        |   // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_e6
-        |FROM p JOIN ic ca ON ca.it = p.item_a
-        |       JOIN ic cb ON cb.it = p.item_b CROSS JOIN n
-        |ORDER BY pair_count DESC, item_a, item_b LIMIT 100""".stripMargin,
+    "q_association" -> associationOracleSql,
+    // the mergeable store must reproduce the one-shot metrics exactly
+    // (counts add; baskets arrive whole per batch)
+    "q_association_store" -> associationOracleSql,
     // point-in-time join: the validity-interval join replayed outright
     "q_point_in_time" ->
       """WITH dim AS (
@@ -6176,6 +6182,34 @@ object SparkEntry {
     * come from a lag window over the cut set, and each chunk substring
     * md5s to the kernel's dedup key.
     */
+  /** Market-basket support/confidences/lift over lineitem order
+    * baskets — serves both q_association (one-shot) and
+    * q_association_store (the mergeable store must reproduce it
+    * exactly).
+    */
+  private val associationOracleSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |           FROM lineitem
+      |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |sz AS (SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
+      |       WHERE c <= 64),
+      |bf AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
+      |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM bf),
+      |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM bf GROUP BY it),
+      |p AS (SELECT a.it AS item_a, c.it AS item_b,
+      |       CAST(count(*) AS BIGINT) AS pair_count
+      |      FROM bf a JOIN bf c ON a.bk = c.bk AND a.it < c.it
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, pair_count,
+      | ca.cnt AS count_a, cb.cnt AS count_b, n.n_baskets,
+      | pair_count * 1000000 // ca.cnt AS conf_ab_e6,
+      | pair_count * 1000000 // cb.cnt AS conf_ba_e6,
+      | CAST((CAST(pair_count AS HUGEINT) * n.n_baskets * 1000000)
+      |   // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_e6
+      |FROM p JOIN ic ca ON ca.it = p.item_a
+      |       JOIN ic cb ON cb.it = p.item_b CROSS JOIN n
+      |ORDER BY pair_count DESC, item_a, item_b LIMIT 100""".stripMargin
+
   private val cdcSegsCte: String =
     """WITH base AS (
       | SELECT doc_id, text, length(text) AS n

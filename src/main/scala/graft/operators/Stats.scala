@@ -454,4 +454,79 @@ object Stats {
       .select("item_a", "item_b", "pair_count", "count_a", "count_b",
         "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
   }
+
+  /** INCREMENTAL association store: every count [[associationPairs]]
+    * needs — pair co-occurrences, per-item basket counts, and the
+    * basket total — as ONE narrow mergeable frame (`kind` ∈ p/i/n;
+    * counts ADD exactly, the histogramStore property), so baskets
+    * stream in per day/batch, the store rolls up with
+    * [[updateAssociationStore]], and [[associationFromStore]] answers
+    * "bought A also bought B" over any accumulated range WITHOUT
+    * rescanning raw baskets. Contract: a basket must arrive WHOLE in
+    * one batch (orders do; a basket split across batches would
+    * undercount its cross-batch pairs — the per-batch dedup is
+    * per-basket, like every count here).
+    */
+  def associationStore(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int = 64): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).cast("long").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+    val sized = b.groupBy("bk").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select("bk")
+    val bf = b.join(sized, Seq("bk"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bf.select(col("bk"), col("it").as("a"))
+      .join(bf.select(col("bk"), col("it").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .select(lit("p").as("kind"), col("a"), col("b"), col("cnt"))
+    val items = bf.groupBy(col("it").as("a"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("i").as("kind"), col("a"),
+        lit(null).cast("long").as("b"), col("cnt"))
+    val total = bf.agg(countDistinct(col("bk")).as("cnt"))
+      .select(lit("n").as("kind"), lit(null).cast("long").as("a"),
+        lit(null).cast("long").as("b"), col("cnt"))
+    pairs.unionByName(items).unionByName(total)
+  }
+
+  /** Merge a batch's [[associationStore]] into the accumulated store —
+    * counts add per (kind, a, b); exact, order-free. */
+  def updateAssociationStore(store: DataFrame, batch: DataFrame): DataFrame =
+    store.unionByName(batch)
+      .groupBy("kind", "a", "b").agg(sum("cnt").as("cnt"))
+
+  /** [[associationPairs]]' metrics computed FROM a rolled-up store —
+    * identical output contract, no basket rescan. */
+  def associationFromStore(store: DataFrame, minSupport: Long = 2L,
+      topK: Int = 100): DataFrame = {
+    require(minSupport >= 1 && topK >= 1,
+      s"need minSupport >= 1 and topK >= 1, got ($minSupport, $topK)")
+    val pairs = store.filter(col("kind") === "p")
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("cnt").as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    val ic = store.filter(col("kind") === "i")
+      .select(col("a").as("it"), col("cnt"))
+    val nB = store.filter(col("kind") === "n")
+      .select(col("cnt").as("n_baskets"))
+    pairs
+      .join(ic.select(col("it").as("item_a"), col("cnt").as("count_a")),
+        Seq("item_a"))
+      .join(ic.select(col("it").as("item_b"), col("cnt").as("count_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .withColumn("conf_ab_e6", expr("pair_count * 1000000 div count_a"))
+      .withColumn("conf_ba_e6", expr("pair_count * 1000000 div count_b"))
+      .withColumn("lift_e6", expr(
+        "CAST((CAST(pair_count AS decimal(38,0)) * n_baskets * 1000000) div " +
+          "(CAST(count_a AS decimal(38,0)) * count_b) AS long)"))
+      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .select("item_a", "item_b", "pair_count", "count_a", "count_b",
+        "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
+  }
 }

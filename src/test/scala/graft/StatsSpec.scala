@@ -365,4 +365,23 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       Stats.associationPairs(rows, "bk", "it", minSupport = 0L)
     }
   }
+
+  test("associationStore: two-batch merge reproduces the one-shot metrics") {
+    import spark.implicits._
+    val li = wh.loadTable("lineitem").select("l_orderkey", "l_partkey")
+    val s1 = Stats.associationStore(
+      li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey")
+    val s2 = Stats.associationStore(
+      li.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "l_partkey")
+    val merged = Stats.updateAssociationStore(s1, s2).localCheckpoint()
+    val fromStore = Stats.associationFromStore(merged, 2L, 50)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Stats.associationPairs(li, "l_orderkey", "l_partkey", 2L, 50)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStore === oneShot)
+    // the merged store equals the store built in one pass (counts add)
+    val whole = Stats.associationStore(li, "l_orderkey", "l_partkey")
+      .collect().map(_.toSeq).toSet
+    assert(merged.collect().map(_.toSeq).toSet === whole)
+  }
 }
