@@ -341,6 +341,24 @@ object Scaling {
       drain(Dedup.splitByCluster(big.select(col("doc_id")), "doc_id",
         pairs, weights = Seq(8, 1, 1)))
     }
+    timeFull("associationPairs: 977-host baskets of corpus docs") {
+      // synthetic baskets: docs grouped into 977 host-baskets — bounded
+      // basket sizes at any corpus scale via the operator's own cap
+      drain(graft.operators.Stats.associationPairs(
+        big.select(pmod(xxhash64(col("doc_id")), lit(977L)).as("bk"),
+          pmod(col("doc_id"), lit(5000L)).as("it")),
+        "bk", "it", minSupport = 2L, topK = 100, maxBasketSize = 64))
+    }
+    timeFull("resolveEntities on 5k 60-char prefixes + planted typos") {
+      val d = big.filter(length(col("text")) >= 40)
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+      val typo = d.select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(substring(col("s"), 1, 29), lit("Z"),
+          substring(col("s"), 31, 60)).as("s"))
+      drain(graft.operators.Relational.resolveEntities(
+        d.unionByName(typo), "doc_id", "s", 4L, 5L, n = 3, maxGramFreq = 0L))
+    }
     time("retrievalMetrics k=10 over 1% judged queries") {
       val queries = big.filter(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("doc_id").as("qid"))
