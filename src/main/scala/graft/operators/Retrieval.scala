@@ -237,9 +237,13 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = results.sparkSession
     import spark.implicits._
+    // a doc retrieved twice for one query counts ONCE, at its best rank
+    // (a dup would otherwise inflate hits_k past n_rel and double its
+    // DCG gain — trec_eval's duplicate-doc discipline)
     val r = results.select(col(qCol).as("__q"), col(dCol).as("__d"),
         col(rankCol).cast("long").as("__rk"))
       .filter(col("__rk") >= 1 && col("__rk") <= k)
+      .groupBy("__q", "__d").agg(min("__rk").as("__rk"))
     val rel = qrels.select(col(qCol).as("__q"), col(dCol).as("__d")).distinct()
     val nrel = rel.groupBy("__q").agg(count(lit(1)).as("n_rel"))
     val hits = r.join(rel, Seq("__q", "__d"))

@@ -249,6 +249,7 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     // are hand-computable integers with no kernel replay
     val results = Seq(
       ("q1", "d3", 3L),           // only hit at rank 3
+      ("q1", "d3", 7L),           // duplicate within k: counts once, best rank
       ("q1", "dx", 1L),           // irrelevant at rank 1
       ("q2", "dy", 1L),           // no relevant doc retrieved
       ("q3", "da", 1L),           // perfect hit at rank 1
