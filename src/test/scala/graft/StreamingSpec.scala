@@ -615,6 +615,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       oneShot.sortBy(_.head.asInstanceOf[Long]).toVector)
   }
 
+  test("association store over foreachBatch: streamed baskets == one-shot metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    val li = wh.loadTable("lineitem").select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[(Long, Long)]
+    var store = Stats.associationStore(
+        Seq.empty[(Long, Long)].toDF("bk", "it"), "bk", "it")
+      .localCheckpoint(true)
+    val q = in.toDS().toDF("bk", "it").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Stats.updateAssociationStore(store,
+            Stats.associationStore(batch, "bk", "it"))
+          .localCheckpoint(true)
+        ()
+      }.start()
+    // baskets arrive WHOLE per trigger (the store contract): split by
+    // basket parity, not row position
+    Seq(0L, 1L).foreach { par =>
+      in.addData(li.filter(_._1 % 2 == par).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = Stats.associationFromStore(store, 2L, 50)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Stats.associationPairs(
+        li.toSeq.toDF("bk", "it"), "bk", "it", 2L, 50)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === oneShot)
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
