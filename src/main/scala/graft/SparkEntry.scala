@@ -4446,101 +4446,16 @@ object SparkEntry {
     // no-split next-fit packing: DuckDB replays the per-shard sequential
     // fold as a recursive CTE stepping one rank per iteration — bin ids,
     // running fills and oversize flags must all match bit-for-bit
-    "q_pack_bins" ->
-      """WITH RECURSIVE docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(CASE WHEN text IS NULL THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) % 8 AS shard
-        | FROM documents),
-        |ranked AS (SELECT doc_id, n_tokens, shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
-        | FROM docs),
-        |state AS (
-        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
-        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
-        |   CAST(NULL AS BIGINT) AS n_tokens
-        | FROM (SELECT DISTINCT shard FROM ranked)
-        | UNION ALL
-        | SELECT r.shard, r.rk,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN s.bin + 1 ELSE s.bin END,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
-        |  r.doc_id, r.n_tokens
-        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1)
-        |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
-        | n_tokens > 90 AS oversize
-        |FROM state WHERE rk > 0 ORDER BY doc_id""".stripMargin,
+    "q_pack_bins" -> packBinsOracle(""),
     "q_cdc_chunks" -> cdcChunksOracleSql,
     "q_cdc_dedup" -> cdcDedupOracleSql,
     "q_cdc_incremental" -> cdcIncrementalOracleSql,
     // incremental packing == the one-shot fold restricted to the batch
     // (batch ids all sort after history's — the append contract)
-    "q_pack_incremental" ->
-      """WITH RECURSIVE docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(CASE WHEN text IS NULL THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) % 8 AS shard
-        | FROM documents),
-        |ranked AS (SELECT doc_id, n_tokens, shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
-        | FROM docs),
-        |state AS (
-        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
-        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
-        |   CAST(NULL AS BIGINT) AS n_tokens
-        | FROM (SELECT DISTINCT shard FROM ranked)
-        | UNION ALL
-        | SELECT r.shard, r.rk,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN s.bin + 1 ELSE s.bin END,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
-        |  r.doc_id, r.n_tokens
-        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1)
-        |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
-        | n_tokens > 90 AS oversize
-        |FROM state WHERE rk > 0 AND doc_id >= 250 ORDER BY doc_id""".stripMargin,
+    "q_pack_incremental" -> packBinsOracle(" AND doc_id >= 250"),
     // packed-sequence materialization: the same recursive fold, then
     // per-(shard, bin) counts + id-ordered string_agg of member texts
-    "q_pack_sequences" ->
-      """WITH RECURSIVE docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(CASE WHEN text IS NULL THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |    AS BIGINT) % 8 AS shard
-        | FROM documents),
-        |ranked AS (SELECT doc_id, n_tokens, shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
-        | FROM docs),
-        |state AS (
-        | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
-        |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
-        |   CAST(NULL AS BIGINT) AS n_tokens
-        | FROM (SELECT DISTINCT shard FROM ranked)
-        | UNION ALL
-        | SELECT r.shard, r.rk,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN s.bin + 1 ELSE s.bin END,
-        |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
-        |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
-        |  r.doc_id, r.n_tokens
-        | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1),
-        |asg AS (SELECT doc_id, n_tokens, shard, bin FROM state WHERE rk > 0)
-        |SELECT a.shard, a.bin, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
-        | max(a.n_tokens > 90) AS oversize,
-        | string_agg(coalesce(d.text, ''), ' ' ORDER BY a.doc_id) AS seq_text
-        |FROM asg a JOIN documents d ON d.doc_id = a.doc_id
-        |GROUP BY a.shard, a.bin ORDER BY a.shard, a.bin""".stripMargin,
+    "q_pack_sequences" -> packSequencesOracleSql,
     // temperature-scaled mixture: integer sqrt weights, floor-division
     // targets, delivered counts == min(target, n) — all replayed
     "q_mixture_temperature" ->
@@ -6182,6 +6097,52 @@ object SparkEntry {
     * come from a lag window over the cut set, and each chunk substring
     * md5s to the kernel's dedup key.
     */
+  /** The per-shard recursive next-fit fold shared by the three packing
+    * oracles (q_pack_bins / q_pack_incremental via [[packBinsOracle]],
+    * q_pack_sequences) — one CTE text, like [[cdcSegsCte]].
+    */
+  private val packFoldCte: String =
+    """WITH RECURSIVE docs AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(CASE WHEN text IS NULL THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 8 AS shard
+      | FROM documents),
+      |ranked AS (SELECT doc_id, n_tokens, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+      | FROM docs),
+      |state AS (
+      | SELECT shard, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS bin,
+      |   CAST(NULL AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+      |   CAST(NULL AS BIGINT) AS n_tokens
+      | FROM (SELECT DISTINCT shard FROM ranked)
+      | UNION ALL
+      | SELECT r.shard, r.rk,
+      |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+      |       THEN s.bin + 1 ELSE s.bin END,
+      |  CASE WHEN s.fill IS NULL OR s.fill + r.n_tokens > 90
+      |       THEN r.n_tokens ELSE s.fill + r.n_tokens END,
+      |  r.doc_id, r.n_tokens
+      | FROM state s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1)""".stripMargin
+
+  private def packBinsOracle(finalWhere: String): String = packFoldCte +
+    s"""
+      |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill,
+      | n_tokens > 90 AS oversize
+      |FROM state WHERE rk > 0$finalWhere ORDER BY doc_id""".stripMargin
+
+  private val packSequencesOracleSql: String = packFoldCte +
+    """,
+      |asg AS (SELECT doc_id, n_tokens, shard, bin FROM state WHERE rk > 0)
+      |SELECT a.shard, a.bin, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+      | max(a.n_tokens > 90) AS oversize,
+      | string_agg(coalesce(d.text, ''), ' ' ORDER BY a.doc_id) AS seq_text
+      |FROM asg a JOIN documents d ON d.doc_id = a.doc_id
+      |GROUP BY a.shard, a.bin ORDER BY a.shard, a.bin""".stripMargin
+
   /** Market-basket support/confidences/lift over lineitem order
     * baskets — serves both q_association (one-shot) and
     * q_association_store (the mergeable store must reproduce it

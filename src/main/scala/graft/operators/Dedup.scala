@@ -559,31 +559,17 @@ object Dedup {
     * zero-separator concat reconstructs the doc minus dup chunks).
     */
   def cdcDedup(df: DataFrame, idCol: String, textCol: String,
-      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256): DataFrame = {
-    val chunks = graft.operators.TextAnalysis
-      .cdcChunkDocs(df, idCol, textCol, maskBits, minLen, maxLen)
-      .select(col(idCol).cast("long").as("doc_id"), col("chunk_idx"),
-        col("start"), col("len"), col("chunk_md5"))
-    val keep = chunks
-      .groupBy("chunk_md5")
-      .agg(min(struct(col("doc_id"), col("chunk_idx"),
-        col("start"), col("len"))).as("k"))
-      .groupBy(col("k.doc_id").as("doc_id"))
-      .agg(sort_array(collect_list(struct(col("k.chunk_idx").as("ci"),
-        col("k.start").as("s"), col("k.len").as("l")))).as("keep"))
-    val counts = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    df.select(col(idCol).cast("long").as("doc_id"),
-        coalesce(col(textCol), lit("")).as("__t"))
-      .join(counts, Seq("doc_id"), "left")
-      .join(keep, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
-        coalesce(expr(
-          "array_join(transform(keep, " +
-            "k -> substring(__t, CAST(k.s + 1 AS INT), CAST(k.l AS INT))), '')"),
-          lit("")).as("text_clean"))
-  }
+      maskBits: Int = 6, minLen: Int = 16, maxLen: Int = 256): DataFrame =
+    // definitionally the empty-store incremental form — ONE election +
+    // resplice implementation to maintain (DedupSpec pins the
+    // equivalence; AQE's empty-relation propagation elides the probe)
+    cdcDedupIncremental(df, idCol, textCol,
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))),
+      maskBits, minLen, maxLen)
 
   /** LEAKAGE-SAFE train/eval split: every member of a near-dup cluster
     * lands in the SAME fold. A plain row-hash split

@@ -302,14 +302,21 @@ object Merge {
       require(overlaps == 0L,
         "pointInTimeJoin: dimension has overlapping validity intervals")
     }
+    val dimAttrs = dim.columns.toSeq.filterNot(keys.contains)
+    val clash = facts.columns.toSet.intersect(dimAttrs.toSet)
+    require(clash.isEmpty,
+      s"pointInTimeJoin: fact and dimension attribute names collide on " +
+        s"${clash.mkString(", ")} — rename one side (the output would " +
+        "carry ambiguous duplicate columns)")
+    def q(side: String, c: String): Column =
+      col(s"$side.`${c.replace("`", "``")}`")
+    def fc(c: String) = q("__f", c)
+    def dc(c: String) = q("__d", c)
     val f = facts.alias("__f")
     val d = dim.alias("__d")
-    def fc(c: String) = col(s"__f.`$c`")
-    def dc(c: String) = col(s"__d.`$c`")
     val cond = keys.map(k => fc(k) === dc(k)).reduce(_ && _) &&
       dc(validFrom) <= fc(factTimeCol) &&
       (dc(validTo).isNull || fc(factTimeCol) < dc(validTo))
-    val dimAttrs = dim.columns.toSeq.filterNot(keys.contains)
     f.join(d, cond, how)
       .select(facts.columns.toSeq.map(c => fc(c).as(c)) ++
         dimAttrs.map(c => dc(c).as(c)): _*)

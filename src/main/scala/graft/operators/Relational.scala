@@ -176,7 +176,30 @@ object Relational {
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       lIdCol: String, lStrCol: String, rIdCol: String, rStrCol: String,
       thresholdNum: Long, thresholdDen: Long,
-      n: Int = 3, maxGramFreq: Long = 10000L): DataFrame = {
+      n: Int = 3, maxGramFreq: Long = 10000L): DataFrame =
+    fuzzyJoinImpl(left, Some(right), lIdCol, lStrCol, rIdCol, rStrCol,
+      thresholdNum, thresholdDen, n, maxGramFreq)
+
+  /** SELF fuzzy join — each undirected near-match pair of ONE frame,
+    * emitted once (l_id < r_id). Same semantics as
+    * `fuzzyJoin(df, df, ...).filter(l_id < r_id)` at roughly HALF the
+    * cost: the gram arrays build and persist ONCE (the right stream is
+    * a rename of the cached left frame, not a recompute), self-pairs
+    * and mirrored candidates drop at the prefix-collision join BEFORE
+    * the expensive exact-intersect verification, and the df order uses
+    * the doubled-but-order-identical union (doubling every gram's count
+    * preserves the (df, gram) prefix order exactly).
+    */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
+      thresholdNum: Long, thresholdDen: Long,
+      n: Int = 3, maxGramFreq: Long = 10000L): DataFrame =
+    fuzzyJoinImpl(df, None, idCol, strCol, idCol, strCol,
+      thresholdNum, thresholdDen, n, maxGramFreq)
+
+  private def fuzzyJoinImpl(left: DataFrame, rightOpt: Option[DataFrame],
+      lIdCol: String, lStrCol: String, rIdCol: String, rStrCol: String,
+      thresholdNum: Long, thresholdDen: Long,
+      n: Int, maxGramFreq: Long): DataFrame = {
     require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be >= 0")
     // gram ARRAYS are the one persisted artifact: freq, both prefixes and
     // the verification all derive from them, so the
@@ -203,8 +226,14 @@ object Relational {
         .filter(col(s"${side}_grams") > 0)
     val lArr = gramArrays(left, lIdCol, lStrCol, "l")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val rArr = gramArrays(right, rIdCol, rStrCol, "r")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // self mode: the right stream is a RENAME of the cached left frame —
+    // gram generation and persistence happen once
+    val rArr = rightOpt match {
+      case Some(right) => gramArrays(right, rIdCol, rStrCol, "r")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => lArr.select(col("l_id").as("r_id"),
+        col("l_gs").as("r_gs"), col("l_grams").as("r_grams"))
+    }
     def explodedGrams(side: String) =
       (if (side == "l") lArr else rArr)
         .select(col(s"${side}_id"), col(s"${side}_grams"),
@@ -255,9 +284,13 @@ object Relational {
     val alpha = expr(
       s"($thresholdNum * (l_sz + r_sz) + $thresholdNum + $thresholdDen - 1) " +
         s"div ($thresholdNum + $thresholdDen)")
-    val cand = prefix(lg, "l").join(prefix(rg, "r"), Seq("g"))
+    val cand0 = prefix(lg, "l").join(prefix(rg, "r"), Seq("g"))
       .filter(col("l_rk") <= col("l_sz") - alpha + 1 &&
         col("r_rk") <= col("r_sz") - alpha + 1)
+    // self mode: mirrored candidates and self-pairs drop HERE, before
+    // the exact-intersect verification — each undirected pair once
+    val cand = (if (rightOpt.isEmpty) cand0.filter(col("l_id") < col("r_id"))
+      else cand0)
       .select("l_id", "r_id").distinct()
     val shared = size(array_intersect(col("l_gs"), col("r_gs"))).cast("long")
     val union = col("l_grams") + col("r_grams") - col("shared_grams")
@@ -291,9 +324,8 @@ object Relational {
       thresholdNum: Long = 4L, thresholdDen: Long = 5L,
       n: Int = 3, maxGramFreq: Long = 10000L, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = fuzzyJoin(df, df, idCol, nameCol, idCol, nameCol,
+    val pairs = fuzzySelfPairs(df, idCol, nameCol,
         thresholdNum, thresholdDen, n, maxGramFreq)
-      .filter(col("l_id") < col("r_id"))
       .select("l_id", "r_id")
     graft.operators.Dedup
       .dedupByClusters(df, idCol, pairs, "l_id", "r_id", maxIters,

@@ -418,42 +418,11 @@ object Stats {
     */
   def associationPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, topK: Int = 100,
-      maxBasketSize: Int = 64): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    require(topK >= 1 && maxBasketSize >= 2,
-      s"need topK >= 1 and maxBasketSize >= 2, got ($topK, $maxBasketSize)")
-    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .filter(col("bk").isNotNull && col("it").isNotNull)
-      .distinct()
-    val sized = b.groupBy("bk").agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketSize)
-      .select("bk")
-    val bf = b.join(sized, Seq("bk"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nB = bf.select(countDistinct(col("bk")).as("n_baskets"))
-    val ic = bf.groupBy("it").agg(count(lit(1)).as("cnt"))
-    val pairs = bf.select(col("bk"), col("it").as("item_a"))
-      .join(bf.select(col("bk"), col("it").as("item_b")), Seq("bk"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minSupport)
-    pairs
-      .join(ic.select(col("it").as("item_a"), col("cnt").as("count_a")),
-        Seq("item_a"))
-      .join(ic.select(col("it").as("item_b"), col("cnt").as("count_b")),
-        Seq("item_b"))
-      .crossJoin(broadcast(nB))
-      .withColumn("conf_ab_e6", expr("pair_count * 1000000 div count_a"))
-      .withColumn("conf_ba_e6", expr("pair_count * 1000000 div count_b"))
-      .withColumn("lift_e6", expr(
-        "CAST((CAST(pair_count AS decimal(38,0)) * n_baskets * 1000000) div " +
-          "(CAST(count_a AS decimal(38,0)) * count_b) AS long)"))
-      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
-      .limit(topK)
-      .select("item_a", "item_b", "pair_count", "count_a", "count_b",
-        "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
-  }
+      maxBasketSize: Int = 64): DataFrame =
+    // definitionally the one-batch store: the batch-parity contract
+    // (q_association_store) then holds by construction, not by test
+    associationFromStore(associationStore(df, basketCol, itemCol,
+      maxBasketSize), minSupport, topK)
 
   /** INCREMENTAL association store: every count [[associationPairs]]
     * needs — pair co-occurrences, per-item basket counts, and the
@@ -470,7 +439,10 @@ object Stats {
   def associationStore(df: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int = 64): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val b = df.select(col(basketCol).as("bk"), col(itemCol).cast("long").as("it"))
+    // items keep their OWN type (string SKUs included) — the store's
+    // null-padded a/b columns cast null to it, never the data
+    val itemType = df.select(col(itemCol)).schema.head.dataType
+    val b = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .filter(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
     val sized = b.groupBy("bk").agg(count(lit(1)).as("__sz"))
@@ -486,10 +458,10 @@ object Stats {
     val items = bf.groupBy(col("it").as("a"))
       .agg(count(lit(1)).as("cnt"))
       .select(lit("i").as("kind"), col("a"),
-        lit(null).cast("long").as("b"), col("cnt"))
+        lit(null).cast(itemType).as("b"), col("cnt"))
     val total = bf.agg(countDistinct(col("bk")).as("cnt"))
-      .select(lit("n").as("kind"), lit(null).cast("long").as("a"),
-        lit(null).cast("long").as("b"), col("cnt"))
+      .select(lit("n").as("kind"), lit(null).cast(itemType).as("a"),
+        lit(null).cast(itemType).as("b"), col("cnt"))
     pairs.unionByName(items).unionByName(total)
   }
 

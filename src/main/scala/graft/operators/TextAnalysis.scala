@@ -191,41 +191,21 @@ object TextAnalysis {
     * replays it as a per-shard sequential fold. NULL text counts 0.
     */
   def packBins(df: DataFrame, idCol: String, textCol: String,
-      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame = {
-    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
-    require(nShards > 0, s"nShards must be > 0, got $nShards")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val key = conv(
-      substring(md5(concat(lit(seed.toString), lit(":"),
-        col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      coalesce(size(split(trim(col(textCol)), "\\s+")).cast("long"), lit(0L))
-        .as("n_tokens"),
-      pmod(key, lit(nShards.toLong)).as("shard"))
-    toks
-      .repartition(nShards.min(64), col("shard"))
-      .sortWithinPartitions("shard", "id")
-      .as[(Long, Long, Long)]
-      .mapPartitions { it =>
-        // O(1) state; Long.MinValue fill is the open-no-bin sentinel so
-        // the first doc of a shard always opens bin 0 (and an overflow
-        // test against it never runs — checked first).
-        var curShard = Long.MinValue
-        var bin = -1L
-        var fill = Long.MinValue
-        it.map { case (id, t, sh) =>
-          if (sh != curShard) { curShard = sh; bin = -1L; fill = Long.MinValue }
-          if (fill == Long.MinValue || fill + t > binTokens) { bin += 1; fill = t }
-          else fill += t
-          (id, t, sh, bin, fill)
-        }
-      }
-      .toDF("id", "n_tokens", "shard", "bin", "bin_fill")
-      .select(col("id").as(idCol), col("n_tokens"), col("shard"),
-        col("bin"), col("bin_fill"),
-        (col("n_tokens") > lit(binTokens)).as("oversize"))
-  }
+      binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame =
+    // definitionally the empty-store incremental form — ONE fold
+    // implementation to maintain (the spec suite pins the equivalence;
+    // every shard starts from the fresh-bin sentinel)
+    packBinsIncremental(df,
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bin",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("fill",
+            org.apache.spark.sql.types.LongType)))),
+      idCol, textCol, binTokens, nShards, seed)
 
   /** CONTENT-DEFINED chunking of documents ([[graft.functions.Kernels
     * .cdcChunks]] — Gear-style rolling-hash boundaries, LBFS/FastCDC
@@ -266,8 +246,13 @@ object TextAnalysis {
     */
   def packStore(df: DataFrame, idCol: String, textCol: String,
       binTokens: Long, nShards: Int, seed: Long = 42L): DataFrame =
-    packBins(df, idCol, textCol, binTokens, nShards, seed)
-      .groupBy("shard")
+    openBinState(packBins(df, idCol, textCol, binTokens, nShards, seed),
+      idCol)
+
+  /** Per-shard (bin, fill) of the LAST-packed doc — the rollup shared
+    * by [[packStore]] and [[updatePackStore]]. */
+  private def openBinState(assign: DataFrame, idCol: String): DataFrame =
+    assign.groupBy("shard")
       .agg(max(struct(col(idCol).as("i"), col("bin").as("b"),
         col("bin_fill").as("f"))).as("__m"))
       .select(col("shard"), col("__m.b").as("bin"), col("__m.f").as("fill"))
@@ -276,10 +261,7 @@ object TextAnalysis {
     * the batch's final open-bin state, untouched shards carry over. */
   def updatePackStore(store: DataFrame, newAssign: DataFrame,
       idCol: String): DataFrame = {
-    val upd = newAssign.groupBy("shard")
-      .agg(max(struct(col(idCol).as("i"), col("bin").as("b"),
-        col("bin_fill").as("f"))).as("__m"))
-      .select(col("shard"), col("__m.b").as("bin"), col("__m.f").as("fill"))
+    val upd = openBinState(newAssign, idCol)
     store.join(upd.select(col("shard")), Seq("shard"), "left_anti")
       .unionByName(upd)
   }

@@ -381,6 +381,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 3)
   }
 
+  test("fuzzySelfPairs == the bipartite self join filtered to undirected pairs") {
+    import spark.implicits._
+    val docs = wh.loadTable("documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id").as("id"),
+        substring(col("text"), 1, 60).as("name"))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("l_id", "r_id", "jaccard_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity)
+    val self = norm(Relational.fuzzySelfPairs(docs, "id", "name",
+      4L, 5L, n = 3, maxGramFreq = 0L))
+    val bip = norm(Relational.fuzzyJoin(docs, docs, "id", "name",
+        "id", "name", 4L, 5L, n = 3, maxGramFreq = 0L)
+      .filter(col("l_id") < col("r_id")))
+    assert(self.toSeq === bip.toSeq)
+    assert(self.forall(p => p._1 < p._2), "self pairs must be undirected, no x~x")
+  }
+
   test("resolveEntities: transitive near-matches collapse to one canonical entity") {
     import spark.implicits._
     // 1~2 and 1~3 match at 4/5 trigram jaccard; 2~3 do NOT match each
