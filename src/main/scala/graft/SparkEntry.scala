@@ -3263,6 +3263,16 @@ object SparkEntry {
     operators.Graph.pageRank(sym, "src", "dst", iters = 8).orderBy("node")
   }
 
+  /** HITS hubs & authorities (SURVEY row 61g): 8 fixed-point integer
+    * rounds over the DIRECTED customer→supplier trade graph — suppliers
+    * are authorities, customers hubs; the oracle unrolls every round's
+    * edge-join sum and sup-norm division ([[operators.Graph.hits]]).
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.hits(tradeGraphEdges(s, dir, symmetric = false),
+        "src", "dst", iters = 8)
+      .orderBy("node")
+
   /** Personalized PageRank (SURVEY row 61c): teleport restricted to the
     * nation-1 customers — suppliers serving that nation rank above
     * globally-popular ones. Same integer machinery, oracle-unrolled with
@@ -3607,6 +3617,7 @@ object SparkEntry {
     "q_embedding_incremental" -> (qEmbeddingIncremental _),
     "q_simhash_incremental" -> (qSimhashIncremental _),
     "q_kcore" -> (qKCore _),
+    "q_hits" -> (qHits _),
     "q_quantile_filter" -> (qQuantileFilter _)
   )
 
@@ -5677,6 +5688,7 @@ object SparkEntry {
         |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
         |FROM sel ORDER BY l_id, r_id""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
+    "q_hits" -> hitsOracleSql,
     "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_char_entropy" -> charEntropyOracleSql,
     "q_label_propagation" -> labelPropagationOracleSql,
@@ -6097,6 +6109,43 @@ object SparkEntry {
     * come from a lag window over the cut set, and each chunk substring
     * md5s to the kernel's dedup key.
     */
+  /** DuckDB replay of [[operators.Graph.hits]] over the directed trade
+    * graph: 8 rounds UNROLLED (the pageRank/classifier pattern), each
+    * phase an edge join + integer SUM + one HUGEINT floor-division
+    * sup-norm — every authority and hub score bit-exact.
+    */
+  private val hitsOracleSql: String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s""",
+         |a${i}r AS MATERIALIZED (
+         | SELECT e.dst AS node, CAST(SUM(p.v) AS BIGINT) AS s
+         | FROM e JOIN h${i - 1} p ON p.node = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         | SELECT node, CAST((CAST(s AS HUGEINT) * 1000000)
+         |   // (SELECT MAX(s) FROM a${i}r) AS BIGINT) AS v FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         | SELECT e.src AS node, CAST(SUM(p.v) AS BIGINT) AS s
+         | FROM e JOIN a$i p ON p.node = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         | SELECT node, CAST((CAST(s AS HUGEINT) * 1000000)
+         |   // (SELECT MAX(s) FROM h${i}r) AS BIGINT) AS v FROM h${i}r)""".stripMargin
+    }.mkString
+    val tail =
+      """
+        |SELECT n.node, coalesce(a8.v, 0) AS authority_e6,
+        | coalesce(h8.v, 0) AS hub_e6
+        |FROM nodes n LEFT JOIN a8 ON a8.node = n.node
+        |LEFT JOIN h8 ON h8.node = n.node
+        |ORDER BY n.node""".stripMargin
+    head + rounds + tail
+  }
+
   /** The per-shard recursive next-fit fold shared by the three packing
     * oracles (q_pack_bins / q_pack_incremental via [[packBinsOracle]],
     * q_pack_sequences) — one CTE text, like [[cdcSegsCte]].

@@ -396,4 +396,71 @@ object Graph {
       if (persistLevel != StorageLevel.NONE) e0.unpersist()
     }
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999): the DIRECTED
+    * complement of [[pageRank]] — a node is a good AUTHORITY when good
+    * hubs point at it and a good HUB when it points at good
+    * authorities; the mutual-reinforcement ranking behind "which
+    * suppliers do the big buyers concentrate on" / link-directory
+    * curation, where PageRank's single score conflates the two roles.
+    *
+    * FIXED-POINT INTEGER iteration, engine-replayable like the
+    * pageRank family: per round, authority(v) = Σ hub(u) over in-edges
+    * then hub(u) = Σ authority(v) over out-edges, each phase
+    * max-normalized back to `scale` by one decimal floor division
+    * (⌊s·scale ÷ max(s)⌋ — HITS' usual L2 norm is not bit-stable
+    * cross-engine, sup-norm is, and the fixed point is the same
+    * principal eigenvector direction). Fixed `iters` rounds, long sums
+    * (order-free), so any engine replays every score bit-for-bit.
+    * Nodes with no in-edges score authority 0, no out-edges hub 0.
+    *
+    * Plan shape: distinct narrow edge list persisted once; each phase
+    * is ONE equi-join of the O(nodes) score frame with the edges + a
+    * partial-aggregated groupBy, with the phase max as a broadcast
+    * single row; per-round localCheckpoint truncates the doubling
+    * lineage (the CC/pageRank contract). Overflow bound:
+    * max-degree · scale · scale < 2^63 is avoided entirely — the
+    * normalization multiply runs in decimal(38,0).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8, scale: Long = 1000000L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(scale >= 1, s"scale must be >= 1 (got $scale)")
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    val e = persistIf(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = persistIf(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    def normalized(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("s")).as("__m"))))
+        .select(col("node"), expr(
+          s"CAST((CAST(s AS decimal(38,0)) * $scale) div __m AS long)").as("v"))
+        .localCheckpoint(true)
+    var h = nodes.select(col("node"), lit(scale).as("v")).localCheckpoint(true)
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      a = normalized(
+        e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("v")).as("s")))
+      h = normalized(
+        e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("v")).as("s")))
+      i += 1
+    }
+    val out = nodes
+      .join(a.withColumnRenamed("v", "authority_e6"), Seq("node"), "left")
+      .join(h.withColumnRenamed("v", "hub_e6"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("authority_e6"), lit(0L)).as("authority_e6"),
+        coalesce(col("hub_e6"), lit(0L)).as("hub_e6"))
+      .localCheckpoint(true)
+    if (persistLevel != StorageLevel.NONE) { e.unpersist(); nodes.unpersist() }
+    out
+  }
 }

@@ -227,6 +227,51 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       s"supplier mean rank $meanSupp vs customer $meanCust")
   }
 
+  test("hits: bipartite star fixed point; asymmetric hubs replay the local fold") {
+    import spark.implicits._
+    // star: one hub pointing at three authorities — fixed point is
+    // exactly scale everywhere it is non-zero, zero on the silent side
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rows = Graph.hits(star, "src", "dst", iters = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((0L, 1000000L)))
+    assert(rows(1L) === ((1000000L, 0L)))
+    assert(rows(2L) === ((1000000L, 0L)))
+    assert(rows(3L) === ((1000000L, 0L)))
+    // asymmetric two-hub graph + a local integer replay of the recurrence
+    def replay(edges: Set[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val ar = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.toSeq.map(e => h.getOrElse(e._1, 0L)).sum }
+        val am = ar.values.max
+        a = ar.map { case (k, s) => k -> (BigInt(s) * 1000000 / am).toLong }
+        val hr = edges.groupBy(_._1).map { case (u, es) =>
+          u -> es.toSeq.map(e => a.getOrElse(e._2, 0L)).sum }
+        val hm = hr.values.max
+        h = hr.map { case (k, s) => k -> (BigInt(s) * 1000000 / hm).toLong }
+      }
+      nodes.map(n => n -> ((a.getOrElse(n, 0L), h.getOrElse(n, 0L)))).toMap
+    }
+    val es = Set((10L, 1L), (10L, 2L), (11L, 1L), (12L, 3L), (1L, 12L))
+    val want = replay(es, 8)
+    val op = Graph.hits(es.toSeq.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(op === want)
+    // duplicate edges collapse; direction matters
+    val dup = Graph.hits((es.toSeq ++ es.toSeq).toDF("src", "dst"),
+        "src", "dst", iters = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(dup === want)
+    val rev = Graph.hits(es.toSeq.map(e => (e._2, e._1)).toDF("src", "dst"),
+        "src", "dst", iters = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rev === replay(es.map(e => (e._2, e._1)), 8))
+    assert(rev !== want, "direction must matter on an asymmetric graph")
+  }
+
   test("kCore: clique survives, tendril peels over cascading rounds") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + a pendant chain 4-5-6-7: at k=3 the chain
