@@ -284,6 +284,12 @@ object Scaling {
             j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
       drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 8))
     }
+    timeFull("hits 8 rounds over the same synthetic doc graph") {
+      val edges = big.select(col("doc_id").as("src"),
+          explode(transform(sequence(lit(1), lit(5)),
+            j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
+      drain(graft.operators.Graph.hits(edges, "src", "dst", iters = 8))
+    }
     timeFull("trainDsir + dsirScore corpus-wide (4096-bucket bag model)") {
       // target slice = every 7th doc (big carries only doc_id/text)
       val m = TextAnalysis.trainDsir(
