@@ -3263,6 +3263,22 @@ object SparkEntry {
     operators.Graph.pageRank(sym, "src", "dst", iters = 8).orderBy("node")
   }
 
+  /** Weighted PageRank (SURVEY row 61b-w): rank distributed proportional
+    * to edge weight — the trade graph weighted by lineitem count per
+    * (customer, supplier) pair, 8 integer rounds; the oracle unrolls
+    * every round's per-edge floor-division share
+    * ([[operators.Graph.pageRankWeighted]]).
+    */
+  private def qPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val we = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    operators.Graph.pageRankWeighted(we, "src", "dst", "w", iters = 8)
+      .orderBy("node")
+  }
+
   /** HITS hubs & authorities (SURVEY row 61g): 8 fixed-point integer
     * rounds over the DIRECTED customer→supplier trade graph — suppliers
     * are authorities, customers hubs; the oracle unrolls every round's
@@ -3618,6 +3634,7 @@ object SparkEntry {
     "q_simhash_incremental" -> (qSimhashIncremental _),
     "q_kcore" -> (qKCore _),
     "q_hits" -> (qHits _),
+    "q_pagerank_weighted" -> (qPagerankWeighted _),
     "q_quantile_filter" -> (qQuantileFilter _)
   )
 
@@ -5689,6 +5706,7 @@ object SparkEntry {
         |FROM sel ORDER BY l_id, r_id""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
     "q_hits" -> hitsOracleSql,
+    "q_pagerank_weighted" -> pagerankWeightedOracleSql,
     "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_char_entropy" -> charEntropyOracleSql,
     "q_label_propagation" -> labelPropagationOracleSql,
@@ -6109,6 +6127,43 @@ object SparkEntry {
     * come from a lag window over the cut set, and each chunk substring
     * md5s to the kernel's dedup key.
     */
+  /** DuckDB replay of [[operators.Graph.pageRankWeighted]] over the
+    * lineitem-count-weighted trade graph: 8 rounds unrolled, each a
+    * per-edge HUGEINT floor-division share sum + the damped base —
+    * every rank bit-exact. All CTEs MATERIALIZED (the hits lesson).
+    */
+  private val pagerankWeightedOracleSql: String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        | SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+        |  CAST(count(*) AS BIGINT) AS w
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | GROUP BY 1, 2),
+        |ws AS MATERIALIZED (
+        | SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY src),
+        |ew AS MATERIALIZED (
+        | SELECT e.src, e.dst, e.w, ws.wsum FROM e JOIN ws USING (src)),
+        |nodes AS MATERIALIZED (
+        | SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS MATERIALIZED (
+        | SELECT node, CAST(1000000000 AS BIGINT) AS v FROM nodes)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (
+         | SELECT ew.dst AS node,
+         |  CAST(SUM((CAST(p.v AS HUGEINT) * ew.w) // ew.wsum) AS BIGINT) AS s
+         | FROM ew JOIN r${i - 1} p ON p.node = ew.src GROUP BY ew.dst),
+         |r$i AS MATERIALIZED (
+         | SELECT n.node,
+         |  CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS v
+         | FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString
+    val tail =
+      """
+        |SELECT node, v AS rank_fp FROM r8 ORDER BY node""".stripMargin
+    head + rounds + tail
+  }
+
   /** DuckDB replay of [[operators.Graph.hits]] over the directed trade
     * graph: 8 rounds UNROLLED (the pageRank/classifier pattern), each
     * phase an edge join + integer SUM + one HUGEINT floor-division

@@ -397,6 +397,70 @@ object Graph {
     }
   }
 
+  /** WEIGHTED PageRank: [[pageRank]] with each node's rank distributed
+    * proportional to EDGE WEIGHT instead of uniformly — the form real
+    * interaction graphs need (weight = number of orders, links,
+    * co-occurrences; an edge clicked a million times should carry more
+    * authority than one clicked once). Parallel (src, dst) edges MERGE
+    * by summing weights, so raw event logs feed in directly;
+    * non-positive weights drop.
+    *
+    * Integer semantics mirror [[pageRank]] exactly: per-edge share =
+    * ⌊rank·w ÷ W(u)⌋ (the multiply in decimal(38,0) — rank·w can pass
+    * 2^63), damped sums and the uniform teleport base unchanged. With
+    * all weights equal it reproduces [[pageRank]] BIT-FOR-BIT
+    * (⌊r·w ÷ (d·w)⌋ = ⌊r ÷ d⌋ — spec-pinned), so the weighted form is
+    * a strict generalization. Same plan shape: weighted edge list
+    * persisted pre-partitioned on src, per-round O(nodes) rank shuffle
+    * + partial-aggregated groupBy, per-round eager localCheckpoint
+    * lineage truncation.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 8,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val edgeW = persistIf(
+      e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
+        .repartition(col("src")))
+    val nodes = persistIf(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct()
+        .withColumn("base", lit((dampDen - dampNum) * scale / dampDen)))
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_fp"))
+      .localCheckpoint(true)
+    var k = 0
+    while (k < iters) {
+      val contribs = edgeW
+        .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+        .select(col("dst").as("node"), expr(
+          "CAST((CAST(rank_fp AS decimal(38,0)) * w) div wsum AS long)")
+          .as("share"))
+        .groupBy("node")
+        .agg(sum(col("share")).as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + expr(
+            s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    if (persistLevel != StorageLevel.NONE) { edgeW.unpersist(); nodes.unpersist() }
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999): the DIRECTED
     * complement of [[pageRank]] — a node is a good AUTHORITY when good
     * hubs point at it and a good HUB when it points at good

@@ -227,6 +227,33 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       s"supplier mean rank $meanSupp vs customer $meanCust")
   }
 
+  test("pageRankWeighted: equal weights reproduce pageRank bit-for-bit; weight skews rank") {
+    import spark.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val unweighted = Graph.pageRank(es.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val equalW = Graph.pageRankWeighted(
+        es.map(e => (e._1, e._2, 7L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(equalW === unweighted)
+    // skew: one source splits 9:1 — the heavy target must outrank the
+    // light one (both have only that in-edge)
+    val skew = Graph.pageRankWeighted(
+        Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(skew(2L) > skew(3L))
+    // parallel edges merge by weight sum; non-positive weights drop
+    val merged = Graph.pageRankWeighted(
+        Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L), (1L, 3L, 0L),
+          (9L, 1L, -3L), (1L, 3L, 0L))
+          .toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === skew, "merge + drop must equal the clean 9:1 graph")
+  }
+
   test("hits: bipartite star fixed point; asymmetric hubs replay the local fold") {
     import spark.implicits._
     // star: one hub pointing at three authorities — fixed point is
