@@ -284,6 +284,14 @@ object Scaling {
             j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
       drain(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 8))
     }
+    timeFull("pageRankWeighted 8 iters, same graph, hash-skewed weights") {
+      val edges = big.select(col("doc_id").as("src"),
+          explode(transform(sequence(lit(1), lit(5)),
+            j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
+        .withColumn("w", pmod(xxhash64(col("src"), col("dst")), lit(9L)) + 1)
+      drain(graft.operators.Graph.pageRankWeighted(
+        edges, "src", "dst", "w", iters = 8))
+    }
     timeFull("hits 8 rounds over the same synthetic doc graph") {
       val edges = big.select(col("doc_id").as("src"),
           explode(transform(sequence(lit(1), lit(5)),
