@@ -83,6 +83,14 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     */
   def appendTable(df: DataFrame, outDir: String, table: String): Unit = {
     val p = Warehouse.tablePath(outDir, table)
+    // a VERSIONED table (saveTableVersioned) resolves every read to its
+    // latest version directory — parquet files appended to the BASE path
+    // would be invisible to loadTable forever (silent data loss). Refuse
+    // loudly, mirroring vacuumTable's is-versioned check.
+    require(Warehouse.latestVersionDir(spark, p).isEmpty,
+      s"appendTable: $table is versioned (saveTableVersioned) — appends to " +
+        "the base path are invisible to versioned reads; write a new " +
+        "version with saveTableVersioned instead")
     val union: org.apache.spark.sql.types.StructType =
       if (fsExists(p)) {
         // cached union schema — incrementally maintained below, so N

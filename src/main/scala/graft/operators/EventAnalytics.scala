@@ -259,13 +259,22 @@ object EventAnalytics {
       .withColumn("vc", expr(s"CAST(round(`$valueCol` * 100) AS bigint)"))
       .withColumn("n_prev", count(col("vc")).over(byKey))
       .withColumn("s", sum(col("vc")).over(byKey))
-      .withColumn("s2", sum(col("vc") * col("vc")).over(byKey))
-      .withColumn("anomaly", coalesce(
-        col("n_prev") >= minPrev &&
-          (col("n_prev") * col("vc") - col("s")) *
-            (col("n_prev") * col("vc") - col("s")) >
-          lit(z.toLong * z) * (col("n_prev") * col("s2") - col("s") * col("s")),
-        lit(false)))
+      // vc² and the cross-multiplied decision run in decimal(38,0): the
+      // all-long form overflows SILENTLY once |vc| exceeds ~2³¹/√window
+      // (≈ $21M at window 20) and flags garbage. Decimal is exact to
+      // |vc| ≈ 10¹⁷/window — far beyond any real metric — and past that
+      // Spark yields null, which the coalesce below converts into an
+      // EXPLICIT error (assert_true), never a wrong flag.
+      .withColumn("s2",
+        sum(expr("CAST(vc AS decimal(19,0)) * vc")).over(byKey))
+      .withColumn("anomaly",
+        when(col("n_prev") < minPrev, lit(false)).otherwise(coalesce(
+          expr(s"(CAST(n_prev AS decimal(38,0)) * vc - s) * " +
+            s"(CAST(n_prev AS decimal(38,0)) * vc - s) > " +
+            s"CAST(${z.toLong * z} AS decimal(38,0)) * " +
+            s"(CAST(n_prev AS decimal(38,0)) * s2 - CAST(s AS decimal(38,0)) * s)"),
+          expr("assert_true(false, 'rollingAnomaly: decimal overflow — " +
+            "value_cents magnitude beyond supported range') IS NOT NULL"))))
       .select(col(idCol), col(keyCol), col("us"), col("vc").as("value_cents"),
         col("n_prev"), col("anomaly"))
   }

@@ -188,7 +188,11 @@ object Relational {
     * and mirrored candidates drop at the prefix-collision join BEFORE
     * the expensive exact-intersect verification, and the df order uses
     * the doubled-but-order-identical union (doubling every gram's count
-    * preserves the (df, gram) prefix order exactly).
+    * preserves the (df, gram) prefix order exactly). `maxGramFreq` is
+    * interpreted as SINGLE-CORPUS document frequency (the doubled union
+    * count is compared against 2·maxGramFreq) — note `fuzzyJoin(df, df)`
+    * would instead cap the summed two-side df, i.e. behave as per-corpus
+    * maxGramFreq/2.
     */
   def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
       thresholdNum: Long, thresholdDen: Long,
@@ -259,9 +263,15 @@ object Relational {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def prefix(g: DataFrame, side: String) = {
       val withFreq = g.join(freq, Seq("g"))
+      // in self mode the freq table unions the stream with its own rename,
+      // so every gram's __df is exactly DOUBLE its single-corpus document
+      // frequency — the cap must scale by 2 to keep its documented
+      // "per-corpus df ≤ maxGramFreq" semantics (the __df ORDER inside
+      // each prefix is unaffected: doubling is monotone)
+      val capDf = if (rightOpt.isEmpty) 2L * maxGramFreq else maxGramFreq.toLong
       val capped =
         if (maxGramFreq <= 0) withFreq
-        else withFreq.filter(col("__df") <= maxGramFreq)
+        else withFreq.filter(col("__df") <= capDf)
       val byStr = Window.partitionBy(s"${side}_id").orderBy(col("__df"), col("g"))
       capped
         .withColumn(s"${side}_rk", row_number().over(byStr))
@@ -1187,7 +1197,14 @@ object Relational {
     require(n > 0, s"capPerKey: n must be > 0, got $n")
     graft.functions.GraftFunctions.ensure(df.sparkSession)
     val score = scoreCol match {
-      case Some(c) => lcol(c).cast("double")
+      // NULL scores rank LAST but still occupy under-quota slots (the
+      // row_number NULLS-LAST contract): TopKAgg.update skips null-score
+      // inputs entirely, so without the coalesce a NULL-score row would be
+      // dropped even when its group is under quota — diverging from the
+      // documented "keep at most n" semantics. -Infinity orders below every
+      // real score and ties break on id as everywhere else.
+      case Some(c) => coalesce(lcol(c).cast("double"),
+        lit(Double.NegativeInfinity))
       case None    => -lcol(idCol).cast("long").cast("double")
     }
     val keepers = df

@@ -211,6 +211,34 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     expected.foreach { case (eid, e) => assert(got(eid) === e, s"event $eid") }
   }
 
+  test("rollingAnomaly: $40M-scale values decide exactly (old long form overflowed)") {
+    // |vc| ≈ 4·10⁹ cents: vc² ≈ 1.6·10¹⁹ > 2⁶³ — the all-long decision
+    // overflowed silently here. The decimal(38,0) form must match a BigInt
+    // replay bit-for-bit: jittered stable history, then a 2× spike.
+    val base = 4.0e7 // dollars → 4e9 cents
+    val vals = Seq(base, base + 100, base - 100, base + 50, base - 50,
+      base, 2 * base, base)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }
+    val (window, minPrev, z) = (5, 3, 3)
+    val got = EventAnalytics.rollingAnomaly(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v",
+        window, minPrev, z)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    val chain = vals.map(v => BigInt(math.round(v * 100)))
+    val expected = chain.zipWithIndex.map { case (vc, i) =>
+      val prev = chain.slice(math.max(0, i - window), i)
+      val n = BigInt(prev.length)
+      val s = prev.sum; val s2 = prev.map(w => w * w).sum
+      val flag = prev.length >= minPrev &&
+        (n * vc - s) * (n * vc - s) > BigInt(z * z) * (n * s2 - s * s)
+      (i.toLong + 1) -> ((prev.length.toLong, flag))
+    }
+    expected.foreach { case (eid, e) => assert(got(eid) === e, s"event $eid") }
+    assert(got(7L)._2 === true, "the 2x spike must flag")
+    assert(got(6L)._2 === false, "jitter within 3 sigma must not flag")
+  }
+
   test("rollingAnomaly: same-timestamp events order deterministically by id") {
     val ev = Seq( // all at one ts — frame order must be eid order
       (1L, 1L, ts(0), 1.0), (2L, 1L, ts(0), 1.0), (3L, 1L, ts(0), 1.0),

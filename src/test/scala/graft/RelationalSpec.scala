@@ -456,6 +456,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(capped === 0L, "capped hot gram generates no candidates")
   }
 
+  test("fuzzySelfPairs: maxGramFreq cap counts single-corpus df (not the doubled union)") {
+    import spark.implicits._
+    // "aaa" appears in exactly 2 documents; every other gram is unique.
+    // The self-mode freq table unions the corpus with its own rename, so
+    // the raw __df is 4 — the cap must still behave as per-corpus df = 2.
+    val docs = Seq((1L, "aaa1xx"), (2L, "aaa2yy"), (3L, "bbbbbb"))
+      .toDF("id", "s")
+    def pairs(cap: Long) = Relational.fuzzySelfPairs(docs, "id", "s",
+        thresholdNum = 1, thresholdDen = 10, n = 3, maxGramFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // cap 2 ADMITS the df-2 gram: pair (1,2) found (shared 1/union 7 ≥ 1/10)
+    assert(pairs(2L) === Seq((1L, 2L)))
+    // cap 1 drops it: no candidates at all
+    assert(pairs(1L) === Seq.empty)
+  }
+
   test("checkConstraints: one report row per rule, exact violation counts") {
     import graft.operators.Relational.Constraint._
     val df = Seq[(Option[Long], Option[Double], Option[String])](
@@ -608,6 +624,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(3))).toSeq.sorted
     // wide columns survive intact; election: a → {3, 1}, b → {5}, null → {7, 8}
     assert(got === Seq((1L, "x1"), (3L, "x3"), (5L, "x5"), (7L, "x7"), (8L, "x8")))
+  }
+
+  test("capPerKey: NULL-score rows rank last but survive under-quota groups") {
+    import spark.implicits._
+    val df = Seq[(Long, String, Option[Double])](
+      // key a UNDER quota (2 rows, cap 3): the null-score row must survive
+      (1L, "a", Some(5.0)), (2L, "a", None),
+      // key b OVER quota: nulls rank below every real score and drop first;
+      // two nulls tie-break by smaller id for the last slot
+      (3L, "b", Some(1.0)), (4L, "b", None), (5L, "b", None),
+      (6L, "b", Some(2.0))
+    ).toDF("id", "k", "score")
+    val under = Relational.capPerKey(df.filter($"k" === "a"), "k", "id", 3,
+      Some("score")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(under === Seq(1L, 2L), "NULL score must not drop an under-quota row")
+    val over = Relational.capPerKey(df.filter($"k" === "b"), "k", "id", 3,
+      Some("score")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(over === Seq(3L, 4L, 6L), "nulls last, id-asc tie for the last slot")
   }
 
   test("capPerKey without a score keeps the n smallest ids per key") {

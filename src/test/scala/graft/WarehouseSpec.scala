@@ -460,4 +460,19 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       w.appendTable(Seq(("6", 60.0)).toDF("id", "v"), tmp, "t")
     }
   }
+
+  test("appendTable refuses a versioned table (base-path rows would be invisible)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_appver").toString
+    val w = Warehouse(spark, tmp)
+    w.saveTableVersioned(Seq((1L, 10.0)).toDF("id", "v"), tmp, "vt")
+    // appending to the BASE path of a versioned table would silently lose
+    // the rows (every read resolves to the latest version dir) — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      w.appendTable(Seq((2L, 20.0)).toDF("id", "v"), tmp, "vt")
+    }
+    assert(e.getMessage.contains("versioned"))
+    // the table still reads its committed version, untouched
+    assert(w.loadTable("vt").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
