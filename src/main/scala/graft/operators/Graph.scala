@@ -23,9 +23,11 @@ import org.apache.spark.storage.StorageLevel
   * distincted once, degree-joined once, and persisted pre-partitioned on
   * `src`; each iteration shuffles only the rank frame (O(nodes), narrow
   * (long, long) rows) to the edge partitioning, then one groupBy(dst)
-  * with map-side partial sums. Per-round localCheckpoint (or reliable
-  * checkpoints under `checkpointDir`) truncates the linearly-growing
-  * iterative lineage, the Dedup.connectedComponents pattern.
+  * with map-side partial sums. localCheckpoint (or reliable checkpoints
+  * under `checkpointDir`) every `checkpointInterval` rounds truncates
+  * the linearly-growing iterative lineage (the Dedup.connectedComponents
+  * pattern) — rounds between checkpoints chain into one job, removing
+  * the per-round job-scheduling floor without changing any value.
   */
 object Graph {
 
@@ -53,9 +55,10 @@ object Graph {
       iters: Int = 8, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000L,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 4): DataFrame =
     pageRankCore(edges, srcCol, dstCol, None, iters, dampNum, dampDen,
-      scale, persistLevel, checkpointDir)
+      scale, persistLevel, checkpointDir, checkpointInterval)
 
   /** PERSONALIZED PageRank: the teleport term lands only on `seeds`
     * (random surfer restarts at the seed set, not uniformly) — the
@@ -78,18 +81,23 @@ object Graph {
       iters: Int = 8, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000L,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      checkpointInterval: Int = 4): DataFrame =
     pageRankCore(edges, srcCol, dstCol,
       Some(seeds.select(col(seedCol).cast("long").as("node"))
         .where(col("node").isNotNull).distinct()),
-      iters, dampNum, dampDen, scale, persistLevel, checkpointDir)
+      iters, dampNum, dampDen, scale, persistLevel, checkpointDir,
+      checkpointInterval)
 
   private def pageRankCore(edges: DataFrame, srcCol: String, dstCol: String,
       seedsOpt: Option[DataFrame],
       iters: Int, dampNum: Long, dampDen: Long, scale: Long,
       persistLevel: StorageLevel,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String],
+      checkpointInterval: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1 (got $checkpointInterval)")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
     val spark = edges.sparkSession
@@ -167,18 +175,25 @@ object Graph {
             expr("rank_fp div outdeg").as("share"))
           .groupBy("node")
           .agg(sum(col("share")).as("s"))
-        val next = materialize(
-          nodes.join(contribs, Seq("node"), "left")
-            .select(col("node"),
-              (col("base") + expr(
-                s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
-                .as("rank_fp")))
-        // one cheap action per round: writes the checkpoint (reliable
-        // path) / stores the blocks (local path), then the superseded
-        // round's cache can go
-        next.count()
-        releaseCheckpointedCaches()
-        ranks = next
+        val plan = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (col("base") + expr(
+              s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
+              .as("rank_fp"))
+        // materialize every `checkpointInterval` rounds (and on the last):
+        // each round references the prior frame exactly ONCE, so the
+        // un-truncated lineage grows linearly, not exponentially —
+        // letting a few rounds chain into one job removes the per-round
+        // job-scheduling floor while the periodic checkpoint still bounds
+        // lineage depth for long runs. Results are bit-identical either
+        // way. The action writes the checkpoint (reliable path) / stores
+        // the blocks (local path), then superseded caches can go.
+        if (k == iters - 1 || (k + 1) % checkpointInterval == 0) {
+          val next = materialize(plan)
+          next.count()
+          releaseCheckpointedCaches()
+          ranks = next
+        } else ranks = plan
         k += 1
       }
       ranks
@@ -209,8 +224,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 4,
-      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointInterval: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1 (got $checkpointInterval)")
     def persistIf(df: DataFrame): DataFrame =
       if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
     val e = persistIf(edges
@@ -235,8 +253,12 @@ object Graph {
           .select(col("node"), (-col("__m.n")).as("__new"))
         val plan = nodes.join(votes, Seq("node"), "left")
           .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+        // periodic lineage truncation only (pageRankCore contract): each
+        // round references the prior labels once, so intermediate rounds
+        // chain into one job with linear plan growth; bit-identical.
         val next =
-          if (persistLevel == StorageLevel.NONE) plan
+          if (persistLevel == StorageLevel.NONE ||
+              !(k == iters - 1 || (k + 1) % checkpointInterval == 0)) plan
           else {
             val c = plan.localCheckpoint(eager = false, storageLevel = persistLevel)
             c.count()
@@ -419,8 +441,11 @@ object Graph {
       weightCol: String, iters: Int = 8,
       dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000L,
-      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      checkpointInterval: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1 (got $checkpointInterval)")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
     def persistIf(df: DataFrame): DataFrame =
@@ -449,12 +474,17 @@ object Graph {
           .as("share"))
         .groupBy("node")
         .agg(sum(col("share")).as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val plan = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("base") + expr(
             s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
             .as("rank_fp"))
-        .localCheckpoint(true)
+      // periodic truncation (pageRankCore contract) — rounds chain with
+      // linear plan growth between checkpoints; bit-identical results
+      ranks =
+        if (k == iters - 1 || (k + 1) % checkpointInterval == 0)
+          plan.localCheckpoint(true)
+        else plan
       k += 1
     }
     if (persistLevel != StorageLevel.NONE) { edgeW.unpersist(); nodes.unpersist() }
