@@ -3136,6 +3136,18 @@ object SparkEntry {
         window = 20, minPrev = 8, z = 3)
       .orderBy("event_id")
 
+  /** Hourly resample with gap fill (SURVEY row 50g): events rolled up to
+    * per-user 1-hour buckets over their own 30-day span — event count,
+    * cents sum, and the last value carried forward across empty buckets;
+    * the oracle rebuilds the grid with generate_series and an
+    * IGNORE NULLS window ([[operators.EventAnalytics.resample]]).
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.resample(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        bucketSeconds = 3600)
+      .orderBy("user_id", "bucket")
+
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
     * values, two unique keys (one deliberately failing) and a row-count
@@ -3288,6 +3300,25 @@ object SparkEntry {
     operators.Graph.hits(tradeGraphEdges(s, dir, symmetric = false),
         "src", "dst", iters = 8)
       .orderBy("node")
+
+  /** Multi-source shortest paths (SURVEY row 61h): Bellman-Ford over the
+    * SYMMETRIZED weighted trade graph — weight = lineitem count per
+    * (customer, supplier) pair — from the nation-1 customer seed set,
+    * horizon 6 edges; the oracle unrolls all 6 relaxation rounds
+    * ([[operators.Graph.shortestPaths]]).
+    */
+  private def qShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = wh(s, dir).loadTable("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val we = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val sym = we.union(we.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = wh(s, dir).loadTable("customer")
+      .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+    operators.Graph.shortestPaths(sym, "src", "dst", seeds, "c_custkey",
+      Some("w"), maxIters = 6).orderBy("node")
+  }
 
   /** Personalized PageRank (SURVEY row 61c): teleport restricted to the
     * nation-1 customers — suppliers serving that nation rank above
@@ -3635,7 +3666,9 @@ object SparkEntry {
     "q_kcore" -> (qKCore _),
     "q_hits" -> (qHits _),
     "q_pagerank_weighted" -> (qPagerankWeighted _),
-    "q_quantile_filter" -> (qQuantileFilter _)
+    "q_quantile_filter" -> (qQuantileFilter _),
+    "q_shortest_paths" -> (qShortestPaths _),
+    "q_resample" -> (qResample _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5706,6 +5739,38 @@ object SparkEntry {
         |FROM sel ORDER BY l_id, r_id""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
     "q_hits" -> hitsOracleSql,
+    "q_shortest_paths" -> shortestPathsOracleSql,
+    "q_resample" ->
+      """WITH base AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS vc,
+        |  epoch_us(ts) // 3600000000 AS bucket
+        | FROM events),
+        |agg AS (
+        | SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vc) AS BIGINT) AS sum_cents
+        | FROM base GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT user_id, bucket, vc,
+        |  row_number() OVER (PARTITION BY user_id, bucket
+        |                     ORDER BY us DESC, event_id DESC) AS rk
+        | FROM base),
+        |lastv AS (SELECT user_id, bucket, vc AS lv FROM ranked WHERE rk = 1),
+        |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |         FROM base GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |         FROM span)
+        |SELECT g.user_id, g.bucket,
+        | coalesce(a.n_events, 0) AS n_events,
+        | coalesce(a.sum_cents, 0) AS sum_cents,
+        | last_value(l.lv IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+        | a.n_events IS NULL AS is_gap
+        |FROM grid g
+        |LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
+        |LEFT JOIN lastv l ON l.user_id = g.user_id AND l.bucket = g.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
     "q_pagerank_weighted" -> pagerankWeightedOracleSql,
     "q_pagerank_personalized" -> ppagerankOracleSql,
     "q_char_entropy" -> charEntropyOracleSql,
@@ -6199,6 +6264,38 @@ object SparkEntry {
         |LEFT JOIN h8 ON h8.node = n.node
         |ORDER BY n.node""".stripMargin
     head + rounds + tail
+  }
+
+  /** DuckDB replay of [[operators.Graph.shortestPaths]] on the weighted
+    * symmetric trade graph: the 6 Bellman-Ford relaxation rounds
+    * unrolled as CTEs — per round, MIN over (previous dist ∪ in-edge
+    * source dist + w) per node — bigint throughout, so every distance
+    * matches bit-for-bit (the fixed-horizon contract makes the round
+    * count part of the semantics).
+    */
+  private val shortestPathsOracleSql: String = {
+    val iters = 6
+    val rounds = (1 to iters).map { k =>
+      val prev = s"d${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         | SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.dist + e.w AS dist
+         |  FROM em e JOIN $prev p ON p.node = e.src) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS (
+       | SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+       |        CAST(count(*) AS BIGINT) AS w
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       | GROUP BY 1, 2),
+       |es AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |em AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM es GROUP BY 1, 2),
+       |d0 AS (SELECT DISTINCT c_custkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM customer WHERE c_nationkey = 1),
+       |$rounds
+       |SELECT node, dist FROM d$iters ORDER BY node""".stripMargin
   }
 
   /** The per-shard recursive next-fit fold shared by the three packing

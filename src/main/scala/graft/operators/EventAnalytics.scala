@@ -278,4 +278,61 @@ object EventAnalytics {
       .select(col(idCol), col(keyCol), col("us"), col("vc").as("value_cents"),
         col("n_prev"), col("anomaly"))
   }
+
+  /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
+    * fixed-width time buckets and MATERIALIZE the empty buckets — the
+    * regularization step before any dashboard, forecast, or
+    * join-on-time-grid consumer (irregular event times → a dense,
+    * uniform series). Per (key, bucket): event count, sum of values (in
+    * cents), and the LAST event's value carried forward across gaps
+    * (LOCF — the gauge semantics: a sensor that reported 7 still reads
+    * 7 until it reports again). Counts and sums in gap buckets are 0,
+    * never carried.
+    *
+    * Determinism: "last" is the event with the max (ts, id) pair — a
+    * TOTAL order under same-timestamp events (the rollingAnomaly
+    * convention); values in integer cents; the bucket index is
+    * `epoch_us div (bucketSeconds·10⁶)` so any engine computes the same
+    * grid. The grid spans each key's OWN [min, max] bucket (no global
+    * alignment — keys appear only where they have history, and the
+    * first bucket always has an event, so the carried value is never
+    * NULL).
+    *
+    * Scale shape: ONE (key, bucket) aggregation with map-side partial
+    * combine; the grid is a per-key `sequence` explode bounded by
+    * span/bucketSeconds rows per key; the LOCF is a bounded-state
+    * window per key ordered by bucket. State is O(keys), rows
+    * O(Σ spans) — choose bucketSeconds so a key's span stays in the
+    * millions, the same sizing judgment as any resample.
+    *
+    * Returns (key, bucket, n_events, sum_cents, value_cents, is_gap).
+    */
+  def resample(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1 (got $bucketSeconds)")
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("vc", expr(s"CAST(round(`$valueCol` * 100) AS bigint)"))
+      .withColumn("bucket", expr(s"us div $usPerBucket"))
+    val agg = base
+      .groupBy(col(keyCol).as("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"),
+        max(struct(col("us"), col(idCol).cast("long").as("id"), col("vc")))
+          .as("__last"))
+      .select(col("key"), col("bucket"), col("n_events"), col("sum_cents"),
+        col("__last").getField("vc").as("__lastv"))
+    val grid = agg.groupBy("key")
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col("key"),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    grid.join(agg, Seq("key", "bucket"), "left")
+      .select(col("key").as(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"),
+        last(col("__lastv"), ignoreNulls = true)
+          .over(Window.partitionBy(col("key")).orderBy(col("bucket")))
+          .as("value_cents"),
+        col("n_events").isNull.as("is_gap"))
+  }
 }

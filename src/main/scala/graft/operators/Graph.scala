@@ -516,6 +516,100 @@ object Graph {
     * max-degree · scale · scale < 2^63 is avoided entirely — the
     * normalization multiply runs in decimal(38,0).
     */
+  /** MULTI-SOURCE SHORTEST PATHS (Bellman-Ford relaxation): the exact
+    * distance from the NEAREST source to every reachable node over
+    * DIRECTED edges with non-negative integer weights — "how far is
+    * every account from a known-bad seed", k-hop reachability (unit
+    * weights), nearest-facility assignment. The contract is
+    * FIXED-HORIZON: the result is the exact shortest distance among
+    * paths of at most `maxIters` EDGES — deterministic, and any engine
+    * replays it by unrolling the relaxation rounds (the pageRank
+    * convention). When the graph's shortest-path tree is shallower than
+    * the horizon the loop EXITS EARLY on the first no-improvement round
+    * and the result is plain shortest distance.
+    *
+    * Integer semantics:
+    *  - weight = `weightCol` cast to long; NEGATIVE weights are refused
+    *    loudly (one aggregate over the persisted edge list — Bellman-
+    *    Ford under negative cycles has no shortest paths); parallel
+    *    (src, dst) edges collapse to their MIN weight; no weightCol
+    *    means unit weights, i.e. dist = hop count.
+    *  - dist_0(s) = 0 for every distinct source id (a source absent
+    *    from the edge list still scores 0 — the pure-seed PPR
+    *    convention); unreachable nodes are ABSENT from the output.
+    *  - dist_{k+1}(v) = min(dist_k(v), min_{u→v}(dist_k(u) + w(u,v))).
+    *
+    * Scale shape (the connectedComponents pattern): the edge list is
+    * min-collapsed and persisted pre-partitioned on src ONCE; each
+    * round joins only the FRONTIER — nodes whose distance improved last
+    * round — against the edges (delta relaxation is exactly equivalent
+    * to full relaxation round-for-round: an unchanged node's
+    * contribution was already applied when it last changed, and
+    * distances only decrease). Past the wavefront, rounds touch the
+    * fringe, not the graph. Per-round localCheckpoint is REQUIRED here
+    * (unlike pageRank's interval): dist and frontier both read each
+    * round's frame, so untruncated lineage doubles per round; the same
+    * action counts the frontier for the early exit. Overflow bound:
+    * maxIters · max(w) < 2^63.
+    *
+    * Returns `(node, dist)`.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String,
+      weightCol: Option[String] = None, maxIters: Int = 20,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1 (got $maxIters)")
+    require(persistLevel != StorageLevel.NONE || maxIters <= 15,
+      s"persistLevel=NONE disables lineage truncation; maxIters must be <= 15 (got $maxIters)")
+    def persistIf(df: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = persistIf(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .repartition(col("src")))
+    val minW = e.agg(min(col("w"))).collect()(0)
+    if (!minW.isNullAt(0))
+      require(minW.getLong(0) >= 0L,
+        s"shortestPaths: negative edge weight ${minW.getLong(0)} refused")
+    def materialize(plan: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) plan
+      else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var k = 0
+    var done = false
+    try {
+      while (k < maxIters && !done) {
+        val relaxed = e
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+          .groupBy("node").agg(min(col("nd")).as("nd"))
+        val next = materialize(
+          dist.join(relaxed, Seq("node"), "full_outer")
+            .select(col("node"),
+              least(col("dist"), col("nd")).as("dist"),
+              (col("dist").isNull ||
+                (col("nd").isNotNull && col("nd") < col("dist")))
+                .as("__changed")))
+        val changed = next.filter(col("__changed")).count() // materializes
+        dist = next.drop("__changed")
+        frontier = next.filter(col("__changed")).drop("__changed")
+        done = changed == 0
+        k += 1
+      }
+      dist
+    } finally {
+      if (persistLevel != StorageLevel.NONE) e.unpersist()
+    }
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 8, scale: Long = 1000000L,
       persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
@@ -530,12 +624,19 @@ object Graph {
     val nodes = persistIf(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
-    def normalized(raw: DataFrame): DataFrame =
+    // The RAW phase sums (the expensive edge join + groupBy) materialize
+    // eagerly ONCE per phase; the sup-norm rescale stays a LAZY plan over
+    // the checkpointed sums — it references them twice (broadcast max +
+    // join), which is free against a materialized RDD, where the old
+    // normalize-then-checkpoint shape recomputed the whole edge join for
+    // the broadcast max job (2× the phase cost, measured).
+    def normalized(rawPlan: DataFrame): DataFrame = {
+      val raw = rawPlan.localCheckpoint(true)
       raw.crossJoin(broadcast(raw.agg(max(col("s")).as("__m"))))
         .select(col("node"), expr(
           s"CAST((CAST(s AS decimal(38,0)) * $scale) div __m AS long)").as("v"))
-        .localCheckpoint(true)
-    var h = nodes.select(col("node"), lit(scale).as("v")).localCheckpoint(true)
+    }
+    var h = nodes.select(col("node"), lit(scale).as("v"))
     var a: DataFrame = null
     var i = 0
     while (i < iters) {

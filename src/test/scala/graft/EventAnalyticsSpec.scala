@@ -239,6 +239,31 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(6L)._2 === false, "jitter within 3 sigma must not flag")
   }
 
+  test("resample: bucket rollup, LOCF across gaps, zeroed counts, per-key grid") {
+    // bucket = 60s. user 1: events in buckets 0, 0, 3 (gap at 1-2);
+    // user 2: single bucket (no grid beyond it). ts() steps minutes, so
+    // minute i lands in bucket (1700000000000/60000 + i) — compare
+    // bucket DELTAS per key, which is what the grid materializes.
+    val ev = Seq(
+      (1L, 1L, ts(0), 1.25), (2L, 1L, ts(0), 2.00), // same bucket, last = eid 2
+      (3L, 1L, ts(3), 7.00),
+      (4L, 2L, ts(10), 5.50))
+    val got = EventAnalytics.resample(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v",
+        bucketSeconds = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val b0 = 1700000000000L / 60000L
+    // user 1 grid: 4 buckets (0..3); gaps at +1,+2 carry eid 2's 200 cents
+    assert(got((1L, b0)) === ((2L, 325L, 200L, false)))
+    assert(got((1L, b0 + 1)) === ((0L, 0L, 200L, true)))
+    assert(got((1L, b0 + 2)) === ((0L, 0L, 200L, true)))
+    assert(got((1L, b0 + 3)) === ((1L, 700L, 700L, false)))
+    // user 2: one bucket, no grid expansion
+    assert(got((2L, b0 + 10)) === ((1L, 550L, 550L, false)))
+    assert(got.size === 5)
+  }
+
   test("rollingAnomaly: same-timestamp events order deterministically by id") {
     val ev = Seq( // all at one ts — frame order must be eid order
       (1L, 1L, ts(0), 1.0), (2L, 1L, ts(0), 1.0), (3L, 1L, ts(0), 1.0),

@@ -339,4 +339,45 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val expect = adj.view.mapValues(_.size.toLong).toMap
     assert(got === expect, s"diff: ${(got.toSet diff expect.toSet)} / ${(expect.toSet diff got.toSet)}")
   }
+
+  test("shortestPaths: weighted relaxation beats the direct edge; sources score 0") {
+    import spark.implicits._
+    // 1→2(5), 2→3(1), 1→3(10), 3→4(0), 1→4(100), 5→1(2); parallel 1→2(7)
+    // collapses to min 5. Sources {1, 7}: 7 is NOT in the graph (pure
+    // seed, dist 0); 5 only has an OUT-edge toward the sources → absent.
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 0L),
+      (1L, 4L, 100L), (5L, 1L, 2L), (1L, 2L, 7L)).toDF("src", "dst", "w")
+    val src = Seq(1L, 7L).toDF("s")
+    val got = Graph.shortestPaths(e, "src", "dst", src, "s", Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 6L, 7L -> 0L))
+  }
+
+  test("shortestPaths: fixed horizon bounds path length; unit weights = hops") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 0L),
+      (1L, 4L, 100L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("s")
+    def dists(iters: Int) =
+      Graph.shortestPaths(e, "src", "dst", src, "s", Some("w"), maxIters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // horizon 1: only direct edges relax
+    assert(dists(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 100L))
+    // horizon 2: 1→2→3 = 6 and 1→3→4 = 10 admitted; 1→2→3→4 not yet
+    assert(dists(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 10L))
+    // horizon 3 = converged
+    assert(dists(3) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 6L))
+    // unit weights: dist = hop count (3 and 4 both have direct edges)
+    val hops = Graph.shortestPaths(e, "src", "dst", src, "s", None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("shortestPaths refuses negative weights") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, -3L)).toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      Graph.shortestPaths(e, "src", "dst", Seq(1L).toDF("s"), "s", Some("w"))
+    }
+  }
 }
