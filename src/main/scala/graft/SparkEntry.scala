@@ -3148,6 +3148,29 @@ object SparkEntry {
         bucketSeconds = 3600)
       .orderBy("user_id", "bucket")
 
+  /** Distributed BPE tokenizer training (SURVEY row 47b-d): 16 merges
+    * learned over the documents corpus with the engine-exact pair-count
+    * + greedy-merge contract; the oracle unrolls all 16 rounds as CTEs
+    * and replays every chosen pair AND its count
+    * ([[operators.Bpe.trainDistributed]]).
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    operators.Bpe.trainDistributed(
+        wh(s, dir).loadTable("documents"), "text", numMerges = 16)
+      .orderBy("merge_rank")
+
+  /** Signed random projection 64→16 dims (SURVEY row 43g): the
+    * md5-seeded ±1 matrix folded over fixed-point embeddings in one
+    * codegen pass; the oracle rebuilds the matrix from the same seed
+    * and replays all 8,000 projections bit-exactly
+    * ([[operators.Similarity.randomProject]]).
+    */
+  private def qRandomProject(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.randomProject(
+        wh(s, dir).loadTable("embeddings"), "vec_id", "embedding",
+        k = 16, seed = 7L)
+      .orderBy("vec_id", "dim")
+
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
     * values, two unique keys (one deliberately failing) and a row-count
@@ -3668,7 +3691,9 @@ object SparkEntry {
     "q_pagerank_weighted" -> (qPagerankWeighted _),
     "q_quantile_filter" -> (qQuantileFilter _),
     "q_shortest_paths" -> (qShortestPaths _),
-    "q_resample" -> (qResample _)
+    "q_resample" -> (qResample _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_random_project" -> (qRandomProject _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5740,6 +5765,21 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_shortest_paths" -> shortestPathsOracleSql,
+    "q_bpe_train" -> bpeTrainOracleSql,
+    "q_random_project" ->
+      """WITH sgn AS (
+        | SELECT i, j,
+        |  CASE WHEN CAST(('0x'||substr(md5('rp:7:'||i||':'||j),1,15)) AS BIGINT) % 2 = 0
+        |       THEN 1 ELSE -1 END AS s
+        | FROM generate_series(0, 63) g1(i), generate_series(0, 15) g2(j)),
+        |v AS (
+        | SELECT vec_id, i - 1 AS i,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vc
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i))
+        |SELECT v.vec_id, CAST(sgn.j AS BIGINT) AS dim,
+        |       CAST(SUM(v.vc * sgn.s) AS BIGINT) AS proj
+        |FROM v JOIN sgn ON sgn.i = v.i
+        |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
     "q_resample" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -6296,6 +6336,47 @@ object SparkEntry {
        |       FROM customer WHERE c_nationkey = 1),
        |$rounds
        |SELECT node, dist FROM d$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Bpe.trainDistributed]]: all 16 merge
+    * rounds unrolled as CTEs — per round, pair counts over every word's
+    * adjacent symbols (lateral generate_series walk), argmax with the
+    * (count DESC, left, right) tie-break, then the greedy left-to-right
+    * merge as a `list_reduce` string fold (the accumulator's last token
+    * is `regexp_extract(acc, '([^ ]*)$')` in both engines). Chosen
+    * pairs AND counts match bit-for-bit.
+    */
+  private val bpeTrainOracleSql: String = {
+    val iters = 16
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT string_split(w, ' ') AS s, f FROM w$p) t,
+         |       unnest(generate_series(1, len(s) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(t.w, ' '), (acc, x) -> CASE
+         |    WHEN regexp_extract(acc, '([^ ]*)$$') = b.l AND x = b.r
+         |    THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '([^ ]*)$$'))) ||
+         |      b.l || b.r
+         |    ELSE acc || ' ' || x END) AS w, t.f
+         |  FROM w$p t CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to iters).map { k =>
+      s"SELECT $k AS merge_rank, l AS lsym, r AS rsym, c AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH
+       |w0 AS MATERIALIZED (
+       | SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS w,
+       |        CAST(count(*) AS BIGINT) AS f
+       | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |       FROM documents)
+       | GROUP BY 1),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lsym, rsym, pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
   /** The per-shard recursive next-fit fold shared by the three packing

@@ -30,6 +30,111 @@ object Bpe {
     trainOnTexts(texts.toSeq, numMerges)
   }
 
+  /** DISTRIBUTED BPE training with an engine-exact contract — the corpus
+    * never collects to the driver, so this is the form that trains a
+    * tokenizer over 100 TB where [[train]]'s collect-a-sample recipe
+    * caps at the sample. Semantics (all replayable by any engine, which
+    * is what makes the merge table oracle-checkable):
+    *
+    *  - words = `regexp_extract_all(lower(text), '[a-z0-9]+')`,
+    *    frequency-weighted; initial symbols are single characters.
+    *  - per round: count ALL adjacent symbol pairs (overlaps included —
+    *    the Sennrich zip(word, word[1:]) statistic) weighted by word
+    *    frequency; merge the most frequent pair, ties to the
+    *    lexicographically smallest (left, right).
+    *  - merge application is the greedy LEFT-TO-RIGHT single pass: a
+    *    token formed by this round's merge never immediately re-merges
+    *    with the next symbol ('a a a' under (a,a) → 'aa a').
+    *
+    * Plan shape: the word table is ONE distinct-word aggregation of the
+    * corpus (vocabulary-sized from then on — at web scale still millions
+    * of rows, far under the corpus); each round is one map-side-partial
+    * pair count + a 1-row argmax collect (the merge decision is the
+    * model, like the classifier's weights), and the merge itself is a
+    * lazy codegen `aggregate` fold over each word's symbols. Lineage is
+    * truncated every 4 rounds (the pageRank materialization contract).
+    *
+    * Returns the merge table `(merge_rank, lsym, rsym, pair_count)` —
+    * feed it to [[modelFromMerges]] for distributed application via the
+    * [[graft.functions.Kernels.bpeTokenCount]] codegen kernel.
+    */
+  def trainDistributed(docs: DataFrame, textCol: String,
+      numMerges: Int = 16): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 256,
+      s"numMerges must be in [1, 256] (got $numMerges) — the merge loop " +
+        "collects one row per round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // last token of the accumulator string (leftmost-first regex finds
+    // the trailing run of non-spaces in both Spark and DuckDB)
+    val lastTok = "regexp_extract(acc, '([^ ]*)$', 1)"
+    def mergeExpr(l: String, r: String): String =
+      s"""aggregate(slice(__s, 2, greatest(size(__s) - 1, 0)),
+         |  element_at(__s, 1),
+         |  (acc, x) -> IF($lastTok = '$l' AND x = '$r',
+         |    concat(substr(acc, 1, length(acc) - length($lastTok)), '$l$r'),
+         |    concat(acc, ' ', x)))""".stripMargin
+    var words = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("f"))
+      .select(expr("array_join(regexp_extract_all(__w, '.', 0), ' ')").as("w"),
+        col("f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    while (k <= numMerges) {
+      val best = words
+        .withColumn("__s", split(col("w"), " "))
+        .select(explode(expr(
+          """zip_with(slice(__s, 1, greatest(size(__s) - 1, 0)),
+            |         slice(__s, 2, greatest(size(__s) - 1, 0)),
+            |         (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"),
+          col("f"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"trainDistributed: corpus exhausted after ${k - 1} merges — " +
+          s"every word is a single symbol; ask for fewer than $numMerges")
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((k.toLong, l, r, c))
+      val merged = words
+        .withColumn("__s", split(col("w"), " "))
+        .select(expr(mergeExpr(l, r)).as("w"), col("f"))
+      words =
+        if (k % 4 == 0 || k == numMerges) merged.localCheckpoint(true) else merged
+      k += 1
+    }
+    merges.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")
+  }
+
+  /** Rebuild a [[BpeModel]] (int-symbol pair→rank table for the codegen
+    * apply kernel) from a [[trainDistributed]] merge table: initial
+    * symbols are UTF-16 code units, merge r's output symbol is
+    * 0x110000 + (r-1) — the same id scheme [[trainOnTexts]] emits, so
+    * the one [[graft.functions.Kernels.bpeTokenCount]] kernel applies
+    * either model. Symbols seen in `lsym`/`rsym` must be reachable
+    * (single chars or earlier merges) — malformed tables are refused.
+    */
+  def modelFromMerges(merges: Seq[(Long, String, String)]): BpeModel = {
+    val symId = mutable.HashMap.empty[String, Int]
+    val keys = new Array[Long](merges.size)
+    merges.sortBy(_._1).zipWithIndex.foreach { case ((rank, l, r), idx) =>
+      require(rank == idx + 1, s"merge ranks must be 1..n (saw $rank at ${idx + 1})")
+      def id(s: String): Int =
+        if (s.length == 1) s.charAt(0).toInt
+        else symId.getOrElse(s,
+          throw new IllegalArgumentException(
+            s"merge $rank references unknown symbol '$s'"))
+      keys(idx) = (id(l).toLong << 32) | (id(r) & 0xffffffffL)
+      symId(l + r) = 0x110000 + idx
+    }
+    val order = keys.indices.sortBy(keys(_))
+    new BpeModel(order.map(keys(_)).toArray, order.toArray)
+  }
+
   /** Train on literal texts (exposed for specs and local tooling). */
   def trainOnTexts(texts: Seq[String], numMerges: Int): BpeModel = {
     // word frequencies — BPE statistics are over distinct words weighted

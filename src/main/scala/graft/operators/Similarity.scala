@@ -590,4 +590,55 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         col("entry.id").as("neighbor_id"),
         col("entry.score").as("score"))
+
+  /** SIGNED RANDOM PROJECTION dimensionality reduction (Achlioptas 2003
+    * / the Johnson–Lindenstrauss ±1 form): map each d-dim embedding to
+    * k integer coordinates `proj_j = Σ_i sign(i,j) · round(v_i · 10⁶)`,
+    * where `sign(i,j) = +1` iff the first 15 hex digits of
+    * `md5("rp:<seed>:<i>:<j>")` are even — a matrix any engine rebuilds
+    * from the seed, no stored model. The standard shrink step before
+    * ANN indexing or pairwise-similarity passes when d is large (JL:
+    * inner products are preserved within ε at k = O(log n / ε²));
+    * float inputs are exact in the fixed-point form (24-bit float
+    * mantissa × 10⁶ < 2⁵³), so projections replay bit-identically.
+    *
+    * Plan shape: the sign matrix is d·k literals embedded in ONE
+    * codegen projection pass — no shuffle, no join; the output explodes
+    * to (id, dim, proj) rows only because downstream consumers (and the
+    * oracle compare) want them narrow. At 100 TB this is a map-only
+    * scan: corpus in, k integers per row out.
+    */
+  def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, seed: Long = 7L): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256] (got $k)")
+    val dims = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(dims.nonEmpty, "randomProject: empty corpus")
+    val d = dims(0).getInt(0)
+    require(d >= 1, s"randomProject: empty embedding column $vecCol")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"rp:$seed:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    // one literal ±1 array per output dim, folded over the fixed-point
+    // vector with a codegen `aggregate` — the multiply-add stays inside
+    // whole-stage codegen, d·k longs per row
+    val projCols = (0 until k).map { j =>
+      val signs = (0 until d).map(i => sign(i, j)).mkString("array(", "L, ", "L)")
+      expr(
+        s"""aggregate(zip_with(__vc, $signs, (v, s) -> v * s),
+           |  CAST(0 AS bigint), (acc, x) -> acc + x)""".stripMargin).as(s"__p$j")
+    }
+    corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .select(col(idCol).cast("long").as("vec_id"),
+        expr(s"transform(`$vecCol`, v -> CAST(round(CAST(v AS double) * 1000000) AS bigint))")
+          .as("__vc"))
+      .select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until k).map(j => col(s"__p$j")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("proj"))
+  }
 }

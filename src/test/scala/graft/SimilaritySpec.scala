@@ -329,4 +329,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(scores === scores.sorted.reverse)
     }
   }
+
+  test("randomProject matches a local md5-sign replay; filters bad rows") {
+    import spark.implicits._
+    val vecs = Seq(
+      (10L, Array(0.5f, -1.25f, 2.0f, 0.125f)),
+      (11L, Array(1.0f, 1.0f, -3.5f, 0.0f)),
+      (12L, null.asInstanceOf[Array[Float]]), // dropped
+      (13L, Array(1.0f, 2.0f))) // dim mismatch vs first row — dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(vecs, "vec_id", "embedding",
+        k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def sign(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:7:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val expect = (for {
+      (id, v) <- Seq(10L -> Array(0.5f, -1.25f, 2.0f, 0.125f),
+        11L -> Array(1.0f, 1.0f, -3.5f, 0.0f))
+      j <- 0 until 3
+    } yield (id, j.toLong) ->
+      v.zipWithIndex.map { case (x, i) =>
+        math.round(x.toDouble * 1000000) * sign(i, j) }.sum).toMap
+    assert(got === expect)
+  }
+
+  test("randomProject preserves planted near-duplicates (JL sanity)") {
+    // the corpus is near-orthogonal by construction, so unplanted top-1s
+    // are noise no 16-dim sketch could preserve; plant a clone per query
+    // (one element zeroed — cosine ≈ 0.98 vs ≈ 0 elsewhere, the recall
+    // contracts' construction) and require the clone to be the projected
+    // space's exact top-1
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (v, i) -> IF(i = CAST(vec_id - 1000000 AS int), " +
+          "CAST(0 AS float), v))").as("embedding"))
+    val proj = Similarity.randomProject(
+        emb.select("vec_id", "embedding").unionByName(clones),
+        "vec_id", "embedding", k = 16)
+      .groupBy("vec_id").agg(collect_list(struct(col("dim"), col("proj"))).as("pv"))
+      .select(col("vec_id"),
+        expr("transform(array_sort(pv, (a, b) -> CASE WHEN a.dim < b.dim THEN -1 " +
+          "WHEN a.dim > b.dim THEN 1 ELSE 0 END), p -> CAST(p.proj AS double))").as("v"))
+    val hits = Similarity.bruteForceTopK(proj, "vec_id", "v",
+        proj.filter(col("vec_id") < 5), "vec_id", "v", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { q =>
+      assert(hits(q) === q + 1000000L,
+        s"query $q: projected top-1 should be its planted clone")
+    }
+  }
 }

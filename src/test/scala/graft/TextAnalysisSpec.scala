@@ -96,6 +96,50 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getInt(1) === 4)
   }
 
+  test("distributed BPE training: hand-computed merges, greedy overlap, ties") {
+    import graft.operators.Bpe
+    // corpus words: aaa (f2), b (f1). Round 1: pair (a,a) counted at BOTH
+    // positions of 'a a a' per occurrence → count 4; greedy merge gives
+    // 'aa a' (the new token never re-merges within the round). Round 2:
+    // (aa, a) count 2.
+    val docs = Seq((1L, "Aaa aaa b")).toDF("doc_id", "text")
+    val got = Bpe.trainDistributed(docs, "text", numMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+    // tie-break: (a,b) and (c,d) both count 2 → lexicographically
+    // smaller (a,b) wins round 1
+    val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val first = Bpe.trainDistributed(tie, "text", numMerges = 1).collect()(0)
+    assert((first.getString(1), first.getString(2), first.getLong(3)) === (("a", "b", 2L)))
+    // exhausted corpus (every word one symbol) is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Bpe.trainDistributed(Seq((1L, "ab")).toDF("doc_id", "text"), "text",
+        numMerges = 3).collect()
+    }
+  }
+
+  test("distributed BPE merges feed the codegen apply kernel via modelFromMerges") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "hash hash hash join join scan")).toDF("doc_id", "text")
+    val merges = Bpe.trainDistributed(docs, "text", numMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val model = Bpe.modelFromMerges(merges)
+    assert(model.numMerges === 6)
+    val counts = TextAnalysis.tokenCountBpe(
+        Seq((1L, "hash"), (2L, "zq")).toDF("id", "text"), "text", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // 'hash' dominates the corpus: 3 of the 6 merges collapse it fully
+    assert(counts(1L) === 1, "most frequent word should collapse to one token")
+    assert(counts(2L) === 2, "untrained chars stay single symbols")
+    // malformed tables are refused: rank gap and unknown symbol
+    assertThrows[IllegalArgumentException] {
+      Bpe.modelFromMerges(Seq((2L, "a", "b")))
+    }
+    assertThrows[IllegalArgumentException] {
+      Bpe.modelFromMerges(Seq((1L, "xy", "z")))
+    }
+  }
+
   test("BPE training merges frequent pairs and counting follows the model") {
     import graft.operators.{Bpe, TextAnalysis}
     // "the" dominates → its pairs merge first; the trained model should
