@@ -3159,6 +3159,20 @@ object SparkEntry {
         wh(s, dir).loadTable("documents"), "text", numMerges = 16)
       .orderBy("merge_rank")
 
+  /** Corpus-wide encoding under the distributed-trained tokenizer
+    * (SURVEY row 47b-e): train 16 merges, then count per-document
+    * words and BPE tokens via the broadcast segmented vocabulary; the
+    * oracle replays training AND encoding in one statement
+    * ([[operators.Bpe.encodeCorpus]]).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val merges = operators.Bpe.trainDistributed(docs, "text", numMerges = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    operators.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Signed random projection 64→16 dims (SURVEY row 43g): the
     * md5-seeded ±1 matrix folded over fixed-point embeddings in one
     * codegen pass; the oracle rebuilds the matrix from the same seed
@@ -3170,6 +3184,19 @@ object SparkEntry {
         wh(s, dir).loadTable("embeddings"), "vec_id", "embedding",
         k = 16, seed = 7L)
       .orderBy("vec_id", "dim")
+
+  /** Multi-touch attribution (SURVEY row 50h): purchases credited to the
+    * view/click touches in the preceding 24 h — linear ppm credit plus
+    * first/last-touch flags, direct conversions riding along; the
+    * oracle replays the pairing, election, and floor-division credit
+    * ([[operators.EventAnalytics.attribution]]).
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.attribution(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("view", "click"), windowSeconds = 86400)
+      .orderBy(col("conv_id"), col("touch_id").asc_nulls_first)
 
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
@@ -3693,7 +3720,9 @@ object SparkEntry {
     "q_shortest_paths" -> (qShortestPaths _),
     "q_resample" -> (qResample _),
     "q_bpe_train" -> (qBpeTrain _),
-    "q_random_project" -> (qRandomProject _)
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_random_project" -> (qRandomProject _),
+    "q_attribution" -> (qAttribution _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5766,6 +5795,38 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql,
     "q_shortest_paths" -> shortestPathsOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_attribution" ->
+      """WITH conv AS (
+        | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us
+        | FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        | SELECT user_id AS k, event_id AS touch_id, event_type AS touch_type,
+        |        epoch_us(ts) AS touch_us
+        | FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        | SELECT c.k, c.conv_id, c.conv_us, t.touch_id, t.touch_type, t.touch_us
+        | FROM conv c JOIN touch t ON t.k = c.k
+        |  AND t.touch_us < c.conv_us
+        |  AND t.touch_us >= c.conv_us - 86400000000),
+        |stats AS (
+        | SELECT conv_id, CAST(count(*) AS BIGINT) AS n_touches,
+        |        min(ROW(touch_us, touch_id)) AS fst,
+        |        max(ROW(touch_us, touch_id)) AS lst
+        | FROM pairs GROUP BY 1)
+        |SELECT p.conv_id, p.k AS user_id, p.conv_us, p.touch_id, p.touch_type,
+        |       p.touch_us, s.n_touches,
+        |       CAST(1000000 // s.n_touches AS BIGINT) AS credit_linear_ppm,
+        |       ROW(p.touch_us, p.touch_id) = s.fst AS is_first_touch,
+        |       ROW(p.touch_us, p.touch_id) = s.lst AS is_last_touch
+        |FROM pairs p JOIN stats s USING (conv_id)
+        |UNION ALL
+        |SELECT c.conv_id, c.k, c.conv_us, CAST(NULL AS BIGINT),
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), false, false
+        |FROM conv c
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
+        |ORDER BY conv_id, touch_id NULLS FIRST""".stripMargin,
     "q_random_project" ->
       """WITH sgn AS (
         | SELECT i, j,
@@ -6346,8 +6407,12 @@ object SparkEntry {
     * is `regexp_extract(acc, '([^ ]*)$')` in both engines). Chosen
     * pairs AND counts match bit-for-bit.
     */
-  private val bpeTrainOracleSql: String = {
-    val iters = 16
+  /** The shared w0..wN + b1..bN CTE chain (each w_k carries the RAW word
+    * so [[bpeEncodeOracleSql]] can join documents back to their final
+    * segmentations; `raw` is a bijection of the spaced form, so carrying
+    * it cannot change training).
+    */
+  private def bpeRoundsCte(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val p = k - 1
       s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r, CAST(sum(f) AS BIGINT) AS c
@@ -6357,27 +6422,51 @@ object SparkEntry {
          |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k
          |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT list_reduce(string_split(t.w, ' '), (acc, x) -> CASE
+         |  SELECT t.raw, list_reduce(string_split(t.w, ' '), (acc, x) -> CASE
          |    WHEN regexp_extract(acc, '([^ ]*)$$') = b.l AND x = b.r
          |    THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '([^ ]*)$$'))) ||
          |      b.l || b.r
          |    ELSE acc || ' ' || x END) AS w, t.f
          |  FROM w$p t CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       | SELECT raw, array_to_string(regexp_split_to_array(raw, ''), ' ') AS w,
+       |        CAST(count(*) AS BIGINT) AS f
+       | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS raw
+       |       FROM documents)
+       | GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainOracleSql: String = {
+    val iters = 16
     val union = (1 to iters).map { k =>
       s"SELECT $k AS merge_rank, l AS lsym, r AS rsym, c AS pair_count FROM b$k"
     }.mkString("\nUNION ALL\n")
     s"""WITH
-       |w0 AS MATERIALIZED (
-       | SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS w,
-       |        CAST(count(*) AS BIGINT) AS f
-       | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-       |       FROM documents)
-       | GROUP BY 1),
-       |$rounds
+       |${bpeRoundsCte(iters)}
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lsym, rsym, pair_count
        |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
+
+  /** DuckDB replay of [[operators.Bpe.encodeCorpus]] under the 16 merges
+    * [[bpeTrainOracleSql]] trains: every document's words join the final
+    * w16 segmentation table, token count = segment count summed per doc
+    * (0,0 for wordless docs) — the full train→encode pipeline replayed
+    * end-to-end in one statement.
+    */
+  private val bpeEncodeOracleSql: String =
+    s"""WITH
+       |${bpeRoundsCte(16)},
+       |docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS raw
+       |         FROM documents),
+       |tok AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |               CAST(sum(len(string_split(s.w, ' '))) AS BIGINT) AS n_tokens
+       |        FROM docw d JOIN w16 s ON s.raw = d.raw GROUP BY 1)
+       |SELECT doc.doc_id, coalesce(t.n_words, 0) AS n_words,
+       |       coalesce(t.n_tokens, 0) AS n_tokens
+       |FROM documents doc LEFT JOIN tok t ON t.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
 
   /** The per-shard recursive next-fit fold shared by the three packing
     * oracles (q_pack_bins / q_pack_incremental via [[packBinsOracle]],

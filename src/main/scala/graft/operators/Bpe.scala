@@ -20,6 +20,22 @@ import graft.functions.BpeModel
   */
 object Bpe {
 
+  /** Greedy left-to-right single-pass merge of pair (l, r) over the
+    * space-separated symbol string in `__s` (pre-split) — the SQL fold
+    * both [[trainDistributed]] and [[encodeCorpus]] apply, mirrored
+    * token-for-token by the DuckDB oracle's `list_reduce`. The
+    * accumulator's last token is the trailing run of non-spaces
+    * (leftmost-first regex semantics agree across engines).
+    */
+  private def mergeExpr(l: String, r: String): String = {
+    val lastTok = "regexp_extract(acc, '([^ ]*)$', 1)"
+    s"""aggregate(slice(__s, 2, greatest(size(__s) - 1, 0)),
+       |  element_at(__s, 1),
+       |  (acc, x) -> IF($lastTok = '$l' AND x = '$r',
+       |    concat(substr(acc, 1, length(acc) - length($lastTok)), '$l$r'),
+       |    concat(acc, ' ', x)))""".stripMargin
+  }
+
   def train(df: DataFrame, textCol: String, numMerges: Int = 500,
       sampleSize: Int = 500, seed: Long = 42L): BpeModel = {
     val texts = df
@@ -65,15 +81,6 @@ object Bpe {
         "collects one row per round")
     val spark = docs.sparkSession
     import spark.implicits._
-    // last token of the accumulator string (leftmost-first regex finds
-    // the trailing run of non-spaces in both Spark and DuckDB)
-    val lastTok = "regexp_extract(acc, '([^ ]*)$', 1)"
-    def mergeExpr(l: String, r: String): String =
-      s"""aggregate(slice(__s, 2, greatest(size(__s) - 1, 0)),
-         |  element_at(__s, 1),
-         |  (acc, x) -> IF($lastTok = '$l' AND x = '$r',
-         |    concat(substr(acc, 1, length(acc) - length($lastTok)), '$l$r'),
-         |    concat(acc, ' ', x)))""".stripMargin
     var words = docs
       .select(explode(
         expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("__w"))
@@ -108,6 +115,52 @@ object Bpe {
       k += 1
     }
     merges.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")
+  }
+
+  /** Apply a [[trainDistributed]] merge table corpus-wide: per document,
+    * the word count and the TOKEN count under the trained tokenizer —
+    * the budget numbers a packing/mixture stage consumes. The
+    * segmentation replays the training fold on the DISTINCT-WORD table
+    * (vocabulary-sized — each merge is one lazy codegen fold, never a
+    * corpus pass), then documents join the segmented vocabulary
+    * broadcast-side and aggregate per doc: corpus-scale work is ONE
+    * explode + map-side-combined count, one narrow shuffle. Documents
+    * with NULL text or no `[a-z0-9]+` words report (0, 0).
+    *
+    * Returns `(doc_id, n_words, n_tokens)`.
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Long, String, String)]): DataFrame = {
+    require(merges.nonEmpty, "encodeCorpus: empty merge table")
+    val sorted = merges.sortBy(_._1)
+    sorted.zipWithIndex.foreach { case ((rank, _, _), idx) =>
+      require(rank == idx + 1, s"merge ranks must be 1..n (saw $rank at ${idx + 1})")
+    }
+    var seg = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("raw"))
+      .distinct()
+      .withColumn("w", expr("array_join(regexp_extract_all(raw, '.', 0), ' ')"))
+    sorted.foreach { case (_, l, r) =>
+      seg = seg
+        .withColumn("__s", split(col("w"), " "))
+        .withColumn("w", expr(mergeExpr(l, r)))
+        .drop("__s")
+    }
+    val vocab = broadcast(
+      seg.select(col("raw"), size(split(col("w"), " ")).cast("long").as("__n"))
+        .localCheckpoint(true))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(
+        expr(s"regexp_extract_all(lower(`$textCol`), '[a-z0-9]+', 0)")).as("raw"))
+      .join(vocab, "raw")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
   /** Rebuild a [[BpeModel]] (int-symbol pair→rank table for the codegen

@@ -279,6 +279,83 @@ object EventAnalytics {
         col("n_prev"), col("anomaly"))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION: credit each conversion event to the touch
+    * events (views, clicks, …) that preceded it within a lookback
+    * window — the marketing/product question "which touches earn the
+    * purchase". One row per (conversion, touch) plus one DIRECT row for
+    * conversions with no preceding touch. Credits are engine-exact
+    * integer ppm:
+    *
+    *  - `credit_linear_ppm` = floor(10⁶ / n_touches) to every touch
+    *    (the linear model; the ≤ n_touches−1 ppm remainder is the
+    *    documented floor-division convention, as in pageRank shares).
+    *  - `is_first_touch` / `is_last_touch` mark the position models:
+    *    first/last = min/max (ts, event_id) among the window's touches —
+    *    a TOTAL order (the [[rollingAnomaly]] convention), so
+    *    first-touch and last-touch attribution read off the same frame.
+    *  - touches AT the conversion instant are excluded (strictly
+    *    earlier; simultaneous events can't cause each other), the
+    *    window is [conv − windowSeconds, conv).
+    *  - DIRECT rows: touch_id NULL, n_touches 0, credit 10⁶ (all credit
+    *    stays with the conversion), both flags false.
+    *
+    * Scale shape: conversions and touches are two pushed-down filters
+    * of the same scan; the pairing is an equi-join on the user key with
+    * the time predicate applied inside (per-user event lists are
+    * bounded, and the window bounds pairs per conversion); the
+    * first/last election is one map-side-combined aggregate per
+    * conversion joined back broadcast-or-shuffle by conversion id. No
+    * window over the full event stream.
+    *
+    * Returns (conv_id, user_id-as-keyCol, conv_us, touch_id, touch_type,
+    * touch_us, n_touches, credit_linear_ppm, is_first_touch,
+    * is_last_touch).
+    */
+  def attribution(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      touchTypes: Seq[String], windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1 (got $windowSeconds)")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes must be non-empty and exclude convType $convType")
+    val windowUs = windowSeconds * 1000000L
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("__us", unix_micros(col(tsCol)))
+    val conv = base.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(idCol).cast("long").as("conv_id"),
+        col("__us").as("conv_us"))
+    val touch = base.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(idCol).cast("long").as("touch_id"),
+        col(typeCol).as("touch_type"), col("__us").as("touch_us"))
+    val pairs = conv.join(touch,
+      conv("__k") === touch("__k") &&
+        col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - windowUs)
+      .select(conv("__k"), col("conv_id"), col("conv_us"),
+        col("touch_id"), col("touch_type"), col("touch_us"))
+    val stats = pairs.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("touch_us"), col("touch_id"))).as("__first"),
+        max(struct(col("touch_us"), col("touch_id"))).as("__last"))
+    val attributed = pairs.join(stats, "conv_id")
+      .select(col("conv_id"), col("__k").as(keyCol), col("conv_us"),
+        col("touch_id"), col("touch_type"), col("touch_us"),
+        col("n_touches"),
+        expr("CAST(1000000 div n_touches AS bigint)").as("credit_linear_ppm"),
+        (struct(col("touch_us"), col("touch_id")) === col("__first"))
+          .as("is_first_touch"),
+        (struct(col("touch_us"), col("touch_id")) === col("__last"))
+          .as("is_last_touch"))
+    val direct = conv
+      .join(pairs.select(col("conv_id")).distinct(), Seq("conv_id"), "left_anti")
+      .select(col("conv_id"), col("__k").as(keyCol), col("conv_us"),
+        lit(null).cast("long").as("touch_id"),
+        lit(null).cast("string").as("touch_type"),
+        lit(null).cast("long").as("touch_us"),
+        lit(0L).as("n_touches"), lit(1000000L).as("credit_linear_ppm"),
+        lit(false).as("is_first_touch"), lit(false).as("is_last_touch"))
+    attributed.unionByName(direct)
+  }
+
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
     * fixed-width time buckets and MATERIALIZE the empty buckets — the
     * regularization step before any dashboard, forecast, or

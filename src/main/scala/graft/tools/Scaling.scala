@@ -373,6 +373,57 @@ object Scaling {
       drain(graft.operators.Relational.resolveEntities(
         d.unionByName(typo), "doc_id", "s", 4L, 5L, n = 3, maxGramFreq = 0L))
     }
+    timeFull("shortestPaths horizon 8 from 1% seeds over the doc graph") {
+      val edges = big.select(col("doc_id").as("src"),
+          explode(transform(sequence(lit(1), lit(5)),
+            j => pmod(xxhash64(col("doc_id"), j), lit(50000L)))).as("dst"))
+        .withColumn("w", pmod(xxhash64(col("src"), col("dst")), lit(9L)) + 1)
+      val seeds = big.select(col("doc_id")).filter(col("doc_id") % 100 === 0)
+      drain(graft.operators.Graph.shortestPaths(
+        edges, "src", "dst", seeds, "doc_id", Some("w"), maxIters = 8))
+    }
+    timeFull("trainDistributed BPE 16 merges (distributed pair counts)") {
+      Bpe.trainDistributed(big, "text", numMerges = 16).collect()
+    }
+    timeFull("encodeCorpus under 16 trained merges (vocab fold + per-doc agg)") {
+      val merges = Bpe.trainDistributed(big, "text", numMerges = 16)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      drain(Bpe.encodeCorpus(big, "doc_id", "text", merges))
+    }
+    time("randomProject 64->16 dims (synthetic corpus-sized vectors)") {
+      // one pseudo-random float vector per corpus row — times the d·k
+      // codegen multiply-add fold, the map-only 100 TB shape
+      val vecs = big.select(col("doc_id").as("vec_id"),
+        expr("""transform(sequence(1, 64), i ->
+                CAST(pmod(xxhash64(doc_id, i), 2000001) - 1000000 AS float)
+                / CAST(1000000 AS float))""").as("embedding"))
+      drain(graft.operators.Similarity.randomProject(
+        vecs, "vec_id", "embedding", k = 16))
+    }
+    if (fullSuite) {
+      // synthetic per-user event stream, rows ∝ corpus: 1 purchase to
+      // 7 touches per 10 events, ~50 events/user, 37 s cadence
+      val sevents = big.select(
+        col("doc_id").as("eid"),
+        pmod(col("doc_id"), lit(n / 50)).as("uid"),
+        timestamp_micros(lit(1700000000000000L) +
+          (col("doc_id") % 997) * 37000000L).as("ts"),
+        when(col("doc_id") % 10 === 0, "purchase")
+          .when(col("doc_id") % 10 < 5, "view").otherwise("click").as("etype"),
+        (pmod(col("doc_id"), lit(1000L)).cast("double") / 100.0).as("value"))
+        .persist()
+      sevents.count()
+      time("attribution 24h window over the synthetic event stream") {
+        drain(graft.operators.EventAnalytics.attribution(
+          sevents, "uid", "ts", "eid", "etype",
+          "purchase", Seq("view", "click"), windowSeconds = 86400))
+      }
+      time("resample to 1h buckets + LOCF over the synthetic event stream") {
+        drain(graft.operators.EventAnalytics.resample(
+          sevents, "uid", "ts", "eid", "value", bucketSeconds = 3600))
+      }
+      sevents.unpersist()
+    }
     time("retrievalMetrics k=10 over 1% judged queries") {
       val queries = big.filter(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("doc_id").as("qid"))

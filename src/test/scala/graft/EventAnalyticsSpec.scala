@@ -264,6 +264,42 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size === 5)
   }
 
+  test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
+    // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
+    // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE
+    // (10-3=7 inclusive lower bound); a click AT minute 10 is excluded
+    // (strictly earlier). user 2: purchase with no touches → direct.
+    val ev = Seq(
+      (1L, 1L, ts(6), "view"), (2L, 1L, ts(7), "view"), (3L, 1L, ts(8), "click"),
+      (4L, 1L, ts(9), "view"), (5L, 1L, ts(10), "click"),
+      (10L, 1L, ts(10), "purchase"),
+      (20L, 2L, ts(10), "purchase"), (21L, 2L, ts(11), "view"))
+      .toDF("eid", "uid", "ts", "etype").withColumn("value", lit(1.0))
+    val got = EventAnalytics.attribution(ev, "uid", "ts", "eid", "etype",
+        "purchase", Seq("view", "click"), windowSeconds = 180)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])) ->
+        ((r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9))))
+      .toMap
+    assert(got.size === 4)
+    assert(got((10L, Some(2L))) === ((3L, 333333L, true, false)))
+    assert(got((10L, Some(3L))) === ((3L, 333333L, false, false)))
+    assert(got((10L, Some(4L))) === ((3L, 333333L, false, true)))
+    assert(got((20L, None)) === ((0L, 1000000L, false, false)))
+  }
+
+  test("attribution: same-ts touches elect first/last by event id") {
+    val ev = Seq(
+      (1L, 1L, ts(9), "view"), (2L, 1L, ts(9), "click"),
+      (10L, 1L, ts(10), "purchase"))
+      .toDF("eid", "uid", "ts", "etype").withColumn("value", lit(1.0))
+    val got = EventAnalytics.attribution(ev, "uid", "ts", "eid", "etype",
+        "purchase", Seq("view", "click"), windowSeconds = 3600)
+      .collect().map(r => r.getLong(3) -> ((r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(got(1L) === ((true, false)), "smaller id at equal ts is first")
+    assert(got(2L) === ((false, true)), "larger id at equal ts is last")
+  }
+
   test("rollingAnomaly: same-timestamp events order deterministically by id") {
     val ev = Seq( // all at one ts — frame order must be eid order
       (1L, 1L, ts(0), 1.0), (2L, 1L, ts(0), 1.0), (3L, 1L, ts(0), 1.0),

@@ -140,6 +140,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("encodeCorpus counts tokens under the trained merges; empty docs report zero") {
+    import graft.operators.Bpe
+    val docs = Seq((1L, "hash hash hash join join scan"), (2L, "hash zq"),
+      (3L, null.asInstanceOf[String]), (4L, "!!!")).toDF("doc_id", "text")
+    val merges = Bpe.trainDistributed(docs, "text", numMerges = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // merges 1-3 collapse 'hash', merges 4-6 collapse 'join';
+    // 'scan' stays 4 single chars: 3x1 + 2x1 + 4 = 9 tokens over 6 words
+    assert(got(1L) === ((6L, 9L)))
+    assert(got(2L) === ((2L, 1L + 2L)), "hash=1 token, zq=2 chars")
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === ((0L, 0L)))
+  }
+
   test("BPE training merges frequent pairs and counting follows the model") {
     import graft.operators.{Bpe, TextAnalysis}
     // "the" dominates → its pairs merge first; the trained model should
