@@ -611,10 +611,16 @@ object Similarity {
   def randomProject(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 7L): DataFrame = {
     require(k >= 1 && k <= 256, s"k must be in [1, 256] (got $k)")
-    val dims = corpus.select(size(col(vecCol))).limit(1).collect()
-    require(dims.nonEmpty, "randomProject: empty corpus")
+    // d = the corpus MAX dimension (deterministic — a first-row probe
+    // would depend on scan order); rows with another dim are dropped
+    val dims = corpus.agg(max(size(col(vecCol)))).collect()
+    require(dims.nonEmpty && !dims(0).isNullAt(0),
+      "randomProject: no non-null vectors")
     val d = dims(0).getInt(0)
     require(d >= 1, s"randomProject: empty embedding column $vecCol")
+    require(d.toLong * k <= 65536,
+      s"randomProject: d*k = ${d.toLong * k} literal signs exceed the codegen " +
+        "budget (65536) — reduce k or pre-slice the vectors")
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Long = {
       val hex = md.digest(s"rp:$seed:$i:$j".getBytes("UTF-8"))

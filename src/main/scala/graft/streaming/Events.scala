@@ -505,4 +505,99 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** One recent touch event retained in [[attributionStream]] state. */
+  case class Touch(us: Long, id: Long, typ: String)
+
+  /** Attribution state: the key's in-window touches (ascending (us, id))
+    * plus the newest event time seen (the [[RollingState]] lastUs rule). */
+  case class TouchState(touches: Seq[Touch], lastUs: Long)
+
+  /** One credit row from [[attributionStream]] — the streaming
+    * counterpart of [[graft.operators.EventAnalytics.attribution]]'s
+    * output (None fields = the DIRECT row's NULLs). */
+  case class AttributionRow(conv_id: Long, user_id: Long, conv_us: Long,
+      touch_id: Option[Long], touch_type: Option[String],
+      touch_us: Option[Long], n_touches: Long, credit_linear_ppm: Long,
+      is_first_touch: Boolean, is_last_touch: Boolean)
+
+  /** STREAMING multi-touch attribution — credit ON CONVERSION ARRIVAL,
+    * the real-time form of
+    * [[graft.operators.EventAnalytics.attribution]]: each arriving
+    * conversion is attributed against the touches PREVIOUSLY SEEN for
+    * its key inside the lookback window, with the batch form's exact
+    * integer semantics (floor(10⁶/n) linear ppm, (us, id) first/last
+    * election, strict-before window, DIRECT row when no touch
+    * qualifies). Within a micro-batch events fold in (ts, event_id)
+    * order, so an in-order stream reproduces the batch operator
+    * row-for-row (StreamingSpec pins the parity); out-of-order arrivals
+    * within `allowedLateness` are credited against what had arrived —
+    * the honest real-time semantics (the campaign dashboard cannot wait
+    * for the watermark).
+    *
+    * State per key is only the touches inside the last `windowSeconds`
+    * of that key's event time (older ones can never enter a later
+    * in-order conversion's window, so every event prunes them) plus the
+    * newest event time; idle keys evict by event-time TTL, the
+    * [[rollingAnomalyStream]] machinery.
+    */
+  def attributionStream(events: Dataset[Event], convType: String,
+      touchTypes: Seq[String], windowSeconds: Long,
+      allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 24 * 60): Dataset[AttributionRow] = {
+    require(windowSeconds >= 1,
+      s"windowSeconds must be >= 1 (got $windowSeconds)")
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes must be non-empty and exclude convType $convType")
+    implicit val stateEnc = Encoders.product[TouchState]
+    implicit val outEnc = Encoders.product[AttributionRow]
+    implicit val longEnc = Encoders.scalaLong
+    val touchSet = touchTypes.toSet
+    val windowUs = windowSeconds * 1000000L
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[TouchState]): Iterator[AttributionRow] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(TouchState(Nil, 0L))
+      var touches = prev.touches.toVector
+      var lastUs = prev.lastUs
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
+      rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val us = tsMicros(e.ts)
+        lastUs = math.max(lastUs, us)
+        touches = touches.filter(_.us >= us - windowUs)
+        if (touchSet.contains(e.event_type)) {
+          touches = (touches :+ Touch(us, e.event_id, e.event_type))
+            .sortBy(t => (t.us, t.id))
+        } else if (e.event_type == convType) {
+          val win = touches.filter(t => t.us < us && t.us >= us - windowUs)
+          if (win.isEmpty)
+            out += AttributionRow(e.event_id, uid, us, None, None, None,
+              0L, 1000000L, is_first_touch = false, is_last_touch = false)
+          else {
+            val n = win.length.toLong
+            val credit = 1000000L / n
+            val first = win.head // win is (us, id)-ascending
+            val last = win.last
+            win.foreach { t =>
+              out += AttributionRow(e.event_id, uid, us,
+                Some(t.id), Some(t.typ), Some(t.us), n, credit,
+                t == first, t == last)
+            }
+          }
+        }
+      }
+      state.update(TouchState(touches, lastUs))
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

@@ -646,6 +646,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed === oneShot)
   }
 
+  test("attributionStream credits on arrival; in-order stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: touches at 7/8/9, purchase at 10 (the touches arrive in
+    // trigger 1, the purchase in trigger 2 — the window spans the
+    // boundary); a click AT 10 must not count for purchase 10; a second
+    // purchase at 12 sees touches 8/9/10/11 (the ts(7) view fell out of
+    // its 240 s window). user 2: purchase with no touches → direct row
+    // (arrives in trigger 2, ahead of the watermark).
+    val evs = Seq(
+      Event(1, ts(7), 1L, "view", 1.0), Event(2, ts(8), 1L, "click", 1.0),
+      Event(3, ts(9), 1L, "view", 1.0),
+      Event(10, ts(10), 1L, "purchase", 1.0), Event(4, ts(10), 1L, "click", 1.0),
+      Event(20, ts(10), 2L, "purchase", 1.0),
+      Event(5, ts(11), 1L, "view", 1.0), Event(11, ts(12), 1L, "purchase", 1.0))
+    val mem = MemoryStream[Event]
+    val q = Events.attributionStream(mem.toDS(), "purchase",
+        Seq("view", "click"), windowSeconds = 240)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(3): _*); q.processAllAvailable()
+      mem.addData(evs.slice(3, 6): _*); q.processAllAvailable()
+      mem.addData(evs.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9))
+    val got = spark.table("attr_out").collect().map(r => key(r) -> payload(r)).toMap
+    val batch = graft.operators.EventAnalytics.attribution(
+        evs.toDF(), "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), windowSeconds = 240)
+      .collect().map(r => key(r) -> payload(r)).toMap
+    assert(got === batch)
+    // purchase 10: three touches before it (the same-instant click 4
+    // excluded), window spanning the trigger boundary
+    assert(got((10L, Some(1L))) === ((3L, 333333L, true, false)))
+    assert(got((10L, Some(3L))) === ((3L, 333333L, false, true)))
+    // purchase 11 sees 4 touches incl. the same-batch click 4 + view 5;
+    // the ts(7) view is outside its window
+    assert(got((11L, Some(4L)))._1 === 4L)
+    assert(!got.contains((11L, Some(1L))))
+    assert(got((20L, None)) === ((0L, 1000000L, false, false)))
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
