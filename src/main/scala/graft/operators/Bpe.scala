@@ -133,8 +133,14 @@ object Bpe {
       merges: Seq[(Long, String, String)]): DataFrame = {
     require(merges.nonEmpty, "encodeCorpus: empty merge table")
     val sorted = merges.sortBy(_._1)
-    sorted.zipWithIndex.foreach { case ((rank, _, _), idx) =>
+    sorted.zipWithIndex.foreach { case ((rank, l, r), idx) =>
       require(rank == idx + 1, s"merge ranks must be 1..n (saw $rank at ${idx + 1})")
+      // the symbols are interpolated into SQL literals by mergeExpr —
+      // restrict them to the trainDistributed word alphabet so a
+      // hand-built table can never smuggle quotes into the fold
+      require(l.nonEmpty && r.nonEmpty && (l + r).forall(c =>
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+        s"merge $rank symbols must be non-empty [a-z0-9] strings (got '$l', '$r')")
     }
     var seg = docs
       .select(explode(

@@ -261,14 +261,19 @@ object EventAnalytics {
       .withColumn("s", sum(col("vc")).over(byKey))
       // vc² and the cross-multiplied decision run in decimal(38,0): the
       // all-long form overflows SILENTLY once |vc| exceeds ~2³¹/√window
-      // (≈ $21M at window 20) and flags garbage. Decimal is exact to
-      // |vc| ≈ 10¹⁷/window — far beyond any real metric — and past that
-      // Spark yields null, which the coalesce below converts into an
-      // EXPLICIT error (assert_true), never a wrong flag.
+      // (≈ $21M at window 20) and flags garbage. The decimal terms are
+      // exact while window·vc² < 10³⁸ AND the plain bigint window sum s
+      // stays inside 2⁶³ (|vc| ≲ 4.6·10¹⁷/window cents — far beyond any
+      // real metric); past the decimal range Spark yields null, which
+      // the coalesce below converts into an EXPLICIT error
+      // (assert_true), never a wrong flag. A NULL-value event is
+      // excluded from every window sum (count/sum skip nulls) and is
+      // itself never flagged — it must not reach the assert.
       .withColumn("s2",
         sum(expr("CAST(vc AS decimal(19,0)) * vc")).over(byKey))
       .withColumn("anomaly",
-        when(col("n_prev") < minPrev, lit(false)).otherwise(coalesce(
+        when(col("n_prev") < minPrev || col("vc").isNull,
+          lit(false)).otherwise(coalesce(
           expr(s"(CAST(n_prev AS decimal(38,0)) * vc - s) * " +
             s"(CAST(n_prev AS decimal(38,0)) * vc - s) > " +
             s"CAST(${z.toLong * z} AS decimal(38,0)) * " +

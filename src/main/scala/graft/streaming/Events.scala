@@ -482,10 +482,15 @@ object Events {
         val vc = java.math.BigDecimal.valueOf(e.value * 100)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
         val n = vals.length.toLong
-        var s = 0L; var s2 = 0L
-        vals.foreach { w => s += w; s2 += w * w }
+        // the decision runs in BigInt exactly like the batch form's
+        // decimal(38,0) — the all-long form wraps silently once |vc|
+        // exceeds ~2³¹/√window and would break the documented
+        // stream == batch flag parity at large values
+        var s = BigInt(0); var s2 = BigInt(0)
+        vals.foreach { w => s += w; s2 += BigInt(w) * w }
+        val dev = n * BigInt(vc) - s
         val flag = n >= minPrev &&
-          (n * vc - s) * (n * vc - s) > z.toLong * z * (n * s2 - s * s)
+          dev * dev > z.toLong * z * (n * s2 - s * s)
         vals = (vals :+ vc).takeRight(window)
         lastUs = math.max(lastUs, tsMicros(e.ts))
         AnomalyFlag(e.event_id, uid, tsMicros(e.ts), vc, n, flag)
@@ -535,18 +540,25 @@ object Events {
     * the honest real-time semantics (the campaign dashboard cannot wait
     * for the watermark).
     *
-    * State per key is only the touches inside the last `windowSeconds`
-    * of that key's event time (older ones can never enter a later
-    * in-order conversion's window, so every event prunes them) plus the
-    * newest event time; idle keys evict by event-time TTL, the
-    * [[rollingAnomalyStream]] machinery.
+    * State per key is only the touches inside the last `windowSeconds +
+    * pruneSlackSeconds` of that key's event time plus the newest event
+    * time; idle keys evict by event-time TTL, the
+    * [[rollingAnomalyStream]] machinery. In-order, touches older than
+    * the window can never enter a later conversion's window, so slack 0
+    * is exact and minimal; when admitting late rows (`allowedLateness`
+    * > 0) set `pruneSlackSeconds` to at least that horizon, or a
+    * conversion arriving late may find a touch of ITS window already
+    * pruned by a newer event and emit a DIRECT row instead of credit.
     */
   def attributionStream(events: Dataset[Event], convType: String,
       touchTypes: Seq[String], windowSeconds: Long,
       allowedLateness: String = "0 seconds",
-      stateTtlMinutes: Long = 24 * 60): Dataset[AttributionRow] = {
+      stateTtlMinutes: Long = 24 * 60,
+      pruneSlackSeconds: Long = 0L): Dataset[AttributionRow] = {
     require(windowSeconds >= 1,
       s"windowSeconds must be >= 1 (got $windowSeconds)")
+    require(pruneSlackSeconds >= 0,
+      s"pruneSlackSeconds must be >= 0 (got $pruneSlackSeconds)")
     require(touchTypes.nonEmpty && !touchTypes.contains(convType),
       s"touchTypes must be non-empty and exclude convType $convType")
     implicit val stateEnc = Encoders.product[TouchState]
@@ -554,6 +566,7 @@ object Events {
     implicit val longEnc = Encoders.scalaLong
     val touchSet = touchTypes.toSet
     val windowUs = windowSeconds * 1000000L
+    val pruneUs = (windowSeconds + pruneSlackSeconds) * 1000000L
     val ttlUs = stateTtlMinutes * 60L * 1000000L
 
     def fn(uid: Long, rows: Iterator[Event],
@@ -566,7 +579,10 @@ object Events {
       rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         val us = tsMicros(e.ts)
         lastUs = math.max(lastUs, us)
-        touches = touches.filter(_.us >= us - windowUs)
+        // prune on the NEWEST time seen, not the current event's — a
+        // late event must not resurrect already-pruned history, and an
+        // in-order stream gets the same minimal state either way
+        touches = touches.filter(_.us >= lastUs - pruneUs)
         if (touchSet.contains(e.event_type)) {
           touches = (touches :+ Touch(us, e.event_id, e.event_type))
             .sortBy(t => (t.us, t.id))

@@ -211,6 +211,22 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     expected.foreach { case (eid, e) => assert(got(eid) === e, s"event $eid") }
   }
 
+  test("rollingAnomaly: NULL-value events never flag and never error") {
+    // a NULL value must not reach the decimal-overflow assert (its
+    // decision expression is null for the benign reason); it reports
+    // anomaly=false and is excluded from later windows
+    val ev = Seq(
+      (1L, 1L, ts(0), Some(2.0)), (2L, 1L, ts(1), Some(2.0)),
+      (3L, 1L, ts(2), Some(2.0)), (4L, 1L, ts(3), None),
+      (5L, 1L, ts(4), Some(80.0)))
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.rollingAnomaly(ev, "uid", "ts", "eid", "v",
+        window = 5, minPrev = 3, z = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(4L) === ((3L, false)), "NULL value: enough history, no flag, no error")
+    assert(got(5L) === ((3L, true)), "spike still flags; the NULL is not in its window")
+  }
+
   test("rollingAnomaly: $40M-scale values decide exactly (old long form overflowed)") {
     // |vc| ≈ 4·10⁹ cents: vc² ≈ 1.6·10¹⁹ > 2⁶³ — the all-long decision
     // overflowed silently here. The decimal(38,0) form must match a BigInt

@@ -690,6 +690,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got((20L, None)) === ((0L, 1000000L, false, false)))
   }
 
+  test("rollingAnomalyStream: $40M values keep stream == batch (BigInt decision)") {
+    implicit val sqlCtx = spark.sqlContext
+    // vc ≈ 4e9 cents: w*w wrapped the old all-long streaming decision
+    // while the batch form decided in decimal — parity must hold here
+    val base = 4.0e7
+    val vals = Seq(base, base + 100, base - 100, base + 50, base - 50,
+      base, 2 * base, base)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i.toLong + 1, ts(i.toLong), 1L, "m", v) }
+    val mem = MemoryStream[Event]
+    val q = Events.rollingAnomalyStream(mem.toDS(), window = 5, minPrev = 3, z = 3)
+      .writeStream.format("memory").queryName("anom_big").outputMode("append").start()
+    try { mem.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("anom_big")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    val batch = graft.operators.EventAnalytics.rollingAnomaly(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        window = 5, minPrev = 3, z = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === batch)
+    assert(got(7L)._2 === true, "the 2x spike must flag")
+  }
+
+  test("attributionStream: pruneSlack keeps a late conversion's touches") {
+    implicit val sqlCtx = spark.sqlContext
+    // touch at minute 0; a minute-9 event would prune it under a 240 s
+    // window with no slack; the conversion at minute 2 arrives LATE (in
+    // trigger 2, within the 15 min lateness) and must still credit it
+    val mem = MemoryStream[Event]
+    val q = Events.attributionStream(mem.toDS(), "purchase", Seq("view"),
+        windowSeconds = 240, allowedLateness = "15 minutes",
+        pruneSlackSeconds = 900)
+      .writeStream.format("memory").queryName("attr_late").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1L, "view", 1.0),
+        Event(2, ts(9), 1L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(2), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_late")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Long]) ->
+        r.getLong(6)).toMap
+    assert(got === Map(Some(1L) -> 1L),
+      "the late purchase credits exactly the minute-0 view")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers

@@ -154,6 +154,11 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((2L, 1L + 2L)), "hash=1 token, zq=2 chars")
     assert(got(3L) === ((0L, 0L)))
     assert(got(4L) === ((0L, 0L)))
+    // symbols outside [a-z0-9] are refused at the boundary (they would
+    // be interpolated into the SQL fold)
+    assertThrows[IllegalArgumentException] {
+      Bpe.encodeCorpus(docs, "doc_id", "text", Seq((1L, "a'b", "c")))
+    }
   }
 
   test("BPE training merges frequent pairs and counting follows the model") {
