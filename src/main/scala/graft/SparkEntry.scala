@@ -3173,6 +3173,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Trained-tokenizer persistence contract (SURVEY row 47b-d): the
+    * merge table saves through the Warehouse like any frame, and the
+    * reloaded model must encode the whole corpus bit-identically to the
+    * freshly trained one — real pipelines train a tokenizer once and
+    * encode for months ([[operators.Bpe.trainDistributed]] /
+    * [[operators.Bpe.encodeCorpus]]).
+    */
+  private def qBpeModelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+    val mergesDf = operators.Bpe.trainDistributed(docs, "text", numMerges = 16)
+    val outDir = scratch("models", dir)
+    val mw = Warehouse(s, outDir)
+    mw.saveTable(mergesDf, outDir, "bpe_merges")
+    def asSeq(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sortBy(_._1)
+    val fresh = asSeq(mergesDf)
+    val reloaded = asSeq(mw.loadTable("bpe_merges"))
+    val a = operators.Bpe.encodeCorpus(docs, "doc_id", "text", fresh)
+      .select(col("doc_id"), col("n_tokens").as("t1"))
+    val b = operators.Bpe.encodeCorpus(docs, "doc_id", "text", reloaded)
+      .select(col("doc_id"), col("n_tokens").as("t2"))
+    a.join(b, Seq("doc_id"), "full")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("t1") <=> col("t2"), 0).otherwise(1)).as("__m"))
+      .select(col("n_rows"), (col("__m") === 0).as("counts_identical"),
+        lit(fresh == reloaded).as("merges_identical"))
+  }
+
   /** Signed random projection 64→16 dims (SURVEY row 43g): the
     * md5-seeded ±1 matrix folded over fixed-point embeddings in one
     * codegen pass; the oracle rebuilds the matrix from the same seed
@@ -3722,7 +3750,8 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_random_project" -> (qRandomProject _),
-    "q_attribution" -> (qAttribution _)
+    "q_attribution" -> (qAttribution _),
+    "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5796,6 +5825,9 @@ object SparkEntry {
     "q_shortest_paths" -> shortestPathsOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_bpe_model_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS counts_identical,
+        | true AS merges_identical FROM documents""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us

@@ -624,19 +624,22 @@ object Graph {
     val nodes = persistIf(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
-    // The RAW phase sums (the expensive edge join + groupBy) materialize
-    // eagerly ONCE per phase; the sup-norm rescale stays a LAZY plan over
-    // the checkpointed sums — it references them twice (broadcast max +
-    // join), which is free against a materialized RDD, where the old
-    // normalize-then-checkpoint shape recomputed the whole edge join for
-    // the broadcast max job (2× the phase cost, measured).
+    // BOTH frames checkpoint per phase (A/B/C-probed on the q_hits trade
+    // graph, tools/ProbeHits): the RAW phase sums materialize eagerly so
+    // the broadcast-max job never recomputes the edge join (the
+    // normalize-then-checkpoint-only shape paid that twice), AND the
+    // rescale checkpoints so the next phase's edge join probes a plain
+    // materialized RDD instead of re-planning the crossJoin+broadcast
+    // rescale inside its own shuffle (leaving the rescale lazy measured
+    // ~50% SLOWER than either, 10-17 s vs 6-7 s for 8 rounds).
     def normalized(rawPlan: DataFrame): DataFrame = {
       val raw = rawPlan.localCheckpoint(true)
       raw.crossJoin(broadcast(raw.agg(max(col("s")).as("__m"))))
         .select(col("node"), expr(
           s"CAST((CAST(s AS decimal(38,0)) * $scale) div __m AS long)").as("v"))
+        .localCheckpoint(true)
     }
-    var h = nodes.select(col("node"), lit(scale).as("v"))
+    var h = nodes.select(col("node"), lit(scale).as("v")).localCheckpoint(true)
     var a: DataFrame = null
     var i = 0
     while (i < iters) {
