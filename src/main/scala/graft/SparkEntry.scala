@@ -3226,6 +3226,18 @@ object SparkEntry {
         touchTypes = Seq("view", "click"), windowSeconds = 86400)
       .orderBy(col("conv_id"), col("touch_id").asc_nulls_first)
 
+  /** CUSUM level-shift detection (SURVEY row 50i): cumulative one-sided
+    * drift of event values vs a $40 reference, $5 slack, $200 alarm
+    * threshold — the sequential recurrence the oracle replays as one
+    * recursive CTE stepping a rank per key
+    * ([[operators.EventAnalytics.cusum]]).
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.cusum(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        targetCents = 4000, slackCents = 500, threshCents = 20000)
+      .orderBy("user_id", "us", "event_id")
+
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
     * values, two unique keys (one deliberately failing) and a row-count
@@ -3751,7 +3763,8 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_random_project" -> (qRandomProject _),
     "q_attribution" -> (qAttribution _),
-    "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _)
+    "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
+    "q_cusum" -> (qCusum _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5828,6 +5841,31 @@ object SparkEntry {
     "q_bpe_model_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS counts_identical,
         | true AS merges_identical FROM documents""".stripMargin,
+    // the CUSUM recurrence replayed as one recursive CTE stepping a
+    // rank per key — GREATEST-clamped integer sums, flags included
+    "q_cusum" ->
+      """WITH RECURSIVE base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, id, us, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id) AS BIGINT) AS rn
+        |       FROM base),
+        |rec AS (
+        | SELECT k, id, us, vc, rn,
+        |        GREATEST(CAST(0 AS BIGINT), vc - 4500) AS sp,
+        |        GREATEST(CAST(0 AS BIGINT), 3500 - vc) AS sn
+        | FROM rk WHERE rn = 1
+        | UNION ALL
+        | SELECT r.k, r.id, r.us, r.vc, r.rn,
+        |        GREATEST(CAST(0 AS BIGINT), rec.sp + r.vc - 4500),
+        |        GREATEST(CAST(0 AS BIGINT), rec.sn + 3500 - r.vc)
+        | FROM rk r JOIN rec ON r.k = rec.k AND r.rn = rec.rn + 1)
+        |SELECT id AS event_id, k AS user_id, us, vc AS value_cents,
+        |       sp AS cusum_pos, sn AS cusum_neg,
+        |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
+        |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us

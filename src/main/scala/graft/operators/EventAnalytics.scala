@@ -305,12 +305,15 @@ object EventAnalytics {
     *    stays with the conversion), both flags false.
     *
     * Scale shape: conversions and touches are two pushed-down filters
-    * of the same scan; the pairing is an equi-join on the user key with
-    * the time predicate applied inside (per-user event lists are
-    * bounded, and the window bounds pairs per conversion); the
-    * first/last election is one map-side-combined aggregate per
-    * conversion joined back broadcast-or-shuffle by conversion id. No
-    * window over the full event stream.
+    * of the same scan; the pairing is ONE LEFT equi-join on the user
+    * key with the time predicate applied inside (per-user event lists
+    * are bounded, and the window bounds pairs per conversion; the
+    * unmatched-left rows ARE the direct conversions — no separate
+    * anti-join pass); the count and first/last election are ONE window
+    * pass over the join output partitioned by conversion id, whose
+    * partitions are window-bounded. The join computes once — the
+    * groupBy-and-join-back formulation re-evaluated it three times
+    * (output, stats, anti-join), measured in the plan audit.
     *
     * Returns (conv_id, user_id-as-keyCol, conv_us, touch_id, touch_type,
     * touch_us, n_touches, credit_linear_ppm, is_first_touch,
@@ -331,34 +334,100 @@ object EventAnalytics {
     val touch = base.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(keyCol).as("__k"), col(idCol).cast("long").as("touch_id"),
         col(typeCol).as("touch_type"), col("__us").as("touch_us"))
-    val pairs = conv.join(touch,
+    // LEFT join: matched rows are (conversion, touch) credit pairs,
+    // unmatched rows are the DIRECT conversions — one join, computed once
+    val joined = conv.join(touch,
       conv("__k") === touch("__k") &&
         col("touch_us") < col("conv_us") &&
-        col("touch_us") >= col("conv_us") - windowUs)
+        col("touch_us") >= col("conv_us") - windowUs, "left")
       .select(conv("__k"), col("conv_id"), col("conv_us"),
         col("touch_id"), col("touch_type"), col("touch_us"))
-    val stats = pairs.groupBy("conv_id")
-      .agg(count(lit(1)).as("n_touches"),
-        min(struct(col("touch_us"), col("touch_id"))).as("__first"),
-        max(struct(col("touch_us"), col("touch_id"))).as("__last"))
-    val attributed = pairs.join(stats, "conv_id")
+    val byConv = Window.partitionBy(col("conv_id"))
+    joined
+      .withColumn("n_touches", count(col("touch_id")).over(byConv))
+      .withColumn("__first",
+        min(struct(col("touch_us"), col("touch_id"))).over(byConv))
+      .withColumn("__last",
+        max(struct(col("touch_us"), col("touch_id"))).over(byConv))
       .select(col("conv_id"), col("__k").as(keyCol), col("conv_us"),
         col("touch_id"), col("touch_type"), col("touch_us"),
         col("n_touches"),
-        expr("CAST(1000000 div n_touches AS bigint)").as("credit_linear_ppm"),
-        (struct(col("touch_us"), col("touch_id")) === col("__first"))
+        when(col("n_touches") > 0,
+          expr("CAST(1000000 div n_touches AS bigint)"))
+          .otherwise(lit(1000000L)).as("credit_linear_ppm"),
+        // struct equality compares null fields as EQUAL in Spark, so the
+        // direct row needs the explicit non-null guard to stay false
+        (col("touch_id").isNotNull &&
+          struct(col("touch_us"), col("touch_id")) === col("__first"))
           .as("is_first_touch"),
-        (struct(col("touch_us"), col("touch_id")) === col("__last"))
+        (col("touch_id").isNotNull &&
+          struct(col("touch_us"), col("touch_id")) === col("__last"))
           .as("is_last_touch"))
-    val direct = conv
-      .join(pairs.select(col("conv_id")).distinct(), Seq("conv_id"), "left_anti")
-      .select(col("conv_id"), col("__k").as(keyCol), col("conv_us"),
-        lit(null).cast("long").as("touch_id"),
-        lit(null).cast("string").as("touch_type"),
-        lit(null).cast("long").as("touch_us"),
-        lit(0L).as("n_touches"), lit(1000000L).as("credit_linear_ppm"),
-        lit(false).as("is_first_touch"), lit(false).as("is_last_touch"))
-    attributed.unionByName(direct)
+  }
+
+  /** CUSUM LEVEL-SHIFT DETECTION (Page 1954): the sequential
+    * changepoint test [[rollingAnomaly]] deliberately is not — rolling
+    * z-scores catch SPIKES, CUSUM catches a sustained drift of the mean
+    * (a metric that quietly moved 10% for an hour; a cost stream
+    * creeping upward) by accumulating one-sided excesses over a
+    * reference level until the cumulative drift crosses a threshold:
+    *
+    *   S⁺_i = max(0, S⁺_{i-1} + (vc_i − target − slack))   (upward)
+    *   S⁻_i = max(0, S⁻_{i-1} + (target − slack − vc_i))   (downward)
+    *
+    * flagged when the sum exceeds `threshCents`. All integer cents, the
+    * (ts, id) TOTAL order — the recurrence replays in any engine as a
+    * per-key sequential fold (the `packBins` recursive-CTE recipe).
+    * After a flag the sums keep accumulating (alarm persists while the
+    * shift persists) — the standard un-reset form; consumers who want
+    * one alarm per shift take the first flagged row per key run.
+    *
+    * Scale shape: ONE key exchange + in-partition sort, then a single
+    * streaming pass with TWO longs of state, resetting at key
+    * boundaries (multiple keys per partition fine) — the packBins
+    * shard-fold shape, O(keys) state, no window over the full stream.
+    * Overflow bound: a key's cumulative one-sided excess must stay
+    * under 2⁶³ cents.
+    *
+    * Returns (idCol, keyCol, us, value_cents, cusum_pos, cusum_neg,
+    * shift_up, shift_down).
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, targetCents: Long,
+      slackCents: Long, threshCents: Long): DataFrame = {
+    require(slackCents >= 0 && threshCents > 0,
+      s"cusum: need slackCents >= 0 and threshCents > 0 " +
+        s"(got $slackCents, $threshCents)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val up = targetCents + slackCents
+    val dn = targetCents - slackCents
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var fresh = true
+        var sp = 0L
+        var sn = 0L
+        it.map { case (k, id, us, vc) =>
+          if (fresh || k != cur) { cur = k; fresh = false; sp = 0L; sn = 0L }
+          sp = math.max(0L, sp + (vc - up))
+          sn = math.max(0L, sn + (dn - vc))
+          (id, k, us, vc, sp, sn, sp > threshCents, sn > threshCents)
+        }
+      }
+      .toDF("id", "k", "us", "value_cents", "cusum_pos", "cusum_neg",
+        "shift_up", "shift_down")
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("value_cents"), col("cusum_pos"), col("cusum_neg"),
+        col("shift_up"), col("shift_down"))
   }
 
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to

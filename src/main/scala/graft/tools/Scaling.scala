@@ -422,6 +422,11 @@ object Scaling {
         drain(graft.operators.EventAnalytics.resample(
           sevents, "uid", "ts", "eid", "value", bucketSeconds = 3600))
       }
+      time("cusum level-shift fold over the synthetic event stream") {
+        drain(graft.operators.EventAnalytics.cusum(
+          sevents, "uid", "ts", "eid", "value",
+          targetCents = 500, slackCents = 100, threshCents = 10000))
+      }
       sevents.unpersist()
     }
     time("retrievalMetrics k=10 over 1% judged queries") {

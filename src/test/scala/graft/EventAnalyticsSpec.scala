@@ -280,6 +280,35 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size === 5)
   }
 
+  test("cusum: clamp at zero, drift accumulates to a flag, per-key reset") {
+    // target 10.00, slack 1.00, thresh 5.00 (cents: 1000/100/500).
+    // user 1: stable 10s (both sums pinned at 0), then sustained 13s:
+    // sp += 200 each → flags on the 3rd (600 > 500). one dip to 5
+    // adds 400 to sn then the next 13 clamps... sn = max(0, 400+900-1300)=0.
+    // user 2 starts FRESH (no carry from user 1).
+    val vals1 = Seq(10.0, 10.0, 10.0, 13.0, 13.0, 13.0, 5.0, 13.0)
+    val ev = vals1.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      Seq((100L, 2L, ts(0), 13.0))
+    val got = EventAnalytics.cusum(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v",
+        targetCents = 1000, slackCents = 100, threshCents = 500)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // local replay
+    var sp = 0L; var sn = 0L
+    val expect = vals1.zipWithIndex.map { case (v, i) =>
+      val vc = math.round(v * 100)
+      sp = math.max(0L, sp + vc - 1100); sn = math.max(0L, sn + 900 - vc)
+      (i.toLong + 1) -> ((sp, sn, sp > 500))
+    }.toMap
+    expect.foreach { case (k, e) => assert(got(k) === e, s"event $k") }
+    assert(got(4L)._3 === false && got(6L)._3 === true,
+      "the sustained 3.00 excess flags on its third event")
+    assert(got(100L) === ((200L, 0L, false)), "second key starts from zero")
+  }
+
   test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
     // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
     // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE
