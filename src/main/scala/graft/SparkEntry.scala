@@ -3238,6 +3238,19 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
+    * blocking + exact levenshtein verify over 40-char document
+    * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
+    * formulation — two independent computations must agree exactly
+    * ([[operators.Relational.editDistanceJoin]]).
+    */
+  private def qEditJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.editDistanceJoin(
+        wh(s, dir).loadTable("documents")
+          .select(col("doc_id"), expr("substring(text, 1, 40)").as("prefix")),
+        "doc_id", "prefix", maxDist = 4)
+      .orderBy("id_a", "id_b")
+
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
     * values, two unique keys (one deliberately failing) and a row-count
@@ -3764,7 +3777,8 @@ object SparkEntry {
     "q_random_project" -> (qRandomProject _),
     "q_attribution" -> (qAttribution _),
     "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
-    "q_cusum" -> (qCusum _)
+    "q_cusum" -> (qCusum _),
+    "q_edit_join" -> (qEditJoin _)
   )
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
@@ -5841,6 +5855,16 @@ object SparkEntry {
     "q_bpe_model_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS counts_identical,
         | true AS merges_identical FROM documents""".stripMargin,
+    // the naive all-pairs levenshtein — deliberately a DIFFERENT
+    // formulation from the Spark side's PassJoin blocking, so the two
+    // must agree pair-for-pair
+    "q_edit_join" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS dist
+        |FROM documents a, documents b
+        |WHERE a.doc_id < b.doc_id
+        | AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // the CUSUM recurrence replayed as one recursive CTE stepping a
     // rank per key — GREATEST-clamped integer sums, flags included
     "q_cusum" ->

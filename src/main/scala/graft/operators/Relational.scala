@@ -1337,4 +1337,90 @@ object Relational {
         big.sparkSession, keyHash(big, small), bloom))
     bigFiltered.join(small, on, how)
   }
+
+  /** EDIT-DISTANCE SELF-JOIN (PassJoin, Li et al. VLDB 2011): every
+    * unordered pair of rows whose strings are within `maxDist`
+    * Levenshtein edits — the typo/OCR-variant record-linkage metric
+    * [[fuzzyJoin]]'s gram-jaccard deliberately is not (jaccard is
+    * order-insensitive and length-normalized; edit distance counts the
+    * actual keystrokes).
+    *
+    * Blocking is the PassJoin pigeonhole: split every string into
+    * `maxDist + 1` segments (balanced convention: with q = k+1, base =
+    * len div q, rem = len mod q, the FIRST q−rem segments take `base`
+    * chars and the last rem take base+1 — both engines and both sides
+    * derive the same layout from the length alone). If ed(s, t) ≤ k, at
+    * least one segment of s is untouched by any edit, so it occurs in t
+    * VERBATIM at a position shifted by at most k. Candidates are
+    * therefore an equi-join of index-side segments against probe-side
+    * substrings enumerated per (source length ±k, segment, ±k
+    * position) — O((2k+1)²·(k+1)) probes per row, all map-side — then
+    * one exact `levenshtein` verification per deduped candidate pair.
+    * No all-pairs anywhere; strings shorter than k+1 chars (no
+    * non-empty segments) fall back to a bounded short×short block.
+    *
+    * Returns `(id_a, id_b, dist)`, id_a < id_b, each pair once.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (got $maxDist)")
+    val k = maxDist
+    val q = k + 1
+    val s = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).cast("string").as("str"))
+      .where(col("id").isNotNull && col("str").isNotNull)
+      .withColumn("len", length(col("str")))
+    val long = s.filter(col("len") >= q)
+    val short = s.filter(col("len") < q)
+    // index side: the k+1 segments of each string (its own layout)
+    val segStart = (l: String, i: String) =>
+      s"1 + $i * ($l div $q) + greatest($i - ($q - $l % $q), 0)"
+    val segLen = (l: String, i: String) =>
+      s"($l div $q) + IF($i >= $q - $l % $q, 1, 0)"
+    val index = long.select(col("id").as("id_a"), col("len").as("src_len"),
+      explode(expr(
+        s"""transform(sequence(0, $k), i -> struct(
+           |  i AS seg_idx,
+           |  substring(str, ${segStart("len", "i")}, ${segLen("len", "i")}) AS seg))"""
+          .stripMargin)).as("p"))
+      .select(col("id_a"), col("src_len"), col("p.seg_idx"), col("p.seg"))
+    // probe side: substrings of t at every (source length, segment,
+    // shifted position) a within-k partner could have indexed
+    val probes = long.select(col("id").as("id_b"), col("str"), col("len"),
+      explode(expr(
+        s"""flatten(transform(
+           |  IF(len + $k >= $q, sequence(greatest(len - $k, $q), len + $k), array()),
+           |  L -> flatten(transform(sequence(0, $k), i ->
+           |    transform(
+           |      IF(least(${segStart("L", "i")} + $k,
+           |               len - ${segLen("L", "i")} + 1) >=
+           |         greatest(${segStart("L", "i")} - $k, 1),
+           |        sequence(greatest(${segStart("L", "i")} - $k, 1),
+           |                 least(${segStart("L", "i")} + $k,
+           |                       len - ${segLen("L", "i")} + 1)),
+           |        array()),
+           |      p -> struct(L AS src_len, i AS seg_idx,
+           |        substring(str, p, ${segLen("L", "i")}) AS seg))))))"""
+          .stripMargin)).as("pr"))
+      .select(col("id_b"), col("pr.src_len"), col("pr.seg_idx"), col("pr.seg"))
+    val candLong = index.join(probes, Seq("src_len", "seg_idx", "seg"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // short strings (< k+1 chars): any within-k partner has len <= 2k —
+    // a bounded block, not a corpus cross join; emitted as (min, max) so
+    // the pair is covered whichever side holds the smaller id
+    val candShort = short.select(col("id").as("__x"))
+      .crossJoin(s.filter(col("len") <= 2L * k).select(col("id").as("__y")))
+      .where(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"))
+    val texts = s.select(col("id"), col("str"))
+    candLong.unionByName(candShort).distinct()
+      .join(texts.select(col("id").as("id_a"), col("str").as("__sa")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("str").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .where(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
 }

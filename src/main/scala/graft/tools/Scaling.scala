@@ -373,6 +373,11 @@ object Scaling {
       drain(graft.operators.Relational.resolveEntities(
         d.unionByName(typo), "doc_id", "s", 4L, 5L, n = 3, maxGramFreq = 0L))
     }
+    timeFull("editDistanceJoin k=2 over 40-char prefixes (PassJoin)") {
+      drain(graft.operators.Relational.editDistanceJoin(
+        big.select(col("doc_id"), expr("substring(text, 1, 40)").as("p")),
+        "doc_id", "p", maxDist = 2))
+    }
     timeFull("shortestPaths horizon 8 from 1% seeds over the doc graph") {
       val edges = big.select(col("doc_id").as("src"),
           explode(transform(sequence(lit(1), lit(5)),

@@ -854,4 +854,60 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
         .stat.bloomFilter("h", 1000L, 0.01))).count()
     assert(kept < total / 10, s"bloom kept $kept of $total")
   }
+
+  test("editDistanceJoin matches brute-force levenshtein on a seeded corpus") {
+    // 120 strings: 40 bases (deterministic 9-13 char strings) with 2
+    // mutated variants each (substitution / deletion / insertion at a
+    // hash-picked position) — plenty of pairs at every distance 0..3
+    def base(i: Int): String = {
+      val chars = "abcdefgh"
+      (0 until 9 + i % 5).map(j => chars((i * 31 + j * 7) % 8)).mkString
+    }
+    def mutate(s: String, m: Int, i: Int): String = {
+      val p = (i * 13 + m * 5) % s.length
+      m % 3 match {
+        case 0 => s.updated(p, 'z')
+        case 1 => s.take(p) + s.drop(p + 1)
+        case _ => s.take(p) + "q" + s.drop(p)
+      }
+    }
+    val rows = (0 until 40).flatMap { i =>
+      Seq((i * 3L, base(i)), (i * 3L + 1, mutate(base(i), i, i)),
+        (i * 3L + 2, mutate(mutate(base(i), i, i), i + 1, i)))
+    }
+    val df = rows.toDF("id", "s")
+    val k = 3
+    val got = Relational.editDistanceJoin(df, "id", "s", maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = lev(sa, sb) if d <= k
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got === expect,
+      s"missing: ${(expect.keySet diff got.keySet).take(5)}; " +
+        s"extra: ${(got.keySet diff expect.keySet).take(5)}")
+    assert(expect.nonEmpty && expect.values.exists(_ > 0))
+  }
+
+  test("editDistanceJoin: short strings pair through the bounded block") {
+    // len < k+1 strings have no non-empty segments — the short block
+    // must still find their partners (incl. short-long both id orders)
+    val df = Seq((1L, "ab"), (2L, "abcde"), (5L, "ba"), (9L, "a"))
+      .toDF("id", "s")
+    val got = Relational.editDistanceJoin(df, "id", "s", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 5L)) === 2L)
+    assert(got((1L, 2L)) === 3L, "short id 1 pairs with longer id 2")
+    assert(got((1L, 9L)) === 1L)
+    assert(!got.contains((2L, 9L)), "abcde vs a is distance 4")
+  }
 }
