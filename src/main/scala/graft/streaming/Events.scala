@@ -511,6 +511,74 @@ object Events {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** CUSUM state for [[cusumStream]]: the two clamped drift sums plus
+    * the newest event time seen (the [[RollingState]] lastUs rule). */
+  case class CusumState(sp: Long, sn: Long, lastUs: Long)
+
+  /** One scored event from [[cusumStream]] — the streaming counterpart
+    * of [[graft.operators.EventAnalytics.cusum]]'s output row. */
+  case class CusumFlag(event_id: Long, user_id: Long, us: Long,
+      value_cents: Long, cusum_pos: Long, cusum_neg: Long,
+      shift_up: Boolean, shift_down: Boolean)
+
+  /** STREAMING CUSUM level-shift detection — the flag-on-arrival form
+    * of [[graft.operators.EventAnalytics.cusum]]: each arriving event
+    * folds into its key's clamped one-sided drift sums and is flagged
+    * the moment the cumulative excess crosses the threshold (the
+    * sustained-drift alarm cannot wait for a batch job). Within a
+    * micro-batch events fold in (ts, event_id) order, so an in-order
+    * stream reproduces the batch operator's sums and flags EXACTLY
+    * (StreamingSpec pins the parity); out-of-order arrivals within
+    * `allowedLateness` fold against the state as it stood — the honest
+    * real-time semantics. State per key is TWO longs + the newest
+    * event time; idle keys evict by event-time TTL (a returning key
+    * restarts its drift sums cold — document the monitoring gap).
+    */
+  def cusumStream(events: Dataset[Event], targetCents: Long,
+      slackCents: Long, threshCents: Long,
+      allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 24 * 60): Dataset[CusumFlag] = {
+    require(slackCents >= 0 && threshCents > 0,
+      s"cusumStream: need slackCents >= 0 and threshCents > 0 " +
+        s"(got $slackCents, $threshCents)")
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumFlag]
+    implicit val longEnc = Encoders.scalaLong
+    val up = targetCents + slackCents
+    val dn = targetCents - slackCents
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[CusumState]): Iterator[CusumFlag] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+      var sp = prev.sp
+      var sn = prev.sn
+      var lastUs = prev.lastUs
+      val out = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val us = tsMicros(e.ts)
+        lastUs = math.max(lastUs, us)
+        // HALF_UP like the batch form's round(value*100)
+        val vc = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        sp = math.max(0L, sp + (vc - up))
+        sn = math.max(0L, sn + (dn - vc))
+        CusumFlag(e.event_id, uid, us, vc, sp, sn,
+          sp > threshCents, sn > threshCents)
+      }
+      state.update(CusumState(sp, sn, lastUs))
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** One recent touch event retained in [[attributionStream]] state. */
   case class Touch(us: Long, id: Long, typ: String)
 

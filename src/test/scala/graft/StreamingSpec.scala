@@ -737,6 +737,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the late purchase credits exactly the minute-0 view")
   }
 
+  test("cusumStream: in-order stream == batch; state carries across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    // the EventAnalyticsSpec cusum fixture streamed over 3 triggers —
+    // the drift that flags on event 6 accumulates across the boundary
+    val vals = Seq(10.0, 10.0, 10.0, 13.0, 13.0, 13.0, 5.0, 13.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i.toLong + 1, ts(i.toLong), 1L, "m", v) } :+
+      Event(100, ts(7), 2L, "m", 13.0)
+    val mem = MemoryStream[Event]
+    val q = Events.cusumStream(mem.toDS(), targetCents = 1000,
+        slackCents = 100, threshCents = 500)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(4): _*); q.processAllAvailable()
+      mem.addData(evs.slice(4, 7): _*); q.processAllAvailable()
+      mem.addData(evs.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+    val got = spark.table("cusum_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.cusum(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        targetCents = 1000, slackCents = 100, threshCents = 500)
+      .collect().map(key).toMap
+    assert(got === batch)
+    assert(got(6L)._3 === true, "the sustained drift flags on its third event")
+    assert(got(100L) === ((200L, 0L, false, false)), "second key starts cold")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
