@@ -3238,6 +3238,17 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** EWMA smoothing + trend-deviation flag (SURVEY row 50j): α = 0.2
+    * integer fixed-point level, $30 deviation alarm — the sequential
+    * recurrence the oracle replays as one recursive CTE stepping a rank
+    * per key ([[operators.EventAnalytics.ewma]]).
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.ewma(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        alphaPpm = 200000, devThreshCents = 3000)
+      .orderBy("user_id", "us", "event_id")
+
   /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
     * blocking + exact levenshtein verify over 40-char document
     * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
@@ -3250,6 +3261,23 @@ object SparkEntry {
           .select(col("doc_id"), expr("substring(text, 1, 40)").as("prefix")),
         "doc_id", "prefix", maxDist = 4)
       .orderBy("id_a", "id_b")
+
+  /** Incremental edit-distance join (SURVEY row 30f-inc): the batch
+    * (doc_id % 10 = 0) joins against the 90% history via its persisted
+    * segment store — exactly the one-shot's new-involving pairs; the
+    * oracle is the naive all-pairs formulation restricted to pairs with
+    * a batch side ([[operators.Relational.editDistanceJoinIncremental]]).
+    */
+  private def qEditIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = wh(s, dir).loadTable("documents")
+      .select(col("doc_id"), expr("substring(text, 1, 40)").as("prefix"))
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val store = operators.Relational.editSegmentStore(hist, "doc_id", "prefix", maxDist = 4)
+    operators.Relational.editDistanceJoinIncremental(
+        batch, "doc_id", "prefix", store, hist, maxDist = 4)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Data-quality constraint report (SURVEY row 22c): the dbt-test /
     * Deequ expectation surface over orders — not-null, range, accepted
@@ -3778,6 +3806,8 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
     "q_cusum" -> (qCusum _),
+    "q_ewma" -> (qEwma _),
+    "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _)
   )
 
@@ -5865,6 +5895,17 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         | AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // the incremental form: the same naive all-pairs, restricted to
+    // pairs with at least one batch (doc_id % 10 = 0) side — the
+    // store-probed result must agree pair-for-pair
+    "q_edit_incremental" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS dist
+        |FROM documents a, documents b
+        |WHERE a.doc_id < b.doc_id
+        | AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        | AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // the CUSUM recurrence replayed as one recursive CTE stepping a
     // rank per key — GREATEST-clamped integer sums, flags included
     "q_cusum" ->
@@ -5889,6 +5930,29 @@ object SparkEntry {
         |SELECT id AS event_id, k AS user_id, us, vc AS value_cents,
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
+        |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the EWMA recurrence replayed as one recursive CTE: level held
+    // ×10⁶, one truncating // per step (toward zero in both engines),
+    // seed row unflagged, deviation judged against the PRIOR level
+    "q_ewma" ->
+      """WITH RECURSIVE base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, id, us, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id) AS BIGINT) AS rn
+        |       FROM base),
+        |rec AS (
+        | SELECT k, id, us, vc, rn, vc * 1000000 AS s, FALSE AS dev
+        | FROM rk WHERE rn = 1
+        | UNION ALL
+        | SELECT r.k, r.id, r.us, r.vc, r.rn,
+        |        200000 * r.vc + (800000 * rec.s) // 1000000,
+        |        abs(r.vc * 1000000 - rec.s) > 3000000000
+        | FROM rk r JOIN rec ON r.k = rec.k AND r.rn = rec.rn + 1)
+        |SELECT id AS event_id, k AS user_id, us, vc AS value_cents,
+        |       CAST(s AS BIGINT) AS ewma_e6, dev AS deviation
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (

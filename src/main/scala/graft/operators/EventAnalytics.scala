@@ -430,6 +430,85 @@ object EventAnalytics {
         col("shift_up"), col("shift_down"))
   }
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE smoothing + deviation flag
+    * (Roberts 1959, the EWMA control chart): each key's event values
+    * fold into a smoothed level s and each event is flagged when it
+    * deviates from the level AS IT STOOD (before the event folds in) by
+    * more than `devThreshCents` — the "is this reading far off the
+    * recent trend" alarm that complements [[rollingAnomaly]] (fixed
+    * window, variance-scaled) and [[cusum]] (cumulative small drift):
+    * EWMA weights recent history geometrically, so it tracks a slowly
+    * moving level without storing any window.
+    *
+    * ENGINE-EXACT INTEGER recurrence, no floats: with vc = cents(value)
+    * and α = `alphaPpm` parts-per-million, the level is held ×10⁶
+    * (`ewma_e6`):
+    *
+    *   s₀ = vc₀·10⁶                      (seed = first value, unflagged)
+    *   sᵢ = α·vcᵢ + ((10⁶−α)·sᵢ₋₁) div 10⁶
+    *
+    * One truncating division per step — Spark `div`, Scala Long `/` and
+    * DuckDB `//` all truncate toward zero, so any engine replays the
+    * level bit-for-bit (the packBins fold convention). The deviation
+    * test |vcᵢ·10⁶ − sᵢ₋₁| > devThreshCents·10⁶ is pure long compare.
+    * Events are ordered by (ts, idCol) — a TOTAL order (the
+    * [[rollingAnomaly]] convention).
+    *
+    * Overflow bound: the level is a convex combination of inputs, so
+    * |s| ≤ max|vc|·10⁶ and the product (10⁶−α)·s stays inside 2⁶³ while
+    * |vc| ≤ 9·10⁶ cents ($90k per event) — enforced with an explicit
+    * error, never a silent wrap (the [[rollingAnomaly]] rule).
+    *
+    * Scale shape: ONE key exchange + in-partition sort, then a single
+    * streaming pass with ONE long of state resetting at key boundaries
+    * (the [[cusum]] shard-fold shape) — O(keys) state, no window over
+    * the full stream.
+    *
+    * Returns (idCol, keyCol, us, value_cents, ewma_e6, deviation).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaPpm: Long,
+      devThreshCents: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"ewma: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(devThreshCents > 0,
+      s"ewma: devThreshCents must be > 0 (got $devThreshCents)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val beta = 1000000L - alphaPpm
+    val devE6 = devThreshCents * 1000000L
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var fresh = true
+        var seeded = false
+        var s = 0L
+        it.map { case (k, id, us, vc) =>
+          if (fresh || k != cur) { cur = k; fresh = false; seeded = false }
+          if (math.abs(vc) > 9000000L)
+            throw new IllegalArgumentException(
+              s"ewma: |value_cents| $vc exceeds the 9,000,000-cent " +
+                "overflow bound (event id " + id + ")")
+          val dev = seeded && math.abs(vc * 1000000L - s) > devE6
+          s = if (seeded) alphaPpm * vc + beta * s / 1000000L
+              else vc * 1000000L
+          seeded = true
+          (id, k, us, vc, s, dev)
+        }
+      }
+      .toDF("id", "k", "us", "value_cents", "ewma_e6", "deviation")
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("value_cents"), col("ewma_e6"), col("deviation"))
+  }
+
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
     * fixed-width time buckets and MATERIALIZE the empty buckets — the
     * regularization step before any dashboard, forecast, or

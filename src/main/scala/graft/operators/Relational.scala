@@ -1423,4 +1423,153 @@ object Relational {
       .where(col("dist") <= k)
       .select("id_a", "id_b", "dist")
   }
+
+  /** PassJoin SEGMENT STORE for [[editDistanceJoinIncremental]]: the
+    * index side of [[editDistanceJoin]] materialized as a narrow frame —
+    * one row per (id, src_len, seg_idx, seg), `maxDist + 1` rows per
+    * string of length ≥ maxDist + 1 (shorter strings carry no segments
+    * and are handled by the incremental short fallback, which scans the
+    * history text table). Persist it once through the Warehouse and
+    * append each batch's own segments after processing; bucket by
+    * `seg` at warehouse scale so the probe prunes buckets (the
+    * [[graft.operators.Dedup.spanAnchorStore]] convention).
+    */
+  def editSegmentStore(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (got $maxDist)")
+    val k = maxDist
+    val q = k + 1
+    val segStart = (l: String, i: String) =>
+      s"1 + $i * ($l div $q) + greatest($i - ($q - $l % $q), 0)"
+    val segLen = (l: String, i: String) =>
+      s"($l div $q) + IF($i >= $q - $l % $q, 1, 0)"
+    df.select(col(idCol).cast("long").as("id"),
+        col(strCol).cast("string").as("str"))
+      .where(col("id").isNotNull && col("str").isNotNull)
+      .withColumn("len", length(col("str")))
+      .filter(col("len") >= q)
+      .select(col("id"), col("len").as("src_len"),
+        explode(expr(
+          s"""transform(sequence(0, $k), i -> struct(
+             |  i AS seg_idx,
+             |  substring(str, ${segStart("len", "i")}, ${segLen("len", "i")}) AS seg))"""
+            .stripMargin)).as("p"))
+      .select(col("id"), col("src_len"), col("p.seg_idx"), col("p.seg"))
+  }
+
+  /** INCREMENTAL edit-distance join: all within-`maxDist` Levenshtein
+    * pairs of `history ∪ newDf` in which at least one side is a batch
+    * row — history is never re-segmented (its persisted
+    * [[editSegmentStore]] is probed instead) and old-vs-old pairs are
+    * never generated (the minhashLshIncremental contract). Batch ids
+    * must be disjoint from history's.
+    *
+    * new×new pairs come from the plain [[editDistanceJoin]] over the
+    * batch alone. new×old pairs apply the PassJoin pigeonhole with
+    * HISTORY as the index side (if ed(old, new) ≤ k, some segment of
+    * `old` appears verbatim in `new` at a position shifted ≤ k): the
+    * batch's probe substrings are enumerated map-side, their DISTINCT
+    * (src_len, seg_idx, seg) keys BROADCAST into a left-semi prune of
+    * the store — the store never shuffles, and with a seg-bucketed
+    * store the probe also prunes buckets — then only the surviving
+    * (bounded) index rows equi-join the probes. Short strings (< k+1
+    * chars, no segments) fall back to bounded blocks that keep a new
+    * side: batch-short × (history ≤ 2k chars) and history-short ×
+    * (batch ≤ 2k chars), each a map-side scan of history against a
+    * broadcast batch set. History text is fetched only for the bounded
+    * candidate ids (broadcast probe — the sharedSpansIncremental text
+    * fetch shape), then ONE exact `levenshtein` per deduped candidate.
+    *
+    * Returns `(id_a, id_b, dist)`, id_a < id_b, each pair once.
+    */
+  def editDistanceJoinIncremental(
+      newDf: DataFrame, idCol: String, strCol: String,
+      store: DataFrame, history: DataFrame, maxDist: Int,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (got $maxDist)")
+    val k = maxDist
+    val q = k + 1
+    def persistIf(d: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) d else d.persist(persistLevel)
+    val newBase = persistIf(
+      newDf.select(col(idCol).cast("long").as("id"),
+          col(strCol).cast("string").as("str"))
+        .where(col("id").isNotNull && col("str").isNotNull)
+        .withColumn("len", length(col("str"))))
+    val oldBase = history.select(col(idCol).cast("long").as("id"),
+        col(strCol).cast("string").as("str"))
+      .where(col("id").isNotNull && col("str").isNotNull)
+      .withColumn("len", length(col("str")))
+    // probe side: the batch's substrings at every (source length,
+    // segment, shifted position) a within-k HISTORY partner could have
+    // indexed — the editDistanceJoin probe enumeration verbatim
+    val segStart = (l: String, i: String) =>
+      s"1 + $i * ($l div $q) + greatest($i - ($q - $l % $q), 0)"
+    val segLen = (l: String, i: String) =>
+      s"($l div $q) + IF($i >= $q - $l % $q, 1, 0)"
+    val probes = persistIf(newBase.filter(col("len") >= q)
+      .select(col("id").as("id_n"), col("str"), col("len"),
+        explode(expr(
+          s"""flatten(transform(
+             |  IF(len + $k >= $q, sequence(greatest(len - $k, $q), len + $k), array()),
+             |  L -> flatten(transform(sequence(0, $k), i ->
+             |    transform(
+             |      IF(least(${segStart("L", "i")} + $k,
+             |               len - ${segLen("L", "i")} + 1) >=
+             |         greatest(${segStart("L", "i")} - $k, 1),
+             |        sequence(greatest(${segStart("L", "i")} - $k, 1),
+             |                 least(${segStart("L", "i")} + $k,
+             |                       len - ${segLen("L", "i")} + 1)),
+             |        array()),
+             |      p -> struct(L AS src_len, i AS seg_idx,
+             |        substring(str, p, ${segLen("L", "i")}) AS seg))))))"""
+            .stripMargin)).as("pr"))
+      .select(col("id_n"), col("pr.src_len"), col("pr.seg_idx"), col("pr.seg")))
+    // store probe: only keys the batch actually enumerates can pair with
+    // it; the distinct key set broadcasts so the store NEVER shuffles
+    // (post-distinct stats can push the planner to sort-merge otherwise —
+    // the sharedSpansIncremental lesson, measured 2× there)
+    val pruned = store.select(col("id"), col("src_len"), col("seg_idx"), col("seg"))
+      .join(broadcast(probes.select("src_len", "seg_idx", "seg").distinct()),
+        Seq("src_len", "seg_idx", "seg"), "left_semi")
+    val candCross = pruned
+      .join(probes, Seq("src_len", "seg_idx", "seg"))
+      .select(col("id").as("id_o"), col("id_n"))
+    // short fallback, both directions, always one new side; the history
+    // scans are map-side against broadcast batch sets
+    val newShort = newBase.filter(col("len") < q)
+    val shortA = broadcast(newShort.select(col("id").as("id_n")))
+      .crossJoin(oldBase.filter(col("len") <= 2L * k).select(col("id").as("id_o")))
+    val shortB = oldBase.filter(col("len") < q).select(col("id").as("id_o"))
+      .crossJoin(broadcast(
+        newBase.filter(col("len") <= 2L * k).select(col("id").as("id_n"))))
+    val mixed = candCross.unionByName(shortA.select("id_o", "id_n"))
+      .unionByName(shortB.select("id_o", "id_n")).distinct()
+    // text fetch in the O(batch + matches) shape: bounded old candidate
+    // ids broadcast into one map-side history scan
+    val neededOld = mixed.select(col("id_o").as("id")).distinct()
+    val fetchedOld = persistIf(oldBase.join(broadcast(neededOld), Seq("id"))
+      .select(col("id"), col("str")))
+    val mixedPairs = mixed
+      .join(broadcast(fetchedOld.select(col("id").as("id_o"), col("str").as("__so"))),
+        "id_o")
+      .join(newBase.select(col("id").as("id_n"), col("str").as("__sn")), "id_n")
+      .withColumn("dist", levenshtein(col("__so"), col("__sn")).cast("long"))
+      .where(col("dist") <= k)
+      .select(least(col("id_o"), col("id_n")).as("id_a"),
+        greatest(col("id_o"), col("id_n")).as("id_b"), col("dist"))
+    val newNew = editDistanceJoin(newBase, "id", "str", k)
+    val result = mixedPairs.unionByName(newNew)
+    // steady-state ingestion: eager bounded pair frame, caches released
+    if (persistLevel == StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true, storageLevel = persistLevel)
+      newBase.unpersist()
+      probes.unpersist()
+      fetchedOld.unpersist()
+      out
+    }
+  }
 }

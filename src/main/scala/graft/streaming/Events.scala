@@ -579,6 +579,81 @@ object Events {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** EWMA state for [[ewmaStream]]: the ×10⁶ smoothed level, whether it
+    * has been seeded by a first event, and the newest event time seen
+    * (the [[RollingState]] lastUs rule). */
+  case class EwmaState(sE6: Long, seeded: Boolean, lastUs: Long)
+
+  /** One scored event from [[ewmaStream]] — the streaming counterpart
+    * of [[graft.operators.EventAnalytics.ewma]]'s output row. */
+  case class EwmaFlag(event_id: Long, user_id: Long, us: Long,
+      value_cents: Long, ewma_e6: Long, deviation: Boolean)
+
+  /** STREAMING EWMA smoothing — the flag-on-arrival form of
+    * [[graft.operators.EventAnalytics.ewma]]: each arriving event folds
+    * into its key's ×10⁶ smoothed level via the identical integer
+    * recurrence (s ← α·vc + ((10⁶−α)·s) div 10⁶, seed = first value)
+    * and is flagged the moment it deviates from the level as it stood —
+    * the trend-deviation alarm scored in real time. Within a
+    * micro-batch events fold in (ts, event_id) order, so an in-order
+    * stream reproduces the batch operator's levels and flags EXACTLY
+    * (StreamingSpec pins the parity); out-of-order arrivals within
+    * `allowedLateness` fold against the state as it stood — the honest
+    * real-time semantics. State per key is ONE long + the seed bit +
+    * the newest event time; idle keys evict by event-time TTL (a
+    * returning key re-seeds from its next value — document the
+    * monitoring gap).
+    */
+  def ewmaStream(events: Dataset[Event], alphaPpm: Long,
+      devThreshCents: Long, allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 24 * 60): Dataset[EwmaFlag] = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"ewmaStream: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(devThreshCents > 0,
+      s"ewmaStream: devThreshCents must be > 0 (got $devThreshCents)")
+    implicit val stateEnc = Encoders.product[EwmaState]
+    implicit val outEnc = Encoders.product[EwmaFlag]
+    implicit val longEnc = Encoders.scalaLong
+    val beta = 1000000L - alphaPpm
+    val devE6 = devThreshCents * 1000000L
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[EwmaState]): Iterator[EwmaFlag] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(EwmaState(0L, seeded = false, 0L))
+      var s = prev.sE6
+      var seeded = prev.seeded
+      var lastUs = prev.lastUs
+      val out = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val us = tsMicros(e.ts)
+        lastUs = math.max(lastUs, us)
+        // HALF_UP like the batch form's round(value*100)
+        val vc = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        if (math.abs(vc) > 9000000L)
+          throw new IllegalArgumentException(
+            s"ewmaStream: |value_cents| $vc exceeds the 9,000,000-cent " +
+              "overflow bound (event id " + e.event_id + ")")
+        val dev = seeded && math.abs(vc * 1000000L - s) > devE6
+        s = if (seeded) alphaPpm * vc + beta * s / 1000000L
+            else vc * 1000000L
+        seeded = true
+        EwmaFlag(e.event_id, uid, us, vc, s, dev)
+      }
+      state.update(EwmaState(s, seeded, lastUs))
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** One recent touch event retained in [[attributionStream]] state. */
   case class Touch(us: Long, id: Long, typ: String)
 

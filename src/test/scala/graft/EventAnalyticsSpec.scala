@@ -309,6 +309,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((200L, 0L, false)), "second key starts from zero")
   }
 
+  test("ewma: seed unflagged, level tracks, deviation vs prior level, per-key reset, negative values") {
+    // α = 0.25, deviation threshold $1.00. user 1: seed 10.00, stable,
+    // then a 20.00 spike (deviates vs the ~10.00 prior level) that the
+    // level partially absorbs; a NEGATIVE value pins truncation-toward-
+    // zero agreement across engines. user 2 starts FRESH.
+    val vals1 = Seq(10.0, 10.0, 20.0, 10.0, -3.37)
+    val ev = vals1.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      Seq((100L, 2L, ts(0), 20.0))
+    val got = EventAnalytics.ewma(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v",
+        alphaPpm = 250000, devThreshCents = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // local replay of the exact integer recurrence
+    var s = 0L; var seeded = false
+    val expect = vals1.zipWithIndex.map { case (v, i) =>
+      val vc = math.round(v * 100)
+      val dev = seeded && math.abs(vc * 1000000L - s) > 100L * 1000000L
+      s = if (seeded) 250000L * vc + 750000L * s / 1000000L else vc * 1000000L
+      seeded = true
+      (i.toLong + 1) -> ((s, dev))
+    }.toMap
+    expect.foreach { case (k, e) => assert(got(k) === e, s"event $k") }
+    assert(got(1L)._2 === false, "seed row never flags")
+    assert(got(2L)._2 === false, "on-level reading unflagged")
+    assert(got(3L)._2 === true, "the 20.00 spike deviates from the 10.00 level")
+    assert(got(5L)._2 === true, "the negative drop deviates")
+    assert(got(100L) === ((2000L * 1000000L, false)), "second key re-seeds")
+  }
+
   test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
     // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
     // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE

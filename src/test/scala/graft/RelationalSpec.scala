@@ -910,4 +910,46 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got((1L, 9L)) === 1L)
     assert(!got.contains((2L, 9L)), "abcde vs a is distance 4")
   }
+
+  test("editDistanceJoinIncremental == one-shot new-involving pairs; no old-old") {
+    // the brute-force corpus split 90/10: the incremental result over
+    // (store of history, batch) must equal the one-shot pairs with at
+    // least one batch side — and never emit an old-old pair
+    def base(i: Int): String = {
+      val chars = "abcdefgh"
+      (0 until 9 + i % 5).map(j => chars((i * 31 + j * 7) % 8)).mkString
+    }
+    def mutate(s: String, m: Int, i: Int): String = {
+      val p = (i * 13 + m * 5) % s.length
+      m % 3 match {
+        case 0 => s.updated(p, 'z')
+        case 1 => s.take(p) + s.drop(p + 1)
+        case _ => s.take(p) + "q" + s.drop(p)
+      }
+    }
+    val rows = (0 until 40).flatMap { i =>
+      Seq((i * 3L, base(i)), (i * 3L + 1, mutate(base(i), i, i)),
+        (i * 3L + 2, mutate(mutate(base(i), i, i), i + 1, i)))
+    } ++ Seq((1000L, "ab"), (1001L, "abcd")) // short rows on both sides
+    val k = 3
+    val isNew = (id: Long) => id % 10 == 0 || id == 1000L
+    val hist = rows.filterNot(r => isNew(r._1)).toDF("id", "s")
+    val batch = rows.filter(r => isNew(r._1)).toDF("id", "s")
+    val store = Relational.editSegmentStore(hist, "id", "s", maxDist = k)
+    val got = Relational.editDistanceJoinIncremental(
+        batch, "id", "s", store, hist, maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Relational.editDistanceJoin(rows.toDF("id", "s"), "id", "s",
+        maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = full.filter { case ((a, b), _) => isNew(a) || isNew(b) }
+    assert(got === expect,
+      s"missing: ${(expect.keySet diff got.keySet).take(5)}; " +
+        s"extra: ${(got.keySet diff expect.keySet).take(5)}")
+    assert(expect.exists { case ((a, b), _) => isNew(a) ^ isNew(b) },
+      "fixture exercises mixed old/new pairs")
+    assert(expect.exists { case ((a, b), _) => isNew(a) && isNew(b) },
+      "fixture exercises batch-internal pairs")
+    assert(got.contains((1000L, 1001L)), "short batch row pairs with short history row")
+  }
 }

@@ -766,6 +766,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((200L, 0L, false, false)), "second key starts cold")
   }
 
+  test("ewmaStream: in-order stream == batch; level carries across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    // the EventAnalyticsSpec ewma fixture streamed over 3 triggers —
+    // the spike deviation is judged against a level seeded two
+    // triggers earlier; the negative value crosses a boundary too
+    val vals = Seq(10.0, 10.0, 20.0, 10.0, -3.37)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i.toLong + 1, ts(i.toLong), 1L, "m", v) } :+
+      Event(100, ts(7), 2L, "m", 20.0)
+    val mem = MemoryStream[Event]
+    val q = Events.ewmaStream(mem.toDS(), alphaPpm = 250000,
+        devThreshCents = 100)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(2): _*); q.processAllAvailable()
+      mem.addData(evs.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(evs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))
+    val got = spark.table("ewma_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.ewma(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        alphaPpm = 250000, devThreshCents = 100)
+      .collect().map(key).toMap
+    assert(got === batch)
+    assert(got(3L)._2 === true, "the spike deviates from the carried level")
+    assert(got(100L) === ((2000L * 1000000L, false)), "second key seeds cold")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
