@@ -3378,6 +3378,31 @@ object SparkEntry {
       .orderBy("l_id", "r_id")
   }
 
+  /** Incremental fuzzy self-join (SURVEY row 30d-inc): the batch
+    * (doc_id % 10 = 0 rows plus planted 'Z'-typo copies of the % 10 = 1
+    * rows, offset by 1e6) probes the history's persisted
+    * [[operators.Relational.fuzzyGramStore]] — exactly the one-shot
+    * [[operators.Relational.fuzzySelfPairs]]' new-involving pairs; the
+    * oracle is the all-pairs gram-jaccard replay restricted to pairs
+    * with a batch side. The typo rows guarantee old↔new matches AND
+    * exercise the frozen-order df-0 path (history never contains 'Z').
+    */
+  private def qFuzzyIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = wh(s, dir).loadTable("documents")
+      .filter(col("text").isNotNull && length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+    val hist = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val typo = d.filter(pmod(col("doc_id"), lit(10)) === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("s"), 1, 29), lit("Z"),
+          substring(col("s"), 31, 60)).as("s"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0).unionByName(typo)
+    val store = operators.Relational.fuzzyGramStore(hist, "doc_id", "s", n = 3)
+    operators.Relational.fuzzyJoinIncremental(batch, "doc_id", "s",
+        store, hist, thresholdNum = 4, thresholdDen = 5, n = 3)
+      .orderBy("l_id", "r_id")
+  }
+
 
   /** Shared customer↔supplier trade-graph edge list (suppliers offset by
     * 1e6 into one node-id space); `symmetric` adds the reverse edges.
@@ -3772,6 +3797,7 @@ object SparkEntry {
     "q_heavy_hitters_stream" -> (qHeavyHittersStream _),
     "q_table_diff" -> (qTableDiff _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_fuzzy_incremental" -> (qFuzzyIncremental _),
     "q_pagerank" -> (qPagerank _),
     "q_pagerank_personalized" -> (qPagerankPersonalized _),
     "q_graph_degrees" -> (qGraphDegrees _),
@@ -5872,6 +5898,33 @@ object SparkEntry {
         |    i -> substr(s, i, 3))) AS gs FROM r)),
         |pairs AS (SELECT l_id, r_id, l_grams, r_grams, count(*) AS shared_grams
         |          FROM lg JOIN rg USING (g) GROUP BY 1, 2, 3, 4),
+        |sel AS (SELECT *, l_grams + r_grams - shared_grams AS u FROM pairs
+        |        WHERE shared_grams * 5 >= 4 * (l_grams + r_grams - shared_grams))
+        |SELECT l_id, r_id, shared_grams, l_grams, r_grams,
+        |  CAST((CAST(shared_grams AS HUGEINT) * 1000000) // u AS BIGINT) AS jaccard_e6
+        |FROM sel ORDER BY l_id, r_id""".stripMargin,
+    // the incremental form: the same all-pairs gram-jaccard replay as a
+    // SELF join over history ∪ batch, restricted to pairs with at least
+    // one batch side (doc_id % 10 = 0 or a planted typo id >= 1e6) — the
+    // store-probed result must agree pair-for-pair
+    "q_fuzzy_incremental" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+        |           WHERE text IS NOT NULL AND length(text) >= 40),
+        |typo AS (SELECT doc_id + 1000000 AS doc_id,
+        |         concat(substr(s, 1, 29), 'Z', substr(s, 31, 60)) AS s
+        |         FROM d WHERE doc_id % 10 = 1),
+        |c AS (SELECT * FROM d UNION ALL SELECT * FROM typo),
+        |cg AS (SELECT doc_id, len(gs) AS grams, unnest(gs) AS g FROM (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(s) - 2, 0)),
+        |    i -> substr(s, i, 3))) AS gs FROM c)),
+        |pairs AS (SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+        |            a.grams AS l_grams, b.grams AS r_grams,
+        |            count(*) AS shared_grams
+        |          FROM cg a JOIN cg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          WHERE a.doc_id % 10 = 0 OR a.doc_id >= 1000000
+        |             OR b.doc_id % 10 = 0 OR b.doc_id >= 1000000
+        |          GROUP BY 1, 2, 3, 4),
         |sel AS (SELECT *, l_grams + r_grams - shared_grams AS u FROM pairs
         |        WHERE shared_grams * 5 >= 4 * (l_grams + r_grams - shared_grams))
         |SELECT l_id, r_id, shared_grams, l_grams, r_grams,

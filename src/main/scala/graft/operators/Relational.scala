@@ -200,34 +200,44 @@ object Relational {
     fuzzyJoinImpl(df, None, idCol, strCol, idCol, strCol,
       thresholdNum, thresholdDen, n, maxGramFreq)
 
+  /** Hashed distinct-gram arrays — one row per string:
+    * `(side_id, side_gs: array<bigint>, side_grams)`. The ONE gram
+    * generation shared by [[fuzzyJoinImpl]], [[fuzzyGramStore]] and
+    * [[fuzzyJoinIncremental]], so hashing/windowing can never drift
+    * between the one-shot and the store-probed forms.
+    *
+    * sequence(1, len-n+1) would run DESCENDING for short strings
+    * (Spark sequences reverse when start > stop) — guard to empty.
+    * Grams are HASHED to longs at generation (the ngramJaccard
+    * design): every downstream shuffle/join keys on 8 bytes
+    * instead of n-char strings and the verify intersect runs on
+    * long arrays; distinct counts are preserved modulo 64-bit
+    * collisions (~|grams|²/2⁶⁴ ≈ 0, far below any oracle's noise
+    * floor). xxhash64 over the raw substring — no trim, so gram
+    * counts match the string-substring oracle replay exactly.
+    */
+  private def hashedGramArrays(df: DataFrame, idC: String, strC: String,
+      side: String, n: Int): DataFrame =
+    df.select(lcol(idC).cast("long").as(s"${side}_id"),
+        when(length(lcol(strC)) < n, array().cast("array<bigint>"))
+          // functions.transform, NOT this object's mapPartitions verb
+          .otherwise(array_distinct(org.apache.spark.sql.functions.transform(
+            sequence(lit(1), length(lcol(strC)) - (n - 1)),
+            i => xxhash64(lcol(strC).substr(i, lit(n))))))
+          .as(s"${side}_gs"))
+      .withColumn(s"${side}_grams", size(col(s"${side}_gs")).cast("long"))
+      .filter(col(s"${side}_grams") > 0)
+
   private def fuzzyJoinImpl(left: DataFrame, rightOpt: Option[DataFrame],
       lIdCol: String, lStrCol: String, rIdCol: String, rStrCol: String,
       thresholdNum: Long, thresholdDen: Long,
       n: Int, maxGramFreq: Long): DataFrame = {
     require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be >= 0")
     // gram ARRAYS are the one persisted artifact: freq, both prefixes and
-    // the verification all derive from them, so the
-    // substring/transform/array_distinct gram generation runs ONCE per
-    // side instead of once per consumer
+    // the verification all derive from them, so the gram generation runs
+    // ONCE per side instead of once per consumer
     def gramArrays(df: DataFrame, idC: String, strC: String, side: String) =
-      df.select(lcol(idC).cast("long").as(s"${side}_id"),
-          // sequence(1, len-n+1) would run DESCENDING for short strings
-          // (Spark sequences reverse when start > stop) — guard to empty.
-          // Grams are HASHED to longs at generation (the ngramJaccard
-          // design): every downstream shuffle/join keys on 8 bytes
-          // instead of n-char strings and the verify intersect runs on
-          // long arrays; distinct counts are preserved modulo 64-bit
-          // collisions (~|grams|²/2⁶⁴ ≈ 0, far below any oracle's noise
-          // floor). xxhash64 over the raw substring — no trim, so gram
-          // counts match the string-substring oracle replay exactly.
-          when(length(lcol(strC)) < n, array().cast("array<bigint>"))
-            // functions.transform, NOT this object's mapPartitions verb
-            .otherwise(array_distinct(org.apache.spark.sql.functions.transform(
-              sequence(lit(1), length(lcol(strC)) - (n - 1)),
-              i => xxhash64(lcol(strC).substr(i, lit(n))))))
-            .as(s"${side}_gs"))
-        .withColumn(s"${side}_grams", size(col(s"${side}_gs")).cast("long"))
-        .filter(col(s"${side}_grams") > 0)
+      hashedGramArrays(df, idC, strC, side, n)
     val lArr = gramArrays(left, lIdCol, lStrCol, "l")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // self mode: the right stream is a RENAME of the cached left frame —
@@ -313,6 +323,164 @@ object Relational {
         "CAST((CAST(shared_grams AS decimal(38,0)) * 1000000) div " +
           "(l_grams + r_grams - shared_grams) AS long)"))
       .select("l_id", "r_id", "shared_grams", "l_grams", "r_grams", "jaccard_e6")
+  }
+
+  /** GRAM-INDEX STORE for [[fuzzyJoinIncremental]]: the PPJoin index
+    * side of [[fuzzySelfPairs]] materialized as a narrow frame — one
+    * row per (string, distinct hashed gram): `(id, g, df, rk, sz)`
+    * where `df` is the gram's document frequency over THIS corpus and
+    * `rk` its rank within the string under the global (df, g) order
+    * (capped grams — `df > maxGramFreq` when the cap is on — carry a
+    * NULL rk and never enter a prefix, the one-shot's cap semantics).
+    * The store freezes the gram ORDER at build time: incremental
+    * probes rank their own grams under the store's df (unseen grams
+    * df 0), and the PPJoin prefix lemma holds for ANY fixed shared
+    * total order, so recall against the store stays total whatever
+    * arrives later. Threshold-independent — one store serves every t.
+    * Persist through the Warehouse and append each batch's own index
+    * rows after processing; bucket by `g` at warehouse scale so probes
+    * prune buckets (the [[graft.operators.Dedup.spanAnchorStore]]
+    * convention).
+    */
+  def fuzzyGramStore(df: DataFrame, idCol: String, strCol: String,
+      n: Int = 3, maxGramFreq: Long = 0L): DataFrame = {
+    val ex = hashedGramArrays(df, idCol, strCol, "h", n)
+      .select(col("h_id").as("id"), col("h_grams").as("sz"),
+        explode(col("h_gs")).as("g"))
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val joined = ex.join(freq, Seq("g"))
+    val byStr = Window.partitionBy("id").orderBy(col("df"), col("g"))
+    val ranked =
+      if (maxGramFreq <= 0L)
+        joined.withColumn("rk", row_number().over(byStr).cast("long"))
+      else
+        joined.filter(col("df") <= maxGramFreq)
+          .withColumn("rk", row_number().over(byStr).cast("long"))
+          .unionByName(joined.filter(col("df") > maxGramFreq)
+            .withColumn("rk", lit(null).cast("long")))
+    ranked.select("id", "g", "df", "rk", "sz")
+  }
+
+  /** INCREMENTAL fuzzy self-join: all gram-jaccard ≥ t pairs of
+    * `history ∪ newDf` in which at least one side is a batch row —
+    * history is never re-grammed (its persisted [[fuzzyGramStore]] is
+    * probed instead) and old-vs-old pairs are never generated (the
+    * minhashLshIncremental contract). Batch ids must be disjoint from
+    * history's. With `maxGramFreq = 0` the output equals
+    * `fuzzySelfPairs(history ∪ newDf, ...)` restricted to
+    * batch-involving pairs EXACTLY: verification recomputes the exact
+    * shared count from full gram arrays, and blocking recall is total
+    * on both paths — the store's frozen (df, g) order is a fixed total
+    * order shared by both sides of every old↔new candidate, which is
+    * all the prefix lemma needs (batch-novel grams take df 0 and sort
+    * first). A positive cap is the documented recall trade; its df is
+    * measured against the STORE corpus here vs the doubled union in
+    * the one-shot, so cap mode is heuristic, not parity-pinned.
+    *
+    * new×new pairs come from the plain [[fuzzySelfPairs]] over the
+    * batch alone. new×old candidates collide prefix-to-prefix: the
+    * batch ranks its grams under the store order (df via a store
+    * lookup PRUNED by a broadcast of the batch's distinct grams — the
+    * store never shuffles), the store's prefix rows are filtered
+    * map-side (rk ≤ sz − ⌈t·sz⌉ + 1) and pruned by a broadcast of the
+    * batch's PREFIX grams before the equi-join; the pairwise-tight α
+    * filter then drops collisions beyond either side's tight prefix.
+    * History text is fetched only for the bounded candidate ids
+    * (broadcast probe — the editDistanceJoinIncremental fetch shape)
+    * and re-grammed once for the exact-intersect verification.
+    *
+    * Returns `(l_id, r_id, shared_grams, l_grams, r_grams,
+    * jaccard_e6)`, l_id < r_id, each pair once — the
+    * [[fuzzySelfPairs]] schema.
+    */
+  def fuzzyJoinIncremental(
+      newDf: DataFrame, idCol: String, strCol: String,
+      store: DataFrame, history: DataFrame,
+      thresholdNum: Long, thresholdDen: Long,
+      n: Int = 3, maxGramFreq: Long = 0L,
+      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be >= 0")
+    def persistIf(d: DataFrame): DataFrame =
+      if (persistLevel == StorageLevel.NONE) d else d.persist(persistLevel)
+    // sz − ⌈t·sz⌉ + 1 in exact integer arithmetic (the fuzzyJoinImpl
+    // prefix bound), parameterized by the size column's name
+    def prefixBound(szName: String): Column =
+      expr(s"$szName - (($thresholdNum * $szName + $thresholdDen - 1) " +
+        s"div $thresholdDen) + 1")
+    val bArr = persistIf(hashedGramArrays(newDf, idCol, strCol, "b", n))
+    val bg = bArr.select(col("b_id"), col("b_grams"),
+      explode(col("b_gs")).as("g"))
+    // df lookup under the FROZEN store order: the store's (g, df) rows
+    // pruned map-side by a broadcast of the batch's distinct grams
+    // BEFORE the distinct — the store never shuffles; grams history has
+    // never seen default to df 0 (they sort first under (df, g), which
+    // is still one fixed shared order)
+    val dfLut = store.select(col("g"), col("df"))
+      .join(broadcast(bg.select("g").distinct()), Seq("g"), "left_semi")
+      .distinct()
+    val bFreq0 = bg.join(dfLut, Seq("g"), "left")
+      .na.fill(0L, Seq("df"))
+    val bFreq = if (maxGramFreq <= 0L) bFreq0
+      else bFreq0.filter(col("df") <= maxGramFreq)
+    val byStr = Window.partitionBy("b_id").orderBy(col("df"), col("g"))
+    val bPrefix = persistIf(bFreq
+      .withColumn("b_rk", row_number().over(byStr).cast("long"))
+      .filter(col("b_rk") <= prefixBound("b_grams"))
+      .select(col("b_id"), col("g"), col("b_rk"),
+        col("b_grams").as("b_sz")))
+    // store prefix: rk filter is map-side; only grams in the BATCH
+    // prefix can collide, so their broadcast set prunes the store scan
+    // (and the store's buckets, when bucketed by g) pre-join
+    val hPrefix = store
+      .filter(col("rk").isNotNull && col("rk") <= prefixBound("sz"))
+      .join(broadcast(bPrefix.select("g").distinct()), Seq("g"), "left_semi")
+      .select(col("id").as("id_o"), col("g"), col("rk").as("o_rk"),
+        col("sz").as("o_sz"))
+    // pairwise-tight α at collision time — the fuzzyJoinImpl filter
+    val alpha = expr(
+      s"($thresholdNum * (o_sz + b_sz) + $thresholdNum + $thresholdDen - 1) " +
+        s"div ($thresholdNum + $thresholdDen)")
+    val cand = hPrefix.join(bPrefix, Seq("g"))
+      .filter(col("o_rk") <= col("o_sz") - alpha + 1 &&
+        col("b_rk") <= col("b_sz") - alpha + 1)
+      .select("id_o", "b_id").distinct()
+    // text fetch in the O(batch + matches) shape: bounded old candidate
+    // ids broadcast into one map-side history scan, re-grammed ONCE
+    val oldText = history.select(lcol(idCol).cast("long").as("id"),
+      lcol(strCol).cast("string").as("str"))
+    val fetched = oldText
+      .join(broadcast(cand.select(col("id_o").as("id")).distinct()), Seq("id"))
+    val oArr = persistIf(hashedGramArrays(fetched, "id", "str", "o", n))
+    val shared = size(array_intersect(col("o_gs"), col("b_gs"))).cast("long")
+    val mixedPairs = cand
+      .join(broadcast(oArr), col("id_o") === col("o_id"))
+      .join(bArr, Seq("b_id"))
+      .withColumn("shared_grams", shared)
+      .filter(col("shared_grams") * thresholdDen >=
+        lit(thresholdNum) * (col("o_grams") + col("b_grams") - col("shared_grams")))
+      .withColumn("jaccard_e6", expr(
+        "CAST((CAST(shared_grams AS decimal(38,0)) * 1000000) div " +
+          "(o_grams + b_grams - shared_grams) AS long)"))
+      .select(least(col("o_id"), col("b_id")).as("l_id"),
+        greatest(col("o_id"), col("b_id")).as("r_id"),
+        col("shared_grams"),
+        when(col("o_id") < col("b_id"), col("o_grams"))
+          .otherwise(col("b_grams")).as("l_grams"),
+        when(col("o_id") < col("b_id"), col("b_grams"))
+          .otherwise(col("o_grams")).as("r_grams"),
+        col("jaccard_e6"))
+    val newNew = fuzzySelfPairs(newDf, idCol, strCol,
+      thresholdNum, thresholdDen, n, maxGramFreq)
+    val result = mixedPairs.unionByName(newNew)
+    // steady-state ingestion: eager bounded pair frame, caches released
+    if (persistLevel == StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true, storageLevel = persistLevel)
+      bArr.unpersist()
+      bPrefix.unpersist()
+      oArr.unpersist()
+      out
+    }
   }
 
   /** ENTITY RESOLUTION within one table: the composed record-linkage

@@ -952,4 +952,64 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       "fixture exercises batch-internal pairs")
     assert(got.contains((1000L, 1001L)), "short batch row pairs with short history row")
   }
+
+  test("fuzzyJoinIncremental == one-shot new-involving pairs; no old-old") {
+    // 30 base strings (30 chars over an 8-char alphabet) with two
+    // single-'Z'-substitution variants each — 'Z' never appears in a
+    // base, so batch variants carry grams history has NEVER seen (the
+    // df-0 novel-gram path in the frozen store order is exercised on
+    // every mixed pair). 90/10 split by id % 10; a planted new-new
+    // matching pair (2000/2010) plus its old twin (id 3) gives
+    // batch-internal AND exact-duplicate mixed coverage; sub-n strings
+    // (no grams) must vanish from both paths.
+    def base(i: Int): String = {
+      val chars = "abcdefgh"
+      (0 until 30).map(j => chars((i * 31 + j * 7) % 8)).mkString
+    }
+    def sub(s: String, p: Int): String = s.updated(p % s.length, 'Z')
+    val rows = (0 until 30).flatMap { i =>
+      Seq((i * 3L, base(i)), (i * 3L + 1, sub(base(i), i * 7 + 1)),
+        (i * 3L + 2, sub(base(i), i * 11 + 17)))
+    } ++ Seq((2000L, base(1)), (2010L, sub(base(1), 5)),
+      (3001L, "ab"), (3010L, "ab"))
+    val isNew = (id: Long) => id % 10 == 0
+    val hist = rows.filterNot(r => isNew(r._1)).toDF("id", "s")
+    val batch = rows.filter(r => isNew(r._1)).toDF("id", "s")
+    val store = Relational.fuzzyGramStore(hist, "id", "s", n = 3)
+    def key(r: Row) = (r.getLong(0), r.getLong(1))
+    def row(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    val got = Relational.fuzzyJoinIncremental(batch, "id", "s", store, hist,
+        thresholdNum = 4, thresholdDen = 5, n = 3)
+      .collect().map(row).toSet
+    val full = Relational.fuzzySelfPairs(rows.toDF("id", "s"), "id", "s",
+        thresholdNum = 4, thresholdDen = 5, n = 3, maxGramFreq = 0)
+      .collect().map(row).toSet
+    val expect = full.filter(p => isNew(p._1) || isNew(p._2))
+    assert(got === expect,
+      s"missing: ${(expect diff got).take(3)}; extra: ${(got diff expect).take(3)}")
+    assert(got.exists(p => isNew(p._1) ^ isNew(p._2)), "mixed pairs present")
+    assert(got.exists(p => isNew(p._1) && isNew(p._2)), "batch-internal pairs present")
+    // base(i) is j-periodic with period 8, so each 30-char base carries
+    // exactly 8 distinct trigrams — the exact-duplicate pair is (8,8,8)
+    assert(got.contains((3L, 2000L, 8L, 8L, 8L, 1000000L)),
+      "exact-duplicate mixed pair with full jaccard")
+    assert(!got.exists(p => p._1 == 3001L || p._2 == 3010L),
+      "sub-n-gram strings excluded on both paths")
+    assert(full.exists(p => !isNew(p._1) && !isNew(p._2)),
+      "one-shot has old-old pairs the incremental must not emit")
+  }
+
+  test("fuzzyGramStore: df counts, (df, g) prefix ranks, cap -> NULL rk") {
+    val df = Seq((1L, "abcdx"), (2L, "abcdy"), (3L, "abcdz")).toDF("id", "s")
+    // grams per string: abc, bcd + one unique (cdx/cdy/cdz)
+    val rows = Relational.fuzzyGramStore(df, "id", "s", n = 3, maxGramFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), // (id, df)
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toList
+    assert(rows.count(_._2 == 3L) === 6, "abc+bcd appear in all 3 strings")
+    assert(rows.filter(_._2 == 3L).forall(_._3 == -1L),
+      "df-3 grams are over the cap of 2: NULL rk, never in a prefix")
+    assert(rows.filter(_._2 == 1L).forall(r => r._3 == 1L && r._4 == 3L),
+      "each unique gram ranks FIRST among uncapped (df, g) per string")
+  }
 }
