@@ -3249,6 +3249,18 @@ object SparkEntry {
         alphaPpm = 200000, devThreshCents = 3000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Holt level+trend smoothing (SURVEY row 50l): α = 0.2, β = 0.1
+    * integer fixed-point level AND trend, $30 forecast-deviation alarm —
+    * the double recurrence the oracle replays as one recursive CTE in
+    * HUGEINT, the new-level expression repeated inline inside the trend
+    * update ([[operators.EventAnalytics.holt]]).
+    */
+  private def qHolt(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.holt(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        alphaPpm = 200000, betaPpm = 100000, devThreshCents = 3000)
+      .orderBy("user_id", "us", "event_id")
+
   /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
     * blocking + exact levenshtein verify over 40-char document
     * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
@@ -3833,6 +3845,7 @@ object SparkEntry {
     "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
     "q_cusum" -> (qCusum _),
     "q_ewma" -> (qEwma _),
+    "q_holt" -> (qHolt _),
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _)
   )
@@ -6006,6 +6019,41 @@ object SparkEntry {
         | FROM rk r JOIN rec ON r.k = rec.k AND r.rn = rec.rn + 1)
         |SELECT id AS event_id, k AS user_id, us, vc AS value_cents,
         |       CAST(s AS BIGINT) AS ewma_e6, dev AS deviation
+        |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the Holt double recurrence replayed as one recursive CTE in
+    // HUGEINT: level and trend each one truncating // per term (toward
+    // zero in both engines), the new-level expression repeated inline
+    // inside the trend update, seed row (level=value, trend 0)
+    // unflagged, deviation judged against the PRIOR forecast l+b
+    "q_holt" ->
+      """WITH RECURSIVE base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, id, us, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id) AS BIGINT) AS rn
+        |       FROM base),
+        |rec AS (
+        | SELECT k, id, us, vc, rn,
+        |        CAST(vc AS HUGEINT) * 1000000 AS l,
+        |        CAST(0 AS HUGEINT) AS b, FALSE AS dev
+        | FROM rk WHERE rn = 1
+        | UNION ALL
+        | SELECT n.k, n.id, n.us, n.vc, n.rn,
+        |        CAST(200000 AS HUGEINT) * n.vc
+        |          + (CAST(800000 AS HUGEINT) * (rec.l + rec.b)) // 1000000,
+        |        (CAST(100000 AS HUGEINT) *
+        |          (CAST(200000 AS HUGEINT) * n.vc
+        |            + (CAST(800000 AS HUGEINT) * (rec.l + rec.b)) // 1000000
+        |            - rec.l)) // 1000000
+        |          + (CAST(900000 AS HUGEINT) * rec.b) // 1000000,
+        |        abs(CAST(n.vc AS HUGEINT) * 1000000 - (rec.l + rec.b))
+        |          > CAST(3000 AS HUGEINT) * 1000000
+        | FROM rk n JOIN rec ON n.k = rec.k AND n.rn = rec.rn + 1)
+        |SELECT id AS event_id, k AS user_id, us, vc AS value_cents,
+        |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+        |       dev AS deviation
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (

@@ -509,6 +509,97 @@ object EventAnalytics {
         col("value_cents"), col("ewma_e6"), col("deviation"))
   }
 
+  /** HOLT DOUBLE-EXPONENTIAL smoothing (Holt 1957): per-key level AND
+    * trend, each event judged against the one-step FORECAST — the alarm
+    * [[ewma]] cannot raise on a drifting-but-healthy series (EWMA lags a
+    * trend forever, flagging steady growth; Holt extrapolates it and
+    * flags only departures FROM the trend).
+    *
+    * ENGINE-EXACT INTEGER recurrence, no floats: with vc = cents(value),
+    * α = `alphaPpm`, β = `betaPpm` (parts-per-million), level `l` and
+    * trend `b` held ×10⁶:
+    *
+    *   l₀ = vc₀·10⁶, b₀ = 0                  (seed = first value, unflagged)
+    *   fᵢ = lᵢ₋₁ + bᵢ₋₁                      (the one-step forecast)
+    *   lᵢ = α·vcᵢ + ((10⁶−α)·fᵢ) div 10⁶
+    *   bᵢ = (β·(lᵢ − lᵢ₋₁)) div 10⁶ + ((10⁶−β)·bᵢ₋₁) div 10⁶
+    *
+    * Three truncating divisions per step, each toward zero in
+    * Scala BigInt `/`, DuckDB HUGEINT `//` and Spark `div` alike, so
+    * any engine replays level, trend AND flags bit-for-bit (the
+    * [[ewma]] convention; a negative-trend spec row pins the
+    * toward-zero agreement). The deviation test
+    * |vcᵢ·10⁶ − fᵢ| > devThreshCents·10⁶ uses the PRIOR forecast.
+    * Events are ordered by (ts, idCol) — a TOTAL order.
+    *
+    * Overflow: the per-step arithmetic runs in BigInt (the Holt filter
+    * is BIBO-stable for α, β ∈ (0, 1] but its overshoot bound is not
+    * worth hand-proving against 2⁶³ — the [[rollingAnomaly]] rule says
+    * never wrap silently), and each emitted level/trend is required to
+    * fit a long with an explicit error. The DuckDB replay computes in
+    * HUGEINT and casts at the edge the same way.
+    *
+    * Scale shape: ONE key exchange + in-partition sort, then a single
+    * streaming pass with TWO longs of state resetting at key boundaries
+    * (the [[cusum]] shard-fold shape) — O(keys) state, no window over
+    * the full stream.
+    *
+    * Returns (idCol, keyCol, us, value_cents, level_e6, trend_e6,
+    * deviation).
+    */
+  def holt(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaPpm: Long, betaPpm: Long,
+      devThreshCents: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"holt: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(betaPpm > 0 && betaPpm <= 1000000L,
+      s"holt: betaPpm must be in (0, 1000000] (got $betaPpm)")
+    require(devThreshCents > 0,
+      s"holt: devThreshCents must be > 0 (got $devThreshCents)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val betaA = BigInt(1000000L - alphaPpm)
+    val betaB = BigInt(1000000L - betaPpm)
+    val devE6 = BigInt(devThreshCents) * 1000000L
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var fresh = true
+        var seeded = false
+        var l = BigInt(0)
+        var b = BigInt(0)
+        it.map { case (k, id, us, vc) =>
+          if (fresh || k != cur) { cur = k; fresh = false; seeded = false }
+          val f = l + b
+          val dev = seeded && (BigInt(vc) * 1000000L - f).abs > devE6
+          if (seeded) {
+            val lNew = BigInt(alphaPpm) * vc + (betaA * f) / 1000000L
+            b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+              (betaB * b) / 1000000L
+            l = lNew
+          } else { l = BigInt(vc) * 1000000L; b = BigInt(0); seeded = true }
+          if (!l.isValidLong || !b.isValidLong)
+            throw new ArithmeticException(
+              s"holt: level/trend exceeds long at event id $id — " +
+                "rescale the input")
+          (id, k, us, vc, l.toLong, b.toLong, dev)
+        }
+      }
+      .toDF("id", "k", "us", "value_cents", "level_e6", "trend_e6",
+        "deviation")
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("value_cents"), col("level_e6"), col("trend_e6"),
+        col("deviation"))
+  }
+
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
     * fixed-width time buckets and MATERIALIZE the empty buckets — the
     * regularization step before any dashboard, forecast, or

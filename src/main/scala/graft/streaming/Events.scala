@@ -654,6 +654,89 @@ object Events {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Holt state for [[holtStream]]: the ×10⁶ level and trend, the seed
+    * bit, and the newest event time seen (the [[EwmaState]] shape plus
+    * one long). */
+  case class HoltState(lE6: Long, bE6: Long, seeded: Boolean, lastUs: Long)
+
+  /** One scored event from [[holtStream]] — the streaming counterpart
+    * of [[graft.operators.EventAnalytics.holt]]'s output row. */
+  case class HoltFlag(event_id: Long, user_id: Long, us: Long,
+      value_cents: Long, level_e6: Long, trend_e6: Long, deviation: Boolean)
+
+  /** STREAMING HOLT smoothing — the flag-on-arrival form of
+    * [[graft.operators.EventAnalytics.holt]]: each arriving event is
+    * judged against its key's one-step forecast (level + trend as they
+    * stood) and then folds in via the identical integer recurrence —
+    * the departs-from-trend alarm scored in real time. Within a
+    * micro-batch events fold in (ts, event_id) order, so an in-order
+    * stream reproduces the batch operator's levels, trends and flags
+    * EXACTLY (StreamingSpec pins the parity). State per key is TWO
+    * longs + the seed bit + the newest event time (the per-step math
+    * runs in BigInt exactly like the batch fold — state that fits the
+    * emitted longs round-trips losslessly); idle keys evict by
+    * event-time TTL (a returning key re-seeds — the [[ewmaStream]]
+    * monitoring-gap caveat).
+    */
+  def holtStream(events: Dataset[Event], alphaPpm: Long, betaPpm: Long,
+      devThreshCents: Long, allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 24 * 60): Dataset[HoltFlag] = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"holtStream: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(betaPpm > 0 && betaPpm <= 1000000L,
+      s"holtStream: betaPpm must be in (0, 1000000] (got $betaPpm)")
+    require(devThreshCents > 0,
+      s"holtStream: devThreshCents must be > 0 (got $devThreshCents)")
+    implicit val stateEnc = Encoders.product[HoltState]
+    implicit val outEnc = Encoders.product[HoltFlag]
+    implicit val longEnc = Encoders.scalaLong
+    val betaA = BigInt(1000000L - alphaPpm)
+    val betaB = BigInt(1000000L - betaPpm)
+    val devE6 = BigInt(devThreshCents) * 1000000L
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[HoltState]): Iterator[HoltFlag] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(
+        HoltState(0L, 0L, seeded = false, 0L))
+      var l = BigInt(prev.lE6)
+      var b = BigInt(prev.bE6)
+      var seeded = prev.seeded
+      var lastUs = prev.lastUs
+      val out = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val us = tsMicros(e.ts)
+        lastUs = math.max(lastUs, us)
+        // HALF_UP like the batch form's round(value*100)
+        val vc = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        val f = l + b
+        val dev = seeded && (BigInt(vc) * 1000000L - f).abs > devE6
+        if (seeded) {
+          val lNew = BigInt(alphaPpm) * vc + (betaA * f) / 1000000L
+          b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+            (betaB * b) / 1000000L
+          l = lNew
+        } else { l = BigInt(vc) * 1000000L; b = BigInt(0); seeded = true }
+        if (!l.isValidLong || !b.isValidLong)
+          throw new ArithmeticException(
+            s"holtStream: level/trend exceeds long at event id ${e.event_id}" +
+              " — rescale the input")
+        HoltFlag(e.event_id, uid, us, vc, l.toLong, b.toLong, dev)
+      }
+      state.update(HoltState(l.toLong, b.toLong, seeded, lastUs))
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** One recent touch event retained in [[attributionStream]] state. */
   case class Touch(us: Long, id: Long, typ: String)
 

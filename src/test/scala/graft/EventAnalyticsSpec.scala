@@ -341,6 +341,63 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, false)), "second key re-seeds")
   }
 
+  test("holt: flags the departure FROM a trend, not the trend (naive-linear mode)") {
+    // α = β = 1 makes Holt the naive linear predictor: level = value,
+    // trend = last delta, forecast = value + delta. A steady $2 rise is
+    // then on-forecast (EWMA would flag every step of it); the PLATEAU
+    // at event 5 departs from the trend and flags.
+    val vals = Seq(10.0, 12.0, 14.0, 16.0, 16.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }
+    val got = EventAnalytics.holt(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v",
+        alphaPpm = 1000000, betaPpm = 1000000, devThreshCents = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) === ((1000L * 1000000L, 0L, false)), "seed: level=value, no trend")
+    assert(got(2L) === ((1200L * 1000000L, 200L * 1000000L, true)),
+      "trend unknown at event 2: the first rise deviates from the flat forecast")
+    assert(got(3L) === ((1400L * 1000000L, 200L * 1000000L, false)),
+      "on-trend rise is ON forecast — ewma would flag this")
+    assert(got(4L)._3 === false, "still on trend")
+    assert(got(5L)._3 === true, "the plateau departs from the learned trend")
+  }
+
+  test("holt: local BigInt replay, negative trend truncation, per-key reset") {
+    // α = 0.25, β = 0.3, threshold $1.00 — a falling series drives the
+    // trend NEGATIVE, pinning truncation-toward-zero agreement across
+    // Scala BigInt `/`, Spark and DuckDB `//`; user 2 starts FRESH.
+    val vals1 = Seq(10.0, 9.0, 7.5, 8.2, -3.37)
+    val ev = vals1.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      Seq((100L, 2L, ts(0), 20.0))
+    val got = EventAnalytics.holt(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, devThreshCents = 100)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    var l = BigInt(0); var b = BigInt(0); var seeded = false
+    val expect = vals1.zipWithIndex.map { case (v, i) =>
+      val vc = math.round(v * 100)
+      val f = l + b
+      val dev = seeded && (BigInt(vc) * 1000000L - f).abs > BigInt(100L * 1000000L)
+      if (seeded) {
+        val lNew = BigInt(250000L) * vc + (BigInt(750000L) * f) / 1000000L
+        b = (BigInt(300000L) * (lNew - l)) / 1000000L +
+          (BigInt(700000L) * b) / 1000000L
+        l = lNew
+      } else { l = BigInt(vc) * 1000000L; b = BigInt(0); seeded = true }
+      (i.toLong + 1) -> ((l.toLong, b.toLong, dev))
+    }.toMap
+    expect.foreach { case (k, e) => assert(got(k) === e, s"event $k") }
+    assert(expect.values.exists(_._2 < 0L), "fixture drives a negative trend")
+    assert(got(5L)._3 === true, "the -3.37 crash deviates from the forecast")
+    assert(got(100L) === ((2000L * 1000000L, 0L, false)), "second key re-seeds")
+  }
+
   test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
     // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
     // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE

@@ -796,6 +796,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, false)), "second key seeds cold")
   }
 
+  test("holtStream: in-order stream == batch; level AND trend carry across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    // the EventAnalyticsSpec holt replay fixture streamed over 3
+    // triggers — the crash at event 5 is judged against a forecast
+    // whose trend was learned across earlier triggers; the falling
+    // series keeps the trend NEGATIVE across a state round-trip
+    val vals = Seq(10.0, 9.0, 7.5, 8.2, -3.37)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i.toLong + 1, ts(i.toLong), 1L, "m", v) } :+
+      Event(100, ts(7), 2L, "m", 20.0)
+    val mem = MemoryStream[Event]
+    val q = Events.holtStream(mem.toDS(), alphaPpm = 250000,
+        betaPpm = 300000, devThreshCents = 100)
+      .writeStream.format("memory").queryName("holt_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(2): _*); q.processAllAvailable()
+      mem.addData(evs.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(evs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    val got = spark.table("holt_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.holt(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        alphaPpm = 250000, betaPpm = 300000, devThreshCents = 100)
+      .collect().map(key).toMap
+    assert(got === batch)
+    assert(got.values.exists(_._2 < 0L),
+      "a negative trend survives the long state round-trip")
+    assert(got(5L)._3 === true, "the crash deviates from the carried forecast")
+    assert(got(100L) === ((2000L * 1000000L, 0L, false)), "second key seeds cold")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
