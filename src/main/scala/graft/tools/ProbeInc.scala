@@ -2,17 +2,18 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.{GraftSession, Warehouse}
 
-/** Isolated 50k-tier measurement for the round-10 tail additions
-  * (editDistanceJoin, cusum) — the Scaling suite runs them late, where
-  * earlier persists can evict the synthetic corpus cache and inflate the
-  * reading (the r9s6 packBins/retrievalMetrics artifact). Two reps each,
-  * alternated, on the same corpus the Scaling harness builds. Not part
+/** Component breakdown for the editDistanceJoinIncremental 50k probe —
+  * the ProbeNew reading (10% batch ≈ the full one-shot) needs a cause
+  * before it is recorded: measures the batch-only one-shot (the newNew
+  * leg), the incremental WITHOUT the eager localCheckpoint
+  * (persistLevel=NONE), and the full incremental, alternated. Not part
   * of the library surface.
   */
-object ProbeNew {
+object ProbeInc {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
@@ -44,8 +45,7 @@ object ProbeNew {
           .otherwise(concat(col("base_text"), lit(" variant"), col("v"))).as("text"))
       .repartition(32 * (mult / 10))
       .persist()
-    val n = big.count()
-    println(s"corpus: $n docs")
+    println(s"corpus: ${big.count()} docs")
 
     def time[A](name: String)(f: => A): Unit = {
       val t0 = System.nanoTime()
@@ -55,61 +55,52 @@ object ProbeNew {
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val sevents = big.select(
-      col("doc_id").as("eid"),
-      pmod(col("doc_id"), lit(n / 50)).as("uid"),
-      timestamp_micros(lit(1700000000000000L) +
-        (col("doc_id") % 997) * 37000000L).as("ts"),
-      when(col("doc_id") % 10 === 0, "purchase")
-        .when(col("doc_id") % 10 < 5, "view").otherwise("click").as("etype"),
-      (pmod(col("doc_id"), lit(1000L)).cast("double") / 100.0).as("value"))
-      .persist()
-    sevents.count()
-
-    // 90/10 history/batch split shared by both incremental probes
     val edocs = big.select(col("doc_id"), expr("substring(text, 1, 40)").as("p"))
     val eHist = edocs.filter(col("doc_id") % 10 =!= 0)
     val eBatch = edocs.filter(col("doc_id") % 10 === 0)
-    val fdocs = big.select(col("doc_id"), expr("substring(text, 1, 60)").as("s"))
-    val fHist = fdocs.filter(col("doc_id") % 10 =!= 0)
-    val fBatch = fdocs.filter(col("doc_id") % 10 === 0)
-    // stores persist ONCE (the steady-state shape: a warehouse table, not
-    // a per-batch rebuild) — the probe measures the per-batch cost
     val eStore = graft.operators.Relational
       .editSegmentStore(eHist, "doc_id", "p", maxDist = 2).persist()
     eStore.count()
+
+    // batch-size scaling: if per-batch cost tracks BATCH size the shape
+    // is right (store machinery is not a fixed corpus-sized toll); the
+    // 1% batch probes against the SAME 90% store
+    val eBatch1 = edocs.filter(col("doc_id") % 100 === 10)
+    val fdocs = big.select(col("doc_id"), expr("substring(text, 1, 60)").as("s"))
+    val fHist = fdocs.filter(col("doc_id") % 10 =!= 0)
+    val fBatch = fdocs.filter(col("doc_id") % 10 === 0)
+    val fBatch1 = fdocs.filter(col("doc_id") % 100 === 10)
     val fStore = graft.operators.Relational
       .fuzzyGramStore(fHist, "doc_id", "s", n = 3).persist()
     fStore.count()
 
     for (rep <- 1 to 2) {
-      time(s"editDistanceJoin k=2 over 40-char prefixes rep$rep") {
+      time(s"A newNew leg only: editDistanceJoin(batch) rep$rep") {
         drain(graft.operators.Relational.editDistanceJoin(
-          edocs, "doc_id", "p", maxDist = 2))
+          eBatch, "doc_id", "p", maxDist = 2))
       }
-      time(s"editDistanceJoinIncremental k=2 batch=10% rep$rep") {
+      time(s"B incremental persistLevel=NONE rep$rep") {
+        drain(graft.operators.Relational.editDistanceJoinIncremental(
+          eBatch, "doc_id", "p", eStore, eHist, maxDist = 2,
+          persistLevel = StorageLevel.NONE))
+      }
+      time(s"C incremental full (eager checkpoint) rep$rep") {
         drain(graft.operators.Relational.editDistanceJoinIncremental(
           eBatch, "doc_id", "p", eStore, eHist, maxDist = 2))
       }
-      time(s"fuzzyJoinIncremental t=4/5 batch=10% rep$rep") {
+      time(s"D edit incremental 1%-batch rep$rep") {
+        drain(graft.operators.Relational.editDistanceJoinIncremental(
+          eBatch1, "doc_id", "p", eStore, eHist, maxDist = 2))
+      }
+      time(s"E fuzzy incremental 10%-batch rep$rep") {
         drain(graft.operators.Relational.fuzzyJoinIncremental(
           fBatch, "doc_id", "s", fStore, fHist,
           thresholdNum = 4, thresholdDen = 5, n = 3))
       }
-      time(s"cusum level-shift fold rep$rep") {
-        drain(graft.operators.EventAnalytics.cusum(
-          sevents, "uid", "ts", "eid", "value",
-          targetCents = 500, slackCents = 100, threshCents = 10000))
-      }
-      time(s"ewma trend-deviation fold rep$rep") {
-        drain(graft.operators.EventAnalytics.ewma(
-          sevents, "uid", "ts", "eid", "value",
-          alphaPpm = 200000, devThreshCents = 3000))
-      }
-      time(s"holt level+trend fold rep$rep") {
-        drain(graft.operators.EventAnalytics.holt(
-          sevents, "uid", "ts", "eid", "value",
-          alphaPpm = 200000, betaPpm = 100000, devThreshCents = 3000))
+      time(s"F fuzzy incremental 1%-batch rep$rep") {
+        drain(graft.operators.Relational.fuzzyJoinIncremental(
+          fBatch1, "doc_id", "s", fStore, fHist,
+          thresholdNum = 4, thresholdDen = 5, n = 3))
       }
     }
     spark.stop()
