@@ -591,6 +591,23 @@ object SparkEntry {
           sum(cents(col("l_quantity"))).as("sum_qty_cents")))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS (SURVEY row 54b): the explicit-sets sibling of
+    * rollup/cube — (flag, status), (flag), (ship_year) in ONE Expand
+    * pass ([[operators.Relational.groupingSets]]); the (ship_year) set
+    * is NOT a rollup prefix, so neither rollup nor cube can express it.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Relational.groupingSets(
+        wh(s, dir).loadTable("lineitem")
+          .withColumn("ship_year", year(col("l_shipdate")).cast("long")),
+        Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+          Seq("ship_year")),
+        Seq(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents")))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("ship_year").asc_nulls_first)
+
   /** Explode / flatten: token frequency over the corpus (array explode →
     * groupBy; the shuffle key is the token, partial-agg map-side).
     */
@@ -2772,6 +2789,39 @@ object SparkEntry {
       .orderBy("which")
   }
 
+  /** RESTORE to version (SURVEY row 33g): v1 = F orders, v2 = F∪O (the
+    * "bad deploy"), restore(v1) commits v3 whose content is v1 — latest
+    * flips back atomically, history stays readable
+    * ([[Warehouse.restoreTableVersion]]). The oracle replays all four
+    * snapshots' stats plus the version count from the orders table.
+    */
+  private def qRestore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("restore", dir)
+    val w = wh(s, dir)
+    val wt = Warehouse(s, tmp)
+    val base = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, "ordersr"))
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val o = w.loadTable("orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("price_cents"))
+    require(wt.saveTableVersioned(o.filter(col("o_orderstatus") === "F"),
+      tmp, "ordersr") == 1L)
+    require(wt.saveTableVersioned(
+      o.filter(col("o_orderstatus").isin("F", "O")), tmp, "ordersr") == 2L)
+    require(wt.restoreTableVersion(tmp, "ordersr", 1L) == 3L)
+    require(wt.listVersions("ordersr") == Seq(1L, 2L, 3L),
+      "restore preserves history")
+    def stats(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).cast("long").as("sum_price_cents"))
+        .select(lit(label).as("which"), col("n_rows"), col("sum_price_cents"))
+    stats(wt.loadTable("ordersr"), "latest_is_v1_again")
+      .unionByName(stats(wt.loadTableVersion("ordersr", 2), "v2_still_readable"))
+      .withColumn("n_versions", lit(3L))
+      .orderBy("which")
+  }
+
   /** Retention / VACUUM (SURVEY row 33f): three versions written, the
     * oldest vacuumed under keepLast = 2 — the oracle replays the
     * SURVIVING versions' derivations plus the retention metadata, and
@@ -3689,6 +3739,7 @@ object SparkEntry {
     "q_interval_join" -> (qIntervalJoin _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_explode" -> (qExplode _),
     "q_approx_stats" -> (qApproxStats _),
     "q_approx_bounds" -> (qApproxBounds _),
@@ -3796,6 +3847,7 @@ object SparkEntry {
     "q_shard_assign" -> (qShardAssign _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_restore" -> (qRestore _),
     "q_vacuum" -> (qVacuum _),
     "q_point_in_time" -> (qPointInTime _),
     "q_association" -> (qAssociation _),
@@ -4513,6 +4565,14 @@ object SparkEntry {
         | cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(year(l_shipdate) AS bigint) AS ship_year, count(*) AS n,
+        | cast(sum(cast(round(l_quantity*100) AS bigint)) AS bigint) AS sum_qty_cents
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (cast(year(l_shipdate) AS bigint)))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  ship_year NULLS FIRST""".stripMargin,
     "q_sample_n" ->
       """SELECT cast(100 AS bigint) AS n_sampled, cast(100 AS bigint) AS n_distinct,
         | cast(100 AS bigint) AS n_in_orders""".stripMargin,
@@ -5714,6 +5774,22 @@ object SparkEntry {
         |UNION ALL SELECT 'latest', fo.n_rows, fo.sum_price_cents FROM fo
         |UNION ALL SELECT 'v1', f.n_rows, f.sum_price_cents FROM f
         |UNION ALL SELECT 'v2', fo.n_rows, fo.sum_price_cents FROM fo
+        |ORDER BY which""".stripMargin,
+    // restore-to-version: latest re-reads as v1's content, v2 stays
+    // readable, history count 3 — all replayed from orders
+    "q_restore" ->
+      """WITH f AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders WHERE o_orderstatus = 'F'),
+        |fo AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        | FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT 'latest_is_v1_again' AS which, f.n_rows, f.sum_price_cents,
+        |  CAST(3 AS BIGINT) AS n_versions FROM f
+        |UNION ALL SELECT 'v2_still_readable', fo.n_rows, fo.sum_price_cents,
+        |  CAST(3 AS BIGINT) FROM fo
         |ORDER BY which""".stripMargin,
     // entity resolution: self fuzzy-join pairs + recursive CC election
     "q_entity_resolution" ->

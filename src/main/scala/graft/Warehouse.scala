@@ -299,6 +299,18 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     next
   }
 
+  /** RESTORE a versioned table to an earlier version — the Delta/iceberg
+    * RESTORE model: never a rollback-by-delete, but a NEW version whose
+    * content is the old snapshot, so history stays intact (the bad
+    * versions remain readable for forensics until [[vacuumTable]]
+    * retention drops them) and every reader's "latest" flips atomically
+    * with the new version's `_SUCCESS` commit. Restoring the current
+    * version is allowed (an explicit re-commit). Returns the NEW version
+    * number.
+    */
+  def restoreTableVersion(outDir: String, table: String, version: Long): Long =
+    saveTableVersioned(loadTableVersion(table, version), outDir, table)
+
   /** Committed versions of a versioned table, oldest first (empty for a
     * plain table).
     */

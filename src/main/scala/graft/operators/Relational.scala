@@ -1044,6 +1044,22 @@ object Relational {
   def cube(df: DataFrame, cols: Seq[String], aggs: Seq[Column]): DataFrame =
     df.cube(cols.map(lcol): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** GROUP BY GROUPING SETS — the explicit-sets sibling of [[rollup]] /
+    * [[cube]] (ANSI; BigQuery/Snowflake/Trino all expose it): exactly
+    * the listed grouping combinations, each absent column NULL in its
+    * rows. One pass: Spark expands the sets with a single Expand node
+    * over one shuffle (the rollup plan shape), never one scan per set.
+    * `sets` are column-name lists; the output carries the union of all
+    * named columns in first-appearance order.
+    */
+  def groupingSets(df: DataFrame, sets: Seq[Seq[String]],
+      aggs: Seq[Column]): DataFrame = {
+    require(sets.nonEmpty, "groupingSets: at least one set required")
+    val allCols = sets.flatten.distinct
+    df.groupingSets(sets.map(_.map(lcol)), allCols.map(lcol): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Skew-safe equi-join: the left's hot keys are spread over `salt`
     * sub-keys and the right side is replicated `salt`× — turns one
     * straggler partition into `salt` even ones. Use when a key's row count

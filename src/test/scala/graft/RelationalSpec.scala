@@ -1000,6 +1000,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       "one-shot has old-old pairs the incremental must not emit")
   }
 
+  test("groupingSets: exact sets only, one Expand pass (no per-set scan)") {
+    val df = Seq(("a", "x", "P", 1L), ("a", "y", "P", 2L), ("b", "x", "Q", 4L))
+      .toDF("f", "s", "m", "v")
+    val got = Relational.groupingSets(df,
+        Seq(Seq("f", "s"), Seq("f"), Seq("m")),
+        Seq(sum(col("v")).as("sv")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    val expect = Set(
+      (Some("a"), Some("x"), None, 1L), (Some("a"), Some("y"), None, 2L),
+      (Some("b"), Some("x"), None, 4L),                    // (f, s)
+      (Some("a"), None, None, 3L), (Some("b"), None, None, 4L), // (f)
+      (None, None, Some("P"), 3L), (None, None, Some("Q"), 4L)) // (m)
+    assert(got === expect, "exactly the listed sets — no grand total row")
+    val plan = Relational.groupingSets(df,
+        Seq(Seq("f", "s"), Seq("f"), Seq("m")),
+        Seq(sum(col("v")).as("sv")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "sets expand in one pass")
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 1,
+      "one scan feeds all sets — never one scan per set")
+  }
+
   test("fuzzyGramStore: df counts, (df, g) prefix ranks, cap -> NULL rk") {
     val df = Seq((1L, "abcdx"), (2L, "abcdy"), (3L, "abcdz")).toDF("id", "s")
     // grams per string: abc, bcd + one unique (cdx/cdy/cdz)

@@ -338,6 +338,27 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.loadTableAsOf("nv", 0L) }
   }
 
+  test("restoreTableVersion: new commit with the old snapshot's content, history intact") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_restore").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 10), tmp, "nv")
+    assert(w.restoreTableVersion(tmp, "nv", 1L) === 3L,
+      "restore commits a NEW version, never rolls back by delete")
+    assert(w.listVersions("nv") === Seq(1L, 2L, 3L), "history intact")
+    assert(w.loadTable("nv").count() === 5, "latest re-reads as v1")
+    assert(w.loadTable("nv").select("n_nationkey").collect().map(_.getInt(0)).sorted
+      === w.loadTableVersion("nv", 1).select("n_nationkey").collect()
+        .map(_.getInt(0)).sorted, "content identical to the restored snapshot")
+    assert(w.loadTableVersion("nv", 2).count() === 10, "the bad version stays readable")
+    // restoring the CURRENT version is an explicit re-commit
+    assert(w.restoreTableVersion(tmp, "nv", 3L) === 4L)
+    assert(w.loadTable("nv").count() === 5)
+    intercept[IllegalArgumentException] { w.restoreTableVersion(tmp, "nv", 9L) }
+  }
+
   test("vacuumTable: drops oldest committed versions, keeps latest, spares uncommitted") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft_vac").toString
