@@ -3311,6 +3311,18 @@ object SparkEntry {
         alphaPpm = 200000, betaPpm = 100000, devThreshCents = 3000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Seasonal slot-baseline anomaly (SURVEY row 50m): hour-of-day
+    * profile per user, $25 deviation from the slot's integer mean with
+    * a 3-event population gate — "is this big FOR 3 AM"
+    * ([[operators.EventAnalytics.seasonalBaseline]]).
+    */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.seasonalBaseline(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        slotSeconds = 3600, slotModulus = 24, minSlotEvents = 3,
+        devThreshCents = 2500)
+      .orderBy("user_id", "us", "event_id")
+
   /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
     * blocking + exact levenshtein verify over 40-char document
     * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
@@ -3898,6 +3910,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
+    "q_seasonal" -> (qSeasonal _),
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _)
   )
@@ -6131,6 +6144,24 @@ object SparkEntry {
         |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
         |       dev AS deviation
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the slot profile replayed directly: integer slot from epoch
+    // micros, population mean via one truncating //, the gate + the
+    // deviation both pure integer compares
+    "q_seasonal" ->
+      """WITH base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc,
+        |        (epoch_us(ts) // 3600000000) % 24 AS slot
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |prof AS (SELECT k, slot, count(*) AS n_slot,
+        |         CAST(sum(vc) // count(*) AS BIGINT) AS baseline_cents
+        |         FROM base GROUP BY 1, 2)
+        |SELECT b.id AS event_id, b.k AS user_id, b.us, b.slot,
+        |       b.vc AS value_cents, p.baseline_cents, p.n_slot,
+        |       (p.n_slot >= 3 AND abs(b.vc - p.baseline_cents) > 2500) AS deviation
+        |FROM base b JOIN prof p ON b.k = p.k AND b.slot = p.slot
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us

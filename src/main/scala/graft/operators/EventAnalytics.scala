@@ -628,6 +628,70 @@ object EventAnalytics {
     *
     * Returns (key, bucket, n_events, sum_cents, value_cents, is_gap).
     */
+  /** SEASONAL SLOT-BASELINE anomaly: each event judged against its own
+    * (key, time-slot) historical profile — "is $400 big FOR 3 AM?" —
+    * the alarm none of the sequential detectors (50f/50i/50j/50l) can
+    * raise, because they compare against recent history regardless of
+    * the hour while daily/weekly seasonality makes 3 AM and 3 PM
+    * different populations. Slots are pure integer arithmetic on epoch
+    * micros: slot = (us div (slotSeconds·10⁶)) mod slotModulus —
+    * (3600, 24) = hour-of-day, (86400, 7) = day-of-week (epoch day 0 a
+    * Thursday), (3600, 168) = hour-of-week; UTC, timezone-free, any
+    * engine derives the same slot.
+    *
+    * Baseline = the POPULATION mean of the key's slot in integer cents
+    * (sum div count, truncating toward zero — sum fits long while
+    * |vc| ≤ 9·10⁶ and rows ≤ 10¹², far past any per-(key, slot)
+    * population). An event deviates when its slot has at least
+    * `minSlotEvents` events AND |vc − baseline| > devThreshCents. The
+    * scored event is INSIDE its own baseline (profile semantics —
+    * deterministic, replayable; at production populations
+    * self-influence is 1/n).
+    *
+    * Scale shape: one (key, slot) aggregation with map-side partial
+    * combine + one equi-join of the narrow profile back to the events
+    * (profile rows = keys × modulus — broadcastable for bounded key
+    * sets, AQE decides; never a window over the event stream).
+    *
+    * Returns (idCol, keyCol, us, slot, value_cents, baseline_cents,
+    * n_slot, deviation).
+    */
+  def seasonalBaseline(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, slotSeconds: Long = 3600L,
+      slotModulus: Int = 24, minSlotEvents: Long = 2L,
+      devThreshCents: Long = 10000L): DataFrame = {
+    require(slotSeconds >= 1 && slotModulus >= 1,
+      s"seasonalBaseline: slotSeconds/slotModulus must be >= 1 " +
+        s"(got $slotSeconds, $slotModulus)")
+    require(minSlotEvents >= 1 && devThreshCents > 0,
+      "seasonalBaseline: minSlotEvents >= 1 and devThreshCents > 0 required")
+    val usPerSlot = slotSeconds * 1000000L
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      // epoch micros are non-negative for any post-1970 event stream;
+      // a pre-epoch timestamp would flip the mod's sign differently
+      // per engine — refuse rather than diverge
+      .withColumn("slot", expr(
+        s"IF(us >= 0, (us div $usPerSlot) % $slotModulus, " +
+          "assert_true(false, 'seasonalBaseline: pre-1970 timestamp'))")
+        .cast("long"))
+    val prof = base.groupBy("k", "slot")
+      .agg(count(lit(1)).as("n_slot"), sum(col("vc")).as("__sum"))
+      .withColumn("baseline_cents", expr("__sum div n_slot"))
+      .select("k", "slot", "n_slot", "baseline_cents")
+    base.join(prof, Seq("k", "slot"))
+      .withColumn("deviation",
+        col("n_slot") >= minSlotEvents &&
+          abs(col("vc") - col("baseline_cents")) > devThreshCents)
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("slot"), col("vc").as("value_cents"), col("baseline_cents"),
+        col("n_slot"), col("deviation"))
+  }
+
   def resample(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1 (got $bucketSeconds)")

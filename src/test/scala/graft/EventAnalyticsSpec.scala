@@ -341,6 +341,37 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, false)), "second key re-seeds")
   }
 
+  test("seasonalBaseline: slot profile, min-population gate, toward-zero mean, per-key") {
+    // events within one epoch hour share a slot; ts(60) lands in the
+    // next hour. thresh $15, minSlotEvents 2.
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(10), 10.0), (3L, 1L, ts(20), 40.0),
+      (4L, 1L, ts(60), 100.0),                    // lone slot: gated
+      (5L, 2L, ts(0), 50.0), (6L, 2L, ts(5), 50.0), // own key, own baseline
+      (7L, 3L, ts(0), -10.0), (8L, 3L, ts(1), -0.01)) // negative mean
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.seasonalBaseline(ev, "uid", "ts", "eid", "v",
+        slotSeconds = 3600, slotModulus = 24, minSlotEvents = 2,
+        devThreshCents = 1500)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      .toMap
+    val slotA = got(1L)._1
+    assert(got(2L)._1 === slotA && got(3L)._1 === slotA,
+      "same epoch hour, same slot")
+    assert(got(4L)._1 === (slotA + 1) % 24, "next hour, next slot")
+    // key 1 slot A: mean of (1000, 1000, 4000) = 2000
+    assert(got(1L) === ((slotA, 2000L, 3L, false)), "within $15 of the slot mean")
+    assert(got(2L)._4 === false)
+    assert(got(3L) === ((slotA, 2000L, 3L, true)), "the $40 is big FOR this slot")
+    assert(got(4L) === (((slotA + 1) % 24, 10000L, 1L, false)),
+      "single-event slot never flags (population gate)")
+    assert(got(5L) === ((slotA, 5000L, 2L, false)), "key 2 has its own baseline")
+    assert(got(7L)._2 === -500L,
+      "(-1000 + -1) div 2 truncates TOWARD ZERO to -500 (floor would be -501)")
+  }
+
   test("holt: flags the departure FROM a trend, not the trend (naive-linear mode)") {
     // α = β = 1 makes Holt the naive linear predictor: level = value,
     // trend = last delta, forecast = value + delta. A steady $2 rise is
