@@ -3323,6 +3323,28 @@ object SparkEntry {
         devThreshCents = 2500)
       .orderBy("user_id", "us", "event_id")
 
+  /** Seasonal profile persistence (SURVEY row 50m-store): train the
+    * hour-of-day profile, save it as a Warehouse table, score against
+    * the RELOADED model — real monitoring trains nightly and scores all
+    * day without retraining. The longs round-trip parquet bit-exactly,
+    * so the oracle is the SAME profile replay as `q_seasonal`
+    * ([[operators.EventAnalytics.seasonalProfile]]/[[operators.EventAnalytics.seasonalScore]]).
+    */
+  private def qSeasonalStore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("seasonal", dir)
+    val ev = wh(s, dir).loadTable("events")
+    val wt = Warehouse(s, tmp)
+    wt.saveTable(operators.EventAnalytics.seasonalProfile(
+      ev, "user_id", "ts", "value", slotSeconds = 3600, slotModulus = 24),
+      tmp, "seasonal_profile")
+    operators.EventAnalytics.seasonalScore(
+        ev, wt.loadTable("seasonal_profile"),
+        "user_id", "ts", "event_id", "value",
+        slotSeconds = 3600, slotModulus = 24, minSlotEvents = 3,
+        devThreshCents = 2500)
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
     * blocking + exact levenshtein verify over 40-char document
     * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
@@ -3911,9 +3933,29 @@ object SparkEntry {
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_seasonal" -> (qSeasonal _),
+    "q_seasonal_store" -> (qSeasonalStore _),
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _)
   )
+
+  /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
+    * and `q_seasonal_store` (the roundtripped model scores identically
+    * or the store key goes red). */
+  private val seasonalOracleSql: String =
+    """WITH base AS (
+      | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+      |        CAST(round(value * 100) AS BIGINT) AS vc,
+      |        (epoch_us(ts) // 3600000000) % 24 AS slot
+      | FROM events
+      | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |prof AS (SELECT k, slot, count(*) AS n_slot,
+      |         CAST(sum(vc) // count(*) AS BIGINT) AS baseline_cents
+      |         FROM base GROUP BY 1, 2)
+      |SELECT b.id AS event_id, b.k AS user_id, b.us, b.slot,
+      |       b.vc AS value_cents, p.baseline_cents, p.n_slot,
+      |       (p.n_slot >= 3 AND abs(b.vc - p.baseline_cents) > 2500) AS deviation
+      |FROM base b JOIN prof p ON b.k = p.k AND b.slot = p.slot
+      |ORDER BY user_id, us, event_id""".stripMargin
 
   /** DuckDB re-expression of the winnowing kernel ([[graft.functions.Kernels.winnow]],
     * k=8, w=4): per doc, FNV-1a over char 8-grams and the splitmix64
@@ -6146,22 +6188,11 @@ object SparkEntry {
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
     // the slot profile replayed directly: integer slot from epoch
     // micros, population mean via one truncating //, the gate + the
-    // deviation both pure integer compares
-    "q_seasonal" ->
-      """WITH base AS (
-        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
-        |        CAST(round(value * 100) AS BIGINT) AS vc,
-        |        (epoch_us(ts) // 3600000000) % 24 AS slot
-        | FROM events
-        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |prof AS (SELECT k, slot, count(*) AS n_slot,
-        |         CAST(sum(vc) // count(*) AS BIGINT) AS baseline_cents
-        |         FROM base GROUP BY 1, 2)
-        |SELECT b.id AS event_id, b.k AS user_id, b.us, b.slot,
-        |       b.vc AS value_cents, p.baseline_cents, p.n_slot,
-        |       (p.n_slot >= 3 AND abs(b.vc - p.baseline_cents) > 2500) AS deviation
-        |FROM base b JOIN prof p ON b.k = p.k AND b.slot = p.slot
-        |ORDER BY user_id, us, event_id""".stripMargin,
+    // deviation both pure integer compares. SHARED by the store
+    // roundtrip key: longs round-trip parquet bit-exactly, so scoring
+    // against the reloaded profile must match the same replay.
+    "q_seasonal" -> seasonalOracleSql,
+    "q_seasonal_store" -> seasonalOracleSql,
     "q_attribution" ->
       """WITH conv AS (
         | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us

@@ -659,34 +659,78 @@ object EventAnalytics {
   def seasonalBaseline(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, slotSeconds: Long = 3600L,
       slotModulus: Int = 24, minSlotEvents: Long = 2L,
-      devThreshCents: Long = 10000L): DataFrame = {
+      devThreshCents: Long = 10000L): DataFrame =
+    seasonalScore(events,
+      seasonalProfile(events, keyCol, tsCol, valueCol, slotSeconds, slotModulus),
+      keyCol, tsCol, idCol, valueCol, slotSeconds, slotModulus,
+      minSlotEvents, devThreshCents)
+
+  /** The slotted event projection shared by [[seasonalProfile]] and
+    * [[seasonalScore]] — one derivation so train and score can never
+    * disagree on the slot. */
+  private def slottedEvents(events: DataFrame, keyCol: String,
+      tsCol: String, idColOpt: Option[String], valueCol: String,
+      slotSeconds: Long, slotModulus: Int): DataFrame = {
     require(slotSeconds >= 1 && slotModulus >= 1,
-      s"seasonalBaseline: slotSeconds/slotModulus must be >= 1 " +
+      s"seasonal: slotSeconds/slotModulus must be >= 1 " +
         s"(got $slotSeconds, $slotModulus)")
-    require(minSlotEvents >= 1 && devThreshCents > 0,
-      "seasonalBaseline: minSlotEvents >= 1 and devThreshCents > 0 required")
     val usPerSlot = slotSeconds * 1000000L
-    val base = graft.streaming.Events.tsLtz(events)
+    val idCols = idColOpt.toSeq.map(c => col(c).cast("long").as("id"))
+    graft.streaming.Events.tsLtz(events)
       .withColumn("us", unix_micros(col(tsCol)))
-      .select(col(keyCol).cast("long").as("k"),
-        col(idCol).cast("long").as("id"), col("us"),
-        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .select(col(keyCol).cast("long").as("k") +: idCols :+ col("us") :+
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"): _*)
       .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
       // epoch micros are non-negative for any post-1970 event stream;
       // a pre-epoch timestamp would flip the mod's sign differently
       // per engine — refuse rather than diverge
       .withColumn("slot", expr(
         s"IF(us >= 0, (us div $usPerSlot) % $slotModulus, " +
-          "assert_true(false, 'seasonalBaseline: pre-1970 timestamp'))")
+          "assert_true(false, 'seasonal: pre-1970 timestamp'))")
         .cast("long"))
-    val prof = base.groupBy("k", "slot")
+  }
+
+  /** TRAINED seasonal profile — the narrow model frame behind
+    * [[seasonalBaseline]], exposed so the profile can persist through
+    * the Warehouse and score later streams/batches without retraining
+    * (the quotaStore / spanAnchorStore store convention; real
+    * monitoring trains nightly and scores all day). One (key, slot)
+    * aggregation with map-side partial combine. Returns
+    * `(k, slot, n_slot, baseline_cents)`.
+    */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, slotSeconds: Long = 3600L,
+      slotModulus: Int = 24): DataFrame =
+    slottedEvents(events, keyCol, tsCol, None, valueCol,
+        slotSeconds, slotModulus)
+      .groupBy("k", "slot")
       .agg(count(lit(1)).as("n_slot"), sum(col("vc")).as("__sum"))
       .withColumn("baseline_cents", expr("__sum div n_slot"))
       .select("k", "slot", "n_slot", "baseline_cents")
-    base.join(prof, Seq("k", "slot"))
+
+  /** Score events against a (possibly reloaded) [[seasonalProfile]]:
+    * LEFT join — an event whose (key, slot) the profile has never seen
+    * passes through unflagged with NULL baseline/n_slot (a cold slot is
+    * not an anomaly, it's an unknown), so a stale profile degrades to
+    * silence, never to noise. `slotSeconds`/`slotModulus` must match
+    * the profile's training values (the caller's contract, as with any
+    * model). Self-scoring (`seasonalBaseline`) covers every event, so
+    * there the join is effectively inner.
+    */
+  def seasonalScore(events: DataFrame, profile: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String,
+      slotSeconds: Long = 3600L, slotModulus: Int = 24,
+      minSlotEvents: Long = 2L, devThreshCents: Long = 10000L): DataFrame = {
+    require(minSlotEvents >= 1 && devThreshCents > 0,
+      "seasonal: minSlotEvents >= 1 and devThreshCents > 0 required")
+    slottedEvents(events, keyCol, tsCol, Some(idCol), valueCol,
+        slotSeconds, slotModulus)
+      .join(profile.select("k", "slot", "n_slot", "baseline_cents"),
+        Seq("k", "slot"), "left")
       .withColumn("deviation",
-        col("n_slot") >= minSlotEvents &&
-          abs(col("vc") - col("baseline_cents")) > devThreshCents)
+        coalesce(col("n_slot") >= minSlotEvents &&
+          abs(col("vc") - col("baseline_cents")) > devThreshCents,
+          lit(false)))
       .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
         col("slot"), col("vc").as("value_cents"), col("baseline_cents"),
         col("n_slot"), col("deviation"))

@@ -372,6 +372,35 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "(-1000 + -1) div 2 truncates TOWARD ZERO to -500 (floor would be -501)")
   }
 
+  test("seasonalScore: reloaded profile == self-score; cold (key, slot) passes unflagged") {
+    val train = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(10), 10.0), (3L, 1L, ts(20), 40.0),
+      (5L, 2L, ts(0), 50.0), (6L, 2L, ts(5), 50.0))
+      .toDF("eid", "uid", "ts", "v")
+    val prof = EventAnalytics.seasonalProfile(train, "uid", "ts", "v",
+      slotSeconds = 3600, slotModulus = 24)
+    // parquet roundtrip — the store path q_seasonal_store exercises
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seas").toString
+    prof.write.parquet(s"$tmp/p")
+    val reloaded = spark.read.parquet(s"$tmp/p")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(5)), Option(r.get(6)), r.getBoolean(7))).toSet
+    val self = rows(EventAnalytics.seasonalBaseline(train,
+      "uid", "ts", "eid", "v", 3600, 24, 2, 1500))
+    val scored = rows(EventAnalytics.seasonalScore(train, reloaded,
+      "uid", "ts", "eid", "v", 3600, 24, 2, 1500))
+    assert(scored === self, "scoring against the reloaded model == one-shot")
+    // a key the profile never saw: unflagged, NULL baseline
+    val cold = EventAnalytics.seasonalScore(
+      Seq((99L, 7L, ts(0), 1000.0)).toDF("eid", "uid", "ts", "v"),
+      reloaded, "uid", "ts", "eid", "v", 3600, 24, 2, 1500).collect()
+    assert(cold.length === 1 && !cold(0).getBoolean(7),
+      "cold slot is an unknown, not an anomaly")
+    assert(cold(0).isNullAt(5) && cold(0).isNullAt(6),
+      "no fabricated baseline for an unseen (key, slot)")
+  }
+
   test("holt: flags the departure FROM a trend, not the trend (naive-linear mode)") {
     // α = β = 1 makes Holt the naive linear predictor: level = value,
     // trend = last delta, forecast = value + delta. A steady $2 rise is
