@@ -654,6 +654,47 @@ object Events {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** STREAMING seasonal scoring — each arriving event judged against a
+    * STATIC trained [[graft.operators.EventAnalytics.seasonalProfile]]
+    * (train nightly, score all day): the slot derives map-side with the
+    * batch operator's exact integer arithmetic and the profile joins as
+    * a stream-static LEFT join — STATELESS (no watermark, no GroupState;
+    * Spark broadcasts or re-reads the static side per micro-batch), so
+    * the stream scores row-for-row what
+    * [[graft.operators.EventAnalytics.seasonalScore]] scores in batch —
+    * parity is exact including the cold-slot NULL-baseline pass-through.
+    * Swap the profile by restarting on a new table version (the 33c/33g
+    * versioned-read model).
+    */
+  def seasonalScoreStream(events: Dataset[Event], profile: DataFrame,
+      slotSeconds: Long = 3600L, slotModulus: Int = 24,
+      minSlotEvents: Long = 2L, devThreshCents: Long = 10000L): DataFrame = {
+    require(slotSeconds >= 1 && slotModulus >= 1,
+      s"seasonalScoreStream: slotSeconds/slotModulus must be >= 1 " +
+        s"(got $slotSeconds, $slotModulus)")
+    require(minSlotEvents >= 1 && devThreshCents > 0,
+      "seasonalScoreStream: minSlotEvents >= 1 and devThreshCents > 0 required")
+    val usPerSlot = slotSeconds * 1000000L
+    events.toDF()
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id").as("k"), col("event_id").as("id"), col("us"),
+        expr("CAST(round(value * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .withColumn("slot", expr(
+        s"IF(us >= 0, (us div $usPerSlot) % $slotModulus, " +
+          "assert_true(false, 'seasonalScoreStream: pre-1970 timestamp'))")
+        .cast("long"))
+      .join(profile.select("k", "slot", "n_slot", "baseline_cents"),
+        Seq("k", "slot"), "left")
+      .withColumn("deviation",
+        coalesce(col("n_slot") >= minSlotEvents &&
+          abs(col("vc") - col("baseline_cents")) > devThreshCents,
+          lit(false)))
+      .select(col("id").as("event_id"), col("k").as("user_id"), col("us"),
+        col("slot"), col("vc").as("value_cents"), col("baseline_cents"),
+        col("n_slot"), col("deviation"))
+  }
+
   /** Holt state for [[holtStream]]: the ×10⁶ level and trend, the seed
     * bit, and the newest event time seen (the [[EwmaState]] shape plus
     * one long). */

@@ -796,6 +796,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, false)), "second key seeds cold")
   }
 
+  test("seasonalScoreStream: stream-static scoring == batch; cold slot unflagged") {
+    implicit val sqlCtx = spark.sqlContext
+    // profile trained in batch; the stream scores two triggers against
+    // it, including a key the profile never saw
+    val train = Seq(
+      Event(1, ts(0), 1L, "m", 10.0), Event(2, ts(10), 1L, "m", 10.0),
+      Event(3, ts(20), 1L, "m", 40.0),
+      Event(5, ts(0), 2L, "m", 50.0), Event(6, ts(5), 2L, "m", 50.0)).toDF()
+    val prof = graft.operators.EventAnalytics.seasonalProfile(
+      train, "user_id", "ts", "value", 3600, 24)
+    val score = Seq(
+      Event(10, ts(1), 1L, "m", 40.0),   // big for the slot -> flags
+      Event(11, ts(2), 1L, "m", 21.0),   // within $15 of the 20.00 mean
+      Event(12, ts(3), 7L, "m", 900.0))  // cold key: unflagged, NULL
+    val mem = MemoryStream[Event]
+    val q = Events.seasonalScoreStream(mem.toDS(), prof,
+        slotSeconds = 3600, slotModulus = 24, minSlotEvents = 2,
+        devThreshCents = 1500)
+      .writeStream.format("memory").queryName("seas_out").outputMode("append").start()
+    try {
+      mem.addData(score.take(2): _*); q.processAllAvailable()
+      mem.addData(score.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((Option(r.get(5)), Option(r.get(6)), r.getBoolean(7)))
+    val got = spark.table("seas_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.seasonalScore(
+        score.toDF(), prof, "user_id", "ts", "event_id", "value",
+        3600, 24, 2, 1500)
+      .collect().map(key).toMap
+    assert(got === batch, "stream-static scoring == batch scoring")
+    assert(got(10L)._3 === true, "big for the trained slot")
+    assert(got(11L)._3 === false)
+    assert(got(12L) === ((None, None, false)), "cold key: NULL baseline, no flag")
+  }
+
   test("holtStream: in-order stream == batch; level AND trend carry across triggers") {
     implicit val sqlCtx = spark.sqlContext
     // the EventAnalyticsSpec holt replay fixture streamed over 3
