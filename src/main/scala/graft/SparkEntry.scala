@@ -3345,6 +3345,28 @@ object SparkEntry {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** Incremental seasonal profile (SURVEY row 50m-inc): the history's
+    * mergeable (n, sum) profile folds in the batch (event_id % 10 = 0)
+    * WITHOUT rescanning history, and scoring everything with the merged
+    * model must equal the one-shot — the shared q_seasonal oracle
+    * catches any merge drift ([[operators.EventAnalytics.updateSeasonalProfile]]).
+    */
+  private def qSeasonalIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events")
+    val hist = ev.filter(pmod(col("event_id"), lit(10)) =!= 0)
+    val batch = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+    val prof = operators.EventAnalytics.seasonalProfile(
+      hist, "user_id", "ts", "value", slotSeconds = 3600, slotModulus = 24)
+    val updated = operators.EventAnalytics.updateSeasonalProfile(
+      prof, batch, "user_id", "ts", "value",
+      slotSeconds = 3600, slotModulus = 24)
+    operators.EventAnalytics.seasonalScore(
+        ev, updated, "user_id", "ts", "event_id", "value",
+        slotSeconds = 3600, slotModulus = 24, minSlotEvents = 3,
+        devThreshCents = 2500)
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Edit-distance self-join (SURVEY row 30f): PassJoin pigeonhole
     * blocking + exact levenshtein verify over 40-char document
     * prefixes at distance ≤ 4; the oracle is the NAIVE all-pairs
@@ -3934,6 +3956,7 @@ object SparkEntry {
     "q_holt" -> (qHolt _),
     "q_seasonal" -> (qSeasonal _),
     "q_seasonal_store" -> (qSeasonalStore _),
+    "q_seasonal_incremental" -> (qSeasonalIncremental _),
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _)
   )
@@ -6193,6 +6216,7 @@ object SparkEntry {
     // against the reloaded profile must match the same replay.
     "q_seasonal" -> seasonalOracleSql,
     "q_seasonal_store" -> seasonalOracleSql,
+    "q_seasonal_incremental" -> seasonalOracleSql,
     "q_attribution" ->
       """WITH conv AS (
         | SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS conv_us

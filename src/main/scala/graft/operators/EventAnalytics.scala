@@ -704,9 +704,34 @@ object EventAnalytics {
     slottedEvents(events, keyCol, tsCol, None, valueCol,
         slotSeconds, slotModulus)
       .groupBy("k", "slot")
-      .agg(count(lit(1)).as("n_slot"), sum(col("vc")).as("__sum"))
-      .withColumn("baseline_cents", expr("__sum div n_slot"))
-      .select("k", "slot", "n_slot", "baseline_cents")
+      .agg(count(lit(1)).as("n_slot"), sum(col("vc")).as("sum_cents"))
+      .withColumn("baseline_cents", expr("sum_cents div n_slot"))
+      .select("k", "slot", "n_slot", "sum_cents", "baseline_cents")
+
+  /** INCREMENTAL profile update — the profile is MERGEABLE because it
+    * carries (n_slot, sum_cents), not just the derived mean: a new
+    * batch folds in by slotting ONLY itself, summing counts and sums
+    * per (key, slot), and re-deriving the baseline from the merged
+    * totals — `updateSeasonalProfile(seasonalProfile(A), B)` equals
+    * `seasonalProfile(A ∪ B)` EXACTLY (integer sums are associative;
+    * the one truncating div happens after merging), so nightly updates
+    * never rescan history (the 39c/quotaStore store pattern). The
+    * store never shuffles beyond its own narrow (key, slot) rows; the
+    * batch side aggregates map-side first.
+    */
+  def updateSeasonalProfile(profile: DataFrame, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      slotSeconds: Long = 3600L, slotModulus: Int = 24): DataFrame =
+    profile.select("k", "slot", "n_slot", "sum_cents")
+      .unionByName(
+        seasonalProfile(events, keyCol, tsCol, valueCol,
+          slotSeconds, slotModulus)
+          .select("k", "slot", "n_slot", "sum_cents"))
+      .groupBy("k", "slot")
+      .agg(sum(col("n_slot")).as("n_slot"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .withColumn("baseline_cents", expr("sum_cents div n_slot"))
+      .select("k", "slot", "n_slot", "sum_cents", "baseline_cents")
 
   /** Score events against a (possibly reloaded) [[seasonalProfile]]:
     * LEFT join — an event whose (key, slot) the profile has never seen

@@ -452,8 +452,12 @@ object Relational {
       .join(broadcast(cand.select(col("id_o").as("id")).distinct()), Seq("id"))
     val oArr = persistIf(hashedGramArrays(fetched, "id", "str", "o", n))
     val shared = size(array_intersect(col("o_gs"), col("b_gs"))).cast("long")
+    // the verify join is NOT hinted: the fetched-old array frame is
+    // bounded by the CANDIDATE set, which on dense corpora can approach
+    // the history (a forced broadcast OOM'd the 500k probe — gram
+    // arrays are wide); AQE broadcasts it when it is actually small
     val mixedPairs = cand
-      .join(broadcast(oArr), col("id_o") === col("o_id"))
+      .join(oArr, col("id_o") === col("o_id"))
       .join(bArr, Seq("b_id"))
       .withColumn("shared_grams", shared)
       .filter(col("shared_grams") * thresholdDen >=

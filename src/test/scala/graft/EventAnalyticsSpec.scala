@@ -401,6 +401,29 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "no fabricated baseline for an unseen (key, slot)")
   }
 
+  test("updateSeasonalProfile: merged == one-shot profile exactly; new keys appear") {
+    val hist = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(10), 10.0),
+      (5L, 2L, ts(0), 50.0)).toDF("eid", "uid", "ts", "v")
+    val batch = Seq(
+      (3L, 1L, ts(20), 40.0),            // merges into key 1's slot
+      (9L, 9L, ts(0), -0.03)).toDF("eid", "uid", "ts", "v") // new key
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val merged = rows(EventAnalytics.updateSeasonalProfile(
+      EventAnalytics.seasonalProfile(hist, "uid", "ts", "v", 3600, 24),
+      batch, "uid", "ts", "v", 3600, 24))
+    val oneShot = rows(EventAnalytics.seasonalProfile(
+      hist.unionByName(batch), "uid", "ts", "v", 3600, 24))
+    assert(merged === oneShot,
+      "history never rescanned, yet counts, sums AND baselines identical")
+    assert(merged.exists(p => p._1 == 9L && p._5 == -3L),
+      "batch-new key appears with its own (negative, toward-zero) baseline")
+    assert(merged.exists(p => p._1 == 1L && p._3 == 3L && p._5 == 2000L),
+      "key 1's slot merged to n=3, baseline (1000+1000+4000) div 3")
+  }
+
   test("holt: flags the departure FROM a trend, not the trend (naive-linear mode)") {
     // α = β = 1 makes Holt the naive linear predictor: level = value,
     // trend = last delta, forecast = value + delta. A steady $2 rise is
