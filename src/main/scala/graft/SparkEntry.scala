@@ -3311,6 +3311,21 @@ object SparkEntry {
         alphaPpm = 200000, betaPpm = 100000, devThreshCents = 3000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Holt-Winters level+trend+seasonal smoothing (SURVEY row 50p):
+    * α = 0.2, β = 0.1, γ = 0.3 integer fixed-point with hour-of-day
+    * slots, 24-event warmup gate, $30 forecast-deviation alarm — the
+    * triple recurrence the oracle replays as one recursive CTE in
+    * HUGEINT carrying the 24 seasonal components as a LIST column
+    * updated by slice concatenation
+    * ([[operators.EventAnalytics.holtWinters]]).
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.holtWinters(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+        slotSeconds = 3600, slotModulus = 24, devThreshCents = 3000)
+      .orderBy("user_id", "us", "event_id")
+
   /** Seasonal slot-baseline anomaly (SURVEY row 50m): hour-of-day
     * profile per user, $25 deviation from the slot's integer mean with
     * a 3-event population gate — "is this big FOR 3 AM"
@@ -3954,6 +3969,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_seasonal" -> (qSeasonal _),
     "q_seasonal_store" -> (qSeasonalStore _),
     "q_seasonal_incremental" -> (qSeasonalIncremental _),
@@ -3964,6 +3980,60 @@ object SparkEntry {
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
     * and `q_seasonal_store` (the roundtripped model scores identically
     * or the store key goes red). */
+  /** DuckDB replay of the Holt-Winters triple recurrence
+    * ([[operators.EventAnalytics.holtWinters]], α=0.2 β=0.1 γ=0.3,
+    * hour-of-day slots, warmup 24, $30): one recursive CTE stepping a
+    * rank per key in HUGEINT, the 24 seasonal components carried as a
+    * LIST column updated by slice concatenation
+    * (s[1:slot] || [new] || s[slot+2:24]); the new-level expression
+    * repeats inline inside the trend and seasonal updates (the q_holt
+    * convention — the recursive branch may reference `rec` only once,
+    * so no LATERAL lets). All five truncating divisions are HUGEINT
+    * `//` (toward zero, matching BigInt `/`).
+    */
+  private val holtWintersOracleSql: String = {
+    val sc = "rec.s[CAST(n.slot AS INT) + 1]"
+    val x = "CAST(n.vc AS HUGEINT) * 1000000"
+    val lnew = s"(CAST(200000 AS HUGEINT) * ($x - $sc)) // 1000000" +
+      " + (CAST(800000 AS HUGEINT) * (rec.l + rec.b)) // 1000000"
+    val bnew = s"(CAST(100000 AS HUGEINT) * (($lnew) - rec.l)) // 1000000" +
+      " + (CAST(900000 AS HUGEINT) * rec.b) // 1000000"
+    val scnew = s"(CAST(300000 AS HUGEINT) * ($x - ($lnew))) // 1000000" +
+      s" + (CAST(700000 AS HUGEINT) * $sc) // 1000000"
+    val supd = s"rec.s[1:CAST(n.slot AS INT)] || [$scnew]" +
+      " || rec.s[CAST(n.slot AS INT) + 2:24]"
+    val dev = s"n.rn > 24 AND abs($x - (rec.l + rec.b + $sc))" +
+      " > CAST(3000 AS HUGEINT) * 1000000"
+    s"""WITH RECURSIVE base AS (
+       | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+       |        CAST(round(value * 100) AS BIGINT) AS vc,
+       |        (epoch_us(ts) // 3600000000) % 24 AS slot
+       | FROM events
+       | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+       |rk AS (SELECT k, id, us, vc, slot,
+       |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id) AS BIGINT) AS rn
+       |       FROM base),
+       |rec AS (
+       | SELECT k, id, us, vc, slot, rn,
+       |        CAST(vc AS HUGEINT) * 1000000 AS l,
+       |        CAST(0 AS HUGEINT) AS b,
+       |        list_transform(generate_series(1, 24), i -> CAST(0 AS HUGEINT)) AS s,
+       |        FALSE AS dev
+       | FROM rk WHERE rn = 1
+       | UNION ALL
+       | SELECT n.k, n.id, n.us, n.vc, n.slot, n.rn,
+       |        $lnew,
+       |        $bnew,
+       |        $supd,
+       |        $dev
+       | FROM rk n JOIN rec ON n.k = rec.k AND n.rn = rec.rn + 1)
+       |SELECT id AS event_id, k AS user_id, us, slot, vc AS value_cents,
+       |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+       |       CAST(s[CAST(slot AS INT) + 1] AS BIGINT) AS seasonal_e6,
+       |       dev AS deviation
+       |FROM rec ORDER BY user_id, us, event_id""".stripMargin
+  }
+
   private val seasonalOracleSql: String =
     """WITH base AS (
       | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
@@ -6214,6 +6284,9 @@ object SparkEntry {
     // deviation both pure integer compares. SHARED by the store
     // roundtrip key: longs round-trip parquet bit-exactly, so scoring
     // against the reloaded profile must match the same replay.
+    // the Holt-Winters triple recurrence replayed in one HUGEINT
+    // recursive CTE, the 24 seasonal components as a LIST column
+    "q_holt_winters" -> holtWintersOracleSql,
     "q_seasonal" -> seasonalOracleSql,
     "q_seasonal_store" -> seasonalOracleSql,
     "q_seasonal_incremental" -> seasonalOracleSql,

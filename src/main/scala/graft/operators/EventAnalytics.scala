@@ -600,6 +600,136 @@ object EventAnalytics {
         col("deviation"))
   }
 
+  /** HOLT-WINTERS TRIPLE-EXPONENTIAL smoothing (additive seasonality,
+    * Winters 1960): per-key level, trend AND a per-time-slot seasonal
+    * component — each event judged against the one-step forecast
+    * level + trend + seasonal(slot). The alarm [[holt]] cannot raise
+    * cleanly on a SEASONAL series: a daily cycle drags Holt's trend up
+    * and down every period (flagging the cycle itself), while
+    * Holt-Winters learns the cycle into the slot components and flags
+    * only departures from it. Completes the sequential ladder:
+    * rolling-z (50f) / CUSUM (50i) / EWMA (50j) / Holt (50l) /
+    * HOLT-WINTERS (50p); orthogonal to [[seasonalBaseline]] (50m),
+    * which profiles slot POPULATIONS with no level/trend adaptation.
+    *
+    * Slots are the [[seasonalBaseline]] integer derivation:
+    * slot = (us div (slotSeconds·10⁶)) mod slotModulus, UTC,
+    * pre-1970 refused (mod sign would diverge per engine).
+    *
+    * ENGINE-EXACT INTEGER recurrence, no floats: with vc = cents(value),
+    * X = vc·10⁶, α/β/γ in parts-per-million, level `l`, trend `b` and
+    * seasonal components s[0..m) all held ×10⁶:
+    *
+    *   seed (first event of the key): l = X, b = 0, s[*] = 0 (the slot
+    *     components start neutral and are LEARNED; the seed does not
+    *     touch its slot — unflagged by the warmup gate anyway)
+    *   fᵢ = l + b + s[slot]                  (the one-step forecast)
+    *   lₙ = (α·(X − s[slot])) div 10⁶ + ((10⁶−α)·(l + b)) div 10⁶
+    *   bₙ = (β·(lₙ − l)) div 10⁶ + ((10⁶−β)·b) div 10⁶
+    *   s[slot]ₙ = (γ·(X − lₙ)) div 10⁶ + ((10⁶−γ)·s[slot]) div 10⁶
+    *
+    * Five truncating divisions per step, each toward zero in Scala
+    * BigInt `/`, DuckDB HUGEINT `//` and Spark `div` alike (the [[holt]]
+    * convention — a negative-component spec row pins the agreement), so
+    * any engine replays levels, trends, seasonals AND flags
+    * bit-for-bit. The deviation test |X − fᵢ| > devThreshCents·10⁶
+    * uses the PRIOR forecast and is GATED on the key's event index
+    * exceeding `warmupEvents` (the slot components are meaningless
+    * until the key has seen ~one full season; default = slotModulus).
+    * Events are ordered by (ts, idCol) — a TOTAL order.
+    *
+    * Overflow: per-step arithmetic in BigInt, every emitted component
+    * required to fit a long with an explicit error (the
+    * [[rollingAnomaly]] never-wrap rule). The DuckDB replay computes in
+    * HUGEINT and casts at the edge the same way.
+    *
+    * Scale shape: ONE key exchange + in-partition sort, then a single
+    * streaming pass with (2 + slotModulus) longs of state resetting at
+    * key boundaries (the [[cusum]] shard-fold shape) — O(keys·modulus)
+    * state, no window over the full stream.
+    *
+    * Returns (idCol, keyCol, us, slot, value_cents, level_e6, trend_e6,
+    * seasonal_e6, deviation) — seasonal_e6 is the event's OWN slot
+    * component after folding the event in.
+    */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaPpm: Long, betaPpm: Long,
+      gammaPpm: Long, slotSeconds: Long = 3600L, slotModulus: Int = 24,
+      warmupEvents: Long = 0L, devThreshCents: Long = 10000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"holtWinters: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(betaPpm > 0 && betaPpm <= 1000000L,
+      s"holtWinters: betaPpm must be in (0, 1000000] (got $betaPpm)")
+    require(gammaPpm > 0 && gammaPpm <= 1000000L,
+      s"holtWinters: gammaPpm must be in (0, 1000000] (got $gammaPpm)")
+    require(slotSeconds >= 1 && slotModulus >= 1,
+      s"holtWinters: slotSeconds/slotModulus must be >= 1 " +
+        s"(got $slotSeconds, $slotModulus)")
+    require(devThreshCents > 0,
+      s"holtWinters: devThreshCents must be > 0 (got $devThreshCents)")
+    val warmup = if (warmupEvents > 0) warmupEvents else slotModulus.toLong
+    val spark = events.sparkSession
+    import spark.implicits._
+    val oneMinusA = BigInt(1000000L - alphaPpm)
+    val oneMinusB = BigInt(1000000L - betaPpm)
+    val oneMinusG = BigInt(1000000L - gammaPpm)
+    val devE6 = BigInt(devThreshCents) * 1000000L
+    val usPerSlot = slotSeconds * 1000000L
+    val m = slotModulus
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var fresh = true
+        var seeded = false
+        var rn = 0L
+        var l = BigInt(0)
+        var b = BigInt(0)
+        var seas: Array[BigInt] = null
+        it.map { case (k, id, us, vc) =>
+          if (us < 0) throw new ArithmeticException(
+            s"holtWinters: pre-1970 timestamp at event id $id")
+          if (fresh || k != cur) {
+            cur = k; fresh = false; seeded = false; rn = 0L
+            seas = Array.fill(m)(BigInt(0))
+          }
+          rn += 1
+          val slot = ((us / usPerSlot) % m).toInt
+          val x = BigInt(vc) * 1000000L
+          val sc = seas(slot)
+          val f = l + b + sc
+          val dev = seeded && rn > warmup && (x - f).abs > devE6
+          if (seeded) {
+            val lNew = (BigInt(alphaPpm) * (x - sc)) / 1000000L +
+              (oneMinusA * (l + b)) / 1000000L
+            b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+              (oneMinusB * b) / 1000000L
+            seas(slot) = (BigInt(gammaPpm) * (x - lNew)) / 1000000L +
+              (oneMinusG * sc) / 1000000L
+            l = lNew
+          } else { l = x; b = BigInt(0); seeded = true }
+          if (!l.isValidLong || !b.isValidLong || !seas(slot).isValidLong)
+            throw new ArithmeticException(
+              s"holtWinters: level/trend/seasonal exceeds long at event " +
+                s"id $id — rescale the input")
+          (id, k, us, slot.toLong, vc, l.toLong, b.toLong,
+            seas(slot).toLong, dev)
+        }
+      }
+      .toDF("id", "k", "us", "slot", "value_cents", "level_e6", "trend_e6",
+        "seasonal_e6", "deviation")
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("slot"), col("value_cents"), col("level_e6"), col("trend_e6"),
+        col("seasonal_e6"), col("deviation"))
+  }
+
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
     * fixed-width time buckets and MATERIALIZE the empty buckets — the
     * regularization step before any dashboard, forecast, or

@@ -778,6 +778,120 @@ object Events {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Holt-Winters state for [[holtWintersStream]]: the ×10⁶ level and
+    * trend, the per-slot seasonal components, the key's event count
+    * (the warmup gate carries across triggers), the seed bit, and the
+    * newest event time seen. */
+  case class HoltWintersState(lE6: Long, bE6: Long, seas: Seq[Long],
+      rn: Long, seeded: Boolean, lastUs: Long)
+
+  /** One scored event from [[holtWintersStream]] — the streaming
+    * counterpart of [[graft.operators.EventAnalytics.holtWinters]]'s
+    * output row. */
+  case class HoltWintersFlag(event_id: Long, user_id: Long, us: Long,
+      slot: Long, value_cents: Long, level_e6: Long, trend_e6: Long,
+      seasonal_e6: Long, deviation: Boolean)
+
+  /** STREAMING HOLT-WINTERS smoothing — the flag-on-arrival form of
+    * [[graft.operators.EventAnalytics.holtWinters]]: each arriving
+    * event is judged against its key's one-step seasonal forecast
+    * (level + trend + seasonal(slot) as they stood) and then folds in
+    * via the identical integer recurrence — the departs-from-the-cycle
+    * alarm scored in real time. Within a micro-batch events fold in
+    * (ts, event_id) order, so an in-order stream reproduces the batch
+    * operator's levels, trends, seasonals and flags EXACTLY
+    * (StreamingSpec pins the parity). State per key is
+    * (2 + slotModulus) longs + a count + the seed bit + the newest
+    * event time (per-step math in BigInt exactly like the batch fold;
+    * state that fits the emitted longs round-trips losslessly); idle
+    * keys evict by event-time TTL (a returning key re-seeds — the
+    * [[ewmaStream]] monitoring-gap caveat; for Holt-Winters that also
+    * means re-learning the cycle, so size the TTL well past one full
+    * season).
+    */
+  def holtWintersStream(events: Dataset[Event], alphaPpm: Long,
+      betaPpm: Long, gammaPpm: Long, slotSeconds: Long = 3600L,
+      slotModulus: Int = 24, warmupEvents: Long = 0L,
+      devThreshCents: Long = 10000L, allowedLateness: String = "0 seconds",
+      stateTtlMinutes: Long = 7 * 24 * 60): Dataset[HoltWintersFlag] = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"holtWintersStream: alphaPpm must be in (0, 1000000] (got $alphaPpm)")
+    require(betaPpm > 0 && betaPpm <= 1000000L,
+      s"holtWintersStream: betaPpm must be in (0, 1000000] (got $betaPpm)")
+    require(gammaPpm > 0 && gammaPpm <= 1000000L,
+      s"holtWintersStream: gammaPpm must be in (0, 1000000] (got $gammaPpm)")
+    require(slotSeconds >= 1 && slotModulus >= 1,
+      s"holtWintersStream: slotSeconds/slotModulus must be >= 1 " +
+        s"(got $slotSeconds, $slotModulus)")
+    require(devThreshCents > 0,
+      s"holtWintersStream: devThreshCents must be > 0 (got $devThreshCents)")
+    val warmup = if (warmupEvents > 0) warmupEvents else slotModulus.toLong
+    implicit val stateEnc = Encoders.product[HoltWintersState]
+    implicit val outEnc = Encoders.product[HoltWintersFlag]
+    implicit val longEnc = Encoders.scalaLong
+    val oneMinusA = BigInt(1000000L - alphaPpm)
+    val oneMinusB = BigInt(1000000L - betaPpm)
+    val oneMinusG = BigInt(1000000L - gammaPpm)
+    val devE6 = BigInt(devThreshCents) * 1000000L
+    val usPerSlot = slotSeconds * 1000000L
+    val m = slotModulus
+    val ttlUs = stateTtlMinutes * 60L * 1000000L
+
+    def fn(uid: Long, rows: Iterator[Event],
+        state: GroupState[HoltWintersState]): Iterator[HoltWintersFlag] = {
+      if (rows.isEmpty && state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(
+        HoltWintersState(0L, 0L, Seq.fill(m)(0L), 0L, seeded = false, 0L))
+      var l = BigInt(prev.lE6)
+      var b = BigInt(prev.bE6)
+      val seas = prev.seas.map(BigInt(_)).toArray
+      var rn = prev.rn
+      var seeded = prev.seeded
+      var lastUs = prev.lastUs
+      val out = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
+        val us = tsMicros(e.ts)
+        if (us < 0) throw new ArithmeticException(
+          s"holtWintersStream: pre-1970 timestamp at event id ${e.event_id}")
+        lastUs = math.max(lastUs, us)
+        rn += 1
+        // HALF_UP like the batch form's round(value*100)
+        val vc = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        val slot = ((us / usPerSlot) % m).toInt
+        val x = BigInt(vc) * 1000000L
+        val sc = seas(slot)
+        val f = l + b + sc
+        val dev = seeded && rn > warmup && (x - f).abs > devE6
+        if (seeded) {
+          val lNew = (BigInt(alphaPpm) * (x - sc)) / 1000000L +
+            (oneMinusA * (l + b)) / 1000000L
+          b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+            (oneMinusB * b) / 1000000L
+          seas(slot) = (BigInt(gammaPpm) * (x - lNew)) / 1000000L +
+            (oneMinusG * sc) / 1000000L
+          l = lNew
+        } else { l = x; b = BigInt(0); seeded = true }
+        if (!l.isValidLong || !b.isValidLong || !seas(slot).isValidLong)
+          throw new ArithmeticException(
+            s"holtWintersStream: level/trend/seasonal exceeds long at " +
+              s"event id ${e.event_id} — rescale the input")
+        HoltWintersFlag(e.event_id, uid, us, slot.toLong, vc, l.toLong,
+          b.toLong, seas(slot).toLong, dev)
+      }
+      state.update(HoltWintersState(l.toLong, b.toLong,
+        seas.map(_.toLong).toSeq, rn, seeded, lastUs))
+      state.setTimeoutTimestamp(
+        math.max((lastUs + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** One recent touch event retained in [[attributionStream]] state. */
   case class Touch(us: Long, id: Long, typ: String)
 

@@ -481,6 +481,89 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, 0L, false)), "second key re-seeds")
   }
 
+  test("holtWinters: learns the cycle, flags the break, recovers (γ=1 mode)") {
+    // A $10/$50 square wave on alternating 60-second slots (mod 2):
+    // γ = 1 snaps each slot component to its residual, α = 1% keeps the
+    // level near $10 and β = 1 ppm keeps the trend negligible — so after
+    // one full season the forecast tracks the cycle and on-cycle events
+    // are ON forecast at a $5 alarm, while plain Holt (no seasonal term)
+    // mis-flags the wave itself. Minute 6 breaks the cycle ($55 in the
+    // $10 slot) and must flag; minute 7 is back on cycle and must not
+    // (the slot components absorb the hit — no lingering perturbation).
+    val vals = (0 to 7).map(i =>
+      if (i == 6) 55.0 else if (i % 2 == 0) 10.0 else 50.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }.toDF("eid", "uid", "ts", "v")
+    val hw = EventAnalytics.holtWinters(ev, "uid", "ts", "eid", "v",
+        alphaPpm = 10000, betaPpm = 1, gammaPpm = 1000000,
+        slotSeconds = 60, slotModulus = 2, devThreshCents = 500)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(7), r.getBoolean(8)))).toMap
+    assert((1L to 6L).forall(!hw(_)._2),
+      "seed + warmup + the learned cycle: nothing flags on the wave")
+    assert(hw(7L)._2, "the $55 break in the $10 slot departs the cycle")
+    assert(!hw(8L)._2, "back on cycle — the γ=1 slot component recovered")
+    assert(hw(3L)._1 < 0L,
+      "the low slot learns a NEGATIVE seasonal component")
+    // contrast: Holt at the same α/β/threshold mis-flags the wave itself
+    val holtFlags = EventAnalytics.holt(ev, "uid", "ts", "eid", "v",
+        alphaPpm = 10000, betaPpm = 1, devThreshCents = 500)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(holtFlags(4L), "plain Holt flags the on-cycle $50 — the alarm " +
+      "holtWinters exists to silence")
+  }
+
+  test("holtWinters: local BigInt replay, negative components, per-key reset") {
+    // α = 0.25, β = 0.3, γ = 0.5, warmup 1, threshold $1.00 — a
+    // sign-alternating series drives level, trend AND seasonal
+    // components negative, pinning truncation-toward-zero agreement
+    // across Scala BigInt `/`, Spark and DuckDB `//`; user 2 starts
+    // FRESH. Slots derive from the same epoch-micros arithmetic the
+    // operator uses.
+    val vals1 = Seq(10.0, -9.0, 7.5, -8.2, 3.37)
+    val ev = vals1.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      Seq((100L, 2L, ts(0), 20.0))
+    val got = EventAnalytics.holtWinters(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2, warmupEvents = 1,
+        devThreshCents = 100)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))))
+      .toMap
+    var l = BigInt(0); var b = BigInt(0); var seeded = false
+    val seas = Array.fill(2)(BigInt(0))
+    val expect = vals1.zipWithIndex.map { case (v, i) =>
+      val vc = math.round(v * 100)
+      val us = (1700000000000L + i * 60000L) * 1000L
+      val slot = ((us / 60000000L) % 2).toInt
+      val x = BigInt(vc) * 1000000L
+      val sc = seas(slot)
+      val f = l + b + sc
+      val dev = seeded && i + 1 > 1 && (x - f).abs > BigInt(100L * 1000000L)
+      if (seeded) {
+        val lNew = (BigInt(250000L) * (x - sc)) / 1000000L +
+          (BigInt(750000L) * (l + b)) / 1000000L
+        b = (BigInt(300000L) * (lNew - l)) / 1000000L +
+          (BigInt(700000L) * b) / 1000000L
+        seas(slot) = (BigInt(500000L) * (x - lNew)) / 1000000L +
+          (BigInt(500000L) * sc) / 1000000L
+        l = lNew
+      } else { l = x; b = BigInt(0); seeded = true }
+      (i.toLong + 1) ->
+        ((l.toLong, b.toLong, seas(slot).toLong, dev))
+    }.toMap
+    expect.foreach { case (k, e) => assert(got(k) === e, s"event $k") }
+    assert(expect.values.exists(_._2 < 0L), "fixture drives a negative trend")
+    assert(expect.values.exists(_._3 < 0L),
+      "fixture drives a negative seasonal component")
+    assert(got(2L)._4 === true, "the -$9 swing deviates past warmup")
+    assert(got(100L) === ((2000L * 1000000L, 0L, 0L, false)),
+      "second key re-seeds with neutral seasonals")
+  }
+
   test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
     // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
     // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE

@@ -865,6 +865,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, 0L, false)), "second key seeds cold")
   }
 
+  test("holtWintersStream: in-order stream == batch; seasonals carry across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    // the EventAnalyticsSpec holtWinters replay fixture streamed over 3
+    // triggers — the warmup count, level, trend AND both slot components
+    // must survive the Seq[Long] state round-trip so mid-stream events
+    // are judged against seasonals learned in EARLIER triggers
+    val vals = Seq(10.0, -9.0, 7.5, -8.2, 3.37)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Event(i.toLong + 1, ts(i.toLong), 1L, "m", v) } :+
+      Event(100, ts(7), 2L, "m", 20.0)
+    val mem = MemoryStream[Event]
+    val q = Events.holtWintersStream(mem.toDS(), alphaPpm = 250000,
+        betaPpm = 300000, gammaPpm = 500000, slotSeconds = 60,
+        slotModulus = 2, warmupEvents = 1, devThreshCents = 100)
+      .writeStream.format("memory").queryName("hw_out").outputMode("append").start()
+    try {
+      mem.addData(evs.take(2): _*); q.processAllAvailable()
+      mem.addData(evs.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(evs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    val got = spark.table("hw_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.holtWinters(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2, warmupEvents = 1,
+        devThreshCents = 100)
+      .collect().map(key).toMap
+    assert(got === batch)
+    assert(got.values.exists(_._3 < 0L),
+      "a negative seasonal component survives the Seq state round-trip")
+    assert(got(100L) === ((2000L * 1000000L, 0L, 0L, false)),
+      "second key seeds cold with neutral seasonals")
+  }
+
   test("rollingAnomalyStream flags on arrival; in-order stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     // one user, stable history then a spike, split across three triggers
