@@ -730,6 +730,99 @@ object EventAnalytics {
         col("seasonal_e6"), col("deviation"))
   }
 
+  /** ROBUST MEDIAN/MAD anomaly: each event judged against its key's
+    * POPULATION median with the deviation scale set by the median
+    * absolute deviation — the outlier-resistant counterpart of
+    * [[rollingAnomaly]]'s mean/stddev z-score (one $80 spike inflates a
+    * mean-based baseline AND its stddev enough to mask the next spike —
+    * masking, Hampel 1974; the median and MAD have breakdown point 50%,
+    * so the contaminated history still scores later events correctly —
+    * spec-pinned contrast).
+    *
+    * ENGINE-EXACT INTEGER arithmetic, no floats and no halves: with
+    * vc = cents(value) and n the key's population,
+    *
+    *   med2      = vc@rank((n+1) div 2) + vc@rank((n div 2)+1)
+    *               (2× the median — the two middle order statistics
+    *                summed, so even-n averaging never leaves integers;
+    *                the rank-selected VALUE is determined by the
+    *                multiset alone, so value ties need no tiebreak)
+    *   absdev2ᵢ  = |2·vcᵢ − med2|            (2× the absolute deviation)
+    *   mad4      = absdev2@rank((n+1) div 2) + absdev2@rank((n div 2)+1)
+    *               (4× the MAD — the same two-rank trick over absdev2)
+    *   deviationᵢ ⇔ n ≥ minEvents AND 2000·absdev2ᵢ > kPermille·mad4
+    *               (|vcᵢ − median| > (kPermille/1000)·MAD cleared of
+    *                ALL denominators — pure long compares; a constant
+    *                series has mad4 = 0, so ANY departure flags and
+    *                on-median events never do)
+    *
+    * The scored event is INSIDE its own baseline (the
+    * [[seasonalBaseline]] profile semantics — deterministic,
+    * replayable; self-influence on a median is one rank). Overflow:
+    * |vc| must stay ≤ 10¹² cents ($10B per event) so the cleared
+    * compare's worst product 8·10⁶·|vc| stays inside a long even at
+    * kPermille = 10⁶ — asserted per row, never wrapped.
+    *
+    * Scale shape: two key-partitioned sorts (rank over vc, rank over
+    * absdev2) + two narrow per-key aggregates joined back — exact
+    * order statistics ARE a per-key sort; there is no window FUNCTION
+    * state beyond the rank counter, and the narrow (k, med2/mad4)
+    * frames broadcast for bounded key sets (AQE decides). For sketch
+    * budgets use approx quantiles (row 56); this verb is the exact
+    * form.
+    *
+    * Returns (idCol, keyCol, us, value_cents, median_x2_cents,
+    * absdev_x2_cents, mad_x4_cents, n_key, deviation).
+    */
+  def robustAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, kPermille: Long = 3500L,
+      minEvents: Long = 5L): DataFrame = {
+    require(kPermille > 0 && kPermille <= 1000000L,
+      s"robustAnomaly: kPermille must be in (0, 1000000] (got $kPermille)")
+    require(minEvents >= 1, s"robustAnomaly: minEvents must be >= 1 (got $minEvents)")
+    val maxAbs = 1000000000000L
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .withColumn("vc", expr(
+        s"IF(abs(vc) <= ${maxAbs}L, vc, " +
+          "assert_true(false, 'robustAnomaly: |value| too large for the " +
+          "cleared integer compare — rescale'))").cast("long"))
+    // 2× the median via the two middle order statistics: count per key,
+    // rank by value, keep the (n+1) div 2 and (n div 2)+1 rows, sum.
+    val withN = base.join(
+      base.groupBy("k").agg(count(lit(1)).as("n_key")), "k")
+    val w1 = Window.partitionBy(col("k")).orderBy(col("vc"))
+    val med2 = withN
+      .withColumn("__rn", row_number().over(w1))
+      .groupBy("k")
+      .agg(sum(when(col("__rn") === expr("(n_key + 1) div 2"), col("vc"))
+          .otherwise(0L)
+          + when(col("__rn") === expr("(n_key div 2) + 1"), col("vc"))
+          .otherwise(0L)).as("median_x2_cents"))
+    val withMed = withN.join(med2, "k")
+      .withColumn("absdev_x2_cents", abs(col("vc") * 2 - col("median_x2_cents")))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("absdev_x2_cents"))
+    val mad4 = withMed
+      .withColumn("__rn", row_number().over(w2))
+      .groupBy("k")
+      .agg(sum(when(col("__rn") === expr("(n_key + 1) div 2"),
+          col("absdev_x2_cents")).otherwise(0L)
+          + when(col("__rn") === expr("(n_key div 2) + 1"),
+          col("absdev_x2_cents")).otherwise(0L)).as("mad_x4_cents"))
+    withMed.join(mad4, "k")
+      .withColumn("deviation",
+        col("n_key") >= minEvents &&
+          col("absdev_x2_cents") * 2000L > col("mad_x4_cents") * kPermille)
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("vc").as("value_cents"), col("median_x2_cents"),
+        col("absdev_x2_cents"), col("mad_x4_cents"), col("n_key"),
+        col("deviation"))
+  }
+
   /** TIME-SERIES RESAMPLE + GAP FILL: roll a per-key event stream up to
     * fixed-width time buckets and MATERIALIZE the empty buckets — the
     * regularization step before any dashboard, forecast, or

@@ -564,6 +564,58 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "second key re-seeds with neutral seasonals")
   }
 
+  test("robustAnomaly: hand-exact order statistics — odd/even medians, constant series, gate") {
+    val ev =
+      // key 1 (n=5, odd): median $3 (med2=600), absdev2 [400,200,0,200,19400],
+      // mad4 = 200+200 = 400 — only the $100 spike clears 3.5×MAD
+      Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      // key 2 (n=4, even): med2 = 200+300 = 500, mad4 = 100+300 = 400,
+      // but n < minEvents — stats still emitted, nothing flags
+      Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong + 11, 2L, ts(i.toLong), v) } ++
+      // key 4 (n=6): five $2.00 + one $2.50 — mad4 = 0, so ANY
+      // departure from the constant series flags and on-median rows don't
+      (Seq.fill(5)(2.0) :+ 2.5).zipWithIndex.map { case (v, i) =>
+        (i.toLong + 21, 4L, ts(i.toLong), v) }
+    val got = EventAnalytics.robustAnomaly(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v", kPermille = 3500, minEvents = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8))))
+      .toMap
+    assert(got(3L) === ((600L, 0L, 400L, 5L, false)), "odd-n median row")
+    assert(got(5L) === ((600L, 19400L, 400L, 5L, true)), "the $100 spike flags")
+    assert((1L to 4L).forall(!got(_)._5), "in-band rows stay quiet")
+    assert(got(11L) === ((500L, 300L, 400L, 4L, false)),
+      "even-n med2 averages the two middles without leaving integers")
+    assert((11L to 14L).forall(!got(_)._5), "below the population gate: no flags")
+    assert(got(26L) === ((400L, 100L, 0L, 6L, true)),
+      "constant series: mad4 = 0, any departure flags")
+    assert((21L to 25L).forall(!got(_)._5), "on-median rows never flag at mad4 = 0")
+  }
+
+  test("robustAnomaly: 50% breakdown resists the masking that defeats a z-score") {
+    // ten $2.00 events plus two $80.00 spikes: the spikes inflate the
+    // MEAN to ~$15 and the stddev to ~$28, so |80 - mean| ≈ 2.3σ and a
+    // 3σ rule misses BOTH (masking, Hampel 1974) — while the median
+    // stays $2 and the MAD stays 0, so both spikes flag and nothing
+    // else does.
+    val vals = Seq.fill(10)(2.0) ++ Seq(80.0, 80.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }
+    val got = EventAnalytics.robustAnomaly(ev.toDF("eid", "uid", "ts", "v"),
+        "uid", "ts", "eid", "v", kPermille = 3500, minEvents = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got(11L) && got(12L), "both spikes flag against the robust scale")
+    assert((1L to 10L).forall(!got(_)), "the base load stays quiet")
+    // the masking arithmetic the fixture claims, verified numerically
+    val mean = vals.sum / vals.size
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size)
+    assert(math.abs(80.0 - mean) < 3 * std,
+      "a population 3σ rule would miss the spikes this fixture plants")
+  }
+
   test("attribution: linear ppm credit, first/last election, direct rows, window edges") {
     // user 1: purchase eid 10 at minute 10 — touches at minutes 7 (view),
     // 8 (click), 9 (view) inside a 180s window; minute 6 is OUTSIDE
