@@ -3407,6 +3407,27 @@ object SparkEntry {
         "doc_id", "prefix", maxDist = 4)
       .orderBy("id_a", "id_b")
 
+  /** Jaro-Winkler similarity scoring (SURVEY row 30g): adjacent-id doc
+    * prefixes scored with the byte-level kernel whose operation order is
+    * identical to DuckDB's builtin — so the oracle is a genuinely
+    * INDEPENDENT implementation of the matching/transposition algorithm,
+    * the q_edit_join adversarial pattern for the JW metric
+    * ([[functions.Kernels.jaroWinkler]]).
+    */
+  private def qJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftFunctions.ensure(s)
+    val d = wh(s, dir).loadTable("documents")
+      .select(col("doc_id"), expr("substring(text, 1, 30)").as("p"))
+    val l = d.select(col("doc_id").as("id_a"), col("p").as("pa"))
+    val r = d.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("p").as("pb"))
+    l.join(r, "id_a")
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(round(graft_jaro_winkler(pa, pb) * 1000000) AS bigint)")
+          .as("jw_e6"))
+      .orderBy("id_a")
+  }
+
   /** Incremental edit-distance join (SURVEY row 30f-inc): the batch
     * (doc_id % 10 = 0) joins against the 90% history via its persisted
     * segment store — exactly the one-shot's new-involving pairs; the
@@ -3987,7 +4008,8 @@ object SparkEntry {
     "q_seasonal_store" -> (qSeasonalStore _),
     "q_seasonal_incremental" -> (qSeasonalIncremental _),
     "q_edit_incremental" -> (qEditIncremental _),
-    "q_edit_join" -> (qEditJoin _)
+    "q_edit_join" -> (qEditJoin _),
+    "q_jaro_winkler" -> (qJaroWinkler _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6198,6 +6220,16 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         | AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // DuckDB's OWN jaro_winkler_similarity — an independent
+    // implementation of the matching/transposition/boost algorithm;
+    // the kernel's operation order is validated bit-exact against it,
+    // so the e6 rounding can never straddle a tie
+    "q_jaro_winkler" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS p FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(round(jaro_winkler_similarity(a.p, b.p) * 1000000) AS BIGINT) AS jw_e6
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     // the incremental form: the same naive all-pairs, restricted to
     // pairs with at least one batch (doc_id % 10 = 0) side — the
     // store-probed result must agree pair-for-pair

@@ -50,6 +50,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => SimHashTf(args.head, intLit(args(1), "n"))),
     "graft_cosine" ->
       ((args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    "graft_jaro_winkler" ->
+      ((args: Seq[Expression]) => JaroWinkler(args.head, args(1))),
     "graft_hyperplane_lsh_multi" ->
       ((args: Seq[Expression]) =>
         HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
@@ -119,6 +121,10 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Jaro-Winkler similarity, byte-exact with DuckDB's builtin. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 
   def hyperplaneLshMulti(vec: Column, numBits: Int, numTables: Int, seed: Long): Column =
     call_function("graft_hyperplane_lsh_multi", vec, lit(numBits), lit(numTables), lit(seed))

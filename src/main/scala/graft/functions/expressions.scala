@@ -143,6 +143,23 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** Jaro-Winkler similarity of two string columns → double, byte-level,
+  * operation-order-identical to DuckDB's builtin — see
+  * [[Kernels.jaroWinkler]] for the validated contract.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaro_winkler"
+}
+
 /** Per-table LSH bucket ids of array<float> → array<bigint> (numTables).
   * The single-table case is numTables = 1 — there is deliberately no
   * separate scalar variant.

@@ -30,6 +30,31 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Int]("n_fp") > 0)
   }
 
+  test("graft_jaro_winkler: literature values, window/transposition/boost edges") {
+    GraftFunctions.ensure(spark)
+    // expected doubles are DuckDB 1.0.0's own jaro_winkler_similarity
+    // outputs (the oracle's independent implementation) — the kernel
+    // must match them BIT-exactly, which pins the operation order
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // 1 transposition, prefix 3
+      ("dixon", "dicksonx", 0.8133333333333332),  // unequal lengths
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abcdef", "abdcfe", 0.9111111111111111),   // 2 transpositions
+      ("ab", "ba", 0.0),                          // window 0: no matches at len 2
+      ("a", "a", 1.0), ("a", "b", 0.0),           // the length-1 special case
+      ("", "", 0.0), ("", "x", 0.0),              // DuckDB: empty → 0, even both
+      ("prefixaaaa", "prefixbbbb", 0.8400000000000001), // boost capped at p=4
+      ("aXcdefgh", "abcdefgh", 0.9249999999999999),     // boost with p=1
+      ("abqqqqqq", "abzzzzzz", 0.5))              // jaro ≤ 0.7: prefix does NOT boost
+    val df = spark.createDataFrame(cases).toDF("a", "b", "want")
+    val got = df.selectExpr("graft_jaro_winkler(a, b) AS jw", "want", "a", "b")
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1),
+        s"jw(${r.getString(2)}, ${r.getString(3)})")
+    }
+  }
+
   test("graft_topk aggregates in SQL grouping") {
     GraftFunctions.ensure(spark)
     spark.range(100).createOrReplaceTempView("nums")
@@ -56,7 +81,8 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Set(
       "graft_word_ngrams", "graft_char_ngrams", "graft_word_ngrams_tf",
       "graft_icws_minhash", "graft_minhash", "graft_simhash64",
-      "graft_simhash_tf", "graft_cosine", "graft_hyperplane_lsh_multi",
+      "graft_simhash_tf", "graft_cosine", "graft_jaro_winkler",
+      "graft_hyperplane_lsh_multi",
       "graft_langid_hits", "graft_quality_counts", "graft_normalize",
       "graft_repetition_stats", "graft_winnow", "graft_winnow_pos",
       "graft_extend_match", "graft_pq_adc_score", "graft_topk",
