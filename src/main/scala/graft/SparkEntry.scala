@@ -992,6 +992,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination (SURVEY row 38c-sem): every 25th embedding
+    * is the "benchmark"; all 500 vectors score against the trained
+    * quantized model at cosine ≥ 0.35 — INSIDE the corpus's natural
+    * cosine range (measured max non-self 0.459, 34 non-self matches),
+    * so near-threshold decisions genuinely exercise the integer compare
+    * and bench members self-match at cosine 1. The e4-integer decision
+    * makes the DuckDB replay bit-exact with no margin assumptions
+    * ([[operators.Dedup.decontaminateSemantic]]).
+    */
+  private def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+    val model = Dedup.trainSemanticContaminationSet(
+      emb.filter(col("vec_id") % 25 === 0), "embedding")
+    Dedup.decontaminateSemantic(emb, "embedding", model,
+        thresholdPermille = 350)
+      .select(col("vec_id"), col("n_bench_hits"), col("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Map-side decontamination under a TRAINED eval gram-set model — the
     * streaming-safe, zero-shuffle form. Same oracle as q_decontaminate
     * (DuckDB recomputes the overlap on string grams): the kernel probe
@@ -3917,6 +3936,7 @@ object SparkEntry {
     "q_repartition" -> (qRepartition _),
     "q_analyze_stats" -> (qAnalyzeStats _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_decontaminate_map" -> (qDecontaminateMap _),
     "q_lm_fluency" -> (qLmFluency _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
@@ -5395,6 +5415,37 @@ object SparkEntry {
         | cast(sum(cast(round(value*100) AS bigint)) AS bigint) AS sum_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_decontaminate" -> decontaminateOracleSql,
+    // the e4-quantized integer cosine decision replayed in HUGEINT:
+    // round-half-away quantization, dot/norms via lambda-indexed list
+    // folds, flag = dot ≥ 0 ∧ 10⁶·dot² ≥ 350²·na·nb — no float compare
+    // anywhere, so no margin assumption
+    "q_decontaminate_semantic" ->
+      """WITH q AS (
+        | SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |      list_reduce(list_transform(v, x -> CAST(x AS HUGEINT) * x),
+        |                  (a, c) -> a + c) AS nrm
+        |      FROM q),
+        |b AS (SELECT vec_id AS bid, v AS bv, nrm AS nb FROM n
+        |      WHERE vec_id % 25 = 0),
+        |pairs AS (
+        | SELECT n.vec_id, n.nrm, b.nb,
+        |        list_reduce(list_transform(generate_series(1, len(n.v)),
+        |          i -> CAST(n.v[i] AS HUGEINT) * b.bv[i]),
+        |          (a, c) -> a + c) AS d
+        | FROM n, b WHERE len(n.v) = len(b.bv)),
+        |hits AS (
+        | SELECT vec_id,
+        |        count(*) FILTER (WHERE nrm > 0 AND nb > 0 AND d >= 0
+        |          AND 1000000 * d * d >= CAST(122500 AS HUGEINT) * nrm * nb)
+        |          AS n_bench_hits
+        | FROM pairs GROUP BY 1)
+        |SELECT vec_id, CAST(n_bench_hits AS INT) AS n_bench_hits,
+        |       n_bench_hits > 0 AS contaminated
+        |FROM hits ORDER BY vec_id""".stripMargin,
     // the trained-model kernel probe must flag the SAME docs the
     // relational semi-join flags — one oracle, two Spark formulations
     "q_decontaminate_map" -> decontaminateOracleSql,

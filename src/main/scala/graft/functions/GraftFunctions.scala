@@ -230,6 +230,27 @@ object GraftFunctions {
   private val gramSetNames = new java.util.IdentityHashMap[GramSetModel, String]()
   private val gramSetCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Semantic (embedding-cosine) hit count under a trained
+    * [[VecSetModel]] — model-parameterized registration exactly like
+    * [[gramSetContains]]; the threshold is part of the registered name
+    * so differently-thresholded probes of one model cannot collide.
+    */
+  def semanticHits(spark: SparkSession, vec: Column,
+      model: VecSetModel, tE3: Int): Column = {
+    val base = vecSetNames.synchronized {
+      vecSetNames.computeIfAbsent(model,
+        _ => s"graft_semantic_hits_${vecSetCounter.incrementAndGet()}")
+    }
+    val name = s"${base}_t$tE3"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => SemanticHitCount(args.head, model, tE3),
+      "scala_udf")
+    call_function(name, vec)
+  }
+
+  private val vecSetNames = new java.util.IdentityHashMap[VecSetModel, String]()
+  private val vecSetCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Bloom gram membership under a trained [[GramBloomModel]] —
     * model-parameterized registration exactly like [[gramSetContains]].
     */

@@ -44,6 +44,21 @@ final class GramSetModel(val sorted: Array[Long], val n: Int,
     java.util.Arrays.binarySearch(sorted, h) >= 0
 }
 
+/** Quantized eval-set embeddings for map-side SEMANTIC decontamination
+  * ([[graft.operators.Dedup.trainSemanticContaminationSet]]): each bench
+  * vector stored as round-half-away(x·10⁴) longs with its precomputed
+  * squared norm. The e4 quantization makes the cosine threshold a pure
+  * INTEGER decision any engine replays bit-exactly (DuckDB `round` has
+  * the same ties-away convention) at ~10⁻⁴ cosine precision — noise at
+  * decontamination thresholds. Bounded like [[GramSetModel]]: eval sets
+  * are small by definition, and the whole set rides to executors as one
+  * codegen reference object.
+  */
+final class VecSetModel(val qvecs: Array[Array[Long]], val norms: Array[Long])
+    extends Serializable {
+  def size: Int = qvecs.length
+}
+
 /** Common face of the gram-membership models ([[GramSetModel]] exact,
   * [[GramBloomModel]] approximate) — [[Kernels.anyGramIn]] probes either.
   */
@@ -557,6 +572,59 @@ object Kernels {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** round-half-AWAY-from-zero of x·10⁴ — the DuckDB `round` convention
+    * (`Math.round` ties toward +∞ and would diverge on negative dyadic
+    * ties: −0.03125·10⁴ = −312.5 must quantize to −313 on both engines).
+    * The float→double product is exact (24-bit mantissa × 10⁴ < 53
+    * bits), so the tie cases are decided identically everywhere.
+    */
+  def quantE4(x: Double): Long = {
+    val s = x * 10000.0
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+  }
+
+  /** Count of [[VecSetModel]] vectors whose QUANTIZED cosine with `vec`
+    * clears tE3/1000 — the semantic-decontamination hit counter: dot
+    * and squared norms over the e4-quantized longs, the threshold
+    * cleared of its sqrt and denominators as
+    * dot ≥ 0 ∧ 10⁶·dot² ≥ tE3²·na·nb (BigInt — the cleared products
+    * pass 2⁶³; DuckDB replays them in HUGEINT). Zero-norm sides never
+    * hit (cosine defined 0); a model vector of different dimension
+    * never hits. One scan per row, no shuffle, streaming-safe.
+    * Component magnitudes are asserted ≤ 10⁸ post-quantization so the
+    * long dot/norm accumulation cannot wrap (64 · 10¹⁶ < 2⁶³).
+    */
+  def semanticHits(vec: ArrayData, model: VecSetModel, tE3: Int): Int = {
+    val d = vec.numElements()
+    val q = new Array[Long](d)
+    var na = 0L
+    var i = 0
+    while (i < d) {
+      val v = quantE4(vec.getFloat(i).toDouble)
+      if (math.abs(v) > 100000000L)
+        throw new ArithmeticException(
+          "semanticHits: |component| > 10^4 after e4 quantization — " +
+            "rescale the embeddings")
+      q(i) = v; na += v * v; i += 1
+    }
+    if (na == 0L) return 0
+    val t2 = BigInt(tE3.toLong * tE3)
+    var hits = 0
+    var j = 0
+    while (j < model.qvecs.length) {
+      val bv = model.qvecs(j)
+      if (bv.length == d && model.norms(j) > 0L) {
+        var dot = 0L
+        var k = 0
+        while (k < d) { dot += q(k) * bv(k); k += 1 }
+        if (dot >= 0 &&
+            BigInt(dot) * dot * 1000000L >= t2 * na * model.norms(j)) hits += 1
+      }
+      j += 1
+    }
+    hits
   }
 
   /** Jaro-Winkler similarity of two strings over their UTF-8 BYTES —

@@ -524,6 +524,25 @@ case class GramSetContains(child: Expression, model: GramSetModel)
   override def prettyName: String = "graft_gram_set_contains"
 }
 
+/** Count of trained [[VecSetModel]] vectors whose e4-quantized cosine
+  * with the array<float> column clears tE3/1000 — the semantic-
+  * decontamination probe ([[Kernels.semanticHits]]); model rides as a
+  * codegen reference object like [[GramSetContains]].
+  */
+case class SemanticHitCount(child: Expression, model: VecSetModel, tE3: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.semanticHits(input.asInstanceOf[ArrayData], model, tE3)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecSet", model, classOf[VecSetModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.semanticHits($c, $ref, $tE3)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SemanticHitCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_semantic_hits"
+}
+
 /** Bloom-filter gram membership probe under a trained [[GramBloomModel]] —
   * the same [[Kernels.anyGramIn]] scan as [[GramSetContains]] against the
   * approximate (no-false-negative) backend.

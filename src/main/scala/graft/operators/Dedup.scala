@@ -757,6 +757,77 @@ object Dedup {
         GraftFunctions.gramSetContains(corpus.sparkSession, col(textCol), model),
         lit(false)))
 
+  /** Train the eval-set EMBEDDING model for [[decontaminateSemantic]]:
+    * the benchmark's vectors collected to the driver and e4-quantized
+    * (round-half-away — the DuckDB `round` convention, so the oracle
+    * re-derives identical integers), with squared norms precomputed.
+    * Bounded like [[trainDecontaminationSet]]: eval sets are small by
+    * definition; `maxVecs` guards against passing a training corpus.
+    * Post-quantization components are required ≤ 10⁸ so the scoring
+    * kernel's long accumulations cannot wrap.
+    */
+  def trainSemanticContaminationSet(
+      bench: DataFrame, vecCol: String,
+      maxVecs: Int = 100000): graft.functions.VecSetModel = {
+    val rows = bench.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(maxVecs + 1).collect()
+    require(rows.length <= maxVecs,
+      s"eval set exceeds $maxVecs vectors — not a trainable model; " +
+        "block with Dedup.embeddingNearDup for corpus-sized eval sets")
+    val qvecs = rows.map { r =>
+      val v = r.getSeq[Float](0)
+      val q = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) {
+        q(i) = graft.functions.Kernels.quantE4(v(i).toDouble)
+        require(math.abs(q(i)) <= 100000000L,
+          "trainSemanticContaminationSet: |component| > 10^4 — rescale")
+        i += 1
+      }
+      q
+    }
+    val norms = qvecs.map(q => q.map(x => x * x).sum)
+    new graft.functions.VecSetModel(qvecs, norms)
+  }
+
+  /** SEMANTIC benchmark decontamination: flag every corpus row whose
+    * embedding has cosine ≥ thresholdPermille/1000 with ANY vector of a
+    * TRAINED eval-set model — the paraphrase-leakage guard the n-gram
+    * forms ([[decontaminate]]/[[decontaminateMapSide]]) cannot raise: a
+    * reworded test question shares no 3-grams with its source but sits
+    * next to it in embedding space. Appends `n_bench_hits: int` (how
+    * many bench vectors matched) and `contaminated: boolean`; NULL
+    * vectors flag false with 0 hits (the NULL-text convention of the
+    * gram forms).
+    *
+    * EXACTNESS: the decision is pure integer over e4-quantized vectors
+    * — dot ≥ 0 ∧ 10⁶·dot² ≥ t²·‖a‖²·‖b‖² ([[graft.functions.Kernels.semanticHits]]) —
+    * so both engines replay every flag bit-exactly; the quantization
+    * costs ~10⁻⁴ cosine, noise at decontamination thresholds. EXACT
+    * recall by construction (every bench vector is scored against every
+    * row — no LSH miss), the property that matters most here: missing
+    * contamination poisons the eval.
+    *
+    * 100 TB shape: the model rides as a codegen reference object;
+    * corpus cost is ONE map scan (|bench|·dim multiply-adds per row),
+    * no explode, no shuffle, no join — applies unchanged to STREAMING
+    * frames like the map-side gram form.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame, vecCol: String,
+      model: graft.functions.VecSetModel,
+      thresholdPermille: Int = 800): DataFrame = {
+    require(thresholdPermille > 0 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in (0, 1000] (got $thresholdPermille)")
+    corpus
+      .withColumn("n_bench_hits",
+        coalesce(
+          GraftFunctions.semanticHits(corpus.sparkSession, col(vecCol),
+            model, thresholdPermille),
+          lit(0)))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
   /** MinHash signatures: one row per doc, `numPerms` 64-bit slots. Grams
     * are hashed in one kernel pass — no gram strings are materialized
     * between shingling and the signature. Docs with NO grams (shorter than

@@ -166,6 +166,67 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"recall $recall (${got.size}/${brute.size})")
   }
 
+  test("decontaminateSemantic: hand-exact flags — scale invariance, boundary, NULLs") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Dedup.trainSemanticContaminationSet(bench, "embedding")
+    val corpus = Seq(
+      (1L, Some(Seq(1.0f, 0.0f, 0.0f))),   // identical: cosine 1
+      (2L, Some(Seq(0.9f, 0.1f, 0.0f))),   // near-paraphrase: ~0.994
+      (3L, Some(Seq(0.0f, 1.0f, 0.0f))),   // orthogonal: 0
+      (4L, Some(Seq(-1.0f, 0.0f, 0.0f))),  // opposite: dot < 0 never hits
+      (5L, None),                          // NULL vector: 0 hits, false
+      (6L, Some(Seq(0.0f, 0.0f, 0.0f))),   // zero norm: cosine defined 0
+      (7L, Some(Seq(5.0f, 0.0f, 0.0f))),   // scaled copy: cosine is scale-free
+      (8L, Some(Seq(4.0f, 3.0f, 0.0f))))   // cosine EXACTLY 0.8: ≥ is inclusive
+      .toDF("vec_id", "embedding")
+    val got = Dedup.decontaminateSemantic(corpus, "embedding", model,
+        thresholdPermille = 800)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_bench_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got(1L) === ((1, true)))
+    assert(got(2L) === ((1, true)), "a reworded neighbor the n-gram forms miss")
+    assert(got(3L) === ((0, false)))
+    assert(got(4L) === ((0, false)), "negative cosine never clears a positive τ")
+    assert(got(5L) === ((0, false)), "NULL vectors flag false like NULL texts")
+    assert(got(6L) === ((0, false)), "zero-norm cosine is 0, not NaN")
+    assert(got(7L) === ((1, true)))
+    assert(got(8L) === ((1, true)), "the exact-threshold pair is IN (≥, both engines)")
+  }
+
+  test("decontaminateSemantic: multi-hit counts, quantization tie convention") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    // two bench vectors both within τ of the probe → n_bench_hits = 2
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f)), (101L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val model = Dedup.trainSemanticContaminationSet(bench, "embedding")
+    val got = Dedup.decontaminateSemantic(
+        Seq((1L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding"),
+        "embedding", model, thresholdPermille = 800)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_bench_hits")).toMap
+    assert(got(1L) === 2, "hit count sees every matching bench vector")
+    // the quantizer ties AWAY from zero (DuckDB round), not toward +∞
+    // (Math.round) — the negative dyadic tie is exactly representable
+    assert(graft.functions.Kernels.quantE4(0.03125) === 313L)
+    assert(graft.functions.Kernels.quantE4(-0.03125) === -313L,
+      "-312.5 must quantize to -313 on both engines")
+    // corpus-level sanity at the q_decontaminate_semantic operating point:
+    // all 20 bench members self-match at cosine 1
+    val emb = wh.loadTable("embeddings")
+    val m2 = Dedup.trainSemanticContaminationSet(
+      emb.filter(col("vec_id") % 25 === 0), "embedding")
+    val flags = Dedup.decontaminateSemantic(emb, "embedding", m2,
+        thresholdPermille = 350)
+      .filter(col("contaminated")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 500L by 25L).toSet.subsetOf(flags),
+      "every bench member self-matches")
+  }
+
   test("incremental embedding near-dup probes the vector store, no old-old") {
     GraftFunctions.ensure(spark)
     import spark.implicits._
