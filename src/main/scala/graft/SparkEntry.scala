@@ -3357,6 +3357,25 @@ object SparkEntry {
         kPermille = 3500, minEvents = 5)
       .orderBy("user_id", "us", "event_id")
 
+  /** Robust profile persistence (SURVEY row 50q-store): train the
+    * median/MAD profile, save it as a Warehouse table, score against
+    * the RELOADED model — the longs round-trip parquet bit-exactly, so
+    * the oracle is the SAME replay as `q_robust_anomaly`
+    * ([[operators.EventAnalytics.robustProfile]]/[[operators.EventAnalytics.robustScore]]).
+    */
+  private def qRobustStore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("robust", dir)
+    val ev = wh(s, dir).loadTable("events")
+    val wt = Warehouse(s, tmp)
+    wt.saveTable(operators.EventAnalytics.robustProfile(
+      ev, "user_id", "ts", "value"), tmp, "robust_profile")
+    operators.EventAnalytics.robustScore(
+        ev, wt.loadTable("robust_profile"),
+        "user_id", "ts", "event_id", "value",
+        kPermille = 3500, minEvents = 5)
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Seasonal slot-baseline anomaly (SURVEY row 50m): hour-of-day
     * profile per user, $25 deviation from the slot's integer mean with
     * a 3-event population gate — "is this big FOR 3 AM"
@@ -4024,6 +4043,7 @@ object SparkEntry {
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
+    "q_robust_store" -> (qRobustStore _),
     "q_seasonal" -> (qSeasonal _),
     "q_seasonal_store" -> (qSeasonalStore _),
     "q_seasonal_incremental" -> (qSeasonalIncremental _),
@@ -4088,6 +4108,44 @@ object SparkEntry {
        |       dev AS deviation
        |FROM rec ORDER BY user_id, us, event_id""".stripMargin
   }
+
+  /** DuckDB replay of the robust median/MAD decision
+    * ([[operators.EventAnalytics.robustAnomaly]], k=3.5, minEvents=5):
+    * the same two-middle-ranks order statistics (the value at a rank is
+    * determined by the multiset — row_number tie order never matters),
+    * all integer. SHARED by the store roundtrip key.
+    */
+  private val robustOracleSql: String =
+    """WITH base AS (
+      | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+      |        CAST(round(value * 100) AS BIGINT) AS vc
+      | FROM events
+      | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |n AS (SELECT k, count(*) AS n_key FROM base GROUP BY 1),
+      |r1 AS (SELECT b.k, b.id, b.us, b.vc, n.n_key,
+      |       row_number() OVER (PARTITION BY b.k ORDER BY b.vc) AS rn
+      |       FROM base b JOIN n USING (k)),
+      |med AS (SELECT k,
+      |        CAST(sum(CASE WHEN rn = (n_key + 1) // 2 THEN vc ELSE 0 END
+      |          + CASE WHEN rn = n_key // 2 + 1 THEN vc ELSE 0 END)
+      |          AS BIGINT) AS median_x2_cents
+      |        FROM r1 GROUP BY 1),
+      |d AS (SELECT r1.k, r1.id, r1.us, r1.vc, r1.n_key, m.median_x2_cents,
+      |      abs(2 * r1.vc - m.median_x2_cents) AS absdev_x2_cents
+      |      FROM r1 JOIN med m USING (k)),
+      |r2 AS (SELECT d.*, row_number() OVER (PARTITION BY k ORDER BY absdev_x2_cents) AS rn2
+      |       FROM d),
+      |mad AS (SELECT k,
+      |        CAST(sum(CASE WHEN rn2 = (n_key + 1) // 2 THEN absdev_x2_cents ELSE 0 END
+      |          + CASE WHEN rn2 = n_key // 2 + 1 THEN absdev_x2_cents ELSE 0 END)
+      |          AS BIGINT) AS mad_x4_cents
+      |        FROM r2 GROUP BY 1)
+      |SELECT d.id AS event_id, d.k AS user_id, d.us, d.vc AS value_cents,
+      |       d.median_x2_cents, d.absdev_x2_cents, mad.mad_x4_cents, d.n_key,
+      |       (d.n_key >= 5 AND d.absdev_x2_cents * 2000 > mad.mad_x4_cents * 3500)
+      |         AS deviation
+      |FROM d JOIN mad USING (k)
+      |ORDER BY user_id, us, event_id""".stripMargin
 
   private val seasonalOracleSql: String =
     """WITH base AS (
@@ -6385,38 +6443,11 @@ object SparkEntry {
     "q_holt_winters" -> holtWintersOracleSql,
     // exact order statistics replayed with the same two-middle-ranks
     // trick: the value at a rank is determined by the multiset, so the
-    // row_number tie order never matters
-    "q_robust_anomaly" ->
-      """WITH base AS (
-        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
-        |        CAST(round(value * 100) AS BIGINT) AS vc
-        | FROM events
-        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |n AS (SELECT k, count(*) AS n_key FROM base GROUP BY 1),
-        |r1 AS (SELECT b.k, b.id, b.us, b.vc, n.n_key,
-        |       row_number() OVER (PARTITION BY b.k ORDER BY b.vc) AS rn
-        |       FROM base b JOIN n USING (k)),
-        |med AS (SELECT k,
-        |        CAST(sum(CASE WHEN rn = (n_key + 1) // 2 THEN vc ELSE 0 END
-        |          + CASE WHEN rn = n_key // 2 + 1 THEN vc ELSE 0 END)
-        |          AS BIGINT) AS median_x2_cents
-        |        FROM r1 GROUP BY 1),
-        |d AS (SELECT r1.k, r1.id, r1.us, r1.vc, r1.n_key, m.median_x2_cents,
-        |      abs(2 * r1.vc - m.median_x2_cents) AS absdev_x2_cents
-        |      FROM r1 JOIN med m USING (k)),
-        |r2 AS (SELECT d.*, row_number() OVER (PARTITION BY k ORDER BY absdev_x2_cents) AS rn2
-        |       FROM d),
-        |mad AS (SELECT k,
-        |        CAST(sum(CASE WHEN rn2 = (n_key + 1) // 2 THEN absdev_x2_cents ELSE 0 END
-        |          + CASE WHEN rn2 = n_key // 2 + 1 THEN absdev_x2_cents ELSE 0 END)
-        |          AS BIGINT) AS mad_x4_cents
-        |        FROM r2 GROUP BY 1)
-        |SELECT d.id AS event_id, d.k AS user_id, d.us, d.vc AS value_cents,
-        |       d.median_x2_cents, d.absdev_x2_cents, mad.mad_x4_cents, d.n_key,
-        |       (d.n_key >= 5 AND d.absdev_x2_cents * 2000 > mad.mad_x4_cents * 3500)
-        |         AS deviation
-        |FROM d JOIN mad USING (k)
-        |ORDER BY user_id, us, event_id""".stripMargin,
+    // row_number tie order never matters. SHARED by the store roundtrip
+    // key: the profile longs round-trip parquet bit-exactly, so scoring
+    // against the reloaded profile must match the same replay.
+    "q_robust_anomaly" -> robustOracleSql,
+    "q_robust_store" -> robustOracleSql,
     "q_seasonal" -> seasonalOracleSql,
     "q_seasonal_store" -> seasonalOracleSql,
     "q_seasonal_incremental" -> seasonalOracleSql,

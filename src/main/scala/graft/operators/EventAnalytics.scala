@@ -776,21 +776,43 @@ object EventAnalytics {
     */
   def robustAnomaly(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, kPermille: Long = 3500L,
-      minEvents: Long = 5L): DataFrame = {
-    require(kPermille > 0 && kPermille <= 1000000L,
-      s"robustAnomaly: kPermille must be in (0, 1000000] (got $kPermille)")
-    require(minEvents >= 1, s"robustAnomaly: minEvents must be >= 1 (got $minEvents)")
+      minEvents: Long = 5L): DataFrame =
+    robustScore(events,
+      robustProfile(events, keyCol, tsCol, valueCol),
+      keyCol, tsCol, idCol, valueCol, kPermille, minEvents)
+
+  /** The (key, vc) projection shared by [[robustProfile]] and
+    * [[robustScore]] — one derivation (incl. the overflow guard) so
+    * train and score can never disagree on a value.
+    */
+  private def robustEvents(events: DataFrame, keyCol: String,
+      tsCol: String, idColOpt: Option[String], valueCol: String): DataFrame = {
     val maxAbs = 1000000000000L
-    val base = graft.streaming.Events.tsLtz(events)
+    val idCols = idColOpt.toSeq.map(c => col(c).cast("long").as("id"))
+    graft.streaming.Events.tsLtz(events)
       .withColumn("us", unix_micros(col(tsCol)))
-      .select(col(keyCol).cast("long").as("k"),
-        col(idCol).cast("long").as("id"), col("us"),
-        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .select(col(keyCol).cast("long").as("k") +: idCols :+ col("us") :+
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"): _*)
       .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
       .withColumn("vc", expr(
         s"IF(abs(vc) <= ${maxAbs}L, vc, " +
-          "assert_true(false, 'robustAnomaly: |value| too large for the " +
+          "assert_true(false, 'robust: |value| too large for the " +
           "cleared integer compare — rescale'))").cast("long"))
+  }
+
+  /** TRAINED robust profile — the narrow model frame behind
+    * [[robustAnomaly]] (`(k, n_key, median_x2_cents, mad_x4_cents)`),
+    * exposed so the median/MAD baseline can persist through the
+    * Warehouse and score later streams/batches without re-sorting
+    * history (the [[seasonalProfile]] store convention — train nightly,
+    * score all day). NOT mergeable: exact order statistics do not add
+    * (unlike the seasonal (n, sum) profile) — retrain to fold in new
+    * history, or use approx-quantile sketches (row 56) when the budget
+    * demands mergeability.
+    */
+  def robustProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = robustEvents(events, keyCol, tsCol, None, valueCol)
     // 2× the median via the two middle order statistics: count per key,
     // rank by value, keep the (n+1) div 2 and (n div 2)+1 rows, sum.
     val withN = base.join(
@@ -799,11 +821,12 @@ object EventAnalytics {
     val med2 = withN
       .withColumn("__rn", row_number().over(w1))
       .groupBy("k")
-      .agg(sum(when(col("__rn") === expr("(n_key + 1) div 2"), col("vc"))
+      .agg(max(col("n_key")).as("n_key"),
+        sum(when(col("__rn") === expr("(n_key + 1) div 2"), col("vc"))
           .otherwise(0L)
           + when(col("__rn") === expr("(n_key div 2) + 1"), col("vc"))
           .otherwise(0L)).as("median_x2_cents"))
-    val withMed = withN.join(med2, "k")
+    val withMed = withN.join(med2.select("k", "median_x2_cents"), "k")
       .withColumn("absdev_x2_cents", abs(col("vc") * 2 - col("median_x2_cents")))
     val w2 = Window.partitionBy(col("k")).orderBy(col("absdev_x2_cents"))
     val mad4 = withMed
@@ -813,10 +836,32 @@ object EventAnalytics {
           col("absdev_x2_cents")).otherwise(0L)
           + when(col("__rn") === expr("(n_key div 2) + 1"),
           col("absdev_x2_cents")).otherwise(0L)).as("mad_x4_cents"))
-    withMed.join(mad4, "k")
+    med2.join(mad4, "k")
+      .select("k", "n_key", "median_x2_cents", "mad_x4_cents")
+  }
+
+  /** Score events against a (possibly reloaded) [[robustProfile]]: LEFT
+    * join — an event whose key the profile has never seen passes
+    * through unflagged with NULL stats (a cold key is an unknown, not
+    * an anomaly — the [[seasonalScore]] convention), so a stale profile
+    * degrades to silence, never to noise. The flag is the same cleared
+    * integer compare as [[robustAnomaly]]; self-scoring covers every
+    * key, so there the join is effectively inner.
+    */
+  def robustScore(events: DataFrame, profile: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String,
+      kPermille: Long = 3500L, minEvents: Long = 5L): DataFrame = {
+    require(kPermille > 0 && kPermille <= 1000000L,
+      s"robustScore: kPermille must be in (0, 1000000] (got $kPermille)")
+    require(minEvents >= 1, s"robustScore: minEvents must be >= 1 (got $minEvents)")
+    robustEvents(events, keyCol, tsCol, Some(idCol), valueCol)
+      .join(profile.select("k", "n_key", "median_x2_cents", "mad_x4_cents"),
+        Seq("k"), "left")
+      .withColumn("absdev_x2_cents", abs(col("vc") * 2 - col("median_x2_cents")))
       .withColumn("deviation",
-        col("n_key") >= minEvents &&
-          col("absdev_x2_cents") * 2000L > col("mad_x4_cents") * kPermille)
+        coalesce(col("n_key") >= minEvents &&
+          col("absdev_x2_cents") * 2000L > col("mad_x4_cents") * kPermille,
+          lit(false)))
       .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
         col("vc").as("value_cents"), col("median_x2_cents"),
         col("absdev_x2_cents"), col("mad_x4_cents"), col("n_key"),

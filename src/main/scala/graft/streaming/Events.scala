@@ -695,6 +695,47 @@ object Events {
         col("n_slot"), col("deviation"))
   }
 
+  /** STREAMING robust median/MAD scoring — each arriving event judged
+    * against a STATIC trained
+    * [[graft.operators.EventAnalytics.robustProfile]] (train nightly,
+    * score all day): values project map-side with the batch operator's
+    * exact integer arithmetic and the profile joins as a stream-static
+    * LEFT join — STATELESS (no watermark, no GroupState), so the stream
+    * scores row-for-row what
+    * [[graft.operators.EventAnalytics.robustScore]] scores in batch,
+    * parity exact including the cold-key NULL pass-through. Swap the
+    * profile by restarting on a new table version (the
+    * [[seasonalScoreStream]] model).
+    */
+  def robustScoreStream(events: Dataset[Event], profile: DataFrame,
+      kPermille: Long = 3500L, minEvents: Long = 5L): DataFrame = {
+    require(kPermille > 0 && kPermille <= 1000000L,
+      s"robustScoreStream: kPermille must be in (0, 1000000] (got $kPermille)")
+    require(minEvents >= 1,
+      s"robustScoreStream: minEvents must be >= 1 (got $minEvents)")
+    val maxAbs = 1000000000000L
+    events.toDF()
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id").as("k"), col("event_id").as("id"), col("us"),
+        expr("CAST(round(value * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .withColumn("vc", expr(
+        s"IF(abs(vc) <= ${maxAbs}L, vc, " +
+          "assert_true(false, 'robustScoreStream: |value| too large — " +
+          "rescale'))").cast("long"))
+      .join(profile.select("k", "n_key", "median_x2_cents", "mad_x4_cents"),
+        Seq("k"), "left")
+      .withColumn("absdev_x2_cents", abs(col("vc") * 2 - col("median_x2_cents")))
+      .withColumn("deviation",
+        coalesce(col("n_key") >= minEvents &&
+          col("absdev_x2_cents") * 2000L > col("mad_x4_cents") * kPermille,
+          lit(false)))
+      .select(col("id").as("event_id"), col("k").as("user_id"), col("us"),
+        col("vc").as("value_cents"), col("median_x2_cents"),
+        col("absdev_x2_cents"), col("mad_x4_cents"), col("n_key"),
+        col("deviation"))
+  }
+
   /** Holt state for [[holtStream]]: the ×10⁶ level and trend, the seed
     * bit, and the newest event time seen (the [[EwmaState]] shape plus
     * one long). */

@@ -595,6 +595,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert((21L to 25L).forall(!got(_)._5), "on-median rows never flag at mad4 = 0")
   }
 
+  test("robustProfile/robustScore: profile scoring == self-score; cold key passes NULL") {
+    val hist = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }).toDF("eid", "uid", "ts", "v")
+    val prof = EventAnalytics.robustProfile(hist, "uid", "ts", "v")
+    val profRows = prof.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(profRows.toSeq === Seq((1L, 5L, 600L, 400L)),
+      "the narrow model frame: (k, n, med2, mad4)")
+    // scoring the history against its own profile == the one-shot verb
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), r.getBoolean(8)))
+    val scored = EventAnalytics.robustScore(hist, prof,
+      "uid", "ts", "eid", "v", kPermille = 3500, minEvents = 5)
+      .collect().map(key).toMap
+    val oneShot = EventAnalytics.robustAnomaly(hist,
+      "uid", "ts", "eid", "v", kPermille = 3500, minEvents = 5)
+      .collect().map(key).toMap
+    assert(scored === oneShot, "self-score == the composed verb")
+    // a later batch with a cold key: trained key judged, unknown key NULL
+    val batch = Seq((50L, 1L, ts(50), 100.0), (51L, 9L, ts(51), 100.0))
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.robustScore(batch, prof,
+      "uid", "ts", "eid", "v", kPermille = 3500, minEvents = 5)
+      .collect().map(key).toMap
+    assert(got(50L) === ((Some(600L), Some(19400L), Some(400L), true)),
+      "the trained profile flags the repeat spike WITHOUT rescanning history")
+    assert(got(51L) === ((None, None, None, false)),
+      "cold key: NULL stats, unflagged")
+  }
+
   test("robustAnomaly: 50% breakdown resists the masking that defeats a z-score") {
     // ten $2.00 events plus two $80.00 spikes: the spikes inflate the
     // MEAN to ~$15 and the stddev to ~$28, so |80 - mean| ≈ 2.3σ and a

@@ -865,6 +865,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) === ((2000L * 1000000L, 0L, false)), "second key seeds cold")
   }
 
+  test("robustScoreStream: stream-static scoring == batch; cold key unflagged") {
+    implicit val sqlCtx = spark.sqlContext
+    // median/MAD profile trained in batch (key 1: median $2, MAD from
+    // one $80 spike stays 0 — the masking fixture); the stream scores
+    // two triggers against it, including a key the profile never saw
+    val train = ((1 to 10).map(i =>
+      Event(i.toLong, ts(i.toLong), 1L, "m", 2.00)) :+
+      Event(11, ts(11), 1L, "m", 80.0)).toDF()
+    val prof = graft.operators.EventAnalytics.robustProfile(
+      train, "user_id", "ts", "value")
+    val score = Seq(
+      Event(20, ts(20), 1L, "m", 80.0),  // any departure from the $2 base flags
+      Event(21, ts(21), 1L, "m", 2.0),   // on-median: never flags at mad4 = 0
+      Event(22, ts(22), 9L, "m", 900.0)) // cold key: unflagged, NULL stats
+    val mem = MemoryStream[Event]
+    val q = Events.robustScoreStream(mem.toDS(), prof,
+        kPermille = 3500, minEvents = 5)
+      .writeStream.format("memory").queryName("rob_out").outputMode("append").start()
+    try {
+      mem.addData(score.take(2): _*); q.processAllAvailable()
+      mem.addData(score.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((Option(r.get(4)), Option(r.get(6)), r.getBoolean(8)))
+    val got = spark.table("rob_out").collect().map(key).toMap
+    val batch = graft.operators.EventAnalytics.robustScore(
+        score.toDF(), prof, "user_id", "ts", "event_id", "value",
+        kPermille = 3500, minEvents = 5)
+      .collect().map(key).toMap
+    assert(got === batch, "stream-static scoring == batch scoring")
+    assert(got(20L)._3 === true, "departure from the constant base flags")
+    assert(got(21L)._3 === false, "on-median stays quiet")
+    assert(got(22L) === ((None, None, false)), "cold key: NULL stats, no flag")
+  }
+
   test("holtWintersStream: in-order stream == batch; seasonals carry across triggers") {
     implicit val sqlCtx = spark.sqlContext
     // the EventAnalyticsSpec holtWinters replay fixture streamed over 3
