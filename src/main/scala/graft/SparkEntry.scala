@@ -3445,6 +3445,17 @@ object SparkEntry {
         "doc_id", "prefix", maxDist = 4)
       .orderBy("id_a", "id_b")
 
+  /** RAKE keyword extraction (SURVEY row 46g): top-3 phrases per doc by
+    * the integer-ppm degree/frequency score — the oracle replays the
+    * token-stream contract relationally (breaker marking →
+    * gaps-and-islands phrase ids → grouped stats)
+    * ([[operators.TextAnalysis.keywords]]).
+    */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.keywords(
+        wh(s, dir).loadTable("documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Jaro-Winkler similarity scoring (SURVEY row 30g): adjacent-id doc
     * prefixes scored with the byte-level kernel whose operation order is
     * identical to DuckDB's builtin — so the oracle is a genuinely
@@ -4049,7 +4060,8 @@ object SparkEntry {
     "q_seasonal_incremental" -> (qSeasonalIncremental _),
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _),
-    "q_jaro_winkler" -> (qJaroWinkler _)
+    "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_keywords" -> (qKeywords _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6329,6 +6341,45 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         | AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // the RAKE token-stream contract replayed relationally: breaker
+    // tokens from the [^a-z0-9 ] substitution + the stopword list,
+    // phrase ids by gaps-and-islands, freq/deg as grouped aggregates,
+    // 10^6*deg // freq word scores summed per phrase, ties by phrase
+    "q_keywords" ->
+      """WITH marked AS (
+        | SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', ' | ', 'g') AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |toked AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(t, ' +'), x -> x <> '') AS toks
+        | FROM marked),
+        |tok AS (
+        | SELECT doc_id, toks[i] AS tok, i,
+        |        (toks[i] = '|' OR toks[i] IN
+        |          ('the','and','of','to','in','is','you','that','it','for')) AS brk
+        | FROM toked, unnest(generate_series(1, len(toks))) AS g(i)),
+        |pid AS (
+        | SELECT doc_id, tok, i, brk,
+        |        sum(CASE WHEN brk THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY i) AS phrase_id
+        | FROM tok),
+        |w AS (SELECT doc_id, phrase_id, tok, i,
+        |      count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        |      FROM pid WHERE NOT brk),
+        |stats AS (SELECT doc_id, tok,
+        |          CAST(1000000 AS BIGINT) * sum(plen) // count(*) AS score_ppm
+        |          FROM w GROUP BY 1, 2),
+        |ph AS (SELECT w.doc_id, w.phrase_id,
+        |       string_agg(w.tok, ' ' ORDER BY w.i) AS phrase,
+        |       sum(s.score_ppm) AS score
+        |       FROM w JOIN stats s ON w.doc_id = s.doc_id AND w.tok = s.tok
+        |       GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, phrase, max(score) AS score FROM ph GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, phrase, CAST(score AS BIGINT) AS score_ppm,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+        |       FROM dp)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_ppm
+        |FROM rk WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // DuckDB's OWN jaro_winkler_similarity — an independent
     // implementation of the matching/transposition/boost algorithm;
     // the kernel's operation order is validated bit-exact against it,

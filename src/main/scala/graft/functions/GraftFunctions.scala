@@ -52,6 +52,10 @@ object GraftFunctions {
       ((args: Seq[Expression]) => CosineSim(args.head, args(1))),
     "graft_jaro_winkler" ->
       ((args: Seq[Expression]) => JaroWinkler(args.head, args(1))),
+    "graft_rake_topk" ->
+      ((args: Seq[Expression]) =>
+        RakeKeywords(args.head, intLit(args(1), "k"),
+          LangIdHits.defaultStopwords("en"))),
     "graft_hyperplane_lsh_multi" ->
       ((args: Seq[Expression]) =>
         HyperplaneLshMulti(args.head, intLit(args(1), "numBits"),
@@ -125,6 +129,10 @@ object GraftFunctions {
   /** Jaro-Winkler similarity, byte-exact with DuckDB's builtin. */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("graft_jaro_winkler", a, b)
+
+  /** RAKE top-k keyword phrases (en stopwords), sorted. */
+  def rakeTopK(text: Column, k: Int): Column =
+    call_function("graft_rake_topk", text, lit(k))
 
   def hyperplaneLshMulti(vec: Column, numBits: Int, numTables: Int, seed: Long): Column =
     call_function("graft_hyperplane_lsh_multi", vec, lit(numBits), lit(numTables), lit(seed))

@@ -574,6 +574,91 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010), per document, ONE text
+    * scan → the top-k candidate phrases as array<struct<phrase,
+    * score_ppm>> sorted by (score desc, phrase asc). The token-stream
+    * contract any engine can replay relationally:
+    *
+    *  1. ASCII-lower; token chars are [a-z0-9]; ' ' closes a token
+    *     (soft boundary), any OTHER char closes it AND breaks the
+    *     phrase (equivalently: replace `[^a-z0-9 ]` with a breaker
+    *     token and split on spaces — the oracle's formulation).
+    *     Unicode never diverges: a non-ASCII letter is a breaker on
+    *     both paths whatever `lower()` maps it to.
+    *  2. A candidate phrase is a maximal run of consecutive
+    *     non-stopword tokens (stopwords and hard breaks both end it).
+    *  3. Per doc: freq(w) = occurrences of w across phrase tokens,
+    *     deg(w) = Σ over occurrences of the containing phrase length;
+    *     score_ppm(w) = 10⁶·deg(w) div freq(w) (truncating — both
+    *     positive, so `/`, `div` and `//` agree);
+    *     phrase score = Σ score_ppm(w) with multiplicity. deg/freq
+    *     rewards words that co-occur in long phrases (RAKE's degree
+    *     heuristic); the ppm fixed point keeps the sum integer-exact.
+    *  4. Duplicate phrase instances collapse (their scores are equal
+    *     by construction); ties rank by phrase text ascending (pure
+    *     ASCII, so Java and UTF-8 byte order agree).
+    *
+    * Per-row cost is linear in the text; no shuffle anywhere — the
+    * corpus-independent per-doc form of the published algorithm.
+    */
+  def rakeTopK(text: UTF8String, k: Int,
+      stop: java.util.HashSet[String]): ArrayData = {
+    val s = text.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    def flush(): Unit =
+      if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (c == ' ') flush()
+      else { flush(); toks += "|" }
+      i += 1
+    }
+    flush()
+    val phrases = new scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[String]]()
+    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    toks.foreach { t =>
+      if (t == "|" || stop.contains(t)) cur = null
+      else {
+        if (cur == null) {
+          cur = new scala.collection.mutable.ArrayBuffer[String]()
+          phrases += cur
+        }
+        cur += t
+      }
+    }
+    if (phrases.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val freq = new scala.collection.mutable.HashMap[String, Long]()
+    val deg = new scala.collection.mutable.HashMap[String, Long]()
+    phrases.foreach { p =>
+      val len = p.size.toLong
+      p.foreach { w =>
+        freq.update(w, freq.getOrElse(w, 0L) + 1L)
+        deg.update(w, deg.getOrElse(w, 0L) + len)
+      }
+    }
+    val scored = new scala.collection.mutable.LinkedHashMap[String, Long]()
+    phrases.foreach { p =>
+      val key = p.mkString(" ")
+      if (!scored.contains(key)) {
+        var sc = 0L
+        p.foreach { w => sc += 1000000L * deg(w) / freq(w) }
+        scored.update(key, sc)
+      }
+    }
+    val top = scored.toArray
+      .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else a._1 < b._1)
+      .take(k)
+    new GenericArrayData(top.map { case (phrase, sc) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(phrase), sc)): Any
+    })
+  }
+
   /** round-half-AWAY-from-zero of x·10⁴ — the DuckDB `round` convention
     * (`Math.round` ties toward +∞ and would diverge on negative dyadic
     * ties: −0.03125·10⁴ = −312.5 must quantize to −313 on both engines).

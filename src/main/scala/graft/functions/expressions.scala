@@ -143,6 +143,34 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** RAKE top-k keyword phrases of a string column → array<struct<phrase,
+  * score_ppm>> sorted by (score desc, phrase asc) — one text scan, see
+  * [[Kernels.rakeTopK]] for the replayable token-stream contract.
+  */
+case class RakeKeywords(child: Expression, k: Int, stopwords: Seq[String])
+    extends UnaryExpression {
+  require(k >= 1, s"rake: k must be >= 1 (got $k)")
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w))
+    s
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("phrase", StringType, nullable = false),
+    StructField("score_ppm", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.rakeTopK(input.asInstanceOf[UTF8String], k, stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rakeStop", stopSet,
+      "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rakeTopK($c, $k, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RakeKeywords =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rake_topk"
+}
+
 /** Jaro-Winkler similarity of two string columns → double, byte-level,
   * operation-order-identical to DuckDB's builtin — see
   * [[Kernels.jaroWinkler]] for the validated contract.

@@ -504,6 +504,32 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): per document, the
+    * top-k candidate phrases by the degree/frequency score — the
+    * unsupervised topic-surface verb (corpus tagging, dedup key
+    * enrichment, retrieval query expansion) running entirely map-side:
+    * ONE kernel scan per doc, no shuffle, streaming-safe. Candidate
+    * phrases are maximal runs of non-stopword tokens between
+    * punctuation breaks; word score = 10⁶·deg div freq (integer ppm),
+    * phrase score = Σ word scores — the whole contract lives in
+    * [[graft.functions.Kernels.rakeTopK]] and replays relationally
+    * (breaker marking → gaps-and-islands phrase ids → two grouped
+    * aggregates). Returns (idCol, rank, phrase, score_ppm); docs with
+    * no candidate phrase (NULL, empty, all-stopword) emit nothing.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"keywords: k must be >= 1 (got $k)")
+    GraftFunctions.ensure(df.sparkSession)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(GraftFunctions.rakeTopK(col(textCol), k))
+          .as(Seq("__pos", "__kw")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__kw").getField("phrase").as("phrase"),
+        col("__kw").getField("score_ppm").as("score_ppm"))
+  }
+
   /** Gopher-style document FILTER (Rae et al. 2021, §A1.1): thresholded
     * pass/fail flags over the repetition and quality kernel metrics —
     * the concrete keep/drop decision a pipeline applies after scoring.

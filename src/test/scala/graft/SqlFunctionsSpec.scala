@@ -82,7 +82,7 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
       "graft_word_ngrams", "graft_char_ngrams", "graft_word_ngrams_tf",
       "graft_icws_minhash", "graft_minhash", "graft_simhash64",
       "graft_simhash_tf", "graft_cosine", "graft_jaro_winkler",
-      "graft_hyperplane_lsh_multi",
+      "graft_rake_topk", "graft_hyperplane_lsh_multi",
       "graft_langid_hits", "graft_quality_counts", "graft_normalize",
       "graft_repetition_stats", "graft_winnow", "graft_winnow_pos",
       "graft_extend_match", "graft_pq_adc_score", "graft_topk",

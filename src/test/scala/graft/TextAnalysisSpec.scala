@@ -278,6 +278,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("fp_min") > col("fp_max")).count() === 0)
   }
 
+  test("keywords: RAKE scores hand-exact — phrases, ties, stopword/punct breaks") {
+    // doc 2 hand trace: phrases [deep learning][deep neural networks]
+    // [deep learning][neural networks][training]; freq(deep)=3 deg=7,
+    // freq(learning)=2 deg=4, freq(neural)=2 deg=5, freq(networks)=2
+    // deg=5, freq(training)=1 deg=1 → score(deep neural networks) =
+    // 2333333+2500000+2500000 = 7333333
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog. " +
+        "Quick brown foxes are quick!"),
+      (2L, "deep learning of deep neural networks; deep learning, " +
+        "neural networks and training"),
+      (3L, "the the of to"),   // all stopwords: no candidate phrase
+      (4L, ""),                // empty: nothing
+      (6L, "Repeat repeat REPEAT, repeat again")) // case-folds, dup phrase collapses
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.keywords(docs, "doc_id", "text", k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = Seq(
+      (1L, 1L, "quick brown fox jumps over", 25000000L),
+      (1L, 2L, "quick brown foxes are quick", 25000000L), // tie → phrase asc
+      (1L, 3L, "lazy dog", 4000000L),
+      (2L, 1L, "deep neural networks", 7333333L),
+      (2L, 2L, "neural networks", 5000000L),
+      (2L, 3L, "deep learning", 4333333L),
+      (6L, 1L, "repeat repeat repeat", 8250000L),
+      (6L, 2L, "repeat again", 4750000L))
+    assert(got.sorted === expect.sorted,
+      "docs 3 and 4 emit nothing; everything else hand-exact")
+  }
+
   test("repetition metrics match hand-computed values and tie-break") {
     val df = Seq(
       (1L, "a a a b"),      // top word a×3; bigrams [a a, a a, a b]
