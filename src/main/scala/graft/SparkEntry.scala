@@ -3477,6 +3477,20 @@ object SparkEntry {
       .orderBy("id_a")
   }
 
+  /** Sorted-neighborhood Jaro-Winkler self-join (SURVEY row 30g-join):
+    * doc prefixes at window 8, 0.90 — the planted typo linkage pairs
+    * share long prefixes, so they sort adjacent and the window catches
+    * them at n·7 candidates; the oracle replays the rank + offsets and
+    * scores with DuckDB's OWN jaro_winkler_similarity
+    * ([[operators.Relational.jaroWinklerJoin]]).
+    */
+  private def qJwJoin(s: SparkSession, dir: String): DataFrame =
+    operators.Relational.jaroWinklerJoin(
+        wh(s, dir).loadTable("documents")
+          .select(col("doc_id"), expr("substring(text, 1, 30)").as("p")),
+        "doc_id", "p", minSimE6 = 900000, window = 8)
+      .orderBy("id_a", "id_b")
+
   /** Incremental edit-distance join (SURVEY row 30f-inc): the batch
     * (doc_id % 10 = 0) joins against the 90% history via its persisted
     * segment store — exactly the one-shot's new-involving pairs; the
@@ -4061,6 +4075,7 @@ object SparkEntry {
     "q_edit_incremental" -> (qEditIncremental _),
     "q_edit_join" -> (qEditJoin _),
     "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_jw_join" -> (qJwJoin _),
     "q_keywords" -> (qKeywords _)
   )
 
@@ -6380,6 +6395,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_ppm
         |FROM rk WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // the sorted-neighborhood blocking replayed: the same total
+    // (string, id) rank, the same window offsets, scored with DuckDB's
+    // OWN jaro_winkler_similarity — blocking AND metric independently
+    // verified
+    "q_jw_join" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 30) AS p
+        |           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |rk AS (SELECT doc_id, p,
+        |       CAST(row_number() OVER (ORDER BY p, doc_id) AS BIGINT) - 1 AS rk
+        |       FROM d),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(round(jaro_winkler_similarity(a.p, b.p) * 1000000) AS BIGINT) AS jw_e6
+        | FROM rk a JOIN rk b ON b.rk BETWEEN a.rk + 1 AND a.rk + 7)
+        |SELECT id_a, id_b, jw_e6 FROM pairs WHERE jw_e6 >= 900000
+        |ORDER BY id_a, id_b""".stripMargin,
     // DuckDB's OWN jaro_winkler_similarity — an independent
     // implementation of the matching/transposition/boost algorithm;
     // the kernel's operation order is validated bit-exact against it,

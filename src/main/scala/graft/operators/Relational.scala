@@ -1549,6 +1549,69 @@ object Relational {
     *
     * Returns `(id_a, id_b, dist)`, id_a < id_b, each pair once.
     */
+  /** SORTED-NEIGHBORHOOD Jaro-Winkler self-join (Hernández & Stolfo,
+    * SIGMOD 1995): all record pairs within `window` positions of each
+    * other in the (string, id) sort order whose Jaro-Winkler similarity
+    * clears `minSimE6`/10⁶ — the classic cheap record-linkage blocking
+    * for the metric that weights shared prefixes (names, titles, keys):
+    * JW admits no pigeonhole cover (unlike edit distance's segments or
+    * jaccard's prefix lemma), but high-JW strings share prefixes and
+    * prefixes cluster under a lexicographic sort, so a small window
+    * catches them at n·(window−1) candidates instead of n².
+    * Complements [[fuzzyJoin]] (order-insensitive gram jaccard) and
+    * [[editDistanceJoin]] (keystroke distance) — three metrics, three
+    * blockings.
+    *
+    * Determinism and scale: the global rank comes from a range-shuffle
+    * sort + `zipWithIndex` (per-partition counts → offsets — two narrow
+    * passes, NO single-partition window; the order (string, id) is
+    * total so the rank is reproducible). Candidates are `window−1`
+    * rank-offset equi-joins expressed as one explode + join; each
+    * candidate pays ONE [[graft.functions.Kernels.jaroWinkler]] call.
+    * The filter compares the e6-ROUNDED score (inclusive), which both
+    * engines derive from bit-identical doubles.
+    *
+    * Recall is the sorted-neighborhood contract: a qualifying pair
+    * further than `window` apart in sort order is missed (e.g. a typo
+    * in the FIRST character). Classic practice composes passes over
+    * different sort keys; here one pass is the verb and composition is
+    * a union.
+    *
+    * Returns `(id_a, id_b, jw_e6)`, id_a/id_b in sort order, each pair
+    * once.
+    */
+  def jaroWinklerJoin(df: DataFrame, idCol: String, strCol: String,
+      minSimE6: Long = 900000L, window: Int = 8): DataFrame = {
+    require(minSimE6 > 0 && minSimE6 <= 1000000L,
+      s"jaroWinklerJoin: minSimE6 must be in (0, 1000000] (got $minSimE6)")
+    require(window >= 2 && window <= 1000,
+      s"jaroWinklerJoin: window must be in [2, 1000] (got $window)")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.ensure(spark)
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).cast("string").as("str"))
+      .where(col("id").isNotNull && col("str").isNotNull)
+    // exact global rank without a single-partition window: range-sort,
+    // then zipWithIndex (one count pass + one narrow map)
+    val ranked = base
+      .repartitionByRange(col("str"), col("id"))
+      .sortWithinPartitions("str", "id")
+      .select(col("id"), col("str"))
+      .rdd.zipWithIndex()
+      .map { case (r, rk) => (r.getLong(0), r.getString(1), rk) }
+    val rdf = spark.createDataFrame(ranked).toDF("id", "str", "rk")
+    val probes = rdf
+      .withColumn("off", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("id").as("id_a"), col("str").as("sa"),
+        (col("rk") + col("off")).as("rk"))
+    probes.join(rdf.select(col("id").as("id_b"), col("str").as("sb"),
+        col("rk")), "rk")
+      .withColumn("jw_e6", expr(
+        "CAST(round(graft_jaro_winkler(sa, sb) * 1000000) AS bigint)"))
+      .where(col("jw_e6") >= minSimE6)
+      .select("id_a", "id_b", "jw_e6")
+  }
+
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8,

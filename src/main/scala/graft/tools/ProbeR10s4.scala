@@ -89,6 +89,14 @@ object ProbeR10s4 {
             vecs, "embedding", model, thresholdPermille = 350)
           .select("vec_id", "n_bench_hits", "contaminated"))
       }
+      time(s"rakeTopK k=3 over 500k synthetic 16-word docs rep$rep") {
+        drain(graft.operators.TextAnalysis.keywords(
+          ids.select(col("id").as("doc_id"),
+            concat_ws(" ",
+              expr("transform(sequence(0, 15), " +
+                "i -> concat('w', pmod(xxhash64(id, i), 500)))")).as("text")),
+          "doc_id", "text", k = 3))
+      }
       time(s"jaroWinkler 500k adjacent md5 pairs rep$rep") {
         drain(strs.select(col("id").as("id_a"), col("s").as("sa"))
           .join(strs.select((col("id") - 1).as("id_a"), col("s").as("sb")),

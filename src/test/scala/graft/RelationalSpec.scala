@@ -426,6 +426,49 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(direct.count() === 0L)
   }
 
+  test("jaroWinklerJoin: sorted-neighborhood catches prefix-clustered pairs, documents the window miss") {
+    // "alpha widget one"/"alpha widget onf" share a 15-char prefix →
+    // adjacent under the lexicographic sort, caught at any window; the
+    // two "zz gadget" variants straddle an unrelated string, caught at
+    // window 3 but NOT at window 2 — the sorted-neighborhood recall
+    // contract, pinned rather than papered over
+    val rows = Seq(
+      (1L, "alpha widget one"), (2L, "alpha widget onf"),
+      (3L, "mmm unrelated row"),
+      (4L, "zz gadget prime"), (5L, "zz gadget primo"),
+      (6L, "zz gadget pzzzz"))
+    val docs = rows.toDF("doc_id", "s")
+    def pairs(window: Int, df: org.apache.spark.sql.DataFrame = docs) =
+      Relational.jaroWinklerJoin(df, "doc_id", "s",
+          minSimE6 = 900000, window = window)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w3 = pairs(3)
+    assert(w3.contains((1L, 2L)), "prefix-clustered typo pair caught")
+    assert(w3.contains((4L, 5L)), "adjacent in sort order")
+    // soundness: every emitted pair really clears the threshold
+    val byId = rows.toMap
+    w3.foreach { case (a, b) =>
+      val jw = graft.functions.Kernels.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(byId(a)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(byId(b)))
+      assert(jw >= 0.9, s"pair ($a,$b) emitted below threshold")
+    }
+    // rank determinism: a differently-partitioned input yields the
+    // same pair set (zipWithIndex rank is a pure function of the data)
+    assert(pairs(3, docs.repartition(7)) === w3)
+    // the window contract: at window 2 a pair TWO positions apart in
+    // sort order is missed even when its JW clears the threshold
+    val between = Seq((1L, "alpha widget one"), (7L, "alpha widget onez"),
+      (2L, "alpha widget onf")).toDF("doc_id", "s")
+    val w2 = pairs(2, between)
+    assert(w2.contains((1L, 7L)) && w2.contains((7L, 2L)),
+      "adjacent pairs caught")
+    assert(!w2.contains((1L, 2L)),
+      "the straddled pair is the documented sorted-neighborhood miss")
+    assert(pairs(3, between).contains((1L, 2L)),
+      "window 3 closes it — composition knob, not a bug")
+  }
+
   test("fuzzyJoin: exact trigram jaccard pairs, threshold boundary, short strings") {
     val l = Seq((1L, "widget blue"), (2L, "xy"), (3L, "gadget red"))
       .toDF("id", "s")
