@@ -3345,6 +3345,31 @@ object SparkEntry {
         slotSeconds = 3600, slotModulus = 24, devThreshCents = 3000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Incremental Holt-Winters (SURVEY row 50p-inc): history (events
+    * before 2024-01-28 00:00 UTC, ~90%) folds ONCE into the per-key
+    * state store; the batch (the remaining ~10%) continues each key's
+    * recurrence from the store WITHOUT rescanning history — the oracle
+    * is the full-history q_holt_winters replay restricted to batch
+    * rows, so any continuation drift goes red
+    * ([[operators.EventAnalytics.holtWintersIncremental]]).
+    */
+  private def qHoltWintersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = wh(s, dir).loadTable("events")
+    val cutoff = 1706400000000000L
+    val evLtz = graft.streaming.Events.tsLtz(ev)
+    val hist = evLtz.filter(unix_micros(col("ts")) < cutoff)
+    val batch = evLtz.filter(unix_micros(col("ts")) >= cutoff)
+    val store = operators.EventAnalytics.holtWintersStore(
+      hist, "user_id", "ts", "event_id", "value",
+      alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+      slotSeconds = 3600, slotModulus = 24)
+    operators.EventAnalytics.holtWintersIncremental(
+        batch, store, "user_id", "ts", "event_id", "value",
+        alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+        slotSeconds = 3600, slotModulus = 24, devThreshCents = 3000)
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** Robust median/MAD anomaly (SURVEY row 50q): 3.5×MAD alarm against
     * the key's population median, 5-event gate — exact integer order
     * statistics via the two-middle-ranks trick (med×2, MAD×4), the
@@ -4067,6 +4092,7 @@ object SparkEntry {
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_holt_winters_incremental" -> (qHoltWintersIncremental _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_robust_store" -> (qRobustStore _),
     "q_seasonal" -> (qSeasonal _),
@@ -4093,7 +4119,14 @@ object SparkEntry {
     * so no LATERAL lets). All five truncating divisions are HUGEINT
     * `//` (toward zero, matching BigInt `/`).
     */
-  private val holtWintersOracleSql: String = {
+  private val holtWintersOracleSql: String = holtWintersOracleWhere("")
+
+  /** The q_holt_winters replay with an optional final-row filter — the
+    * incremental key reuses the SAME full-history recurrence restricted
+    * to batch rows (under the append-order time split the continuation
+    * must land bit-identically on exactly those rows).
+    */
+  private def holtWintersOracleWhere(finalWhere: String): String = {
     val sc = "rec.s[CAST(n.slot AS INT) + 1]"
     val x = "CAST(n.vc AS HUGEINT) * 1000000"
     val lnew = s"(CAST(200000 AS HUGEINT) * ($x - $sc)) // 1000000" +
@@ -4133,7 +4166,7 @@ object SparkEntry {
        |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
        |       CAST(s[CAST(slot AS INT) + 1] AS BIGINT) AS seasonal_e6,
        |       dev AS deviation
-       |FROM rec ORDER BY user_id, us, event_id""".stripMargin
+       |FROM rec $finalWhere ORDER BY user_id, us, event_id""".stripMargin
   }
 
   /** DuckDB replay of the robust median/MAD decision
@@ -6523,6 +6556,11 @@ object SparkEntry {
     // the Holt-Winters triple recurrence replayed in one HUGEINT
     // recursive CTE, the 24 seasonal components as a LIST column
     "q_holt_winters" -> holtWintersOracleSql,
+    // the SAME full-history triple recurrence, restricted to the batch
+    // rows the continuation emits — store→continue must land on the
+    // one-shot bit-for-bit
+    "q_holt_winters_incremental" ->
+      holtWintersOracleWhere("WHERE us >= 1706400000000000"),
     // exact order statistics replayed with the same two-middle-ranks
     // trick: the value at a rank is determined by the multiset, so the
     // row_number tie order never matters. SHARED by the store roundtrip

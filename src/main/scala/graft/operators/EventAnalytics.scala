@@ -730,6 +730,307 @@ object EventAnalytics {
         col("seasonal_e6"), col("deviation"))
   }
 
+  /** TERMINAL Holt-Winters fold state, one narrow row per key —
+    * `(k, l_e6, b_e6, seas, rn, last_us, last_id)` — the persistable
+    * store behind [[holtWintersIncremental]] (the packStore /
+    * editSegmentStore pattern for the SEQUENTIAL family: nightly
+    * smoothing continues from disk instead of rescanning history).
+    * Same one-key-exchange fold as [[holtWinters]], emitting only each
+    * key's final state; `rn` carries so the warmup gate counts TOTAL
+    * events, and (last_us, last_id) pins the append-order contract.
+    */
+  def holtWintersStore(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaPpm: Long, betaPpm: Long,
+      gammaPpm: Long, slotSeconds: Long = 3600L,
+      slotModulus: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val oneMinusA = BigInt(1000000L - alphaPpm)
+    val oneMinusB = BigInt(1000000L - betaPpm)
+    val oneMinusG = BigInt(1000000L - gammaPpm)
+    val usPerSlot = slotSeconds * 1000000L
+    val m = slotModulus
+    require(alphaPpm > 0 && alphaPpm <= 1000000L &&
+      betaPpm > 0 && betaPpm <= 1000000L &&
+      gammaPpm > 0 && gammaPpm <= 1000000L &&
+      slotSeconds >= 1 && slotModulus >= 1,
+      "holtWintersStore: ppm params in (0, 1000000], slot params >= 1")
+    graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Seq[Long], Long, Long, Long)]()
+        var cur = 0L
+        var fresh = true
+        var rn = 0L
+        var l = BigInt(0)
+        var b = BigInt(0)
+        var seas: Array[BigInt] = null
+        var lastUs = 0L
+        var lastId = 0L
+        def emit(): Unit = if (!fresh) out +=
+          ((cur, l.toLong, b.toLong, seas.map(_.toLong).toSeq, rn,
+            lastUs, lastId))
+        it.foreach { case (k, id, us, vc) =>
+          if (us < 0) throw new ArithmeticException(
+            s"holtWintersStore: pre-1970 timestamp at event id $id")
+          if (fresh || k != cur) {
+            emit()
+            cur = k; fresh = false; rn = 0L
+            l = BigInt(0); b = BigInt(0)
+            seas = Array.fill(m)(BigInt(0))
+          }
+          rn += 1; lastUs = us; lastId = id
+          val slot = ((us / usPerSlot) % m).toInt
+          val x = BigInt(vc) * 1000000L
+          val sc = seas(slot)
+          if (rn > 1) {
+            val lNew = (BigInt(alphaPpm) * (x - sc)) / 1000000L +
+              (oneMinusA * (l + b)) / 1000000L
+            b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+              (oneMinusB * b) / 1000000L
+            seas(slot) = (BigInt(gammaPpm) * (x - lNew)) / 1000000L +
+              (oneMinusG * sc) / 1000000L
+            l = lNew
+          } else { l = x; b = BigInt(0) }
+          if (!l.isValidLong || !b.isValidLong || !seas(slot).isValidLong)
+            throw new ArithmeticException(
+              s"holtWintersStore: state exceeds long at event id $id")
+          ()
+        }
+        emit()
+        out.iterator
+      }
+      .toDF("k", "l_e6", "b_e6", "seas", "rn", "last_us", "last_id")
+  }
+
+  /** Fold an arriving batch INTO the persisted store — the companion of
+    * [[holtWintersIncremental]] that closes the nightly loop:
+    * `update(store(A), B) == store(A ∪ B)` EXACTLY under the
+    * append-order contract (spec-pinned), so consecutive batches chain
+    * forever without rescanning history. Keys untouched by the batch
+    * pass through unchanged; batch-new keys appear seeded from their
+    * first event; the same loud append-order violation check as the
+    * scoring verb.
+    */
+  def updateHoltWintersStore(store: DataFrame, batch: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String,
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long,
+      slotSeconds: Long = 3600L, slotModulus: Int = 24): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(alphaPpm > 0 && alphaPpm <= 1000000L &&
+      betaPpm > 0 && betaPpm <= 1000000L &&
+      gammaPpm > 0 && gammaPpm <= 1000000L &&
+      slotSeconds >= 1 && slotModulus >= 1,
+      "updateHoltWintersStore: ppm params in (0, 1000000], slot params >= 1")
+    val oneMinusA = BigInt(1000000L - alphaPpm)
+    val oneMinusB = BigInt(1000000L - betaPpm)
+    val oneMinusG = BigInt(1000000L - gammaPpm)
+    val usPerSlot = slotSeconds * 1000000L
+    val m = slotModulus
+    val batchBase = graft.streaming.Events.tsLtz(batch)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val updated = batchBase
+      .join(store.select(col("k"),
+        col("l_e6").as("s_l"), col("b_e6").as("s_b"), col("seas").as("s_seas"),
+        col("rn").as("s_rn"), col("last_us").as("s_us"),
+        col("last_id").as("s_id")), Seq("k"), "left")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Seq[Long]], Option[Long], Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Seq[Long], Long, Long, Long)]()
+        var cur = 0L
+        var fresh = true
+        var seeded = false
+        var rn = 0L
+        var l = BigInt(0)
+        var b = BigInt(0)
+        var seas: Array[BigInt] = null
+        var lastUs = 0L
+        var lastId = 0L
+        def emit(): Unit = if (!fresh) out +=
+          ((cur, l.toLong, b.toLong, seas.map(_.toLong).toSeq, rn,
+            lastUs, lastId))
+        it.foreach { case (k, id, us, vc, sL, sB, sSeas, sRn, sUs, sId) =>
+          if (us < 0) throw new ArithmeticException(
+            s"updateHoltWintersStore: pre-1970 timestamp at event id $id")
+          if (fresh || k != cur) {
+            emit()
+            cur = k; fresh = false
+            sL match {
+              case Some(l0) =>
+                val storedSeas = sSeas.get
+                require(storedSeas.length == m,
+                  s"updateHoltWintersStore: store has ${storedSeas.length} " +
+                    s"slots, operator given $m — train/score mismatch")
+                if (us < sUs.get || (us == sUs.get && id <= sId.get))
+                  throw new IllegalStateException(
+                    s"updateHoltWintersStore: batch event id $id at us=$us " +
+                      s"does not sort after key $k's stored frontier " +
+                      s"(${sUs.get}, ${sId.get}) — the append-order " +
+                      "contract is violated; rebuild the store instead")
+                l = BigInt(l0); b = BigInt(sB.get)
+                seas = storedSeas.map(BigInt(_)).toArray
+                rn = sRn.get; seeded = true
+              case None =>
+                l = BigInt(0); b = BigInt(0)
+                seas = Array.fill(m)(BigInt(0))
+                rn = 0L; seeded = false
+            }
+          }
+          rn += 1; lastUs = us; lastId = id
+          val slot = ((us / usPerSlot) % m).toInt
+          val x = BigInt(vc) * 1000000L
+          val sc = seas(slot)
+          if (seeded) {
+            val lNew = (BigInt(alphaPpm) * (x - sc)) / 1000000L +
+              (oneMinusA * (l + b)) / 1000000L
+            b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+              (oneMinusB * b) / 1000000L
+            seas(slot) = (BigInt(gammaPpm) * (x - lNew)) / 1000000L +
+              (oneMinusG * sc) / 1000000L
+            l = lNew
+          } else { l = x; b = BigInt(0); seeded = true }
+          if (!l.isValidLong || !b.isValidLong || !seas(slot).isValidLong)
+            throw new ArithmeticException(
+              s"updateHoltWintersStore: state exceeds long at event id $id")
+          ()
+        }
+        emit()
+        out.iterator
+      }
+      .toDF("k", "l_e6", "b_e6", "seas", "rn", "last_us", "last_id")
+    store.join(batchBase.select("k").distinct(), Seq("k"), "left_anti")
+      .unionByName(updated)
+  }
+
+  /** INCREMENTAL Holt-Winters: an arriving batch continues each key's
+    * recurrence FROM the persisted [[holtWintersStore]] state — history
+    * is never rescanned (the 39c/packStore continuation discipline
+    * brought to the sequential ladder; the streaming form carries the
+    * same state in checkpoints, this is the nightly-batch "cron mode").
+    * Under the APPEND-ORDERED arrival contract — every batch event
+    * sorts after its key's stored (last_us, last_id) — the outputs
+    * equal the one-shot [[holtWinters]] over history ∪ batch restricted
+    * to batch rows, BIT-FOR-BIT (the one-shot fold passes through
+    * exactly the stored state before reaching the batch; `rn` carries
+    * so the warmup gate counts total events). A batch event at or
+    * before its key's stored frontier VIOLATES the contract and fails
+    * LOUDLY (the appendTable lesson: refuse, never silently mis-fold);
+    * keys absent from the store seed fresh.
+    */
+  def holtWintersIncremental(batch: DataFrame, store: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String,
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long,
+      slotSeconds: Long = 3600L, slotModulus: Int = 24,
+      warmupEvents: Long = 0L, devThreshCents: Long = 10000L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(alphaPpm > 0 && alphaPpm <= 1000000L &&
+      betaPpm > 0 && betaPpm <= 1000000L &&
+      gammaPpm > 0 && gammaPpm <= 1000000L &&
+      slotSeconds >= 1 && slotModulus >= 1 && devThreshCents > 0,
+      "holtWintersIncremental: ppm params in (0, 1000000], " +
+        "slot params >= 1, devThreshCents > 0")
+    val warmup = if (warmupEvents > 0) warmupEvents else slotModulus.toLong
+    val oneMinusA = BigInt(1000000L - alphaPpm)
+    val oneMinusB = BigInt(1000000L - betaPpm)
+    val oneMinusG = BigInt(1000000L - gammaPpm)
+    val devE6 = BigInt(devThreshCents) * 1000000L
+    val usPerSlot = slotSeconds * 1000000L
+    val m = slotModulus
+    graft.streaming.Events.tsLtz(batch)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .join(store.select(col("k"),
+        col("l_e6").as("s_l"), col("b_e6").as("s_b"), col("seas").as("s_seas"),
+        col("rn").as("s_rn"), col("last_us").as("s_us"),
+        col("last_id").as("s_id")), Seq("k"), "left")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Seq[Long]], Option[Long], Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        var cur = 0L
+        var fresh = true
+        var seeded = false
+        var rn = 0L
+        var l = BigInt(0)
+        var b = BigInt(0)
+        var seas: Array[BigInt] = null
+        it.map { case (k, id, us, vc, sL, sB, sSeas, sRn, sUs, sId) =>
+          if (us < 0) throw new ArithmeticException(
+            s"holtWintersIncremental: pre-1970 timestamp at event id $id")
+          if (fresh || k != cur) {
+            cur = k; fresh = false
+            sL match {
+              case Some(l0) =>
+                val storedSeas = sSeas.get
+                require(storedSeas.length == m,
+                  s"holtWintersIncremental: store has ${storedSeas.length} " +
+                    s"slots, operator given $m — train/score mismatch")
+                if (us < sUs.get || (us == sUs.get && id <= sId.get))
+                  throw new IllegalStateException(
+                    s"holtWintersIncremental: batch event id $id at us=$us " +
+                      s"does not sort after key $k's stored frontier " +
+                      s"(${sUs.get}, ${sId.get}) — the append-order " +
+                      "contract is violated; rebuild the store instead")
+                l = BigInt(l0); b = BigInt(sB.get)
+                seas = storedSeas.map(BigInt(_)).toArray
+                rn = sRn.get; seeded = true
+              case None =>
+                l = BigInt(0); b = BigInt(0)
+                seas = Array.fill(m)(BigInt(0))
+                rn = 0L; seeded = false
+            }
+          }
+          rn += 1
+          val slot = ((us / usPerSlot) % m).toInt
+          val x = BigInt(vc) * 1000000L
+          val sc = seas(slot)
+          val f = l + b + sc
+          val dev = seeded && rn > warmup && (x - f).abs > devE6
+          if (seeded) {
+            val lNew = (BigInt(alphaPpm) * (x - sc)) / 1000000L +
+              (oneMinusA * (l + b)) / 1000000L
+            b = (BigInt(betaPpm) * (lNew - l)) / 1000000L +
+              (oneMinusB * b) / 1000000L
+            seas(slot) = (BigInt(gammaPpm) * (x - lNew)) / 1000000L +
+              (oneMinusG * sc) / 1000000L
+            l = lNew
+          } else { l = x; b = BigInt(0); seeded = true }
+          if (!l.isValidLong || !b.isValidLong || !seas(slot).isValidLong)
+            throw new ArithmeticException(
+              s"holtWintersIncremental: state exceeds long at event id $id")
+          (id, k, us, slot.toLong, vc, l.toLong, b.toLong,
+            seas(slot).toLong, dev)
+        }
+      }
+      .toDF("id", "k", "us", "slot", "value_cents", "level_e6", "trend_e6",
+        "seasonal_e6", "deviation")
+      .select(col("id").as(idCol), col("k").as(keyCol), col("us"),
+        col("slot"), col("value_cents"), col("level_e6"), col("trend_e6"),
+        col("seasonal_e6"), col("deviation"))
+  }
+
   /** ROBUST MEDIAN/MAD anomaly: each event judged against its key's
     * POPULATION median with the deviation scale set by the median
     * absolute deviation — the outlier-resistant counterpart of

@@ -595,6 +595,65 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert((21L to 25L).forall(!got(_)._5), "on-median rows never flag at mad4 = 0")
   }
 
+  test("holtWinters store chain: three-batch continuation == one-shot; violation throws") {
+    def hw(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.holtWinters(df, "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2, warmupEvents = 1,
+        devThreshCents = 100)
+    def mkStore(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.holtWintersStore(df, "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2)
+    def inc(b: org.apache.spark.sql.DataFrame, st: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.holtWintersIncremental(b, st, "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2, warmupEvents = 1,
+        devThreshCents = 100)
+    def upd(st: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.updateHoltWintersStore(st, b, "uid", "ts", "eid", "v",
+        alphaPpm = 250000, betaPpm = 300000, gammaPpm = 500000,
+        slotSeconds = 60, slotModulus = 2)
+    // key 1 spans all three slices; key 2 appears only in the LAST
+    // (batch-new key seeds cold mid-chain)
+    val all = Seq(10.0, -9.0, 7.5, -8.2, 3.37, 6.0).zipWithIndex.map {
+      case (v, i) => (i.toLong + 1, 1L, ts(i.toLong), v) } ++
+      Seq((100L, 2L, ts(7), 20.0), (101L, 2L, ts(8), -20.0))
+    val slices = Seq(all.filter(_._3.getTime <= ts(1).getTime),
+      all.filter(e => e._3.getTime > ts(1).getTime && e._3.getTime <= ts(4).getTime),
+      all.filter(_._3.getTime > ts(4).getTime))
+    def df(s: Seq[(Long, Long, java.sql.Timestamp, Double)]) =
+      s.toDF("eid", "uid", "ts", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getLong(0), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8))).toSet
+    val oneShot = hw(df(all))
+    val store0 = mkStore(df(slices(0)))
+    val ids1 = slices(1).map(_._1).toSet
+    assert(rows(inc(df(slices(1)), store0)) ===
+      rows(oneShot.filter(col("eid").isin(ids1.toSeq: _*))),
+      "first continuation lands on the one-shot bit-for-bit")
+    val store1 = upd(store0, df(slices(1)))
+    val ids2 = slices(2).map(_._1).toSet
+    assert(rows(inc(df(slices(2)), store1)) ===
+      rows(oneShot.filter(col("eid").isin(ids2.toSeq: _*))),
+      "second continuation (incl. the cold-seeded new key) matches")
+    def storeRows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(storeRows(upd(store1, df(slices(2)))) ===
+      storeRows(mkStore(df(all))),
+      "chained store == one-shot store, warmup counts included")
+    // append-order violation: re-feeding an already-folded slice fails loudly
+    val ex = intercept[Exception] {
+      inc(df(slices(0)), store1).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(ex).contains("append-order"),
+      s"expected the loud contract violation, got: ${ex.getMessage}")
+  }
+
   test("robustProfile/robustScore: profile scoring == self-score; cold key passes NULL") {
     val hist = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
       (i.toLong + 1, 1L, ts(i.toLong), v) }).toDF("eid", "uid", "ts", "v")
