@@ -67,7 +67,26 @@ object ProbeR10s4 {
       .robustProfile(events, "uid", "ts", "value").persist()
     println(s"profile keys: ${profile.count()}")
 
+    // 90/10 time split for the fold-state continuation: the store folds
+    // once (steady-state = a warehouse table), the probe prices per-batch
+    val cut = 1700000000000000L + 900L * 37000000L
+    val hwHist = events.filter(col("ts") <
+      timestamp_micros(lit(cut)))
+    val hwBatch = events.filter(col("ts") >=
+      timestamp_micros(lit(cut)))
+    val hwStore = graft.operators.EventAnalytics.holtWintersStore(
+      hwHist, "uid", "ts", "eid", "value",
+      alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+      slotSeconds = 3600, slotModulus = 24).persist()
+    println(s"hw store keys: ${hwStore.count()}")
+
     for (rep <- 1 to 2) {
+      time(s"holtWintersIncremental ~10% batch vs stored state rep$rep") {
+        drain(graft.operators.EventAnalytics.holtWintersIncremental(
+          hwBatch, hwStore, "uid", "ts", "eid", "value",
+          alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+          slotSeconds = 3600, slotModulus = 24, devThreshCents = 3000))
+      }
       time(s"holtWinters 24-slot fold rep$rep") {
         drain(graft.operators.EventAnalytics.holtWinters(
           events, "uid", "ts", "eid", "value",
