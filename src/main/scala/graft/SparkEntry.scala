@@ -3345,6 +3345,25 @@ object SparkEntry {
         slotSeconds = 3600, slotModulus = 24, devThreshCents = 3000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Holt-Winters forecast emission (SURVEY row 50p-f): the next 6
+    * hourly point forecasts per key off the full-history fold-state
+    * store — l + h·b + s[(base_slot+h) mod 24], all integer; the oracle
+    * derives the terminal state from the SAME shared recursive replay
+    * and applies the same arithmetic
+    * ([[operators.EventAnalytics.holtWintersForecast]]).
+    */
+  private def qHoltWintersForecast(s: SparkSession, dir: String): DataFrame = {
+    val store = operators.EventAnalytics.holtWintersStore(
+      wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+      alphaPpm = 200000, betaPpm = 100000, gammaPpm = 300000,
+      slotSeconds = 3600, slotModulus = 24)
+    operators.EventAnalytics.holtWintersForecast(store,
+        slotSeconds = 3600, slotModulus = 24, horizon = 6)
+      .select(col("k").as("user_id"), col("h"), col("slot"),
+        col("forecast_e6"))
+      .orderBy("user_id", "h")
+  }
+
   /** Incremental Holt-Winters (SURVEY row 50p-inc): history (events
     * before 2024-01-28 00:00 UTC, ~90%) folds ONCE into the per-key
     * state store; the batch (the remaining ~10%) continues each key's
@@ -4093,6 +4112,7 @@ object SparkEntry {
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_holt_winters_incremental" -> (qHoltWintersIncremental _),
+    "q_holt_winters_forecast" -> (qHoltWintersForecast _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_robust_store" -> (qRobustStore _),
     "q_seasonal" -> (qSeasonal _),
@@ -4126,7 +4146,39 @@ object SparkEntry {
     * to batch rows (under the append-order time split the continuation
     * must land bit-identically on exactly those rows).
     */
-  private def holtWintersOracleWhere(finalWhere: String): String = {
+  private def holtWintersOracleWhere(finalWhere: String): String =
+    holtWintersRecCte +
+      s"""
+         |SELECT id AS event_id, k AS user_id, us, slot, vc AS value_cents,
+         |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+         |       CAST(s[CAST(slot AS INT) + 1] AS BIGINT) AS seasonal_e6,
+         |       dev AS deviation
+         |FROM rec $finalWhere ORDER BY user_id, us, event_id""".stripMargin
+
+  /** The forecast tail over the SAME recursive CTE: each key's terminal
+    * state (max rn) emits h = 1..6 slot-stepped forecasts
+    * l + h·b + s[(base_slot + h) mod 24] — any recurrence drift or
+    * forecast-arithmetic mismatch goes red on the same shared core.
+    */
+  private val holtWintersForecastOracleSql: String =
+    holtWintersRecCte +
+      s"""
+         |, term AS (
+         | SELECT r.k, r.l, r.b, r.s, (r.us // 3600000000) % 24 AS base_slot
+         | FROM rec r JOIN (SELECT k, max(rn) AS mr FROM rec GROUP BY 1) t
+         |   ON r.k = t.k AND r.rn = t.mr)
+         |SELECT k AS user_id, CAST(h AS BIGINT) AS h,
+         |       CAST((base_slot + h) % 24 AS BIGINT) AS slot,
+         |       CAST(l + h * b + s[CAST((base_slot + h) % 24 AS INT) + 1]
+         |         AS BIGINT) AS forecast_e6
+         |FROM term, unnest(generate_series(1, 6)) AS g(h)
+         |ORDER BY user_id, h""".stripMargin
+
+  /** The shared HUGEINT recursive core of every Holt-Winters oracle —
+    * base projection, per-key ranks, and the triple recurrence carrying
+    * the 24 seasonal components as a LIST column.
+    */
+  private lazy val holtWintersRecCte: String = {
     val sc = "rec.s[CAST(n.slot AS INT) + 1]"
     val x = "CAST(n.vc AS HUGEINT) * 1000000"
     val lnew = s"(CAST(200000 AS HUGEINT) * ($x - $sc)) // 1000000" +
@@ -4161,12 +4213,7 @@ object SparkEntry {
        |        $bnew,
        |        $supd,
        |        $dev
-       | FROM rk n JOIN rec ON n.k = rec.k AND n.rn = rec.rn + 1)
-       |SELECT id AS event_id, k AS user_id, us, slot, vc AS value_cents,
-       |       CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
-       |       CAST(s[CAST(slot AS INT) + 1] AS BIGINT) AS seasonal_e6,
-       |       dev AS deviation
-       |FROM rec $finalWhere ORDER BY user_id, us, event_id""".stripMargin
+       | FROM rk n JOIN rec ON n.k = rec.k AND n.rn = rec.rn + 1)""".stripMargin
   }
 
   /** DuckDB replay of the robust median/MAD decision
@@ -6561,6 +6608,9 @@ object SparkEntry {
     // one-shot bit-for-bit
     "q_holt_winters_incremental" ->
       holtWintersOracleWhere("WHERE us >= 1706400000000000"),
+    // the forecast tail over the same shared recursive core: terminal
+    // state per key, h = 1..6 slot-stepped integer forecasts
+    "q_holt_winters_forecast" -> holtWintersForecastOracleSql,
     // exact order statistics replayed with the same two-middle-ranks
     // trick: the value at a rank is determined by the multiset, so the
     // row_number tie order never matters. SHARED by the store roundtrip

@@ -811,6 +811,37 @@ object EventAnalytics {
       .toDF("k", "l_e6", "b_e6", "seas", "rn", "last_us", "last_id")
   }
 
+  /** FORECAST emission from a persisted [[holtWintersStore]]: for each
+    * key, the next `horizon` slot-stepped point forecasts
+    * f(h) = l + h·b + s[(base_slot + h) mod m], h = 1..horizon, where
+    * base_slot derives from the key's stored frontier — the value a
+    * monitoring consumer actually reads off a trained seasonal model
+    * (capacity planning, alert thresholds for the NEXT hours), computed
+    * WITHOUT touching the event history: one narrow map + bounded
+    * explode over the m-slot store rows, no shuffle beyond the final
+    * ordering a caller adds. All integer; h·b is bounded by
+    * horizon ≤ 10000 · a long state, far from 2⁶³ for any real series.
+    *
+    * Returns (k, h, slot, forecast_e6).
+    */
+  def holtWintersForecast(store: DataFrame, slotSeconds: Long = 3600L,
+      slotModulus: Int = 24, horizon: Int = 6): DataFrame = {
+    require(slotSeconds >= 1 && slotModulus >= 1,
+      s"holtWintersForecast: slotSeconds/slotModulus must be >= 1 " +
+        s"(got $slotSeconds, $slotModulus)")
+    require(horizon >= 1 && horizon <= 10000,
+      s"holtWintersForecast: horizon must be in [1, 10000] (got $horizon)")
+    val usPerSlot = slotSeconds * 1000000L
+    store
+      .withColumn("__base_slot", expr(s"(last_us div ${usPerSlot}L) % $slotModulus"))
+      .withColumn("h", explode(sequence(lit(1L), lit(horizon.toLong))))
+      .withColumn("slot", pmod(col("__base_slot") + col("h"), lit(slotModulus.toLong)))
+      .withColumn("forecast_e6",
+        col("l_e6") + col("h") * col("b_e6") +
+          element_at(col("seas"), (col("slot") + 1).cast("int")))
+      .select("k", "h", "slot", "forecast_e6")
+  }
+
   /** Fold an arriving batch INTO the persisted store — the companion of
     * [[holtWintersIncremental]] that closes the nightly loop:
     * `update(store(A), B) == store(A ∪ B)` EXACTLY under the

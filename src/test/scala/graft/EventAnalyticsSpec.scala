@@ -654,6 +654,37 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       s"expected the loud contract violation, got: ${ex.getMessage}")
   }
 
+  test("holtWintersForecast: hand-exact slot-stepped extrapolation off a literal store") {
+    import spark.implicits._
+    // a literal store row: level 100, trend -7 (×10⁶ omitted for hand
+    // arithmetic — the verb never rescales), seasonals [5, -3], frontier
+    // in slot (base us 28333333 odd → ts(0) is slot 1) at minute 0
+    val store = Seq(
+      (1L, 100L, -7L, Seq(5L, -3L), 4L, 1700000000000000L, 9L))
+      .toDF("k", "l_e6", "b_e6", "seas", "rn", "last_us", "last_id")
+    val got = EventAnalytics.holtWintersForecast(store,
+        slotSeconds = 60, slotModulus = 2, horizon = 4)
+      .collect().map(r =>
+        (r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val baseSlot = (1700000000000000L / 60000000L) % 2 // = 1
+    assert(baseSlot === 1L, "fixture premise")
+    // h=1 → slot 0: 100 + 1·(−7) + 5 = 98; h=2 → slot 1: 100 − 14 − 3 = 83
+    // h=3 → slot 0: 100 − 21 + 5 = 84; h=4 → slot 1: 100 − 28 − 3 = 69
+    assert(got(1L) === ((0L, 98L)))
+    assert(got(2L) === ((1L, 83L)))
+    assert(got(3L) === ((0L, 84L)), "negative trend extrapolates linearly")
+    assert(got(4L) === ((1L, 69L)))
+    // composes with the real store: every key emits exactly `horizon` rows
+    val ev = Seq(10.0, 12.0, 14.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, ts(i.toLong), v) }.toDF("eid", "uid", "ts", "v")
+    val st = EventAnalytics.holtWintersStore(ev, "uid", "ts", "eid", "v",
+      alphaPpm = 1000000, betaPpm = 1000000, gammaPpm = 1000000,
+      slotSeconds = 60, slotModulus = 2)
+    val fc = EventAnalytics.holtWintersForecast(st, 60, 2, horizon = 3)
+      .collect()
+    assert(fc.length === 3)
+  }
+
   test("robustProfile/robustScore: profile scoring == self-score; cold key passes NULL") {
     val hist = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
       (i.toLong + 1, 1L, ts(i.toLong), v) }).toDF("eid", "uid", "ts", "v")
