@@ -1145,12 +1145,13 @@ object EventAnalytics {
   def robustProfile(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val base = robustEvents(events, keyCol, tsCol, None, valueCol)
-    // 2× the median via the two middle order statistics: count per key,
-    // rank by value, keep the (n+1) div 2 and (n div 2)+1 rows, sum.
-    val withN = base.join(
-      base.groupBy("k").agg(count(lit(1)).as("n_key")), "k")
+    // 2× the median via the two middle order statistics: rank by value
+    // and count per key off the SAME key partitioning (one exchange, no
+    // count join), keep the (n+1) div 2 and (n div 2)+1 rows, sum.
     val w1 = Window.partitionBy(col("k")).orderBy(col("vc"))
-    val med2 = withN
+    val wk = Window.partitionBy(col("k"))
+    val med2 = base
+      .withColumn("n_key", count(lit(1)).over(wk))
       .withColumn("__rn", row_number().over(w1))
       .groupBy("k")
       .agg(max(col("n_key")).as("n_key"),
@@ -1158,7 +1159,7 @@ object EventAnalytics {
           .otherwise(0L)
           + when(col("__rn") === expr("(n_key div 2) + 1"), col("vc"))
           .otherwise(0L)).as("median_x2_cents"))
-    val withMed = withN.join(med2.select("k", "median_x2_cents"), "k")
+    val withMed = base.join(med2, "k")
       .withColumn("absdev_x2_cents", abs(col("vc") * 2 - col("median_x2_cents")))
     val w2 = Window.partitionBy(col("k")).orderBy(col("absdev_x2_cents"))
     val mad4 = withMed
