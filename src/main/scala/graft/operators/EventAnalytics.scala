@@ -832,7 +832,14 @@ object EventAnalytics {
     require(horizon >= 1 && horizon <= 10000,
       s"holtWintersForecast: horizon must be in [1, 10000] (got $horizon)")
     val usPerSlot = slotSeconds * 1000000L
+    // h·b must not wrap silently (the rollingAnomaly rule): with
+    // horizon ≤ 10⁴, |b| ≤ 9·10¹⁴ keeps the extrapolation (and the two
+    // additions of long-sized terms) inside a long
     store
+      .withColumn("b_e6", expr(
+        "IF(abs(b_e6) <= 900000000000000L, b_e6, " +
+          "assert_true(false, 'holtWintersForecast: |trend| too large " +
+          "for the horizon extrapolation — rescale'))").cast("long"))
       .withColumn("__base_slot", expr(s"(last_us div ${usPerSlot}L) % $slotModulus"))
       .withColumn("h", explode(sequence(lit(1L), lit(horizon.toLong))))
       .withColumn("slot", pmod(col("__base_slot") + col("h"), lit(slotModulus.toLong)))
