@@ -21,13 +21,17 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
         |  graft_simhash64(graft_word_ngrams('a b c d', 2)) AS sh,
         |  graft_cosine(array(cast(1.0 AS float), cast(0.0 AS float)),
         |               array(cast(1.0 AS float), cast(0.0 AS float))) AS cos_same,
-        |  size(graft_winnow('abcdefghijklmnop', 4, 3))     AS n_fp
+        |  size(graft_winnow('abcdefghijklmnop', 4, 3))     AS n_fp,
+        |  graft_jaro_winkler('martha', 'marhta')           AS jw,
+        |  graft_rake_topk('deep learning of deep nets', 2)[0].phrase AS kw
         |""".stripMargin).collect()(0)
     assert(row.getAs[Int]("n_grams") === 3)
     assert(row.getAs[Int]("n_cgrams") === 4)
     assert(row.getAs[Int]("sig_len") === 64)
     assert(row.getAs[Double]("cos_same") === 1.0)
     assert(row.getAs[Int]("n_fp") > 0)
+    assert(row.getAs[Double]("jw") === 0.9611111111111111)
+    assert(row.getAs[String]("kw") === "deep learning") // tie → phrase asc
   }
 
   test("graft_jaro_winkler: literature values, window/transposition/boost edges") {
