@@ -3500,6 +3500,28 @@ object SparkEntry {
         wh(s, dir).loadTable("documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** The q_blocklist pattern set: sorted, so ids match the DataFrame
+    * trainer's deterministic ordering; includes nested ('art' ⊂ 'part'),
+    * overlapping, and multi-word phrase patterns.
+    */
+  private val blocklistPats = Seq("art", "hash", "merge", "part", "row",
+    "scan", "slow scan", "spark", "table part", "windo")
+
+  /** Aho-Corasick blocklist tagging (SURVEY row 46j): every document
+    * scored against ALL patterns in ONE byte scan — total occurrences
+    * (overlapping + nested), distinct patterns, earliest match; the
+    * oracle replays the all-starts substring scan relationally
+    * ([[operators.TextAnalysis.blocklistTag]]).
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val model = operators.TextAnalysis.trainBlocklist(blocklistPats)
+    operators.TextAnalysis.blocklistTag(
+        wh(s, dir).loadTable("documents"), "text", model)
+      .select("doc_id", "block_hits", "block_distinct", "block_first_pos",
+        "block_first_pat", "blocked")
+      .orderBy("doc_id")
+  }
+
   /** Jaro-Winkler similarity scoring (SURVEY row 30g): adjacent-id doc
     * prefixes scored with the byte-level kernel whose operation order is
     * identical to DuckDB's builtin — so the oracle is a genuinely
@@ -4122,7 +4144,8 @@ object SparkEntry {
     "q_edit_join" -> (qEditJoin _),
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_jw_join" -> (qJwJoin _),
-    "q_keywords" -> (qKeywords _)
+    "q_keywords" -> (qKeywords _),
+    "q_blocklist" -> (qBlocklist _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6475,6 +6498,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_ppm
         |FROM rk WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // the Aho-Corasick match set replayed as the all-starts substring
+    // scan: every (position, pattern) occurrence — overlapping and
+    // nested both count — then per-doc totals, distinct patterns, and
+    // the earliest match (smallest pattern id on position ties)
+    "q_blocklist" ->
+      s"""WITH pats(pid, p) AS (VALUES ${blocklistPats.zipWithIndex
+          .map { case (p, i) => s"($i,'$p')" }.mkString(",")}),
+        |posn AS (
+        | SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+        | FROM documents),
+        |hits AS (
+        | SELECT s.doc_id, p.pid, s.pos
+        | FROM posn s JOIN pats p
+        |   ON substr(s.text, CAST(s.pos AS INT), CAST(length(p.p) AS INT)) = p.p),
+        |agg AS (SELECT doc_id, count(*) AS bh, count(DISTINCT pid) AS bd,
+        |        min(pos) AS fp FROM hits GROUP BY doc_id),
+        |fpat AS (SELECT h.doc_id, min(h.pid) AS fpt FROM hits h
+        |         JOIN agg a ON h.doc_id = a.doc_id AND h.pos = a.fp
+        |         GROUP BY h.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.bh, 0) AS BIGINT) AS block_hits,
+        |  CAST(coalesce(a.bd, 0) AS BIGINT) AS block_distinct,
+        |  CAST(a.fp AS BIGINT) AS block_first_pos,
+        |  CAST(f.fpt AS BIGINT) AS block_first_pat,
+        |  coalesce(a.bh, 0) > 0 AS blocked
+        |FROM documents d
+        |LEFT JOIN agg a USING (doc_id) LEFT JOIN fpat f ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the sorted-neighborhood blocking replayed: the same total
     // (string, id) rank, the same window offsets, scored with DuckDB's
     // OWN jaro_winkler_similarity — blocking AND metric independently

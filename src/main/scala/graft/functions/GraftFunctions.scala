@@ -259,6 +259,25 @@ object GraftFunctions {
   private val vecSetNames = new java.util.IdentityHashMap[VecSetModel, String]()
   private val vecSetCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Blocklist statistics `[total_hits, distinct, first_pos, first_pat]`
+    * under a trained Aho-Corasick [[AcModel]] — model-parameterized
+    * registration exactly like [[gramSetContains]].
+    */
+  def blocklistStats(spark: SparkSession, text: Column,
+      model: AcModel): Column = {
+    val name = acNames.synchronized {
+      acNames.computeIfAbsent(model,
+        _ => s"graft_blocklist_stats_${acCounter.incrementAndGet()}")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => BlocklistStats(args.head, model),
+      "scala_udf")
+    call_function(name, text)
+  }
+
+  private val acNames = new java.util.IdentityHashMap[AcModel, String]()
+  private val acCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Bloom gram membership under a trained [[GramBloomModel]] —
     * model-parameterized registration exactly like [[gramSetContains]].
     */

@@ -206,6 +206,122 @@ object LangLookup {
   }
 }
 
+/** Trained Aho-Corasick automaton over UTF-8 BYTES for multi-pattern
+  * blocklist tagging ([[graft.operators.TextAnalysis.blocklistTag]]):
+  * ALL patterns are matched in ONE scan of each document regardless of
+  * blocklist size — the per-pattern LIKE/instr formulation is
+  * O(|text|·|patterns|) and loses by the pattern count at 100 TB.
+  * CSR node storage (edges sorted by unsigned byte for binary search),
+  * BFS fail links, per-node exact-end pattern lists plus `outLink`
+  * (nearest fail-ancestor with ends) and `hitCum` (total patterns
+  * ending at the node INCLUDING the fail chain — the zero-check fast
+  * path: documents with no hits never walk an output chain). Blocklists
+  * are small by definition (bounded by the trainer), so the automaton
+  * rides to executors as one codegen reference object like
+  * [[GramSetModel]]. Byte-level matching equals code-point matching on
+  * valid UTF-8: a pattern's first byte is a lead byte, and lead bytes
+  * only occur at character boundaries.
+  */
+final class AcModel(
+    val edgeStart: Array[Int], val edgeByte: Array[Byte],
+    val edgeTo: Array[Int], val fail: Array[Int],
+    val endStart: Array[Int], val endPat: Array[Int],
+    val outLink: Array[Int], val hitCum: Array[Long],
+    val patByteLen: Array[Int]) extends Serializable {
+  def numPatterns: Int = patByteLen.length
+  def numNodes: Int = fail.length
+}
+
+object AcModel {
+  /** Build the automaton from distinct non-empty patterns (pattern id =
+    * position in `patterns`). Driver-side, O(total pattern bytes).
+    */
+  def build(patterns: Seq[String]): AcModel = {
+    require(patterns.nonEmpty, "AcModel: need at least one pattern")
+    require(patterns.distinct.length == patterns.length,
+      "AcModel: patterns must be distinct")
+    val pats = patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    pats.zipWithIndex.foreach { case (p, i) =>
+      require(p.nonEmpty, s"AcModel: pattern $i is empty") }
+    // trie with per-node sorted (unsigned byte -> child) maps
+    val children = scala.collection.mutable.ArrayBuffer(
+      new java.util.TreeMap[Int, Int]())
+    val endsAt = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    pats.zipWithIndex.foreach { case (p, pid) =>
+      var node = 0
+      p.foreach { b =>
+        val ub = b & 0xff
+        val nxt = children(node).getOrDefault(ub, -1)
+        node = if (nxt >= 0) nxt
+        else {
+          children += new java.util.TreeMap[Int, Int]()
+          endsAt += scala.collection.mutable.ArrayBuffer.empty[Int]
+          val id = children.length - 1
+          children(node).put(ub, id); id
+        }
+      }
+      endsAt(node) += pid
+    }
+    val n = children.length
+    // CSR edges
+    val edgeStart = new Array[Int](n + 1)
+    var e = 0
+    for (i <- 0 until n) { edgeStart(i) = e; e += children(i).size() }
+    edgeStart(n) = e
+    val edgeByte = new Array[Byte](e)
+    val edgeTo = new Array[Int](e)
+    for (i <- 0 until n) {
+      var j = edgeStart(i)
+      children(i).forEach { (ub, to) =>
+        edgeByte(j) = ub.toByte; edgeTo(j) = to; j += 1 }
+    }
+    // BFS fail links + outLink + hitCum
+    val fail = new Array[Int](n)
+    val outLink = Array.fill(n)(-1)
+    val hitCum = new Array[Long](n)
+    hitCum(0) = endsAt(0).length.toLong
+    val queue = new java.util.ArrayDeque[Int]()
+    children(0).forEach { (_, to) =>
+      fail(to) = 0
+      hitCum(to) = endsAt(to).length.toLong
+      outLink(to) = if (endsAt(0).nonEmpty) 0 else -1
+      queue.add(to)
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      children(u).forEach { (ub, v) =>
+        // follow u's fail chain for a ub-edge (u is never the root here,
+        // so the found node is always in another subtree, never v itself)
+        var f = fail(u)
+        var t = -1
+        var done = false
+        while (!done) {
+          val hit = children(f).getOrDefault(ub, -1)
+          if (hit >= 0) { t = hit; done = true }
+          else if (f == 0) done = true
+          else f = fail(f)
+        }
+        fail(v) = if (t >= 0) t else 0
+        hitCum(v) = endsAt(v).length.toLong + hitCum(fail(v))
+        outLink(v) =
+          if (endsAt(fail(v)).nonEmpty) fail(v) else outLink(fail(v))
+        queue.add(v)
+      }
+    }
+    // CSR exact-end pattern lists
+    val endStart = new Array[Int](n + 1)
+    var k = 0
+    for (i <- 0 until n) { endStart(i) = k; k += endsAt(i).length }
+    endStart(n) = k
+    val endPat = new Array[Int](k)
+    for (i <- 0 until n; (pid, j) <- endsAt(i).zipWithIndex)
+      endPat(endStart(i) + j) = pid
+    new AcModel(edgeStart, edgeByte, edgeTo, fail, endStart, endPat,
+      outLink, hitCum, pats.map(_.length).toArray)
+  }
+}
+
 object Kernels {
 
   /** FNV-1a 64-bit over UTF-8 bytes, strengthened with splitmix64. */
@@ -670,6 +786,20 @@ object Kernels {
     (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
   }
 
+  /** Largest e4-quantized component magnitude for which a d-term long
+    * dot/norm accumulation provably cannot wrap: min(10⁸, ⌊√(2⁶³−1)/d⌋).
+    * The 10⁸ cap (|x| ≤ 10⁴ pre-quantization) binds up to d ≈ 922;
+    * beyond that the dimension term takes over — the bound is shared by
+    * [[semanticHits]] and the model trainer so both sides of every dot
+    * product carry it, making every partial sum ≤ d·m² ≤ 2⁶³−1.
+    */
+  def maxSemanticCompE4(d: Int): Long = {
+    val cap = Long.MaxValue / math.max(d, 1).toLong
+    var m = math.min(100000000L, math.sqrt(cap.toDouble).toLong + 1L)
+    while (m * m > cap) m -= 1 // m ≤ 10⁸+1 so m·m itself cannot wrap
+    m
+  }
+
   /** Count of [[VecSetModel]] vectors whose QUANTIZED cosine with `vec`
     * clears tE3/1000 — the semantic-decontamination hit counter: dot
     * and squared norms over the e4-quantized longs, the threshold
@@ -678,20 +808,22 @@ object Kernels {
     * pass 2⁶³; DuckDB replays them in HUGEINT). Zero-norm sides never
     * hit (cosine defined 0); a model vector of different dimension
     * never hits. One scan per row, no shuffle, streaming-safe.
-    * Component magnitudes are asserted ≤ 10⁸ post-quantization so the
-    * long dot/norm accumulation cannot wrap (64 · 10¹⁶ < 2⁶³).
+    * Component magnitudes are asserted ≤ [[maxSemanticCompE4]] (the
+    * dimension-scaled bound) so the long dot/norm accumulation cannot
+    * wrap at ANY dimension — never-wrap-silently.
     */
   def semanticHits(vec: ArrayData, model: VecSetModel, tE3: Int): Int = {
     val d = vec.numElements()
+    val maxAbs = maxSemanticCompE4(d)
     val q = new Array[Long](d)
     var na = 0L
     var i = 0
     while (i < d) {
       val v = quantE4(vec.getFloat(i).toDouble)
-      if (math.abs(v) > 100000000L)
+      if (math.abs(v) > maxAbs)
         throw new ArithmeticException(
-          "semanticHits: |component| > 10^4 after e4 quantization — " +
-            "rescale the embeddings")
+          s"semanticHits: |component| > $maxAbs after e4 quantization " +
+            s"(dimension-scaled bound at d=$d) — rescale the embeddings")
       q(i) = v; na += v * v; i += 1
     }
     if (na == 0L) return 0
@@ -1744,5 +1876,89 @@ object Kernels {
     while (i < f.length) { m += model.weights(f(i)); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](f.length.toLong, m))
+  }
+
+  /** ALL-pattern blocklist statistics of one document under a trained
+    * [[AcModel]] in ONE byte scan:
+    * `[total_hits, distinct_patterns, first_pos, first_pat]` — every
+    * (position, pattern) occurrence counts (overlapping and nested
+    * included, exactly the all-starts substring scan an oracle
+    * replays); `first_pos` is the 1-based CODE-POINT position of the
+    * earliest match start (0 = no match; ties take the smallest
+    * pattern id into `first_pat`, −1 = none). The no-hit fast path is
+    * one `hitCum` load per byte — documents that never match walk no
+    * output chain and allocate nothing; the distinct bitset allocates
+    * lazily on the first hit only.
+    */
+  def blocklistStats(text: UTF8String, model: AcModel): ArrayData = {
+    val len = text.numBytes()
+    var st = 0
+    var total = 0L
+    var distinct = 0L
+    var seen: Array[Long] = null
+    var bestStart = Int.MaxValue
+    var bestPat = -1
+    var i = 0
+    while (i < len) {
+      val ub = text.getByte(i) & 0xff
+      // transition: follow fail links until an edge or the root
+      var s = st
+      var nxt = acEdge(model, s, ub)
+      while (nxt < 0 && s != 0) { s = model.fail(s); nxt = acEdge(model, s, ub) }
+      st = if (nxt >= 0) nxt else 0
+      if (model.hitCum(st) > 0L) {
+        if (seen == null) seen = new Array[Long]((model.numPatterns + 63) >> 6)
+        var cur =
+          if (model.endStart(st + 1) > model.endStart(st)) st
+          else model.outLink(st)
+        while (cur >= 0) {
+          var j = model.endStart(cur)
+          val jEnd = model.endStart(cur + 1)
+          while (j < jEnd) {
+            val pid = model.endPat(j)
+            total += 1L
+            if ((seen(pid >> 6) & (1L << (pid & 63))) == 0L) {
+              seen(pid >> 6) |= 1L << (pid & 63); distinct += 1L
+            }
+            val start = i - model.patByteLen(pid) + 1
+            if (start < bestStart || (start == bestStart && pid < bestPat)) {
+              bestStart = start; bestPat = pid
+            }
+            j += 1
+          }
+          cur = model.outLink(cur)
+        }
+      }
+      i += 1
+    }
+    val firstPos =
+      if (bestPat < 0) 0L
+      else {
+        // byte offset -> 1-based code-point position: count lead bytes
+        // strictly before the match start (bounded by the offset)
+        var chars = 0L
+        var b = 0
+        while (b < bestStart) {
+          if ((text.getByte(b) & 0xc0) != 0x80) chars += 1
+          b += 1
+        }
+        chars + 1L
+      }
+    new GenericArrayData(Array(total, distinct, firstPos,
+      if (bestPat < 0) -1L else bestPat.toLong))
+  }
+
+  /** Binary search for node `s`'s edge on unsigned byte `ub`; −1 = none. */
+  def acEdge(model: AcModel, s: Int, ub: Int): Int = {
+    var lo = model.edgeStart(s)
+    var hi = model.edgeStart(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mb = model.edgeByte(mid) & 0xff
+      if (mb == ub) return model.edgeTo(mid)
+      else if (mb < ub) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 }

@@ -571,6 +571,25 @@ case class SemanticHitCount(child: Expression, model: VecSetModel, tE3: Int)
   override def prettyName: String = "graft_semantic_hits"
 }
 
+/** All-pattern blocklist statistics under a trained Aho-Corasick
+  * [[AcModel]] — `[total_hits, distinct_patterns, first_pos, first_pat]`
+  * in ONE byte scan of the document ([[Kernels.blocklistStats]]); the
+  * automaton rides as a codegen reference object like [[GramSetContains]].
+  */
+case class BlocklistStats(child: Expression, model: AcModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.blocklistStats(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acModel", model, classOf[AcModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.blocklistStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BlocklistStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_blocklist_stats"
+}
+
 /** Bloom-filter gram membership probe under a trained [[GramBloomModel]] —
   * the same [[Kernels.anyGramIn]] scan as [[GramSetContains]] against the
   * approximate (no-false-negative) backend.

@@ -776,12 +776,14 @@ object Dedup {
         "block with Dedup.embeddingNearDup for corpus-sized eval sets")
     val qvecs = rows.map { r =>
       val v = r.getSeq[Float](0)
+      val maxAbs = graft.functions.Kernels.maxSemanticCompE4(v.length)
       val q = new Array[Long](v.length)
       var i = 0
       while (i < v.length) {
         q(i) = graft.functions.Kernels.quantE4(v(i).toDouble)
-        require(math.abs(q(i)) <= 100000000L,
-          "trainSemanticContaminationSet: |component| > 10^4 — rescale")
+        require(math.abs(q(i)) <= maxAbs,
+          s"trainSemanticContaminationSet: |component| > $maxAbs " +
+            s"(dimension-scaled bound at d=${v.length}) — rescale")
         i += 1
       }
       q

@@ -328,10 +328,18 @@ object EventAnalytics {
     val windowUs = windowSeconds * 1000000L
     val base = graft.streaming.Events.tsLtz(events)
       .withColumn("__us", unix_micros(col(tsCol)))
+    // NULL key/id/ts rows are dropped like every other verb's
+    // (k, us, vc) where-clause: a NULL conv_id would otherwise collect
+    // ALL null-id conversions into ONE window partition, mixing
+    // unrelated conversions' n_touches/first/last credits
     val conv = base.filter(col(typeCol) === convType)
+      .where(col(keyCol).isNotNull && col(idCol).isNotNull &&
+        col("__us").isNotNull)
       .select(col(keyCol).as("__k"), col(idCol).cast("long").as("conv_id"),
         col("__us").as("conv_us"))
     val touch = base.filter(col(typeCol).isin(touchTypes: _*))
+      .where(col(keyCol).isNotNull && col(idCol).isNotNull &&
+        col("__us").isNotNull)
       .select(col(keyCol).as("__k"), col(idCol).cast("long").as("touch_id"),
         col(typeCol).as("touch_type"), col("__us").as("touch_us"))
     // LEFT join: matched rows are (conversion, touch) credit pairs,
@@ -832,20 +840,30 @@ object EventAnalytics {
     require(horizon >= 1 && horizon <= 10000,
       s"holtWintersForecast: horizon must be in [1, 10000] (got $horizon)")
     val usPerSlot = slotSeconds * 1000000L
-    // h·b must not wrap silently (the rollingAnomaly rule): with
-    // horizon ≤ 10⁴, |b| ≤ 9·10¹⁴ keeps the extrapolation (and the two
-    // additions of long-sized terms) inside a long
+    // the WHOLE emitted sum must not wrap silently (the rollingAnomaly
+    // rule), not just h·b: with horizon ≤ 10⁴, |b| ≤ 9·10¹⁴ keeps the
+    // extrapolation ≤ 9·10¹⁸, and |l| ≤ 9·10¹⁴ ∧ |s[slot]| ≤ 9·10¹⁴ keep
+    // the three-term sum ≤ 9.0018·10¹⁸ < 2⁶³−1 — each addend is bounded,
+    // so no partial sum can wrap either
     store
       .withColumn("b_e6", expr(
         "IF(abs(b_e6) <= 900000000000000L, b_e6, " +
           "assert_true(false, 'holtWintersForecast: |trend| too large " +
           "for the horizon extrapolation — rescale'))").cast("long"))
+      .withColumn("l_e6", expr(
+        "IF(abs(l_e6) <= 900000000000000L, l_e6, " +
+          "assert_true(false, 'holtWintersForecast: |level| too large " +
+          "for the forecast sum — rescale'))").cast("long"))
       .withColumn("__base_slot", expr(s"(last_us div ${usPerSlot}L) % $slotModulus"))
       .withColumn("h", explode(sequence(lit(1L), lit(horizon.toLong))))
       .withColumn("slot", pmod(col("__base_slot") + col("h"), lit(slotModulus.toLong)))
+      .withColumn("__seas_v", expr(
+        "IF(abs(element_at(seas, CAST(slot + 1 AS int))) <= 900000000000000L, " +
+          "element_at(seas, CAST(slot + 1 AS int)), " +
+          "assert_true(false, 'holtWintersForecast: |seasonal| too large " +
+          "for the forecast sum — rescale'))").cast("long"))
       .withColumn("forecast_e6",
-        col("l_e6") + col("h") * col("b_e6") +
-          element_at(col("seas"), (col("slot") + 1).cast("int")))
+        col("l_e6") + col("h") * col("b_e6") + col("__seas_v"))
       .select("k", "h", "slot", "forecast_e6")
   }
 

@@ -1803,8 +1803,12 @@ object Relational {
     val neededOld = mixed.select(col("id_o").as("id")).distinct()
     val fetchedOld = persistIf(oldBase.join(broadcast(neededOld), Seq("id"))
       .select(col("id"), col("str")))
+    // no broadcast() hint on the fetched-history side: the candidate id
+    // set can approach full history on dense corpora (driver OOM risk —
+    // fuzzyJoinIncremental removed the same hint after a measured OOM at
+    // the 500k probe); AQE still broadcasts when it is actually small
     val mixedPairs = mixed
-      .join(broadcast(fetchedOld.select(col("id").as("id_o"), col("str").as("__so"))),
+      .join(fetchedOld.select(col("id").as("id_o"), col("str").as("__so")),
         "id_o")
       .join(newBase.select(col("id").as("id_n"), col("str").as("__sn")), "id_n")
       .withColumn("dist", levenshtein(col("__so"), col("__sn")).cast("long"))

@@ -942,4 +942,66 @@ object TextAnalysis {
         concat(scheme, lit("://"), host, path,
           when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
+
+  /** Train the Aho-Corasick blocklist automaton from a pattern table
+    * (driver-collected like [[trainDfModel]]'s vocab — blocklists are
+    * small by definition; `maxPatterns` guards against passing a
+    * corpus). Pattern id = 0-based position in the deterministic
+    * (pattern-string) sort order, so both engines derive identical ids.
+    * Matching is exact-byte (case-sensitive): compose with
+    * [[normalize]]/`lower` upstream for case-folded blocking.
+    */
+  def trainBlocklist(patterns: DataFrame, patternCol: String,
+      maxPatterns: Int = 100000): graft.functions.AcModel = {
+    val rows = patterns.select(col(patternCol))
+      .where(col(patternCol).isNotNull && col(patternCol) =!= "")
+      .distinct().limit(maxPatterns + 1).collect()
+    require(rows.length <= maxPatterns,
+      s"blocklist exceeds $maxPatterns patterns — not a blocklist; " +
+        "use Dedup.decontaminate for corpus-sized pattern sets")
+    val pats = rows.map(_.getString(0)).sorted.toSeq
+    graft.functions.AcModel.build(pats)
+  }
+
+  /** Seq convenience: ids follow the GIVEN order (no resort) — callers
+    * who number their patterns keep their numbering. */
+  def trainBlocklist(patterns: Seq[String]): graft.functions.AcModel =
+    graft.functions.AcModel.build(patterns)
+
+  /** BLOCKLIST multi-pattern tagging: every document scored against ALL
+    * patterns of a trained [[graft.functions.AcModel]] in ONE byte scan
+    * (Aho & Corasick, CACM 1975) — the bad-word / banned-phrase /
+    * PII-trigger filter of a training-data pipeline, where the naive
+    * per-pattern `LIKE` plan costs |patterns| scans and a regex
+    * alternation backtracks. Appends
+    *  - `block_hits`: total (position, pattern) occurrences —
+    *    overlapping and nested matches all count (the all-starts
+    *    substring scan an oracle replays relationally);
+    *  - `block_distinct`: distinct patterns that occur;
+    *  - `block_first_pos`: 1-based code-point position of the earliest
+    *    match start (NULL when clean);
+    *  - `block_first_pat`: pattern id at that position (smallest id on
+    *    ties; NULL when clean);
+    *  - `blocked`: block_hits > 0.
+    * NULL texts are clean (0 hits, false — the gram-form convention).
+    *
+    * 100 TB shape: the automaton rides as ONE codegen reference object;
+    * corpus cost is one map scan with an O(1) no-hit fast path per
+    * byte, no explode, no shuffle, no join — applies unchanged to
+    * STREAMING frames like [[graft.operators.Dedup.decontaminateMapSide]].
+    */
+  def blocklistTag(df: DataFrame, textCol: String,
+      model: graft.functions.AcModel): DataFrame = {
+    val stats = graft.functions.GraftFunctions.blocklistStats(
+      df.sparkSession, col(textCol), model)
+    df.withColumn("__bl", stats)
+      .withColumn("block_hits", coalesce(col("__bl").getItem(0), lit(0L)))
+      .withColumn("block_distinct", coalesce(col("__bl").getItem(1), lit(0L)))
+      .withColumn("block_first_pos",
+        when(col("__bl").getItem(2) > 0L, col("__bl").getItem(2)))
+      .withColumn("block_first_pat",
+        when(col("__bl").getItem(3) >= 0L, col("__bl").getItem(3)))
+      .withColumn("blocked", col("block_hits") > 0L)
+      .drop("__bl")
+  }
 }

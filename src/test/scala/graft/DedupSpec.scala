@@ -227,6 +227,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "every bench member self-matches")
   }
 
+  test("semanticHits: component bound scales with dimension — no silent wrap") {
+    import spark.implicits._
+    GraftFunctions.ensure(spark)
+    import graft.functions.Kernels.maxSemanticCompE4
+    // the bound is the largest m with d·m² ≤ 2⁶³−1, capped at 10⁸
+    assert(maxSemanticCompE4(1) === 100000000L)
+    assert(maxSemanticCompE4(64) === 100000000L)
+    assert(maxSemanticCompE4(922) === 100000000L, "the cap binds to d≈922")
+    val m1000 = maxSemanticCompE4(1000)
+    assert(m1000 < 100000000L, "beyond d≈922 the dimension term binds")
+    assert(m1000 * m1000 <= Long.MaxValue / 1000L &&
+      (m1000 + 1) * (m1000 + 1) > Long.MaxValue / 1000L, "tight")
+    // d=1000 at component 9999.0 passed the old flat 10⁸ check but the
+    // norm Σv² ≈ 9.998·10¹⁸ > 2⁶³−1 would have wrapped silently — the
+    // trainer and the kernel must both refuse it loudly now
+    val hot = Seq.fill(1000)(9999.0f)
+    val exTrain = intercept[IllegalArgumentException] {
+      Dedup.trainSemanticContaminationSet(
+        Seq((1L, hot)).toDF("vec_id", "embedding"), "embedding")
+    }
+    assert(exTrain.getMessage.contains("dimension-scaled"))
+    val okModel = Dedup.trainSemanticContaminationSet(
+      Seq((1L, Seq.fill(1000)(1.0f))).toDF("vec_id", "embedding"), "embedding")
+    val exScore = intercept[Exception] {
+      Dedup.decontaminateSemantic(
+        Seq((2L, hot)).toDF("vec_id", "embedding"), "embedding", okModel,
+        thresholdPermille = 800).collect()
+    }
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    assert(root(exScore).contains("dimension-scaled"))
+    // an in-bound high-dimension corpus still scores exactly: the
+    // identical 1000-dim vector hits at cosine 1
+    val got = Dedup.decontaminateSemantic(
+        Seq((3L, Seq.fill(1000)(1.0f))).toDF("vec_id", "embedding"),
+        "embedding", okModel, thresholdPermille = 999)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(got(3L) === true)
+  }
+
   test("incremental embedding near-dup probes the vector store, no old-old") {
     GraftFunctions.ensure(spark)
     import spark.implicits._

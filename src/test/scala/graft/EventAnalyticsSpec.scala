@@ -685,6 +685,38 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(fc.length === 3)
   }
 
+  test("holtWintersForecast: level and seasonal terms over the bound fail LOUDLY") {
+    import spark.implicits._
+    // |b| ≤ 9·10¹⁴ alone is not enough: with h·b near 9·10¹⁸ a level or
+    // seasonal term near 2⁶³ would wrap the emitted sum silently — each
+    // term is bounded so the three-term sum provably fits a long
+    def store(l: Long, b: Long, seas: Seq[Long]) = Seq(
+      (1L, l, b, seas, 4L, 1700000000000000L, 9L))
+      .toDF("k", "l_e6", "b_e6", "seas", "rn", "last_us", "last_id")
+    def msgOf(df: org.apache.spark.sql.DataFrame): String = {
+      val ex = intercept[Exception] { df.collect() }
+      def root(t: Throwable): String =
+        t.getMessage + Option(t.getCause).map(root).getOrElse("")
+      root(ex)
+    }
+    assert(msgOf(EventAnalytics.holtWintersForecast(
+        store(900000000000001L, 0L, Seq(0L, 0L)), 60, 2, 4))
+      .contains("|level| too large"))
+    assert(msgOf(EventAnalytics.holtWintersForecast(
+        store(0L, 0L, Seq(0L, 900000000000001L)), 60, 2, 4))
+      .contains("|seasonal| too large"))
+    assert(msgOf(EventAnalytics.holtWintersForecast(
+        store(0L, 900000000000001L, Seq(0L, 0L)), 60, 2, 4))
+      .contains("|trend| too large"))
+    // at the exact bounds the sum is ~9.0018·10¹⁸ < 2⁶³−1: emits fine
+    val ok = EventAnalytics.holtWintersForecast(
+        store(900000000000000L, 900000000000000L,
+          Seq(900000000000000L, 900000000000000L)), 60, 2, horizon = 10000)
+      .agg(max(abs(col("forecast_e6")))).collect()(0).getLong(0)
+    assert(ok === 900000000000000L + 10000L * 900000000000000L +
+      900000000000000L, "the extreme in-bound forecast is exact, no wrap")
+  }
+
   test("robustProfile/robustScore: profile scoring == self-score; cold key passes NULL") {
     val hist = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
       (i.toLong + 1, 1L, ts(i.toLong), v) }).toDF("eid", "uid", "ts", "v")
@@ -758,6 +790,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got((10L, Some(3L))) === ((3L, 333333L, false, false)))
     assert(got((10L, Some(4L))) === ((3L, 333333L, false, true)))
     assert(got((20L, None)) === ((0L, 1000000L, false, false)))
+  }
+
+  test("attribution: NULL key/id/ts rows are dropped, not pooled into one window") {
+    // two NULL-id conversions for DIFFERENT users — without the filter
+    // they share the conv_id=NULL window partition and n_touches/credits
+    // mix unrelated conversions; with it they simply disappear, and the
+    // non-null conversion is untouched. NULL-ts and NULL-key touches
+    // likewise never join.
+    val ev = Seq(
+      (Some(1L), Some(1L), Option(ts(9)), "view"),
+      (Some(10L), Some(1L), Option(ts(10)), "purchase"),
+      (None, Some(2L), Option(ts(10)), "purchase"),      // NULL conv id
+      (None, Some(3L), Option(ts(10)), "purchase"),      // NULL conv id
+      (Some(30L), Some(3L), Option(ts(10)), "purchase"), // NULL conv ts
+      (Some(31L), Some(3L), None, "purchase"),
+      (Some(2L), Some(1L), None, "view"),                // NULL touch ts
+      (Some(3L), None, Option(ts(9)), "view"))           // NULL touch key
+      .toDF("eid", "uid", "ts", "etype").withColumn("value", lit(1.0))
+    val got = EventAnalytics.attribution(ev, "uid", "ts", "eid", "etype",
+        "purchase", Seq("view", "click"), windowSeconds = 3600)
+      .collect()
+    val convIds = got.map(r => r.getLong(0)).toSet
+    assert(convIds === Set(10L, 30L),
+      "NULL-id and NULL-ts conversions are dropped; valid ones remain")
+    val u1 = got.filter(_.getLong(0) == 10L)
+    assert(u1.length === 1 && u1.head.getLong(6) === 1L,
+      "the NULL-ts/NULL-key touches never join: exactly one credited touch")
+    val u3 = got.filter(_.getLong(0) == 30L)
+    assert(u3.length === 1 && u3.head.getLong(6) === 0L &&
+      u3.head.getLong(7) === 1000000L, "user 3's valid conversion is direct")
   }
 
   test("attribution: same-ts touches elect first/last by event id") {

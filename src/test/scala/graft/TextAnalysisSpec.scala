@@ -873,4 +873,69 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // the 6 target-like docs win, in id order within the tied score
     assert(sel === Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
+
+  test("blocklistTag: overlapping/nested counts, firsts, NULLs, case") {
+    // patterns: 'ab'(0) ⊂ 'abab'(1); 'b'(2) overlaps both; 'xyz'(3) absent
+    val model = TextAnalysis.trainBlocklist(Seq("ab", "abab", "b", "xyz"))
+    val docs = Seq(
+      (1L, Some("ababab")),  // ab@1,3,5 abab@1,3 b@2,4,6 → 8 hits, 3 distinct
+      (2L, Some("zzz")),     // clean
+      (3L, None),            // NULL text: clean by convention
+      (4L, Some("AB")),      // case-sensitive: clean
+      (5L, Some("xxb")))     // single 'b' at char 3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistTag(docs, "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("block_hits"), r.getAs[Long]("block_distinct"),
+          Option(r.getAs[Any]("block_first_pos")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("block_first_pat")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("blocked")))).toMap
+    assert(got(1L) === ((8L, 3L, Some(1L), Some(0L), true)),
+      "all overlapping and nested occurrences count; pos tie → smallest id")
+    assert(got(2L) === ((0L, 0L, None, None, false)))
+    assert(got(3L) === ((0L, 0L, None, None, false)), "NULL text is clean")
+    assert(got(4L) === ((0L, 0L, None, None, false)), "exact-byte matching")
+    assert(got(5L) === ((1L, 1L, Some(3L), Some(2L), true)))
+    // first_pos counts CODE POINTS, not bytes: 'é' is 2 UTF-8 bytes
+    val utf = TextAnalysis.blocklistTag(
+        Seq((1L, "héllo héllo")).toDF("doc_id", "text"), "text",
+        TextAnalysis.trainBlocklist(Seq("él")))
+      .collect().head
+    assert(utf.getAs[Long]("block_hits") === 2L &&
+      utf.getAs[Long]("block_first_pos") === 2L,
+      "two matches; the first starts at code point 2")
+    // nested 'aa' in 'aaaa' → 3 overlapping starts
+    val aa = TextAnalysis.blocklistTag(
+        Seq((1L, "aaaa")).toDF("doc_id", "text"), "text",
+        TextAnalysis.trainBlocklist(Seq("aa"))).collect().head
+    assert(aa.getAs[Long]("block_hits") === 3L)
+    // a long suffix chain: pattern sharing forces fail-link traversal
+    val chain = TextAnalysis.blocklistTag(
+        Seq((1L, "mississippi")).toDF("doc_id", "text"), "text",
+        TextAnalysis.trainBlocklist(Seq("issi", "ssi", "si", "i", "ppi")))
+      .collect().head
+    // i@2,5,8,11(4) si@4,7(2) ssi@3,6(2) issi@2,5(2) ppi@9(1) = 11 hits
+    assert(chain.getAs[Long]("block_hits") === 11L &&
+      chain.getAs[Long]("block_distinct") === 5L &&
+      chain.getAs[Long]("block_first_pos") === 2L)
+  }
+
+  test("trainBlocklist: DataFrame trainer sorts/dedups; guards hold") {
+    val model = TextAnalysis.trainBlocklist(
+      Seq("zeta", "alpha", "zeta", "", "beta").toDF("p"), "p")
+    assert(model.numPatterns === 3, "dedup + empty drop")
+    // sorted ids: alpha=0, beta=1, zeta=2
+    val got = TextAnalysis.blocklistTag(
+        Seq((1L, "zeta then alpha")).toDF("doc_id", "text"), "text", model)
+      .collect().head
+    assert(got.getAs[Long]("block_first_pat") === 2L,
+      "first match is 'zeta' → sorted id 2")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBlocklist(Seq.empty[String])
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBlocklist(
+        Seq.tabulate(12)(i => s"p$i").toDF("p"), "p", maxPatterns = 10)
+    }
+  }
 }
