@@ -3307,6 +3307,18 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Changepoint localization (SURVEY row 50s): the single best
+    * level-shift split per key by exact integer between-segment SS —
+    * windows + one HUGEINT/DECIMAL(38) truncating division, replayed
+    * closed-form (no recursion)
+    * ([[operators.EventAnalytics.changepoint]]).
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.changepoint(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        minGainE6 = 100000000000000L)
+      .orderBy("user_id")
+
   /** EWMA smoothing + trend-deviation flag (SURVEY row 50j): α = 0.2
     * integer fixed-point level, $30 deviation alarm — the sequential
     * recurrence the oracle replays as one recursive CTE stepping a rank
@@ -4130,6 +4142,7 @@ object SparkEntry {
     "q_attribution" -> (qAttribution _),
     "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
     "q_cusum" -> (qCusum _),
+    "q_changepoint" -> (qChangepoint _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -6588,6 +6601,37 @@ object SparkEntry {
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the between-segment SS argmax replayed closed-form in HUGEINT:
+    // window prefix/total sums, one truncating // per candidate split,
+    // argmax by (gain DESC, rank) — no recursion needed
+    "q_changepoint" ->
+      """WITH base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, id, us, vc,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(sum(vc) OVER (PARTITION BY k ORDER BY us, id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
+        |       CAST(sum(vc) OVER (PARTITION BY k) AS BIGINT) AS s,
+        |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |       FROM base WINDOW w AS (PARTITION BY k ORDER BY us, id)),
+        |cand AS (SELECT k, id, us, rn, n, s1, s,
+        |         CAST(s1 AS HUGEINT) * (n - rn)
+        |           - CAST(s - s1 AS HUGEINT) * rn AS diff
+        |         FROM rk WHERE rn < n),
+        |g AS (SELECT k, id, us, rn, n, s1, s,
+        |      CAST((diff * diff * 1000000)
+        |        // (CAST(n AS HUGEINT) * rn * (n - rn)) AS BIGINT) AS gain_e6
+        |      FROM cand),
+        |best AS (SELECT *,
+        |         row_number() OVER (PARTITION BY k ORDER BY gain_e6 DESC, rn) AS pk
+        |         FROM g)
+        |SELECT k AS user_id, n, rn AS split_rn, id AS split_id, us AS split_us,
+        |       s1 AS s_left, CAST(s - s1 AS BIGINT) AS s_right, gain_e6,
+        |       gain_e6 >= 100000000000000 AS shifted
+        |FROM best WHERE pk = 1 ORDER BY user_id""".stripMargin,
     // the EWMA recurrence replayed as one recursive CTE: level held
     // ×10⁶, one truncating // per step (toward zero in both engines),
     // seed row unflagged, deviation judged against the PRIOR level

@@ -1415,4 +1415,85 @@ object EventAnalytics {
           .as("value_cents"),
         col("n_events").isNull.as("is_gap"))
   }
+
+  /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
+    * offline complement of [[cusum]]: CUSUM raises a sequential alarm
+    * WHILE a shift happens; this names the single most likely place a
+    * key's mean LEVEL shifted after the fact). For each key's
+    * (ts, id)-ordered value series, every split i ∈ [1, n) is scored by
+    * the between-segment sum of squares
+    *
+    *   gain(i) = (S₁·(n−i) − S₂·i)² / (n·i·(n−i))      (cents²)
+    *
+    * — the SSE reduction of a two-mean fit, maximized by the standard
+    * CUSUM-of-sums argmax — and the best split wins (ties → smallest i).
+    * Emitted ×10⁶ (`gain_e6`) so the flag threshold has sub-cent²
+    * resolution.
+    *
+    * ENGINE-EXACT INTEGER arithmetic throughout: prefix/total sums are
+    * long cents; the contrast, its square, and the scaled quotient are
+    * DECIMAL(38,0) in Spark and HUGEINT in DuckDB with ONE truncating
+    * division (both engines truncate toward zero; operands are
+    * non-negative, so floor = trunc) — every gain replays bit-exactly.
+    * Never-wrap-silently guards: n ≤ 10⁶ per key, |contrast| ≤ 9·10¹⁵
+    * (so the square fits 38 digits), and gain ≤ 9·10¹⁸ (so the final
+    * long conversion cannot wrap — Spark's decimal `div` wraps
+    * SILENTLY past 2⁶³, measured) — each violation raises, never
+    * truncates.
+    *
+    * Scale shape: two window passes over ONE (k) exchange + (us, id)
+    * in-partition sort (running sum + partition aggregates share the
+    * sort; the argmax rank re-sorts in place, no second shuffle), then
+    * a filter — no per-key buffering, no driver state, O(1) memory per
+    * row. Keys with a single event have no candidate split and are
+    * absent from the output.
+    *
+    * Returns (keyCol, n, split_rn, split_id, split_us, s_left, s_right,
+    * gain_e6, shifted).
+    */
+  def changepoint(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, minGainE6: Long): DataFrame = {
+    require(minGainE6 >= 0, s"minGainE6 must be >= 0 (got $minGainE6)")
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val byK = Window.partitionBy("k")
+    val ord = Window.partitionBy("k").orderBy("us", "id")
+    base
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("s1", sum("vc").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byK).cast("long"))
+      .withColumn("s", sum("vc").over(byK))
+      .where(col("rn") < col("n"))
+      .withColumn("n", expr(
+        "IF(n <= 1000000L, n, assert_true(false, " +
+          "'changepoint: per-key series exceeds 10^6 events — " +
+          "bucket upstream (resample) before localizing'))").cast("long"))
+      .withColumn("diff", expr(
+        "CAST(s1 AS DECIMAL(38,0)) * (n - rn) - " +
+          "CAST(s - s1 AS DECIMAL(38,0)) * rn"))
+      .withColumn("diff", expr(
+        "IF(abs(diff) <= CAST(9000000000000000 AS DECIMAL(38,0)), diff, " +
+          "assert_true(false, 'changepoint: |segment contrast| exceeds " +
+          "9*10^15 — rescale the values'))").cast("decimal(38,0)"))
+      .withColumn("num", expr("diff * diff * CAST(1000000 AS DECIMAL(38,0))"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * rn * (n - rn)"))
+      .withColumn("gain_e6", expr(
+        "IF(num <= CAST(9000000000000000000 AS DECIMAL(38,0)) * den, " +
+          "num div den, assert_true(false, " +
+          "'changepoint: gain exceeds bigint — rescale the values'))")
+        .cast("long"))
+      .withColumn("__pick", row_number().over(
+        Window.partitionBy("k").orderBy(col("gain_e6").desc, col("rn"))))
+      .where(col("__pick") === 1)
+      .select(col("k").as(keyCol), col("n"), col("rn").as("split_rn"),
+        col("id").as("split_id"), col("us").as("split_us"),
+        col("s1").as("s_left"), (col("s") - col("s1")).as("s_right"),
+        col("gain_e6"), (col("gain_e6") >= minGainE6).as("shifted"))
+  }
 }

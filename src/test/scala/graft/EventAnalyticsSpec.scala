@@ -834,6 +834,41 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((false, true)), "larger id at equal ts is last")
   }
 
+  test("changepoint: hand-exact argmax split, ties, guards, single-event keys") {
+    // key 1: level shift after rank 3 — vc [1000,1000,1000,2000,2000]
+    // gains: i=1: (1000*4-6000)^2*1e6/(5*1*4) = 2e11
+    //        i=2: (2000*3-5000*2)^2*1e6/30    = 533_333_333_333
+    //        i=3: (3000*2-4000*3)^2*1e6/30    = 1.2e12  ← max
+    //        i=4: (5000*1-2000*4)^2*1e6/20    = 4.5e11
+    // key 2: constant — all gains 0, tie → smallest rank
+    // key 3: single event — no candidate split, absent
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(1), 10.0), (3L, 1L, ts(2), 10.0),
+      (4L, 1L, ts(3), 20.0), (5L, 1L, ts(4), 20.0),
+      (10L, 2L, ts(0), 5.0), (11L, 2L, ts(1), 5.0), (12L, 2L, ts(2), 5.0),
+      (20L, 3L, ts(0), 7.0))
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.changepoint(ev, "uid", "ts", "eid", "v",
+        minGainE6 = 1000000000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    assert(got.keySet === Set(1L, 2L), "single-event keys have no split")
+    assert(got(1L) === ((5L, 3L, 3L, 3000L, 4000L, 1200000000000L, true)),
+      "argmax at the true shift; sums split exactly; flagged at 1e12")
+    assert(got(2L) === ((3L, 1L, 10L, 500L, 1000L, 0L, false)),
+      "constant series: zero gain everywhere, tie elects rank 1")
+    // |contrast| > 9e15 must raise loudly, never truncate
+    val hot = Seq((1L, 1L, ts(0), 9.5e13), (2L, 1L, ts(1), 0.0))
+      .toDF("eid", "uid", "ts", "v")
+    val ex = intercept[Exception] {
+      EventAnalytics.changepoint(hot, "uid", "ts", "eid", "v", 0L).collect()
+    }
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    assert(root(ex).contains("segment contrast"))
+  }
+
   test("rollingAnomaly: same-timestamp events order deterministically by id") {
     val ev = Seq( // all at one ts — frame order must be eid order
       (1L, 1L, ts(0), 1.0), (2L, 1L, ts(0), 1.0), (3L, 1L, ts(0), 1.0),
