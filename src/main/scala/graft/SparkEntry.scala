@@ -3512,6 +3512,33 @@ object SparkEntry {
         wh(s, dir).loadTable("documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** The American-Soundex replay, shared by the q_soundex and
+    * q_soundex_join oracles: over a relation `src(id, w)`, produces
+    * `sxt(id, w, sx)` — letters-only filter, digit classes, h/w
+    * transparency, adjacent-collapse, first-group drop, zero-pad.
+    * Exactly [[functions.Kernels.soundex]]'s contract, derived
+    * independently with DuckDB list lambdas.
+    */
+  private def soundexCte(src: String): String =
+    s"""lets AS (SELECT id, w, list_filter(list_transform(
+      |   generate_series(1, length(upper(w))),
+      |   i -> substr(upper(w), CAST(i AS INT), 1)),
+      |   c -> c BETWEEN 'A' AND 'Z') AS ls FROM $src),
+      |dig AS (SELECT id, w, ls, list_transform(ls, c -> CASE
+      |   WHEN c IN ('B','F','P','V') THEN 1
+      |   WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN 2
+      |   WHEN c IN ('D','T') THEN 3 WHEN c = 'L' THEN 4
+      |   WHEN c IN ('M','N') THEN 5 WHEN c = 'R' THEN 6
+      |   WHEN c IN ('H','W') THEN 9 ELSE 0 END) AS ds FROM lets),
+      |nohw AS (SELECT id, w, ls,
+      |   list_filter(ds, (d, i) -> i = 1 OR d != 9) AS ds FROM dig),
+      |coll AS (SELECT id, w, ls,
+      |   list_filter(ds, (d, i) -> i = 1 OR d != ds[i-1]) AS ds FROM nohw),
+      |sxt AS (SELECT id, w, CASE WHEN len(ls) = 0 THEN NULL ELSE
+      |   ls[1] || rpad(coalesce(list_aggregate(list_transform(
+      |     list_filter(ds[2:], d -> d != 0)[1:3], d -> CAST(d AS VARCHAR)),
+      |     'string_agg', ''), ''), 3, '0') END AS sx FROM coll)""".stripMargin
+
   /** The q_blocklist pattern set: sorted, so ids match the DataFrame
     * trainer's deterministic ordering; includes nested ('art' ⊂ 'part'),
     * overlapping, and multi-word phrase patterns.
@@ -3532,6 +3559,44 @@ object SparkEntry {
       .select("doc_id", "block_hits", "block_distinct", "block_first_pos",
         "block_first_pat", "blocked")
       .orderBy("doc_id")
+  }
+
+  /** Soundex phonetic coding (SURVEY row 30h): each doc's first token
+    * coded with the one-scan kernel; the oracle re-derives the code
+    * independently with DuckDB list lambdas
+    * ([[functions.Kernels.soundex]]).
+    */
+  private def qSoundex(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftFunctions.ensure(s)
+    wh(s, dir).loadTable("documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), expr("split_part(text, ' ', 1)").as("w"))
+      .withColumn("sx", functions.GraftFunctions.soundex(col("w")))
+      .orderBy("doc_id")
+  }
+
+  /** Soundex blocking join (SURVEY row 30h-join): distinct first tokens
+    * plus their vowel-corrupted variants (vowel substitutions never
+    * change a Soundex code — perfect recall by construction), verified
+    * with the Jaro-Winkler kernel; the oracle replays blocking with the
+    * independent list-lambda Soundex and scores with DuckDB's OWN
+    * jaro_winkler_similarity ([[operators.Relational.soundexJoin]]).
+    */
+  private def qSoundexJoin(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftFunctions.ensure(s)
+    val words = wh(s, dir).loadTable("documents")
+      .where(col("text").isNotNull)
+      .select(expr("split_part(text, ' ', 1)").as("w")).distinct()
+    val orig = words.select(
+      conv(substring(md5(concat(lit("o:"), col("w"))), 1, 15), 16, 10)
+        .cast("long").as("id"), col("w"))
+    val corr = words.select(
+      conv(substring(md5(concat(lit("c:"), col("w"))), 1, 15), 16, 10)
+        .cast("long").as("id"),
+      regexp_replace(col("w"), "[aeiou]", "o").as("w"))
+    operators.Relational.soundexJoin(orig.unionByName(corr), "id", "w",
+        minSimE6 = 800000L, maxBlock = 100000)
+      .orderBy("id_a", "id_b")
   }
 
   /** Jaro-Winkler similarity scoring (SURVEY row 30g): adjacent-id doc
@@ -4158,7 +4223,9 @@ object SparkEntry {
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_jw_join" -> (qJwJoin _),
     "q_keywords" -> (qKeywords _),
-    "q_blocklist" -> (qBlocklist _)
+    "q_blocklist" -> (qBlocklist _),
+    "q_soundex" -> (qSoundex _),
+    "q_soundex_join" -> (qSoundexJoin _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6539,6 +6606,36 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id) LEFT JOIN fpat f ON d.doc_id = f.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the Soundex code re-derived INDEPENDENTLY with list lambdas
+    "q_soundex" ->
+      s"""WITH src AS (
+        | SELECT doc_id AS id, split_part(text, ' ', 1) AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |${soundexCte("src")}
+        |SELECT id AS doc_id, w, sx FROM sxt ORDER BY doc_id""".stripMargin,
+    // blocking replayed with the independent Soundex; pairs scored with
+    // DuckDB's OWN jaro_winkler_similarity — blocking AND metric
+    // independently verified (the q_jw_join pattern)
+    "q_soundex_join" ->
+      s"""WITH words AS (
+        | SELECT DISTINCT split_part(text, ' ', 1) AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |src AS (
+        | SELECT CAST(('0x' || substr(md5('o:' || w), 1, 15)) AS BIGINT) AS id,
+        |        w
+        | FROM words
+        | UNION ALL
+        | SELECT CAST(('0x' || substr(md5('c:' || w), 1, 15)) AS BIGINT) AS id,
+        |        regexp_replace(w, '[aeiou]', 'o', 'g') AS w
+        | FROM words),
+        |${soundexCte("src")}
+        |SELECT a.id AS id_a, b.id AS id_b, a.sx,
+        |  CAST(round(jaro_winkler_similarity(a.w, b.w) * 1000000) AS BIGINT)
+        |    AS jw_e6
+        |FROM sxt a JOIN sxt b ON a.sx = b.sx AND a.id < b.id
+        |WHERE CAST(round(jaro_winkler_similarity(a.w, b.w) * 1000000) AS BIGINT)
+        |      >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
     // the sorted-neighborhood blocking replayed: the same total
     // (string, id) rank, the same window offsets, scored with DuckDB's
     // OWN jaro_winkler_similarity — blocking AND metric independently

@@ -67,6 +67,8 @@ object GraftFunctions {
         QualityCounts(args.head, LangIdHits.defaultStopwords("en"))),
     "graft_normalize" ->
       ((args: Seq[Expression]) => NormalizeText(args.head)),
+    "graft_soundex" ->
+      ((args: Seq[Expression]) => SoundexCode(args.head)),
     "graft_repetition_stats" ->
       ((args: Seq[Expression]) => RepetitionStats(args.head, intLit(args(1), "n"))),
     "graft_winnow" ->
@@ -148,6 +150,11 @@ object GraftFunctions {
   /** NFC + lowercase + whitespace-collapse canonical text, one scan. */
   def normalizeText(text: Column): Column =
     call_function("graft_normalize", text)
+
+  /** American Soundex phonetic code; NULL when no ASCII letters. */
+  def soundex(text: Column): Column =
+    org.apache.spark.sql.functions.nullif(
+      call_function("graft_soundex", text), lit(""))
 
   /** struct(n_words, n_distinct_words, n_grams, n_distinct_grams,
     * top_word, top_word_cnt, top_ngram, top_ngram_cnt), one scan.

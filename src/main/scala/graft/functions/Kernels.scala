@@ -1948,6 +1948,65 @@ object Kernels {
       if (bestPat < 0) -1L else bestPat.toLong))
   }
 
+  /** American Soundex code of a string — the classic phonetic blocking
+    * key for record linkage (same-sounding names share a code; vowel
+    * substitutions NEVER change it, so vowel-level misspellings block
+    * together by construction). One byte scan:
+    *  - only ASCII letters code (case-insensitive); everything else —
+    *    digits, punctuation, and every non-ASCII byte — is ignored,
+    *    exactly the `upper(c) BETWEEN 'A' AND 'Z'` filter of the
+    *    relational replay;
+    *  - first letter kept verbatim; b f p v→1, c g j k q s x z→2,
+    *    d t→3, l→4, m n→5, r→6; a e i o u y separate groups (code 0);
+    *    h w are transparent (adjacent same-code letters separated by
+    *    h/w still collapse — the Ashcraft→A261 rule);
+    *  - adjacent same-code letters collapse; the first letter's own
+    *    group never emits; 3 digits, zero-padded.
+    * Returns "" when the string has no ASCII letters (the expression
+    * layer turns that into NULL — kernels stay total).
+    */
+  def soundex(text: UTF8String): UTF8String = {
+    val len = text.numBytes()
+    var first = 0
+    var prev = -1
+    val digits = new Array[Byte](3)
+    var nOut = 0
+    var i = 0
+    while (i < len && nOut < 3) {
+      val b = text.getByte(i) & 0xff
+      val u = if (b >= 'a' && b <= 'z') b - 32 else b
+      if (u >= 'A' && u <= 'Z') {
+        val d = (u: @unchecked) match {
+          case 'B' | 'F' | 'P' | 'V' => 1
+          case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => 2
+          case 'D' | 'T' => 3
+          case 'L' => 4
+          case 'M' | 'N' => 5
+          case 'R' => 6
+          case 'H' | 'W' => 9
+          case _ => 0 // A E I O U Y
+        }
+        if (first == 0) { first = u; prev = d }
+        else if (d != 9 && d != prev) {
+          prev = d
+          if (d != 0) { digits(nOut) = ('0' + d).toByte; nOut += 1 }
+        }
+      }
+      i += 1
+    }
+    if (first == 0) UTF8String.EMPTY_UTF8
+    else {
+      val out = new Array[Byte](4)
+      out(0) = first.toByte
+      var j = 0
+      while (j < 3) {
+        out(j + 1) = if (j < nOut) digits(j) else '0'
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+  }
+
   /** Binary search for node `s`'s edge on unsigned byte `ub`; −1 = none. */
   def acEdge(model: AcModel, s: Int, ub: Int): Int = {
     var lo = model.edgeStart(s)

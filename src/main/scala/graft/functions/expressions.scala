@@ -330,6 +330,21 @@ case class NormalizeText(child: Expression)
   override def prettyName: String = "graft_normalize"
 }
 
+/** American Soundex phonetic code ([[Kernels.soundex]]) — "" when the
+  * string has no ASCII letters (the Column wrapper NULLs it).
+  */
+case class SoundexCode(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.soundex(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.soundex($c)")
+  override protected def withNewChildInternal(newChild: Expression): SoundexCode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_soundex"
+}
+
 /** BPE token count of a string column under a trained merge table → int.
   * The model rides along as a codegen reference object (like the langid
   * lookup) so the count stays a single static call in whole-stage codegen.

@@ -941,6 +941,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(expect.nonEmpty && expect.values.exists(_ > 0))
   }
 
+  test("soundexJoin: phonetic blocks, JW verification, hot-block cap") {
+    // Smith/Smyth (S530) and Robert/Rupert (R163) block together;
+    // Jackson (J250) is alone; Ashcraft/Ashcroft (A261) too
+    val df = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "robert"), (4L, "rupert"),
+      (5L, "jackson"), (6L, "ashcraft"), (7L, "ashcroft"), (8L, "123"))
+      .toDF("id", "w")
+    val got = Relational.soundexJoin(df, "id", "w", minSimE6 = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set((1L, 2L), (3L, 4L), (6L, 7L)),
+      "vowel-level variants pair; no-letter rows never block")
+    assert(got((1L, 2L))._1 === "S530")
+    assert(got.values.forall(_._2 >= 800000L), "every pair is verified")
+    // below-threshold same-code pairs are verified OUT: smith and sandy
+    // both code S530 but are not close in JW
+    val low = Relational.soundexJoin(
+      Seq((1L, "smith"), (2L, "sandy")).toDF("id", "w"), "id", "w",
+      minSimE6 = 800000L)
+    assert(low.count() === 0, "same block, low JW → verified out")
+    // hot-block cap: 5 identical-code rows with maxBlock=4 drop WHOLE
+    val hot = Seq.tabulate(5)(i => (i.toLong, "smith")) :+ ((100L, "rupert")) :+
+      ((101L, "robert"))
+    val capped = Relational.soundexJoin(hot.toDF("id", "w"), "id", "w",
+      minSimE6 = 800000L, maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "the oversize S530 block drops whole; the small block survives")
+  }
+
   test("editDistanceJoin: short strings pair through the bounded block") {
     // len < k+1 strings have no non-empty segments — the short block
     // must still find their partners (incl. short-long both id orders)

@@ -59,6 +59,33 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft_soundex: classic fixtures, h/w transparency, edge inputs") {
+    GraftFunctions.ensure(spark)
+    val cases = Seq(
+      ("Robert", "R163"), ("Rupert", "R163"),      // the canonical pair
+      ("Ashcraft", "A261"),                        // s-h-c collapses across h
+      ("Tymczak", "T522"), ("Pfister", "P236"),    // y separates; P,F collapse
+      ("Honeyman", "H555"),
+      ("HB", "H100"), ("WB", "W100"),              // leading h/w is kept
+      ("AEB", "A100"), ("BB", "B000"), ("BCB", "B210"),
+      ("o'brien", "O165"), ("McDonald", "M235"),   // non-letters ignored
+      ("lee", "L000"), ("a", "A000"), ("hw", "H000"),
+      ("Smith", "S530"), ("Smyth", "S530"))        // vowel-insensitive
+    val df = spark.createDataFrame(cases).toDF("w", "want")
+    df.selectExpr("nullif(graft_soundex(w), '') AS sx", "want", "w")
+      .collect().foreach { r =>
+        assert(r.getString(0) === r.getString(1), s"soundex(${r.getString(2)})")
+      }
+    // no ASCII letters → NULL through the Column wrapper; non-ASCII
+    // letters are non-letters (the upper(c) BETWEEN A AND Z filter)
+    val edge = spark.createDataFrame(
+        Seq(("123", 0), ("", 0), ("éé", 0), ("é1a", 0))).toDF("w", "x")
+      .select(graft.functions.GraftFunctions.soundex(
+        org.apache.spark.sql.functions.col("w")).as("sx"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(edge.toSeq === Seq(None, None, None, Some("A000")))
+  }
+
   test("graft_topk aggregates in SQL grouping") {
     GraftFunctions.ensure(spark)
     spark.range(100).createOrReplaceTempView("nums")
@@ -88,6 +115,7 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
       "graft_simhash_tf", "graft_cosine", "graft_jaro_winkler",
       "graft_rake_topk", "graft_hyperplane_lsh_multi",
       "graft_langid_hits", "graft_quality_counts", "graft_normalize",
+      "graft_soundex",
       "graft_repetition_stats", "graft_winnow", "graft_winnow_pos",
       "graft_extend_match", "graft_pq_adc_score", "graft_topk",
       "graft_heavy_hitters"))
