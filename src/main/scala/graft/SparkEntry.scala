@@ -3561,6 +3561,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Readability metrics (SURVEY row 46k): Flesch / FK-grade in exact
+    * integer fixed-point over pinned counting contracts — both engines
+    * replay words/sentence-runs/vowel-group syllables and the two
+    * truncating divisions bit-exactly
+    * ([[operators.TextAnalysis.readability]]).
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.readability(
+        wh(s, dir).loadTable("documents"), "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_e3", "fk_grade_e3")
+      .orderBy("doc_id")
+
   /** Soundex phonetic coding (SURVEY row 30h): each doc's first token
     * coded with the one-scan kernel; the oracle re-derives the code
     * independently with DuckDB list lambdas
@@ -4225,7 +4238,8 @@ object SparkEntry {
     "q_keywords" -> (qKeywords _),
     "q_blocklist" -> (qBlocklist _),
     "q_soundex" -> (qSoundex _),
-    "q_soundex_join" -> (qSoundexJoin _)
+    "q_soundex_join" -> (qSoundexJoin _),
+    "q_readability" -> (qReadability _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6606,6 +6620,31 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id) LEFT JOIN fpat f ON d.doc_id = f.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // words / sentence-runs / vowel-group syllables replayed with list
+    // lambdas; the two truncating divisions are positive-operand floor
+    // in both engines
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+        | list_filter(string_split(text, ' '), x -> x != '') AS w
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        | CASE WHEN text IS NULL THEN NULL
+        |      ELSE CAST(len(w) AS BIGINT) END AS n_words,
+        | CASE WHEN text IS NULL THEN NULL ELSE greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      END AS n_sentences,
+        | CASE WHEN text IS NULL THEN NULL ELSE
+        |      CAST(coalesce(list_sum(list_transform(w, x -> greatest(1,
+        |        len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT)
+        |      END AS n_syllables
+        | FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CASE WHEN n_words > 0 THEN 206835
+        |      - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words END AS flesch_e3,
+        | CASE WHEN n_words > 0 THEN (390 * n_words) // n_sentences
+        |      + (11800 * n_syllables) // n_words - 15590 END AS fk_grade_e3
+        |FROM m ORDER BY doc_id""".stripMargin,
     // the Soundex code re-derived INDEPENDENTLY with list lambdas
     "q_soundex" ->
       s"""WITH src AS (

@@ -943,6 +943,47 @@ object TextAnalysis {
           when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
+  /** READABILITY metrics in exact integer fixed-point — the
+    * quality-bucketing signal complementing [[quality]]'s ratios and
+    * [[lmFluency]]'s trained model: Flesch reading ease and
+    * Flesch-Kincaid grade level (×1000, one truncating division per
+    * term, positive operands so trunc = floor in every engine) over
+    * deterministic counting contracts any engine replays:
+    *  - n_words: non-empty single-space splits;
+    *  - n_sentences: max(1, maximal `[.!?]+` runs);
+    *  - n_syllables: Σ per word of max(1, maximal `[aeiouyAEIOUY]+`
+    *    runs) — the standard vowel-group heuristic, fully pinned (no
+    *    silent-e modeling: a DEFINED approximation beats an ambiguous
+    *    "better" one, the langId convention).
+    *
+    *   flesch_e3 = 206835 − (1015·W) div S − (84600·Y) div W
+    *   fk_grade_e3 = (390·W) div S + (11800·Y) div W − 15590
+    *
+    * NULL text → NULL metrics; zero-word text → counts with NULL
+    * scores. Pure codegen'd column expressions (regex + higher-order
+    * aggregate), one map scan, zero shuffle — streaming-safe.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = s"`$textCol`"
+    df.withColumn("__w", expr(s"filter(split($t, ' '), x -> x != '')"))
+      .withColumn("n_words",
+        when(col(textCol).isNotNull, size(col("__w")).cast("long")))
+      .withColumn("n_sentences",
+        when(col(textCol).isNotNull, greatest(lit(1L),
+          size(expr(s"regexp_extract_all($t, '[.!?]+', 0)")).cast("long"))))
+      .withColumn("n_syllables",
+        when(col(textCol).isNotNull, expr(
+          "aggregate(__w, 0L, (acc, x) -> acc + greatest(1L, " +
+            "CAST(size(regexp_extract_all(x, '[aeiouyAEIOUY]+', 0)) AS bigint)))")))
+      .withColumn("flesch_e3", when(col("n_words") > 0,
+        lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+          expr("(84600 * n_syllables) div n_words")))
+      .withColumn("fk_grade_e3", when(col("n_words") > 0,
+        expr("(390 * n_words) div n_sentences") +
+          expr("(11800 * n_syllables) div n_words") - lit(15590L)))
+      .drop("__w")
+  }
+
   /** Train the Aho-Corasick blocklist automaton from a pattern table
     * (driver-collected like [[trainDfModel]]'s vocab — blocklists are
     * small by definition; `maxPatterns` guards against passing a

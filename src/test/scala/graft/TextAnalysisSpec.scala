@@ -874,6 +874,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(sel === Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("readability: hand-exact fixed-point metrics, NULL/empty contracts") {
+    val docs = Seq(
+      (1L, Some("the cat sat. it was flat! or what?!")),
+      // W=8 (".","!","?!" → 3 runs... counted: '.','!','?!' = 3? see below)
+      (2L, Some("")), (3L, Some("   ")),      // zero words, scores NULL
+      (4L, Some("rhythm myth")),              // no vowels → 1 syllable each
+      (5L, None),                             // NULL text → NULL metrics
+      (6L, Some("a b c")),
+      (7L, Some("hello world. this is a test of readability metrics.")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text")
+      .collect().map(r => r.getLong(0) -> (
+        (Option(r.getAs[Any]("n_words")), Option(r.getAs[Any]("n_sentences")),
+         Option(r.getAs[Any]("n_syllables")), Option(r.getAs[Any]("flesch_e3")),
+         Option(r.getAs[Any]("fk_grade_e3"))))).toMap
+    // independently computed with the python/DuckDB reference:
+    assert(got(1L) === ((Some(8L), Some(3L), Some(8L), Some(119529L),
+      Some(-2750L))))
+    assert(got(2L) === ((Some(0L), Some(1L), Some(0L), None, None)))
+    assert(got(3L) === ((Some(0L), Some(1L), Some(0L), None, None)))
+    assert(got(4L) === ((Some(2L), Some(1L), Some(2L), Some(120205L),
+      Some(-3010L))), "vowel-less words still count one syllable")
+    assert(got(5L) === ((None, None, None, None, None)))
+    assert(got(6L) === ((Some(3L), Some(1L), Some(3L), Some(119190L),
+      Some(-2620L))))
+    assert(got(7L) === ((Some(9L), Some(2L), Some(15L), Some(61268L),
+      Some(5831L))), "multi-sentence doc: both divisions exercised")
+  }
+
   test("blocklistTag: overlapping/nested counts, firsts, NULLs, case") {
     // patterns: 'ab'(0) ⊂ 'abab'(1); 'b'(2) overlaps both; 'xyz'(3) absent
     val model = TextAnalysis.trainBlocklist(Seq("ab", "abab", "b", "xyz"))
