@@ -3307,6 +3307,17 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Autocorrelation + dominant period (SURVEY row 50t): integer-exact
+    * sample ACF at lags 1..12 via the n·x−S mean-clearing, one
+    * truncating division per lag, argmax dominant
+    * ([[operators.EventAnalytics.autocorrelation]]).
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.autocorrelation(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+        maxLag = 12)
+      .orderBy("user_id", "lag")
+
   /** Changepoint localization (SURVEY row 50s): the single best
     * level-shift split per key by exact integer between-segment SS —
     * windows + one HUGEINT/DECIMAL(38) truncating division, replayed
@@ -4221,6 +4232,7 @@ object SparkEntry {
     "q_bpe_model_roundtrip" -> (qBpeModelRoundtrip _),
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
+    "q_acf" -> (qAcf _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -6737,6 +6749,40 @@ object SparkEntry {
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the mean-cleared integer ACF replayed closed-form in HUGEINT:
+    // y = n*x - S per row, lag pairs by an offset equi-join, one
+    // truncating // per lag, argmax by (acf DESC NULLS LAST, lag)
+    "q_acf" ->
+      """WITH base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, id, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
+        |         AS BIGINT) AS rn,
+        |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |       CAST(sum(vc) OVER (PARTITION BY k) AS BIGINT) AS s
+        |       FROM base),
+        |y AS (SELECT k, rn,
+        |      CAST(n AS HUGEINT) * vc - CAST(s AS HUGEINT) AS y FROM rk),
+        |den AS (SELECT k, sum(y * y) AS den FROM y GROUP BY k),
+        |num AS (SELECT a.k, l.lag, sum(a.y * b.y) AS num,
+        |        count(*) AS n_pairs
+        |        FROM y a,
+        |             (SELECT unnest(generate_series(1, 12)) AS lag) l,
+        |             y b
+        |        WHERE b.k = a.k AND b.rn = a.rn + l.lag
+        |        GROUP BY a.k, l.lag),
+        |acf AS (SELECT g.k, g.lag, g.n_pairs,
+        |        CASE WHEN d.den > 0 THEN
+        |          CAST((g.num * 1000000) // d.den AS BIGINT) END AS acf_e6
+        |        FROM num g JOIN den d USING (k)),
+        |pk AS (SELECT *, row_number() OVER (PARTITION BY k
+        |       ORDER BY acf_e6 DESC NULLS LAST, lag) AS pk FROM acf)
+        |SELECT k AS user_id, CAST(lag AS BIGINT) AS lag, n_pairs, acf_e6,
+        |       (pk = 1 AND acf_e6 IS NOT NULL) AS is_dominant
+        |FROM pk ORDER BY user_id, lag""".stripMargin,
     // the between-segment SS argmax replayed closed-form in HUGEINT:
     // window prefix/total sums, one truncating // per candidate split,
     // argmax by (gain DESC, rank) — no recursion needed

@@ -1451,6 +1451,82 @@ object EventAnalytics {
     * Returns (keyCol, n, split_rn, split_id, split_us, s_left, s_right,
     * gain_e6, shifted).
     */
+  /** AUTOCORRELATION + dominant-period detection: the sample ACF of
+    * each key's (ts, id)-ordered value series at every lag ℓ ∈
+    * [1, maxLag], plus the argmax lag — the "does this metric repeat,
+    * and with what period" question behind [[seasonalProfile]]'s slot
+    * choice and [[holtWinters]]' slotModulus (measure the period FIRST,
+    * then configure the seasonal verbs with it).
+    *
+    * ENGINE-EXACT INTEGER throughout — the mean-centered ACF is made
+    * integral by clearing the rational mean x̄ = S/n through y_t =
+    * n·x_t − S (so Σ(x_t−x̄)(x_{t+ℓ}−x̄) ∝ Σ y_t·y_{t+ℓ} with the SAME
+    * n² factor in numerator and denominator):
+    *
+    *   acf_e6(ℓ) = (10⁶ · Σ_{t≤n−ℓ} y_t·y_{t+ℓ}) div (Σ_t y_t²)
+    *
+    * in DECIMAL(38,0) / HUGEINT with ONE truncating division (toward
+    * zero in both engines, pinned by a negative-lag-1 spec row);
+    * Cauchy-Schwarz bounds |acf_e6| ≤ 10⁶ so the final long conversion
+    * can never wrap. Constant series (zero denominator) emit NULL acf
+    * and no dominant lag. Never-wrap guards: n ≤ 10⁵ per key and
+    * |y| ≤ 3·10¹² — loud, never silent.
+    *
+    * Scale shape: one (k) window pass for rank/sums, one bounded
+    * explode (maxLag rows per event), ONE equi-join shuffle on
+    * (k, rank+lag), then grouped sums — no per-key buffering, no
+    * recursion, no driver state.
+    *
+    * Returns (keyCol, lag, n_pairs, acf_e6, is_dominant) — one row per
+    * (key, lag ≤ n−1).
+    */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"autocorrelation: maxLag must be in [1, 10000] (got $maxLag)")
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val byK = Window.partitionBy("k")
+    val ord = Window.partitionBy("k").orderBy("us", "id")
+    val y = base
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(byK).cast("long"))
+      .withColumn("s", sum("vc").over(byK))
+      .withColumn("n", expr(
+        "IF(n <= 100000L, n, assert_true(false, " +
+          "'autocorrelation: per-key series exceeds 10^5 events — " +
+          "bucket upstream (resample) before measuring'))").cast("long"))
+      .withColumn("y", expr(
+        "CAST(n AS DECIMAL(38,0)) * vc - CAST(s AS DECIMAL(38,0))"))
+      .withColumn("y", expr(
+        "IF(abs(y) <= CAST(3000000000000 AS DECIMAL(38,0)), y, " +
+          "assert_true(false, 'autocorrelation: |n*x - S| exceeds " +
+          "3*10^12 — rescale the values'))").cast("decimal(38,0)"))
+      .select("k", "rn", "y")
+    val den = y.groupBy("k")
+      .agg(expr("sum(y * y)").as("den"), max("rn").as("__n"))
+    val num = y
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("rn2", col("rn") + col("lag"))
+      .join(y.select(col("k"), col("rn").as("rn2"), col("y").as("y2")),
+        Seq("k", "rn2"))
+      .groupBy("k", "lag")
+      .agg(expr("sum(y * y2)").as("num"), count(lit(1)).as("n_pairs"))
+    num.join(den, Seq("k"))
+      .withColumn("acf_e6", expr(
+        "CASE WHEN den > 0 THEN " +
+          "(num * CAST(1000000 AS DECIMAL(38,0))) div den END").cast("long"))
+      .withColumn("__pick", row_number().over(Window.partitionBy("k")
+        .orderBy(col("acf_e6").desc_nulls_last, col("lag"))))
+      .select(col("k").as(keyCol), col("lag"), col("n_pairs"),
+        col("acf_e6"),
+        (col("__pick") === 1 && col("acf_e6").isNotNull).as("is_dominant"))
+  }
+
   def changepoint(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, minGainE6: Long): DataFrame = {
     require(minGainE6 >= 0, s"minGainE6 must be >= 0 (got $minGainE6)")

@@ -834,6 +834,31 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((false, true)), "larger id at equal ts is last")
   }
 
+  test("autocorrelation: hand-exact ACF, negative truncation, dominant lag") {
+    // key 1: strict alternation 10,20,... — y = n*x - S = ±3000;
+    // den = 6*9e6 = 5.4e7; acf(1) = -45/54 → trunc -833333 (floor would
+    // be -833334: the toward-zero pin); acf(2) = +666666 dominant
+    val ev = (0 until 6).map(i =>
+      (i.toLong + 1, 1L, ts(i.toLong), if (i % 2 == 0) 10.0 else 20.0)) ++
+      Seq((10L, 2L, ts(0), 5.0), (11L, 2L, ts(1), 5.0), (12L, 2L, ts(2), 5.0))
+    val got = EventAnalytics.autocorrelation(
+        ev.toDF("eid", "uid", "ts", "v"), "uid", "ts", "eid", "v", maxLag = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4)))).toMap
+    assert(got.keySet.filter(_._1 == 1L).map(_._2) === Set(1L, 2L, 3L, 4L, 5L),
+      "only lags <= n-1 emit")
+    assert(got((1L, 1L)) === ((5L, Some(-833333L), false)),
+      "negative quotient truncates toward zero")
+    assert(got((1L, 2L)) === ((4L, Some(666666L), true)), "dominant period 2")
+    assert(got((1L, 3L)) === ((3L, Some(-500000L), false)))
+    assert(got((1L, 4L)) === ((2L, Some(333333L), false)))
+    assert(got((1L, 5L)) === ((1L, Some(-166666L), false)))
+    assert(got((2L, 1L)) === ((2L, None, false)) &&
+      got((2L, 2L)) === ((1L, None, false)),
+      "constant series: zero denominator → NULL acf, no dominant lag")
+  }
+
   test("changepoint: hand-exact argmax split, ties, guards, single-event keys") {
     // key 1: level shift after rank 3 — vc [1000,1000,1000,2000,2000]
     // gains: i=1: (1000*4-6000)^2*1e6/(5*1*4) = 2e11
