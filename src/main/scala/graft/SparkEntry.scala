@@ -3307,6 +3307,15 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** Per-key OLS trend fit (SURVEY row 50u): slope/intercept over event
+    * rank in exact integer arithmetic — grouped HUGEINT sums, two
+    * truncating divisions ([[operators.EventAnalytics.trendFit]]).
+    */
+  private def qTrend(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.trendFit(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
+
   /** Autocorrelation + dominant period (SURVEY row 50t): integer-exact
     * sample ACF at lags 1..12 via the n·x−S mean-clearing, one
     * truncating division per lag, argmax dominant
@@ -4233,6 +4242,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
     "q_acf" -> (qAcf _),
+    "q_trend" -> (qTrend _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -6749,6 +6759,34 @@ object SparkEntry {
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the OLS normal equations replayed closed-form in HUGEINT over the
+    // same rank regressor; two truncating // divisions
+    "q_trend" ->
+      """WITH base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
+        |         AS BIGINT) AS x FROM base),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(vc) AS BIGINT) AS sum_cents,
+        |      CAST(sum(x) AS BIGINT) AS sx,
+        |      sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |      sum(CAST(x AS HUGEINT) * vc) AS sxy
+        |      FROM rk GROUP BY k),
+        |f AS (SELECT k, n, sum_cents,
+        |      CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |      CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sum_cents AS num_s,
+        |      CAST(sum_cents AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS num_i
+        |      FROM a)
+        |SELECT k AS user_id, n, sum_cents,
+        |  CASE WHEN den > 0 THEN CAST((num_s * 1000000) // den AS BIGINT)
+        |  END AS slope_e6,
+        |  CASE WHEN den > 0 THEN CAST((num_i * 1000000) // den AS BIGINT)
+        |  END AS intercept_e6
+        |FROM f ORDER BY user_id""".stripMargin,
     // the mean-cleared integer ACF replayed closed-form in HUGEINT:
     // y = n*x - S per row, lag pairs by an offset equi-join, one
     // truncating // per lag, argmax by (acf DESC NULLS LAST, lag)

@@ -1416,6 +1416,75 @@ object EventAnalytics {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** PER-KEY LINEAR TREND (exact-integer OLS over event rank): the
+    * "is this metric drifting, and how fast" verb between [[ewma]]'s
+    * smoothing and [[changepoint]]'s localization — one closed-form fit
+    * per key of vc ~ slope·rank + intercept, with rank the (ts, id)
+    * total order (rank regressors are unit-spaced, so the fit is
+    * time-scale-free and gap-robust; resample first for wall-clock
+    * slopes):
+    *
+    *   slope_e6     = 10⁶·(n·Σxy − Σx·Σy)  div  (n·Σx² − (Σx)²)
+    *   intercept_e6 = 10⁶·(Σy·Σx² − Σx·Σxy) div (n·Σx² − (Σx)²)
+    *
+    * all sums integer (x = rank, y = cents), the two divisions
+    * truncating toward zero in every engine, DECIMAL(38,0)/HUGEINT
+    * intermediates. Never-wrap guards: n ≤ 10⁵ (the n⁴-scale
+    * denominator must keep the wrap-guard product inside 38 digits)
+    * and the final long conversions guarded against wrapping (the
+    * [[changepoint]] rule).
+    * Keys with one event have a degenerate regressor (zero variance)
+    * and emit NULL slope/intercept.
+    *
+    * Scale shape: ONE window pass for ranks + ONE groupBy — two
+    * aggregations over the same key exchange, no joins, no recursion.
+    *
+    * Returns (keyCol, n, sum_cents, slope_e6, intercept_e6).
+    */
+  def trendFit(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val ord = Window.partitionBy("k").orderBy("us", "id")
+    base
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"),
+        sum(col("x")).as("sx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("sxx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * vc)").as("sxy"))
+      .withColumn("n", expr(
+        // n^4-scale denominator: 9*10^18 * den must stay inside 38
+        // digits for the wrap guard itself to stay exact → n ≤ 10^5
+        "IF(n <= 100000L, n, assert_true(false, " +
+          "'trendFit: per-key series exceeds 10^5 events — " +
+          "bucket upstream (resample) before fitting'))").cast("long"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("num_s", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sum_cents"))
+      .withColumn("num_i", expr(
+        "CAST(sum_cents AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN den > 0 THEN IF(abs(num_s) * 1000000 <= " +
+          "CAST(9000000000000000000 AS DECIMAL(38,0)) * den, " +
+          "(num_s * 1000000) div den, assert_true(false, " +
+          "'trendFit: slope exceeds bigint — rescale the values')) END")
+        .cast("long"))
+      .withColumn("intercept_e6", expr(
+        "CASE WHEN den > 0 THEN IF(abs(num_i) * 1000000 <= " +
+          "CAST(9000000000000000000 AS DECIMAL(38,0)) * den, " +
+          "(num_i * 1000000) div den, assert_true(false, " +
+          "'trendFit: intercept exceeds bigint — rescale the values')) END")
+        .cast("long"))
+      .select(col("k").as(keyCol), col("n"), col("sum_cents"),
+        col("slope_e6"), col("intercept_e6"))
+  }
+
   /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
     * offline complement of [[cusum]]: CUSUM raises a sequential alarm
     * WHILE a shift happens; this names the single most likely place a

@@ -834,6 +834,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((false, true)), "larger id at equal ts is last")
   }
 
+  test("trendFit: hand-exact OLS, negative truncation, degenerate keys") {
+    // key 1: perfect line 10,20,30 → slope 1000 cents/step, intercept 0
+    // key 2: single event → NULL fit
+    // key 3: vc [1,0,100] → slope_e6 = 297e6/6 = 49500000 exact;
+    //        intercept_e6 = -392e6/6 → trunc -65333333 (floor -65333334)
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(1), 20.0), (3L, 1L, ts(2), 30.0),
+      (10L, 2L, ts(0), 7.0),
+      (20L, 3L, ts(0), 0.01), (21L, 3L, ts(1), 0.0), (22L, 3L, ts(2), 1.0))
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.trendFit(ev, "uid", "ts", "eid", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === ((3L, 6000L, Some(1000000000L), Some(0L))))
+    assert(got(2L) === ((1L, 700L, None, None)),
+      "degenerate regressor → NULL fit, counts kept")
+    assert(got(3L) === ((3L, 101L, Some(49500000L), Some(-65333333L))),
+      "negative intercept quotient truncates toward zero")
+  }
+
   test("autocorrelation: hand-exact ACF, negative truncation, dominant lag") {
     // key 1: strict alternation 10,20,... — y = n*x - S = ±3000;
     // den = 6*9e6 = 5.4e7; acf(1) = -45/54 → trunc -833333 (floor would
