@@ -3581,6 +3581,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact phrase search (SURVEY row 60f): positional-inverted-index
+    * intersection for "slow scan" as an ADJACENT pair — postings pruned
+    * to the phrase's words map-side, one (doc, anchor) exchange; the
+    * oracle replays the token-position contract with a list walk
+    * ([[operators.Retrieval.phraseSearch]]).
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.phraseSearch(
+        wh(s, dir).loadTable("documents"), "doc_id", "text", "table part")
+      .orderBy("doc_id")
+
   /** Readability metrics (SURVEY row 46k): Flesch / FK-grade in exact
     * integer fixed-point over pinned counting contracts — both engines
     * replay words/sentence-runs/vowel-group syllables and the two
@@ -4261,7 +4272,8 @@ object SparkEntry {
     "q_blocklist" -> (qBlocklist _),
     "q_soundex" -> (qSoundex _),
     "q_soundex_join" -> (qSoundexJoin _),
-    "q_readability" -> (qReadability _)
+    "q_readability" -> (qReadability _),
+    "q_phrase_search" -> (qPhraseSearch _)
   )
 
   /** The seasonal slot-profile replay — shared verbatim by `q_seasonal`
@@ -6642,6 +6654,19 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id) LEFT JOIN fpat f ON d.doc_id = f.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the positional-intersection phrase match replayed as a token-list
+    // walk: anchors where toks[p] = w1 AND toks[p+1] = w2
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        | list_filter(string_split(text, ' '), x -> x != '') AS toks
+        | FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |posn AS (SELECT doc_id, toks,
+        | unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS p FROM t),
+        |m AS (SELECT doc_id, p FROM posn
+        |      WHERE toks[p] = 'table' AND toks[p+1] = 'part')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |       CAST(min(p) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // words / sentence-runs / vowel-group syllables replayed with list
     // lambdas; the two truncating divisions are positive-operand floor
     // in both engines

@@ -269,4 +269,51 @@ object Retrieval {
       .select(col("__q").as(qCol), col("n_rel"), col("hits_k"),
         col("recall_ppm"), col("rr_ppm"), col("dcg_e6"), col("ndcg_ppm"))
   }
+
+  /** EXACT PHRASE SEARCH over the positional inverted index — the
+    * token-adjacency query [[bm25TopK]]'s bag-of-words scoring cannot
+    * express ("slow scan" as a phrase, not two terms). Positional
+    * intersection (the classic IR formulation): tokenize ONCE into
+    * postings (word, doc, pos) over the engine-wide non-empty
+    * space-token contract, keep only postings of the phrase's words
+    * (a broadcast semi-filter — the corpus-scale win: every non-phrase
+    * token drops BEFORE the shuffle), anchor each slot-i posting at
+    * pos − i, and a doc position matches when ALL k slots land on one
+    * anchor (count of distinct slots = k; repeated phrase words fill
+    * their several slots independently). Overlapping matches count —
+    * "a a" occurs twice in "a a a".
+    *
+    * Scale shape: one tokenize scan, postings filtered to the phrase's
+    * ≤ k words map-side, ONE (doc, anchor) exchange, two groupBys on
+    * the same key prefix. No regex over text, no cross join, no
+    * full-postings shuffle.
+    *
+    * Returns (idCol, n_matches, first_pos) — docs with ≥ 1 match,
+    * positions 1-based over non-empty tokens.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val pts = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(pts.nonEmpty, "phraseSearch: phrase has no tokens")
+    val spark = docs.sparkSession
+    val k = pts.length
+    val slots = spark.createDataFrame(pts.zipWithIndex.map {
+      case (w, i) => (w, i.toLong) }).toDF("w", "slot")
+    val postings = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(expr(s"filter(split(`$textCol`, ' '), x -> x != '')"))
+          .as(Seq("__p0", "w")))
+      .where(col("w").isin(pts.distinct: _*)) // map-side prune pre-shuffle
+      .select(col("__doc"), (col("__p0") + 1L).as("pos"), col("w"))
+    postings.join(broadcast(slots), "w")
+      .withColumn("anchor", col("pos") - col("slot"))
+      .where(col("anchor") >= 1L)
+      .groupBy("__doc", "anchor")
+      .agg(countDistinct(col("slot")).as("__nslots"))
+      .where(col("__nslots") === k.toLong)
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+      .select(col("__doc").as(idCol), col("n_matches"), col("first_pos"))
+  }
 }

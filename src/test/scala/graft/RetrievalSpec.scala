@@ -297,4 +297,33 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       Retrieval.retrievalMetrics(results, qrels, "q", "d", "rank", k = 0)
     }
   }
+
+  test("phraseSearch: positional intersection, overlaps, repeated words") {
+    val docs = Seq(
+      (1L, Some("the slow scan hit the slow scan again")), // 2 matches
+      (2L, Some("slow and scan but never adjacent")),      // terms, no phrase
+      (3L, Some("scan slow")),                             // wrong order
+      (4L, Some("slow scan")),                             // exact at pos 1
+      (5L, Some("  slow   scan  ")),                       // empty tokens skip
+      (6L, None), (7L, Some("nothing here")))
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", "slow scan")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 4L, 5L))
+    assert(got(1L) === ((2L, 2L)), "both occurrences count; first at pos 2")
+    assert(got(4L) === ((1L, 1L)))
+    assert(got(5L) === ((1L, 1L)), "positions number non-empty tokens")
+    // overlapping matches of a repeated-word phrase: 'a a' in 'a a a'
+    val rep = Retrieval.phraseSearch(
+        Seq((1L, "a a a")).toDF("doc_id", "text"), "doc_id", "text", "a a")
+      .collect().head
+    assert((rep.getLong(1), rep.getLong(2)) === ((2L, 1L)),
+      "anchors 1 and 2 both match — repeated slots fill independently")
+    // a 3-token phrase with a repeated word
+    val tri = Retrieval.phraseSearch(
+        Seq((1L, "x a b a y a b a")).toDF("doc_id", "text"),
+        "doc_id", "text", "a b a")
+      .collect().head
+    assert((tri.getLong(1), tri.getLong(2)) === ((2L, 2L)))
+  }
 }
