@@ -3307,6 +3307,37 @@ object SparkEntry {
         targetCents = 4000, slackCents = 500, threshCents = 20000)
       .orderBy("user_id", "us", "event_id")
 
+  /** ACF sufficient-statistics store (SURVEY row 50t-store): one narrow
+    * row per key scores every lag without touching history — must equal
+    * the one-shot ACF bit-exactly, so the oracle IS q_acf's replay
+    * ([[operators.EventAnalytics.acfStore]]).
+    */
+  private def qAcfStore(s: SparkSession, dir: String): DataFrame = {
+    val store = operators.EventAnalytics.acfStore(
+      wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value",
+      maxLag = 12)
+    operators.EventAnalytics.acfFromStore(store, "user_id")
+      .orderBy("user_id", "lag")
+  }
+
+  /** Incremental ACF continuation (SURVEY row 50t-inc): store(A)
+    * updated with B scores identically to the one-shot over A ∪ B under
+    * the append-order time split — history never rescanned; the oracle
+    * IS q_acf's full replay ([[operators.EventAnalytics.updateAcfStore]]).
+    */
+  private def qAcfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val evLtz = graft.streaming.Events.tsLtz(wh(s, dir).loadTable("events"))
+    val cutoff = 1706400000000000L
+    val hist = evLtz.filter(unix_micros(col("ts")) < cutoff)
+    val batch = evLtz.filter(unix_micros(col("ts")) >= cutoff)
+    val store = operators.EventAnalytics.acfStore(
+      hist, "user_id", "ts", "event_id", "value", maxLag = 12)
+    val updated = operators.EventAnalytics.updateAcfStore(
+      store, batch, "user_id", "ts", "event_id", "value", maxLag = 12)
+    operators.EventAnalytics.acfFromStore(updated, "user_id")
+      .orderBy("user_id", "lag")
+  }
+
   /** Per-key OLS trend fit (SURVEY row 50u): slope/intercept over event
     * rank in exact integer arithmetic — grouped HUGEINT sums, two
     * truncating divisions ([[operators.EventAnalytics.trendFit]]).
@@ -3558,6 +3589,45 @@ object SparkEntry {
       |   ls[1] || rpad(coalesce(list_aggregate(list_transform(
       |     list_filter(ds[2:], d -> d != 0)[1:3], d -> CAST(d AS VARCHAR)),
       |     'string_agg', ''), ''), 3, '0') END AS sx FROM coll)""".stripMargin
+
+  /** The mean-cleared integer ACF replay (y = n·x − S, offset
+    * equi-join lag pairs, one truncating // per lag, argmax by
+    * (acf DESC NULLS LAST, lag)) — ONE ground truth shared verbatim by
+    * q_acf, q_acf_store, and q_acf_incremental: the store scoring and
+    * the incremental continuation must reproduce the one-shot
+    * bit-exactly, so they answer to the same replay.
+    */
+  private val acfOracleSql: String =
+    """WITH base AS (
+      | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+      |        CAST(round(value * 100) AS BIGINT) AS vc
+      | FROM events
+      | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |rk AS (SELECT k, id, vc,
+      |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
+      |         AS BIGINT) AS rn,
+      |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+      |       CAST(sum(vc) OVER (PARTITION BY k) AS BIGINT) AS s
+      |       FROM base),
+      |y AS (SELECT k, rn,
+      |      CAST(n AS HUGEINT) * vc - CAST(s AS HUGEINT) AS y FROM rk),
+      |den AS (SELECT k, sum(y * y) AS den FROM y GROUP BY k),
+      |num AS (SELECT a.k, l.lag, sum(a.y * b.y) AS num,
+      |        count(*) AS n_pairs
+      |        FROM y a,
+      |             (SELECT unnest(generate_series(1, 12)) AS lag) l,
+      |             y b
+      |        WHERE b.k = a.k AND b.rn = a.rn + l.lag
+      |        GROUP BY a.k, l.lag),
+      |acf AS (SELECT g.k, g.lag, g.n_pairs,
+      |        CASE WHEN d.den > 0 THEN
+      |          CAST((g.num * 1000000) // d.den AS BIGINT) END AS acf_e6
+      |        FROM num g JOIN den d USING (k)),
+      |pk AS (SELECT *, row_number() OVER (PARTITION BY k
+      |       ORDER BY acf_e6 DESC NULLS LAST, lag) AS pk FROM acf)
+      |SELECT k AS user_id, CAST(lag AS BIGINT) AS lag, n_pairs, acf_e6,
+      |       (pk = 1 AND acf_e6 IS NOT NULL) AS is_dominant
+      |FROM pk ORDER BY user_id, lag""".stripMargin
 
   /** The q_blocklist pattern set: sorted, so ids match the DataFrame
     * trainer's deterministic ordering; includes nested ('art' ⊂ 'part'),
@@ -4253,6 +4323,8 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
     "q_acf" -> (qAcf _),
+    "q_acf_store" -> (qAcfStore _),
+    "q_acf_incremental" -> (qAcfIncremental _),
     "q_trend" -> (qTrend _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
@@ -6814,38 +6886,14 @@ object SparkEntry {
         |FROM f ORDER BY user_id""".stripMargin,
     // the mean-cleared integer ACF replayed closed-form in HUGEINT:
     // y = n*x - S per row, lag pairs by an offset equi-join, one
-    // truncating // per lag, argmax by (acf DESC NULLS LAST, lag)
-    "q_acf" ->
-      """WITH base AS (
-        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
-        |        CAST(round(value * 100) AS BIGINT) AS vc
-        | FROM events
-        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |rk AS (SELECT k, id, vc,
-        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
-        |         AS BIGINT) AS rn,
-        |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
-        |       CAST(sum(vc) OVER (PARTITION BY k) AS BIGINT) AS s
-        |       FROM base),
-        |y AS (SELECT k, rn,
-        |      CAST(n AS HUGEINT) * vc - CAST(s AS HUGEINT) AS y FROM rk),
-        |den AS (SELECT k, sum(y * y) AS den FROM y GROUP BY k),
-        |num AS (SELECT a.k, l.lag, sum(a.y * b.y) AS num,
-        |        count(*) AS n_pairs
-        |        FROM y a,
-        |             (SELECT unnest(generate_series(1, 12)) AS lag) l,
-        |             y b
-        |        WHERE b.k = a.k AND b.rn = a.rn + l.lag
-        |        GROUP BY a.k, l.lag),
-        |acf AS (SELECT g.k, g.lag, g.n_pairs,
-        |        CASE WHEN d.den > 0 THEN
-        |          CAST((g.num * 1000000) // d.den AS BIGINT) END AS acf_e6
-        |        FROM num g JOIN den d USING (k)),
-        |pk AS (SELECT *, row_number() OVER (PARTITION BY k
-        |       ORDER BY acf_e6 DESC NULLS LAST, lag) AS pk FROM acf)
-        |SELECT k AS user_id, CAST(lag AS BIGINT) AS lag, n_pairs, acf_e6,
-        |       (pk = 1 AND acf_e6 IS NOT NULL) AS is_dominant
-        |FROM pk ORDER BY user_id, lag""".stripMargin,
+    // truncating // per lag, argmax by (acf DESC NULLS LAST, lag).
+    // q_acf_store and q_acf_incremental REUSE this replay verbatim:
+    // the store rows must reproduce the one-shot bit-exactly, and the
+    // incremental form must equal store(A ∪ B) — one ground truth
+    // serves all three (the associationOracleSql sharing pattern)
+    "q_acf" -> acfOracleSql,
+    "q_acf_store" -> acfOracleSql,
+    "q_acf_incremental" -> acfOracleSql,
     // the between-segment SS argmax replayed closed-form in HUGEINT:
     // window prefix/total sums, one truncating // per candidate split,
     // argmax by (gain DESC, rank) — no recursion needed

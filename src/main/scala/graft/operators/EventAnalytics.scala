@@ -1416,6 +1416,164 @@ object EventAnalytics {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** ACF SUFFICIENT-STATISTICS STORE — the 39c/packStore continuation
+    * discipline brought to [[autocorrelation]]: ONE narrow row per key
+    * carries everything needed to score every lag AND to continue the
+    * fold under append — counts/sums (n, s, sq), the per-lag raw cross
+    * sums C_ℓ = Σ x_t·x_{t+ℓ}, and the BOUNDARY TAILS (first and last
+    * maxLag values): appending batch B to history A only adds within-B
+    * pairs and A.tail×B.head straddle pairs, both computable from the
+    * stored ring — history is never rescanned, and
+    * `update(store(A), B) == store(A ∪ B)` EXACTLY (spec-pinned).
+    * Scoring derives the mean-cleared numerator from raw sums:
+    * num(ℓ) = n²·C_ℓ − n·S·(P_ℓ+Q_ℓ) + (n−ℓ)·S² with P/Q the
+    * all-but-boundary partial sums read off the tails.
+    *
+    * LONG-SAFE store contract (everything in the row is a plain long):
+    * |vc| ≤ 3·10⁶ cents and n ≤ 10⁶ per key ⟹ every C_ℓ ≤ 9·10¹⁸ —
+    * enforced LOUDLY at fold time; the scoring products live in
+    * DECIMAL(38,0) like the one-shot verb.
+    *
+    * Returns (k, n, s, sq, cross[maxLag], head[≤maxLag],
+    * tail[≤maxLag], last_us, last_id) — one row per key.
+    */
+  def acfStore(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"acfStore: maxLag must be in [1, 10000] (got $maxLag)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long)]
+    base.mapPartitions { it =>
+      val L = maxLag
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)]()
+      var cur = 0L; var fresh = true
+      var st: AcfFoldState = null
+      var lastUs = 0L; var lastId = 0L
+      def emit(): Unit = if (!fresh) out += st.row(cur, lastUs, lastId)
+      it.foreach { case (k, id, us, vc) =>
+        if (fresh || k != cur) { emit(); cur = k; fresh = false
+          st = new AcfFoldState(L) }
+        st.fold(vc, id)
+        lastUs = us; lastId = id
+      }
+      emit()
+      out.iterator
+    }.toDF("k", "n", "s", "sq", "cross", "head", "tail",
+      "last_us", "last_id")
+  }
+
+  /** Fold an arriving batch INTO a persisted [[acfStore]] — keys
+    * untouched pass through, batch-new keys seed fresh, and every batch
+    * event must sort after its key's stored (last_us, last_id) frontier
+    * (the loud append-order contract of the other continuation verbs).
+    */
+  def updateAcfStore(store: DataFrame, batch: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String,
+      maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"updateAcfStore: maxLag must be in [1, 10000] (got $maxLag)")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchBase = graft.streaming.Events.tsLtz(batch)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val updated = batchBase
+      .join(store.select(col("k"), col("n").as("s_n"), col("s").as("s_s"),
+        col("sq").as("s_sq"), col("cross").as("s_cross"),
+        col("head").as("s_head"), col("tail").as("s_tail"),
+        col("last_us").as("s_us"), col("last_id").as("s_id")),
+        Seq("k"), "left")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Seq[Long]], Option[Seq[Long]], Option[Seq[Long]],
+        Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        val L = maxLag
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long)]()
+        var cur = 0L; var fresh = true
+        var st: AcfFoldState = null
+        var lastUs = 0L; var lastId = 0L
+        def emit(): Unit = if (!fresh) out += st.row(cur, lastUs, lastId)
+        it.foreach { case (k, id, us, vc, sN, sS, sSq, sCross, sHead,
+            sTail, sUs, sId) =>
+          if (fresh || k != cur) {
+            emit(); cur = k; fresh = false
+            st = new AcfFoldState(L)
+            sN.foreach { n0 =>
+              require(sCross.get.length == L,
+                s"updateAcfStore: store has ${sCross.get.length} lags, " +
+                  s"operator given $L — train/score mismatch")
+              st.seed(n0, sS.get, sSq.get, sCross.get.toArray,
+                sHead.get.toArray, sTail.get.toArray)
+            }
+          }
+          sN.foreach { _ =>
+            if (us < sUs.get || (us == sUs.get && id <= sId.get))
+              throw new IllegalStateException(
+                s"updateAcfStore: batch event id $id at us=$us does not " +
+                  s"sort after key $k's stored frontier (${sUs.get}, " +
+                  s"${sId.get}) — the append-order contract is violated; " +
+                  "rebuild the store instead")
+          }
+          st.fold(vc, id)
+          lastUs = us; lastId = id
+        }
+        emit()
+        out.iterator
+      }
+      .toDF("k", "n", "s", "sq", "cross", "head", "tail",
+        "last_us", "last_id")
+    store.join(batchBase.select("k").distinct(), Seq("k"), "left_anti")
+      .unionByName(updated)
+  }
+
+  /** Score every lag off a persisted [[acfStore]] WITHOUT touching the
+    * event history — emits exactly [[autocorrelation]]'s rows (parity
+    * spec-pinned): num/den derived from the raw sums and boundary
+    * tails in DECIMAL(38,0), one truncating division per lag, dominant
+    * by (acf DESC NULLS LAST, lag).
+    */
+  def acfFromStore(store: DataFrame, keyCol: String): DataFrame = {
+    store
+      .withColumn("lag", explode(expr(
+        "sequence(1L, least(CAST(size(cross) AS bigint), n - 1))")))
+      .where(col("n") >= 2)
+      .withColumn("c", expr("element_at(cross, CAST(lag AS int))"))
+      .withColumn("p", expr(
+        "s - aggregate(slice(tail, size(tail) - CAST(lag AS int) + 1, " +
+          "CAST(lag AS int)), 0L, (a, x) -> a + x)"))
+      .withColumn("q", expr(
+        "s - aggregate(slice(head, 1, CAST(lag AS int)), 0L, (a, x) -> a + x)"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * c - CAST(n AS DECIMAL(38,0)) * s * (p + q) " +
+          "+ CAST(n - lag AS DECIMAL(38,0)) * s * s"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * sq - CAST(n AS DECIMAL(38,0)) * s * s"))
+      .withColumn("acf_e6", expr(
+        "CASE WHEN den > 0 THEN " +
+          "(num * CAST(1000000 AS DECIMAL(38,0))) div den END").cast("long"))
+      .withColumn("__pick", row_number().over(Window.partitionBy("k")
+        .orderBy(col("acf_e6").desc_nulls_last, col("lag"))))
+      .select(col("k").as(keyCol), col("lag"), (col("n") - col("lag")).as("n_pairs"),
+        col("acf_e6"),
+        (col("__pick") === 1 && col("acf_e6").isNotNull).as("is_dominant"))
+  }
+
   /** PER-KEY LINEAR TREND (exact-integer OLS over event rank): the
     * "is this metric drifting, and how fast" verb between [[ewma]]'s
     * smoothing and [[changepoint]]'s localization — one closed-form fit
@@ -1640,5 +1798,64 @@ object EventAnalytics {
         col("id").as("split_id"), col("us").as("split_us"),
         col("s1").as("s_left"), (col("s") - col("s1")).as("s_right"),
         col("gain_e6"), (col("gain_e6") >= minGainE6).as("shifted"))
+  }
+}
+
+/** Mutable per-key fold state shared by [[EventAnalytics.acfStore]] and
+  * [[EventAnalytics.updateAcfStore]]: counts/sums, per-lag cross sums,
+  * the head prefix, and a ring buffer of the last `L` values (value #t,
+  * 0-based, lives at ring(t % L), so the value at distance ℓ from the
+  * next write is ring((n−ℓ) % L)). The long-safe contract
+  * (|vc| ≤ 3·10⁶, n ≤ 10⁶) bounds every accumulator under 9·10¹⁸ —
+  * violations raise, never wrap.
+  */
+private[operators] final class AcfFoldState(L: Int) {
+  var n = 0L; var s = 0L; var sq = 0L
+  val cross = new Array[Long](L + 1)
+  val head = new scala.collection.mutable.ArrayBuffer[Long](L)
+  val ring = new Array[Long](L)
+
+  def seed(n0: Long, s0: Long, sq0: Long, cross0: Array[Long],
+      head0: Array[Long], tail0: Array[Long]): Unit = {
+    n = n0; s = s0; sq = sq0
+    var i = 0
+    while (i < L) { cross(i + 1) = cross0(i); i += 1 }
+    head0.foreach(head += _)
+    val len = tail0.length // tail0(j) is value #(n0 − len + j)
+    var j = 0
+    while (j < len) {
+      ring(((n0 - len + j) % L).toInt) = tail0(j)
+      j += 1
+    }
+  }
+
+  def fold(vc: Long, id: Long): Unit = {
+    if (math.abs(vc) > 3000000L) throw new ArithmeticException(
+      s"acfStore: |value| > 3*10^6 cents at event id $id — the " +
+        "long-safe store contract; rescale the values")
+    if (n >= 1000000L) throw new ArithmeticException(
+      s"acfStore: per-key series exceeds 10^6 events at event id $id — " +
+        "bucket upstream (resample) before storing")
+    val lim = math.min(L.toLong, n).toInt
+    var l = 1
+    while (l <= lim) {
+      cross(l) += vc * ring(((n - l) % L).toInt)
+      l += 1
+    }
+    ring((n % L).toInt) = vc
+    n += 1; s += vc; sq += vc * vc
+    if (head.length < L) head += vc
+  }
+
+  def row(k: Long, lastUs: Long, lastId: Long)
+      : (Long, Long, Long, Long, Seq[Long], Seq[Long], Seq[Long], Long, Long) = {
+    val lim = math.min(L.toLong, n).toInt
+    val tail = new Array[Long](lim)
+    var j = 0
+    while (j < lim) {
+      tail(j) = ring(((n - lim + j) % L).toInt)
+      j += 1
+    }
+    (k, n, s, sq, cross.drop(1).toSeq, head.toSeq, tail.toSeq, lastUs, lastId)
   }
 }

@@ -834,6 +834,68 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) === ((false, true)), "larger id at equal ts is last")
   }
 
+  test("acfStore scoring == one-shot autocorrelation, bit for bit") {
+    // deterministic pseudo-random values; key 1 longer than maxLag,
+    // key 2 shorter, key 3 constant (NULL acf)
+    val ev = (0 until 10).map(i =>
+      (i.toLong + 1, 1L, ts(i.toLong), ((i * 37 + 11) % 23).toDouble)) ++
+      (0 until 3).map(i => (20L + i, 2L, ts(i.toLong), (i * 5 + 2).toDouble)) ++
+      (0 until 4).map(i => (30L + i, 3L, ts(i.toLong), 7.0))
+    val df = ev.toDF("eid", "uid", "ts", "v")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    val oneShot = EventAnalytics.autocorrelation(
+      df, "uid", "ts", "eid", "v", maxLag = 4).collect().map(key).toMap
+    val store = EventAnalytics.acfStore(df, "uid", "ts", "eid", "v", maxLag = 4)
+    val scored = EventAnalytics.acfFromStore(store, "uid")
+      .collect().map(key).toMap
+    assert(scored === oneShot, "store scoring must reproduce the one-shot")
+    assert(oneShot.nonEmpty && oneShot.exists(_._2._2.isDefined))
+  }
+
+  test("acf store: update(store(A), B) == store(A ∪ B); contract violations raise") {
+    val all = (0 until 12).map(i =>
+      (i.toLong + 1, 1L, ts(i.toLong), ((i * 29 + 5) % 17).toDouble)) ++
+      (0 until 5).map(i => (50L + i, 2L, ts(i.toLong), (i % 3).toDouble)) ++
+      Seq((90L, 4L, ts(20), 3.0)) // key only in the batch → seeds fresh
+    val df = all.toDF("eid", "uid", "ts", "v")
+    val a = df.filter(col("ts") < ts(6))
+    val b = df.filter(col("ts") >= ts(6))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Long](4), r.getSeq[Long](5), r.getSeq[Long](6),
+        r.getLong(7), r.getLong(8))).sortBy(_._1)
+    val full = rows(EventAnalytics.acfStore(df, "uid", "ts", "eid", "v", 4))
+    val inc = rows(EventAnalytics.updateAcfStore(
+      EventAnalytics.acfStore(a, "uid", "ts", "eid", "v", 4),
+      b, "uid", "ts", "eid", "v", 4))
+    assert(inc === full, "every store column must chain exactly")
+    // chaining twice keeps the identity
+    val b1 = df.filter(col("ts") >= ts(6) && col("ts") < ts(9))
+    val b2 = df.filter(col("ts") >= ts(9))
+    val chained = rows(EventAnalytics.updateAcfStore(
+      EventAnalytics.updateAcfStore(
+        EventAnalytics.acfStore(a, "uid", "ts", "eid", "v", 4),
+        b1, "uid", "ts", "eid", "v", 4),
+      b2, "uid", "ts", "eid", "v", 4))
+    assert(chained === full)
+    // an out-of-order batch event fails LOUDLY
+    val ex = intercept[Exception] {
+      EventAnalytics.updateAcfStore(
+        EventAnalytics.acfStore(b, "uid", "ts", "eid", "v", 4),
+        a, "uid", "ts", "eid", "v", 4).collect()
+    }
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    assert(root(ex).contains("append-order"))
+    // the long-safe value contract raises, never wraps
+    val hot = Seq((1L, 1L, ts(0), 40000.0)).toDF("eid", "uid", "ts", "v")
+    val ex2 = intercept[Exception] {
+      EventAnalytics.acfStore(hot, "uid", "ts", "eid", "v", 4).collect()
+    }
+    assert(root(ex2).contains("long-safe"))
+  }
+
   test("trendFit: hand-exact OLS, negative truncation, degenerate keys") {
     // key 1: perfect line 10,20,30 → slope 1000 cents/step, intercept 0
     // key 2: single event → NULL fit
