@@ -3338,6 +3338,15 @@ object SparkEntry {
       .orderBy("user_id", "lag")
   }
 
+  /** Benford first-digit profile (SURVEY row 22f): integer-cents first
+    * digits per return flag vs the exact-10⁶-sum ppm constants — the
+    * fraud/fabrication screen ([[operators.Stats.benfordProfile]]).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.benfordProfile(
+        wh(s, dir).loadTable("lineitem"), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag", "digit")
+
   /** Per-key OLS trend fit (SURVEY row 50u): slope/intercept over event
     * rank in exact integer arithmetic — grouped HUGEINT sums, two
     * truncating divisions ([[operators.EventAnalytics.trendFit]]).
@@ -4326,6 +4335,7 @@ object SparkEntry {
     "q_acf_store" -> (qAcfStore _),
     "q_acf_incremental" -> (qAcfIncremental _),
     "q_trend" -> (qTrend _),
+    "q_benford" -> (qBenford _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -6856,6 +6866,34 @@ object SparkEntry {
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // first digits from the INTEGER cents string (identical printing in
+    // both engines), full 1-9 grid, truncating ppm; the nine Benford
+    // constants sum to exactly 10^6 on both sides
+    "q_benford" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS k,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+        | FROM lineitem
+        | WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |d AS (SELECT k,
+        |      CAST(substr(CAST(abs(vc) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM base WHERE vc != 0),
+        |c AS (SELECT k, digit, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM d GROUP BY k, digit),
+        |t AS (SELECT k, CAST(count(*) AS BIGINT) AS total FROM d GROUP BY k),
+        |ben(digit, ben_ppm) AS (VALUES
+        | (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        | (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |g AS (SELECT t.k, t.total, CAST(b.digit AS BIGINT) AS digit,
+        |      CAST(b.ben_ppm AS BIGINT) AS ben_ppm FROM t, ben b)
+        |SELECT g.k AS l_returnflag, g.digit,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt, g.total,
+        |  CAST(coalesce(c.cnt, 0) * 1000000 // g.total AS BIGINT) AS obs_ppm,
+        |  g.ben_ppm,
+        |  CAST(abs(coalesce(c.cnt, 0) * 1000000 // g.total - g.ben_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM g LEFT JOIN c ON g.k = c.k AND g.digit = c.digit
+        |ORDER BY l_returnflag, g.digit""".stripMargin,
     // the OLS normal equations replayed closed-form in HUGEINT over the
     // same rank regressor; two truncating // divisions
     "q_trend" ->

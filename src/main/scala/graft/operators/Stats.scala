@@ -501,4 +501,57 @@ object Stats {
       .select("item_a", "item_b", "pair_count", "count_a", "count_b",
         "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
   }
+
+  /** Benford first-significant-digit ppm per digit, rounded half away
+    * from zero from log₁₀(1+1/d) — the nine constants sum to exactly
+    * 10⁶, shared verbatim by the DuckDB oracle.
+    */
+  val benfordPpm: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** BENFORD FIRST-DIGIT PROFILE — the fraud / fabricated-data screen
+    * of the data-quality family ([[summarize]]/[[driftNumeric]]/
+    * [[kAnonymityClasses]]): naturally-occurring amounts follow
+    * P(d) = log₁₀(1+1/d); invented ones rarely do. Per group, the
+    * observed first-significant-digit distribution of the cents values
+    * against the Benford expectation, all integer ppm:
+    *  - digits derive from the INTEGER cents (first char of
+    *    CAST(abs(vc) AS string) — integer printing is identical in
+    *    every engine; extracting from the double would hit float
+    *    formatting divergence);
+    *  - zero cents carry no leading digit and are skipped; NULLs drop;
+    *  - every group emits the FULL 1–9 grid (absent digits count 0);
+    *  - obs_ppm = cnt·10⁶ div total (truncating); dev_ppm =
+    *    |obs − benford|.
+    * One groupBy + a 9-row explode — no window, no join beyond the
+    * broadcast-sized grid. `total` is guarded ≤ 10¹² so cnt·10⁶ cannot
+    * wrap (loud, the house rule).
+    *
+    * Returns (keyCol, digit, cnt, total, obs_ppm, ben_ppm, dev_ppm).
+    */
+  def benfordProfile(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("vc").isNotNull && col("vc") =!= 0L)
+      .withColumn("digit", expr(
+        "CAST(substring(CAST(abs(vc) AS string), 1, 1) AS bigint)"))
+    val counts = base.groupBy("k", "digit")
+      .agg(count(lit(1)).as("cnt0"))
+    val totals = base.groupBy("k").agg(count(lit(1)).as("total"))
+      .withColumn("total", expr(
+        "IF(total <= 1000000000000L, total, assert_true(false, " +
+          "'benfordProfile: group exceeds 10^12 rows — the ppm " +
+          "arithmetic would wrap'))").cast("long"))
+    val grid = totals
+      .withColumn("digit", explode(expr("sequence(1L, 9L)")))
+    grid.join(counts, Seq("k", "digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt0"), lit(0L)))
+      .withColumn("obs_ppm", expr("cnt * 1000000L div total"))
+      .withColumn("ben_ppm", element_at(
+        array(benfordPpm.map(lit): _*), col("digit").cast("int")))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("ben_ppm")))
+      .select(col("k").as(keyCol), col("digit"), col("cnt"), col("total"),
+        col("obs_ppm"), col("ben_ppm"), col("dev_ppm"))
+  }
 }

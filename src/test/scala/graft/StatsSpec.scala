@@ -7,6 +7,34 @@ import graft.operators.Stats
 
 class StatsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("benfordProfile: digit extraction, full grid, ppm truncation, skips") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)),   // 100 cents  → digit 1
+      ("a", Some(0.25)),  // 25 cents   → digit 2
+      ("a", Some(9.5)),   // 950 cents  → digit 9
+      ("a", Some(0.0)),   // zero cents → skipped
+      ("a", None),        // NULL       → skipped
+      ("b", Some(-3.0)),  // -300 cents → digit 3 (abs)
+      ("b", Some(0.01)))  // 1 cent     → digit 1
+      .toDF("g", "v")
+    val got = Stats.benfordProfile(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.size === 18, "both groups emit the full 1-9 grid")
+    assert(got(("a", 1L)) === ((1L, 3L, 333333L, 301030L, 32303L)),
+      "obs_ppm truncates; dev against the exact constant")
+    assert(got(("a", 2L))._1 === 1L && got(("a", 9L))._1 === 1L)
+    assert(got(("a", 4L)) === ((0L, 3L, 0L, 96910L, 96910L)),
+      "absent digits emit zero counts with full deviation")
+    assert(got(("b", 3L)) === ((1L, 2L, 500000L, 124939L, 375061L)),
+      "negative values profile by |cents|")
+    assert(got(("b", 1L))._3 === 500000L)
+    assert(graft.operators.Stats.benfordPpm.sum === 1000000L,
+      "the nine constants sum to exactly 10^6")
+  }
+
   test("approxDistinct stays within its rsd bound of the exact count") {
     val l = wh.loadTable("lineitem")
     val approx = Stats.approxDistinct(l, Seq("l_returnflag"), "l_orderkey", rsd = 0.02)
