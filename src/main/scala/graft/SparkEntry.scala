@@ -3338,6 +3338,36 @@ object SparkEntry {
       .orderBy("user_id", "lag")
   }
 
+  /** Trend store scoring (SURVEY row 50u-store): three longs per key
+    * reproduce the one-shot OLS bit-exactly (Σx/Σx² are closed forms
+    * of n), so the oracle IS q_trend's replay
+    * ([[operators.EventAnalytics.trendStore]]).
+    */
+  private def qTrendStore(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.trendFromStore(
+      operators.EventAnalytics.trendStore(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value"),
+      "user_id").orderBy("user_id")
+
+  /** Incremental trend continuation (SURVEY row 50u-inc): store(A)
+    * folded with B under the append-order split scores identically to
+    * the one-shot over A ∪ B — the oracle IS q_trend's replay
+    * ([[operators.EventAnalytics.updateTrendStore]]).
+    */
+  private def qTrendIncremental(s: SparkSession, dir: String): DataFrame = {
+    val evLtz = graft.streaming.Events.tsLtz(wh(s, dir).loadTable("events"))
+    val cutoff = 1706400000000000L
+    val hist = evLtz.filter(unix_micros(col("ts")) < cutoff)
+    val batch = evLtz.filter(unix_micros(col("ts")) >= cutoff)
+    val store = operators.EventAnalytics.trendStore(
+      hist, "user_id", "ts", "event_id", "value")
+    operators.EventAnalytics.trendFromStore(
+        operators.EventAnalytics.updateTrendStore(
+          store, batch, "user_id", "ts", "event_id", "value"),
+        "user_id")
+      .orderBy("user_id")
+  }
+
   /** Benford first-digit profile (SURVEY row 22f): integer-cents first
     * digits per return flag vs the exact-10⁶-sum ppm constants — the
     * fraud/fabrication screen ([[operators.Stats.benfordProfile]]).
@@ -3637,6 +3667,37 @@ object SparkEntry {
       |SELECT k AS user_id, CAST(lag AS BIGINT) AS lag, n_pairs, acf_e6,
       |       (pk = 1 AND acf_e6 IS NOT NULL) AS is_dominant
       |FROM pk ORDER BY user_id, lag""".stripMargin
+
+  /** The OLS normal-equation replay over the rank regressor — ONE
+    * ground truth shared by q_trend, q_trend_store, and
+    * q_trend_incremental (the [[acfOracleSql]] sharing pattern).
+    */
+  private val trendOracleSql: String =
+    """WITH base AS (
+      | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+      |        CAST(round(value * 100) AS BIGINT) AS vc
+      | FROM events
+      | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |rk AS (SELECT k, vc,
+      |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
+      |         AS BIGINT) AS x FROM base),
+      |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |      CAST(sum(vc) AS BIGINT) AS sum_cents,
+      |      CAST(sum(x) AS BIGINT) AS sx,
+      |      sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |      sum(CAST(x AS HUGEINT) * vc) AS sxy
+      |      FROM rk GROUP BY k),
+      |f AS (SELECT k, n, sum_cents,
+      |      CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |      CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sum_cents AS num_s,
+      |      CAST(sum_cents AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS num_i
+      |      FROM a)
+      |SELECT k AS user_id, n, sum_cents,
+      |  CASE WHEN den > 0 THEN CAST((num_s * 1000000) // den AS BIGINT)
+      |  END AS slope_e6,
+      |  CASE WHEN den > 0 THEN CAST((num_i * 1000000) // den AS BIGINT)
+      |  END AS intercept_e6
+      |FROM f ORDER BY user_id""".stripMargin
 
   /** The q_blocklist pattern set: sorted, so ids match the DataFrame
     * trainer's deterministic ordering; includes nested ('art' ⊂ 'part'),
@@ -4335,6 +4396,8 @@ object SparkEntry {
     "q_acf_store" -> (qAcfStore _),
     "q_acf_incremental" -> (qAcfIncremental _),
     "q_trend" -> (qTrend _),
+    "q_trend_store" -> (qTrendStore _),
+    "q_trend_incremental" -> (qTrendIncremental _),
     "q_benford" -> (qBenford _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
@@ -6895,33 +6958,13 @@ object SparkEntry {
         |FROM g LEFT JOIN c ON g.k = c.k AND g.digit = c.digit
         |ORDER BY l_returnflag, g.digit""".stripMargin,
     // the OLS normal equations replayed closed-form in HUGEINT over the
-    // same rank regressor; two truncating // divisions
-    "q_trend" ->
-      """WITH base AS (
-        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
-        |        CAST(round(value * 100) AS BIGINT) AS vc
-        | FROM events
-        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
-        |rk AS (SELECT k, vc,
-        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
-        |         AS BIGINT) AS x FROM base),
-        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
-        |      CAST(sum(vc) AS BIGINT) AS sum_cents,
-        |      CAST(sum(x) AS BIGINT) AS sx,
-        |      sum(CAST(x AS HUGEINT) * x) AS sxx,
-        |      sum(CAST(x AS HUGEINT) * vc) AS sxy
-        |      FROM rk GROUP BY k),
-        |f AS (SELECT k, n, sum_cents,
-        |      CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
-        |      CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sum_cents AS num_s,
-        |      CAST(sum_cents AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS num_i
-        |      FROM a)
-        |SELECT k AS user_id, n, sum_cents,
-        |  CASE WHEN den > 0 THEN CAST((num_s * 1000000) // den AS BIGINT)
-        |  END AS slope_e6,
-        |  CASE WHEN den > 0 THEN CAST((num_i * 1000000) // den AS BIGINT)
-        |  END AS intercept_e6
-        |FROM f ORDER BY user_id""".stripMargin,
+    // same rank regressor; two truncating // divisions. q_trend_store
+    // and q_trend_incremental answer to the SAME replay (the
+    // acfOracleSql sharing pattern): the store must reproduce the
+    // one-shot bit-exactly
+    "q_trend" -> trendOracleSql,
+    "q_trend_store" -> trendOracleSql,
+    "q_trend_incremental" -> trendOracleSql,
     // the mean-cleared integer ACF replayed closed-form in HUGEINT:
     // y = n*x - S per row, lag pairs by an offset equi-join, one
     // truncating // per lag, argmax by (acf DESC NULLS LAST, lag).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1642,6 +1642,121 @@ object EventAnalytics {
       .select(col("k").as(keyCol), col("n"), col("sum_cents"),
         col("slope_e6"), col("intercept_e6"))
   }
+
+  /** TREND SUFFICIENT-STATISTICS STORE — [[trendFit]]'s continuation
+    * form: with the rank regressor, Σx = n(n+1)/2 and Σx² =
+    * n(n+1)(2n+1)/6 are CLOSED FORMS of n, so the whole OLS state is
+    * three longs per key (n, s = Σcents, sxy = Σ rank·cents); appending
+    * batch B shifts its local ranks by the stored n — no tails, no
+    * arrays, `update(store(A), B) == store(A ∪ B)` exactly
+    * (spec-pinned). Long-safe contract: |vc| ≤ 3·10⁶ cents, n ≤ 10⁵
+    * (the scoring bound of [[trendFit]]) — enforced loudly.
+    *
+    * Returns (k, n, s, sxy, last_us, last_id).
+    */
+  def trendStore(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame =
+    updateTrendStore(emptyTrendStore(events.sparkSession), events,
+      keyCol, tsCol, idCol, valueCol)
+
+  /** An empty [[trendStore]] frame (schema-complete, zero rows). */
+  def emptyTrendStore(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long, Long, Long)]
+      .toDF("k", "n", "s", "sxy", "last_us", "last_id")
+  }
+
+  /** Fold an arriving batch INTO a persisted [[trendStore]] — untouched
+    * keys pass through, new keys seed fresh, batch events must sort
+    * after their key's stored frontier (loud append-order contract).
+    */
+  def updateTrendStore(store: DataFrame, batch: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchBase = graft.streaming.Events.tsLtz(batch)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+    val updated = batchBase
+      .join(store.select(col("k"), col("n").as("s_n"), col("s").as("s_s"),
+        col("sxy").as("s_sxy"), col("last_us").as("s_us"),
+        col("last_id").as("s_id")), Seq("k"), "left")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "us", "id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long, Long, Long)]()
+        var cur = 0L; var fresh = true
+        var n = 0L; var s = 0L; var sxy = 0L
+        var lastUs = 0L; var lastId = 0L
+        def emit(): Unit = if (!fresh) out += ((cur, n, s, sxy, lastUs, lastId))
+        it.foreach { case (k, id, us, vc, sN, sS, sSxy, sUs, sId) =>
+          if (fresh || k != cur) {
+            emit(); cur = k; fresh = false
+            n = sN.getOrElse(0L); s = sS.getOrElse(0L)
+            sxy = sSxy.getOrElse(0L)
+          }
+          sN.foreach { _ =>
+            if (us < sUs.get || (us == sUs.get && id <= sId.get))
+              throw new IllegalStateException(
+                s"updateTrendStore: batch event id $id at us=$us does not " +
+                  s"sort after key $k's stored frontier (${sUs.get}, " +
+                  s"${sId.get}) — the append-order contract is violated; " +
+                  "rebuild the store instead")
+          }
+          if (math.abs(vc) > 3000000L) throw new ArithmeticException(
+            s"trendStore: |value| > 3*10^6 cents at event id $id — the " +
+              "long-safe store contract; rescale the values")
+          if (n >= 100000L) throw new ArithmeticException(
+            s"trendStore: per-key series exceeds 10^5 events at event " +
+              s"id $id — bucket upstream (resample) before storing")
+          n += 1; s += vc; sxy += n * vc
+          lastUs = us; lastId = id
+        }
+        emit()
+        out.iterator
+      }
+      .toDF("k", "n", "s", "sxy", "last_us", "last_id")
+    store.join(batchBase.select("k").distinct(), Seq("k"), "left_anti")
+      .unionByName(updated)
+  }
+
+  /** Score a persisted [[trendStore]] WITHOUT the event history — emits
+    * exactly [[trendFit]]'s rows (parity spec-pinned): Σx and Σx²
+    * re-derived from n in closed form, then the same DECIMAL(38,0)
+    * normal equations and truncating divisions.
+    */
+  def trendFromStore(store: DataFrame, keyCol: String): DataFrame =
+    store
+      .withColumn("sx", expr("n * (n + 1) div 2"))
+      .withColumn("sxx", expr(
+        "CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) div 6"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("num_s", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * s"))
+      .withColumn("num_i", expr(
+        "CAST(s AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN den > 0 THEN IF(abs(num_s) * 1000000 <= " +
+          "CAST(9000000000000000000 AS DECIMAL(38,0)) * den, " +
+          "(num_s * 1000000) div den, assert_true(false, " +
+          "'trendFromStore: slope exceeds bigint — rescale')) END")
+        .cast("long"))
+      .withColumn("intercept_e6", expr(
+        "CASE WHEN den > 0 THEN IF(abs(num_i) * 1000000 <= " +
+          "CAST(9000000000000000000 AS DECIMAL(38,0)) * den, " +
+          "(num_i * 1000000) div den, assert_true(false, " +
+          "'trendFromStore: intercept exceeds bigint — rescale')) END")
+        .cast("long"))
+      .select(col("k").as(keyCol), col("n"), col("s").as("sum_cents"),
+        col("slope_e6"), col("intercept_e6"))
 
   /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
     * offline complement of [[cusum]]: CUSUM raises a sequential alarm

@@ -917,6 +917,41 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "negative intercept quotient truncates toward zero")
   }
 
+  test("trend store: scoring == one-shot; update chains exactly; contracts raise") {
+    val all = (0 until 12).map(i =>
+      (i.toLong + 1, 1L, ts(i.toLong), ((i * 29 + 5) % 17).toDouble)) ++
+      (0 until 5).map(i => (50L + i, 2L, ts(i.toLong), (i % 3).toDouble)) ++
+      Seq((90L, 4L, ts(20), 3.0))
+    val df = all.toDF("eid", "uid", "ts", "v")
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    val oneShot = fit(EventAnalytics.trendFit(df, "uid", "ts", "eid", "v"))
+    val store = EventAnalytics.trendStore(df, "uid", "ts", "eid", "v")
+    assert(fit(EventAnalytics.trendFromStore(store, "uid")) === oneShot,
+      "store scoring must reproduce the one-shot OLS")
+    // incremental chaining: store(A) + B == store(A ∪ B) on every column
+    val a = df.filter(col("ts") < ts(6))
+    val b = df.filter(col("ts") >= ts(6))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val inc = EventAnalytics.updateTrendStore(
+      EventAnalytics.trendStore(a, "uid", "ts", "eid", "v"),
+      b, "uid", "ts", "eid", "v")
+    assert(rows(inc) === rows(store))
+    // out-of-order batch raises loudly
+    val ex = intercept[Exception] {
+      EventAnalytics.updateTrendStore(
+        EventAnalytics.trendStore(b, "uid", "ts", "eid", "v"),
+        a, "uid", "ts", "eid", "v").collect()
+    }
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    assert(root(ex).contains("append-order"))
+  }
+
   test("autocorrelation: hand-exact ACF, negative truncation, dominant lag") {
     // key 1: strict alternation 10,20,... — y = n*x - S = ±3000;
     // den = 6*9e6 = 5.4e7; acf(1) = -45/54 → trunc -833333 (floor would
