@@ -181,6 +181,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect && got === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("blocklistTag applies unchanged to streaming frames (stream == batch)") {
+    // the Aho-Corasick automaton rides as a codegen reference object and
+    // the tagging is a stateless map — the same blocklist-on-ingest path
+    // as decontaminateMapSide
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.trainBlocklist(Seq("bad word", "worse"))
+    val docs = Seq(
+      (1L, "this has a bad word inside"),
+      (2L, "perfectly clean text"),
+      (3L, "worse and worse again"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = TextAnalysis.blocklistTag(
+      mem.toDF().toDF("doc_id", "text"), "text", model)
+    assert(streamed.isStreaming)
+    val q = streamed.select("doc_id", "block_hits", "blocked")
+      .writeStream.format("memory").queryName("blocklist_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("blocklist_stream_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val expect = TextAnalysis.blocklistTag(docs.toDF("doc_id", "text"),
+        "text", model)
+      .select("doc_id", "block_hits", "blocked")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === expect &&
+      got === Map(1L -> ((1L, true)), 2L -> ((0L, false)), 3L -> ((2L, true))))
+  }
+
   test("composed text pipeline (normalize → decontaminate → gopher) streams unchanged") {
     // q_stream_pipeline's chain run through an actual MemoryStream in two
     // triggers: every stage is a stateless kernel map, so the composed
