@@ -3368,6 +3368,17 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Link prediction (SURVEY row 61g): common-neighbor / Jaccard /
+    * Adamic-Adar scores for distance-2 non-adjacent pairs of the trade
+    * graph — the AA term via the shared ilog2Fp recurrence
+    * ([[operators.Graph.linkPrediction]]).
+    */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.linkPrediction(
+        tradeGraphEdges(s, dir, symmetric = false), "src", "dst",
+        maxDegree = 100L, minCommon = 2L)
+      .orderBy("u", "v")
+
   /** Benford first-digit profile (SURVEY row 22f): integer-cents first
     * digits per return flag vs the exact-10⁶-sum ppm constants — the
     * fraud/fabrication screen ([[operators.Stats.benfordProfile]]).
@@ -4399,6 +4410,7 @@ object SparkEntry {
     "q_trend_store" -> (qTrendStore _),
     "q_trend_incremental" -> (qTrendIncremental _),
     "q_benford" -> (qBenford _),
+    "q_link_prediction" -> (qLinkPrediction _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -7192,6 +7204,32 @@ object SparkEntry {
         |SELECT n.node, coalesce(pn.n_triangles, 0) AS n_triangles
         |FROM nodes n LEFT JOIN pn ON pn.node = n.node
         |ORDER BY n.node""".stripMargin,
+    // wedges = one self-join of the capped adjacency on the center,
+    // AA terms via the shared 20-step ilog2 recurrence, anti-join of
+    // existing edges — all integer, one truncating division per score
+    "q_link_prediction" ->
+      s"""WITH e0 AS (
+        | SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |sym AS (SELECT a, b FROM
+        |        (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)
+        |        WHERE a != b),
+        |d AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+        |kept AS (SELECT s.a, s.b, d.deg FROM sym s JOIN d ON s.a = d.a
+        |         WHERE d.deg <= 100),
+        |w AS (SELECT x.b AS u, y.b AS v, x.deg
+        |      FROM kept x JOIN kept y ON x.a = y.a AND x.b < y.b),
+        |g AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+        |      CAST(sum(1048576000000 // ${ilogSql("deg")}) AS BIGINT) AS aa_e6
+        |      FROM w GROUP BY u, v HAVING count(*) >= 2),
+        |ne AS (SELECT g.* FROM g LEFT JOIN sym s
+        |       ON g.u = s.a AND g.v = s.b WHERE s.a IS NULL)
+        |SELECT ne.u, ne.v, ne.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |  CAST(ne.cn * 1000000 // (du.deg + dv.deg - ne.cn) AS BIGINT)
+        |    AS jaccard_e6,
+        |  ne.aa_e6
+        |FROM ne JOIN d du ON ne.u = du.a JOIN d dv ON ne.v = dv.a
+        |ORDER BY u, v""".stripMargin,
     "q_graph_degrees" ->
       """WITH e AS (
         | SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst

@@ -661,4 +661,62 @@ object Graph {
     if (persistLevel != StorageLevel.NONE) { e.unpersist(); nodes.unpersist() }
     out
   }
+
+  /** LINK PREDICTION by common-neighborhood scoring (Liben-Nowell &
+    * Kleinberg, CIKM 2003): for every non-adjacent pair at distance 2
+    * in the UNDIRECTED simple graph (direction and duplicates collapse,
+    * self-loops drop), three classic scores —
+    *  - `cn`: the common-neighbor count;
+    *  - `jaccard_e6` = cn·10⁶ div (deg_u + deg_v − cn), the
+    *    neighborhood-overlap ratio;
+    *  - `aa_e6`: Adamic-Adar Σ_w 1/log₂(deg_w) over common neighbors
+    *    w, each term the EXACT integer 2²⁰·10⁶ div ilog2Fp(deg_w) (the
+    *    retrievalMetrics DCG-discount recipe — no libm, both engines
+    *    replay the 20-step recurrence bit-identically; a wedge center
+    *    has deg ≥ 2, so the term is always defined).
+    * All integer, one truncating division each — engine-exact.
+    *
+    * Scale shape: wedges are ONE self-equi-join of the adjacency on the
+    * center node, grouped on the endpoint pair — Σ deg(w)² candidates,
+    * the inherent cost of distance-2 enumeration, BOUNDED by dropping
+    * wedge CENTERS with degree > `maxDegree` whole (the soundexJoin
+    * hot-block convention: a hub's quadratic neighborhood priced out
+    * loudly as a documented recall trade — its AA contribution
+    * 1/log₂(deg) is the smallest anyway); `minCommon` prunes the long
+    * tail before the degree joins. Anti-join drops existing edges.
+    *
+    * Returns (u, v, cn, deg_u, deg_v, jaccard_e6, aa_e6), u < v —
+    * non-adjacent pairs only; degrees are FULL undirected degrees (the
+    * cap limits which centers generate wedges, never the degree math).
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = 1000L, minCommon: Long = 1L): DataFrame = {
+    require(maxDegree >= 2, s"linkPrediction: maxDegree must be >= 2 (got $maxDegree)")
+    require(minCommon >= 1, s"linkPrediction: minCommon must be >= 1 (got $minCommon)")
+    val spark = edges.sparkSession
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val kept = sym.join(deg.where(col("deg") <= maxDegree), "a")
+    val scored = kept
+      .select(col("a").as("w"), col("b").as("u"),
+        graft.functions.GraftFunctions.ilog2FpCol(spark, col("deg")).as("__l"))
+      .join(kept.select(col("a").as("w"), col("b").as("v")), "w")
+      .where(col("u") < col("v"))
+      .withColumn("__aa", expr("1048576000000 div __l"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum("__aa").as("aa_e6"))
+      .where(col("cn") >= minCommon)
+      .join(sym.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti")
+    scored
+      .join(deg.select(col("a").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("a").as("v"), col("deg").as("deg_v")), "v")
+      .withColumn("jaccard_e6",
+        expr("cn * 1000000L div (deg_u + deg_v - cn)"))
+      .select("u", "v", "cn", "deg_u", "deg_v", "jaccard_e6", "aa_e6")
+  }
 }

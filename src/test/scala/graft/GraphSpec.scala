@@ -380,4 +380,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       Graph.shortestPaths(e, "src", "dst", Seq(1L).toDF("s"), "s", Some("w"))
     }
   }
+
+  test("linkPrediction: hand-exact CN/Jaccard/AA, adjacency excluded, hub cap") {
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // square 1-2-3-4-1 (fed with duplicates + reversed rows: simple-graph
+    // collapse): (1,3) and (2,4) at distance 2 via two deg-2 centers;
+    // AA term at deg 2 = 2^20*1e6 / ilog2Fp(2) = exactly 1e6
+    val sq = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 4L))
+    val a = got(Graph.linkPrediction(sq, "src", "dst", minCommon = 1L))
+    assert(a.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(a((1L, 3L)) === ((2L, 2L, 2L, 1000000L, 2000000L)),
+      "cn 2, jaccard 2/(2+2-2)=1, AA = 2 * 1/log2(2)")
+    assert(a((2L, 4L)) === ((2L, 2L, 2L, 1000000L, 2000000L)))
+    // adding the edge (1,3) removes that pair (adjacent), keeps (2,4)
+    val b = got(Graph.linkPrediction(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)),
+      "src", "dst", minCommon = 1L))
+    assert(!b.contains((1L, 3L)) && b.contains((2L, 4L)))
+    // pentagon square + node 5 on (1,5),(5,3): deg(1)=deg(3)=3; with
+    // maxDegree=2 wedges centered at 1 and 3 drop whole, so (2,4),
+    // (2,5), (4,5) disappear while (1,3) keeps its three deg-2 centers
+    val c5 = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L), (5L, 3L))
+    val full = got(Graph.linkPrediction(c5, "src", "dst", minCommon = 2L))
+    assert(full((1L, 3L))._1 === 3L && full.contains((2L, 4L)) &&
+      full.contains((2L, 5L)) && full.contains((4L, 5L)))
+    val capped = got(Graph.linkPrediction(c5, "src", "dst",
+      maxDegree = 2L, minCommon = 2L))
+    assert(capped.keySet === Set((1L, 3L)),
+      "hub-centered wedges drop whole — the loud recall trade")
+    assert(capped((1L, 3L)) === ((3L, 3L, 3L, 1000000L, 3000000L)),
+      "degrees stay FULL even when the cap limits wedge centers")
+  }
 }
