@@ -3368,6 +3368,25 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Right-to-be-forgotten deletion (SURVEY row 34f): erasure-request
+    * anti-join over customers (97-multiples plus unmatched negatives),
+    * audited per segment ([[operators.Merge.forgetKeys]]).
+    */
+  private def qForget(s: SparkSession, dir: String): DataFrame = {
+    val cust = wh(s, dir).loadTable("customer")
+    val req = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      .unionByName(cust.filter(col("c_custkey") % 89 === 0)
+        .select((-col("c_custkey")).as("c_custkey")))
+    val after = operators.Merge.forgetKeys(cust, req, Seq("c_custkey"))
+    cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_before"))
+      .join(after.groupBy("c_mktsegment").agg(count(lit(1)).as("n_after")),
+        Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Link prediction (SURVEY row 61g): common-neighbor / Jaccard /
     * Adamic-Adar scores for distance-2 non-adjacent pairs of the trade
     * graph — the AA term via the shared ilog2Fp recurrence
@@ -4411,6 +4430,7 @@ object SparkEntry {
     "q_trend_incremental" -> (qTrendIncremental _),
     "q_benford" -> (qBenford _),
     "q_link_prediction" -> (qLinkPrediction _),
+    "q_forget" -> (qForget _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -7204,6 +7224,24 @@ object SparkEntry {
         |SELECT n.node, coalesce(pn.n_triangles, 0) AS n_triangles
         |FROM nodes n LEFT JOIN pn ON pn.node = n.node
         |ORDER BY n.node""".stripMargin,
+    // the erasure anti-join + per-segment audit replayed relationally;
+    // unmatched (negative) request keys remove nothing
+    "q_forget" ->
+      """WITH req AS (
+        | SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        | UNION
+        | SELECT -c_custkey FROM customer WHERE c_custkey % 89 = 0),
+        |aft AS (SELECT c.* FROM customer c LEFT JOIN req r
+        |        ON c.c_custkey = r.c_custkey WHERE r.c_custkey IS NULL),
+        |b AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_before
+        |      FROM customer GROUP BY c_mktsegment),
+        |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_after
+        |      FROM aft GROUP BY c_mktsegment)
+        |SELECT b.c_mktsegment, b.n_before,
+        |  coalesce(a.n_after, 0) AS n_after,
+        |  b.n_before - coalesce(a.n_after, 0) AS n_removed
+        |FROM b LEFT JOIN a USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
     // wedges = one self-join of the capped adjacency on the center,
     // AA terms via the shared 20-step ilog2 recurrence, anti-join of
     // existing edges — all integer, one truncating division per score

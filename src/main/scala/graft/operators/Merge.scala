@@ -321,4 +321,67 @@ object Merge {
       .select(facts.columns.toSeq.map(c => fc(c).as(c)) ++
         dimAttrs.map(c => dc(c).as(c)): _*)
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN key deletion (GDPR Art. 17 / CCPA): every
+    * target row whose `keyCols` tuple appears in the deletion request
+    * drops; everything else passes through byte-identical. The
+    * complement of [[mergeUpsert]]'s `deleteMatched` for the
+    * erasure-request shape (a bare key list, not a CDC stream).
+    *
+    * Contracts (all loud, the appendTable lesson):
+    *  - a NULL key ANYWHERE in the request raises — a NULL in a
+    *    deletion list is a malformed request, and an equi-anti-join
+    *    would silently match nothing;
+    *  - target rows with NULL keys always SURVIVE (no request tuple can
+    *    name them — standard SQL anti-join semantics, documented rather
+    *    than accidental).
+    *
+    * Scale shape: ONE left-anti equi-join on the key tuple (requests
+    * are small by nature — AQE broadcasts them); no shuffle of the
+    * target beyond the join itself.
+    */
+  def forgetKeys(target: DataFrame, requests: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "forgetKeys: keyCols must be non-empty")
+    val req = requests.select(keyCols.map(k =>
+      lcol(k).as(k)): _*).distinct()
+    val checked = keyCols.foldLeft(req) { (d, k) =>
+      d.withColumn(k, expr(
+        s"IF(`${k.replace("`", "``")}` IS NOT NULL, " +
+          s"`${k.replace("`", "``")}`, assert_true(false, " +
+          s"'forgetKeys: NULL `$k` in the deletion request — a malformed " +
+          "erasure list; fix the request'))"))
+    }
+    target.join(checked, keyCols, "left_anti")
+  }
+
+  /** The audit row regulators ask for: counts before/removed/after and
+    * how many requested keys actually matched (an erasure request for
+    * an unknown key is NORMAL — already deleted — but the number is
+    * reported). One row; single key column only (the common shape).
+    */
+  def forgetReport(target: DataFrame, requests: DataFrame,
+      keyCol: String): DataFrame = {
+    val t = target.select(lcol(keyCol).as("__k"))
+    val req = forgetKeysChecked(requests, keyCol)
+    val before = t.agg(count(lit(1)).as("n_before"))
+    val matched = req.join(t.select(col("__k")).distinct(),
+        req("__r") === col("__k"))
+      .agg(count(lit(1)).as("n_keys_matched"))
+    val removed = t.join(req, t("__k") === req("__r"), "left_semi")
+      .agg(count(lit(1)).as("n_removed"))
+    val nReq = req.agg(count(lit(1)).as("n_keys_requested"))
+    before.crossJoin(removed).crossJoin(nReq).crossJoin(matched)
+      .select(col("n_before"), col("n_removed"),
+        (col("n_before") - col("n_removed")).as("n_after"),
+        col("n_keys_requested"), col("n_keys_matched"))
+  }
+
+  private def forgetKeysChecked(requests: DataFrame,
+      keyCol: String): DataFrame =
+    requests.select(lcol(keyCol).as("__r")).distinct()
+      .withColumn("__r", expr(
+        "IF(__r IS NOT NULL, __r, assert_true(false, " +
+          "'forgetKeys: NULL key in the deletion request — a malformed " +
+          "erasure list; fix the request'))"))
 }

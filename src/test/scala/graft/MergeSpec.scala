@@ -200,4 +200,37 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
       Merge.pointInTimeJoin(facts, dim, Seq("k"), "t", how = "full")
     }
   }
+
+  test("forgetKeys: erasure semantics, NULL contracts, audit report") {
+    val target = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"),
+      (None, "null-key survives"), (Some(2L), "b2"))
+      .toDF("k", "v")
+    val req = Seq(2L, 999L).toDF("k") // 999 unknown: already-deleted, fine
+    val left = Merge.forgetKeys(target, req, Seq("k"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1))).toSet
+    assert(left === Set((Some(1L), "a"), (Some(3L), "c"),
+      (None, "null-key survives")),
+      "both rows of key 2 drop; NULL-key rows always survive")
+    // the audit row: 5 before, 2 removed, 3 after; 2 requested, 1 matched
+    val rep = Merge.forgetReport(target, req, "k").collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3),
+      rep.getLong(4)) === ((5L, 2L, 3L, 2L, 1L)))
+    // a NULL key anywhere in the request raises — malformed erasure list
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Merge.forgetKeys(target,
+        Seq(Some(1L), None).toDF("k"), Seq("k")).collect()
+    }
+    assert(root(ex).contains("malformed"))
+    // multi-column keys: only the exact tuple drops
+    val t2 = Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("k1", "k2", "v")
+    val left2 = Merge.forgetKeys(t2,
+        Seq((1L, "x")).toDF("k1", "k2"), Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left2 === Set((1L, "y"), (2L, "x")))
+  }
 }
