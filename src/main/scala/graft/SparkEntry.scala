@@ -3368,6 +3368,21 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Cluster medoid election (SURVEY row 42c): the exact Σ-squared-L2
+    * representative per md5-derived embedding cluster via the
+    * n·‖q‖² − 2·q·S + Σ‖q‖² identity — no pairwise join
+    * ([[operators.Similarity.clusterMedoid]]).
+    */
+  private def qClusterMedoid(s: SparkSession, dir: String): DataFrame = {
+    val emb = wh(s, dir).loadTable("embeddings")
+      .withColumn("cluster_id", pmod(
+        conv(substring(md5(concat(lit("m:"), col("vec_id").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(16L)))
+    operators.Similarity.clusterMedoid(emb, "vec_id", "embedding",
+        "cluster_id")
+      .orderBy("cluster_id")
+  }
+
   /** Right-to-be-forgotten deletion (SURVEY row 34f): erasure-request
     * anti-join over customers (97-multiples plus unmatched negatives),
     * audited per segment ([[operators.Merge.forgetKeys]]).
@@ -4431,6 +4446,7 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_forget" -> (qForget _),
+    "q_cluster_medoid" -> (qClusterMedoid _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -7224,6 +7240,38 @@ object SparkEntry {
         |SELECT n.node, coalesce(pn.n_triangles, 0) AS n_triangles
         |FROM nodes n LEFT JOIN pn ON pn.node = n.node
         |ORDER BY n.node""".stripMargin,
+    // the medoid identity replayed with list ops: e4 quantization in
+    // DOUBLE, element-wise cluster sums via an unnest position walk,
+    // n*nq - 2*dot + sumn, argmin by (score, id)
+    "q_cluster_medoid" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  CAST(('0x' || substr(md5('m:' || CAST(vec_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 16 AS cluster_id,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        | FROM embeddings
+        | WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |nq AS (SELECT vec_id, cluster_id, q,
+        |       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+        |       FROM v),
+        |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(nq) AS BIGINT) AS sumn FROM nq GROUP BY cluster_id),
+        |pos AS (SELECT cluster_id, q,
+        |        unnest(generate_series(1, len(q))) AS i FROM v),
+        |s AS (SELECT cluster_id, i, CAST(sum(q[i]) AS BIGINT) AS sv
+        |      FROM pos GROUP BY cluster_id, i),
+        |dt AS (SELECT n.vec_id, n.cluster_id, n.nq,
+        |       CAST(sum(n.q[s.i] * s.sv) AS BIGINT) AS dot
+        |       FROM nq n JOIN s ON n.cluster_id = s.cluster_id
+        |       GROUP BY n.vec_id, n.cluster_id, n.nq),
+        |sc AS (SELECT d.cluster_id, d.vec_id, a.n,
+        |       CAST(a.n * d.nq - 2 * d.dot + a.sumn AS BIGINT) AS score_e8
+        |       FROM dt d JOIN agg a USING (cluster_id)),
+        |pk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |       ORDER BY score_e8, vec_id) AS rn FROM sc)
+        |SELECT cluster_id, vec_id AS medoid_id, n, score_e8
+        |FROM pk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // the erasure anti-join + per-segment audit replayed relationally;
     // unmatched (negative) request keys remove nothing
     "q_forget" ->

@@ -647,4 +647,61 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         col("col").as("proj"))
   }
+
+  /** CLUSTER MEDOID election — the representative member of every
+    * embedding cluster (cluster summarization: "show me ONE document
+    * per semantic group", the keep-best policy of 38j for vector
+    * space): the row minimizing the exact sum of squared L2 distances
+    * to its cluster. NO pairwise join — with the e4-quantized integer
+    * vectors q the identity Σ_j ‖q_i − q_j‖² = n·‖q_i‖² − 2·q_i·S +
+    * Σ_j ‖q_j‖² (S = element-wise cluster sum) turns the medoid into
+    * ONE cluster aggregate + one map-side dot per row: O(n·d) per
+    * cluster instead of O(n²·d). All integer and ENGINE-EXACT: q =
+    * round-half-away(x·10⁴) per component (the cents convention, in
+    * DOUBLE on both engines), so scores replay bit-identically; ties →
+    * smallest id. Long-safety contract (loud): \|component\| ≤ 1
+    * pre-quantization (unit-normalized embeddings — \|q\| ≤ 10⁴) and
+    * n ≤ 10⁶ per cluster ⟹ every dot/score < 2⁶³ for d ≤ 10⁴.
+    *
+    * Scale shape: one posexplode groupBy for the S vectors (d rows per
+    * cluster), one narrow aggregate, one broadcast-sized join back,
+    * argmin by window over the cluster — nothing quadratic.
+    *
+    * Returns (clusterCol, medoid_id, n, score_e8) — one row per
+    * cluster; score_e8 is the exact Σ squared distance in (10⁻⁴)²
+    * units.
+    */
+  def clusterMedoid(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val base = df.select(col(clusterCol).cast("long").as("c"),
+        col(idCol).cast("long").as("id"),
+        expr(s"transform(`$vecCol`, x -> IF(abs(x) <= 1.0D, " +
+          "CAST(round(CAST(x AS double) * 10000.0D) AS bigint), " +
+          "assert_true(false, 'clusterMedoid: |component| > 1 — " +
+          "unit-normalize the embeddings')))").as("q"))
+      .where(col("c").isNotNull && col("id").isNotNull && col("q").isNotNull)
+      .withColumn("nq", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+    val agg = base.groupBy("c")
+      .agg(count(lit(1)).as("n"), sum("nq").as("sumn"))
+      .withColumn("n", expr(
+        "IF(n <= 1000000L, n, assert_true(false, " +
+          "'clusterMedoid: cluster exceeds 10^6 rows — the long-safe " +
+          "contract; split upstream'))").cast("long"))
+    val svec = base
+      .select(col("c"), posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy("c", "i").agg(sum("qv").as("sv"))
+      .groupBy("c").agg(expr(
+        "transform(array_sort(collect_list(struct(i, sv))), p -> p.sv)")
+        .as("s"))
+    base.join(svec, "c").join(agg, "c")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, s, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
+      .withColumn("score_e8", expr("n * nq - 2L * dot + sumn"))
+      .withColumn("__pick", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c")
+          .orderBy(col("score_e8"), col("id"))))
+      .where(col("__pick") === 1)
+      .select(col("c").as(clusterCol), col("id").as("medoid_id"),
+        col("n"), col("score_e8"))
+  }
 }

@@ -382,4 +382,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         s"query $q: projected top-1 should be its planted clone")
     }
   }
+
+  test("clusterMedoid: hand-exact scores, ties, singletons, unit contract") {
+    import spark.implicits._
+    // cluster 1: 0.1 / 0.2 / 0.9 on one axis — the middle point wins;
+    // score(b) = 3*4e6 - 2*(2000*12000) + 8.6e7 = 5.0e7 exactly
+    // cluster 2: two identical vectors — the smaller id wins at score 0
+    // cluster 3: singleton — its own medoid, score 0
+    val df = Seq(
+      (1L, 10L, Seq(0.1f, 0.0f)), (1L, 11L, Seq(0.2f, 0.0f)),
+      (1L, 12L, Seq(0.9f, 0.0f)),
+      (2L, 20L, Seq(0.5f, 0.5f)), (2L, 21L, Seq(0.5f, 0.5f)),
+      (3L, 30L, Seq(-0.3f, 0.4f)))
+      .toDF("c", "id", "v")
+    val got = Similarity.clusterMedoid(df, "id", "v", "c")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((11L, 3L, 50000000L)),
+      "the middle point minimizes the exact sum of squared distances")
+    assert(got(2L) === ((20L, 2L, 0L)), "identical vectors tie to min id")
+    assert(got(3L) === ((30L, 1L, 0L)), "a singleton is its own medoid")
+    // |component| > 1 violates the unit contract loudly
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Similarity.clusterMedoid(
+        Seq((1L, 1L, Seq(1.5f, 0.0f))).toDF("c", "id", "v"),
+        "id", "v", "c").collect()
+    }
+    assert(root(ex).contains("unit-normalize"))
+  }
 }
