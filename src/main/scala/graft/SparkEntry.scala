@@ -3422,6 +3422,16 @@ object SparkEntry {
         wh(s, dir).loadTable("lineitem"), "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag", "digit")
 
+  /** Theil-Sen + Mann-Kendall robust trend (SURVEY row 50v): median
+    * pairwise slope (exact two-middle-ranks, ×2) and the sign-based S/τ
+    * statistics off ONE pairwise self-join per key
+    * ([[operators.EventAnalytics.robustTrend]]).
+    */
+  private def qRobustTrend(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.robustTrend(
+        wh(s, dir).loadTable("events"), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
+
   /** Per-key OLS trend fit (SURVEY row 50u): slope/intercept over event
     * rank in exact integer arithmetic — grouped HUGEINT sums, two
     * truncating divisions ([[operators.EventAnalytics.trendFit]]).
@@ -4441,6 +4451,7 @@ object SparkEntry {
     "q_acf_store" -> (qAcfStore _),
     "q_acf_incremental" -> (qAcfIncremental _),
     "q_trend" -> (qTrend _),
+    "q_robust_trend" -> (qRobustTrend _),
     "q_trend_store" -> (qTrendStore _),
     "q_trend_incremental" -> (qTrendIncremental _),
     "q_benford" -> (qBenford _),
@@ -7013,6 +7024,43 @@ object SparkEntry {
     "q_trend" -> trendOracleSql,
     "q_trend_store" -> trendOracleSql,
     "q_trend_incremental" -> trendOracleSql,
+    // the pairwise self-join replayed: one truncating // per pair
+    // slope, the two-middle-ranks median (x2), sign sums for S and tau
+    "q_robust_trend" ->
+      """WITH base AS (
+        | SELECT user_id AS k, event_id AS id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT k, vc,
+        |       CAST(row_number() OVER (PARTITION BY k ORDER BY us, id)
+        |         AS BIGINT) AS rn,
+        |       CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |       FROM base),
+        |p AS (SELECT a.k, a.n,
+        |      ((b.vc - a.vc) * 1000000) // (b.rn - a.rn) AS slope_e6,
+        |      CAST(sign(b.vc - a.vc) AS BIGINT) AS sgn,
+        |      a.rn AS ri, b.rn AS rj
+        |      FROM rk a JOIN rk b ON a.k = b.k AND a.rn < b.rn),
+        |r AS (SELECT *,
+        |      CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m,
+        |      CAST(row_number() OVER (PARTITION BY k
+        |        ORDER BY slope_e6, ri, rj) AS BIGINT) AS rr
+        |      FROM p),
+        |med AS (SELECT k, CAST(sum(slope_e6) *
+        |        (CASE WHEN max((m + 1) // 2) = max(m // 2 + 1)
+        |         THEN 2 ELSE 1 END) AS BIGINT) AS slope_med2_e6
+        |        FROM r WHERE rr = (m + 1) // 2 OR rr = m // 2 + 1
+        |        GROUP BY k),
+        |agg AS (SELECT k, CAST(max(n) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(sgn) AS BIGINT) AS s_stat
+        |        FROM p GROUP BY k)
+        |SELECT a.k AS user_id, a.n, a.n_pairs, a.s_stat,
+        |  CAST((a.s_stat * 1000000) // a.n_pairs AS BIGINT) AS tau_e6,
+        |  m.slope_med2_e6
+        |FROM agg a JOIN med m ON a.k = m.k
+        |ORDER BY user_id""".stripMargin,
     // the mean-cleared integer ACF replayed closed-form in HUGEINT:
     // y = n*x - S per row, lag pairs by an offset equi-join, one
     // truncating // per lag, argmax by (acf DESC NULLS LAST, lag).

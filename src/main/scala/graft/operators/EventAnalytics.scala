@@ -1758,6 +1758,80 @@ object EventAnalytics {
       .select(col("k").as(keyCol), col("n"), col("s").as("sum_cents"),
         col("slope_e6"), col("intercept_e6"))
 
+  /** ROBUST TREND — Theil-Sen slope + Mann-Kendall test (Theil 1950,
+    * Sen 1968; Mann 1945, Kendall's τ): the outlier-resistant
+    * complement of [[trendFit]]'s OLS (one wild spike can drag a
+    * least-squares slope arbitrarily; the MEDIAN of pairwise slopes
+    * has breakdown point ~29%, and the sign-based S statistic ignores
+    * magnitudes entirely). ONE pairwise self-join per key powers both:
+    *
+    *   slope(i,j) = (vc_j − vc_i)·10⁶ div (rank_j − rank_i)   i < j
+    *   S = Σ sign(vc_j − vc_i);  τ_e6 = S·10⁶ div n_pairs
+    *
+    * The Theil-Sen slope is the MEDIAN over the pair slopes, emitted
+    * ×2 via the exact two-middle-ranks trick (the [[robustAnomaly]]
+    * integer-order-statistics recipe — even counts never leave
+    * integers); each pair slope is one truncating division (toward
+    * zero on negatives, spec-pinned), making the median a DEFINED
+    * integer contract both engines replay bit-exactly. Pairwise
+    * enumeration is the method's inherent O(n²) — per-key series are
+    * guarded ≤ `maxN` (default 1000) LOUDLY; resample longer series
+    * first (robust trend is a per-entity verb, the 50q sizing).
+    *
+    * Returns (keyCol, n, n_pairs, s_stat, tau_e6, slope_med2_e6) —
+    * keys with n ≥ 2 only.
+    */
+  def robustTrend(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, maxN: Int = 1000): DataFrame = {
+    require(maxN >= 2 && maxN <= 100000,
+      s"robustTrend: maxN must be in [2, 100000] (got $maxN)")
+    val base = graft.streaming.Events.tsLtz(events)
+      .withColumn("us", unix_micros(col(tsCol)))
+      .select(col(keyCol).cast("long").as("k"),
+        col(idCol).cast("long").as("id"), col("us"),
+        expr(s"CAST(round(`$valueCol` * 100) AS bigint)").as("vc"))
+      .where(col("k").isNotNull && col("us").isNotNull && col("vc").isNotNull)
+      .withColumn("vc", expr(
+        "IF(abs(vc) <= 9000000000L, vc, assert_true(false, " +
+          "'robustTrend: |value| > 9*10^9 cents — the slope scaling " +
+          "would wrap; rescale'))").cast("long"))
+    val ord = Window.partitionBy("k").orderBy("us", "id")
+    val byK = Window.partitionBy("k")
+    val rk = base
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(byK).cast("long"))
+      .withColumn("n", expr(
+        s"IF(n <= ${maxN}L, n, assert_true(false, " +
+          "'robustTrend: per-key series exceeds maxN — the pairwise " +
+          "method is quadratic; resample first'))").cast("long"))
+      .select("k", "rn", "vc", "n")
+    val pairs = rk.select(col("k"), col("rn").as("ri"), col("vc").as("vi"))
+      .join(rk.select(col("k"), col("rn").as("rj"), col("vc").as("vj"),
+        col("n")), "k")
+      .where(col("ri") < col("rj"))
+      .withColumn("slope_e6", expr("((vj - vi) * 1000000L) div (rj - ri)"))
+      .withColumn("sgn", signum(col("vj") - col("vi")).cast("long"))
+    // exact two-middle-ranks median (x2) over the pair slopes
+    val ranked = pairs
+      .withColumn("m", count(lit(1)).over(byK).cast("long"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("k").orderBy("slope_e6", "ri", "rj")).cast("long"))
+      .withColumn("__lo", expr("(m + 1) div 2"))
+      .withColumn("__hi", expr("m div 2 + 1"))
+    val med = ranked
+      .where(col("rr") === col("__lo") || col("rr") === col("__hi"))
+      .groupBy("k")
+      .agg((sum("slope_e6") * when(max("__lo") === max("__hi"), 2L)
+        .otherwise(1L)).as("slope_med2_e6"))
+    pairs.groupBy("k")
+      .agg(max("n").as("n"), count(lit(1)).as("n_pairs"),
+        sum("sgn").as("s_stat"))
+      .withColumn("tau_e6", expr("(s_stat * 1000000L) div n_pairs"))
+      .join(med, "k")
+      .select(col("k").as(keyCol), col("n"), col("n_pairs"),
+        col("s_stat"), col("tau_e6"), col("slope_med2_e6"))
+  }
+
   /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
     * offline complement of [[cusum]]: CUSUM raises a sequential alarm
     * WHILE a shift happens; this names the single most likely place a

@@ -896,6 +896,34 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(root(ex2).contains("long-safe"))
   }
 
+  test("robustTrend: outlier-resistant median slope, MK statistics, trunc pin") {
+    // key 1: ramp +100 cents/step with one wild spike — the median of
+    // the 10 pair slopes is still 1e8 (ranks 5,6 both 1e8 → med2 2e8);
+    // S = 9 ups − 1 down = 8, tau = 8e6/10
+    // key 2: strictly decreasing — S=-3, tau=-1e6, med2 = 2*(-1e8)
+    // key 3: [0,0,0,-1] — middles are -333333 (TRUNC toward zero; floor
+    //        would be -333334) and 0 → med2 = -333333
+    // key 4: single event → absent (no pairs)
+    val ev = Seq(
+      (1L, 1L, ts(0), 1.0), (2L, 1L, ts(1), 2.0), (3L, 1L, ts(2), 3.0),
+      (4L, 1L, ts(3), 100.0), (5L, 1L, ts(4), 4.0),
+      (10L, 2L, ts(0), 3.0), (11L, 2L, ts(1), 2.0), (12L, 2L, ts(2), 1.0),
+      (20L, 3L, ts(0), 0.0), (21L, 3L, ts(1), 0.0), (22L, 3L, ts(2), 0.0),
+      (23L, 3L, ts(3), -0.01),
+      (30L, 4L, ts(0), 7.0))
+      .toDF("eid", "uid", "ts", "v")
+    val got = EventAnalytics.robustTrend(ev, "uid", "ts", "eid", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((5L, 10L, 8L, 800000L, 200000000L)),
+      "the spike cannot drag the median slope off 1e8 (x2 emitted)")
+    assert(got(2L) === ((3L, 3L, -3L, -1000000L, -200000000L)))
+    assert(got(3L) === ((4L, 6L, -3L, -500000L, -333333L)),
+      "negative pair slope truncates toward zero before the median")
+  }
+
   test("trendFit: hand-exact OLS, negative truncation, degenerate keys") {
     // key 1: perfect line 10,20,30 → slope 1000 cents/step, intercept 0
     // key 2: single event → NULL fit
