@@ -672,8 +672,14 @@ object Similarity {
     * units.
     */
   def clusterMedoid(df: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String): DataFrame = {
-    val base = df.select(col(clusterCol).cast("long").as("c"),
+      clusterCol: String,
+      persistLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // the quantized frame feeds THREE consumers (S vectors, cluster
+    // aggregates, the scoring join) — persist it so the upstream vector
+    // derivation runs once, release after the bounded per-cluster
+    // result checkpoints (the editDistanceJoinIncremental discipline)
+    val base0 = df.select(col(clusterCol).cast("long").as("c"),
         col(idCol).cast("long").as("id"),
         expr(s"transform(`$vecCol`, x -> IF(abs(x) <= 1.0D, " +
           "CAST(round(CAST(x AS double) * 10000.0D) AS bigint), " +
@@ -681,6 +687,9 @@ object Similarity {
           "unit-normalize the embeddings')))").as("q"))
       .where(col("c").isNotNull && col("id").isNotNull && col("q").isNotNull)
       .withColumn("nq", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+    val base =
+      if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) base0
+      else base0.persist(persistLevel)
     val agg = base.groupBy("c")
       .agg(count(lit(1)).as("n"), sum("nq").as("sumn"))
       .withColumn("n", expr(
@@ -693,7 +702,7 @@ object Similarity {
       .groupBy("c").agg(expr(
         "transform(array_sort(collect_list(struct(i, sv))), p -> p.sv)")
         .as("s"))
-    base.join(svec, "c").join(agg, "c")
+    val result = base.join(svec, "c").join(agg, "c")
       .withColumn("dot", expr(
         "aggregate(zip_with(q, s, (a, b) -> a * b), 0L, (a, x) -> a + x)"))
       .withColumn("score_e8", expr("n * nq - 2L * dot + sumn"))
@@ -703,5 +712,12 @@ object Similarity {
       .where(col("__pick") === 1)
       .select(col("c").as(clusterCol), col("id").as("medoid_id"),
         col("n"), col("score_e8"))
+    if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) result
+    else {
+      val out = result.localCheckpoint(eager = true,
+        storageLevel = persistLevel)
+      base.unpersist()
+      out
+    }
   }
 }

@@ -150,6 +150,34 @@ object ProbeR11 {
           events.withColumn("g", pmod(col("uid"), lit(32L)).cast("string")),
           "g", "value"))
       }
+      time(s"robustTrend 50-event keys (12.5M pairs) rep$rep") {
+        drain(graft.operators.EventAnalytics.robustTrend(
+          events, "uid", "ts", "eid", "value"))
+      }
+      time(s"forgetKeys 1% erasure over 500k rep$rep") {
+        drain(graft.operators.Merge.forgetKeys(
+          events, events.filter(col("eid") % 100 === 0).select("eid"),
+          Seq("eid")))
+      }
+      time(s"clusterMedoid 500k x 64-dim over 1000 clusters rep$rep") {
+        drain(graft.operators.Similarity.clusterMedoid(
+          ids.select(col("id"),
+            pmod(xxhash64(col("id")), lit(1000L)).as("cl"),
+            expr("transform(sequence(0, 63), " +
+              "i -> CAST((pmod(xxhash64(id, i), 2001) - 1000) / 1000.0 " +
+              "AS FLOAT))").as("v")),
+          "id", "v", "cl"))
+      }
+      time(s"linkPrediction 500k-edge bipartite, cap 200 rep$rep") {
+        // 10k left nodes x 50 edges to 2k right nodes (right deg ~250:
+        // above the cap, so wedges come from the left side — the
+        // honest capped shape)
+        val g = ids.select(pmod(col("id"), lit(10000L)).as("src"),
+          (pmod(xxhash64(col("id")), lit(2000L)) + 1000000L).as("dst"))
+        val pairs = graft.operators.Graph.linkPrediction(
+          g, "src", "dst", maxDegree = 200L, minCommon = 3L)
+        println(s"  pairs: ${pairs.count()}")
+      }
     }
     spark.stop()
   }
