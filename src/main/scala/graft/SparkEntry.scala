@@ -3413,6 +3413,15 @@ object SparkEntry {
         maxDegree = 100L, minCommon = 2L)
       .orderBy("u", "v")
 
+  /** PMI / mutual-information association (SURVEY row 22g): return
+    * flag × line status contingency in exact ilog2 fixed point
+    * ([[operators.Stats.pmiProfile]]).
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.pmiProfile(
+        wh(s, dir).loadTable("lineitem"), "l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Benford first-digit profile (SURVEY row 22f): integer-cents first
     * digits per return flag vs the exact-10⁶-sum ppm constants — the
     * fraud/fabrication screen ([[operators.Stats.benfordProfile]]).
@@ -4455,6 +4464,7 @@ object SparkEntry {
     "q_trend_store" -> (qTrendStore _),
     "q_trend_incremental" -> (qTrendIncremental _),
     "q_benford" -> (qBenford _),
+    "q_pmi" -> (qPmi _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_forget" -> (qForget _),
     "q_cluster_medoid" -> (qClusterMedoid _),
@@ -6988,6 +6998,27 @@ object SparkEntry {
         |       sp AS cusum_pos, sn AS cusum_neg,
         |       sp > 20000 AS shift_up, sn > 20000 AS shift_down
         |FROM rec ORDER BY user_id, us, event_id""".stripMargin,
+    // the contingency cells, margins, and every fixed-point log
+    // replayed with the shared 20-step ilog2 recurrence; truncating
+    // divisions toward zero in both engines
+    "q_pmi" ->
+      s"""WITH base AS (
+        | SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+        | WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM base GROUP BY a, b),
+        |m AS (SELECT a, b, cnt,
+        |      CAST(sum(cnt) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+        |      CAST(sum(cnt) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+        |      CAST(sum(cnt) OVER () AS BIGINT) AS n FROM cells),
+        |p AS (SELECT a, b, cnt, n_a, n_b, n,
+        |      ${ilogSql("(cnt * n)")} - ${ilogSql("(n_a * n_b)")} AS pmi_u20
+        |      FROM m)
+        |SELECT a AS l_returnflag, b AS l_linestatus, cnt, n_a, n_b,
+        |  CAST((pmi_u20 * 1000000) // 1048576 AS BIGINT) AS pmi_e6,
+        |  CAST((sum(cnt * pmi_u20) OVER () * 1000000)
+        |    // (n * 1048576) AS BIGINT) AS mi_e6
+        |FROM p ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // first digits from the INTEGER cents string (identical printing in
     // both engines), full 1-9 grid, truncating ppm; the nine Benford
     // constants sum to exactly 10^6 on both sides

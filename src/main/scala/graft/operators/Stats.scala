@@ -502,6 +502,54 @@ object Stats {
         "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
   }
 
+  /** PMI / MUTUAL-INFORMATION association profile of two CATEGORICAL
+    * columns — the feature-association screen of the profiling family
+    * ("does ship mode predict return flag"): per contingency cell the
+    * pointwise mutual information, plus the aggregate MI, in EXACT
+    * fixed point via the engine-shared ilog2 recurrence (the
+    * drift/DCG/Adamic-Adar recipe — no libm, both engines replay every
+    * log bit-identically):
+    *
+    *   pmi_u20(a,b) = ilog2Fp(cnt·N) − ilog2Fp(n_a·n_b)   (2²⁰ units)
+    *   pmi_e6 = pmi_u20·10⁶ div 2²⁰  (truncating, toward zero)
+    *   mi_e6  = (Σ cnt·pmi_u20)·10⁶ div (N·2²⁰)   (same on every row)
+    *
+    * NULL-in-either rows drop; the cell frame is bounded by the
+    * CATEGORICAL contract (distinct-pair count, not data size), so the
+    * margin windows run over a tiny frame — the corpus-sized work is
+    * ONE groupBy. Guard: N ≤ 10⁹ keeps cnt·N inside a long (loud).
+    *
+    * Returns (colA, colB, cnt, n_a, n_b, pmi_e6, mi_e6) — one row per
+    * observed cell.
+    */
+  def pmiProfile(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df.select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = cells
+      .withColumn("n_a", sum("cnt").over(Window.partitionBy("a")))
+      .withColumn("n_b", sum("cnt").over(Window.partitionBy("b")))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy(lit(1)))) // cell frame is tiny by contract
+      .withColumn("n", expr(
+        "IF(n <= 1000000000L, n, assert_true(false, " +
+          "'pmiProfile: N exceeds 10^9 rows — cnt*N would wrap; " +
+          "sample first'))").cast("long"))
+      .withColumn("__l1", graft.functions.GraftFunctions.ilog2FpCol(
+        spark, col("cnt") * col("n")))
+      .withColumn("__l2", graft.functions.GraftFunctions.ilog2FpCol(
+        spark, col("n_a") * col("n_b")))
+      .withColumn("pmi_u20", col("__l1") - col("__l2"))
+    w.withColumn("mi_e6", expr(
+        "(sum(cnt * pmi_u20) OVER () * 1000000L) div (n * 1048576L)"))
+      .withColumn("pmi_e6", expr("(pmi_u20 * 1000000L) div 1048576L"))
+      .select(col("a").as(colA), col("b").as(colB), col("cnt"),
+        col("n_a"), col("n_b"), col("pmi_e6"), col("mi_e6"))
+  }
+
   /** Benford first-significant-digit ppm per digit, rounded half away
     * from zero from log₁₀(1+1/d) — the nine constants sum to exactly
     * 10⁶, shared verbatim by the DuckDB oracle.

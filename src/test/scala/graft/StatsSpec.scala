@@ -7,6 +7,41 @@ import graft.operators.Stats
 
 class StatsSpec extends AnyFunSuite with SparkTestBase {
 
+  test("pmiProfile: exact bits for independence and identity, NULL drops") {
+    import spark.implicits._
+    // independent 2x2 uniform: every cell pmi = log2(2*8/(4*4)) = 0
+    val ind = Seq(("p", "r"), ("p", "r"), ("p", "s"), ("p", "s"),
+      ("q", "r"), ("q", "r"), ("q", "s"), ("q", "s"))
+      .toDF("a", "b")
+    val gi = Stats.pmiProfile(ind, "a", "b").collect()
+    assert(gi.length === 4)
+    gi.foreach { r =>
+      assert(r.getLong(5) === 0L && r.getLong(6) === 0L,
+        "independence: PMI and MI exactly zero in fixed point")
+    }
+    // identical binary uniform: every cell pmi = 1 bit, MI = 1 bit —
+    // powers of two are EXACT in the ilog2 recurrence
+    val dep = Seq(("t", "t"), ("t", "t"), ("t", "t"), ("t", "t"),
+      ("u", "u"), ("u", "u"), ("u", "u"), ("u", "u"),
+      (null, "x"), ("x", null)) // NULL-in-either rows drop
+      .toDF("a", "b")
+    val gd = Stats.pmiProfile(dep, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    assert(gd.keySet === Set(("t", "t"), ("u", "u")), "NULL rows dropped")
+    assert(gd(("t", "t")) === ((4L, 1000000L, 1000000L)),
+      "identity: PMI = MI = exactly one bit")
+    // a skewed dependent cell matches the local ilog2 replay
+    val mix = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("x", "x"),
+      ("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val gm = Stats.pmiProfile(mix, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5))
+      .toMap
+    import graft.functions.Kernels.ilog2Fp
+    val expXX = ((ilog2Fp(6L * 8L) - ilog2Fp(6L * 6L)) * 1000000L) / 1048576L
+    assert(gm(("x", "x")) === expXX, "pmi matches the exact recurrence")
+  }
+
   test("benfordProfile: digit extraction, full grid, ppm truncation, skips") {
     import spark.implicits._
     val df = Seq(
