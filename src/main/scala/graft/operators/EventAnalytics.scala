@@ -1832,41 +1832,6 @@ object EventAnalytics {
         col("s_stat"), col("tau_e6"), col("slope_med2_e6"))
   }
 
-  /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
-    * offline complement of [[cusum]]: CUSUM raises a sequential alarm
-    * WHILE a shift happens; this names the single most likely place a
-    * key's mean LEVEL shifted after the fact). For each key's
-    * (ts, id)-ordered value series, every split i ∈ [1, n) is scored by
-    * the between-segment sum of squares
-    *
-    *   gain(i) = (S₁·(n−i) − S₂·i)² / (n·i·(n−i))      (cents²)
-    *
-    * — the SSE reduction of a two-mean fit, maximized by the standard
-    * CUSUM-of-sums argmax — and the best split wins (ties → smallest i).
-    * Emitted ×10⁶ (`gain_e6`) so the flag threshold has sub-cent²
-    * resolution.
-    *
-    * ENGINE-EXACT INTEGER arithmetic throughout: prefix/total sums are
-    * long cents; the contrast, its square, and the scaled quotient are
-    * DECIMAL(38,0) in Spark and HUGEINT in DuckDB with ONE truncating
-    * division (both engines truncate toward zero; operands are
-    * non-negative, so floor = trunc) — every gain replays bit-exactly.
-    * Never-wrap-silently guards: n ≤ 10⁶ per key, |contrast| ≤ 9·10¹⁵
-    * (so the square fits 38 digits), and gain ≤ 9·10¹⁸ (so the final
-    * long conversion cannot wrap — Spark's decimal `div` wraps
-    * SILENTLY past 2⁶³, measured) — each violation raises, never
-    * truncates.
-    *
-    * Scale shape: two window passes over ONE (k) exchange + (us, id)
-    * in-partition sort (running sum + partition aggregates share the
-    * sort; the argmax rank re-sorts in place, no second shuffle), then
-    * a filter — no per-key buffering, no driver state, O(1) memory per
-    * row. Keys with a single event have no candidate split and are
-    * absent from the output.
-    *
-    * Returns (keyCol, n, split_rn, split_id, split_us, s_left, s_right,
-    * gain_e6, shifted).
-    */
   /** AUTOCORRELATION + dominant-period detection: the sample ACF of
     * each key's (ts, id)-ordered value series at every lag ℓ ∈
     * [1, maxLag], plus the argmax lag — the "does this metric repeat,
@@ -1943,6 +1908,41 @@ object EventAnalytics {
         (col("__pick") === 1 && col("acf_e6").isNotNull).as("is_dominant"))
   }
 
+  /** CHANGEPOINT LOCALIZATION (binary segmentation, depth 1 — the
+    * offline complement of [[cusum]]: CUSUM raises a sequential alarm
+    * WHILE a shift happens; this names the single most likely place a
+    * key's mean LEVEL shifted after the fact). For each key's
+    * (ts, id)-ordered value series, every split i ∈ [1, n) is scored by
+    * the between-segment sum of squares
+    *
+    *   gain(i) = (S₁·(n−i) − S₂·i)² / (n·i·(n−i))      (cents²)
+    *
+    * — the SSE reduction of a two-mean fit, maximized by the standard
+    * CUSUM-of-sums argmax — and the best split wins (ties → smallest i).
+    * Emitted ×10⁶ (`gain_e6`) so the flag threshold has sub-cent²
+    * resolution.
+    *
+    * ENGINE-EXACT INTEGER arithmetic throughout: prefix/total sums are
+    * long cents; the contrast, its square, and the scaled quotient are
+    * DECIMAL(38,0) in Spark and HUGEINT in DuckDB with ONE truncating
+    * division (both engines truncate toward zero; operands are
+    * non-negative, so floor = trunc) — every gain replays bit-exactly.
+    * Never-wrap-silently guards: n ≤ 10⁶ per key, |contrast| ≤ 9·10¹⁵
+    * (so the square fits 38 digits), and gain ≤ 9·10¹⁸ (so the final
+    * long conversion cannot wrap — Spark's decimal `div` wraps
+    * SILENTLY past 2⁶³, measured) — each violation raises, never
+    * truncates.
+    *
+    * Scale shape: two window passes over ONE (k) exchange + (us, id)
+    * in-partition sort (running sum + partition aggregates share the
+    * sort; the argmax rank re-sorts in place, no second shuffle), then
+    * a filter — no per-key buffering, no driver state, O(1) memory per
+    * row. Keys with a single event have no candidate split and are
+    * absent from the output.
+    *
+    * Returns (keyCol, n, split_rn, split_id, split_us, s_left, s_right,
+    * gain_e6, shifted).
+    */
   def changepoint(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, minGainE6: Long): DataFrame = {
     require(minGainE6 >= 0, s"minGainE6 must be >= 0 (got $minGainE6)")

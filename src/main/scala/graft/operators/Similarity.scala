@@ -659,9 +659,13 @@ object Similarity {
     * cluster instead of O(n²·d). All integer and ENGINE-EXACT: q =
     * round-half-away(x·10⁴) per component (the cents convention, in
     * DOUBLE on both engines), so scores replay bit-identically; ties →
-    * smallest id. Long-safety contract (loud): \|component\| ≤ 1
-    * pre-quantization (unit-normalized embeddings — \|q\| ≤ 10⁴) and
-    * n ≤ 10⁶ per cluster ⟹ every dot/score < 2⁶³ for d ≤ 10⁴.
+    * smallest id. Long-safety contract (ALL loud, none prose-only):
+    * \|component\| ≤ 1 pre-quantization (unit-normalized embeddings —
+    * \|q\| ≤ 10⁴), n ≤ 10⁶ per cluster, n·d ≤ 2·10¹⁰ (dimension-scaled:
+    * every long term n·nq / dot / sumn is ≤ n·d·10⁸ ≤ 2·10¹⁸ < 2⁶³),
+    * and UNIFORM vector dimension within each cluster (a ragged
+    * zip_with would yield a NULL score, which sorts first in the
+    * argmin and would silently win the election).
     *
     * Scale shape: one posexplode groupBy for the S vectors (d rows per
     * cluster), one narrow aggregate, one broadcast-sized join back,
@@ -691,11 +695,25 @@ object Similarity {
       if (persistLevel == org.apache.spark.storage.StorageLevel.NONE) base0
       else base0.persist(persistLevel)
     val agg = base.groupBy("c")
-      .agg(count(lit(1)).as("n"), sum("nq").as("sumn"))
+      .agg(count(lit(1)).as("n"), sum("nq").as("sumn"),
+        min(size(col("q"))).as("__dmin"), max(size(col("q"))).as("__dmax"))
+      // both loud guards ride on n (always consumed by the score), so
+      // column pruning cannot silence them: (1) uniform dimension per
+      // cluster — a ragged zip_with would NULL the score, and NULL
+      // sorts first in the argmin, electing a garbage medoid; (2)
+      // n·d ≤ 2·10¹⁰ ⟹ every long term (n·nq, dot, sumn ≤ n·d·10⁸)
+      // stays ≤ 8·10¹⁸ < 2⁶³ — the dimension-scaled bound, not the
+      // doc-prose d ≤ 10⁴ contract
       .withColumn("n", expr(
-        "IF(n <= 1000000L, n, assert_true(false, " +
-          "'clusterMedoid: cluster exceeds 10^6 rows — the long-safe " +
-          "contract; split upstream'))").cast("long"))
+        "IF(__dmin = __dmax, " +
+          "IF(n <= 1000000L AND n * CAST(__dmax AS BIGINT) <= 20000000000L, " +
+          "n, assert_true(false, " +
+          "'clusterMedoid: n exceeds 10^6 or n*d exceeds 2*10^10 — the " +
+          "long-safe score contract; split the cluster upstream')), " +
+          "assert_true(false, 'clusterMedoid: ragged vector dimensions " +
+          "within a cluster — the squared-distance identity needs one " +
+          "d; normalize the embedding column'))").cast("long"))
+      .drop("__dmin", "__dmax")
     val svec = base
       .select(col("c"), posexplode(col("q")).as(Seq("i", "qv")))
       .groupBy("c", "i").agg(sum("qv").as("sv"))

@@ -514,37 +514,66 @@ object Stats {
     *   pmi_e6 = pmi_u20·10⁶ div 2²⁰  (truncating, toward zero)
     *   mi_e6  = (Σ cnt·pmi_u20)·10⁶ div (N·2²⁰)   (same on every row)
     *
-    * NULL-in-either rows drop; the cell frame is bounded by the
-    * CATEGORICAL contract (distinct-pair count, not data size), so the
-    * margin windows run over a tiny frame — the corpus-sized work is
-    * ONE groupBy. Guard: N ≤ 10⁹ keeps cnt·N inside a long (loud).
+    * NULL-in-either rows drop. Scale shape: the corpus-sized work is
+    * ONE groupBy; margins and N come from AGGREGATES over the cell
+    * frame joined back broadcast — no window anywhere, in particular
+    * no partition-less WindowExec funneling the frame to one reducer.
+    * The CATEGORICAL contract is enforced, not assumed: the
+    * distinct-cell count is guarded ≤ `maxCells` (loud), and N ≤ 10⁹
+    * keeps cnt·N inside a long (loud). The MI numerator Σ cnt·pmi_u20
+    * accumulates in DECIMAL(38,0) (HUGEINT on the oracle side) so it
+    * cannot wrap where a long would (~9.2·10¹⁸ ≈ 10⁷ rows at one bit
+    * of MI), with the div-wrap guard on the final long quotient.
     *
     * Returns (colA, colB, cnt, n_a, n_b, pmi_e6, mi_e6) — one row per
     * observed cell.
     */
-  def pmiProfile(df: DataFrame, colA: String, colB: String): DataFrame = {
+  def pmiProfile(df: DataFrame, colA: String, colB: String,
+      maxCells: Long = 1000000L): DataFrame = {
+    require(maxCells >= 1, s"pmiProfile: maxCells must be >= 1 (got $maxCells)")
     val spark = df.sparkSession
-    val cells = df.select(col(colA).cast("string").as("a"),
+    val cells0 = df.select(col(colA).cast("string").as("a"),
         col(colB).cast("string").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-    import org.apache.spark.sql.expressions.Window
-    val w = cells
-      .withColumn("n_a", sum("cnt").over(Window.partitionBy("a")))
-      .withColumn("n_b", sum("cnt").over(Window.partitionBy("b")))
-      .withColumn("n", sum("cnt").over(
-        Window.partitionBy(lit(1)))) // cell frame is tiny by contract
-      .withColumn("n", expr(
-        "IF(n <= 1000000000L, n, assert_true(false, " +
+    // the cell frame feeds four consumers (two margins, the totals,
+    // the scoring probe) — persist so the corpus-sized groupBy runs
+    // once; the scored frame is cell-bounded by the guarded contract,
+    // so an eager checkpoint releases the persist (the clusterMedoid
+    // discipline)
+    val cells = cells0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = cells.groupBy("a").agg(sum("cnt").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("cnt").as("n_b"))
+    val tot = cells.agg(sum("cnt").as("n0"), count(lit(1)).as("n_cells"))
+      .select(expr(
+        s"IF(n_cells <= ${maxCells}L, " +
+          "IF(n0 <= 1000000000L, n0, assert_true(false, " +
           "'pmiProfile: N exceeds 10^9 rows — cnt*N would wrap; " +
-          "sample first'))").cast("long"))
+          "sample first')), " +
+          "assert_true(false, 'pmiProfile: distinct-cell count exceeds " +
+          s"maxCells=$maxCells — the categorical contract; reduce " +
+          "cardinality upstream or raise maxCells'))")
+        .cast("long").as("n"))
+    val scored = cells
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(tot))
       .withColumn("__l1", graft.functions.GraftFunctions.ilog2FpCol(
         spark, col("cnt") * col("n")))
       .withColumn("__l2", graft.functions.GraftFunctions.ilog2FpCol(
         spark, col("n_a") * col("n_b")))
       .withColumn("pmi_u20", col("__l1") - col("__l2"))
-    w.withColumn("mi_e6", expr(
-        "(sum(cnt * pmi_u20) OVER () * 1000000L) div (n * 1048576L)"))
+      .localCheckpoint(eager = true)
+    cells.unpersist()
+    val minum = scored.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * pmi_u20")).as("mi_num"))
+    scored.crossJoin(broadcast(minum))
+      .withColumn("mi_e6", expr(
+        "IF(abs(mi_num) * 1000000 <= " +
+          "CAST(9000000000000000000 AS DECIMAL(38,0)) * (n * 1048576L), " +
+          "(mi_num * 1000000) div (n * 1048576L), " +
+          "assert_true(false, 'pmiProfile: the MI quotient exceeds " +
+          "long range'))").cast("long"))
       .withColumn("pmi_e6", expr("(pmi_u20 * 1000000L) div 1048576L"))
       .select(col("a").as(colA), col("b").as(colB), col("cnt"),
         col("n_a"), col("n_b"), col("pmi_e6"), col("mi_e6"))

@@ -412,4 +412,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(root(ex).contains("unit-normalize"))
   }
+
+  test("clusterMedoid: ragged dimensions and n*d overflow refuse loudly") {
+    import spark.implicits._
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    // two members of one cluster with different dimensions: a silent
+    // zip_with would NULL the score (NULL sorts first and would win
+    // the argmin) — must refuse instead
+    val ragged = intercept[Exception] {
+      Similarity.clusterMedoid(
+        Seq((1L, 1L, Seq(0.5f, 0.5f)), (1L, 2L, Seq(0.5f, 0.5f, 0.5f)))
+          .toDF("c", "id", "v"),
+        "id", "v", "c").collect()
+    }
+    assert(root(ragged).contains("ragged vector dimensions"))
+    // uniform dimensions across DIFFERENT clusters stay fine
+    val ok = Similarity.clusterMedoid(
+      Seq((1L, 1L, Seq(0.5f, 0.5f)), (2L, 2L, Seq(0.5f, 0.5f, 0.5f)))
+        .toDF("c", "id", "v"),
+      "id", "v", "c").collect()
+    assert(ok.length === 2)
+  }
 }

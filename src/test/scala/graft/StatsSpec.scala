@@ -42,6 +42,25 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(gm(("x", "x")) === expXX, "pmi matches the exact recurrence")
   }
 
+  test("pmiProfile: loud cell-count refusal, no WindowExec in the plan") {
+    import spark.implicits._
+    val four = Seq(("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"))
+      .toDF("a", "b")
+    // 4 distinct cells > maxCells=3 → the categorical contract refuses
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Stats.pmiProfile(four, "a", "b", maxCells = 3L).collect()
+    }
+    assert(root(ex).contains("distinct-cell count exceeds maxCells"))
+    // margins and N come from aggregates + broadcast joins — no window
+    // operator anywhere (in particular no partition-less WindowExec
+    // funneling the cell frame to one reducer)
+    val plan = Stats.pmiProfile(four, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+  }
+
   test("benfordProfile: digit extraction, full grid, ppm truncation, skips") {
     import spark.implicits._
     val df = Seq(
