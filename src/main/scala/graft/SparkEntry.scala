@@ -3402,6 +3402,60 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Right-to-be-forgotten REWRITE (SURVEY row 34f'): the composed
+    * erasure verb for versioned tables — [[Warehouse.forgetAndRewrite]]
+    * erases the latest version, purges every PRIOR version still
+    * holding a requested key (time travel must not resurrect erased
+    * rows), and appends the audit row. The requires() pin the
+    * filesystem truths (which versions remain readable, the audit log
+    * landing); the emitted frame replays relationally: per-segment
+    * post-erasure stats + the audit counts + the purge count (the
+    * purge condition — "did the even-keys v1 hold any requested
+    * key" — is itself a relational EXISTS the oracle recomputes).
+    */
+  private def qForgetRewrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = scratch("rtbf", dir)
+    val wt = Warehouse(s, tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("custfr", "custfr__forget_audit").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(Warehouse.tablePath(tmp, t))
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val c = wh(s, dir).loadTable("customer").select(
+      col("c_custkey"), col("c_mktsegment"),
+      cents(col("c_acctbal")).as("bal_cents"))
+    require(wt.saveTableVersioned(
+      c.filter(col("c_custkey") % 2 === 0), tmp, "custfr") == 1L)
+    require(wt.saveTableVersioned(c, tmp, "custfr") == 2L)
+    val req = c.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      .unionByName(c.filter(col("c_custkey") % 89 === 0)
+        .select((-col("c_custkey")).as("c_custkey")))
+    val audit = wt.forgetAndRewrite(tmp, "custfr", req, Seq("c_custkey"))
+    val v1HadKey = !c.filter(
+      col("c_custkey") % 2 === 0 && col("c_custkey") % 97 === 0).isEmpty
+    require(wt.listVersions("custfr") ==
+      (if (v1HadKey) Seq(3L) else Seq(1L, 3L)),
+      "every key-bearing prior version must be purged, clean ones kept")
+    require(scala.util.Try(
+      wt.loadTableVersion("custfr", 2).count()).isFailure,
+      "the pre-erasure snapshot must be unreadable through time travel")
+    require(wt.loadTable("custfr__forget_audit").count() == 1L,
+      "exactly one audit row lands in the companion log")
+    val segs = wt.loadTable("custfr")
+      .groupBy(col("c_mktsegment").as("which"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("bal_cents").cast("long").as("sum_bal_cents"))
+    segs
+      .unionByName(audit.select(lit("~audit_counts").as("which"),
+        col("n_removed").as("n_rows"),
+        col("n_keys_requested").as("sum_bal_cents")))
+      .unionByName(audit.select(lit("~audit_versions").as("which"),
+        col("new_version").as("n_rows"),
+        col("n_versions_purged").as("sum_bal_cents")))
+      .orderBy("which")
+  }
+
   /** Link prediction (SURVEY row 61g): common-neighbor / Jaccard /
     * Adamic-Adar scores for distance-2 non-adjacent pairs of the trade
     * graph — the AA term via the shared ilog2Fp recurrence
@@ -4467,6 +4521,7 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_link_prediction" -> (qLinkPrediction _),
     "q_forget" -> (qForget _),
+    "q_forget_rewrite" -> (qForgetRewrite _),
     "q_cluster_medoid" -> (qClusterMedoid _),
     "q_ewma" -> (qEwma _),
     "q_holt" -> (qHolt _),
@@ -7369,6 +7424,38 @@ object SparkEntry {
         |  b.n_before - coalesce(a.n_after, 0) AS n_removed
         |FROM b LEFT JOIN a USING (c_mktsegment)
         |ORDER BY c_mktsegment""".stripMargin,
+    // the composed versioned erasure replayed relationally: post-erasure
+    // per-segment stats, the audit counts, and the purge count (v1 =
+    // even keys is purged iff it held any requested key — a relational
+    // EXISTS; v2 = the full snapshot always is once any key matches)
+    "q_forget_rewrite" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_mktsegment,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |req AS (
+        | SELECT c_custkey FROM c WHERE c_custkey % 97 = 0
+        | UNION
+        | SELECT -c_custkey FROM c WHERE c_custkey % 89 = 0),
+        |aft AS (SELECT x.* FROM c x LEFT JOIN req r
+        |        ON x.c_custkey = r.c_custkey WHERE r.c_custkey IS NULL),
+        |seg AS (SELECT c_mktsegment AS which,
+        |        CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+        |        FROM aft GROUP BY c_mktsegment),
+        |meta AS (
+        | SELECT '~audit_counts' AS which,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM c x JOIN req r
+        |     ON x.c_custkey = r.c_custkey) AS n_rows,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM req) AS sum_bal_cents
+        | UNION ALL
+        | SELECT '~audit_versions', CAST(3 AS BIGINT),
+        |   CASE WHEN EXISTS (SELECT 1 FROM c
+        |        WHERE c_custkey % 2 = 0 AND c_custkey % 97 = 0)
+        |   THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END)
+        |SELECT which, n_rows, sum_bal_cents FROM seg
+        |UNION ALL SELECT which, n_rows, sum_bal_cents FROM meta
+        |ORDER BY which""".stripMargin,
     // wedges = one self-join of the capped adjacency on the center,
     // AA terms via the shared 20-step ilog2 recurrence, anti-join of
     // existing edges — all integer, one truncating division per score

@@ -459,6 +459,82 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     drop
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN erasure for VERSIONED tables — the composed
+    * verb [[graft.operators.Merge.forgetKeys]] alone cannot be: a bare
+    * anti-join + [[saveTableVersioned]] leaves every forgotten row
+    * readable through [[loadTableVersion]]/[[loadTableAsOf]] until an
+    * unrelated vacuum, and erasure that is one AT(version) away is not
+    * erasure (GDPR Art. 17 / CCPA; the reference's warehouse targets
+    * make time travel respect deletion after retention — so must we).
+    *
+    * Sequence, ordered so every crash point leaves a CLEAN latest and a
+    * re-run with the same requests is idempotent:
+    *  1. erase: anti-join the latest version against the NULL-asserted
+    *     distinct request tuples ([[graft.operators.Merge.forgetKeys]]);
+    *  2. commit the erased frame as a NEW version (readers of "latest"
+    *     flip atomically with its `_SUCCESS`);
+    *  3. purge: probe each PRIOR committed version with a semi-join
+    *     limit-1 probe and DELETE every version still holding any
+    *     requested key (versions that never held one keep their
+    *     history — forensics stays intact where harmless);
+    *  4. append ONE audit row to the plain companion table
+    *     `<table>__forget_audit` (regulators ask for the log, and the
+    *     log itself must not be versioned-erased).
+    *
+    * Scale shape: one anti-join on the key tuple (requests broadcast),
+    * one count pass for the audit, and per prior version ONE
+    * short-circuit semi-join probe (parquet min/max pushdown on the key
+    * columns prunes most files; version count is retention-bounded).
+    * Readers holding a purged HISTORICAL version fail on their next
+    * cold read — the same documented trade as [[vacuumTable]].
+    *
+    * Returns the audit row: (table_name, new_version, n_before,
+    * n_removed, n_after, n_keys_requested, n_keys_matched,
+    * n_versions_purged, n_versions_kept).
+    */
+  def forgetAndRewrite(outDir: String, table: String, requests: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    require(keyCols.nonEmpty, "forgetAndRewrite: keyCols must be non-empty")
+    val base = Warehouse.tablePath(outDir, table)
+    val priorVs = Warehouse.committedVersions(spark, base)
+    require(priorVs.nonEmpty,
+      s"forgetAndRewrite: $table is not versioned — for a plain table " +
+        "forgetKeys + saveTable(mode=overwrite) already erases in place")
+    // checkpoint the checked tuples once: the SAME frame gates the
+    // erase, the audit counts, and the purge probes — and the NULL
+    // assert must fire before any version is touched
+    val req = operators.Merge.checkedRequests(requests, keyCols)
+      .localCheckpoint(eager = true)
+    val latest = loadTableVersion(table, priorVs.last)
+    val nBefore = latest.count()
+    val nMatched = req.join(latest, keyCols, "left_semi").count()
+    val erased = latest.join(broadcast(req), keyCols, "left_anti")
+    val newV = saveTableVersioned(erased, outDir, table)
+    val nAfter = loadTableVersion(table, newV).count()
+    val hp = new HPath(base)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val purged = priorVs.filter { v =>
+      !loadTableVersion(table, v)
+        .join(broadcast(req), keyCols, "left_semi").isEmpty
+    }
+    purged.foreach { v =>
+      fs.delete(new HPath(Warehouse.versionDir(base, v)), true)
+    }
+    if (purged.nonEmpty) Warehouse.invalidate(outDir, table)
+    val audit = spark.range(1).select(
+      lit(table).as("table_name"), lit(newV).as("new_version"),
+      lit(nBefore).as("n_before"),
+      lit(nBefore - nAfter).as("n_removed"), lit(nAfter).as("n_after"),
+      lit(req.count()).as("n_keys_requested"),
+      lit(nMatched).as("n_keys_matched"),
+      lit(purged.length.toLong).as("n_versions_purged"),
+      lit((priorVs.length - purged.length + 1).toLong)
+        .as("n_versions_kept"))
+    appendTable(audit, outDir, s"${table}__forget_audit")
+    audit
+  }
+
   /** Persist by MATERIALIZING to a warehouse table and re-reading it — the
     * reference's persist, which writes a temp TABLE and re-reads it
     * (fugue_trino/execution_engine.py:124-133 df_to_table → query_to_ibis)

@@ -339,20 +339,39 @@ object Merge {
     * Scale shape: ONE left-anti equi-join on the key tuple (requests
     * are small by nature — AQE broadcasts them); no shuffle of the
     * target beyond the join itself.
+    *
+    * RETENTION CAVEAT — this is a pure frame transform, NOT erasure by
+    * itself: composed with the versioned warehouse
+    * ([[graft.Warehouse.saveTableVersioned]]), the forgotten rows
+    * remain readable through `loadTableVersion` / `loadTableAsOf`
+    * until retention drops the prior versions. Erasure that is one
+    * AT(version) away is not erasure — for versioned tables use
+    * [[graft.Warehouse.forgetAndRewrite]], which commits the erased
+    * frame as a new version AND purges every prior version still
+    * holding a requested key, with a persisted audit row.
     */
   def forgetKeys(target: DataFrame, requests: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "forgetKeys: keyCols must be non-empty")
+    target.join(checkedRequests(requests, keyCols), keyCols, "left_anti")
+  }
+
+  /** The distinct, NULL-asserted request-key frame [[forgetKeys]] erases
+    * by — shared with [[graft.Warehouse.forgetAndRewrite]], whose
+    * prior-version purge probes must match the erase's key semantics
+    * EXACTLY (a divergence would purge the wrong history or none).
+    */
+  def checkedRequests(requests: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "forgetKeys: keyCols must be non-empty")
     val req = requests.select(keyCols.map(k =>
       lcol(k).as(k)): _*).distinct()
-    val checked = keyCols.foldLeft(req) { (d, k) =>
+    keyCols.foldLeft(req) { (d, k) =>
       d.withColumn(k, expr(
         s"IF(`${k.replace("`", "``")}` IS NOT NULL, " +
           s"`${k.replace("`", "``")}`, assert_true(false, " +
           s"'forgetKeys: NULL `$k` in the deletion request — a malformed " +
           "erasure list; fix the request'))"))
     }
-    target.join(checked, keyCols, "left_anti")
   }
 
   /** The audit row regulators ask for: counts before/removed/after and

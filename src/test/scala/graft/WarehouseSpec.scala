@@ -385,6 +385,56 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.vacuumTable(tmp, "region", keepLast = 1) }
   }
 
+  test("forgetAndRewrite: erases latest, purges key-bearing history, audits") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_rtbf").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 10), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 15), tmp, "nv")
+    // keys 2 and 7 live in history; 7 is absent from v1; 999 matches nothing
+    val req = Seq(2, 7, 999).toDF("n_nationkey")
+    val audit = w.forgetAndRewrite(tmp, "nv", req, Seq("n_nationkey")).collect()
+    assert(audit.length === 1)
+    val r = audit.head
+    assert(r.getString(0) === "nv" && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 15L && r.getLong(3) === 2L && r.getLong(4) === 13L,
+      "two of three requested keys matched the 15-row latest")
+    assert(r.getLong(5) === 3L && r.getLong(6) === 2L)
+    assert(r.getLong(7) === 3L && r.getLong(8) === 1L,
+      "v1 holds key 2, v2/v3 hold both — all three purged")
+    assert(w.listVersions("nv") === Seq(4L),
+      "no readable version may still contain a requested key")
+    assert(w.loadTable("nv").filter(col("n_nationkey").isin(2, 7)).count() === 0)
+    assert(w.loadTable("nv").count() === 13)
+    // the audit LOG accumulates in a plain companion table
+    assert(w.loadTable("nv__forget_audit").count() === 1)
+    // a request matching NOTHING purges nothing: history survives
+    val audit2 = w.forgetAndRewrite(tmp, "nv",
+      Seq(999).toDF("n_nationkey"), Seq("n_nationkey")).collect().head
+    assert(audit2.getLong(1) === 5L && audit2.getLong(3) === 0L)
+    assert(audit2.getLong(7) === 0L && audit2.getLong(8) === 2L)
+    assert(w.listVersions("nv") === Seq(4L, 5L), "clean history kept")
+    assert(w.loadTable("nv__forget_audit").count() === 2)
+    // a NULL key refuses loudly BEFORE any version is touched
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      w.forgetAndRewrite(tmp, "nv",
+        Seq(Some(1), None).toDF("n_nationkey"), Seq("n_nationkey"))
+    }
+    assert(root(ex).contains("NULL"))
+    assert(w.listVersions("nv") === Seq(4L, 5L), "nothing touched on refusal")
+    // a plain (non-versioned) table is refused with the right pointer
+    wh.saveTable(n, tmp, "plainn")
+    val ex2 = intercept[IllegalArgumentException] {
+      w.forgetAndRewrite(tmp, "plainn", req, Seq("n_nationkey"))
+    }
+    assert(ex2.getMessage.contains("not versioned"))
+  }
+
   test("compactTable: content preserved, files merged, views refreshed") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft_cmp").toString
