@@ -4301,6 +4301,20 @@ object SparkEntry {
     operators.Stats.kAnonymity(wh(s, dir).loadTable("customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 5)
 
+  /** l-diversity audit (SURVEY row 22d''): the k-anonymity companion —
+    * per (c_nationkey, c_mktsegment) class, the distinct count of the
+    * $1000 account-balance bucket as the sensitive attribute (shifted
+    * +100000 cents so the bucket division never sees a negative
+    * dividend — trunc and floor agree) and the l<3 homogeneity flag
+    * ([[operators.Stats.lDiversityClasses]]).
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.lDiversityClasses(
+        wh(s, dir).loadTable("customer").withColumn("bal_bucket", expr(
+          "(CAST(round(c_acctbal * 100) AS bigint) + 100000L) div 100000L")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 3)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4485,6 +4499,7 @@ object SparkEntry {
     "q_drift_categorical" -> (qDriftCategorical _),
     "q_drift_store" -> (qDriftStore _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_quota_cap" -> (qQuotaCap _),
@@ -7525,6 +7540,21 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS n_risky_records,
         | CAST(MIN(cs) AS BIGINT) AS achieved_k
         |FROM cls""".stripMargin,
+    // the homogeneity-attack screen: distinct sensitive-bucket counts
+    // per quasi class; the +100000 shift keeps the bucket dividend
+    // non-negative so trunc/floor division cannot diverge
+    "q_l_diversity" ->
+      """WITH c AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |    AS bal_bucket
+        | FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS class_size,
+        | CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+        | count(DISTINCT bal_bucket) < 3 AS risky
+        |FROM c GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_quota_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         | SELECT doc_id, source, n_chars,

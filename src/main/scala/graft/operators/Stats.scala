@@ -346,6 +346,46 @@ object Stats {
           .as("n_risky_records"),
         min(col("class_size")).as("achieved_k"))
 
+  /** l-DIVERSITY equivalence classes — the standard follow-up to
+    * [[kAnonymityClasses]] (Machanavajjhala et al. 2007, "l-Diversity:
+    * Privacy Beyond k-Anonymity"): k-anonymity alone passes a 50-row
+    * class whose members all share ONE sensitive value — the homogeneity
+    * attack reads the secret straight off the class. Per
+    * quasi-identifier class: size, the number of DISTINCT non-NULL
+    * sensitive values (distinct l-diversity), and the risky flag
+    * (l_distinct < l). A class whose sensitive column is entirely NULL
+    * has l_distinct = 0 (count distinct ignores NULLs in both engines —
+    * parity, and "no recorded value" diversifies nothing).
+    *
+    * Scale shape: ONE groupBy on the quasi tuple with a distinct-count
+    * aggregate — same single exchange as the k-anonymity audit.
+    */
+  def lDiversityClasses(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1 (got $l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("risky", col("l_distinct") < l)
+  }
+
+  /** l-diversity audit summary: class/record counts, risky subsets, and
+    * the achieved l (the dataset IS min-l_distinct-diverse). One extra
+    * bounded aggregate over [[lDiversityClasses]] — the [[kAnonymity]]
+    * companion shape.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    lDiversityClasses(df, quasiCols, sensitiveCol, l)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_records"),
+        sum(when(col("risky"), 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("risky"), col("class_size")).otherwise(0L)).cast("long")
+          .as("n_risky_records"),
+        min(col("l_distinct")).as("achieved_l"))
+
   /** GROUPED QUANTILES — per-group order statistics, the calibration step
     * behind per-language/per-source quality cutoffs ("keep the top 10%
     * of each language"): one row per (group, quantile) with the group's

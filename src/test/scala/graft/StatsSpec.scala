@@ -42,6 +42,32 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(gm(("x", "x")) === expXX, "pmi matches the exact recurrence")
   }
 
+  test("lDiversity: homogeneous classes flagged, NULL sensitive = 0, summary") {
+    import spark.implicits._
+    val df = Seq(
+      // class A: 3 rows, all ONE sensitive value — k=3-anonymous but
+      // the homogeneity attack reads the secret: l=1, risky at l=2
+      ("A", Some("flu")), ("A", Some("flu")), ("A", Some("flu")),
+      // class B: 2 rows, 2 distinct — diverse
+      ("B", Some("flu")), ("B", Some("hiv")),
+      // class C: sensitive entirely NULL → l_distinct = 0
+      ("C", None), ("C", None))
+      .toDF("zip", "diag")
+    val cls = Stats.lDiversityClasses(df, Seq("zip"), "diag", 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(cls("A") === ((3L, 1L, true)), "homogeneous class is risky")
+    assert(cls("B") === ((2L, 2L, false)))
+    assert(cls("C") === ((2L, 0L, true)), "all-NULL sensitive: l = 0")
+    val sm = Stats.lDiversity(df, Seq("zip"), "diag", 2L).collect().head
+    assert(sm.getLong(0) === 3L && sm.getLong(1) === 7L)
+    assert(sm.getLong(2) === 2L && sm.getLong(3) === 5L)
+    assert(sm.getLong(4) === 0L, "achieved l = min distinct count")
+    intercept[IllegalArgumentException] {
+      Stats.lDiversityClasses(df, Seq(), "diag", 2L)
+    }
+  }
+
   test("pmiProfile: loud cell-count refusal, no WindowExec in the plan") {
     import spark.implicits._
     val four = Seq(("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"))
