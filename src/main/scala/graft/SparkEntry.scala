@@ -6385,22 +6385,32 @@ object SparkEntry {
         |  SELECT 1 FROM cur d WHERE d.c_custkey = u.c_custkey)
         |ORDER BY c_custkey, valid_from, is_current""".stripMargin,
     "q_collocations" ->
-      """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
         |words AS (SELECT unnest(t) AS w FROM toks),
         |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
         |tot AS (SELECT count(*) AS n_tokens FROM words),
-        |pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |pairs AS MATERIALIZED (SELECT t[i] AS w1, t[i + 1] AS w2
         |          FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) AS u(i)),
         |big AS (SELECT w1, w2, count(*) AS pair_cnt FROM pairs
-        |        GROUP BY w1, w2 HAVING count(*) >= 5)
-        |SELECT b.w1, b.w2, b.pair_cnt, l.c AS left_cnt, r.c AS right_cnt,
-        | tot.n_tokens,
-        | cast((cast(b.pair_cnt AS hugeint) * tot.n_tokens * 1000000)
-        |      // (cast(l.c AS hugeint) * r.c) AS bigint) AS lift_e6
-        |FROM big b
-        |JOIN uni l ON b.w1 = l.w
-        |JOIN uni r ON b.w2 = r.w
-        |CROSS JOIN tot
+        |        GROUP BY w1, w2 HAVING count(*) >= 5),
+        |prow AS (SELECT w1, CAST(count(*) AS BIGINT) AS rr FROM pairs GROUP BY w1),
+        |pcol AS (SELECT w2, CAST(count(*) AS BIGINT) AS cc FROM pairs GROUP BY w2),
+        |ptot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+        |cells AS (SELECT b.w1, b.w2, b.pair_cnt, l.c AS left_cnt,
+        |   r.c AS right_cnt, tot.n_tokens,
+        |   pr.rr, pc.cc, pt.np,
+        |   cast((cast(b.pair_cnt AS hugeint) * tot.n_tokens * 1000000)
+        |        // (cast(l.c AS hugeint) * r.c) AS bigint) AS lift_e6
+        |  FROM big b
+        |  JOIN uni l ON b.w1 = l.w
+        |  JOIN uni r ON b.w2 = r.w
+        |  CROSS JOIN tot
+        |  JOIN prow pr ON b.w1 = pr.w1
+        |  JOIN pcol pc ON b.w2 = pc.w2
+        |  CROSS JOIN ptot pt)
+        |SELECT w1, w2, pair_cnt, left_cnt, right_cnt, n_tokens, lift_e6,
+        | ${llrSql("pair_cnt", "rr", "cc", "np")} AS llr_u20
+        |FROM cells
         |ORDER BY lift_e6 DESC, w1, w2 LIMIT 100""".stripMargin,
     "q_profile" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -7733,6 +7743,22 @@ object SparkEntry {
     * uses. Every op integer, so the fixed-point log matches the Scala
     * kernel bit-for-bit.
     */
+  /** One Dunning-LLR 2×2 term replay: k·(ilog2(k·N) − ilog2(R·C)),
+    * zero cells contribute 0 — mirrors [[operators.Stats.llrU20]]'s
+    * term; the caller sums four of these and doubles.
+    */
+  private def llrTermSql(k: String, r: String, c: String, n: String): String =
+    s"(CASE WHEN $k = 0 THEN 0 ELSE $k * (${ilogSql(s"($k * $n)")} - " +
+      s"${ilogSql(s"(($r) * ($c))")}) END)"
+
+  /** Full llr_u20 replay from (k11, R1, C1, N) of a proper table. */
+  private def llrSql(k11: String, r1: String, c1: String, n: String): String =
+    s"""CAST(2 * (${llrTermSql(k11, r1, c1, n)}
+       | + ${llrTermSql(s"(($r1) - $k11)", r1, s"(($n) - ($c1))", n)}
+       | + ${llrTermSql(s"(($c1) - $k11)", s"(($n) - ($r1))", c1, n)}
+       | + ${llrTermSql(s"(($n) - ($r1) - ($c1) + $k11)",
+              s"(($n) - ($r1))", s"(($n) - ($c1))", n)}) AS BIGINT)""".stripMargin
+
   private def ilogSql(v: String): String = {
     val e = s"(length(bin($v)) - 1)"
     val x0 = s"(CASE WHEN $e <= 30 THEN $v << (30 - $e) ELSE $v >> ($e - 30) END)"
@@ -8134,7 +8160,7 @@ object SparkEntry {
     * exactly).
     */
   private val associationOracleSql: String =
-    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
       |           FROM lineitem
       |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
       |sz AS (SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
@@ -8145,15 +8171,18 @@ object SparkEntry {
       |p AS (SELECT a.it AS item_a, c.it AS item_b,
       |       CAST(count(*) AS BIGINT) AS pair_count
       |      FROM bf a JOIN bf c ON a.bk = c.bk AND a.it < c.it
-      |      GROUP BY 1, 2 HAVING count(*) >= 2)
-      |SELECT item_a, item_b, pair_count,
-      | ca.cnt AS count_a, cb.cnt AS count_b, n.n_baskets,
-      | pair_count * 1000000 // ca.cnt AS conf_ab_e6,
-      | pair_count * 1000000 // cb.cnt AS conf_ba_e6,
-      | CAST((CAST(pair_count AS HUGEINT) * n.n_baskets * 1000000)
-      |   // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_e6
-      |FROM p JOIN ic ca ON ca.it = p.item_a
-      |       JOIN ic cb ON cb.it = p.item_b CROSS JOIN n
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |cells AS (SELECT item_a, item_b, pair_count,
+      |  ca.cnt AS count_a, cb.cnt AS count_b, n.n_baskets
+      | FROM p JOIN ic ca ON ca.it = p.item_a
+      |        JOIN ic cb ON cb.it = p.item_b CROSS JOIN n)
+      |SELECT item_a, item_b, pair_count, count_a, count_b, n_baskets,
+      | pair_count * 1000000 // count_a AS conf_ab_e6,
+      | pair_count * 1000000 // count_b AS conf_ba_e6,
+      | CAST((CAST(pair_count AS HUGEINT) * n_baskets * 1000000)
+      |   // (CAST(count_a AS HUGEINT) * count_b) AS BIGINT) AS lift_e6,
+      | ${llrSql("pair_count", "count_a", "count_b", "n_baskets")} AS llr_u20
+      |FROM cells
       |ORDER BY pair_count DESC, item_a, item_b LIMIT 100""".stripMargin
 
   private val cdcSegsCte: String =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates — the 100 TB answer to "how many distinct users"
@@ -536,10 +536,48 @@ object Stats {
       .withColumn("lift_e6", expr(
         "CAST((CAST(pair_count AS decimal(38,0)) * n_baskets * 1000000) div " +
           "(CAST(count_a AS decimal(38,0)) * count_b) AS long)"))
+      .withColumn("llr_u20", llrU20(store.sparkSession,
+        col("pair_count"), col("count_a"), col("count_b"),
+        col("n_baskets")))
       .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
       .limit(topK)
       .select("item_a", "item_b", "pair_count", "count_a", "count_b",
-        "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6")
+        "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6", "llr_u20")
+  }
+
+  /** DUNNING LOG-LIKELIHOOD RATIO of a 2×2 contingency table (Dunning
+    * 1993, "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") in the engine-shared exact ilog2 fixed point — the
+    * significance score the raw [[associationFromStore]] /
+    * collocation counts exist for (lift alone over-ranks rare pairs;
+    * LLR is χ²-distributed and sane at small counts):
+    *
+    *   llr_u20 = 2·Σ_ij k_ij·(ilog2Fp(k_ij·N) − ilog2Fp(R_i·C_j))
+    *
+    * in 2²⁰ units of log₂ (bits — Dunning's ln-based form scaled by a
+    * constant 1/ln 2, same ranking). Inputs are the three observed
+    * counts (k11, row margin R₁, column margin C₁) and the total N of
+    * a PROPER table (R₁ ≥ k11, C₁ ≥ k11, N ≥ R₁+C₁−k11, so every
+    * complementary cell is ≥ 0); zero cells contribute exactly 0; a
+    * positive cell forces both its margins positive, so no log sees 0.
+    * Guard: N ≤ 10⁹ keeps every k·N and R·C product inside a long
+    * (loud, the house rule).
+    */
+  def llrU20(spark: SparkSession, k11: Column, r1: Column, c1: Column,
+      n0: Column): Column = {
+    val n = when(n0 <= lit(1000000000L), n0)
+      .otherwise(assert_true(lit(false), lit(
+        "llrU20: N exceeds 10^9 — k*N would wrap; sample first"))
+        .cast("long"))
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k === lit(0L), lit(0L)).otherwise(
+        k * (graft.functions.GraftFunctions.ilog2FpCol(spark, k * n) -
+          graft.functions.GraftFunctions.ilog2FpCol(spark, r * c)))
+    val k12 = r1 - k11
+    val k21 = c1 - k11
+    val k22 = n - r1 - c1 + k11
+    lit(2L) * (term(k11, r1, c1) + term(k12, r1, n - c1) +
+      term(k21, n - r1, c1) + term(k22, n - r1, n - c1))
   }
 
   /** PMI / MUTUAL-INFORMATION association profile of two CATEGORICAL

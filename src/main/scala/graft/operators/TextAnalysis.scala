@@ -833,7 +833,12 @@ object TextAnalysis {
     * operands positive), so any engine replays the scores and the total
     * (lift_e6 DESC, w1, w2) order bit-identically — no float log in the
     * ranking path. Raw pair/left/right/N counts ride along for consumers
-    * that want real PMI or a different association measure (LLR, chi²).
+    * that want real PMI or another association measure, and the Dunning
+    * LLR significance score is computed directly: `llr_u20` =
+    * [[Stats.llrU20]] over the PROPER bigram-event table (row margin =
+    * bigrams starting w1, column = bigrams ending w2, N = all bigrams —
+    * the unigram margins lift uses are not closed under the 2×2
+    * identity), exact ilog2 fixed point, engine-replayable.
     *
     * Tokenization is the engine-wide spaceTokens contract (trim spaces,
     * split on ' ' keeping empties — [[trainLmModel]], the kernels, and
@@ -859,20 +864,43 @@ object TextAnalysis {
         i => struct(element_at(col("t"), i).as("w1"),
           element_at(col("t"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    // the pair frame feeds FOUR aggregates (bigram counts + the three
+    // margins of the proper bigram 2x2 table); persist so the corpus
+    // explode runs once, release after the topK-bounded result
+    // checkpoints (the clusterMedoid discipline)
+    val pairsP = pairs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = pairsP.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minCount)
+    // LLR needs a PROPER contingency table: margins over BIGRAM events
+    // (row = bigrams starting w1, col = bigrams ending w2, N = all
+    // bigrams) — the unigram counts that feed lift are NOT closed
+    // under the table identity (k22 can go negative with them)
+    val rowm = pairsP.groupBy("w1").agg(count(lit(1)).as("__row_cnt"))
+    val colm = pairsP.groupBy("w2").agg(count(lit(1)).as("__col_cnt"))
+    val totp = pairsP.agg(count(lit(1)).as("__n_pairs"))
     val dec = "decimal(38,0)"
-    big
+    val out = big
       .join(uni.select(col("w").as("w1"), col("c").as("left_cnt")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("right_cnt")), Seq("w2"))
       .crossJoin(broadcast(total))
+      .join(rowm, Seq("w1"))
+      .join(colm, Seq("w2"))
+      .crossJoin(broadcast(totp))
       .withColumn("__num",
         col("pair_cnt").cast(dec) * col("n_tokens").cast(dec) * lit(1000000L).cast(dec))
       .withColumn("__den", col("left_cnt").cast(dec) * col("right_cnt").cast(dec))
       .withColumn("lift_e6", expr("CAST(__num div __den AS long)"))
-      .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_tokens", "lift_e6")
+      .withColumn("llr_u20", Stats.llrU20(df.sparkSession,
+        col("pair_cnt"), col("__row_cnt"), col("__col_cnt"),
+        col("__n_pairs")))
+      .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_tokens",
+        "lift_e6", "llr_u20")
       .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
       .limit(topK)
+      .localCheckpoint(eager = true)
+    pairsP.unpersist()
+    out
   }
 
   /** Winnowing fingerprint (k-gram rolling hash, window minima — Schleimer

@@ -87,6 +87,23 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
   }
 
+  test("llrU20: exact bits — independence is zero, skew matches the recurrence") {
+    import spark.implicits._
+    import graft.functions.Kernels.ilog2Fp
+    // perfectly independent 2x2 (all margins half of N=8): LLR = 0 in
+    // exact fixed point (powers of two are exact in ilog2Fp)
+    val df = Seq((2L, 4L, 4L, 8L), (3L, 3L, 3L, 9L)).toDF("k", "r", "c", "n")
+    val got = df.select(col("k"), Stats.llrU20(spark,
+      col("k"), col("r"), col("c"), col("n")).as("llr")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 0L, "independence: LLR exactly zero")
+    // diagonal table k11=3, margins 3/3, N=9: k22=6, k12=k21=0 —
+    // replay the two non-zero terms with the local recurrence
+    val exp = 2L * (3L * (ilog2Fp(3L * 9L) - ilog2Fp(3L * 3L)) +
+      6L * (ilog2Fp(6L * 9L) - ilog2Fp(6L * 6L)))
+    assert(got(3L) === exp, "diagonal: matches the exact recurrence")
+  }
+
   test("benfordProfile: digit extraction, full grid, ppm truncation, skips") {
     import spark.implicits._
     val df = Seq(
