@@ -4267,6 +4267,40 @@ object SparkEntry {
       hist(o.filter(col("o_orderstatus") === "O")), nBins = 10)
   }
 
+  /** Mergeable quantile store (SURVEY row 22c-q): percentiles answered
+    * from the SAME rolled-up histogram store as the drift ladder — three
+    * per-status slices merged through
+    * [[operators.Stats.updateHistogramStore]], persisted to a warehouse
+    * table, reloaded, and [[operators.Stats.quantilesFromHistogramStore]]
+    * reads p10..p100 off the merged counts. The require pins the store
+    * contract (merged == one-shot histogram, count-exact); the oracle
+    * replays the one-shot histogram + integer rank scan, so any
+    * store/merge/reload divergence goes red.
+    */
+  private def qQuantileStore(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    def hist(df: DataFrame) =
+      operators.Stats.histogramStore(df, "o_totalprice", 0.0, 600000.0, 200)
+    val outDir = scratch("quantstore", dir)
+    val w = Warehouse(s, outDir)
+    w.saveTable(
+      operators.Stats.updateHistogramStore(
+        operators.Stats.updateHistogramStore(
+          hist(o.filter(col("o_orderstatus") === "F")),
+          hist(o.filter(col("o_orderstatus") === "O"))),
+        hist(o.filter(col("o_orderstatus") === "P"))),
+      outDir, "quant_hist")
+    val merged = w.loadTable("quant_hist")
+    val oneShot = hist(o)
+    require(merged.collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      .sameElements(oneShot.collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted),
+      "merged store must equal the one-shot histogram bin-for-bin")
+    operators.Stats.quantilesFromHistogramStore(merged, 0.0, 600000.0, 200,
+        Seq(100000L, 250000L, 500000L, 750000L, 900000L, 990000L, 1000000L))
+      .orderBy("q_e6")
+  }
+
   /** Weight-proportional systematic sample (SURVEY row 57g): ~150 docs
     * drawn proportional to n_chars — longer docs proportionally likelier,
     * deterministic, the PPS budget-allocation draw
@@ -4498,6 +4532,7 @@ object SparkEntry {
     "q_drift_numeric" -> (qDriftNumeric _),
     "q_drift_categorical" -> (qDriftCategorical _),
     "q_drift_store" -> (qDriftStore _),
+    "q_quantile_store" -> (qQuantileStore _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -7522,6 +7557,34 @@ object SparkEntry {
     "q_drift_numeric" -> driftNumericOracleSql,
     "q_drift_categorical" -> driftCategoricalOracleSql,
     "q_drift_store" -> driftNumericOracleSql,
+    // the one-shot histogram + integer percentile_disc rank scan; the
+    // merged store must answer identically (the require in the query
+    // pins bin-level equality, the oracle pins the quantile read)
+    "q_quantile_store" ->
+      """WITH h AS (
+        | SELECT CAST(floor(least(199.0, greatest(0.0,
+        |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 200 / 600000.0)))
+        |   AS INTEGER) AS bin
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |cum AS (SELECT bin, n,
+        |        CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+        |q(q_e6) AS (VALUES (100000), (250000), (500000), (750000),
+        |                   (900000), (990000), (1000000)),
+        |sel AS (SELECT CAST(q.q_e6 AS BIGINT) AS q_e6, t.n_total,
+        |        (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999) // 1000000
+        |          AS rk,
+        |        c.bin, c.n, c.cum
+        |        FROM q CROSS JOIN t JOIN cum c
+        |        ON c.cum >= (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999)
+        |             // 1000000
+        |        AND c.cum - c.n < (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000)
+        |SELECT q_e6, n_total, rk, CAST(bin AS BIGINT) AS bin,
+        | (CAST(bin AS BIGINT) * 600000000000) // 200 AS edge_lo_e6,
+        | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200 AS edge_hi_e6
+        |FROM sel ORDER BY q_e6""".stripMargin,
     "q_weighted_sample" ->
       """WITH w AS (
         | SELECT doc_id AS id, CAST(greatest(0, n_chars) AS BIGINT) AS w

@@ -258,6 +258,75 @@ object Stats {
       .unionByName(batch.select(col("bin"), col("n")))
       .groupBy("bin").agg(sum(col("n")).cast("long").as("n"))
 
+  /** MERGEABLE QUANTILE TRACKING — percentiles answered FROM a rolled-up
+    * [[histogramStore]], so quantile monitoring composes with the same
+    * day/partition rollup discipline as the drift stores: batches
+    * stream in, [[updateHistogramStore]] adds counts exactly, and any
+    * accumulated range answers p50/p95/p99 WITHOUT rescanning raw data
+    * (exact per-group quantiles need the group's order —
+    * [[groupedQuantiles]]' sort — and approx sketches here aren't
+    * engine-replayable; the histogram is both mergeable AND exact about
+    * which bin the rank lands in).
+    *
+    * Rank is the percentile_disc convention in INTEGER arithmetic —
+    * rk = (q_e6·N + 999999) div 10⁶, the [[groupedQuantiles]] rational
+    * form — and the answer is the bin whose cumulative count first
+    * covers it, emitted with exact micro-unit edges: edge_e6 =
+    * lo_e6 + (bin·width_e6) div nBins (all longs — no float edge
+    * arithmetic to diverge between engines). ERROR CONTRACT: the true
+    * quantile lies in [edge_lo_e6, edge_hi_e6] — one bin width, set by
+    * the grid you chose at store time.
+    *
+    * Scale shape: the store is ≤ nBins rows BY ENFORCED contract
+    * (out-of-grid bins refuse loudly), so the cumulative window is a
+    * bounded single-partition pass over a broadcast-sized frame — the
+    * corpus-sized work already happened in [[histogramStore]]'s one
+    * groupBy per batch.
+    *
+    * Returns (q_e6, n_total, rk, bin, edge_lo_e6, edge_hi_e6), one row
+    * per requested quantile (empty store → empty result).
+    */
+  def quantilesFromHistogramStore(store: DataFrame, lo: Double, hi: Double,
+      nBins: Int, qE6: Seq[Long]): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000 && hi > lo,
+      s"need 2 <= nBins <= 100000 and hi > lo, got ($lo, $hi, $nBins)")
+    require(qE6.nonEmpty && qE6.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1000000] millionths: $qE6")
+    val loE6 = Math.round(lo * 1e6)
+    val widthE6 = Math.round((hi - lo) * 1e6)
+    require(widthE6 <= Long.MaxValue / nBins && math.abs(loE6) <=
+      Long.MaxValue - widthE6,
+      s"grid exceeds micro-unit long range: lo=$lo hi=$hi nBins=$nBins")
+    import org.apache.spark.sql.expressions.Window
+    val s = store
+      .select(expr(
+        s"IF(bin >= 0 AND bin < $nBins, bin, assert_true(false, " +
+          s"'quantilesFromHistogramStore: bin outside [0, $nBins) — " +
+          "the shared grid contract; rebuild the store'))")
+        .cast("int").as("bin"), col("n").cast("long").as("n"))
+      .groupBy("bin").agg(sum("n").as("n"))
+    val cum = s
+      .withColumn("cum", sum("n").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum("n").over(
+        Window.partitionBy(lit(1)))) // <= nBins rows by the loud contract
+      .withColumn("n_total", expr(
+        "IF(n_total <= 9000000000000L, n_total, assert_true(false, " +
+          "'quantilesFromHistogramStore: total count exceeds 9*10^12 — " +
+          "q_e6 * N would wrap; split the store'))").cast("long"))
+    val qs = store.sparkSession.range(1)
+      .select(explode(array(qE6.map(lit): _*)).as("q_e6"))
+    cum.crossJoin(broadcast(qs))
+      .withColumn("rk", expr("(q_e6 * n_total + 999999) div 1000000"))
+      .where(col("cum") >= col("rk") && col("cum") - col("n") < col("rk"))
+      .select(col("q_e6"), col("n_total"), col("rk"),
+        col("bin").cast("long").as("bin"),
+        expr(s"${loE6}L + (CAST(bin AS BIGINT) * ${widthE6}L) div ${nBins}L")
+          .as("edge_lo_e6"),
+        expr(s"${loE6}L + ((CAST(bin AS BIGINT) + 1L) * ${widthE6}L) " +
+          s"div ${nBins}L").as("edge_hi_e6"))
+  }
+
   /** Drift of a fresh batch histogram against a persisted baseline
     * store — [[driftNumeric]] with the baseline side already reduced to
     * counts, so the raw baseline data is never rescanned.

@@ -87,6 +87,42 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
   }
 
+  test("quantilesFromHistogramStore: rank edges, merge parity, grid refusal") {
+    import spark.implicits._
+    // 0..9 into 5 bins over [0,10): two per bin, N=10
+    val vals = (0 until 10).map(_.toDouble).toDF("v")
+    val store = Stats.histogramStore(vals, "v", 0.0, 10.0, 5)
+    val got = Stats.quantilesFromHistogramStore(store, 0.0, 10.0, 5,
+        Seq(100000L, 500000L, 1000000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(100000L) === ((10L, 1L, 0L, 0L, 2000000L)),
+      "p10: rank 1 lands in bin 0, edges [0, 2) in micro-units")
+    assert(got(500000L) === ((10L, 5L, 2L, 4000000L, 6000000L)),
+      "p50: rank 5 lands in bin 2 (cum 4 < 5 <= 6)")
+    assert(got(1000000L) === ((10L, 10L, 4L, 8000000L, 10000000L)),
+      "p100: the top bin")
+    // mergeability: two slices rolled up answer identically
+    val merged = Stats.updateHistogramStore(
+      Stats.histogramStore(vals.filter($"v" < 5), "v", 0.0, 10.0, 5),
+      Stats.histogramStore(vals.filter($"v" >= 5), "v", 0.0, 10.0, 5))
+    val gm = Stats.quantilesFromHistogramStore(merged, 0.0, 10.0, 5,
+        Seq(100000L, 500000L, 1000000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(gm === got, "merged store == one-shot, bin-exact")
+    // a bin outside the grid contract refuses loudly
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Stats.quantilesFromHistogramStore(
+        Seq((7, 3L)).toDF("bin", "n"), 0.0, 10.0, 5, Seq(500000L)).collect()
+    }
+    assert(root(ex).contains("grid contract"))
+  }
+
   test("llrU20: exact bits — independence is zero, skew matches the recurrence") {
     import spark.implicits._
     import graft.functions.Kernels.ilog2Fp

@@ -613,6 +613,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       oneShot.sortBy(_.head.asInstanceOf[Long]).toVector)
   }
 
+  test("quantile store over foreachBatch: rolled-up histogram == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    val prices = wh.loadTable("orders").select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    val in = MemoryStream[Double]
+    var store = Stats.histogramStore(
+        Seq.empty[Double].toDF("o_totalprice"), "o_totalprice",
+        0.0, 600000.0, 200)
+      .localCheckpoint(true)
+    val q = in.toDS().toDF("o_totalprice").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Stats.updateHistogramStore(store,
+            Stats.histogramStore(batch, "o_totalprice", 0.0, 600000.0, 200))
+          .localCheckpoint(true)
+        ()
+      }.start()
+    prices.grouped(math.max(1, prices.length / 3)).foreach { g =>
+      in.addData(g.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val qs = Seq(250000L, 500000L, 900000L, 990000L)
+    val fromStream = Stats.quantilesFromHistogramStore(
+        store, 0.0, 600000.0, 200, qs)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val oneShot = Stats.quantilesFromHistogramStore(
+        Stats.histogramStore(prices.toSeq.toDF("o_totalprice"),
+          "o_totalprice", 0.0, 600000.0, 200),
+        0.0, 600000.0, 200, qs)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(fromStream === oneShot,
+      "percentiles off the streamed rollup must equal the one-shot read")
+  }
+
   test("incremental CDC dedup over foreachBatch: growing store == one-shot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
