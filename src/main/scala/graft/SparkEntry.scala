@@ -1793,9 +1793,13 @@ object SparkEntry {
       .select("doc_id", "n_ws_tokens", "n_word_tokens")
       .orderBy("doc_id")
 
-  /** Trained-BPE token counts — rows-only (no SQL re-expression of a
-    * trained tokenizer): deterministic in (corpus, seed), bounded driver-
-    * side training, distributed apply. Grounded by TextAnalysisSpec.
+  /** Trained-BPE token counts — rows-only (the seeded xxhash64 sample
+    * selection has no DuckDB replay): deterministic in (corpus, seed),
+    * bounded driver-side training, distributed apply. The TRAINER
+    * itself is oracle-checked end-to-end by the companion
+    * q_bpe_driver_train contract (same [[operators.Bpe.train]] path,
+    * sample covering the corpus so only the hash order drops out);
+    * apply-side grounded by TextAnalysisSpec.
     */
   private def qTokenBpe(s: SparkSession, dir: String): DataFrame = {
     val docs = wh(s, dir).loadTable("documents")
@@ -1804,6 +1808,35 @@ object SparkEntry {
     TextAnalysis.tokenCountBpe(docs, "text", model)
       .select("doc_id", "n_bpe_tokens")
       .orderBy("doc_id")
+  }
+
+  /** Driver-side BPE trainer, oracle-checked END TO END (the companion
+    * contract for rows-only q_token_bpe — same [[operators.Bpe.train]]
+    * code path): on a bounded corpus with sampleSize covering it
+    * entirely (so the seeded xxhash sample order is irrelevant and the
+    * replay needs no Spark-specific hash), the 12-round merge table —
+    * raw-token \\s+ words, per-character symbol IDs, overlap-counted
+    * pair statistics, ties to the smallest packed (l<<32 | r) key,
+    * round-k new symbol 0x110000+k−1, greedy left-to-right merge — must
+    * match DuckDB's independent unrolled-CTE replay key-for-key. The
+    * require pins the no-early-stop premise the fixed 12-round replay
+    * assumes.
+    */
+  private def qBpeDriverTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = wh(s, dir).loadTable("documents")
+      .filter(col("doc_id") < 400 && col("text").isNotNull)
+    val model = operators.Bpe.train(docs, "text", numMerges = 12,
+      sampleSize = Int.MaxValue, seed = 42L)
+    require(model.numMerges == 12,
+      "q_bpe_driver_train: trainer stopped early — the fixed 12-round " +
+        "replay no longer applies; shrink numMerges")
+    model.sortedKeys.zip(model.rankAt).sortBy(_._2)
+      .zipWithIndex.map { case ((key, rank), idx) =>
+        require(rank == idx, s"non-contiguous merge rank $rank at $idx")
+        (rank + 1L, key >>> 32, key & 0xffffffffL)
+      }.toSeq.toDF("merge_rank", "l_id", "r_id")
+      .orderBy("merge_rank")
   }
 
   /** TF-IDF top-3 terms per document, oracle-checked END TO END: the df
@@ -4554,6 +4587,7 @@ object SparkEntry {
     "q_shortest_paths" -> (qShortestPaths _),
     "q_resample" -> (qResample _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_driver_train" -> (qBpeDriverTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_random_project" -> (qRandomProject _),
     "q_attribution" -> (qAttribution _),
@@ -6902,6 +6936,7 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql,
     "q_shortest_paths" -> shortestPathsOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_driver_train" -> bpeDriverTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_bpe_model_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS counts_identical,
@@ -8139,6 +8174,59 @@ object SparkEntry {
        |       FROM documents)
        | GROUP BY 1),
        |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Bpe.trainOnTexts]] (the DRIVER-side
+    * trainer behind q_token_bpe) — unlike [[bpeRoundsCte]]'s
+    * distributed contract this one keeps the driver trainer's exact
+    * semantics: words are raw \\s+ tokens (case and punctuation kept),
+    * symbols are per-character codepoint IDs carried as space-joined
+    * ID strings, the argmax tie-breaks on the packed l·2³²+r key, and
+    * round k's merged symbol is the fresh ID 0x110000+k−1 (which can
+    * never equal a pre-existing left symbol, so the greedy
+    * left-to-right fold replays the trainer's skip-2 scan exactly).
+    */
+  private def bpeDriverRoundsCte(iters: Int, docWhere: String): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      val newId = 1114112 + k - 1
+      s"""p$k AS (SELECT CAST(s[i] AS BIGINT) AS l, CAST(s[i+1] AS BIGINT) AS r,
+         |  CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT string_split(s, ' ') AS s, f FROM v$p) t,
+         |       unnest(generate_series(1, len(s) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k
+         |  ORDER BY c DESC, l * 4294967296 + r ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(t.s, ' '), (acc, x) -> CASE
+         |    WHEN regexp_extract(acc, '([^ ]*)$$') = CAST(b.l AS VARCHAR)
+         |         AND x = CAST(b.r AS VARCHAR)
+         |    THEN substr(acc, 1, length(acc) -
+         |           length(regexp_extract(acc, '([^ ]*)$$'))) || '$newId'
+         |    ELSE acc || ' ' || x END) AS s, t.f
+         |  FROM v$p t CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""vw AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+       | FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |       FROM documents WHERE $docWhere)
+       | WHERE w != '' GROUP BY w),
+       |v0 AS MATERIALIZED (
+       | SELECT array_to_string(list_transform(
+       |   generate_series(1, length(w)),
+       |   i -> CAST(unicode(substring(w, i, 1)) AS VARCHAR)), ' ') AS s, f
+       | FROM vw),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeDriverTrainOracleSql: String = {
+    val iters = 12
+    val union = (1 to iters).map { k =>
+      s"SELECT $k AS merge_rank, l AS l_id, r AS r_id FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH
+       |${bpeDriverRoundsCte(iters, "doc_id < 400 AND text IS NOT NULL")}
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l_id, r_id
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
   private val bpeTrainOracleSql: String = {
