@@ -4334,6 +4334,32 @@ object SparkEntry {
       .orderBy("q_e6")
   }
 
+  /** GROUPED quantile store (SURVEY row 22c-q'): per-language document
+    * length percentiles off the per-key histogram rollup — the grouped
+    * form of q_quantile_store ("track p95 length per language per
+    * day"). Two parity-split slices merge through
+    * [[operators.Stats.updateGroupedHistogramStore]]; the require pins
+    * merged == one-shot per (k, bin); the oracle replays the per-group
+    * histogram + rank scan.
+    */
+  private def qGroupedQuantileStore(s: SparkSession, dir: String): DataFrame = {
+    val d = wh(s, dir).loadTable("documents")
+    def hist(df: DataFrame) = operators.Stats.groupedHistogramStore(
+      df, "lang", "n_chars", 0.0, 4000.0, 100)
+    val merged = operators.Stats.updateGroupedHistogramStore(
+      hist(d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      hist(d.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    val oneShot = hist(d)
+    require(merged.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+      .sameElements(oneShot.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).sorted),
+      "merged grouped store must equal the one-shot histogram per (k, bin)")
+    operators.Stats.groupedQuantilesFromStore(merged, 0.0, 4000.0, 100,
+        Seq(500000L, 900000L, 990000L))
+      .orderBy("k", "q_e6")
+  }
+
   /** Weight-proportional systematic sample (SURVEY row 57g): ~150 docs
     * drawn proportional to n_chars — longer docs proportionally likelier,
     * deterministic, the PPS budget-allocation draw
@@ -4566,6 +4592,7 @@ object SparkEntry {
     "q_drift_categorical" -> (qDriftCategorical _),
     "q_drift_store" -> (qDriftStore _),
     "q_quantile_store" -> (qQuantileStore _),
+    "q_grouped_quantile_store" -> (qGroupedQuantileStore _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -7620,6 +7647,35 @@ object SparkEntry {
         | (CAST(bin AS BIGINT) * 600000000000) // 200 AS edge_lo_e6,
         | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200 AS edge_hi_e6
         |FROM sel ORDER BY q_e6""".stripMargin,
+    // the grouped form: per-language histogram + rank scan replayed
+    // relationally (same clamp, same integer rank, same micro-edges)
+    "q_grouped_quantile_store" ->
+      """WITH h AS (
+        | SELECT CAST(lang AS VARCHAR) AS k,
+        |  CAST(floor(least(99.0, greatest(0.0,
+        |    (CAST(n_chars AS DOUBLE) - 0.0) * 100 / 4000.0)))
+        |    AS INTEGER) AS bin
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT k, bin, CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY k, bin),
+        |t AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY k),
+        |cum AS (SELECT k, bin, n,
+        |        CAST(sum(n) OVER (PARTITION BY k ORDER BY bin) AS BIGINT)
+        |          AS cum FROM c),
+        |q(q_e6) AS (VALUES (500000), (900000), (990000)),
+        |sel AS (SELECT cum.k, CAST(q.q_e6 AS BIGINT) AS q_e6, t.n_total,
+        |        (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999) // 1000000
+        |          AS rk,
+        |        cum.bin, cum.n, cum.cum
+        |        FROM q CROSS JOIN cum JOIN t ON t.k = cum.k
+        |        WHERE cum.cum >= (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000
+        |        AND cum.cum - cum.n < (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000)
+        |SELECT k, q_e6, n_total, rk, CAST(bin AS BIGINT) AS bin,
+        | (CAST(bin AS BIGINT) * 4000000000) // 100 AS edge_lo_e6,
+        | ((CAST(bin AS BIGINT) + 1) * 4000000000) // 100 AS edge_hi_e6
+        |FROM sel ORDER BY k, q_e6""".stripMargin,
     "q_weighted_sample" ->
       """WITH w AS (
         | SELECT doc_id AS id, CAST(greatest(0, n_chars) AS BIGINT) AS w

@@ -327,6 +327,92 @@ object Stats {
           s"div ${nBins}L").as("edge_hi_e6"))
   }
 
+  /** GROUPED histogram store — the per-key form of [[histogramStore]]:
+    * one fixed-grid histogram per group as a narrow (k, bin, n) frame,
+    * exactly mergeable per (k, bin) — so per-language/per-source value
+    * distributions roll up through the same day/partition discipline
+    * and [[groupedQuantilesFromStore]] answers "p95 length per
+    * language" over any accumulated range without rescanning raw data.
+    * Same clamp-before-cast outlier handling as the global form; NULL
+    * keys drop (a NULL group is not a trackable series).
+    */
+  def groupedHistogramStore(df: DataFrame, keyCol: String,
+      valueCol: String, lo: Double, hi: Double, nBins: Int = 10)
+      : DataFrame = {
+    require(nBins >= 2 && hi > lo, s"need nBins >= 2 and hi > lo")
+    val raw = (col(valueCol).cast("double") - lit(lo)) * lit(nBins) / lit(hi - lo)
+    df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        floor(least(lit((nBins - 1).toDouble), greatest(lit(0.0), raw)))
+          .cast("int").as("bin"))
+      .groupBy("k", "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge a batch's [[groupedHistogramStore]] into the accumulated
+    * store — counts add per (k, bin); exact, order-free.
+    */
+  def updateGroupedHistogramStore(store: DataFrame, batch: DataFrame)
+      : DataFrame =
+    store.select(col("k"), col("bin"), col("n"))
+      .unionByName(batch.select(col("k"), col("bin"), col("n")))
+      .groupBy("k", "bin").agg(sum(col("n")).cast("long").as("n"))
+
+  /** Per-group quantiles FROM a grouped histogram store — the
+    * [[quantilesFromHistogramStore]] contract per key: integer
+    * percentile_disc rank (q_e6·n_total + 999999) div 10⁶ against the
+    * group's cumulative bin counts, exact micro-unit edges, error = one
+    * bin width. Same loud contracts (grid membership, per-group
+    * N ≤ 9·10¹²).
+    *
+    * Scale shape: the cumulative sum is a window PARTITIONED BY GROUP
+    * over a frame bounded by groups × nBins (each group's slice ≤
+    * nBins rows by the enforced grid guard) — no partition-less
+    * window, no corpus-sized sort; the corpus-scale work happened in
+    * the per-batch groupBy.
+    *
+    * Returns (k, q_e6, n_total, rk, bin, edge_lo_e6, edge_hi_e6).
+    */
+  def groupedQuantilesFromStore(store: DataFrame, lo: Double, hi: Double,
+      nBins: Int, qE6: Seq[Long]): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000 && hi > lo,
+      s"need 2 <= nBins <= 100000 and hi > lo, got ($lo, $hi, $nBins)")
+    require(qE6.nonEmpty && qE6.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1000000] millionths: $qE6")
+    val loE6 = Math.round(lo * 1e6)
+    val widthE6 = Math.round((hi - lo) * 1e6)
+    require(widthE6 <= Long.MaxValue / nBins && math.abs(loE6) <=
+      Long.MaxValue - widthE6,
+      s"grid exceeds micro-unit long range: lo=$lo hi=$hi nBins=$nBins")
+    import org.apache.spark.sql.expressions.Window
+    val s = store
+      .select(col("k"), expr(
+        s"IF(bin >= 0 AND bin < $nBins, bin, assert_true(false, " +
+          s"'groupedQuantilesFromStore: bin outside [0, $nBins) — " +
+          "the shared grid contract; rebuild the store'))")
+        .cast("int").as("bin"), col("n").cast("long").as("n"))
+      .groupBy("k", "bin").agg(sum("n").as("n"))
+    val byK = Window.partitionBy("k")
+    val cum = s
+      .withColumn("cum", sum("n").over(byK.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum("n").over(byK))
+      .withColumn("n_total", expr(
+        "IF(n_total <= 9000000000000L, n_total, assert_true(false, " +
+          "'groupedQuantilesFromStore: a group exceeds 9*10^12 counts — " +
+          "q_e6 * N would wrap; split the store'))").cast("long"))
+    val qs = store.sparkSession.range(1)
+      .select(explode(array(qE6.map(lit): _*)).as("q_e6"))
+    cum.crossJoin(broadcast(qs))
+      .withColumn("rk", expr("(q_e6 * n_total + 999999) div 1000000"))
+      .where(col("cum") >= col("rk") && col("cum") - col("n") < col("rk"))
+      .select(col("k"), col("q_e6"), col("n_total"), col("rk"),
+        col("bin").cast("long").as("bin"),
+        expr(s"${loE6}L + (CAST(bin AS BIGINT) * ${widthE6}L) div ${nBins}L")
+          .as("edge_lo_e6"),
+        expr(s"${loE6}L + ((CAST(bin AS BIGINT) + 1L) * ${widthE6}L) " +
+          s"div ${nBins}L").as("edge_hi_e6"))
+  }
+
   /** Drift of a fresh batch histogram against a persisted baseline
     * store — [[driftNumeric]] with the baseline side already reduced to
     * counts, so the raw baseline data is never rescanned.

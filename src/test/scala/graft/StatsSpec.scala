@@ -123,6 +123,38 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(root(ex).contains("grid contract"))
   }
 
+  test("groupedQuantilesFromStore: per-group ranks, merge parity, NULL-key drop") {
+    import spark.implicits._
+    // group a: 0..9 (two per bin over [0,10)x5); group b: all zeros;
+    // NULL keys drop at store build
+    val vals = ((0 until 10).map(v => (Some("a"), v.toDouble)) ++
+      (0 until 4).map(_ => (Some("b"), 0.0)) ++
+      Seq((Option.empty[String], 5.0))).toDF("g", "v")
+    val store = Stats.groupedHistogramStore(vals, "g", "v", 0.0, 10.0, 5)
+    assert(store.filter(col("k").isNull).count() === 0, "NULL keys drop")
+    val got = Stats.groupedQuantilesFromStore(store, 0.0, 10.0, 5,
+        Seq(500000L, 1000000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got(("a", 500000L)) === ((10L, 5L, 2L, 4000000L, 6000000L)),
+      "group a p50: rank 5 in bin 2 — same as the global form")
+    assert(got(("a", 1000000L)) === ((10L, 10L, 4L, 8000000L, 10000000L)))
+    assert(got(("b", 500000L)) === ((4L, 2L, 0L, 0L, 2000000L)),
+      "group b: all mass in bin 0, independent of group a")
+    assert(got(("b", 1000000L)) === ((4L, 4L, 0L, 0L, 2000000L)))
+    // mergeability per (k, bin)
+    val merged = Stats.updateGroupedHistogramStore(
+      Stats.groupedHistogramStore(vals.filter($"v" < 5), "g", "v", 0.0, 10.0, 5),
+      Stats.groupedHistogramStore(vals.filter($"v" >= 5), "g", "v", 0.0, 10.0, 5))
+    val gm = Stats.groupedQuantilesFromStore(merged, 0.0, 10.0, 5,
+        Seq(500000L, 1000000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(gm === got, "merged grouped store == one-shot")
+  }
+
   test("llrU20: exact bits — independence is zero, skew matches the recurrence") {
     import spark.implicits._
     import graft.functions.Kernels.ilog2Fp
