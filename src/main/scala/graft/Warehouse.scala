@@ -459,6 +459,36 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     drop
   }
 
+  /** AGE-BASED RETENTION for versioned tables — the
+    * DATA_RETENTION_TIME_IN_DAYS form of [[vacuumTable]]: delete every
+    * committed version whose commit time (`_SUCCESS` mtime, the same
+    * clock [[loadTableAsOf]] resolves by) is STRICTLY BEFORE
+    * `cutoffMillis`, always keeping the newest version regardless of
+    * age (readers of "latest" are never broken — the keepLast ≥ 1
+    * invariant). Returns the versions removed, oldest first. As-of
+    * reads inside the vacuumed window resolve to the oldest surviving
+    * version or fail if none existed yet — the documented retention
+    * trade, identical to count-based vacuum.
+    */
+  def vacuumTableOlderThan(dir: String, table: String,
+      cutoffMillis: Long): Seq[Long] = {
+    val base = Warehouse.tablePath(dir, table)
+    val vs = Warehouse.committedVersionTimes(spark, base)
+    require(vs.nonEmpty, s"table $table is not versioned — nothing to vacuum")
+    val newest = vs.last._1
+    val drop = vs.filter { case (v, t) => t < cutoffMillis && v != newest }
+      .map(_._1)
+    if (drop.nonEmpty) {
+      val hp = new HPath(base)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drop.foreach { v =>
+        fs.delete(new HPath(Warehouse.versionDir(base, v)), true)
+      }
+      Warehouse.invalidate(dir, table)
+    }
+    drop
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN erasure for VERSIONED tables — the composed
     * verb [[graft.operators.Merge.forgetKeys]] alone cannot be: a bare
     * anti-join + [[saveTableVersioned]] leaves every forgotten row

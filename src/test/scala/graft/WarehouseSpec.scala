@@ -385,6 +385,36 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.vacuumTable(tmp, "region", keepLast = 1) }
   }
 
+  test("vacuumTableOlderThan: age cutoff, newest always survives") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_vacage").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 10), tmp, "nv")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 15), tmp, "nv")
+    // pin deterministic commit times on the _SUCCESS markers (the same
+    // clock loadTableAsOf resolves by)
+    val base = Warehouse.tablePath(tmp, "nv")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L).foreach { case (v, t) =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        Warehouse.versionDir(base, v), "_SUCCESS"), t, -1)
+    }
+    assert(w.vacuumTableOlderThan(tmp, "nv", 500L) === Seq.empty,
+      "cutoff before everything: nothing to drop")
+    assert(w.vacuumTableOlderThan(tmp, "nv", 1500L) === Seq(1L))
+    assert(w.listVersions("nv") === Seq(2L, 3L))
+    // a cutoff past every commit still spares the newest version
+    assert(w.vacuumTableOlderThan(tmp, "nv", Long.MaxValue) === Seq(2L))
+    assert(w.listVersions("nv") === Seq(3L))
+    assert(w.loadTable("nv").count() === 15, "latest intact")
+    intercept[IllegalArgumentException] {
+      w.vacuumTableOlderThan(tmp, "region", 0L)
+    }
+  }
+
   test("forgetAndRewrite: erases latest, purges key-bearing history, audits") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
