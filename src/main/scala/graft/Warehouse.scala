@@ -524,7 +524,7 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     */
   def forgetAndRewrite(outDir: String, table: String, requests: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.functions.lit
     require(keyCols.nonEmpty, "forgetAndRewrite: keyCols must be non-empty")
     val base = Warehouse.tablePath(outDir, table)
     val priorVs = Warehouse.committedVersions(spark, base)
@@ -539,14 +539,17 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     val latest = loadTableVersion(table, priorVs.last)
     val nBefore = latest.count()
     val nMatched = req.join(latest, keyCols, "left_semi").count()
-    val erased = latest.join(broadcast(req), keyCols, "left_anti")
+    // no forced broadcast: requests are usually tiny (AQE broadcasts
+    // them), but a bulk CCPA batch can be millions of keys — a forced
+    // hint would pin it in driver/executor memory
+    val erased = latest.join(req, keyCols, "left_anti")
     val newV = saveTableVersioned(erased, outDir, table)
     val nAfter = loadTableVersion(table, newV).count()
     val hp = new HPath(base)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val purged = priorVs.filter { v =>
       !loadTableVersion(table, v)
-        .join(broadcast(req), keyCols, "left_semi").isEmpty
+        .join(req, keyCols, "left_semi").isEmpty
     }
     purged.foreach { v =>
       fs.delete(new HPath(Warehouse.versionDir(base, v)), true)
