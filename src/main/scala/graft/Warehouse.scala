@@ -536,7 +536,13 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // assert must fire before any version is touched
     val req = operators.Merge.checkedRequests(requests, keyCols)
       .localCheckpoint(eager = true)
-    val latest = loadTableVersion(table, priorVs.last)
+    // read versions under `base` (= outDir), NOT via loadTableVersion:
+    // that resolves against this instance's baseDir, and a caller
+    // passing a different outDir would erase one table while purging
+    // another (the vacuumTable/compactTable dir-parameter convention)
+    def readVersion(v: Long): DataFrame =
+      normalizedRead(Warehouse.versionDir(base, v))
+    val latest = readVersion(priorVs.last)
     val nBefore = latest.count()
     val nMatched = req.join(latest, keyCols, "left_semi").count()
     // no forced broadcast: requests are usually tiny (AQE broadcasts
@@ -544,12 +550,11 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     // hint would pin it in driver/executor memory
     val erased = latest.join(req, keyCols, "left_anti")
     val newV = saveTableVersioned(erased, outDir, table)
-    val nAfter = loadTableVersion(table, newV).count()
+    val nAfter = readVersion(newV).count()
     val hp = new HPath(base)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val purged = priorVs.filter { v =>
-      !loadTableVersion(table, v)
-        .join(req, keyCols, "left_semi").isEmpty
+      !readVersion(v).join(req, keyCols, "left_semi").isEmpty
     }
     purged.foreach { v =>
       fs.delete(new HPath(Warehouse.versionDir(base, v)), true)

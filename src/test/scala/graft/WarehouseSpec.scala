@@ -463,6 +463,18 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       w.forgetAndRewrite(tmp, "plainn", req, Seq("n_nationkey"))
     }
     assert(ex2.getMessage.contains("not versioned"))
+    // an instance whose baseDir is NOT outDir must still erase and
+    // purge under outDir (the vacuumTable dir-parameter convention —
+    // reading versions through the instance's baseDir would erase one
+    // table while purging another)
+    val other = Files.createTempDirectory("graft_rtbf_other").toString
+    val w2 = Warehouse(spark, other)
+    val a3 = w2.forgetAndRewrite(tmp, "nv",
+      Seq(3).toDF("n_nationkey"), Seq("n_nationkey")).collect().head
+    assert(a3.getLong(1) === 6L && a3.getLong(3) === 1L,
+      "erasure ran against the outDir table, not baseDir")
+    assert(w.listVersions("nv") === Seq(6L),
+      "key-bearing versions 4 and 5 purged under outDir")
   }
 
   test("compactTable: content preserved, files merged, views refreshed") {
