@@ -59,6 +59,13 @@ object ProbeR12 {
       .persist()
     quasi.count()
 
+    val docs = ids.select(col("id").as("doc_id"),
+      concat_ws(" ",
+        expr("transform(sequence(0, 15), " +
+          "i -> concat('w', pmod(xxhash64(id, i), 500)))")).as("text"))
+      .persist()
+    docs.count()
+
     val baskets = ids.limit(600000).select(
         expr("pmod(xxhash64(id, 6), 100000)").as("bk"),
         expr("pmod(xxhash64(id, 7), 2000)").as("it"))
@@ -82,6 +89,9 @@ object ProbeR12 {
       time(s"rep$rep associationPairs + llr_u20 (100k baskets)") {
         drain(Stats.associationPairs(baskets, "bk", "it",
           minSupport = 2L, topK = 100))
+      }
+      time(s"rep$rep collocations + llr_u20 (500k 16-word docs)") {
+        drain(graft.operators.TextAnalysis.collocations(docs, "text"))
       }
     }
 
