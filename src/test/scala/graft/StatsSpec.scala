@@ -172,6 +172,49 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) === exp, "diagonal: matches the exact recurrence")
   }
 
+  test("llrU20: 200 random proper tables match the local recurrence; transpose symmetry") {
+    import spark.implicits._
+    import graft.functions.Kernels.ilog2Fp
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(10000)
+      val r = 1 + rnd.nextInt(n)
+      val c = 1 + rnd.nextInt(n)
+      val lo = math.max(0, r + c - n)
+      val hi = math.min(r, c)
+      val k = lo + rnd.nextInt(hi - lo + 1)
+      (i.toLong, k.toLong, r.toLong, c.toLong, n.toLong)
+    }
+    val got = rows.toDF("i", "k", "r", "c", "n")
+      .select(col("i"),
+        Stats.llrU20(spark, col("k"), col("r"), col("c"), col("n")).as("llr"),
+        Stats.llrU20(spark, col("k"), col("c"), col("r"), col("n")).as("llrT"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def term(k: Long, r: Long, c: Long, n: Long): Long =
+      if (k == 0L) 0L else k * (ilog2Fp(k * n) - ilog2Fp(r * c))
+    rows.foreach { case (i, k, r, c, n) =>
+      val exp = 2L * (term(k, r, c, n) + term(r - k, r, n - c, n) +
+        term(c - k, n - r, c, n) + term(n - r - c + k, n - r, n - c, n))
+      assert(got(i)._1 === exp, s"table ($k,$r,$c,$n)")
+      assert(got(i)._2 === exp, s"transpose symmetry at ($k,$r,$c,$n)")
+    }
+  }
+
+  test("quantilesFromHistogramStore: un-merged duplicate bin rows re-aggregate") {
+    import spark.implicits._
+    // a caller handing raw per-batch rows (same bin twice) must get the
+    // merged answer, not a double-counted cumsum
+    val dup = Seq((0, 2L), (0, 2L), (1, 6L)).toDF("bin", "n")
+    val got = Stats.quantilesFromHistogramStore(dup, 0.0, 10.0, 2,
+        Seq(400000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(400000L) === ((10L, 4L, 0L)),
+      "rank 4 of N=10 lands in bin 0 (cum 4) only if duplicates merged")
+    assert(got(1000000L) === ((10L, 10L, 1L)))
+  }
+
   test("benfordProfile: digit extraction, full grid, ppm truncation, skips") {
     import spark.implicits._
     val df = Seq(
