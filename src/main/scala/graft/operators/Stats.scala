@@ -713,10 +713,11 @@ object Stats {
     * constant 1/ln 2, same ranking). Inputs are the three observed
     * counts (k11, row margin R₁, column margin C₁) and the total N of
     * a PROPER table (R₁ ≥ k11, C₁ ≥ k11, N ≥ R₁+C₁−k11, so every
-    * complementary cell is ≥ 0); zero cells contribute exactly 0; a
-    * positive cell forces both its margins positive, so no log sees 0.
-    * Guard: N ≤ 10⁹ keeps every k·N and R·C product inside a long
-    * (loud, the house rule).
+    * complementary cell is ≥ 0 — ENFORCED loudly, not prose: improper
+    * margins would wrap R·C or feed ilog2 a wrong complement); zero
+    * cells contribute exactly 0; a positive cell forces both its
+    * margins positive, so no log sees 0. Guard: N ≤ 10⁹ keeps every
+    * k·N and R·C product inside a long (loud, the house rule).
     */
   def llrU20(spark: SparkSession, k11: Column, r1: Column, c1: Column,
       n0: Column): Column = {
@@ -724,15 +725,22 @@ object Stats {
       .otherwise(assert_true(lit(false), lit(
         "llrU20: N exceeds 10^9 — k*N would wrap; sample first"))
         .cast("long"))
-    def term(k: Column, r: Column, c: Column): Column =
-      when(k === lit(0L), lit(0L)).otherwise(
-        k * (graft.functions.GraftFunctions.ilog2FpCol(spark, k * n) -
+    // the PROPER-table contract is enforced, not prose: improper
+    // margins (R or C beyond N, counts outside [max(0,R+C−N), min(R,C)])
+    // would wrap the R·C products or feed ilog2 a non-positive argument
+    // downstream of a silently-wrong complement — refuse loudly instead
+    val k = when(k11 >= lit(0L) && r1 >= k11 && c1 >= k11 &&
+        r1 + c1 - k11 <= n, k11)
+      .otherwise(assert_true(lit(false), lit(
+        "llrU20: improper 2x2 table — need 0 <= k11 <= min(R1, C1) and " +
+          "R1 + C1 - k11 <= N so every complementary cell is >= 0"))
+        .cast("long"))
+    def term(kc: Column, r: Column, c: Column): Column =
+      when(kc === lit(0L), lit(0L)).otherwise(
+        kc * (graft.functions.GraftFunctions.ilog2FpCol(spark, kc * n) -
           graft.functions.GraftFunctions.ilog2FpCol(spark, r * c)))
-    val k12 = r1 - k11
-    val k21 = c1 - k11
-    val k22 = n - r1 - c1 + k11
-    lit(2L) * (term(k11, r1, c1) + term(k12, r1, n - c1) +
-      term(k21, n - r1, c1) + term(k22, n - r1, n - c1))
+    lit(2L) * (term(k, r1, c1) + term(r1 - k, r1, n - c1) +
+      term(c1 - k, n - r1, c1) + term(n - r1 - c1 + k, n - r1, n - c1))
   }
 
   /** PMI / MUTUAL-INFORMATION association profile of two CATEGORICAL
@@ -776,21 +784,25 @@ object Stats {
     // discipline)
     val cells = cells0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the totals COLLECT (1 row) runs FIRST, so both loud guards fire
+    // before the margin broadcasts build — otherwise a contract-
+    // violating 10^9-cell frame could OOM the broadcast ahead of the
+    // assert it was supposed to hit
+    val totRow = cells
+      .agg(sum("cnt").as("n0"), count(lit(1)).as("n_cells")).collect()(0)
+    val nCells = totRow.getLong(1)
+    require(nCells <= maxCells,
+      s"pmiProfile: distinct-cell count $nCells exceeds maxCells=" +
+        s"$maxCells — the categorical contract; reduce cardinality " +
+        "upstream or raise maxCells")
+    val n = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    require(n <= 1000000000L,
+      s"pmiProfile: N=$n exceeds 10^9 rows — cnt*N would wrap; sample first")
     val ma = cells.groupBy("a").agg(sum("cnt").as("n_a"))
     val mb = cells.groupBy("b").agg(sum("cnt").as("n_b"))
-    val tot = cells.agg(sum("cnt").as("n0"), count(lit(1)).as("n_cells"))
-      .select(expr(
-        s"IF(n_cells <= ${maxCells}L, " +
-          "IF(n0 <= 1000000000L, n0, assert_true(false, " +
-          "'pmiProfile: N exceeds 10^9 rows — cnt*N would wrap; " +
-          "sample first')), " +
-          "assert_true(false, 'pmiProfile: distinct-cell count exceeds " +
-          s"maxCells=$maxCells — the categorical contract; reduce " +
-          "cardinality upstream or raise maxCells'))")
-        .cast("long").as("n"))
     val scored = cells
       .join(broadcast(ma), "a").join(broadcast(mb), "b")
-      .crossJoin(broadcast(tot))
+      .withColumn("n", lit(n))
       .withColumn("__l1", graft.functions.GraftFunctions.ilog2FpCol(
         spark, col("cnt") * col("n")))
       .withColumn("__l2", graft.functions.GraftFunctions.ilog2FpCol(

@@ -78,7 +78,7 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     val ex = intercept[Exception] {
       Stats.pmiProfile(four, "a", "b", maxCells = 3L).collect()
     }
-    assert(root(ex).contains("distinct-cell count exceeds maxCells"))
+    assert(root(ex).contains("exceeds maxCells"))
     // margins and N come from aggregates + broadcast joins — no window
     // operator anywhere (in particular no partition-less WindowExec
     // funneling the cell frame to one reducer)
