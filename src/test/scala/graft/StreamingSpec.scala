@@ -647,6 +647,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "percentiles off the streamed rollup must equal the one-shot read")
   }
 
+  test("grouped quantile store over foreachBatch: per-key rollup == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Stats
+    val rows = wh.loadTable("documents").select("lang", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val in = MemoryStream[(String, Double)]
+    var store = Stats.groupedHistogramStore(
+        Seq.empty[(String, Double)].toDF("lang", "n_chars"),
+        "lang", "n_chars", 0.0, 4000.0, 100)
+      .localCheckpoint(true)
+    val q = in.toDS().toDF("lang", "n_chars").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store = Stats.updateGroupedHistogramStore(store,
+            Stats.groupedHistogramStore(batch, "lang", "n_chars",
+              0.0, 4000.0, 100))
+          .localCheckpoint(true)
+        ()
+      }.start()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+      in.addData(g.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val qs = Seq(500000L, 900000L)
+    def read(st: org.apache.spark.sql.DataFrame) =
+      Stats.groupedQuantilesFromStore(st, 0.0, 4000.0, 100, qs)
+        .collect().map(_.toSeq)
+        .sortBy(r => (r.head.asInstanceOf[String], r(1).asInstanceOf[Long]))
+    val oneShot = read(Stats.groupedHistogramStore(
+      rows.toSeq.toDF("lang", "n_chars"), "lang", "n_chars",
+      0.0, 4000.0, 100))
+    assert(read(store) === oneShot,
+      "per-key percentiles off the streamed rollup == one-shot")
+  }
+
   test("incremental CDC dedup over foreachBatch: growing store == one-shot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
