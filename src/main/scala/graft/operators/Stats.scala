@@ -446,28 +446,46 @@ object Stats {
 
   /** Categorical distribution drift between two snapshots: per-value
     * smoothed counts over the union of observed values, same PSI₂ term
-    * as [[driftNumeric]]. Value cardinality is the caller's contract
-    * (priorities, statuses, langs — enumerable domains); for unbounded
-    * domains bucket first ([[heavyHitters]] tells you which values
-    * matter).
+    * as [[driftNumeric]]. The ENUMERABLE-domain contract (priorities,
+    * statuses, langs) is enforced, not assumed: the distinct-value
+    * count is guarded ≤ `maxValues` loudly BEFORE the global smoothing
+    * window runs (the pmiProfile discipline — a free-text column would
+    * otherwise sort a corpus-sized frame on one reducer, possibly
+    * OOMing ahead of any embedded assert); for unbounded domains bucket
+    * first ([[heavyHitters]] tells you which values matter). The two
+    * counted frames persist across the cardinality probe + join and
+    * release after the value-bounded result checkpoints.
     */
   def driftCategorical(before: DataFrame, after: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxValues: Long = 1000000L): DataFrame = {
+    require(maxValues >= 1,
+      s"driftCategorical: maxValues must be >= 1 (got $maxValues)")
     def counted(df: DataFrame) = df
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("string").as("value"))
       .groupBy("value").agg(count(lit(1)).as("c"))
-    val a = counted(before).select(col("value"), col("c").as("raw_a"))
-    val b = counted(after).select(col("value"), col("c").as("raw_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a0 = counted(before)
+    val b0 = counted(after)
+    val nv = math.max(a0.count(), b0.count())
+    require(nv <= maxValues,
+      s"driftCategorical: $nv distinct values exceeds maxValues=" +
+        s"$maxValues — the enumerable-domain contract; bucket upstream " +
+        "(heavyHitters) or raise maxValues")
+    val a = a0.select(col("value"), col("c").as("raw_a"))
+    val b = b0.select(col("value"), col("c").as("raw_b"))
     val joined = a.join(b, Seq("value"), "full")
       .select(col("value"),
         (coalesce(col("raw_a"), lit(0L)) + 1L).as("n_a"),
         (coalesce(col("raw_b"), lit(0L)) + 1L).as("n_b"))
       .withColumn("__na", sum(col("n_a")).over())
       .withColumn("__nb", sum(col("n_b")).over())
-    withPsi2E9(joined)
+    val out = withPsi2E9(joined)
       .select(col("value"), col("n_a"), col("n_b"), col("psi2_e9"))
       .orderBy("value")
+      .localCheckpoint(eager = true)
+    a0.unpersist(); b0.unpersist()
+    out
   }
 
   // ---- k-anonymity ------------------------------------------------------

@@ -441,6 +441,12 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("c") === ((1L, 2L, psiTerm(1, 2, 23, 23))))
     // every PSI term is non-negative by construction
     got.values.foreach { case (_, _, t) => assert(t >= 0L) }
+    // the enumerable-domain contract refuses loudly BEFORE the global
+    // smoothing window can sort an unbounded frame on one reducer
+    val ex = intercept[IllegalArgumentException] {
+      Stats.driftCategorical(before, after, "v", maxValues = 1L)
+    }
+    assert(ex.getMessage.contains("exceeds maxValues"))
   }
 
   test("driftNumeric: identical snapshots give all-zero terms; shift registers") {
