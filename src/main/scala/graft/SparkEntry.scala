@@ -4334,6 +4334,26 @@ object SparkEntry {
       .orderBy("q_e6")
   }
 
+  /** Coarsened quantile store (SURVEY row 22c-q''): grid evolution
+    * without raw rescan — the 200-bin store of q_quantile_store
+    * coarsens by 5 ([[operators.Stats.coarsenHistogramStore]], counts
+    * add in runs, the only EXACT direction) and answers the same
+    * percentiles at the 40-bin error contract. The oracle replays the
+    * COARSENING ROUTE (bin@200 then integer div 5 — direct binning at
+    * 40 could disagree on float boundaries) + the rank scan at 40-bin
+    * edges.
+    */
+  private def qQuantileCoarse(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    val store = operators.Stats.histogramStore(
+      o, "o_totalprice", 0.0, 600000.0, 200)
+    operators.Stats.quantilesFromHistogramStore(
+        operators.Stats.coarsenHistogramStore(store, 200, 5),
+        0.0, 600000.0, 40,
+        Seq(250000L, 500000L, 900000L, 990000L))
+      .orderBy("q_e6")
+  }
+
   /** GROUPED quantile store (SURVEY row 22c-q'): per-language document
     * length percentiles off the per-key histogram rollup — the grouped
     * form of q_quantile_store ("track p95 length per language per
@@ -4593,6 +4613,7 @@ object SparkEntry {
     "q_drift_store" -> (qDriftStore _),
     "q_quantile_store" -> (qQuantileStore _),
     "q_grouped_quantile_store" -> (qGroupedQuantileStore _),
+    "q_quantile_coarse" -> (qQuantileCoarse _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -7646,6 +7667,33 @@ object SparkEntry {
         |SELECT q_e6, n_total, rk, CAST(bin AS BIGINT) AS bin,
         | (CAST(bin AS BIGINT) * 600000000000) // 200 AS edge_lo_e6,
         | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200 AS edge_hi_e6
+        |FROM sel ORDER BY q_e6""".stripMargin,
+    // the coarsening route replayed: bin@200 then integer div 5 (direct
+    // binning at 40 could diverge on float boundaries), rank scan at
+    // the 40-bin micro-edges
+    "q_quantile_coarse" ->
+      """WITH h AS (
+        | SELECT CAST(floor(least(199.0, greatest(0.0,
+        |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 200 / 600000.0)))
+        |   AS INTEGER) // 5 AS bin
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |cum AS (SELECT bin, n,
+        |        CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+        |q(q_e6) AS (VALUES (250000), (500000), (900000), (990000)),
+        |sel AS (SELECT CAST(q.q_e6 AS BIGINT) AS q_e6, t.n_total,
+        |        (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999) // 1000000
+        |          AS rk,
+        |        c.bin, c.n, c.cum
+        |        FROM q CROSS JOIN t JOIN cum c
+        |        ON c.cum >= (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999)
+        |             // 1000000
+        |        AND c.cum - c.n < (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000)
+        |SELECT q_e6, n_total, rk, CAST(bin AS BIGINT) AS bin,
+        | (CAST(bin AS BIGINT) * 600000000000) // 40 AS edge_lo_e6,
+        | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 40 AS edge_hi_e6
         |FROM sel ORDER BY q_e6""".stripMargin,
     // the grouped form: per-language histogram + rank scan replayed
     // relationally (same clamp, same integer rank, same micro-edges)

@@ -327,6 +327,35 @@ object Stats {
           s"div ${nBins}L").as("edge_hi_e6"))
   }
 
+  /** COARSEN a histogram store to a wider grid — the only EXACT grid
+    * evolution (refining would need the raw data back): bins merge in
+    * runs of `factor` (new_bin = bin div factor), counts add, and the
+    * [lo, hi) span is unchanged — so a store recorded at 1000 bins can
+    * keep rolling up against a consumer that now reads at 100 without
+    * rescanning history. `nBins % factor == 0` required (a partial
+    * last run would silently widen the top bin's span); quantile reads
+    * off the coarsened store carry the proportionally wider one-bin
+    * error, by the [[quantilesFromHistogramStore]] contract. Works for
+    * the grouped (k, bin, n) form too — the optional key column passes
+    * through the regroup.
+    */
+  def coarsenHistogramStore(store: DataFrame, nBins: Int,
+      factor: Int): DataFrame = {
+    require(factor >= 1 && nBins >= 2 && nBins % factor == 0,
+      s"coarsenHistogramStore: need factor >= 1 dividing nBins " +
+        s"(got nBins=$nBins, factor=$factor) — a partial last run " +
+        "would silently widen the top bin")
+    val keyed = store.columns.contains("k")
+    val binned = store.withColumn("bin", expr(
+      s"IF(bin >= 0 AND bin < $nBins, CAST(bin div $factor AS int), " +
+        s"assert_true(false, 'coarsenHistogramStore: bin outside " +
+        s"[0, $nBins) — the shared grid contract'))"))
+    val grouped =
+      if (keyed) binned.groupBy("k", "bin")
+      else binned.groupBy("bin")
+    grouped.agg(sum(col("n")).cast("long").as("n"))
+  }
+
   /** GROUPED histogram store — the per-key form of [[histogramStore]]:
     * one fixed-grid histogram per group as a narrow (k, bin, n) frame,
     * exactly mergeable per (k, bin) — so per-language/per-source value

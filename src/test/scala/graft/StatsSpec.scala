@@ -172,6 +172,48 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) === exp, "diagonal: matches the exact recurrence")
   }
 
+  test("coarsenHistogramStore: runs add exactly, grouped passthrough, validation") {
+    import spark.implicits._
+    val store = Seq((0, 1L), (1, 2L), (2, 4L), (3, 8L), (5, 16L))
+      .toDF("bin", "n")
+    val got = Stats.coarsenHistogramStore(store, 6, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 3L, 1 -> 12L, 2 -> 16L),
+      "bins merge in runs of `factor`, counts add, gaps stay absent")
+    // the grouped (k, bin, n) form regroups per key
+    val gs = Seq(("a", 0, 1L), ("a", 1, 2L), ("b", 1, 5L))
+      .toDF("k", "bin", "n")
+    val gotG = Stats.coarsenHistogramStore(gs, 6, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(gotG === Map(("a", 0) -> 3L, ("b", 0) -> 5L))
+    // quantile reads off the coarsened store == reads off a directly
+    // coarser CONSISTENT store (same counts per merged run)
+    val fine = Stats.histogramStore((0 until 100).map(_.toDouble).toDF("v"),
+      "v", 0.0, 100.0, 10)
+    val qs = Seq(500000L, 900000L)
+    val viaCoarsen = Stats.quantilesFromHistogramStore(
+      Stats.coarsenHistogramStore(fine, 10, 2), 0.0, 100.0, 5, qs)
+      .collect().map(_.toSeq)
+    val direct = Stats.quantilesFromHistogramStore(
+      Stats.histogramStore((0 until 100).map(_.toDouble).toDF("v"),
+        "v", 0.0, 100.0, 5), 0.0, 100.0, 5, qs)
+      .collect().map(_.toSeq)
+    assert(viaCoarsen.sortBy(_.head.asInstanceOf[Long]) ===
+      direct.sortBy(_.head.asInstanceOf[Long]),
+      "integer bins: coarsened route == direct coarse binning")
+    intercept[IllegalArgumentException] {
+      Stats.coarsenHistogramStore(store, 6, 4) // 4 does not divide 6
+    }
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Stats.coarsenHistogramStore(
+        Seq((9, 1L)).toDF("bin", "n"), 6, 2).collect()
+    }
+    assert(root(ex).contains("grid contract"))
+  }
+
   test("llrU20: 200 random proper tables match the local recurrence; transpose symmetry") {
     import spark.implicits._
     import graft.functions.Kernels.ilog2Fp
