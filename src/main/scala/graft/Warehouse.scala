@@ -459,6 +459,39 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
     drop
   }
 
+  /** DESCRIBE HISTORY for a versioned table — the Delta `DESCRIBE
+    * HISTORY` / Snowflake `SHOW VERSIONS` audit surface the retention
+    * and RTBF verbs operate against: one row per COMMITTED version
+    * with its commit time (`_SUCCESS` mtime — the [[loadTableAsOf]]
+    * clock), data file count and byte total, newest flagged. The
+    * operational questions this answers — "what will
+    * [[vacuumTableOlderThan]] drop", "which versions does
+    * [[forgetAndRewrite]] still have to purge", "how much storage does
+    * retention hold" — come BEFORE running those verbs, which is why
+    * the listing is a frame, not a log line. Driver-side FS listing
+    * (version count is retention-bounded); uncommitted/torn dirs are
+    * invisible, matching every reader.
+    */
+  def describeHistory(dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Warehouse.tablePath(dir, table)
+    val vs = Warehouse.committedVersionTimes(spark, base)
+    require(vs.nonEmpty, s"table $table is not versioned — no history")
+    val hp = new HPath(base)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = vs.map { case (v, t) =>
+      val files = fs.listStatus(new HPath(Warehouse.versionDir(base, v)))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      (v, t, files.length.toLong, files.map(_.getLen).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_millis", "n_files", "total_bytes")
+      .withColumn("is_latest",
+        col("version") === lit(rows.map(_._1).max))
+      .orderBy("version")
+  }
+
   /** AGE-BASED RETENTION for versioned tables — the
     * DATA_RETENTION_TIME_IN_DAYS form of [[vacuumTable]]: delete every
     * committed version whose commit time (`_SUCCESS` mtime, the same

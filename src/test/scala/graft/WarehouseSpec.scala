@@ -385,6 +385,32 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.vacuumTable(tmp, "region", keepLast = 1) }
   }
 
+  test("describeHistory: one row per committed version, sizes, latest flag") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_hist").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    w.saveTableVersioned(n.filter(col("n_nationkey") < 5), tmp, "nv")
+    w.saveTableVersioned(n, tmp, "nv")
+    // a torn (uncommitted) dir must be invisible, matching every reader
+    val junk = new org.apache.hadoop.fs.Path(
+      Warehouse.versionDir(Warehouse.tablePath(tmp, "nv"), 3))
+    junk.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(junk)
+    val h = w.describeHistory(tmp, "nv").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    h.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(3) > 0L,
+        "every committed version has data files and bytes")
+      assert(r.getLong(1) > 0L, "commit time from the _SUCCESS marker")
+    }
+    assert(h.map(r => r.getLong(0) -> r.getBoolean(4)).toMap ===
+      Map(1L -> false, 2L -> true), "newest flagged")
+    // vacuum planning: the history row count tracks retention
+    w.vacuumTable(tmp, "nv", keepLast = 1)
+    assert(w.describeHistory(tmp, "nv").count() === 1L)
+    intercept[IllegalArgumentException] { w.describeHistory(tmp, "region") }
+  }
+
   test("vacuumTableOlderThan: age cutoff, newest always survives") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft_vacage").toString
