@@ -4354,6 +4354,22 @@ object SparkEntry {
       .orderBy("q_e6")
   }
 
+  /** Winsorize by stored percentiles (SURVEY row 22c-q'''): order
+    * totals clipped to the [p01 lower-edge, p99 upper-edge] band read
+    * off the 200-bin rollup — the composed outlier-clipping consumer
+    * of q_quantile_store ([[operators.Stats.winsorizeByHistogramStore]]).
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = wh(s, dir).loadTable("orders")
+    val store = operators.Stats.histogramStore(
+      o, "o_totalprice", 0.0, 600000.0, 200)
+    operators.Stats.winsorizeByHistogramStore(o, "o_totalprice", store,
+        0.0, 600000.0, 200, pLowE6 = 10000L, pHighE6 = 990000L)
+      .select(col("o_orderkey"), col("o_totalprice_e6"),
+        col("o_totalprice_winsor_e6"), col("o_totalprice_clipped"))
+      .orderBy("o_orderkey")
+  }
+
   /** GROUPED quantile store (SURVEY row 22c-q'): per-language document
     * length percentiles off the per-key histogram rollup — the grouped
     * form of q_quantile_store ("track p95 length per language per
@@ -4614,6 +4630,7 @@ object SparkEntry {
     "q_quantile_store" -> (qQuantileStore _),
     "q_grouped_quantile_store" -> (qGroupedQuantileStore _),
     "q_quantile_coarse" -> (qQuantileCoarse _),
+    "q_winsorize" -> (qWinsorize _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -7668,6 +7685,40 @@ object SparkEntry {
         | (CAST(bin AS BIGINT) * 600000000000) // 200 AS edge_lo_e6,
         | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200 AS edge_hi_e6
         |FROM sel ORDER BY q_e6""".stripMargin,
+    // the composed consumer: clip bounds = pLow bin's lower / pHigh
+    // bin's upper micro-edge from the replayed histogram + rank scan,
+    // then one stateless clamp per order row
+    "q_winsorize" ->
+      """WITH h AS (
+        | SELECT CAST(floor(least(199.0, greatest(0.0,
+        |   (CAST(o_totalprice AS DOUBLE) - 0.0) * 200 / 600000.0)))
+        |   AS INTEGER) AS bin
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |cum AS (SELECT bin, n,
+        |        CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+        |q(q_e6) AS (VALUES (10000), (990000)),
+        |sel AS (SELECT CAST(q.q_e6 AS BIGINT) AS q_e6, c.bin
+        |        FROM q CROSS JOIN t JOIN cum c
+        |        ON c.cum >= (CAST(q.q_e6 AS BIGINT) * t.n_total + 999999)
+        |             // 1000000
+        |        AND c.cum - c.n < (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000),
+        |b AS (SELECT
+        |  (SELECT (CAST(bin AS BIGINT) * 600000000000) // 200
+        |   FROM sel WHERE q_e6 = 10000) AS wlo,
+        |  (SELECT ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200
+        |   FROM sel WHERE q_e6 = 990000) AS whi)
+        |SELECT o.o_orderkey,
+        | CAST(round(o.o_totalprice * 1000000) AS BIGINT) AS o_totalprice_e6,
+        | least(greatest(CAST(round(o.o_totalprice * 1000000) AS BIGINT),
+        |   b.wlo), b.whi) AS o_totalprice_winsor_e6,
+        | CAST(round(o.o_totalprice * 1000000) AS BIGINT) !=
+        |   least(greatest(CAST(round(o.o_totalprice * 1000000) AS BIGINT),
+        |     b.wlo), b.whi) AS o_totalprice_clipped
+        |FROM orders o CROSS JOIN b
+        |ORDER BY o.o_orderkey""".stripMargin,
     // the coarsening route replayed: bin@200 then integer div 5 (direct
     // binning at 40 could diverge on float boundaries), rank scan at
     // the 40-bin micro-edges

@@ -327,6 +327,49 @@ object Stats {
           s"div ${nBins}L").as("edge_hi_e6"))
   }
 
+  /** WINSORIZE by STORED percentiles — the outlier-clipping
+    * preprocessing verb ("clip to [p1, p99]") answered from the
+    * mergeable rollup instead of a raw re-sort: the clip bounds are
+    * the pLow bin's LOWER edge and the pHigh bin's UPPER edge from
+    * [[quantilesFromHistogramStore]] (conservative outward — a value
+    * inside either boundary bin is never moved), so the whole verb is
+    * one broadcast of a 1-row bounds frame + a stateless map over the
+    * corpus. Values quantize to micro-units by the cents convention
+    * (round(v·10⁶) — both engines round identically on the clean
+    * inputs the convention covers); a NULL value yields NULL quantized
+    * and winsorized columns (never silently pinned to a bound —
+    * Spark's greatest/least skip NULLs, guarded here). Bound error =
+    * one bin width each side, the store's documented contract.
+    *
+    * Returns the input plus (`<valueCol>_e6`, `<valueCol>_winsor_e6`,
+    * `<valueCol>_clipped`).
+    */
+  def winsorizeByHistogramStore(df: DataFrame, valueCol: String,
+      store: DataFrame, lo: Double, hi: Double, nBins: Int,
+      pLowE6: Long, pHighE6: Long): DataFrame = {
+    require(pLowE6 < pHighE6,
+      s"winsorize needs pLow < pHigh (got $pLowE6, $pHighE6)")
+    val qs = quantilesFromHistogramStore(store, lo, hi, nBins,
+      Seq(pLowE6, pHighE6))
+    val bounds = qs.agg(
+      min(when(col("q_e6") === lit(pLowE6), col("edge_lo_e6")))
+        .as("__wlo"),
+      min(when(col("q_e6") === lit(pHighE6), col("edge_hi_e6")))
+        .as("__whi"))
+    val vE6 = s"CAST(round(`${valueCol.replace("`", "``")}` * 1000000) AS bigint)"
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_e6", expr(vE6))
+      .withColumn(s"${valueCol}_winsor_e6",
+        // Spark's greatest/least SKIP nulls — an unguarded clamp would
+        // quietly pin a NULL value to the lower bound
+        when(col(s"${valueCol}_e6").isNotNull,
+          least(greatest(col(s"${valueCol}_e6"), col("__wlo")),
+            col("__whi"))))
+      .withColumn(s"${valueCol}_clipped",
+        col(s"${valueCol}_e6") =!= col(s"${valueCol}_winsor_e6"))
+      .drop("__wlo", "__whi")
+  }
+
   /** COARSEN a histogram store to a wider grid — the only EXACT grid
     * evolution (refining would need the raw data back): bins merge in
     * runs of `factor` (new_bin = bin div factor), counts add, and the

@@ -172,6 +172,33 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) === exp, "diagonal: matches the exact recurrence")
   }
 
+  test("winsorizeByHistogramStore: conservative clipping, NULL never pinned") {
+    import spark.implicits._
+    // 0..99 over [0,100)x10 — p10 lands in bin 0 (lower edge 0),
+    // p90 in bin 8 (upper edge 90): clip band [0e6, 90e6]
+    val vals = (0 until 100).map(_.toDouble)
+    val store = Stats.histogramStore(vals.toDF("v"), "v", 0.0, 100.0, 10)
+    val df = (vals ++ Seq(250.0, -40.0)).map(Option(_))
+      .:+(Option.empty[Double]).toDF("v")
+    val got = Stats.winsorizeByHistogramStore(df, "v", store,
+        0.0, 100.0, 10, 100000L, 900000L)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(got(Some(50.0)) === ((Some(50000000L), Some(false))),
+      "inside the band: untouched")
+    assert(got(Some(250.0)) === ((Some(90000000L), Some(true))),
+      "above: pinned to the p90 bin's upper edge")
+    assert(got(Some(-40.0)) === ((Some(0L), Some(true))),
+      "below: pinned to the p10 bin's lower edge")
+    assert(got(None) === ((None, None)),
+      "NULL value: NULL out, never silently pinned to a bound")
+    intercept[IllegalArgumentException] {
+      Stats.winsorizeByHistogramStore(df, "v", store, 0.0, 100.0, 10,
+        900000L, 100000L)
+    }
+  }
+
   test("coarsenHistogramStore: runs add exactly, grouped passthrough, validation") {
     import spark.implicits._
     val store = Seq((0, 1L), (1, 2L), (2, 4L), (3, 8L), (5, 16L))
