@@ -93,6 +93,11 @@ object ProbeR12 {
       time(s"rep$rep collocations + llr_u20 (500k 16-word docs)") {
         drain(graft.operators.TextAnalysis.collocations(docs, "text"))
       }
+      time(s"rep$rep winsorize off the 200-bin store (500k values)") {
+        drain(Stats.winsorizeByHistogramStore(vals, "v",
+          Stats.histogramStore(vals, "v", 0.0, 6000.0, 200),
+          0.0, 6000.0, 200, 10000L, 990000L))
+      }
     }
 
     // forgetAndRewrite: its own scratch warehouse, 3 versions x 3x rows
