@@ -1826,6 +1826,16 @@ object SparkEntry {
     import s.implicits._
     val docs = wh(s, dir).loadTable("documents")
       .filter(col("doc_id") < 400 && col("text").isNotNull)
+    // BMP premise, loud: the trainer symbolizes by UTF-16 code units
+    // (String.toCharArray), the oracle by code points (DuckDB
+    // unicode(substring)) — identical on the Basic Multilingual Plane,
+    // divergent on astral chars (one codepoint = two surrogate units).
+    // utf-16be byte length == 2 * codepoint count iff the text is BMP.
+    require(docs.filter(expr(
+        "length(text) * 2 != octet_length(encode(text, 'utf-16be'))"))
+      .isEmpty,
+      "q_bpe_driver_train: corpus contains non-BMP characters — the " +
+        "UTF-16-unit trainer and the codepoint oracle would diverge")
     val model = operators.Bpe.train(docs, "text", numMerges = 12,
       sampleSize = Int.MaxValue, seed = 42L)
     require(model.numMerges == 12,
@@ -4439,8 +4449,9 @@ object SparkEntry {
     */
   private def qLDiversity(s: SparkSession, dir: String): DataFrame =
     operators.Stats.lDiversityClasses(
-        wh(s, dir).loadTable("customer").withColumn("bal_bucket", expr(
-          "(CAST(round(c_acctbal * 100) AS bigint) + 100000L) div 100000L")),
+        wh(s, dir).loadTable("customer")
+          .withColumn("__bc", cents(col("c_acctbal")))
+          .withColumn("bal_bucket", expr("(__bc + 100000L) div 100000L")),
         Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 3)
       .orderBy("c_nationkey", "c_mktsegment")
 

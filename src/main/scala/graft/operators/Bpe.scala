@@ -195,6 +195,13 @@ object Bpe {
   }
 
   /** Train on literal texts (exposed for specs and local tooling). */
+  /** Driver-side greedy BPE on collected texts. Symbols are UTF-16
+    * CODE UNITS (`toCharArray` — the [[graft.functions.BpeModel]] /
+    * `bpeTokenCount` kernel contract): on the Basic Multilingual Plane
+    * this equals code points; an astral char contributes two surrogate
+    * symbols. The q_bpe_driver_train oracle replays by CODE POINT, so
+    * it pins a loud BMP premise on its corpus rather than assuming.
+    */
   def trainOnTexts(texts: Seq[String], numMerges: Int): BpeModel = {
     // word frequencies — BPE statistics are over distinct words weighted
     // by count, so repeated words cost one symbol array, not many

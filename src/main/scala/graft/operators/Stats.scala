@@ -351,11 +351,24 @@ object Stats {
       s"winsorize needs pLow < pHigh (got $pLowE6, $pHighE6)")
     val qs = quantilesFromHistogramStore(store, lo, hi, nBins,
       Seq(pLowE6, pHighE6))
+    // an EMPTY store answers no quantiles — without the guard the NULL
+    // bounds row would make every value pass through with
+    // clipped=false, the silent-no-op failure mode the loud-contract
+    // rule exists to prevent
     val bounds = qs.agg(
-      min(when(col("q_e6") === lit(pLowE6), col("edge_lo_e6")))
-        .as("__wlo"),
-      min(when(col("q_e6") === lit(pHighE6), col("edge_hi_e6")))
-        .as("__whi"))
+        min(when(col("q_e6") === lit(pLowE6), col("edge_lo_e6")))
+          .as("__wlo0"),
+        min(when(col("q_e6") === lit(pHighE6), col("edge_hi_e6")))
+          .as("__whi0"))
+      .select(
+        expr("IF(__wlo0 IS NOT NULL AND __whi0 IS NOT NULL, __wlo0, " +
+          "assert_true(false, 'winsorizeByHistogramStore: the store " +
+          "answered no quantiles (empty or mismatched grid) — clipping " +
+          "would silently no-op'))").cast("long").as("__wlo"),
+        expr("IF(__wlo0 IS NOT NULL AND __whi0 IS NOT NULL, __whi0, " +
+          "assert_true(false, 'winsorizeByHistogramStore: the store " +
+          "answered no quantiles (empty or mismatched grid) — clipping " +
+          "would silently no-op'))").cast("long").as("__whi"))
     val vE6 = s"CAST(round(`${valueCol.replace("`", "``")}` * 1000000) AS bigint)"
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_e6", expr(vE6))
@@ -519,14 +532,16 @@ object Stats {
   /** Categorical distribution drift between two snapshots: per-value
     * smoothed counts over the union of observed values, same PSI₂ term
     * as [[driftNumeric]]. The ENUMERABLE-domain contract (priorities,
-    * statuses, langs) is enforced, not assumed: the distinct-value
-    * count is guarded ≤ `maxValues` loudly BEFORE the global smoothing
-    * window runs (the pmiProfile discipline — a free-text column would
-    * otherwise sort a corpus-sized frame on one reducer, possibly
-    * OOMing ahead of any embedded assert); for unbounded domains bucket
-    * first ([[heavyHitters]] tells you which values matter). The two
-    * counted frames persist across the cardinality probe + join and
-    * release after the value-bounded result checkpoints.
+    * statuses, langs) is enforced, not assumed: EACH side's
+    * distinct-value count is guarded ≤ `maxValues` loudly BEFORE the
+    * global smoothing window runs, bounding the windowed union frame
+    * at 2·maxValues rows (the pmiProfile discipline — a free-text
+    * column would otherwise sort a corpus-sized frame on one reducer,
+    * possibly OOMing ahead of any embedded assert); for unbounded
+    * domains bucket first ([[heavyHitters]] tells you which values
+    * matter). The two counted frames persist across the cardinality
+    * probe + join, release after the value-bounded result checkpoints,
+    * and a refusal unpersists them on the way out.
     */
   def driftCategorical(before: DataFrame, after: DataFrame,
       valueCol: String, maxValues: Long = 1000000L): DataFrame = {
@@ -539,11 +554,16 @@ object Stats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a0 = counted(before)
     val b0 = counted(after)
-    val nv = math.max(a0.count(), b0.count())
-    require(nv <= maxValues,
-      s"driftCategorical: $nv distinct values exceeds maxValues=" +
-        s"$maxValues — the enumerable-domain contract; bucket upstream " +
-        "(heavyHitters) or raise maxValues")
+    try {
+      val nv = math.max(a0.count(), b0.count())
+      require(nv <= maxValues,
+        s"driftCategorical: $nv distinct values on one side exceeds " +
+          s"maxValues=$maxValues (the smoothing frame is bounded at " +
+          "2*maxValues union rows) — the enumerable-domain contract; " +
+          "bucket upstream (heavyHitters) or raise maxValues")
+    } catch {
+      case t: Throwable => a0.unpersist(); b0.unpersist(); throw t
+    }
     val a = a0.select(col("value"), col("c").as("raw_a"))
     val b = b0.select(col("value"), col("c").as("raw_b"))
     val joined = a.join(b, Seq("value"), "full")
@@ -781,9 +801,12 @@ object Stats {
       .withColumn("lift_e6", expr(
         "CAST((CAST(pair_count AS decimal(38,0)) * n_baskets * 1000000) div " +
           "(CAST(count_a AS decimal(38,0)) * count_b) AS long)"))
+      // nullAboveN: a store past 10^9 baskets must keep answering its
+      // pre-LLR columns — llr_u20 reads NULL there (documented), the
+      // exact lift/confidence columns stay
       .withColumn("llr_u20", llrU20(store.sparkSession,
         col("pair_count"), col("count_a"), col("count_b"),
-        col("n_baskets")))
+        col("n_baskets"), nullAboveN = true))
       .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
       .limit(topK)
       .select("item_a", "item_b", "pair_count", "count_a", "count_b",
@@ -807,10 +830,15 @@ object Stats {
     * margins would wrap R·C or feed ilog2 a wrong complement); zero
     * cells contribute exactly 0; a positive cell forces both its
     * margins positive, so no log sees 0. Guard: N ≤ 10⁹ keeps every
-    * k·N and R·C product inside a long (loud, the house rule).
+    * k·N and R·C product inside a long — the default refuses loudly
+    * (the house rule); `nullAboveN = true` instead emits NULL for
+    * rows beyond the exact-log range, the mode EXISTING operators
+    * bolt the score onto (a >10⁹-basket store must keep answering its
+    * pre-LLR columns — killing the whole read would be a behavior
+    * regression, and NULL-with-documented-meaning beats both).
     */
   def llrU20(spark: SparkSession, k11: Column, r1: Column, c1: Column,
-      n0: Column): Column = {
+      n0: Column, nullAboveN: Boolean = false): Column = {
     val n = when(n0 <= lit(1000000000L), n0)
       .otherwise(assert_true(lit(false), lit(
         "llrU20: N exceeds 10^9 — k*N would wrap; sample first"))
@@ -818,19 +846,25 @@ object Stats {
     // the PROPER-table contract is enforced, not prose: improper
     // margins (R or C beyond N, counts outside [max(0,R+C−N), min(R,C)])
     // would wrap the R·C products or feed ilog2 a non-positive argument
-    // downstream of a silently-wrong complement — refuse loudly instead
+    // downstream of a silently-wrong complement — refuse loudly
+    // instead. R ≤ N and C ≤ N are checked SEPARATELY first: with both
+    // bounded by N ≤ 10⁹ the sum check cannot itself wrap (corrupt
+    // margins near 2⁶³ would otherwise wrap R+C negative and slip past)
     val k = when(k11 >= lit(0L) && r1 >= k11 && c1 >= k11 &&
-        r1 + c1 - k11 <= n, k11)
+        r1 <= n && c1 <= n && r1 + c1 - k11 <= n, k11)
       .otherwise(assert_true(lit(false), lit(
-        "llrU20: improper 2x2 table — need 0 <= k11 <= min(R1, C1) and " +
-          "R1 + C1 - k11 <= N so every complementary cell is >= 0"))
+        "llrU20: improper 2x2 table — need 0 <= k11 <= min(R1, C1) <= N " +
+          "and R1 + C1 - k11 <= N so every complementary cell is >= 0"))
         .cast("long"))
     def term(kc: Column, r: Column, c: Column): Column =
       when(kc === lit(0L), lit(0L)).otherwise(
         kc * (graft.functions.GraftFunctions.ilog2FpCol(spark, kc * n) -
           graft.functions.GraftFunctions.ilog2FpCol(spark, r * c)))
-    lit(2L) * (term(k, r1, c1) + term(r1 - k, r1, n - c1) +
+    val core = lit(2L) * (term(k, r1, c1) + term(r1 - k, r1, n - c1) +
       term(c1 - k, n - r1, c1) + term(n - r1 - c1 + k, n - r1, n - c1))
+    if (nullAboveN)
+      when(n0 > lit(1000000000L), lit(null).cast("long")).otherwise(core)
+    else core
   }
 
   /** PMI / MUTUAL-INFORMATION association profile of two CATEGORICAL
@@ -861,44 +895,10 @@ object Stats {
     */
   def pmiProfile(df: DataFrame, colA: String, colB: String,
       maxCells: Long = 1000000L): DataFrame = {
-    require(maxCells >= 1, s"pmiProfile: maxCells must be >= 1 (got $maxCells)")
-    val spark = df.sparkSession
-    val cells0 = df.select(col(colA).cast("string").as("a"),
-        col(colB).cast("string").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull)
-      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
-    // the cell frame feeds four consumers (two margins, the totals,
-    // the scoring probe) — persist so the corpus-sized groupBy runs
-    // once; the scored frame is cell-bounded by the guarded contract,
-    // so an eager checkpoint releases the persist (the clusterMedoid
-    // discipline)
-    val cells = cells0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the totals COLLECT (1 row) runs FIRST, so both loud guards fire
-    // before the margin broadcasts build — otherwise a contract-
-    // violating 10^9-cell frame could OOM the broadcast ahead of the
-    // assert it was supposed to hit
-    val totRow = cells
-      .agg(sum("cnt").as("n0"), count(lit(1)).as("n_cells")).collect()(0)
-    val nCells = totRow.getLong(1)
-    require(nCells <= maxCells,
-      s"pmiProfile: distinct-cell count $nCells exceeds maxCells=" +
-        s"$maxCells — the categorical contract; reduce cardinality " +
-        "upstream or raise maxCells")
-    val n = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    require(n <= 1000000000L,
-      s"pmiProfile: N=$n exceeds 10^9 rows — cnt*N would wrap; sample first")
-    val ma = cells.groupBy("a").agg(sum("cnt").as("n_a"))
-    val mb = cells.groupBy("b").agg(sum("cnt").as("n_b"))
-    val scored = cells
-      .join(broadcast(ma), "a").join(broadcast(mb), "b")
-      .withColumn("n", lit(n))
-      .withColumn("__l1", graft.functions.GraftFunctions.ilog2FpCol(
-        spark, col("cnt") * col("n")))
-      .withColumn("__l2", graft.functions.GraftFunctions.ilog2FpCol(
-        spark, col("n_a") * col("n_b")))
-      .withColumn("pmi_u20", col("__l1") - col("__l2"))
-      .localCheckpoint(eager = true)
+    val (cells, scored0) = pmiScoredWithCells(df, colA, colB, maxCells)
+    // cell-bounded by the guarded contract, so an eager checkpoint
+    // releases the persist (the clusterMedoid discipline)
+    val scored = scored0.localCheckpoint(eager = true)
     cells.unpersist()
     val minum = scored.agg(
       sum(expr("CAST(cnt AS DECIMAL(38,0)) * pmi_u20")).as("mi_num"))
@@ -912,6 +912,58 @@ object Stats {
       .withColumn("pmi_e6", expr("(pmi_u20 * 1000000L) div 1048576L"))
       .select(col("a").as(colA), col("b").as(colB), col("cnt"),
         col("n_a"), col("n_b"), col("pmi_e6"), col("mi_e6"))
+  }
+
+  /** [[pmiProfile]]'s guarded, LAZY scored cell frame plus the persisted
+    * cells handle — package-private so the plan spec can assert the
+    * window-free margin shape PRE-checkpoint (the public verb eagerly
+    * checkpoints, and a post-hoc plan inspection of ITS result would
+    * stay green even if someone reintroduced the partition-less margin
+    * WindowExec upstream). The caller owns `cells.unpersist()` once the
+    * scored frame is materialized. Guard hygiene: the totals collect
+    * fires both loud contracts BEFORE any margin broadcast builds, and
+    * a refusal unpersists the corpus-sized cell cache on the way out
+    * (no leaked MEMORY_AND_DISK blocks on the retry path).
+    */
+  private[graft] def pmiScoredWithCells(df: DataFrame, colA: String,
+      colB: String, maxCells: Long): (DataFrame, DataFrame) = {
+    require(maxCells >= 1, s"pmiProfile: maxCells must be >= 1 (got $maxCells)")
+    val spark = df.sparkSession
+    val cells0 = df.select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    // the cell frame feeds four consumers (two margins, the totals,
+    // the scoring probe) — persist so the corpus-sized groupBy runs once
+    val cells = cells0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n =
+      try {
+        val totRow = cells
+          .agg(sum("cnt").as("n0"), count(lit(1)).as("n_cells"))
+          .collect()(0)
+        val nCells = totRow.getLong(1)
+        require(nCells <= maxCells,
+          s"pmiProfile: distinct-cell count $nCells exceeds maxCells=" +
+            s"$maxCells — the categorical contract; reduce cardinality " +
+            "upstream or raise maxCells")
+        val nn = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+        require(nn <= 1000000000L,
+          s"pmiProfile: N=$nn exceeds 10^9 rows — cnt*N would wrap; " +
+            "sample first")
+        nn
+      } catch { case t: Throwable => cells.unpersist(); throw t }
+    val ma = cells.groupBy("a").agg(sum("cnt").as("n_a"))
+    val mb = cells.groupBy("b").agg(sum("cnt").as("n_b"))
+    val scored = cells
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .withColumn("n", lit(n))
+      .withColumn("__l1", graft.functions.GraftFunctions.ilog2FpCol(
+        spark, col("cnt") * col("n")))
+      .withColumn("__l2", graft.functions.GraftFunctions.ilog2FpCol(
+        spark, col("n_a") * col("n_b")))
+      .withColumn("pmi_u20", col("__l1") - col("__l2"))
+    (cells, scored)
   }
 
   /** Benford first-significant-digit ppm per digit, rounded half away

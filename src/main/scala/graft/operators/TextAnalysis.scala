@@ -891,9 +891,11 @@ object TextAnalysis {
         col("pair_cnt").cast(dec) * col("n_tokens").cast(dec) * lit(1000000L).cast(dec))
       .withColumn("__den", col("left_cnt").cast(dec) * col("right_cnt").cast(dec))
       .withColumn("lift_e6", expr("CAST(__num div __den AS long)"))
+      // nullAboveN: past 10^9 bigram events llr_u20 reads NULL rather
+      // than killing the lift read that worked before the score existed
       .withColumn("llr_u20", Stats.llrU20(df.sparkSession,
         col("pair_cnt"), col("__row_cnt"), col("__col_cnt"),
-        col("__n_pairs")))
+        col("__n_pairs"), nullAboveN = true))
       .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_tokens",
         "lift_e6", "llr_u20")
       .orderBy(col("lift_e6").desc, col("w1"), col("w2"))

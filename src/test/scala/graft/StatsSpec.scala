@@ -81,10 +81,58 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     assert(root(ex).contains("exceeds maxCells"))
     // margins and N come from aggregates + broadcast joins — no window
     // operator anywhere (in particular no partition-less WindowExec
-    // funneling the cell frame to one reducer)
-    val plan = Stats.pmiProfile(four, "a", "b")
-      .queryExecution.executedPlan.toString
+    // funneling the cell frame to one reducer). Asserted on the LAZY
+    // pre-checkpoint scored frame: the public verb eagerly checkpoints,
+    // so its own plan could never show a reintroduced margin window
+    val (cells, scored) = Stats.pmiScoredWithCells(four, "a", "b", 100L)
+    val plan = scored.queryExecution.executedPlan.toString
+    cells.unpersist()
     assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("Broadcast"),
+      "margins join broadcast-side")
+  }
+
+  test("winsorizeByHistogramStore: an empty store refuses, never no-ops") {
+    import spark.implicits._
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Stats.winsorizeByHistogramStore(
+        Seq(1.0, 2.0).toDF("v"),
+        "v", Seq.empty[(Int, Long)].toDF("bin", "n"),
+        0.0, 100.0, 10, 100000L, 900000L).collect()
+    }
+    assert(root(ex).contains("answered no quantiles"))
+  }
+
+  test("llrU20 nullAboveN: NULL past the exact-log range, loud otherwise") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 2L, 4L), (1L, 2L, 2L, 2000000000L))
+      .toDF("k", "r", "c", "n")
+    val got = df.select(col("n"), Stats.llrU20(spark,
+        col("k"), col("r"), col("c"), col("n"), nullAboveN = true)
+        .as("llr"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(4L).isDefined, "in-range rows still score")
+    assert(got(2000000000L).isEmpty,
+      "past 10^9 the tolerant mode reads NULL instead of killing the read")
+    // the strict default still refuses
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      df.select(Stats.llrU20(spark, col("k"), col("r"), col("c"),
+        col("n")).as("llr")).collect()
+    }
+    assert(root(ex).contains("N exceeds 10^9"))
+    // corrupt margins near 2^63 cannot wrap past the properness guard
+    val ex2 = intercept[Exception] {
+      Seq((0L, 5000000000000000000L, 5000000000000000000L, 100L))
+        .toDF("k", "r", "c", "n")
+        .select(Stats.llrU20(spark, col("k"), col("r"), col("c"),
+          col("n")).as("llr")).collect()
+    }
+    assert(root(ex2).contains("improper 2x2 table"))
   }
 
   test("quantilesFromHistogramStore: rank edges, merge parity, grid refusal") {
