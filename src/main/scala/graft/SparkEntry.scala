@@ -1826,16 +1826,10 @@ object SparkEntry {
     import s.implicits._
     val docs = wh(s, dir).loadTable("documents")
       .filter(col("doc_id") < 400 && col("text").isNotNull)
-    // BMP premise, loud: the trainer symbolizes by UTF-16 code units
-    // (String.toCharArray), the oracle by code points (DuckDB
-    // unicode(substring)) — identical on the Basic Multilingual Plane,
-    // divergent on astral chars (one codepoint = two surrogate units).
-    // utf-16be byte length == 2 * codepoint count iff the text is BMP.
-    require(docs.filter(expr(
-        "length(text) * 2 != octet_length(encode(text, 'utf-16be'))"))
-      .isEmpty,
-      "q_bpe_driver_train: corpus contains non-BMP characters — the " +
-        "UTF-16-unit trainer and the codepoint oracle would diverge")
+    // no BMP premise needed: trainer and kernel symbolize by CODE
+    // POINT (r12 unification), the same space the oracle's
+    // unicode(substring) walk replays — astral chars are one symbol
+    // on both sides
     val model = operators.Bpe.train(docs, "text", numMerges = 12,
       sampleSize = Int.MaxValue, seed = 42L)
     require(model.numMerges == 12,

@@ -12,8 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * across JVMs and partitions.
   */
 /** Trained BPE merge table (Sennrich et al., ACL 2016). Symbols are ints:
-  * initial symbols are UTF-16 code units, merge r creates symbol
-  * 0x110000 + r. `sortedKeys` holds pair keys ((a.toLong << 32) | b)
+  * initial symbols are Unicode CODE POINTS (r12 — unified with the
+  * engine-wide codepoint convention; UTF-16 units diverged from every
+  * substring/unicode oracle on astral chars), merge r creates symbol
+  * 0x110000 + r — the first integer NO code point can be, which is why
+  * merged symbols can never collide with initials. `sortedKeys` holds
+  * pair keys ((a.toLong << 32) | b)
   * sorted for binary search; `rankAt(i)` is the training rank (merge
   * priority — lower merges first) of `sortedKeys(i)`.
   */
@@ -1220,11 +1224,19 @@ object Kernels {
     * how the trainer replayed merges.
     */
   private def bpeWordTokens(s: String, from: Int, until: Int, model: BpeModel): Int = {
-    var len = until - from
+    // symbols are CODE POINTS (the trainer's space — a surrogate pair
+    // is ONE symbol); len counts points, not chars
+    var len = 0
+    var j = from
+    while (j < until) { len += 1; j += Character.charCount(s.codePointAt(j)) }
     if (len <= 1) return len
     var syms = new Array[Int](len)
     var i = 0
-    while (i < len) { syms(i) = s.charAt(from + i); i += 1 }
+    j = from
+    while (j < until) {
+      val cp = s.codePointAt(j)
+      syms(i) = cp; i += 1; j += Character.charCount(cp)
+    }
     while (len > 1) {
       var bestRank = Int.MaxValue
       i = 0

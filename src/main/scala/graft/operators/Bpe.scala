@@ -195,12 +195,11 @@ object Bpe {
   }
 
   /** Train on literal texts (exposed for specs and local tooling). */
-  /** Driver-side greedy BPE on collected texts. Symbols are UTF-16
-    * CODE UNITS (`toCharArray` — the [[graft.functions.BpeModel]] /
-    * `bpeTokenCount` kernel contract): on the Basic Multilingual Plane
-    * this equals code points; an astral char contributes two surrogate
-    * symbols. The q_bpe_driver_train oracle replays by CODE POINT, so
-    * it pins a loud BMP premise on its corpus rather than assuming.
+  /** Driver-side greedy BPE on collected texts. Symbols are Unicode
+    * CODE POINTS (r12 — unified with the engine-wide codepoint
+    * convention shared by the `bpeTokenCount` kernel and every
+    * substring/unicode oracle; the earlier UTF-16-unit space diverged
+    * from all of them on astral characters).
     */
   def trainOnTexts(texts: Seq[String], numMerges: Int): BpeModel = {
     // word frequencies — BPE statistics are over distinct words weighted
@@ -211,7 +210,7 @@ object Bpe {
     })
     var words: Array[(Array[Int], Long)] = wordFreq.toArray
       .sortBy(_._1) // deterministic iteration order
-      .map { case (w, f) => (w.toCharArray.map(_.toInt), f) }
+      .map { case (w, f) => (w.codePoints().toArray, f) }
     val merges = mutable.ArrayBuffer.empty[Long]
     var rank = 0
     var done = false

@@ -187,6 +187,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.filter(col("n_bpe_tokens") > col("n_chars_tok")).count() === 0)
     assert(pairs.filter(col("n_bpe_tokens") < col("n_chars_tok")).count() > 0,
       "training should compress at least some documents")
+    // CODE-POINT symbol space (r12): an astral char is ONE symbol for
+    // both trainer and kernel — a surrogate-unit walk would see two and
+    // count/merge differently
+    val emoji = "😀" // U+1F600, one code point, two chars
+    val astral = Seq.fill(10)(s"$emoji$emoji x")
+    val mA = Bpe.trainOnTexts(astral, numMerges = 1)
+    val gotA = TextAnalysis.tokenCountBpe(
+        Seq((1L, s"$emoji$emoji"), (2L, emoji), (3L, s"$emoji x"))
+          .toDF("id", "text"), "text", mA)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gotA(2L) === 1, "one astral char = one symbol, not two units")
+    assert(gotA(1L) === 1,
+      "the learned (emoji, emoji) merge collapses the pair to one token")
+    assert(gotA(3L) === 2)
   }
 
   test("normalize canonicalizes case, whitespace and unicode composition") {
