@@ -4338,6 +4338,22 @@ object SparkEntry {
       .orderBy("q_e6")
   }
 
+  /** Grouped winsorize (SURVEY row 22c-q''''): each language's document
+    * lengths clipped to its OWN [p10 lower-edge, p90 upper-edge] band
+    * off the grouped rollup — the per-key composed consumer
+    * ([[operators.Stats.winsorizeByGroupedStore]]).
+    */
+  private def qGroupedWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = wh(s, dir).loadTable("documents")
+    val store = operators.Stats.groupedHistogramStore(
+      d, "lang", "n_chars", 0.0, 4000.0, 100)
+    operators.Stats.winsorizeByGroupedStore(d, "lang", "n_chars", store,
+        0.0, 4000.0, 100, pLowE6 = 100000L, pHighE6 = 900000L)
+      .select(col("doc_id"), col("lang"), col("n_chars_e6"),
+        col("n_chars_winsor_e6"), col("n_chars_clipped"), col("calibrated"))
+      .orderBy("doc_id")
+  }
+
   /** Coarsened quantile store (SURVEY row 22c-q''): grid evolution
     * without raw rescan — the 200-bin store of q_quantile_store
     * coarsens by 5 ([[operators.Stats.coarsenHistogramStore]], counts
@@ -4636,6 +4652,7 @@ object SparkEntry {
     "q_grouped_quantile_store" -> (qGroupedQuantileStore _),
     "q_quantile_coarse" -> (qQuantileCoarse _),
     "q_winsorize" -> (qWinsorize _),
+    "q_grouped_winsorize" -> (qGroupedWinsorize _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -7690,6 +7707,46 @@ object SparkEntry {
         | (CAST(bin AS BIGINT) * 600000000000) // 200 AS edge_lo_e6,
         | ((CAST(bin AS BIGINT) + 1) * 600000000000) // 200 AS edge_hi_e6
         |FROM sel ORDER BY q_e6""".stripMargin,
+    // the per-key composed consumer: per-language bounds from the
+    // grouped histogram + rank scan, left-joined back, one clamp per
+    // doc (DuckDB's least/greatest skip NULLs exactly like the
+    // uncovered-group pass-through branch)
+    "q_grouped_winsorize" ->
+      """WITH h AS (
+        | SELECT CAST(lang AS VARCHAR) AS k,
+        |  CAST(floor(least(99.0, greatest(0.0,
+        |    (CAST(n_chars AS DOUBLE) - 0.0) * 100 / 4000.0)))
+        |    AS INTEGER) AS bin
+        | FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT k, bin, CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY k, bin),
+        |t AS (SELECT k, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY k),
+        |cum AS (SELECT k, bin, n,
+        |        CAST(sum(n) OVER (PARTITION BY k ORDER BY bin) AS BIGINT)
+        |          AS cum FROM c),
+        |q(q_e6) AS (VALUES (100000), (900000)),
+        |sel AS (SELECT cum.k, CAST(q.q_e6 AS BIGINT) AS q_e6, cum.bin
+        |        FROM q CROSS JOIN cum JOIN t ON t.k = cum.k
+        |        WHERE cum.cum >= (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000
+        |        AND cum.cum - cum.n < (CAST(q.q_e6 AS BIGINT) * t.n_total
+        |             + 999999) // 1000000),
+        |b AS (SELECT k,
+        |  min(CASE WHEN q_e6 = 100000
+        |      THEN (CAST(bin AS BIGINT) * 4000000000) // 100 END) AS wlo,
+        |  min(CASE WHEN q_e6 = 900000
+        |      THEN ((CAST(bin AS BIGINT) + 1) * 4000000000) // 100 END) AS whi
+        | FROM sel GROUP BY k)
+        |SELECT d.doc_id, d.lang,
+        | CAST(round(d.n_chars * 1000000) AS BIGINT) AS n_chars_e6,
+        | least(greatest(CAST(round(d.n_chars * 1000000) AS BIGINT),
+        |   b.wlo), b.whi) AS n_chars_winsor_e6,
+        | CAST(round(d.n_chars * 1000000) AS BIGINT) !=
+        |   least(greatest(CAST(round(d.n_chars * 1000000) AS BIGINT),
+        |     b.wlo), b.whi) AS n_chars_clipped,
+        | b.k IS NOT NULL AS calibrated
+        |FROM documents d LEFT JOIN b ON CAST(d.lang AS VARCHAR) = b.k
+        |ORDER BY d.doc_id""".stripMargin,
     // the composed consumer: clip bounds = pLow bin's lower / pHigh
     // bin's upper micro-edge from the replayed histogram + rank scan,
     // then one stateless clamp per order row

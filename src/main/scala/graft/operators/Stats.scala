@@ -383,6 +383,53 @@ object Stats {
       .drop("__wlo", "__whi")
   }
 
+  /** GROUPED winsorize — per-key clip bands off the GROUPED rollup
+    * ("clip each language's lengths to its own [p10, p90]"): the
+    * [[winsorizeByHistogramStore]] compose per group, bounds from
+    * [[groupedQuantilesFromStore]] joined back broadcast (the bounds
+    * frame is ≤ groups rows). Coverage is explicit, not silent: rows
+    * whose group has NO store entry pass through UNCLIPPED with
+    * `calibrated = false` (a new language appearing mid-stream must
+    * not kill the pipeline, but it must not pretend to be clipped
+    * either); an entirely empty store still refuses loudly — every
+    * row uncalibrated is the silent no-op, not a coverage state.
+    * NULL values yield NULL outputs, never a pin.
+    *
+    * Returns the input plus (`<valueCol>_e6`, `<valueCol>_winsor_e6`,
+    * `<valueCol>_clipped`, `calibrated`).
+    */
+  def winsorizeByGroupedStore(df: DataFrame, keyCol: String,
+      valueCol: String, store: DataFrame, lo: Double, hi: Double,
+      nBins: Int, pLowE6: Long, pHighE6: Long): DataFrame = {
+    require(pLowE6 < pHighE6,
+      s"winsorize needs pLow < pHigh (got $pLowE6, $pHighE6)")
+    val qs = groupedQuantilesFromStore(store, lo, hi, nBins,
+      Seq(pLowE6, pHighE6))
+    val bounds = qs.groupBy("k").agg(
+      min(when(col("q_e6") === lit(pLowE6), col("edge_lo_e6")))
+        .as("__wlo"),
+      min(when(col("q_e6") === lit(pHighE6), col("edge_hi_e6")))
+        .as("__whi"))
+    require(!bounds.isEmpty,
+      "winsorizeByGroupedStore: the store answered no quantiles for " +
+        "any group (empty or mismatched grid) — clipping would " +
+        "silently no-op everywhere")
+    val vE6 = s"CAST(round(`${valueCol.replace("`", "``")}` * 1000000) AS bigint)"
+    df.withColumn("__wk", col(keyCol).cast("string"))
+      .join(broadcast(bounds.withColumnRenamed("k", "__wk")),
+        Seq("__wk"), "left")
+      .withColumn(s"${valueCol}_e6", expr(vE6))
+      .withColumn("calibrated", col("__wlo").isNotNull)
+      .withColumn(s"${valueCol}_winsor_e6",
+        when(col(s"${valueCol}_e6").isNull, lit(null).cast("long"))
+          .when(!col("calibrated"), col(s"${valueCol}_e6"))
+          .otherwise(least(greatest(col(s"${valueCol}_e6"),
+            col("__wlo")), col("__whi"))))
+      .withColumn(s"${valueCol}_clipped",
+        col(s"${valueCol}_e6") =!= col(s"${valueCol}_winsor_e6"))
+      .drop("__wk", "__wlo", "__whi")
+  }
+
   /** COARSEN a histogram store to a wider grid — the only EXACT grid
     * evolution (refining would need the raw data back): bins merge in
     * runs of `factor` (new_bin = bin div factor), counts add, and the

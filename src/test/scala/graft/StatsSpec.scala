@@ -92,6 +92,42 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       "margins join broadcast-side")
   }
 
+  test("winsorizeByGroupedStore: per-group bands, uncovered group passes uncalibrated") {
+    import spark.implicits._
+    // group a: 0..99 (band [0, 90e6] at p10/p90 on a 10-bin grid);
+    // group b: all 5.0 (single bin: band [0e6, 10e6])
+    val corpus = ((0 until 100).map(v => ("a", v.toDouble)) ++
+      Seq.fill(10)(("b", 5.0))).toDF("g", "v")
+    val store = Stats.groupedHistogramStore(corpus, "g", "v", 0.0, 100.0, 10)
+    val probe = Seq(("a", Some(95.0)), ("a", Some(50.0)), ("b", Some(95.0)),
+      ("zz", Some(95.0)), ("a", Option.empty[Double])).toDF("g", "v")
+    val got = Stats.winsorizeByGroupedStore(probe, "g", "v", store,
+        0.0, 100.0, 10, 100000L, 900000L)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))) ->
+        ((if (r.isNullAt(4)) None else Some(r.getLong(4))),
+          r.getBoolean(3))).toMap
+    assert(got(("a", Some(95.0))) === ((Some(90000000L), true)),
+      "group a clips at ITS p90 edge")
+    assert(got(("a", Some(50.0))) === ((Some(50000000L), true)))
+    assert(got(("b", Some(95.0))) === ((Some(10000000L), true)),
+      "group b's much tighter band applies — bands are per key")
+    assert(got(("zz", Some(95.0))) === ((Some(95000000L), false)),
+      "a group absent from the store passes through uncalibrated")
+    assert(got(("a", None)) === ((None, true)),
+      "NULL value: NULL out even in a calibrated group")
+    // an entirely empty store refuses — all-uncalibrated is the silent
+    // no-op, not a coverage state
+    def root(t: Throwable): String =
+      t.getMessage + Option(t.getCause).map(root).getOrElse("")
+    val ex = intercept[Exception] {
+      Stats.winsorizeByGroupedStore(probe, "g", "v",
+        Seq.empty[(String, Int, Long)].toDF("k", "bin", "n"),
+        0.0, 100.0, 10, 100000L, 900000L)
+    }
+    assert(root(ex).contains("no quantiles for any group"))
+  }
+
   test("winsorizeByHistogramStore: an empty store refuses, never no-ops") {
     import spark.implicits._
     def root(t: Throwable): String =
