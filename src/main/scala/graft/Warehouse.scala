@@ -492,6 +492,42 @@ final class Warehouse(val spark: SparkSession, val baseDir: String) {
       .orderBy("version")
   }
 
+  /** DRY-RUN retention plan — [[describeHistory]] plus per-policy drop
+    * flags computed with EXACTLY the semantics the executing verbs
+    * apply ([[vacuumTable]]'s drop-all-but-newest-keepLast and
+    * [[vacuumTableOlderThan]]'s strictly-before-cutoff-sparing-newest),
+    * so "what would this policy delete, and how many bytes does it
+    * free" is answerable before anything is deleted — and the spec
+    * pins plan == action by running the verbs afterwards. `would_drop`
+    * is the union (a version goes when ANY active policy drops it).
+    * Defaults deactivate each policy (keepLast = MaxValue keeps all;
+    * cutoff = MinValue predates everything).
+    */
+  def retentionPlan(dir: String, table: String,
+      keepLast: Int = Int.MaxValue,
+      olderThanMillis: Long = Long.MinValue): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val base = Warehouse.tablePath(dir, table)
+    val vs = Warehouse.committedVersionTimes(spark, base)
+    require(vs.nonEmpty, s"table $table is not versioned — nothing to plan")
+    val byCount = vs.map(_._1).dropRight(keepLast).toSet
+    val newest = vs.last._1
+    val byAge = vs.filter { case (v, t) =>
+      t < olderThanMillis && v != newest
+    }.map(_._1).toSet
+    describeHistory(dir, table)
+      .withColumn("drop_by_count",
+        col("version").isInCollection(
+          if (byCount.isEmpty) Set(-1L) else byCount))
+      .withColumn("drop_by_age",
+        col("version").isInCollection(
+          if (byAge.isEmpty) Set(-1L) else byAge))
+      .withColumn("would_drop",
+        col("drop_by_count") || col("drop_by_age"))
+      .orderBy("version")
+  }
+
   /** AGE-BASED RETENTION for versioned tables — the
     * DATA_RETENTION_TIME_IN_DAYS form of [[vacuumTable]]: delete every
     * committed version whose commit time (`_SUCCESS` mtime, the same

@@ -411,6 +411,46 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { w.describeHistory(tmp, "region") }
   }
 
+  test("retentionPlan: dry-run flags == what the vacuum verbs then drop") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_plan").toString
+    val w = Warehouse(spark, tmp)
+    val n = wh.loadTable("nation")
+    (1 to 4).foreach(i =>
+      w.saveTableVersioned(n.filter(col("n_nationkey") < i * 5), tmp, "nv"))
+    val base = Warehouse.tablePath(tmp, "nv")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L, 4L -> 4000L).foreach {
+      case (v, t) => fs.setTimes(new org.apache.hadoop.fs.Path(
+        Warehouse.versionDir(base, v), "_SUCCESS"), t, -1)
+    }
+    def plan(keep: Int, cutoff: Long) =
+      w.retentionPlan(tmp, "nv", keep, cutoff).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    // count policy alone: keepLast=2 marks v1, v2
+    val p1 = plan(2, Long.MinValue)
+    assert(p1.view.mapValues(_._1).toMap ===
+      Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    assert(p1.values.forall(v => !v._2), "age policy inactive at MinValue")
+    // age policy alone: cutoff 2500 marks v1, v2; newest spared always
+    val p2 = plan(Int.MaxValue, 2500L)
+    assert(p2.view.mapValues(_._2).toMap ===
+      Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // union: keepLast=3 (marks v1) + cutoff 2500 (marks v1, v2)
+    val p3 = plan(3, 2500L)
+    assert(p3.view.mapValues(_._3).toMap ===
+      Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // PLAN == ACTION: the verbs drop exactly the flagged versions
+    assert(w.vacuumTableOlderThan(tmp, "nv", 2500L).toSet ===
+      p2.filter(_._2._2).keySet)
+    val pKeep1 = plan(1, Long.MinValue) // on the surviving {3, 4}
+    assert(w.vacuumTable(tmp, "nv", keepLast = 1).toSet ===
+      pKeep1.filter(_._2._1).keySet)
+    assert(w.listVersions("nv") === Seq(4L))
+  }
+
   test("vacuumTableOlderThan: age cutoff, newest always survives") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft_vacage").toString
