@@ -1303,6 +1303,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      // CPU-dense exact-intersect verify below: pin one wave of tasks
+      // (the Relational.verifyFanout rule — AQE coalesces the ~16 B/pair
+      // candidate stream to 1-2 tasks and serializes the intersects)
+      .repartition(Relational.verifyFanout(df))
     val inter = size(array_intersect(col("g_a"), col("g_b")))
     cand
       .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")

@@ -128,11 +128,15 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    // (src, dst, outdeg), pre-partitioned on the per-round join key so
-    // the big side never reshuffles after the first materialization
+    // (src, dst, outdeg), pre-partitioned AND pre-sorted on the per-round
+    // join key: the big side never reshuffles after the first
+    // materialization, and the per-round sort-merge join sorts only the
+    // O(nodes) rank frame — the cached edge partitions are already in
+    // src order (r12: the per-round edge sort was 8× the rank sort)
     val edgeDeg = persistIf(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(col("src")))
+        .repartition(col("src"))
+        .sortWithinPartitions("src"))
     // persisted so the personalized branch's eager count (needed for the
     // teleport LITERAL — inherent to the exact-integer contract) and the
     // base-frame build below read one materialization, not two distinct
@@ -169,15 +173,27 @@ object Graph {
     try {
       var k = 0
       while (k < iters) {
+        // Per-round plan (r12 shape): the base term UNIONS into the
+        // contribution aggregation instead of a nodes-join after it —
+        // one exchange per round (the groupBy) and no per-round
+        // broadcast-build job; the edge join itself is exchange-free
+        // (ranks emerge hash(node)-partitioned from the previous
+        // round's groupBy, the alias to src matches edgeDeg's cached
+        // hash(src) layout). Math unchanged: s is summed over contrib
+        // rows only, base ridden in on its own tagged row, same floor
+        // division — bit-identical ranks.
         val contribs = edgeDeg
           .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
           .select(col("dst").as("node"),
-            expr("rank_fp div outdeg").as("share"))
+            expr("rank_fp div outdeg").as("share"), lit(false).as("__b"))
+        val plan = contribs
+          .unionByName(nodes.select(col("node"), col("base").as("share"),
+            lit(true).as("__b")))
           .groupBy("node")
-          .agg(sum(col("share")).as("s"))
-        val plan = nodes.join(contribs, Seq("node"), "left")
+          .agg(sum(when(!col("__b"), col("share"))).as("s"),
+            max(when(col("__b"), col("share"))).as("__base"))
           .select(col("node"),
-            (col("base") + expr(
+            (col("__base") + expr(
               s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
               .as("rank_fp"))
         // materialize every `checkpointInterval` rounds (and on the last):
@@ -235,7 +251,8 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src"))
+      .sortWithinPartitions("src"))
     val nodes = persistIf(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
@@ -243,16 +260,22 @@ object Graph {
     try {
       var k = 0
       while (k < iters) {
-        // count in-neighbor labels per node, argmax(count, tie min label)
+        // count in-neighbor labels per node, argmax(count, tie min label).
+        // A zero-count SELF row per node unions into the argmax input
+        // (r12 shape): a node with any real vote beats it (c >= 1 > 0),
+        // a node with no in-edges keeps its own label — exactly the old
+        // nodes-left-join + coalesce, minus one join (and its broadcast
+        // build) per round.
         val votes = e
           .join(labels.select(col("node").as("src"), col("label")), "src")
           .groupBy(col("dst").as("node"), col("label"))
           .agg(count(lit(1)).as("c"))
+        val plan = votes
+          .unionByName(nodes.select(col("node"), col("node").as("label"),
+            lit(0L).as("c")))
           .groupBy("node")
           .agg(max(struct(col("c").as("c"), (-col("label")).as("n"))).as("__m"))
-          .select(col("node"), (-col("__m.n")).as("__new"))
-        val plan = nodes.join(votes, Seq("node"), "left")
-          .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+          .select(col("node"), (-col("__m.n")).as("label"))
         // periodic lineage truncation only (pageRankCore contract): each
         // round references the prior labels once, so intermediate rounds
         // chain into one job with linear plan growth; bit-identical.
@@ -458,7 +481,8 @@ object Graph {
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
     val edgeW = persistIf(
       e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
-        .repartition(col("src")))
+        .repartition(col("src"))
+        .sortWithinPartitions("src"))
     val nodes = persistIf(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct()
@@ -467,16 +491,21 @@ object Graph {
       .localCheckpoint(true)
     var k = 0
     while (k < iters) {
+      // base unioned into the aggregation — one exchange per round, no
+      // per-round join (the pageRankCore r12 shape; bit-identical)
       val contribs = edgeW
         .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
         .select(col("dst").as("node"), expr(
           "CAST((CAST(rank_fp AS decimal(38,0)) * w) div wsum AS long)")
-          .as("share"))
+          .as("share"), lit(false).as("__b"))
+      val plan = contribs
+        .unionByName(nodes.select(col("node"), col("base").as("share"),
+          lit(true).as("__b")))
         .groupBy("node")
-        .agg(sum(col("share")).as("s"))
-      val plan = nodes.join(contribs, Seq("node"), "left")
+        .agg(sum(when(!col("__b"), col("share"))).as("s"),
+          max(when(col("__b"), col("share"))).as("__base"))
         .select(col("node"),
-          (col("base") + expr(
+          (col("__base") + expr(
             s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen"))
             .as("rank_fp"))
       // periodic truncation (pageRankCore contract) — rounds chain with
@@ -697,10 +726,25 @@ object Graph {
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // sym feeds the wedge arms, the existing-edge anti-join and the two
+    // degree joins; deg feeds the cap filter and both endpoint degrees;
+    // kept feeds both wedge arms — WITHOUT the caches the lazy plan
+    // recomputes the symmetrize+distinct FOUR times per action (62
+    // Exchange nodes at sf0.1; r12 plan audit). Caches are reclaimed by
+    // the ContextCleaner once the caller's result drops the reference
+    // (the triangleCounts convention — an eager unpersist here would run
+    // before the caller's action). The kept cache also pins the wedge
+    // self-join's parallelism to the cache's partition count: both arms
+    // read hash(a)-partitioned cached rows, so the CPU-dense wedge
+    // explosion (Σ deg(w)² rows) runs one task per cached partition
+    // instead of inside a byte-coalesced 1-2-task AQE read.
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = sym.join(deg.where(col("deg") <= maxDegree), "a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = kept
       .select(col("a").as("w"), col("b").as("u"),
         graft.functions.GraftFunctions.ilog2FpCol(spark, col("deg")).as("__l"))

@@ -26,6 +26,21 @@ object Relational {
     */
   private def lcol(name: String): Column = graft.Warehouse.literalCol(name)
 
+  /** Parallelism floor for CPU-DENSE verify stages (r12 optimization,
+    * guide §2.5): AQE coalesces post-shuffle partitions by BYTES
+    * (minPartitionSize 1 MiB), but a candidate-pair stream is ~16 B/row
+    * while its verification (array_intersect over gram arrays, exact
+    * levenshtein) costs ~10³ ops/row — a few-MiB candidate frame
+    * coalesces to 2 tasks and serializes the verify on a 32-core box
+    * (measured: 12.4 s of q_fuzzy_join's 14.4 s in two 2-task stages).
+    * An explicit round-robin repartition to defaultParallelism before
+    * the verify join pins one wave of right-sized tasks; the exchanged
+    * rows are narrow ids, so the extra shuffle is noise next to the
+    * verify CPU at any scale.
+    */
+  private[operators] def verifyFanout(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+
   /** join with Fugue's how-vocabulary. `on` columns are equi-join keys and,
     * per Fugue semantics, appear once in the output (via USING-style join).
     * Small right sides should be wrapped in `broadcast()` by the caller or
@@ -312,6 +327,9 @@ object Relational {
     val cand = (if (rightOpt.isEmpty) cand0.filter(col("l_id") < col("r_id"))
       else cand0)
       .select("l_id", "r_id").distinct()
+      // CPU-dense exact-intersect verify below: pin one wave of tasks
+      // (AQE would coalesce the ~16 B/pair stream to 1-2 tasks)
+      .repartition(verifyFanout(left))
     val shared = size(array_intersect(col("l_gs"), col("r_gs"))).cast("long")
     val union = col("l_grams") + col("r_grams") - col("shared_grams")
     cand
@@ -457,6 +475,9 @@ object Relational {
     // the history (a forced broadcast OOM'd the 500k probe — gram
     // arrays are wide); AQE broadcasts it when it is actually small
     val mixedPairs = cand
+      // CPU-dense exact-intersect verify: pin one wave of tasks (the
+      // fuzzyJoinImpl rule — AQE coalesces the pair stream by bytes)
+      .repartition(verifyFanout(newDf))
       .join(oArr, col("id_o") === col("o_id"))
       .join(bArr, Seq("b_id"))
       .withColumn("shared_grams", shared)
@@ -1715,6 +1736,9 @@ object Relational {
         greatest(col("__x"), col("__y")).as("id_b"))
     val texts = s.select(col("id"), col("str"))
     candLong.unionByName(candShort).distinct()
+      // CPU-dense exact-levenshtein verify: pin one wave of tasks (the
+      // fuzzyJoinImpl rule — AQE coalesces the pair stream by bytes)
+      .repartition(verifyFanout(df))
       .join(texts.select(col("id").as("id_a"), col("str").as("__sa")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("str").as("__sb")), "id_b")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
@@ -1855,6 +1879,9 @@ object Relational {
     // fuzzyJoinIncremental removed the same hint after a measured OOM at
     // the 500k probe); AQE still broadcasts when it is actually small
     val mixedPairs = mixed
+      // CPU-dense exact-levenshtein verify: pin one wave of tasks (the
+      // fuzzyJoinImpl rule — AQE coalesces the pair stream by bytes)
+      .repartition(verifyFanout(newDf))
       .join(fetchedOld.select(col("id").as("id_o"), col("str").as("__so")),
         "id_o")
       .join(newBase.select(col("id").as("id_n"), col("str").as("__sn")), "id_n")
