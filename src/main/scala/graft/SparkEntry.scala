@@ -4108,7 +4108,14 @@ object SparkEntry {
         concat(substring(col("s"), 1, 29), lit("Z"),
           substring(col("s"), 31, 60)).as("s"))
     val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0).unionByName(typo)
+    // the store is REFERENCED TWICE inside fuzzyJoinIncremental (df
+    // lookup + prefix probe); in production it is a persisted warehouse
+    // table, so scanning twice is two pruned parquet passes — built
+    // inline here, the un-cached lazy plan would run the full history
+    // gram window TWICE per action (r12; the persist models the
+    // documented persisted-store contract, ContextCleaner-reclaimed)
     val store = operators.Relational.fuzzyGramStore(hist, "doc_id", "s", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     operators.Relational.fuzzyJoinIncremental(batch, "doc_id", "s",
         store, hist, thresholdNum = 4, thresholdDen = 5, n = 3)
       .orderBy("l_id", "r_id")

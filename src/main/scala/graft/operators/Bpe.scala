@@ -24,17 +24,21 @@ object Bpe {
     * space-separated symbol string in `__s` (pre-split) — the SQL fold
     * both [[trainDistributed]] and [[encodeCorpus]] apply, mirrored
     * token-for-token by the DuckDB oracle's `list_reduce`. The
-    * accumulator's last token is the trailing run of non-spaces
-    * (leftmost-first regex semantics agree across engines).
+    * accumulator is a struct `(s, t)` where `t` carries the trailing
+    * token explicitly (r12 — the earlier form re-derived it with TWO
+    * regexp_extract calls per fold step, the dominant per-task cost of
+    * the encode family; tokens never contain spaces, so tracked-`t` ≡
+    * trailing-run-of-non-spaces by construction, and every emitted
+    * string is bit-identical).
     */
-  private def mergeExpr(l: String, r: String): String = {
-    val lastTok = "regexp_extract(acc, '([^ ]*)$', 1)"
+  private def mergeExpr(l: String, r: String): String =
     s"""aggregate(slice(__s, 2, greatest(size(__s) - 1, 0)),
-       |  element_at(__s, 1),
-       |  (acc, x) -> IF($lastTok = '$l' AND x = '$r',
-       |    concat(substr(acc, 1, length(acc) - length($lastTok)), '$l$r'),
-       |    concat(acc, ' ', x)))""".stripMargin
-  }
+       |  struct(element_at(__s, 1) AS s, element_at(__s, 1) AS t),
+       |  (acc, x) -> IF(acc.t = '$l' AND x = '$r',
+       |    struct(concat(substr(acc.s, 1, length(acc.s) - length(acc.t)), '$l$r') AS s,
+       |           '$l$r' AS t),
+       |    struct(concat(acc.s, ' ', x) AS s, x AS t)),
+       |  acc -> acc.s)""".stripMargin
 
   def train(df: DataFrame, textCol: String, numMerges: Int = 500,
       sampleSize: Int = 500, seed: Long = 42L): BpeModel = {

@@ -338,8 +338,16 @@ object Dedup {
     // it instead of failing mysteriously mid-round
     require(persistLevel != StorageLevel.NONE || checkpointDir.isDefined || maxIters <= 15,
       s"persistLevel=NONE disables lineage truncation; maxIters must be <= 15 (got $maxIters)")
-    // symmetric edge list, narrow (long, long)
-    val e = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // symmetric edge list, narrow (long, long). The projected pair frame
+    // is persisted BEFORE the symmetrizing union: the union references it
+    // twice, and `pairs` is routinely an expensive lazy plan (a PPJoin /
+    // blocking join whose exact verify runs AFTER its last exchange, so
+    // exchange reuse does not dedupe it) — un-cached, the whole pair
+    // generation computed TWICE inside the edges materialization (r12).
+    // The cache is narrow 16 B rows, O(matches).
+    val e = persistIf(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+      persistLevel)
     val edges = persistIf(
       e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
       persistLevel)
@@ -442,7 +450,7 @@ object Dedup {
       // lineage stays intact for recompute-after-eviction), nor any
       // round cache still pending on the reliable path
       releaseCheckpointedCaches()
-      if (persistLevel != StorageLevel.NONE) edges.unpersist()
+      if (persistLevel != StorageLevel.NONE) { e.unpersist(); edges.unpersist() }
     }
   }
 

@@ -124,10 +124,14 @@ object Graph {
       pendingCaches = Nil
     }
 
-    val e = edges
+    // e is read by FOUR consumers (edgeDeg's join + degree sides, nodeIds'
+    // src + dst arms): the distinct's exchange is stage-reused, but its
+    // post-exchange dedup aggregate recomputed once per consumer — the
+    // cache makes that one pass (r12, the CC persist-before-reuse rule)
+    val e = persistIf(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct())
     // (src, dst, outdeg), pre-partitioned AND pre-sorted on the per-round
     // join key: the big side never reshuffles after the first
     // materialization, and the per-round sort-merge join sorts only the
@@ -216,7 +220,7 @@ object Graph {
     } finally {
       releaseCheckpointedCaches()
       if (persistLevel != StorageLevel.NONE) {
-        edgeDeg.unpersist(); nodes.unpersist(); nodeIds.unpersist()
+        e.unpersist(); edgeDeg.unpersist(); nodes.unpersist(); nodeIds.unpersist()
       }
     }
   }
@@ -403,10 +407,15 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1 (got $maxIters)")
     def persistIf(df: DataFrame): DataFrame =
       if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
-    // undirected simple graph: symmetrize, drop self-loops, dedup
-    val base = edges
+    // undirected simple graph: symmetrize, drop self-loops, dedup. The
+    // projected base persists BEFORE the symmetrizing union (the CC r12
+    // rule): the union references it twice, and post-exchange compute of
+    // an expensive caller plan (a join's merge, a verify filter) is NOT
+    // deduped by exchange reuse — un-cached it ran twice inside e0's
+    // materialization. Narrow (long, long) rows.
+    val base = persistIf(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst")))
     val e0 = persistIf(
       base.union(base.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -423,13 +432,12 @@ object Graph {
           .join(keep, alive("src") === col("__keep"), "left_semi")
           .join(keep.select(col("__keep").as("__keep2")),
             alive("dst") === col("__keep2"), "left_semi")
+        // one action per round: the count that drives convergence IS the
+        // materializing action for the lazy checkpoint (r12: the separate
+        // materialize-then-recount paid one extra scheduler job per peel)
         val next =
           if (persistLevel == StorageLevel.NONE) plan
-          else {
-            val c = plan.localCheckpoint(eager = false, storageLevel = persistLevel)
-            c.count()
-            c
-          }
+          else plan.localCheckpoint(eager = false, storageLevel = persistLevel)
         val n = next.count()
         converged = n == lastCount
         lastCount = n
@@ -438,7 +446,7 @@ object Graph {
       }
       alive.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     } finally {
-      if (persistLevel != StorageLevel.NONE) e0.unpersist()
+      if (persistLevel != StorageLevel.NONE) { base.unpersist(); e0.unpersist() }
     }
   }
 
@@ -473,12 +481,14 @@ object Graph {
       s"damping must satisfy 0 <= dampNum <= dampDen (got $dampNum/$dampDen)")
     def persistIf(df: DataFrame): DataFrame =
       if (persistLevel == StorageLevel.NONE) df else df.persist(persistLevel)
-    val e = edges
+    // four consumers of e (edgeW join + weight-sum sides, nodes' two
+    // arms): persist so the merge aggregate runs once (pageRankCore r12)
+    val e = persistIf(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")))
     val edgeW = persistIf(
       e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
         .repartition(col("src"))
@@ -516,7 +526,9 @@ object Graph {
         else plan
       k += 1
     }
-    if (persistLevel != StorageLevel.NONE) { edgeW.unpersist(); nodes.unpersist() }
+    if (persistLevel != StorageLevel.NONE) {
+      e.unpersist(); edgeW.unpersist(); nodes.unpersist()
+    }
     ranks
   }
 
@@ -661,6 +673,15 @@ object Graph {
     // materialized RDD instead of re-planning the crossJoin+broadcast
     // rescale inside its own shuffle (leaving the rescale lazy measured
     // ~50% SLOWER than either, 10-17 s vs 6-7 s for 8 rounds).
+    // r12 re-probe on an idle box (ProbeHits, interleaved): a literal-max
+    // variant (collect the sup-norm scalar, embed as literal, lazy
+    // rescale over a lazily-checkpointed raw + pre-sorted per-direction
+    // edge caches) cut the job count 113 → 85 but measured SLOWER
+    // (medians 11.8 vs 9.7 s) — each phase's fresh literal divisor
+    // invalidates the codegen cache, so 32 phases pay Janino
+    // recompilation that the shape-stable broadcast plan amortizes to
+    // one compile. Kept the committed shape; never commit on job counts
+    // alone.
     def normalized(rawPlan: DataFrame): DataFrame = {
       val raw = rawPlan.localCheckpoint(true)
       raw.crossJoin(broadcast(raw.agg(max(col("s")).as("__m"))))
@@ -723,9 +744,12 @@ object Graph {
     require(maxDegree >= 2, s"linkPrediction: maxDegree must be >= 2 (got $maxDegree)")
     require(minCommon >= 1, s"linkPrediction: minCommon must be >= 1 (got $minCommon)")
     val spark = edges.sparkSession
+    // persisted before the symmetrizing union (the CC r12 rule): the two
+    // arms would re-run the caller plan's post-exchange compute twice
     val und = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sym feeds the wedge arms, the existing-edge anti-join and the two
     // degree joins; deg feeds the cap filter and both endpoint degrees;
     // kept feeds both wedge arms — WITHOUT the caches the lazy plan

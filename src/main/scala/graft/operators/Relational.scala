@@ -1018,6 +1018,17 @@ object Relational {
   def profile(df: DataFrame, exact: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(df.schema.nonEmpty, "profile: frame has no columns")
     val fields = df.schema.fields.toSeq
+    // exact mode is gate-scale by contract (see above) and its k-distinct
+    // Expand multiplies every input row (k+1)× BEFORE the first partial
+    // aggregation — on a small input the scan is 1-2 tasks, so the whole
+    // expansion ran single-threaded (r12, measured: one 3 s task for a
+    // 6-column orders profile). A round-robin fan-out spreads the Expand
+    // across the cores; aggregation is partitioning-invariant, so results
+    // are identical. The approx branch (the 100 TB default) keeps the
+    // scan's own partitioning — no added exchange at scale.
+    val src = if (exact)
+      df.repartition(math.max(1, df.sparkSession.sparkContext.defaultParallelism))
+    else df
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = lcol(f.name)
       Seq(
@@ -1027,7 +1038,7 @@ object Relational {
         min(c).cast("string").as(s"__p${i}_mn"),
         max(c).cast("string").as(s"__p${i}_mx"))
     } :+ count(lit(1)).as("__p_rows")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = src.agg(aggs.head, aggs.tail: _*)
     row.select(explode(array(fields.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("col_name"),

@@ -161,6 +161,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("struct-accumulator merge fold equals the reference greedy single pass") {
+    import graft.operators.Bpe
+    // r12: mergeExpr tracks the trailing token in a struct instead of
+    // re-deriving it with regexp_extract — pin the fold against an
+    // in-memory greedy left-to-right reference over words that exercise
+    // every branch: overlap runs, merge-at-end, merged-output re-merging
+    // only on a LATER pass, and non-matching symbols.
+    def refMerge(w: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i < w.length - 1 && w(i) == l && w(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += w(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val words = Seq("aaaa", "aab", "baa", "ab", "a", "abab", "aaab", "bbaa")
+    val merges = Seq(("a", "a"), ("aa", "a"), ("a", "b"), ("aa", "ab"))
+    val expected = words.map { w =>
+      var syms: Seq[String] = w.map(_.toString)
+      merges.foreach { case (l, r) => syms = refMerge(syms, l, r) }
+      w -> syms.mkString(" ")
+    }.toMap
+    val got = Bpe.encodeCorpus(
+        words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"),
+        "doc_id", "text",
+        merges.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) })
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) === expected(w).split(" ").length.toLong,
+        s"token count for '$w' (expected segmentation '${expected(w)}')")
+    }
+  }
+
   test("BPE training merges frequent pairs and counting follows the model") {
     import graft.operators.{Bpe, TextAnalysis}
     // "the" dominates → its pairs merge first; the trained model should
