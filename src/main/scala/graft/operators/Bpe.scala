@@ -114,8 +114,17 @@ object Bpe {
       val merged = words
         .withColumn("__s", split(col("w"), " "))
         .select(expr(mergeExpr(l, r)).as("w"), col("f"))
+      // the FINAL round's frame is never read again (the model is the
+      // driver-side merge buffer), so it does not checkpoint: the r12
+      // `k == numMerges` eager checkpoint paid one whole materialization
+      // of the 16-merge fold chain for a frame nothing consumes (r13).
+      // A broadcast-param fold (codegen-cache-stable across rounds) and
+      // lazy interval checkpoints were probed interleaved and REGRESSED
+      // (2.64 -> 3.00 s, jobs 38 -> 70, ProbeR13): the per-round
+      // broadcast-join jobs cost more than the Janino recompiles they
+      // save at vocabulary scale. Literal fold + eager truncation kept.
       words =
-        if (k % 4 == 0 || k == numMerges) merged.localCheckpoint(true) else merged
+        if (k % 4 == 0 && k < numMerges) merged.localCheckpoint(true) else merged
       k += 1
     }
     merges.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")

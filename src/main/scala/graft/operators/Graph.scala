@@ -665,30 +665,29 @@ object Graph {
     val nodes = persistIf(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
-    // BOTH frames checkpoint per phase (A/B/C-probed on the q_hits trade
-    // graph, tools/ProbeHits): the RAW phase sums materialize eagerly so
-    // the broadcast-max job never recomputes the edge join (the
-    // normalize-then-checkpoint-only shape paid that twice), AND the
-    // rescale checkpoints so the next phase's edge join probes a plain
-    // materialized RDD instead of re-planning the crossJoin+broadcast
-    // rescale inside its own shuffle (leaving the rescale lazy measured
-    // ~50% SLOWER than either, 10-17 s vs 6-7 s for 8 rounds).
-    // r12 re-probe on an idle box (ProbeHits, interleaved): a literal-max
-    // variant (collect the sup-norm scalar, embed as literal, lazy
-    // rescale over a lazily-checkpointed raw + pre-sorted per-direction
-    // edge caches) cut the job count 113 → 85 but measured SLOWER
-    // (medians 11.8 vs 9.7 s) — each phase's fresh literal divisor
-    // invalidates the codegen cache, so 32 phases pay Janino
-    // recompilation that the shape-stable broadcast plan amortizes to
-    // one compile. Kept the committed shape; never commit on job counts
-    // alone.
-    def normalized(rawPlan: DataFrame): DataFrame = {
-      val raw = rawPlan.localCheckpoint(true)
-      raw.crossJoin(broadcast(raw.agg(max(col("s")).as("__m"))))
+    // LAZY-CHAINED phases (r13, interleaved ProbeR13 on the q_hits trade
+    // graph): every phase frame is a LAZY localCheckpoint — the logical
+    // plan is truncated to a leaf each phase (no exponential tree growth)
+    // but nothing materializes until the caller's single eager action,
+    // whose cascade computes every phase RDD exactly once and stores its
+    // blocks. Each phase's raw-sum subtree appears twice in its plan
+    // (stream + sup-norm broadcast), so ReusedExchange computes the
+    // shuffle once; the r10/r12 shapes instead paid an eager checkpoint
+    // job per phase twice over (raw + rescale, 3 scheduler jobs per
+    // phase). Still shape-stable across rounds — the sup-norm rides as a
+    // broadcast row, never a literal (the r12 Janino lesson: per-round
+    // literals cut jobs 113 → 85 but measured SLOWER, medians 11.8 vs
+    // 9.7 s; never commit on job counts alone). Values are bit-identical:
+    // same sums, same decimal floor division, only materialization moved.
+    // Also probed and REJECTED here (r13): per-direction pre-partitioned
+    // edge caches — the phase join is a broadcast-hash join of the tiny
+    // score frame against the cached edge list, so the edges never
+    // re-shuffle per phase anyway and the two cache builds are pure
+    // overhead (jobs 111 -> 117, no median gain).
+    def normalized(rawPlan: DataFrame): DataFrame =
+      rawPlan.crossJoin(broadcast(rawPlan.agg(max(col("s")).as("__m"))))
         .select(col("node"), expr(
           s"CAST((CAST(s AS decimal(38,0)) * $scale) div __m AS long)").as("v"))
-        .localCheckpoint(true)
-    }
     var h = nodes.select(col("node"), lit(scale).as("v")).localCheckpoint(true)
     var a: DataFrame = null
     var i = 0
@@ -696,9 +695,11 @@ object Graph {
       a = normalized(
         e.join(h.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum(col("v")).as("s")))
+        .localCheckpoint(eager = false)
       h = normalized(
         e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node")).agg(sum(col("v")).as("s")))
+        .localCheckpoint(eager = false)
       i += 1
     }
     val out = nodes

@@ -837,11 +837,22 @@ object Stats {
       .select(col("a").as("it"), col("cnt"))
     val nB = store.filter(col("kind") === "n")
       .select(col("cnt").as("n_baskets"))
+    // The top-K order key is (pair_count desc, item_a, item_b) — a total
+    // order over the joined rows that never reads a derived metric, so
+    // EVERY projection (confidences, lift, LLR) belongs ABOVE the limit:
+    // computed on <= topK rows instead of every support-qualified pair
+    // (r13 — the pre-limit llr_u20, four ilog2 terms + proper-table
+    // guards per row, was the q_association_store regression). The item
+    // joins stay BELOW the limit on purpose: a malformed store with a
+    // missing item row must drop that pair before ranking, exactly as
+    // the pre-r13 plan did.
     pairs
       .join(ic.select(col("it").as("item_a"), col("cnt").as("count_a")),
         Seq("item_a"))
       .join(ic.select(col("it").as("item_b"), col("cnt").as("count_b")),
         Seq("item_b"))
+      .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
+      .limit(topK)
       .crossJoin(broadcast(nB))
       .withColumn("conf_ab_e6", expr("pair_count * 1000000 div count_a"))
       .withColumn("conf_ba_e6", expr("pair_count * 1000000 div count_b"))
@@ -854,8 +865,9 @@ object Stats {
       .withColumn("llr_u20", llrU20(store.sparkSession,
         col("pair_count"), col("count_a"), col("count_b"),
         col("n_baskets"), nullAboveN = true))
+      // the crossJoin/projections above sit past the TakeOrdered — restore
+      // the contract order on the <= topK survivors (cheap by construction)
       .orderBy(col("pair_count").desc, col("item_a"), col("item_b"))
-      .limit(topK)
       .select("item_a", "item_b", "pair_count", "count_a", "count_b",
         "n_baskets", "conf_ab_e6", "conf_ba_e6", "lift_e6", "llr_u20")
   }

@@ -880,17 +880,27 @@ object TextAnalysis {
     val colm = pairsP.groupBy("w2").agg(count(lit(1)).as("__col_cnt"))
     val totp = pairsP.agg(count(lit(1)).as("__n_pairs"))
     val dec = "decimal(38,0)"
-    val out = big
+    // the rank key is lift_e6 (unigram margins + total) — the LLR margin
+    // joins and the four-ilog2 llr_u20 projection rank nothing, so they
+    // sit ABOVE the topK limit: computed on <= topK survivors instead of
+    // every minCount-qualified bigram (r13, the associationFromStore
+    // deferral). Every bigram in `big` has a rowm/colm row by
+    // construction (same pairsP source), so moving those inner joins
+    // past the limit cannot drop rows.
+    val ranked = big
       .join(uni.select(col("w").as("w1"), col("c").as("left_cnt")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("right_cnt")), Seq("w2"))
       .crossJoin(broadcast(total))
-      .join(rowm, Seq("w1"))
-      .join(colm, Seq("w2"))
-      .crossJoin(broadcast(totp))
       .withColumn("__num",
         col("pair_cnt").cast(dec) * col("n_tokens").cast(dec) * lit(1000000L).cast(dec))
       .withColumn("__den", col("left_cnt").cast(dec) * col("right_cnt").cast(dec))
       .withColumn("lift_e6", expr("CAST(__num div __den AS long)"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(topK)
+    val out = ranked
+      .join(rowm, Seq("w1"))
+      .join(colm, Seq("w2"))
+      .crossJoin(broadcast(totp))
       // nullAboveN: past 10^9 bigram events llr_u20 reads NULL rather
       // than killing the lift read that worked before the score existed
       .withColumn("llr_u20", Stats.llrU20(df.sparkSession,
@@ -898,8 +908,9 @@ object TextAnalysis {
         col("__n_pairs"), nullAboveN = true))
       .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_tokens",
         "lift_e6", "llr_u20")
+      // the margin joins sit past the TakeOrdered — restore the contract
+      // order on the <= topK survivors
       .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
-      .limit(topK)
       .localCheckpoint(eager = true)
     pairsP.unpersist()
     out
