@@ -32,6 +32,31 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Respect the advisory partition size when coalescing instead of
+      // stopping at defaultParallelism (parallelismFirst=false is Spark's
+      // own documented recommendation — the default true "maximizes
+      // parallelism" by keeping 1 MiB partitions, which at any scale
+      // multiplies per-task overhead: every task result ships one
+      // serialized accumulator per SQL metric per operator, and jstack
+      // sampling showed ~70% of this workload's task-side CPU inside
+      // that DirectTaskResult accumulator deserialization, r13). At
+      // 100 TB the advisory target produces the same many-partition
+      // plans either way; CPU-dense narrow-byte verify stages keep their
+      // parallelism via the explicit verifyFanout repartition, which AQE
+      // never coalesces. Env knob for A/B and for clusters that truly
+      // want parallelism-first.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      // Let cache materialization run under full AQE too (upstream flag,
+      // default false): without it every persisted frame pins its
+      // pre-AQE partition count and all downstream scans of the cache
+      // inherit it — the operators' edge/signature/gram caches kept
+      // 32-partition layouts whose per-task accumulator traffic dwarfed
+      // their data (r13). Cache-partitioning-dependent joins still plan
+      // correctly — Spark inserts an exchange when a consumer needs a
+      // different distribution.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // 64 MiB split target keeps scan tasks balanced on wide parquet.
       .config("spark.sql.files.maxPartitionBytes", "67108864")

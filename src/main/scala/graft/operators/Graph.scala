@@ -672,12 +672,16 @@ object Graph {
     // whose cascade computes every phase RDD exactly once and stores its
     // blocks. Each phase's raw-sum subtree appears twice in its plan
     // (stream + sup-norm broadcast), so ReusedExchange computes the
-    // shuffle once; the r10/r12 shapes instead paid an eager checkpoint
-    // job per phase twice over (raw + rescale, 3 scheduler jobs per
-    // phase). Still shape-stable across rounds — the sup-norm rides as a
-    // broadcast row, never a literal (the r12 Janino lesson: per-round
-    // literals cut jobs 113 → 85 but measured SLOWER, medians 11.8 vs
-    // 9.7 s; never commit on job counts alone). Values are bit-identical:
+    // shuffle once; the r10/r12 shapes additionally paid two eager
+    // checkpoint ACTIONS per phase (raw + rescale). Measured honestly:
+    // the scheduler-job count barely moves (111 -> 110 — jobs here are
+    // AQE stage materializations plus the per-phase broadcast, not the
+    // removed actions) and the interleaved win is modest but consistent
+    // (10.96 vs 11.78 s median, better in 3/3 reps, same-JVM). Still
+    // shape-stable across rounds — the sup-norm rides as a broadcast
+    // row, never a literal (the r12 Janino lesson: per-round literals
+    // cut jobs 113 → 85 but measured SLOWER, medians 11.8 vs 9.7 s;
+    // never commit on job counts alone). Values are bit-identical:
     // same sums, same decimal floor division, only materialization moved.
     // Also probed and REJECTED here (r13): per-direction pre-partitioned
     // edge caches — the phase join is a broadcast-hash join of the tiny

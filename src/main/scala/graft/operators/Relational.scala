@@ -37,9 +37,24 @@ object Relational {
     * the verify join pins one wave of right-sized tasks; the exchanged
     * rows are narrow ids, so the extra shuffle is noise next to the
     * verify CPU at any scale.
+    *
+    * SCALE GUARD (r13, VERDICT item 6): an explicit repartition is never
+    * split by AQE, so at 100 TB a blocking-bounded-but-huge candidate
+    * stream would land in exactly one wave of potentially multi-GB
+    * tasks. `graft.verify.fanout.multiplier` (session conf, default 1 =
+    * the committed gate-scale plan) multiplies the wave count; size it
+    * to ceil(expected candidate volume / (cores × target task size)) in
+    * production. A conf knob rather than a stats-derived size on
+    * purpose: Catalyst size estimates for self-join candidate frames
+    * are join-products that overshoot by orders of magnitude, and a
+    * fanout of 2^31 partitions is worse than the cliff it prevents.
     */
-  private[operators] def verifyFanout(df: DataFrame): Int =
-    math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+  private[operators] def verifyFanout(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val mult = math.max(1,
+      spark.conf.get("graft.verify.fanout.multiplier", "1").toInt)
+    math.max(1, mult * spark.sparkContext.defaultParallelism)
+  }
 
   /** join with Fugue's how-vocabulary. `on` columns are equi-join keys and,
     * per Fugue semantics, appear once in the output (via USING-style join).
@@ -1752,8 +1767,13 @@ object Relational {
       .repartition(verifyFanout(df))
       .join(texts.select(col("id").as("id_a"), col("str").as("__sa")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("str").as("__sb")), "id_b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .where(col("dist") <= k)
+      // bounded 3-arg levenshtein (r13): banded O(k*n) DP with early
+      // exit instead of the full O(n^2) table; returns -1 above the
+      // threshold, the exact distance otherwise — surviving rows and
+      // their dist values are identical to the unbounded form
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), k).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= k)
       .select("id_a", "id_b", "dist")
   }
 
@@ -1896,8 +1916,10 @@ object Relational {
       .join(fetchedOld.select(col("id").as("id_o"), col("str").as("__so")),
         "id_o")
       .join(newBase.select(col("id").as("id_n"), col("str").as("__sn")), "id_n")
-      .withColumn("dist", levenshtein(col("__so"), col("__sn")).cast("long"))
-      .where(col("dist") <= k)
+      // bounded 3-arg levenshtein (r13) — the editDistanceJoin rule
+      .withColumn("dist",
+        levenshtein(col("__so"), col("__sn"), k).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= k)
       .select(least(col("id_o"), col("id_n")).as("id_a"),
         greatest(col("id_o"), col("id_n")).as("id_b"), col("dist"))
     val newNew = editDistanceJoin(newBase, "id", "str", k)

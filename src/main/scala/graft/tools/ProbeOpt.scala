@@ -30,6 +30,8 @@ object ProbeOpt {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val gcTime = new java.util.concurrent.atomic.AtomicLong
+    val taskTime = new java.util.concurrent.atomic.AtomicLong
     val dumpJobs = sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -50,14 +52,19 @@ object ProbeOpt {
         tasks.addAndGet(st.stageInfo.numTasks.toLong)
         shufRead.addAndGet(st.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(st.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        gcTime.addAndGet(st.stageInfo.taskMetrics.jvmGCTime)
+        taskTime.addAndGet(st.stageInfo.taskMetrics.executorRunTime)
         if (dumpJobs)
           println(f"    stage ${st.stageInfo.stageId}%4d tasks=${st.stageInfo.numTasks}%4d " +
-            f"${st.stageInfo.name.take(90)}%s")
+            f"cpu=${st.stageInfo.taskMetrics.executorRunTime / 1000.0}%7.2fs " +
+            f"gc=${st.stageInfo.taskMetrics.jvmGCTime / 1000.0}%5.2fs " +
+            f"${st.stageInfo.name.take(70)}%s")
         ()
       }
     })
-    def snap(): (Long, Long, Long, Long, Long) =
-      (jobs.get, stages.get, tasks.get, shufRead.get, shufWrite.get)
+    def snap(): (Long, Long, Long, Long, Long, Long, Long) =
+      (jobs.get, stages.get, tasks.get, shufRead.get, shufWrite.get,
+        gcTime.get, taskTime.get)
 
     def runNoop(n: String): Double = {
       s.sparkContext.setJobDescription(n)
@@ -71,7 +78,8 @@ object ProbeOpt {
       val after = snap()
       println(f"  [$n%s] jobs=${after._1 - before._1}%d stages=${after._2 - before._2}%d " +
         f"tasks=${after._3 - before._3}%d shufRead=${(after._4 - before._4) / 1048576.0}%.1fMiB " +
-        f"shufWrite=${(after._5 - before._5) / 1048576.0}%.1fMiB")
+        f"shufWrite=${(after._5 - before._5) / 1048576.0}%.1fMiB " +
+        f"gc=${(after._6 - before._6) / 1000.0}%.2fs taskTime=${(after._7 - before._7) / 1000.0}%.2fs")
       dt
     }
 

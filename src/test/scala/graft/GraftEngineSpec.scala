@@ -33,4 +33,25 @@ class GraftEngineSpec extends AnyFunSuite with SparkTestBase {
   test("frame handle is reachable from the engine") {
     assert(engine.table("region").count() === 5)
   }
+
+  test("session AQE posture (r13): advisory-size coalescing + cached-plan AQE") {
+    // parallelismFirst=false lets AQE respect the advisory partition size
+    // instead of pinning tiny post-shuffle partitions at defaultParallelism;
+    // cached-plan AQE lets persisted frames coalesce too. Both are
+    // env-overridable (SPARK_GRAFT_AQE_PARALLELISM_FIRST / _CACHED_PLAN).
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst") ===
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    assert(spark.conf.get(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") ===
+      sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
+    // and the coalescing actually bites: a tiny groupBy's post-shuffle
+    // read collapses below the session's shuffle-partition setting
+    import org.apache.spark.sql.functions._
+    val g = spark.range(0, 10000)
+      .select((col("id") % 100).as("k")).groupBy("k").agg(count(lit(1)))
+    g.write.format("noop").mode("overwrite").save()
+    assert(g.rdd.getNumPartitions === 1,
+      "advisory-size coalescing collapses a tiny aggregate to one partition")
+  }
 }
